@@ -1,0 +1,515 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import T._
+
+/** SURVEY.md Appendix A, Q1–Q30: the relational-operator contract of the
+  * engine (SURVEY §2.9). Every query ends with a total ORDER BY; double
+  * aggregates go through [[T.dsum]]/[[T.davg]]; oracle SQL mirrors the
+  * Spark plan column-for-column (names AND types) for the driver's
+  * DuckDB hash compare.
+  *
+  * All of these are stock Catalyst plans on purpose: scans feed filter /
+  * project pushdown, joins pick broadcast vs sort-merge from stats+AQE,
+  * aggregates run partial+final (SURVEY §4.2). No custom physical work.
+  */
+object CoreQueries {
+
+  val all: Seq[Q] = Seq(
+    Q("q01_project",
+      """SELECT l_orderkey, l_linenumber,
+        |ROUND(l_extendedprice*(1-l_discount),4) AS net
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) {
+      (s, d) =>
+        t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+              .as("net"))
+          .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    Q("q02_filter",
+      """SELECT o_orderkey FROM orders
+        |WHERE o_orderstatus = 'O' AND o_totalprice BETWEEN 1000 AND 5000
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      t(s, d, "orders")
+        .where(col("o_orderstatus") === "O" &&
+          col("o_totalprice").between(1000, 5000))
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+    },
+
+    Q("q03_join_inner",
+      """SELECT c.c_custkey, o.o_orderkey FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |ORDER BY c_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"),
+          col("c_custkey") === col("o_custkey"), "inner")
+        .select("c_custkey", "o_orderkey")
+        .orderBy("c_custkey", "o_orderkey")
+    },
+
+    Q("q04_join_left",
+      """SELECT c.c_custkey, COALESCE(o.o_orderkey, -1) AS ok
+        |FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |ORDER BY c_custkey, ok""".stripMargin) { (s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("o_orderkey"), lit(-1L)).as("ok"))
+        .orderBy("c_custkey", "ok")
+    },
+
+    Q("q05_join_semi",
+      """SELECT c_custkey FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    },
+
+    // Customers with no very-large order (threshold keeps the anti side
+    // non-trivial at every SF — ~top-1% of o_totalprice).
+    Q("q06_join_anti",
+      """SELECT c_custkey FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders
+        |   WHERE o_totalprice > 490000 AND o_custkey IS NOT NULL)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders").where(
+          col("o_totalprice") > 490000 && col("o_custkey").isNotNull),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    },
+
+    // Theta/range join: quantity vs size is a non-equi conjunct on top of
+    // the p_partkey equi-key, so Catalyst still plans a hash/SMJ join on
+    // the equi part with the range predicate as a post-filter.
+    Q("q07_join_range",
+      """SELECT p.p_partkey, COUNT(*) AS n FROM part p
+        |JOIN lineitem l
+        |  ON l.l_partkey = p.p_partkey AND l.l_quantity > p.p_size
+        |GROUP BY p.p_partkey ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      t(s, d, "part").as("p")
+        .join(t(s, d, "lineitem").as("l"),
+          col("l.l_partkey") === col("p.p_partkey") &&
+            col("l.l_quantity") > col("p.p_size"))
+        .groupBy(col("p.p_partkey"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("p_partkey")
+    },
+
+    // As-of join (attribution): for each 'purchase' event, the latest
+    // 'click' of the same user at-or-before it. Spark has no native asof
+    // join in SQL (SURVEY §2.9); the naive shape is a range join + dedup,
+    // which is quadratic per key. We instead use the scalable single-sort
+    // pattern: union both sides, one sort per user, and propagate the
+    // last-seen click with last(..., ignoreNulls) — linear after one
+    // shuffle, the plan that survives 100TB. The oracle states the same
+    // semantics independently via range join + ROW_NUMBER (a stronger
+    // check than re-deriving the same formula twice). At equal ts the
+    // click sorts before the purchase (kind 0 < 1) so ts<=ts matches.
+    Q("q08_join_asof",
+      """SELECT event_id, click_id FROM (
+        |  SELECT p.event_id, c.event_id AS click_id,
+        |         ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |           ORDER BY c.ts::TIMESTAMP DESC, c.event_id DESC) AS rn
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |    ON c.user_id = p.user_id AND c.ts::TIMESTAMP <= p.ts::TIMESTAMP
+        |) WHERE rn = 1 ORDER BY event_id""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+        .where(col("event_type").isin("purchase", "click"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("event_type") === "click", 0).otherwise(1).as("kind"),
+          when(col("event_type") === "click", col("event_id")).as("cid"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("click_id", last(col("cid"), ignoreNulls = true).over(w))
+        .where(col("kind") === 1)
+        .select(col("event_id"), col("click_id"))
+        .orderBy("event_id")
+    },
+
+    Q("q09_agg_having",
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |${dsumSql("l_quantity")} AS sq,
+         |${davgSql("l_extendedprice")} AS ap
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |HAVING COUNT(*) > 0
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("sq"),
+          davg(col("l_extendedprice")).as("ap"))
+        .where(col("n") > 0)
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    Q("q10_count_distinct",
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS cd
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("cd"))
+        .orderBy("o_orderstatus")
+    },
+
+    // grouping() is TINYINT in Spark and BIGINT in DuckDB → both cast to
+    // INT; ASC null ordering differs (Spark NULLS FIRST, DuckDB NULLS
+    // LAST) → explicit NULLS FIRST on both sides.
+    Q("q11_rollup",
+      """SELECT n_regionkey, n_nationkey,
+        |CAST(GROUPING(n_nationkey) AS INT) AS g, COUNT(*) AS c
+        |FROM nation GROUP BY ROLLUP(n_regionkey, n_nationkey)
+        |ORDER BY n_regionkey NULLS FIRST, n_nationkey NULLS FIRST, g"""
+        .stripMargin) { (s, d) =>
+      t(s, d, "nation")
+        .rollup("n_regionkey", "n_nationkey")
+        .agg(grouping(col("n_nationkey")).cast(IntegerType).as("g"),
+          count(lit(1)).as("c"))
+        .orderBy(col("n_regionkey").asc_nulls_first,
+          col("n_nationkey").asc_nulls_first, col("g"))
+    },
+
+    Q("q12_rank",
+      """SELECT c_mktsegment, c_custkey, rn FROM (
+        |  SELECT c_mktsegment, c_custkey,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rn
+        |  FROM customer
+        |) WHERE rn <= 5 ORDER BY c_mktsegment, rn""".stripMargin) { (s, d) =>
+      t(s, d, "customer")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("c_mktsegment"))
+            .orderBy(col("c_acctbal").desc, col("c_custkey"))))
+        .where(col("rn") <= 5)
+        .select("c_mktsegment", "c_custkey", "rn")
+        .orderBy("c_mktsegment", "rn")
+    },
+
+    Q("q13_lag",
+      """SELECT o_custkey, o_orderkey,
+        |LAG(o_orderkey) OVER (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey) AS prev
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_orderkey"), 1).over(
+            Window.partitionBy(col("o_custkey"))
+              .orderBy(col("o_orderdate"), col("o_orderkey"))).as("prev"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // Running sum in an exact decimal frame. (l_orderkey, l_linenumber)
+    // is NOT unique in this testdata, so the frame order adds every
+    // value column: remaining ties are full-duplicate rows, whose
+    // permutation cannot change the running-sum multiset; the final
+    // ORDER BY then includes rs itself to pin the output sequence.
+    Q("q14_frame_running",
+      """SELECT l_orderkey, l_linenumber,
+        |ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) OVER (
+        |  PARTITION BY l_orderkey
+        |  ORDER BY l_linenumber, l_quantity, l_partkey, l_suppkey,
+        |           l_extendedprice
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE),4)
+        |  AS rs
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, rs""".stripMargin) {
+      (s, d) =>
+        t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            round(sum(col("l_quantity").cast(DecimalType(28, 6)))
+              .over(Window.partitionBy(col("l_orderkey"))
+                .orderBy(col("l_linenumber"), col("l_quantity"),
+                  col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .cast(DoubleType), 4).as("rs"))
+          .orderBy("l_orderkey", "l_linenumber", "rs")
+    },
+
+    Q("q15_sort_multi",
+      """SELECT s_suppkey FROM supplier
+        |ORDER BY s_nationkey DESC, s_acctbal ASC, s_suppkey""".stripMargin) {
+      (s, d) =>
+        t(s, d, "supplier")
+          .orderBy(col("s_nationkey").desc, col("s_acctbal").asc,
+            col("s_suppkey"))
+          .select("s_suppkey")
+    },
+
+    // Top-k: orderBy().limit() plans TakeOrderedAndProject — no global
+    // sort materialization, per-partition heaps + single merge.
+    Q("q16_topk",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) {
+      (s, d) =>
+        t(s, d, "orders")
+          .select("o_orderkey", "o_totalprice")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+    },
+
+    Q("q17_union_distinct",
+      """SELECT c_nationkey AS k FROM customer
+        |UNION SELECT s_nationkey FROM supplier ORDER BY k""".stripMargin) {
+      (s, d) =>
+        t(s, d, "customer").select(col("c_nationkey").as("k"))
+          .union(t(s, d, "supplier").select(col("s_nationkey")))
+          .distinct()
+          .orderBy("k")
+    },
+
+    Q("q17b_union_all",
+      """SELECT k, COUNT(*) AS n FROM (
+        |  SELECT c_nationkey AS k FROM customer
+        |  UNION ALL SELECT s_nationkey FROM supplier
+        |) GROUP BY k ORDER BY k""".stripMargin) { (s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("k"))
+        .union(t(s, d, "supplier").select(col("s_nationkey")))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .orderBy("k")
+    },
+
+    Q("q18_intersect",
+      """SELECT c_nationkey FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier
+        |ORDER BY c_nationkey""".stripMargin) { (s, d) =>
+      t(s, d, "customer").select("c_nationkey")
+        .intersect(t(s, d, "supplier").select("s_nationkey"))
+        .orderBy("c_nationkey")
+    },
+
+    // Key spaces: c_custkey ⊋ s_suppkey in this testdata, so the EXCEPT
+    // is non-trivial (nationkey EXCEPT nationkey would be empty).
+    Q("q18b_except",
+      """SELECT c_custkey FROM customer
+        |EXCEPT SELECT s_suppkey FROM supplier
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      t(s, d, "customer").select("c_custkey")
+        .except(t(s, d, "supplier").select("s_suppkey"))
+        .orderBy("c_custkey")
+    },
+
+    Q("q19_string",
+      """SELECT p_partkey, UPPER(SUBSTR(p_name, 1, 5)) AS u,
+        |CAST(LENGTH(p_name) AS INT) AS len,
+        |REGEXP_REPLACE(p_brand, '#', '_') AS b,
+        |CONCAT(TRIM(p_brand), '-', LPAD(CAST(p_size AS VARCHAR), 4, '0'))
+        |  AS pb
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      t(s, d, "part")
+        .select(col("p_partkey"),
+          upper(substring(col("p_name"), 1, 5)).as("u"),
+          length(col("p_name")).as("len"),
+          regexp_replace(col("p_brand"), "#", "_").as("b"),
+          concat(trim(col("p_brand")), lit("-"),
+            lpad(col("p_size").cast(StringType), 4, "0")).as("pb"))
+        .orderBy("p_partkey")
+    },
+
+    Q("q20_date",
+      """SELECT o_orderkey, CAST(YEAR(o_orderdate) AS INT) AS y,
+        |CAST(MONTH(o_orderdate) AS INT) AS m,
+        |CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS mt,
+        |CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |  AS INT) AS dd
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          date_trunc("month", col("o_orderdate")).cast(DateType).as("mt"),
+          datediff(col("o_orderdate").cast(DateType),
+            lit("1995-01-01").cast(DateType)).as("dd"))
+        .orderBy("o_orderkey")
+    },
+
+    // Spark FLOOR(double) yields BIGINT, DuckDB yields DOUBLE — the
+    // difference vanishes in the double subtraction, values are equal.
+    Q("q21_math",
+      """SELECT l_orderkey, l_linenumber,
+        |ROUND(ABS(l_extendedprice) - FLOOR(l_tax * 100), 4) AS v,
+        |l_partkey % 7 AS m,
+        |ROUND(POWER(l_discount + 1, 2), 4) AS p
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) {
+      (s, d) =>
+        t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            round(abs(col("l_extendedprice")) - floor(col("l_tax") * 100), 4)
+              .as("v"),
+            (col("l_partkey") % 7).as("m"),
+            round(pow(col("l_discount") + 1, 2), 4).as("p"))
+          .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    Q("q22_array",
+      """SELECT vec_id, CAST(LEN(embedding) AS INT) AS sz, label
+        |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
+      t(s, d, "embeddings")
+        .select(col("vec_id"), size(col("embedding")).as("sz"), col("label"))
+        .orderBy("vec_id")
+    },
+
+    // posexplode ↔ unnest+generate_subscripts (1-based in DuckDB).
+    Q("q22b_explode",
+      """SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+        |ROUND(CAST(e AS DOUBLE), 4) AS ev FROM (
+        |  SELECT vec_id, GENERATE_SUBSCRIPTS(embedding, 1) AS i,
+        |         UNNEST(embedding) AS e
+        |  FROM embeddings WHERE vec_id < 50
+        |) ORDER BY vec_id, pos""".stripMargin) { (s, d) =>
+      t(s, d, "embeddings")
+        .where(col("vec_id") < 50)
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("pos", "e")))
+        .select(col("vec_id"), col("pos"),
+          round(col("e").cast(DoubleType), 4).as("ev"))
+        .orderBy("vec_id", "pos")
+    },
+
+    // Map build + element_at round-trip; DuckDB side pinned to the
+    // equivalent relation (SURVEY Appendix A dialect note for Q23).
+    Q("q23_map",
+      """SELECT o_orderkey, o_orderstatus AS status_val
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          element_at(map(lit("status"), col("o_orderstatus")), "status")
+            .as("status_val"))
+        .orderBy("o_orderkey")
+    },
+
+    Q("q24_json",
+      """SELECT event_id, JSON_EXTRACT_STRING(props, '$.k') AS k
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").as("k"))
+        .orderBy("event_id")
+    },
+
+    Q("q25_distinct",
+      """SELECT COUNT(*) AS n FROM
+        |(SELECT DISTINCT user_id, event_type FROM events)""".stripMargin) {
+      (s, d) =>
+        t(s, d, "events")
+          .select("user_id", "event_type")
+          .distinct()
+          .agg(count(lit(1)).as("n"))
+    },
+
+    Q("q26_case",
+      """SELECT o_orderkey,
+        |CASE WHEN o_totalprice > 100000 THEN 'hi'
+        |     WHEN o_totalprice > 10000 THEN 'mid' ELSE 'lo' END AS b,
+        |COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS st
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_totalprice") > 100000, "hi")
+            .when(col("o_totalprice") > 10000, "mid")
+            .otherwise("lo").as("b"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open"))
+            .as("st"))
+        .orderBy("o_orderkey")
+    },
+
+    // Fixed pivot value list for determinism; pivot COUNT yields null for
+    // absent cells vs 0 from the conditional-count oracle → coalesce.
+    Q("q27_pivot",
+      """SELECT o_orderpriority,
+        |COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS st_o,
+        |COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS st_f,
+        |COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS st_p
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("O"), lit(0L)).as("st_o"),
+          coalesce(col("F"), lit(0L)).as("st_f"),
+          coalesce(col("P"), lit(0L)).as("st_p"))
+        .orderBy("o_orderpriority")
+    },
+
+    Q("q28_exists",
+      """SELECT c_custkey FROM customer c WHERE EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 50000
+        |) ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders").where(col("o_totalprice") > 50000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    },
+
+    // TPC-H-style star join: lineitem→orders→customer→nation→region.
+    // The dimension chain is tiny relative to fact tables → broadcast
+    // hints keep every join shuffle-free except the final aggregation.
+    Q("q29_star",
+      s"""SELECT r_name, ${dsumSql("l_extendedprice*(1-l_discount)")}
+         |  AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name ORDER BY r_name""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy("r_name")
+    },
+
+    // Composite: join + agg + window. Rank key is the exact decimal sum
+    // (NOT the rounded double) so tie-breaking matches across engines.
+    Q("q30_composite",
+      """SELECT c_mktsegment, rk, c_custkey, total FROM (
+        |  SELECT c_mktsegment, c_custkey,
+        |    ROUND(CAST(dtotal AS DOUBLE), 4) AS total,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY dtotal DESC, c_custkey) AS INT) AS rk
+        |  FROM (
+        |    SELECT c.c_mktsegment, c.c_custkey,
+        |      SUM(CAST(o.o_totalprice AS DECIMAL(28,6))) AS dtotal
+        |    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |    GROUP BY c.c_mktsegment, c.c_custkey
+        |  )
+        |) WHERE rk <= 3 ORDER BY c_mktsegment, rk""".stripMargin) { (s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(sum(col("o_totalprice").cast(DecimalType(28, 6))).as("dtotal"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("c_mktsegment"))
+            .orderBy(col("dtotal").desc, col("c_custkey"))))
+        .where(col("rk") <= 3)
+        .select(col("c_mktsegment"), col("rk"), col("c_custkey"),
+          round(col("dtotal").cast(DoubleType), 4).as("total"))
+        .orderBy("c_mktsegment", "rk")
+    }
+  )
+}

@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import T._
+
+/** SURVEY.md §2.10 / Appendix A QS1–QS3: the windowing semantics of the
+  * streaming layer, run over the static `events` table so the DuckDB
+  * oracle applies. The streaming runner itself (graft.streaming) is
+  * verified by parity with these batch plans.
+  *
+  * events.ts is parquet timestamp[ns]; Spark reads µs → the oracle casts
+  * `ts::TIMESTAMP` (ns→µs truncation) so boundary comparisons agree.
+  */
+object StreamBatchQueries {
+
+  val all: Seq[Q] = Seq(
+    // Tumbling 1h window, epoch-aligned — window(ts, '1 hour').start ==
+    // date_trunc('hour', ts).
+    Q("qs1_tumbling",
+      s"""SELECT CAST(DATE_TRUNC('hour', ts::TIMESTAMP) AS TIMESTAMP) AS w,
+         |COUNT(*) AS c, ${dsumSql("value")} AS s
+         |FROM events GROUP BY w ORDER BY w""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("c"), dsum(col("value")).as("s"))
+        .select(col("window.start").as("w"), col("c"), col("s"))
+        .orderBy("w")
+    },
+
+    // Sliding 1h window every 15min. Every event lands in exactly 4
+    // windows; the oracle materializes them via a k∈{0..3} cross join on
+    // the 15-min bucket (make_timestamp keeps it a naive TIMESTAMP).
+    Q("qs2_sliding",
+      s"""SELECT w, COUNT(*) AS c, ${dsumSql("value")} AS s FROM (
+         |  SELECT MAKE_TIMESTAMP(
+         |    (CAST(FLOOR(EPOCH(ts::TIMESTAMP) / 900) AS BIGINT) - t.k)
+         |      * 900 * 1000000) AS w,
+         |    value
+         |  FROM events, RANGE(4) t(k)
+         |) GROUP BY w ORDER BY w""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("c"), dsum(col("value")).as("s"))
+        .select(col("window.start").as("w"), col("c"), col("s"))
+        .orderBy("w")
+    },
+
+    // 30-min-gap sessionization per user. Spark side uses the native
+    // session_window; the oracle replays the same semantics with the
+    // LAG/cumulative-flag pattern (new session when gap >= 30min —
+    // session_window treats [ts, ts+gap) as the extension window).
+    Q("qs3_session",
+      """SELECT user_id, session_start, n FROM (
+        |  SELECT user_id, MIN(ts2) AS session_start, COUNT(*) AS n
+        |  FROM (
+        |    SELECT user_id, ts2, SUM(flag) OVER (PARTITION BY user_id
+        |      ORDER BY ts2, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |    FROM (
+        |      SELECT user_id, event_id, ts::TIMESTAMP AS ts2,
+        |        CASE WHEN LAG(ts::TIMESTAMP) OVER (PARTITION BY user_id
+        |               ORDER BY ts::TIMESTAMP, event_id) IS NULL
+        |             OR ts::TIMESTAMP >= LAG(ts::TIMESTAMP) OVER (
+        |               PARTITION BY user_id
+        |               ORDER BY ts::TIMESTAMP, event_id)
+        |               + INTERVAL 30 MINUTE
+        |        THEN 1 ELSE 0 END AS flag
+        |      FROM events
+        |    )
+        |  ) GROUP BY user_id, sid
+        |) ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"), col("n"))
+        .orderBy("user_id", "session_start")
+    }
+  )
+}

@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import T._
+
+/** SURVEY.md §2.11 / Appendix A QX1–QX4: text-analysis layer over the
+  * `documents` table (plus the Q22-family array ops over `embeddings`
+  * living in CoreQueries).
+  */
+object TextQueries {
+
+  val all: Seq[Q] = Seq(
+    Q("qx1_dedup_exact",
+      """SELECT COUNT(*) AS total,
+        |COUNT(DISTINCT SHA256(LOWER(TRIM(text)))) AS uniq
+        |FROM documents""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .agg(count(lit(1)).as("total"),
+          countDistinct(sha2(lower(trim(col("text"))), 256)).as("uniq"))
+    },
+
+    // Brute-force cosine top-5 vs vec_id=1 (the exact baseline for the
+    // ANN layer in graft.queries.SimilarityQueries). Dot products
+    // accumulate left-to-right in DOUBLE in both engines.
+    Q("qx2_cosine_topk",
+      """SELECT rank, vec_id, sim FROM (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY raw_sim DESC, vec_id)
+        |    AS INT) AS rank, vec_id, ROUND(raw_sim, 4) AS sim
+        |  FROM (
+        |    SELECT e.vec_id,
+        |      LIST_INNER_PRODUCT(e.embedding::DOUBLE[], q.embedding::DOUBLE[])
+        |      / (SQRT(LIST_INNER_PRODUCT(e.embedding::DOUBLE[],
+        |                                 e.embedding::DOUBLE[]))
+        |         * SQRT(LIST_INNER_PRODUCT(q.embedding::DOUBLE[],
+        |                                   q.embedding::DOUBLE[]))) AS raw_sim
+        |    FROM embeddings e,
+        |         (SELECT embedding FROM embeddings WHERE vec_id = 1) q
+        |    WHERE e.vec_id <> 1
+        |  )
+        |) WHERE rank <= 5 ORDER BY rank""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast(DoubleType)).as("v"))
+      val dot = (a: org.apache.spark.sql.Column,
+                 b: org.apache.spark.sql.Column) =>
+        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+      val q = emb.where(col("vec_id") === 1)
+        .select(col("v").as("qv"))
+      emb.where(col("vec_id") =!= 1)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          (dot(col("v"), col("qv")) /
+            (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("qv"), col("qv")))))
+            .as("raw_sim"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("raw_sim").desc, col("vec_id"))))
+        .where(col("rank") <= 5)
+        .select(col("rank"), col("vec_id"), round(col("raw_sim"), 4).as("sim"))
+        .orderBy("rank")
+    },
+
+    Q("qx3_wordcount",
+      """SELECT w, COUNT(*) AS c FROM (
+        |  SELECT UNNEST(STRING_SPLIT_REGEX(LOWER(text), '\s+')) AS w
+        |  FROM documents
+        |) WHERE w <> '' GROUP BY w ORDER BY c DESC, w LIMIT 50"""
+        .stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+        .where(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w"))
+        .limit(50)
+    },
+
+    Q("qx4_docstats",
+      """SELECT lang, source, COUNT(*) AS n,
+        |ROUND(CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE)/COUNT(*), 4)
+        |  AS ac
+        |FROM documents GROUP BY lang, source ORDER BY lang, source"""
+        .stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("n_chars")).cast(DoubleType) / count(lit(1)), 4)
+            .as("ac"))
+        .orderBy("lang", "source")
+    }
+  )
+}
