@@ -14,7 +14,9 @@ object SparkEntry {
 
   /** The full declared-query registry, in contract order. */
   val declared: Seq[Q] =
-    CoreQueries.all ++ StreamBatchQueries.all ++ TextQueries.all
+    CoreQueries.all ++ StreamBatchQueries.all ++ TextQueries.all ++
+      DedupQueries.all ++ SimilarityQueries.all ++
+      TextAnalysisQueries.all ++ MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Q29: the TPC-H-style star join (scan→broadcast joins→agg→sort).

@@ -1,0 +1,85 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column support (SURVEY §2.11): media as opaque `binary`
+  * payloads plus a typed metadata struct, processed with batch-shaped
+  * `mapPartitions` over typed Datasets — the Scala analog of PySpark's
+  * `mapInPandas` (iterator-of-batches in, iterator-of-batches out, no
+  * per-row UDF dispatch, constant memory per partition).
+  *
+  * The actual image/audio decode is STUBBED (no codec libraries in this
+  * environment): [[DecodeStub]] produces a deterministic fake decode
+  * from the payload bytes. The Spark-side plumbing — schema, encoders,
+  * partitioning, batch iteration, feature shape — is real and tested
+  * (MultimodalSpec).
+  */
+object Multimodal {
+
+  /** A multimodal record: opaque payload + typed metadata. */
+  case class MediaRecord(
+      media_id: Long, kind: String, payload: Array[Byte],
+      width: Int, height: Int, n_bytes: Long)
+
+  /** Output of the (stubbed) decode + feature-extraction stage. */
+  case class MediaFeatures(
+      media_id: Long, kind: String, width: Int, height: Int,
+      histogram: Array[Double])
+
+  /** STUB decode: a real implementation would parse the image/audio
+    * container here (payload → pixel/sample buffer). The deterministic
+    * fake derives "dimensions" from the byte length and "pixels" from
+    * the bytes themselves, keeping every downstream shape honest.
+    */
+  object DecodeStub {
+    def dims(nBytes: Long): (Int, Int) =
+      (64 + (nBytes % 576).toInt, 64 + ((nBytes * 7) % 416).toInt)
+
+    /** 16-bin byte histogram, L1-normalized — stands in for an image
+      * feature vector.
+      */
+    def features(payload: Array[Byte]): Array[Double] = {
+      val h = new Array[Double](16)
+      var i = 0
+      while (i < payload.length) {
+        h((payload(i) & 0xff) >> 4) += 1.0
+        i += 1
+      }
+      if (payload.length > 0) {
+        var j = 0
+        while (j < 16) { h(j) /= payload.length; j += 1 }
+      }
+      h
+    }
+  }
+
+  /** Wrap a text table as a media table: payload = utf-8 bytes (the
+    * honest parts — BinaryType column, metadata struct — are exactly
+    * what a real image table would carry).
+    */
+  def asMediaTable(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("media_id"), lit("image").as("kind"),
+        encode(col("text"), "utf-8").as("payload"))
+      .withColumn("n_bytes", length(col("payload")).cast(LongType))
+      .withColumn("width", (lit(64) + col("n_bytes") % 576).cast(IntegerType))
+      .withColumn("height",
+        (lit(64) + (col("n_bytes") * 7) % 416).cast(IntegerType))
+
+  /** Batch decode + feature extraction via typed mapPartitions: one
+    * decode context per partition (the expensive part for real codecs),
+    * streaming over rows.
+    */
+  def decodeAndFeaturize(media: Dataset[MediaRecord])
+      : Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition init of the (stub) decoder goes here
+      it.map { r =>
+        val feats = DecodeStub.features(r.payload)
+        MediaFeatures(r.media_id, r.kind, r.width, r.height, feats)
+      }
+    }
+  }
+}

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFns
+
+/** Near-duplicate detection operators (SURVEY §2.11; the LLM-pipeline
+  * dedup suite). All are DataFrame→DataFrame transformers designed for
+  * the 100TB shape:
+  *
+  *  - candidate generation is always *blocked* (LSH bands / SimHash
+  *    bands), never an all-pairs product: the shuffle key is the band,
+  *    so cost scales with Σ bucket² instead of n²;
+  *  - verification (exact Jaccard / Hamming) runs only on candidates;
+  *  - no driver-side collection anywhere.
+  */
+object Dedup {
+
+  /** Exact dedup on normalized text: keep the lowest id per normalized
+    * sha256 — one hash-shuffle, the 100TB-safe exact dedup.
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val key = sha2(lower(trim(col(textCol))), 256)
+    df.withColumn("__k", key)
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("__k")).orderBy(col(idCol))))
+      .where(col("__rn") === 1)
+      .drop("__k", "__rn")
+  }
+
+  /** MinHash+LSH candidate pairs (a < b) from a (id, shingles) frame.
+    * bands*rowsPerBand must equal the signature width k. Recall for a
+    * pair with Jaccard j is 1-(1-j^r)^b — with the default 32×4 a
+    * j=0.9 pair is missed with probability ~1.5e-15.
+    */
+  def minhashCandidates(
+      docs: DataFrame, idCol: String, shinglesCol: String,
+      bands: Int = 32, rowsPerBand: Int = 4): DataFrame = {
+    val k = bands * rowsPerBand
+    val sig = docs.select(col(idCol).as("__id"),
+      HashFns.minhashSignature(col(shinglesCol), k).as("__sig"))
+    // one row per (band index, band slice); the slice array is the
+    // LSH bucket key
+    val banded = sig.select(col("__id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        i => slice(col("__sig"), i * rowsPerBand + 1, lit(rowsPerBand))))
+        .as(Seq("__band", "__key")))
+    banded.as("x").join(banded.as("y"),
+        col("x.__band") === col("y.__band") &&
+          col("x.__key") === col("y.__key") &&
+          col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("a"), col("y.__id").as("b"))
+      .distinct()
+  }
+
+  /** MinHash near-dup pairs, verified by exact Jaccard ≥ threshold on
+    * the candidate set. With blocked candidates + exact verification the
+    * output is deterministic (it equals the exact all-pairs answer
+    * whenever the LSH recall at `threshold` is ~1, which the 32×4
+    * parameters guarantee for any data whose near-dup pairs sit well
+    * above the threshold).
+    */
+  def minhashNearDups(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 3,
+      bands: Int = 32, rowsPerBand: Int = 4): DataFrame = {
+    val sh = docs.select(col(idCol).as("__id"),
+      TextFns.wordShingles(col(textCol), shingleN).as("__sh"))
+    val cand = minhashCandidates(
+      sh.withColumnRenamed("__id", "id"), "id", "__sh", bands, rowsPerBand)
+    cand
+      .join(sh.select(col("__id").as("a"), col("__sh").as("__sa")), "a")
+      .join(sh.select(col("__id").as("b"), col("__sh").as("__sb")), "b")
+      .select(col("a"), col("b"),
+        TextFns.jaccard(col("__sa"), col("__sb")).as("j"))
+      .where(col("j") >= threshold)
+  }
+
+  /** SimHash near-dup pairs: 60-bit signatures, banded into `bands`
+    * equal bit-slices for candidate blocking. By pigeonhole, any pair
+    * with Hamming distance ≤ bands-1 shares at least one exact band, so
+    * for maxHamming ≤ bands-1 the blocked result equals brute force.
+    */
+  def simhashNearDups(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(maxHamming <= bands - 1,
+      s"recall guarantee needs maxHamming <= bands-1")
+    val bits = 60 / bands
+    val mask = (1L << bits) - 1
+    val sh = docs.select(col(idCol).as("__id"),
+      HashFns.simhash60(TextFns.tokenSet(col(textCol))).as("__s"))
+    val banded = sh.select(col("__id"), col("__s"),
+      posexplode(array((0 until bands).map(i =>
+        shiftright(col("__s"), i * bits).bitwiseAND(mask)): _*))
+        .as(Seq("__band", "__key")))
+    banded.as("x").join(banded.as("y"),
+        col("x.__band") === col("y.__band") &&
+          col("x.__key") === col("y.__key") &&
+          col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("a"), col("y.__id").as("b"),
+        bit_count(col("x.__s").bitwiseXOR(col("y.__s"))).as("hd"))
+      .distinct()
+      .where(col("hd") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard pairs via the relational formulation:
+    * explode shingles → equi-join on shingle → intersection counts →
+    * Jaccard. Shuffles on the shingle value (Catalyst handles skew via
+    * AQE); exact but quadratic in the worst case — the LSH variant is
+    * the scale path, this is the audit/oracle path.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("__id"),
+      explode(TextFns.wordShingles(col(textCol), shingleN)).as("__s"))
+    val sizes = sh.groupBy("__id").agg(count(lit(1)).as("__n"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.__s") === col("y.__s") && col("x.__id") < col("y.__id"))
+      .groupBy(col("x.__id").as("a"), col("y.__id").as("b"))
+      .agg(count(lit(1)).as("__ix"))
+    inter
+      .join(sizes.select(col("__id").as("a"), col("__n").as("__na")), "a")
+      .join(sizes.select(col("__id").as("b"), col("__n").as("__nb")), "b")
+      .select(col("a"), col("b"),
+        (col("__ix").cast(DoubleType) /
+          (col("__na") + col("__nb") - col("__ix"))).as("j"))
+      .where(col("j") >= threshold)
+  }
+
+  /** Embedding near-dup pairs with cosine ≥ threshold — exact pairwise
+    * baseline (the ANN/LSH variant in Similarity is the scale path).
+    */
+  def embeddingNearDups(
+      emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val e = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    e.as("x").join(e.as("y"), col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("a"), col("y.__id").as("b"),
+        TextFns.cosine(col("x.__v"), col("y.__v")).as("c"))
+      .where(col("c") >= threshold)
+  }
+}

@@ -1,0 +1,189 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import scala.util.hashing.MurmurHash3
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the dedup layer (SURVEY §2.11,
+  * §4.3): a k-permutation MinHash signature and a 60-bit SimHash, both
+  * single-pass over the input token/shingle array — one expression
+  * evaluation per row instead of k codegen'd `transform` lambdas.
+  *
+  * Determinism contract: every constant below (seed, permutation
+  * parameters, prime, bit width) is fixed; signatures are reproducible
+  * across sessions and cluster sizes.
+  */
+object HashParams {
+  /** Mersenne prime 2^31-1: universal-hash modulus. */
+  val P: Long = 2147483647L
+  val K: Int = 128
+  private val rnd = new scala.util.Random(7)
+  /** a ∈ [1, 2^30): a*h < 2^62 — no Long overflow for 32-bit h. */
+  val A: Array[Long] = Array.fill(K)(1L + rnd.nextInt((1 << 30) - 1))
+  val B: Array[Long] = Array.fill(K)(rnd.nextInt(Int.MaxValue).toLong)
+  val Seed: Int = 0xfeed
+}
+
+/** MinHash signature of a distinct-string array: for each of k universal
+  * hash permutations h_i(x) = (a_i*x + b_i) mod P over the 32-bit base
+  * hash of each element, the minimum across the array.
+  * Empty arrays yield the all-MaxValue signature (can never collide with
+  * a real band — P < MaxValue).
+  */
+case class MinHashSignature(child: Expression, k: Int = HashParams.K)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(input: Any): Any = {
+    import HashParams._
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val bytes = arr.getUTF8String(i).getBytes
+      val h = MurmurHash3.bytesHash(bytes, Seed).toLong & 0xffffffffL
+      var j = 0
+      while (j < k) {
+        val v = (A(j) * h + B(j)) % P
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
+/** 60-bit SimHash over a distinct-token array, weight 1 per token.
+  *
+  * The per-token base hash is the integer value of the first 15 hex
+  * chars of md5(token) — chosen (rather than xxhash/murmur) because
+  * DuckDB has md5() too, which makes the whole SimHash replicable in
+  * oracle SQL via nibble arithmetic. Bit b of the result is 1 iff the
+  * sum over tokens of (2*bit_b(md5_60(token)) - 1) is >= 0.
+  */
+case class SimHash60(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash60"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](60)
+    val md = MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val digest = md.digest(arr.getUTF8String(i).getBytes)
+      // value of hexdigest[:15] == big-endian nibbles 0..14
+      var h = 0L
+      var nib = 0
+      while (nib < 15) {
+        val b = digest(nib / 2)
+        val v = if (nib % 2 == 0) (b >> 4) & 0xf else b & 0xf
+        h = h * 16 + v
+        nib += 1
+      }
+      var bit = 0
+      while (bit < 60) {
+        votes(bit) += (if (((h >> bit) & 1L) == 1L) 1 else -1)
+        bit += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 60) {
+      if (votes(bit) >= 0) out |= (1L << bit)
+      bit += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
+/** Winnowing document fingerprint (MOSS-style): k-gram rolling hashes
+  * over the character stream, minimum per sliding window of w, distinct
+  * selected hashes sorted ascending. Robust to local edits — two
+  * documents share fingerprint entries iff they share k-char substrings
+  * chosen by identical (deterministic) winnowing.
+  */
+case class WinnowFingerprint(child: Expression, k: Int = 8, w: Int = 4)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprint"
+
+  // 31-bit modulus: char*pow < 2^17 * 2^31 = 2^48 and h*Base < 2^40 —
+  // no Long overflow anywhere, so the rolling removal cancels exactly
+  // and equal k-grams hash equal at any position.
+  private val Base = 257L
+  private val Mod = 2147483647L
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.toString.toLowerCase.replaceAll("\\s+", " ")
+    if (s.length < k) return new GenericArrayData(Array.empty[Long])
+    // rolling polynomial hash of every k-gram
+    val nGrams = s.length - k + 1
+    val hashes = new Array[Long](nGrams)
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow = pow * Base % Mod; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = (h * Base + s.charAt(i)) % Mod; i += 1 }
+    hashes(0) = h
+    i = 1
+    while (i < nGrams) {
+      h = (h - s.charAt(i - 1) * pow % Mod + Mod) % Mod
+      h = (h * Base + s.charAt(i + k - 1)) % Mod
+      hashes(i) = h
+      i += 1
+    }
+    // winnow: min of each window of w (rightmost min on ties)
+    val selected = scala.collection.mutable.SortedSet.empty[Long]
+    var start = 0
+    while (start + w <= nGrams) {
+      var min = Long.MaxValue
+      var j = start
+      while (j < start + w) {
+        if (hashes(j) <= min) min = hashes(j)
+        j += 1
+      }
+      selected += min
+      start += 1
+    }
+    if (selected.isEmpty) selected += hashes.min
+    new GenericArrayData(selected.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
+/** Column wrappers for the expressions above. */
+object HashFns {
+  private def e(c: Column): Expression = Bridge.expression(c)
+  def minhashSignature(c: Column, k: Int = HashParams.K): Column =
+    Bridge.column(MinHashSignature(e(c), k))
+  def simhash60(c: Column): Column = Bridge.column(SimHash60(e(c)))
+  def winnowFingerprint(c: Column, k: Int = 8, w: Int = 4): Column =
+    Bridge.column(WinnowFingerprint(e(c), k, w))
+}

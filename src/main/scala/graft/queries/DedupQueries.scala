@@ -1,0 +1,132 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import T._
+
+/** Dedup suite over `documents`/`embeddings` (SURVEY §2.11): every
+  * operator is a first-class queries() entry with a DuckDB oracle that
+  * recomputes the same semantics *independently* (exact all-pairs SQL vs
+  * Spark's blocked/LSH plans — the match proves the blocking loses
+  * nothing at these thresholds).
+  */
+object DedupQueries {
+
+  /** Exact word-3-gram Jaccard over all pairs, DuckDB formulation:
+    * shingle explode → self-join → intersection counts. Shared by the
+    * MinHash-LSH and relational-Jaccard entries.
+    */
+  private def jaccardOracleSql(threshold: Double): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, GENERATE_SUBSCRIPTS(fw, 1) AS i, UNNEST(fw) AS w
+       |  FROM (SELECT doc_id,
+       |          LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'),
+       |                      t -> t <> '') AS fw
+       |        FROM documents)
+       |), sh AS (
+       |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
+       |  FROM toks a
+       |  JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+       |  JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+       |), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS ix
+       |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT a, b, ROUND(CAST(ix AS DOUBLE) / (sa.n + sb.n - ix), 4) AS j
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+       |WHERE CAST(ix AS DOUBLE) / (sa.n + sb.n - ix) >= $threshold
+       |ORDER BY a, b""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    // MinHash + LSH (shingle → 128-perm signature → 32×4 band join →
+    // exact-Jaccard verify). Oracle = independent exact all-pairs SQL.
+    Q("xd1_minhash_lsh", jaccardOracleSql(0.5)) { (s, d) =>
+      Dedup.minhashNearDups(t(s, d, "documents"), "doc_id", "text",
+          threshold = 0.5)
+        .select(col("a"), col("b"), round(col("j"), 4).as("j"))
+        .orderBy("a", "b")
+    },
+
+    // SimHash with 4-band blocking (exact for hd<=3 by pigeonhole).
+    // Oracle recomputes the md5-based simhash with SQL nibble math and
+    // brute-forces all pairs.
+    Q("xd2_simhash",
+      """WITH toks AS (
+        |  SELECT doc_id, UNNEST(LIST_DISTINCT(
+        |    LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'),
+        |                t -> t <> ''))) AS w
+        |  FROM documents
+        |), hs AS (
+        |  SELECT doc_id, w, CAST(SUM(
+        |    CAST(STRPOS('0123456789abcdef',
+        |                SUBSTR(MD5(w), CAST(j + 1 AS INT), 1)) - 1
+        |      AS BIGINT) << CAST(4 * (14 - j) AS INT)) AS BIGINT) AS h
+        |  FROM toks, RANGE(15) r(j) GROUP BY doc_id, w
+        |), bits AS (
+        |  SELECT doc_id, b, SUM(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1
+        |                             THEN 1 ELSE -1 END) AS v
+        |  FROM hs, RANGE(60) r2(b) GROUP BY doc_id, b
+        |), sh AS (
+        |  SELECT doc_id, CAST(SUM(CASE WHEN v >= 0
+        |    THEN CAST(1 AS BIGINT) << CAST(b AS INT)
+        |    ELSE 0 END) AS BIGINT) AS s
+        |  FROM bits GROUP BY doc_id
+        |)
+        |SELECT x.doc_id AS a, y.doc_id AS b,
+        |       CAST(BIT_COUNT(XOR(x.s, y.s)) AS INT) AS hd
+        |FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+        |WHERE BIT_COUNT(XOR(x.s, y.s)) <= 3
+        |ORDER BY a, b""".stripMargin) { (s, d) =>
+      Dedup.simhashNearDups(t(s, d, "documents"), "doc_id", "text",
+          maxHamming = 3, bands = 4)
+        .select(col("a"), col("b"), col("hd").cast("int").as("hd"))
+        .orderBy("a", "b")
+    },
+
+    // Same semantics as xd1 but via the relational exact formulation
+    // (explode→join→count) — the audit path for the LSH operator.
+    Q("xd3_ngram_jaccard", jaccardOracleSql(0.5)) { (s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+          threshold = 0.5)
+        .select(col("a"), col("b"), round(col("j"), 4).as("j"))
+        .orderBy("a", "b")
+    },
+
+    // Embedding cosine near-dups, exact pairwise baseline. vec_id<1000
+    // bounds the quadratic pair space at bench scale while covering the
+    // whole table at oracle scale (500 rows at sf0.01).
+    Q("xd4_embedding_neardup",
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE vec_id < 1000
+        |)
+        |SELECT a, b, ROUND(c, 4) AS c FROM (
+        |  SELECT x.vec_id AS a, y.vec_id AS b,
+        |    LIST_INNER_PRODUCT(x.v, y.v) /
+        |      (SQRT(LIST_INNER_PRODUCT(x.v, x.v)) *
+        |       SQRT(LIST_INNER_PRODUCT(y.v, y.v))) AS c
+        |  FROM e x JOIN e y ON x.vec_id < y.vec_id
+        |) WHERE c >= 0.44 ORDER BY a, b""".stripMargin) { (s, d) =>
+      Dedup.embeddingNearDups(
+          t(s, d, "embeddings").where(col("vec_id") < 1000),
+          "vec_id", "embedding", threshold = 0.44)
+        .select(col("a"), col("b"), round(col("c"), 4).as("c"))
+        .orderBy("a", "b")
+    },
+
+    // Exact dedup keep-first: survivors of normalized-text dedup.
+    Q("xd5_exact_dedup",
+      """SELECT COUNT(*) AS survivors, CAST(SUM(doc_id) AS BIGINT) AS idsum
+        |FROM (
+        |  SELECT MIN(doc_id) AS doc_id
+        |  FROM documents GROUP BY SHA256(LOWER(TRIM(text)))
+        |)""".stripMargin) { (s, d) =>
+      Dedup.exactDedup(t(s, d, "documents"), "doc_id", "text")
+        .agg(count(lit(1)).as("survivors"), sum("doc_id").as("idsum"))
+    }
+  )
+}

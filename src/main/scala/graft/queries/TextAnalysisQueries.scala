@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFns
+import graft.operators.HashFns
+import T._
+
+/** Text-analysis layer for training-data pipelines (SURVEY §2.11):
+  * language ID, quality scoring, token counting, fingerprinting. The
+  * heuristics are deliberately simple *deterministic formulas* written
+  * identically in Spark and in the DuckDB oracle SQL.
+  */
+object TextAnalysisQueries {
+
+  private val stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "von", "zu", "mit", "den"),
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "for"),
+    "es" -> Seq("el", "la", "de", "y", "en", "que", "los", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "pour"))
+
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, tk => tk.isInCollection(words)))
+
+  private def hitsSql(words: Seq[String]): String =
+    s"LEN(LIST_FILTER(fw, t -> LIST_CONTAINS([${
+      words.map(w => s"'$w'").mkString(",")}], t)))"
+
+  val all: Seq[Q] = Seq(
+    // n-gram/stopword language ID: argmax of per-language stopword hit
+    // counts, alphabetical tie-break (ties happen often on this
+    // synthetic corpus — the tie-break IS the contract). Output is the
+    // lang × predicted-lang confusion matrix.
+    Q("xt1_lang_id",
+      s"""SELECT lang, pred, COUNT(*) AS n FROM (
+         |  SELECT lang,
+         |    CASE
+         |      WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+         |      WHEN en >= es AND en >= fr THEN 'en'
+         |      WHEN es >= fr THEN 'es'
+         |      ELSE 'fr' END AS pred
+         |  FROM (
+         |    SELECT lang,
+         |      ${hitsSql(stopwords(0)._2)} AS de,
+         |      ${hitsSql(stopwords(1)._2)} AS en,
+         |      ${hitsSql(stopwords(2)._2)} AS es,
+         |      ${hitsSql(stopwords(3)._2)} AS fr
+         |    FROM (SELECT lang,
+         |            LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'),
+         |                        t -> t <> '') AS fw
+         |          FROM documents)
+         |  )
+         |) GROUP BY lang, pred ORDER BY lang, pred""".stripMargin) {
+      (s, d) =>
+        val toks = TextFns.tokens(col("text"))
+        val scored = t(s, d, "documents").select(
+          col("lang") +: stopwords.map { case (l, ws) =>
+            hits(toks, ws).as(l) }: _*)
+        scored.select(col("lang"),
+          when(col("de") >= col("en") && col("de") >= col("es") &&
+            col("de") >= col("fr"), "de")
+            .when(col("en") >= col("es") && col("en") >= col("fr"), "en")
+            .when(col("es") >= col("fr"), "es")
+            .otherwise("fr").as("pred"))
+          .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+          .orderBy("lang", "pred")
+    },
+
+    // Quality score: stopword ratio + alphabetic ratio + length factor,
+    // one fixed formula (every arithmetic step identical in both
+    // engines → identical IEEE doubles).
+    Q("xt2_quality",
+      s"""SELECT doc_id, n_tok, ROUND(
+         |  0.4 * (CASE WHEN n_tok = 0 THEN 0.0
+         |              ELSE CAST(sw AS DOUBLE) / n_tok END)
+         |  + 0.3 * (CAST(al AS DOUBLE) / LENGTH(text))
+         |  + 0.3 * LEAST(CAST(n_tok AS DOUBLE) / 100.0, 1.0), 4) AS q
+         |FROM (
+         |  SELECT doc_id, text,
+         |    CAST(LEN(fw) AS INT) AS n_tok,
+         |    ${hitsSql(stopwords(1)._2)} AS sw,
+         |    LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]')) AS al
+         |  FROM (SELECT doc_id, text,
+         |          LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'),
+         |                      t -> t <> '') AS fw
+         |        FROM documents)
+         |) ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = TextFns.tokens(col("text"))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          size(toks).as("n_tok"),
+          hits(toks, stopwords(1)._2).as("sw"),
+          size(regexp_extract_all(lower(col("text")), lit("[a-z]"), lit(0)))
+            .as("al"))
+        .select(col("doc_id"), col("n_tok"),
+          round(
+            lit(0.4) * when(col("n_tok") === 0, 0.0)
+              .otherwise(col("sw").cast(DoubleType) / col("n_tok")) +
+            lit(0.3) * (col("al").cast(DoubleType) / length(col("text"))) +
+            lit(0.3) * least(col("n_tok").cast(DoubleType) / 100.0, lit(1.0)),
+            4).as("q"))
+        .orderBy("doc_id")
+    },
+
+    // BPE-ish token counting (letter runs / digit runs / single symbol).
+    Q("xt3_token_count",
+      """SELECT doc_id,
+        |CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text),
+        |  '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS tc,
+        |CAST(LENGTH(text) AS INT) AS nc
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextFns.tokenCount(col("text")).as("tc"),
+          length(col("text")).as("nc"))
+        .orderBy("doc_id")
+    },
+
+    // Winnowing fingerprint (rolling-hash, custom Expression) — not
+    // SQL-expressible → rows-only driver check; exact values pinned in
+    // TextAnalysisSpec. Shared-entry counts feed near-dup audit.
+    Q.noOracle("xt4_fingerprint") { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          HashFns.winnowFingerprint(col("text")).as("fp"))
+        .select(col("doc_id"), size(col("fp")).as("n_fp"),
+          element_at(col("fp"), 1).as("fp_min"))
+        .orderBy("doc_id")
+    }
+  )
+}

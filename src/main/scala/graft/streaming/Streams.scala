@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming layer (SURVEY §2.10): the reference's stdin
+  * record stream maps to `readStream` file sources; windowed aggs +
+  * watermarks + stateful ops are the declared streaming surface.
+  *
+  * The transformation logic is shared with the batch layer
+  * (StreamBatchQueries QS1–QS3 oracle the same semantics over static
+  * `events`); StreamingSpec asserts batch↔stream parity.
+  */
+object Streams {
+
+  /** Streaming-readable view of an events parquet dir. events.ts is
+    * TIMESTAMP(NANOS) → read as long (nanosAsLong) and rebuilt at µs,
+    * exactly like the batch loader (graft.queries.T.t).
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // events.parquet is a single file: stream the parent dir with a
+    // glob filter (the file-stream source requires a directory path)
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1h window agg with a 2h watermark (QS1 semantics; late
+    * rows beyond the watermark are dropped in append mode).
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("c"),
+        round(sum(col("value").cast(DecimalType(28, 6))).cast(DoubleType), 4)
+          .as("s"))
+      .select(col("window.start").as("w"), col("c"), col("s"))
+
+  /** Sliding 1h/15min window agg (QS2 semantics). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("window.start").as("w"), col("c"))
+
+  /** Session windows per user, 30min gap (QS3 semantics). */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n"))
+
+  /** Stateful dedup bounded by the watermark (SURVEY §2.10). */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  case class UserRunning(user_id: Long, n: Long, total: Double)
+
+  /** Arbitrary stateful processing: running per-user event count +
+    * value total via flatMapGroupsWithState (the §2.10 "arbitrary
+    * state" surface).
+    */
+  def runningUserTotals(events: DataFrame): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Double)],
+         state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          var n = prev.n
+          var tot = prev.total
+          rows.foreach { case (_, v) => n += 1; tot += v }
+          val next = UserRunning(uid, n, tot)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+
+  /** Run a streaming transform of the events table to completion via
+    * the memory sink and return the result (used by parity tests; the
+    * file-source → transform → sink wiring is the production shape).
+    */
+  def runToMemory(spark: SparkSession, dir: String,
+      transform: DataFrame => DataFrame, name: String,
+      mode: String = "append"): DataFrame = {
+    val q = transform(eventsStream(spark, dir))
+      .writeStream.outputMode(mode).format("memory").queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+import graft.operators._
+import graft.queries.T
+
+/** Dedup + hash-expression invariants (SURVEY §5.2). The DuckDB oracle
+  * (scripts/check_oracle.py / driver t2) is the authoritative value
+  * check; these specs pin the *internal* guarantees the oracle can't
+  * see: LSH == exact, blocking == brute force, determinism.
+  */
+class OperatorsSpec extends SparkSpec {
+
+  private lazy val docs = T.t(spark, sf0001, "documents")
+
+  test("minhash LSH near-dups equal exact relational Jaccard pairs") {
+    val lsh = Dedup.minhashNearDups(docs, "doc_id", "text", 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+    assert(lsh.nonEmpty, "testdata is expected to contain near-dups")
+  }
+
+  test("minhash signature estimates Jaccard") {
+    import spark.implicits._
+    val pairs = Seq(
+      ("a b c d e f g h i j k l", "a b c d e f g h i j k l"), // j=1
+      ("a b c d e f g h i j k l", "z y x w v u t s r q p o")) // j=0
+    val df = pairs.toDF("t1", "t2").select(
+      HashFns.minhashSignature(TextFns.wordShingles(col("t1"))).as("s1"),
+      HashFns.minhashSignature(TextFns.wordShingles(col("t2"))).as("s2"))
+      .select(size(filter(zip_with(col("s1"), col("s2"), (x, y) =>
+        when(x === y, 1).otherwise(0)), _ === 1)).as("eq"))
+      .collect().map(_.getInt(0))
+    assert(df(0) == 128)          // identical docs: all minhashes equal
+    assert(df(1) < 16)            // disjoint docs: ~0 collisions
+  }
+
+  test("simhash blocking equals brute force at maxHamming 3") {
+    val blocked = Dedup.simhashNearDups(docs, "doc_id", "text", 3, 4)
+      .select("a", "b", "hd").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sh = docs.select(col("doc_id"),
+      HashFns.simhash60(TextFns.tokenSet(col("text"))).as("s"))
+    val brute = sh.as("x").join(sh.as("y"),
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id"),
+        bit_count(col("x.s").bitwiseXOR(col("y.s"))).as("hd"))
+      .where(col("hd") <= 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(blocked == brute)
+  }
+
+  test("winnow fingerprint: equal text → equal fp; shared substrings " +
+      "→ shared entries; disjoint → near-disjoint") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val shifted = "PREFIX then " + base // same suffix at shifted offsets
+    val other = "completely different content with zero overlap here truly"
+    val fps = Seq(base, base, shifted, other).toDF("t")
+      .select(HashFns.winnowFingerprint(col("t")).as("fp"))
+      .collect().map(_.getSeq[Long](0).toSet)
+    assert(fps(0) == fps(1), "determinism")
+    assert((fps(0) & fps(2)).size > fps(0).size / 2,
+      "position-shift keeps most fingerprint entries")
+    assert((fps(0) & fps(3)).size <= 1, "disjoint texts share ~nothing")
+    assert(fps(0).forall(_ >= 0), "31-bit positive hashes")
+  }
+
+  test("IVF ANN recall >= 0.8 vs brute force") {
+    val emb = T.t(spark, sf0001, "embeddings")
+    val queries = emb.where(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairs(Similarity.bruteForceTopK(emb, queries, "vec_id",
+      "embedding", 3))
+    val ivf = pairs(Similarity.ivfTopK(emb, queries, "vec_id",
+      "embedding", 3))
+    assert(bf.nonEmpty)
+    assert((bf & ivf).size.toDouble / bf.size >= 0.8)
+  }
+
+  test("exact dedup keeps lowest id per normalized text") {
+    import spark.implicits._
+    val df = Seq((1L, "Hello World"), (2L, "  hello world "),
+      (3L, "unique")).toDF("doc_id", "text")
+    val kept = Dedup.exactDedup(df, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Streams
+
+/** Batch↔stream parity (SURVEY §2.10): the streaming runner must
+  * produce exactly the batch answers the DuckDB oracle checks via
+  * QS1–QS3.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def asMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.toSeq.head -> r.toSeq.tail).toMap
+
+  test("streaming tumbling agg == batch QS1") {
+    val streamed = Streams.runToMemory(spark, sf0001,
+      Streams.tumblingCounts, "t_tumbling", mode = "complete")
+    val batch = SparkEntry.queries("qs1_tumbling")(spark, sf0001)
+    assert(asMap(streamed) == asMap(batch))
+  }
+
+  test("streaming session windows == batch QS3") {
+    val streamed = Streams.runToMemory(spark, sf0001,
+      Streams.sessionCounts, "t_session", mode = "complete")
+      .select(concat_ws("|", col("user_id"), col("session_start")).as("k"),
+        col("n"))
+    val batch = SparkEntry.queries("qs3_session")(spark, sf0001)
+      .select(concat_ws("|", col("user_id"), col("session_start")).as("k"),
+        col("n"))
+    assert(asMap(streamed) == asMap(batch))
+  }
+
+  test("stateful dedup within watermark keeps one row per key") {
+    val deduped = Streams.runToMemory(spark, sf0001,
+      Streams.dedupWithinWatermark, "t_dedup")
+    val keys = deduped.select("user_id", "event_type").distinct().count()
+    assert(deduped.count() == keys)
+  }
+
+  test("flatMapGroupsWithState running totals cover all users") {
+    val streamed = Streams.runToMemory(spark, sf0001,
+      df => Streams.runningUserTotals(df).toDF(), "t_state")
+    // final state per user (last emitted row) must match batch totals
+    val finalState = streamed.groupBy("user_id")
+      .agg(max("n").as("n"))
+    val batch = graft.queries.T.t(spark, sf0001, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    assert(asMap(finalState) == asMap(batch))
+  }
+}
