@@ -1,0 +1,169 @@
+package graft.formats
+
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+
+/** CBOR codec (reference: src/value/cbor.rs; format per RFC 8949).
+  * Back-to-back item framing with clean EOF stop (cbor.rs:37-51).
+  * Decode handles all major types incl. f16, indefinite lengths, and
+  * tags (tag skipped, inner value kept — serde_cbor behavior); encode
+  * writes canonical minimal-length arguments.
+  */
+object CborCodec {
+
+  // ---- encode ----
+
+  def encode(v: Value): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    write(v, new DataOutputStream(bos))
+    bos.toByteArray
+  }
+
+  def encodeStream(vs: Iterable[Value]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    vs.foreach(write(_, out))
+    bos.toByteArray
+  }
+
+  private def head(major: Int, arg: Long, out: DataOutputStream): Unit = {
+    val m = major << 5
+    if (arg < 24) out.writeByte(m | arg.toInt)
+    else if (arg < 256) { out.writeByte(m | 24); out.writeByte(arg.toInt) }
+    else if (arg < 65536) { out.writeByte(m | 25); out.writeShort(arg.toInt) }
+    else if (arg < 4294967296L) { out.writeByte(m | 26); out.writeInt(arg.toInt) }
+    else { out.writeByte(m | 27); out.writeLong(arg) }
+  }
+
+  private def write(v: Value, out: DataOutputStream): Unit = v match {
+    case Value.Unit => out.writeByte(0xf6)
+    case Value.Bool(b) => out.writeByte(if (b) 0xf5 else 0xf4)
+    case Value.I64(n) =>
+      if (n >= 0) head(0, n, out) else head(1, -1 - n, out)
+    case Value.U64(bits) =>
+      if (bits >= 0) head(0, bits, out)
+      else { out.writeByte(0x1b); out.writeLong(bits) } // full u64 arg
+    case Value.F64(d) => out.writeByte(0xfb); out.writeDouble(d)
+    case Value.Str(s) =>
+      val b = s.getBytes(StandardCharsets.UTF_8)
+      head(3, b.length, out); out.write(b)
+    case Value.Bytes(b) => head(2, b.length, out); out.write(b)
+    case Value.Seq(vs) => head(4, vs.length, out); vs.foreach(write(_, out))
+    case Value.Map(kvs) =>
+      head(5, kvs.length, out)
+      kvs.foreach { case (k, e) => write(k, out); write(e, out) }
+  }
+
+  // ---- decode ----
+
+  def decode(buf: ByteBuffer): Value = {
+    val ib = buf.get() & 0xff
+    val major = ib >> 5
+    val info = ib & 0x1f
+    major match {
+      case 0 =>
+        val n = arg(buf, info)
+        if (n >= 0) Value.I64(n) else Value.U64(n)
+      case 1 =>
+        val n = arg(buf, info)
+        if (n >= 0) Value.I64(-1 - n)
+        else throw new IllegalArgumentException("cbor: negint overflow")
+      case 2 =>
+        if (info == 31) indefBytes(buf)
+        else { val b = new Array[Byte](arg(buf, info).toInt); buf.get(b)
+          Value.Bytes(b) }
+      case 3 =>
+        if (info == 31) indefText(buf)
+        else { val b = new Array[Byte](arg(buf, info).toInt); buf.get(b)
+          Value.Str(new String(b, StandardCharsets.UTF_8)) }
+      case 4 =>
+        if (info == 31) {
+          var items = Vector.empty[Value]
+          while ((buf.get(buf.position()) & 0xff) != 0xff)
+            items :+= decode(buf)
+          buf.get() // break
+          Value.Seq(items)
+        } else Value.Seq(Vector.fill(arg(buf, info).toInt)(decode(buf)))
+      case 5 =>
+        if (info == 31) {
+          var items = Vector.empty[(Value, Value)]
+          while ((buf.get(buf.position()) & 0xff) != 0xff)
+            items :+= ((decode(buf), decode(buf)))
+          buf.get()
+          Value.Map(items)
+        } else Value.Map(
+          Vector.fill(arg(buf, info).toInt)((decode(buf), decode(buf))))
+      case 6 => // tag: skip, keep inner (serde_cbor drops unknown tags)
+        arg(buf, info)
+        decode(buf)
+      case 7 =>
+        info match {
+          case 20 => Value.Bool(false)
+          case 21 => Value.Bool(true)
+          case 22 => Value.Unit
+          case 23 => Value.Unit // undefined → Unit (serde none/unit)
+          case 25 => Value.F64(halfToDouble(buf.getShort() & 0xffff))
+          case 26 => Value.F64(buf.getFloat().toDouble)
+          case 27 => Value.F64(buf.getDouble())
+          case n if n < 20 => Value.I64(n.toLong) // simple values
+          case 24 => Value.I64((buf.get() & 0xff).toLong)
+          case other =>
+            throw new IllegalArgumentException(s"cbor: bad simple $other")
+        }
+    }
+  }
+
+  def decodeStream(bytes: Array[Byte]): Vector[Value] = {
+    val buf = ByteBuffer.wrap(bytes)
+    var out = Vector.empty[Value]
+    while (buf.hasRemaining) out :+= decode(buf)
+    out
+  }
+
+  private def arg(buf: ByteBuffer, info: Int): Long = info match {
+    case n if n < 24 => n.toLong
+    case 24 => buf.get() & 0xffL
+    case 25 => buf.getShort() & 0xffffL
+    case 26 => buf.getInt() & 0xffffffffL
+    case 27 => buf.getLong()
+    case other =>
+      throw new IllegalArgumentException(s"cbor: bad additional info $other")
+  }
+
+  private def indefBytes(buf: ByteBuffer): Value = {
+    val bos = new ByteArrayOutputStream()
+    while ((buf.get(buf.position()) & 0xff) != 0xff) {
+      decode(buf) match {
+        case Value.Bytes(b) => bos.write(b)
+        case _ => throw new IllegalArgumentException("cbor: bad indef bytes")
+      }
+    }
+    buf.get()
+    Value.Bytes(bos.toByteArray)
+  }
+
+  private def indefText(buf: ByteBuffer): Value = {
+    val sb = new StringBuilder
+    while ((buf.get(buf.position()) & 0xff) != 0xff) {
+      decode(buf) match {
+        case Value.Str(s) => sb.append(s)
+        case _ => throw new IllegalArgumentException("cbor: bad indef text")
+      }
+    }
+    buf.get()
+    Value.Str(sb.toString)
+  }
+
+  private def halfToDouble(h: Int): Double = {
+    val exp = (h >> 10) & 0x1f
+    val mant = h & 0x3ff
+    val sign = if ((h & 0x8000) != 0) -1.0 else 1.0
+    val v =
+      if (exp == 0) mant * math.pow(2, -24)
+      else if (exp != 31) (mant + 1024) * math.pow(2, exp - 25)
+      else if (mant == 0) Double.PositiveInfinity
+      else Double.NaN
+    sign * v
+  }
+}

@@ -1,0 +1,186 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.formats.{JsonCodec, Value}
+
+/** DataSource V2 provider for rq record streams (SURVEY §2.1/§2.2,
+  * §4.3): `spark.read.format("rq").option("recordFormat", fmt)
+  * .load(path)` yields one row per record with a single `value: STRING`
+  * column holding the record's canonical JSON; the writer encodes that
+  * JSON back into the target format, one output file per partition.
+  *
+  * Scale notes: concatenated varlen binary streams (msgpack/cbor) and
+  * whole-document formats (toml/yaml) are inherently non-splittable, so
+  * parallelism is per-FILE (one InputPartition each) — exactly how
+  * Spark's own multiLine JSON behaves. Many files → full parallelism;
+  * decoding is per-partition streaming with no driver involvement.
+  */
+class RqTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "rq"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    RqTableProvider.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new RqTable(properties.asScala.toMap)
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object RqTableProvider {
+  val schema: StructType =
+    StructType(Seq(StructField("value", StringType, nullable = false)))
+
+  def opts(options: Map[String, String]): (String, String, Map[String, String]) = {
+    val path = options.getOrElse("path",
+      throw new IllegalArgumentException("rq source requires a path"))
+    val fmt = options.getOrElse("recordformat",
+      options.getOrElse("recordFormat", "json"))
+    (path, fmt, options)
+  }
+}
+
+final class RqTable(properties: Map[String, String])
+    extends Table with SupportsRead with SupportsWrite {
+
+  private val props = properties.map { case (k, v) => k.toLowerCase -> v }
+
+  override def name(): String = s"rq(${props.getOrElse("path", "?")})"
+  override def schema(): StructType = RqTableProvider.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with Batch {
+      private val merged = props ++ options.asScala.map {
+        case (k, v) => k.toLowerCase -> v }
+      override def build(): Scan = this
+      override def readSchema(): StructType = RqTableProvider.schema
+      override def toBatch: Batch = this
+
+      override def planInputPartitions(): Array[InputPartition] = {
+        val (path, fmt, o) = RqTableProvider.opts(merged)
+        val fs = new Path(path).getFileSystem(new Configuration())
+        val files = {
+          val p = new Path(path)
+          if (fs.getFileStatus(p).isDirectory)
+            fs.listStatus(p).filter(_.isFile).map(_.getPath)
+              .filterNot(_.getName.startsWith("_")).sortBy(_.toString)
+          else Array(p)
+        }
+        files.map(f =>
+          RqInputPartition(f.toString, fmt, o): InputPartition).toArray
+      }
+
+      override def createReaderFactory(): PartitionReaderFactory =
+        RqReaderFactory()
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val merged = props ++ info.options.asScala.map {
+      case (k, v) => k.toLowerCase -> v }
+    require(info.schema().fields.length == 1 &&
+      info.schema().fields(0).dataType == StringType,
+      "rq sink expects a single STRING column of JSON records " +
+        s"(got ${info.schema().simpleString}); use RqEngine.write")
+    new WriteBuilder with SupportsTruncate {
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new RqBatchWrite(merged)
+      }
+    }
+  }
+}
+
+final case class RqInputPartition(file: String, format: String,
+    options: Map[String, String]) extends InputPartition
+
+final case class RqReaderFactory() extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new RqPartitionReader(p.asInstanceOf[RqInputPartition])
+}
+
+final class RqPartitionReader(part: RqInputPartition)
+    extends PartitionReader[InternalRow] {
+  private val stream = {
+    val p = new Path(part.file)
+    p.getFileSystem(new Configuration()).open(p)
+  }
+  private val records: Iterator[Value] = {
+    val bytes = stream.readAllBytes()
+    RqFormat.decode(part.format, bytes, part.options)
+  }
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (records.hasNext) {
+      current = InternalRow(
+        UTF8String.fromString(JsonCodec.emit(records.next())))
+      true
+    } else false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = stream.close()
+}
+
+final class RqBatchWrite(options: Map[String, String]) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    RqWriterFactory(options)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final case class RqWriterFactory(options: Map[String, String])
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new RqDataWriter(options, partitionId)
+}
+
+final class RqDataWriter(options: Map[String, String], partitionId: Int)
+    extends DataWriter[InternalRow] {
+
+  private val (dir, fmt, _) = RqTableProvider.opts(options)
+  private val ext = fmt match {
+    case "json" => "json"; case "msgpack" => "mp"; case "cbor" => "cbor"
+    case "raw" => "txt"; case "yaml" => "yaml"; case "toml" => "toml"
+    case "avro" => "avro"; case "csv" => "csv"; case other => other
+  }
+  private val buffer = scala.collection.mutable.ArrayBuffer.empty[Value]
+
+  override def write(record: InternalRow): Unit =
+    buffer += JsonCodec.parse(record.getUTF8String(0).toString)
+
+  override def commit(): WriterCommitMessage = {
+    // skip empty partitions: record-per-file formats would otherwise
+    // emit empty shards; avro would emit header-only files
+    if (buffer.nonEmpty) {
+      val out = {
+        val p = new Path(dir, f"part-$partitionId%05d.$ext")
+        val fs = p.getFileSystem(new Configuration())
+        fs.create(p, true)
+      }
+      try RqFormat.encode(fmt, buffer.iterator, out, options)
+      finally out.close()
+    }
+    new WriterCommitMessage {}
+  }
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
+}

@@ -1,0 +1,275 @@
+package graft
+
+import org.scalacheck.{Arbitrary, Gen}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.formats._
+import graft.sources.CsvCodec
+
+/** Codec round-trip property tests (SURVEY §5.2 item 1): random Value
+  * records must survive decode(encode(x)) per codec, with the
+  * documented lossy edges of §2.4 as explicit exceptions (CSV
+  * stringification, TOML map-only top level, YAML scalar normalization).
+  */
+class CodecSpec extends AnyFunSuite {
+
+  /** Minimal property runner (the scalatest-scalacheck bridge artifact
+    * is not in the offline cache): 300 sampled cases per property.
+    */
+  private def forAllValues(body: Value => Unit): Unit = {
+    val seed = org.scalacheck.rng.Seed(42L)
+    var s = seed
+    var n = 0
+    while (n < 300) {
+      genValue(3).apply(Gen.Parameters.default, s).foreach { v =>
+        body(v); n += 1
+      }
+      s = s.next
+    }
+  }
+
+  // ---- Value generator ----
+
+  private val genScalar: Gen[Value] = Gen.oneOf(
+    Gen.const(Value.Unit),
+    Gen.oneOf(true, false).map(Value.Bool),
+    Arbitrary.arbitrary[Long].map(Value.I64),
+    Gen.chooseNum(Long.MinValue, -1L).map(Value.U64), // > i64::MAX
+    Arbitrary.arbitrary[Double].suchThat(d => !d.isNaN && !d.isInfinite)
+      .map(Value.F64),
+    Gen.asciiPrintableStr.map(Value.Str),
+    Gen.listOf(Arbitrary.arbitrary[Byte]).map(bs => Value.Bytes(bs.toArray)))
+
+  private def genValue(depth: Int): Gen[Value] =
+    if (depth <= 0) genScalar
+    else Gen.frequency(
+      6 -> genScalar,
+      2 -> Gen.listOfN(3, genValue(depth - 1)).map(vs => Value.Seq(vs.toVector)),
+      2 -> Gen.listOfN(3, Gen.zip(Gen.identifier, genValue(depth - 1)))
+        .map(kvs => Value.Map(kvs.toVector.map {
+          case (k, v) => (Value.Str(k): Value, v) })))
+
+  test("msgpack round-trips every Value") {
+    forAllValues { v =>
+      assert(MsgPackCodec.decodeStream(MsgPackCodec.encode(v)) == Vector(v))
+    }
+  }
+
+  test("cbor round-trips every Value") {
+    forAllValues { v =>
+      assert(CborCodec.decodeStream(CborCodec.encode(v)) == Vector(v))
+    }
+  }
+
+  test("json round-trips every Value except bytes-as-array") {
+    forAllValues { v =>
+      def noBytes(x: Value): Boolean = x match {
+        case _: Value.Bytes => false
+        case Value.Seq(vs) => vs.forall(noBytes)
+        case Value.Map(kvs) => kvs.forall { case (k, e) =>
+          noBytes(k) && noBytes(e) }
+        case _ => true
+      }
+      if (noBytes(v)) {
+        val r = JsonCodec.parse(JsonCodec.emit(v))
+        assert(canonF64(r) == canonF64(v))
+      }
+    }
+  }
+
+  // JSON prints integral doubles as "x.0" which parses back to F64 — ok;
+  // but extreme doubles may lose the exact bit pattern via toString.
+  private def canonF64(v: Value): Value = v match {
+    case Value.F64(d) => Value.F64(d.toString.toDouble)
+    case Value.Seq(vs) => Value.Seq(vs.map(canonF64))
+    case Value.Map(kvs) => Value.Map(kvs.map { case (k, e) =>
+      (canonF64(k), canonF64(e)) })
+    case other => other
+  }
+
+  test("msgpack stream: back-to-back values with clean EOF") {
+    val vs = Vector(Value.I64(1), Value.Str("two"), Value.obj("three" -> Value.Bool(true)))
+    assert(MsgPackCodec.decodeStream(MsgPackCodec.encodeStream(vs)) == vs)
+  }
+
+  test("msgpack ext decodes to Bytes with tag dropped") {
+    // fixext2, type 42, payload [1, 2] (messagepack.rs:82)
+    val bytes = Array[Byte](0xd5.toByte, 42, 1, 2)
+    assert(MsgPackCodec.decodeStream(bytes) ==
+      Vector(Value.Bytes(Array[Byte](1, 2))))
+  }
+
+  test("cbor tags are skipped, f16 decodes") {
+    // tag 1 (epoch) around uint 100: C1 18 64
+    assert(CborCodec.decodeStream(Array[Byte](0xc1.toByte, 0x18, 0x64)) ==
+      Vector(Value.I64(100)))
+    // f16 1.0 = F9 3C 00
+    assert(CborCodec.decodeStream(
+      Array[Byte](0xf9.toByte, 0x3c, 0x00)) == Vector(Value.F64(1.0)))
+  }
+
+  test("tutorial golden: identity pipeline (doc/tutorial.md:13-17)") {
+    val in = "null\ntrue\n{\"a\": 2.5}"
+    val out = JsonCodec.parseStream(in).map(JsonCodec.emit).mkString("\n")
+    assert(out == "null\ntrue\n{\"a\":2.5}")
+  }
+
+  test("csv: headerless all-string records, quoted fields round-trip") {
+    val input = "a,b,\"c,d\"\n\"multi\nline\",2,3\n"
+    val records = CsvCodec.parse(input)
+    assert(records == Vector(
+      Value.seq(Value.Str("a"), Value.Str("b"), Value.Str("c,d")),
+      Value.seq(Value.Str("multi\nline"), Value.Str("2"), Value.Str("3"))))
+    val emitted = records.map(CsvCodec.emitRecord).mkString("\n") + "\n"
+    assert(CsvCodec.parse(emitted) == records)
+  }
+
+  test("csv sink rejects non-sequence and nested records (csv.rs:70-74,99-108)") {
+    intercept[IllegalArgumentException] {
+      CsvCodec.emitRecord(Value.obj("a" -> Value.I64(1)))
+    }
+    intercept[IllegalArgumentException] {
+      CsvCodec.emitRecord(Value.seq(Value.seq(Value.I64(1))))
+    }
+    intercept[IllegalArgumentException] {
+      CsvCodec.emitRecord(Value.seq(Value.Unit))
+    }
+  }
+
+  test("toml: whole-document single record with tables and arrays") {
+    val src =
+      """# config
+        |title = "demo"
+        |count = 42
+        |ratio = 2.5
+        |flag = true
+        |tags = ["a", "b"]
+        |[owner]
+        |name = "x"
+        |[owner.meta]
+        |level = 3
+        |[[servers]]
+        |host = "h1"
+        |[[servers]]
+        |host = "h2"
+        |""".stripMargin
+    val v = TomlCodec.parse(src)
+    val m = v.asInstanceOf[Value.Map].v.toMap
+    assert(m(Value.Str("title")) == Value.Str("demo"))
+    assert(m(Value.Str("count")) == Value.I64(42))
+    assert(m(Value.Str("ratio")) == Value.F64(2.5))
+    assert(m(Value.Str("tags")) ==
+      Value.seq(Value.Str("a"), Value.Str("b")))
+    val owner = m(Value.Str("owner")).asInstanceOf[Value.Map].v.toMap
+    assert(owner(Value.Str("name")) == Value.Str("x"))
+    assert(owner(Value.Str("meta")).asInstanceOf[Value.Map].v.toMap
+      .apply(Value.Str("level")) == Value.I64(3))
+    assert(m(Value.Str("servers")).asInstanceOf[Value.Seq].v.length == 2)
+    // round-trip
+    assert(TomlCodec.parse(TomlCodec.emit(v)) == v)
+  }
+
+  test("toml emit rejects non-map top level (map-only constraint)") {
+    intercept[IllegalArgumentException] { TomlCodec.emit(Value.I64(1)) }
+  }
+
+  test("yaml: single document, anchors resolved") {
+    val v = YamlCodec.parse(
+      """base: &b {x: 1}
+        |derived: *b
+        |list: [1, two, 3.5, null, true]
+        |""".stripMargin)
+    val m = v.asInstanceOf[Value.Map].v.toMap
+    assert(m(Value.Str("derived")) ==
+      Value.obj("x" -> Value.I64(1)))
+    assert(m(Value.Str("list")) == Value.seq(Value.I64(1),
+      Value.Str("two"), Value.F64(3.5), Value.Unit, Value.Bool(true)))
+    assert(YamlCodec.parse(YamlCodec.emit(v)) == v)
+  }
+
+  test("avro: OCF round-trip with all three codecs + coercion guards") {
+    val schema = AvroCodec.parseSchema(
+      """{"type":"record","name":"R","fields":[
+        |{"name":"n","type":["null","long"]},
+        |{"name":"s","type":"string"},
+        |{"name":"b","type":"bytes"},
+        |{"name":"e","type":{"type":"enum","name":"E","symbols":["A","B"]}},
+        |{"name":"xs","type":{"type":"array","items":"long"}},
+        |{"name":"m","type":{"type":"map","values":"long"}},
+        |{"name":"f","type":{"type":"fixed","name":"F","size":2}}
+        |]}""".stripMargin)
+    val rec = Value.obj(
+      "n" -> Value.I64(7), "s" -> Value.Str("hi"),
+      "b" -> Value.Bytes(Array[Byte](1, 2)),
+      "e" -> Value.Str("B"),
+      "xs" -> Value.seq(Value.I64(1), Value.I64(2)),
+      "m" -> Value.obj("k" -> Value.I64(9)),
+      "f" -> Value.Bytes(Array[Byte](3, 4)))
+    for (codec <- Seq("null", "deflate", "snappy")) {
+      val bytes = AvroCodec.writeStream(Seq(rec), schema, codec)
+      assert(AvroCodec.readStream(bytes) == Vector(rec), s"codec=$codec")
+    }
+    // u64 overflow guard (avro.rs:102-113)
+    val longSchema = AvroCodec.parseSchema(
+      """{"type":"record","name":"L","fields":[{"name":"v","type":"long"}]}""")
+    intercept[IllegalArgumentException] {
+      AvroCodec.writeStream(
+        Seq(Value.obj("v" -> Value.U64(-1L))), longSchema) // 2^64-1
+    }
+  }
+
+  test("protobuf: tutorial person decode + nested/repeated/enum/map") {
+    val proto =
+      """syntax = "proto3";
+        |package example;
+        |message Person {
+        |  string name = 1;
+        |  int32 age = 2;
+        |}
+        |message Rich {
+        |  repeated int64 nums = 1;
+        |  Person friend = 2;
+        |  Kind kind = 3;
+        |  map<string, int32> attrs = 4;
+        |  sint32 zz = 5;
+        |  double d = 6;
+        |  bytes raw = 7;
+        |}
+        |enum Kind { UNKNOWN = 0; ADMIN = 1; }
+        |""".stripMargin
+    val schema = ProtoSchema.parse(proto)
+
+    // Person { name: "Ada", age: 36 } hand-encoded:
+    // field1 LEN "Ada" = 0A 03 41 64 61; field2 varint 36 = 10 24
+    val person = Array[Byte](0x0a, 3, 'A', 'd', 'a', 0x10, 36)
+    assert(ProtoWire.decode(person, ".example.Person", schema) ==
+      Value.obj("name" -> Value.Str("Ada"), "age" -> Value.I64(36)))
+
+    // Rich: nums packed [1,2,300]; friend Person{name:"Bo"};
+    // kind=ADMIN(1); attrs {"x": 5}; zz=-3 (zigzag 5); d=1.5; raw=[0xFF]
+    val rich = Array[Byte](
+      0x0a, 4, 1, 2, 0xac.toByte, 2, // packed varints 1,2,300
+      0x12, 4, 0x0a, 2, 'B', 'o', // friend
+      0x18, 1, // kind = 1
+      0x22, 5, 0x0a, 1, 'x', 0x10, 5, // attrs entry {key:"x", value:5}
+      0x28, 5, // zz = zigzag(-3)
+      0x31, 0, 0, 0, 0, 0, 0, 0xf8.toByte, 0x3f, // d = 1.5 LE
+      0x3a, 1, 0xff.toByte) // raw
+    val got = ProtoWire.decode(rich, ".example.Rich", schema)
+    assert(got == Value.obj(
+      "nums" -> Value.seq(Value.I64(1), Value.I64(2), Value.I64(300)),
+      "friend" -> Value.obj("name" -> Value.Str("Bo")),
+      "kind" -> Value.Str("ADMIN"),
+      "attrs" -> Value.Map(Vector(
+        (Value.Str("x"): Value, Value.I64(5): Value))),
+      "zz" -> Value.I64(-3),
+      "d" -> Value.F64(1.5),
+      "raw" -> Value.Bytes(Array(0xff.toByte))))
+  }
+
+  test("protobuf serialization is unimplemented (K11 parity)") {
+    intercept[UnsupportedOperationException] {
+      ProtoWire.serializeUnsupported()
+    }
+  }
+}
