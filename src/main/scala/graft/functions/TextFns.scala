@@ -18,20 +18,12 @@ object TextFns {
   /** Distinct whitespace tokens (set semantics, for SimHash/Jaccard). */
   def tokenSet(text: Column): Column = array_distinct(tokens(text))
 
-  /** Distinct word n-gram shingles ("a b c") of lowercased text.
-    * Documents shorter than n tokens get an empty shingle set (guarded:
-    * sequence(0, negative) would throw in Spark).
+  /** Distinct word n-gram shingles ("a b c") of lowercased text —
+    * single-pass custom Expression (the functions-composition form
+    * re-splits the text per element access; see WordShingles docs).
     */
-  def wordShingles(text: Column, n: Int = 3): Column = {
-    val toks = tokens(text)
-    val grams = transform(
-      sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ",
-        (1 to n).map(o => element_at(toks, i + o)): _*))
-    array_distinct(
-      when(size(toks) >= n, grams)
-        .otherwise(array().cast(ArrayType(StringType))))
-  }
+  def wordShingles(text: Column, n: Int = 3): Column =
+    graft.operators.HashFns.wordShingles(text, n)
 
   /** Exact Jaccard similarity of two pre-distinct string arrays. */
   def jaccard(a: Column, b: Column): Column = {
@@ -39,19 +31,21 @@ object TextFns {
     ix / (size(a) + size(b) - ix)
   }
 
-  /** Dot product of two double arrays — left-to-right accumulation, so
-    * the result is the bit-exact IEEE sequence DuckDB's list_inner_product
-    * computes over the same values.
+  /** Dot product of two float/double arrays — left-to-right double
+    * accumulation (bit-exact vs DuckDB's list_inner_product over the
+    * same values), as a tight single-pass Expression.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.operators.HashFns.dotProduct(a, b)
 
   /** Cosine similarity of two float/double array columns. */
-  def cosine(a: Column, b: Column): Column = {
-    val ad = transform(a, _.cast(DoubleType))
-    val bd = transform(b, _.cast(DoubleType))
-    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
-  }
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** L2 norm — precompute per row before pair joins: computing norms
+    * inside an n² pair loop triples the work (SURVEY bench note).
+    */
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Count of BPE-ish tokens: letter runs, digit runs, single other
     * non-space chars. Same regex semantics in java.util.regex and RE2.

@@ -138,10 +138,13 @@ object Dedup {
   def embeddingNearDups(
       emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val e = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    // norms once per vector, not once per pair (bit-identical cosine)
+    val e = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      TextFns.l2norm(col(vecCol)).as("__n"))
     e.as("x").join(e.as("y"), col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("a"), col("y.__id").as("b"),
-        TextFns.cosine(col("x.__v"), col("y.__v")).as("c"))
+        (TextFns.dot(col("x.__v"), col("y.__v")) /
+          (col("x.__n") * col("y.__n"))).as("c"))
       .where(col("c") >= threshold)
   }
 }

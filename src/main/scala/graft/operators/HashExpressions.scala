@@ -178,6 +178,79 @@ case class WinnowFingerprint(child: Expression, k: Int = 8, w: Int = 4)
     copy(child = newChild)
 }
 
+/** Distinct word n-gram shingles of lowercased text, single pass.
+  *
+  * Semantically identical to the functions-composition
+  * `array_distinct(transform(sequence(...), i => concat_ws(" ",
+  * element_at(tokens, ...))))` but O(len) instead of O(tokens²):
+  * Catalyst cannot common-subexpression-eliminate the token array
+  * inside lambda bodies, so the composed form re-splits the text for
+  * every element access (observed 20× slowdown on the dedup bench).
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.toString.toLowerCase.split("\\s+")
+      .filter(_.nonEmpty)
+    val out = new java.util.LinkedHashSet[org.apache.spark.unsafe.types.UTF8String]()
+    var i = 0
+    while (i + n <= toks.length) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      out.add(org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
+/** Dot product of two float/double arrays with strict left-to-right
+  * double accumulation — the exact IEEE sequence of
+  * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` (and of DuckDB's
+  * list_inner_product over the same values), but a single tight loop
+  * instead of per-element lambda dispatch.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  private def elem(a: ArrayData, et: DataType, i: Int): Double = et match {
+    case FloatType => a.getFloat(i).toDouble
+    case DoubleType => a.getDouble(i)
+    case other => throw new IllegalArgumentException(
+      s"dot_product: unsupported element type $other")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val at = left.dataType.asInstanceOf[ArrayType].elementType
+    val bt = right.dataType.asInstanceOf[ArrayType].elementType
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += elem(a, at, i) * elem(b, bt, i)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** Column wrappers for the expressions above. */
 object HashFns {
   private def e(c: Column): Expression = Bridge.expression(c)
@@ -186,4 +259,8 @@ object HashFns {
   def simhash60(c: Column): Column = Bridge.column(SimHash60(e(c)))
   def winnowFingerprint(c: Column, k: Int = 8, w: Int = 4): Column =
     Bridge.column(WinnowFingerprint(e(c), k, w))
+  def wordShingles(c: Column, n: Int): Column =
+    Bridge.column(WordShingles(e(c), n))
+  def dotProduct(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(e(a), e(b)))
 }

@@ -19,6 +19,10 @@ import graft.functions.TextFns
   *    map), queries probe only the `nprobe` nearest centroid cells, so
   *    the candidate set shrinks by ~|centroids|/nprobe. Approximate:
   *    recall measured against the brute-force baseline in tests.
+  *
+  * Norms are precomputed per row before any pair join (computing them
+  * inside the n·q pair loop triples the dot-product work) — the cosine
+  * value is bit-identical either way.
   */
 object Similarity {
 
@@ -28,12 +32,15 @@ object Similarity {
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      TextFns.l2norm(col(vecCol)).as("nv"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      TextFns.l2norm(col(vecCol)).as("nq"))
     c.crossJoin(broadcast(q))
       .where(col("id") =!= col("qid"))
       .select(col("qid"), col("id"),
-        TextFns.cosine(col("v"), col("qv")).as("sim"))
+        (TextFns.dot(col("v"), col("qv")) / (col("nv") * col("nq")))
+          .as("sim"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid"))
           .orderBy(col("sim").desc, col("id"))))
@@ -49,32 +56,35 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      TextFns.l2norm(col(vecCol)).as("nv"))
     val cents = c.orderBy("id").limit(nlist)
       .select(col("id").as("cent_id"), col("v").as("cent_v"))
 
-    def nearestCells(df: DataFrame, vc: String, n: Int,
-                     outCol: String): DataFrame =
+    // rank centroids per row (windowed by the row id, never by the
+    // vector payload — an array partition key would shuffle and sort
+    // on the vectors themselves)
+    def nearestCells(df: DataFrame, idc: String, vc: String, n: Int)
+        : DataFrame =
       df.crossJoin(broadcast(cents))
-        .select(df.columns.map(col) :+
-          col("cent_id") :+
-          TextFns.cosine(col(vc), col("cent_v")).as("__cs"): _*)
+        .withColumn("__cs", TextFns.cosine(col(vc), col("cent_v")))
         .withColumn("__cr", row_number().over(
-          Window.partitionBy(col(vc)).orderBy(col("__cs").desc,
-            col("cent_id"))))
+          Window.partitionBy(col(idc))
+            .orderBy(col("__cs").desc, col("cent_id"))))
         .where(col("__cr") <= n)
-        .withColumnRenamed("cent_id", outCol)
-        .drop("__cs", "__cr")
+        .withColumnRenamed("cent_id", "cell")
+        .drop("__cs", "__cr", "cent_v")
 
-    val assigned = nearestCells(c, "v", 1, "cell")
+    val assigned = nearestCells(c, "id", "v", 1)
     val probes = nearestCells(
-      queries.select(col(idCol).as("qid"), col(vecCol).as("qv")),
-      "qv", nprobe, "cell")
+      queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        TextFns.l2norm(col(vecCol)).as("nq")), "qid", "qv", nprobe)
 
     assigned.join(probes, "cell")
       .where(col("id") =!= col("qid"))
       .select(col("qid"), col("id"),
-        TextFns.cosine(col("v"), col("qv")).as("sim"))
+        (TextFns.dot(col("v"), col("qv")) / (col("nv") * col("nq")))
+          .as("sim"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid"))
           .orderBy(col("sim").desc, col("id"))))

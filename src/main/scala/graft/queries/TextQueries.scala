@@ -40,19 +40,16 @@ object TextQueries {
         |    WHERE e.vec_id <> 1
         |  )
         |) WHERE rank <= 5 ORDER BY rank""".stripMargin) { (s, d) =>
+      import graft.functions.TextFns
       val emb = t(s, d, "embeddings")
-        .select(col("vec_id"),
-          transform(col("embedding"), _.cast(DoubleType)).as("v"))
-      val dot = (a: org.apache.spark.sql.Column,
-                 b: org.apache.spark.sql.Column) =>
-        aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+        .select(col("vec_id"), col("embedding").as("v"))
       val q = emb.where(col("vec_id") === 1)
         .select(col("v").as("qv"))
       emb.where(col("vec_id") =!= 1)
         .crossJoin(broadcast(q))
         .select(col("vec_id"),
-          (dot(col("v"), col("qv")) /
-            (sqrt(dot(col("v"), col("v"))) * sqrt(dot(col("qv"), col("qv")))))
+          (TextFns.dot(col("v"), col("qv")) /
+            (TextFns.l2norm(col("v")) * TextFns.l2norm(col("qv"))))
             .as("raw_sim"))
         .withColumn("rank", row_number().over(
           org.apache.spark.sql.expressions.Window
