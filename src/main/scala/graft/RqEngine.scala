@@ -35,6 +35,16 @@ final class RqEngine(val spark: SparkSession) {
     spark.read.json(read(format, path, options).as[String])
   }
 
+  /** Variant read: heterogeneous record streams (mixed scalars and
+    * objects in one stream — legal rq input, SURVEY §1.1) land in one
+    * `value: VARIANT` column; shred with variant_get / schema
+    * inference downstream (SURVEY §1.3).
+    */
+  def readVariant(format: String, path: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    read(format, path, options)
+      .select(parse_json(col("value")).as("value"))
+
   /** Record-stream write. Accepts either the canonical single-`value`
     * frame or any typed DataFrame (converted via toJSON).
     */

@@ -190,6 +190,46 @@ class RqEngineSpec extends SparkSpec {
     assert(r.getString(3) == """{"a":1,"b":[true,2.5,"x"]}""")
   }
 
+  test("variant read carries heterogeneous streams (tutorial input)") {
+    val dir = tmp()
+    Files.writeString(java.nio.file.Paths.get(dir, "het.json"),
+      "null\ntrue\n{\"a\": 2.5}\n")
+    val df = engine.readVariant("json", dir)
+    assert(df.schema.fields(0).dataType.typeName == "variant")
+    // shred the object record; scalar records pass through as variant
+    val objs = df.selectExpr(
+      "variant_get(value, '$.a', 'double') AS a")
+      .where(col("a").isNotNull).collect()
+    assert(objs.map(_.getDouble(0)).toSeq == Seq(2.5))
+    assert(df.count() == 3)
+  }
+
+  test("GraftExtensions registers functions at session build time") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark // force-init shared session before detaching it
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val r = s2.sql(
+        """SELECT from_cbor(to_cbor('{"x":7}')) AS j,
+          |       dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
+          |       size(word_shingles('a b c d')) AS ns
+          |FROM (SELECT 1)""".stripMargin).collect()(0)
+      assert(r.getString(0) == """{"x":7}""")
+      assert(r.getDouble(1) == 11.0)
+      assert(r.getInt(2) == 2)
+    } finally { // restore the shared session (same SparkContext)
+      org.apache.spark.sql.SparkSession.setDefaultSession(prev)
+      org.apache.spark.sql.SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("protobuf sink unimplemented (K11 parity)") {
     val in = writeInput()
     val ex = intercept[Exception] {
