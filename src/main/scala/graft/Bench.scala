@@ -23,9 +23,12 @@ object Bench {
     // codegen/FileIndex initialization
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    // toRdd.count materializes every output row through the full plan;
+    // a plain count() would let Catalyst prune the projections away and
+    // time only scan+count.
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      fn(spark, sfDir).count()
+      fn(spark, sfDir).queryExecution.toRdd.count()
       (System.nanoTime() - t0) / 1e9
     }
 

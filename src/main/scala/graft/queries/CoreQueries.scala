@@ -168,6 +168,15 @@ object CoreQueries {
         .orderBy("o_orderstatus")
     },
 
+    // HLL++ approximate distinct — approximate by nature, excluded
+    // from the hash oracle (BASELINE.md note); bench + rows-only.
+    Q.noOracle("q10b_approx_distinct") { (s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(approx_count_distinct(col("o_custkey")).as("acd"))
+        .orderBy("o_orderstatus")
+    },
+
     // grouping() is TINYINT in Spark and BIGINT in DuckDB → both cast to
     // INT; ASC null ordering differs (Spark NULLS FIRST, DuckDB NULLS
     // LAST) → explicit NULLS FIRST on both sides.
@@ -201,6 +210,28 @@ object CoreQueries {
         .orderBy("c_mktsegment", "rn")
     },
 
+    // Ranking-function family beyond row_number (SURVEY §2.9 line:
+    // rank/dense_rank/ntile).
+    Q("q12b_rank_family",
+      """SELECT c_mktsegment, c_custkey,
+        |CAST(RANK() OVER w AS INT) AS rnk,
+        |CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+        |CAST(NTILE(4) OVER w AS INT) AS nt
+        |FROM customer WHERE c_custkey < 300
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |             ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_mktsegment, rnk, c_custkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, d, "customer")
+        .where(col("c_custkey") < 300)
+        .select(col("c_mktsegment"), col("c_custkey"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("nt"))
+        .orderBy(col("c_mktsegment"), col("rnk"), col("c_custkey"))
+    },
+
     Q("q13_lag",
       """SELECT o_custkey, o_orderkey,
         |LAG(o_orderkey) OVER (PARTITION BY o_custkey
@@ -211,6 +242,32 @@ object CoreQueries {
           lag(col("o_orderkey"), 1).over(
             Window.partitionBy(col("o_custkey"))
               .orderBy(col("o_orderdate"), col("o_orderkey"))).as("prev"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // Analytic family beyond lag: lead / first_value / last_value over
+    // an explicit full frame (SURVEY §2.9).
+    Q("q13b_analytic_family",
+      """SELECT o_custkey, o_orderkey,
+        |LEAD(o_orderkey) OVER w AS nxt,
+        |FIRST_VALUE(o_orderkey) OVER w AS fst,
+        |LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |  AS lst
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          lead(col("o_orderkey"), 1).over(w).as("nxt"),
+          first(col("o_orderkey")).over(w).as("fst"),
+          last(col("o_orderkey")).over(
+            w.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)).as("lst"))
         .orderBy("o_custkey", "o_orderkey")
     },
 
@@ -355,6 +412,23 @@ object CoreQueries {
           .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // Math-function family beyond q21: sqrt/exp/ln/sign. libm last-ulp
+    // differences between JVM and C are absorbed by ROUND(...,4).
+    Q("q21b_math_family",
+      """SELECT l_orderkey, l_linenumber,
+        |ROUND(SQRT(l_extendedprice) + EXP(l_discount) + LN(1 + l_tax), 4)
+        |  AS v,
+        |CAST(SIGN(l_discount - 0.05) AS INT) AS sg
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, v""".stripMargin) {
+      (s, d) =>
+        t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            round(sqrt(col("l_extendedprice")) + exp(col("l_discount")) +
+              log(lit(1) + col("l_tax")), 4).as("v"),
+            signum(col("l_discount") - 0.05).cast(IntegerType).as("sg"))
+          .orderBy("l_orderkey", "l_linenumber", "v")
+    },
+
     Q("q22_array",
       """SELECT vec_id, CAST(LEN(embedding) AS INT) AS sz, label
         |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
@@ -378,6 +452,30 @@ object CoreQueries {
         .select(col("vec_id"), col("pos"),
           round(col("e").cast(DoubleType), 4).as("ev"))
         .orderBy("vec_id", "pos")
+    },
+
+    // Array-function family over real data: filter/slice/sort_array/
+    // array_distinct/array_contains, serialized to JSON so both engines
+    // compare a canonical string.
+    Q("q22c_array_family",
+      """SELECT doc_id,
+        |TO_JSON(LIST_SORT(fw[1:5])) AS first5,
+        |CAST(LEN(LIST_DISTINCT(fw)) AS INT) AS nd,
+        |LIST_CONTAINS(fw, 'the') AS has_the
+        |FROM (
+        |  SELECT doc_id,
+        |    LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'),
+        |                t -> t <> '') AS fw
+        |  FROM documents
+        |) ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.functions.TextFns
+      t(s, d, "documents")
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("fw"))
+        .select(col("doc_id"),
+          to_json(sort_array(slice(col("fw"), 1, 5))).as("first5"),
+          size(array_distinct(col("fw"))).as("nd"),
+          array_contains(col("fw"), "the").as("has_the"))
+        .orderBy("doc_id")
     },
 
     // Map build + element_at round-trip; DuckDB side pinned to the
@@ -447,16 +545,37 @@ object CoreQueries {
         .orderBy("o_orderpriority")
     },
 
+    // Correlated EXISTS through the SQL parser so Catalyst's subquery
+    // decorrelation (→ left semi join) is exercised, not hand-planned.
     Q("q28_exists",
       """SELECT c_custkey FROM customer c WHERE EXISTS (
         |  SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 50000
         |) ORDER BY c_custkey""".stripMargin) { (s, d) =>
-      t(s, d, "customer")
-        .join(t(s, d, "orders").where(col("o_totalprice") > 50000),
-          col("c_custkey") === col("o_custkey"), "left_semi")
-        .select("c_custkey")
-        .orderBy("c_custkey")
+      t(s, d, "customer").createOrReplaceTempView("customer")
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT c_custkey FROM customer c WHERE EXISTS (
+          |  SELECT 1 FROM orders o
+          |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 50000
+          |) ORDER BY c_custkey""".stripMargin)
+    },
+
+    // Correlated scalar subquery (decorrelated to outer join + agg).
+    Q("q28b_scalar_subquery",
+      """SELECT c_custkey,
+        |  (SELECT COUNT(*) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+        |  AS n
+        |FROM customer c ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      t(s, d, "customer").createOrReplaceTempView("customer")
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT c_custkey,
+          |  (SELECT COUNT(*) FROM orders o
+          |   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+          |  AS n
+          |FROM customer c ORDER BY c_custkey""".stripMargin)
     },
 
     // TPC-H-style star join: lineitem→orders→customer→nation→region.
