@@ -58,4 +58,16 @@ object T {
 
   def davgSql(x: String): String =
     s"ROUND(CAST(SUM(CAST($x AS DECIMAL(28,6))) AS DOUBLE)/COUNT(*),4)"
+
+  /** IEEE-deterministic 4-decimal rounding: floor(x·10⁴ + 0.5)/10⁴ is
+    * the same double-op sequence in both engines, unlike ROUND — Spark
+    * rounds the exact decimal expansion (BigDecimal HALF_UP) while
+    * DuckDB rounds the scaled double, and values sitting within an ulp
+    * of a .00005 boundary diverge (observed on xt2 at sf0.1). Use for
+    * per-row formulas whose values are dense in [0,1]; non-negative
+    * inputs only.
+    */
+  def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000.0
+
+  def r4Sql(x: String): String = s"FLOOR(($x) * 10000 + 0.5) / 10000.0"
 }

@@ -72,11 +72,11 @@ object TextAnalysisQueries {
     // one fixed formula (every arithmetic step identical in both
     // engines → identical IEEE doubles).
     Q("xt2_quality",
-      s"""SELECT doc_id, n_tok, ROUND(
-         |  0.4 * (CASE WHEN n_tok = 0 THEN 0.0
-         |              ELSE CAST(sw AS DOUBLE) / n_tok END)
-         |  + 0.3 * (CAST(al AS DOUBLE) / LENGTH(text))
-         |  + 0.3 * LEAST(CAST(n_tok AS DOUBLE) / 100.0, 1.0), 4) AS q
+      s"""SELECT doc_id, n_tok, ${r4Sql(
+           """0.4 * (CASE WHEN n_tok = 0 THEN 0.0
+             |              ELSE CAST(sw AS DOUBLE) / n_tok END)
+             |  + 0.3 * (CAST(al AS DOUBLE) / LENGTH(text))
+             |  + 0.3 * LEAST(CAST(n_tok AS DOUBLE) / 100.0, 1.0)""")} AS q
          |FROM (
          |  SELECT doc_id, text,
          |    CAST(LEN(fw) AS INT) AS n_tok,
@@ -95,12 +95,12 @@ object TextAnalysisQueries {
           size(regexp_extract_all(lower(col("text")), lit("[a-z]"), lit(0)))
             .as("al"))
         .select(col("doc_id"), col("n_tok"),
-          round(
+          r4(
             lit(0.4) * when(col("n_tok") === 0, 0.0)
               .otherwise(col("sw").cast(DoubleType) / col("n_tok")) +
             lit(0.3) * (col("al").cast(DoubleType) / length(col("text"))) +
-            lit(0.3) * least(col("n_tok").cast(DoubleType) / 100.0, lit(1.0)),
-            4).as("q"))
+            lit(0.3) * least(col("n_tok").cast(DoubleType) / 100.0, lit(1.0))
+          ).as("q"))
         .orderBy("doc_id")
     },
 
