@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Skew-handling aggregation patterns (SURVEY §4.2 / the 100TB
+  * notes): when a grouping key is hot, the single reducer owning it
+  * becomes the straggler. These transformers split the hot key across
+  * `saltBuckets` reducers with an exact second phase — results are
+  * identical to the direct aggregation (decimal accumulation makes the
+  * sum associative), only the shuffle shape changes.
+  */
+object Scale {
+
+  /** Exact double SUM per key, salted: phase 1 groups on
+    * (key, salt) where salt spreads rows uniformly, phase 2 combines
+    * the ≤saltBuckets partials per key. Decimal accumulation end to
+    * end → bit-identical to a direct decimal sum.
+    */
+  def saltedDecimalSum(df: DataFrame, keyCols: Seq[String],
+      valueCol: String, outCol: String,
+      saltBuckets: Int = 32): DataFrame = {
+    val keys = keyCols.map(col)
+    df.withColumn("__salt",
+        pmod(hash(monotonically_increasing_id()), lit(saltBuckets)))
+      .groupBy(keys :+ col("__salt"): _*)
+      .agg(sum(col(valueCol).cast(DecimalType(28, 6))).as("__partial"))
+      .groupBy(keys: _*)
+      .agg(round(sum(col("__partial")).cast(DoubleType), 4).as(outCol))
+  }
+
+  /** Exact COUNT(DISTINCT value) per key without funneling each key
+    * through one reducer: phase 1 dedups on (key, value) — the shuffle
+    * key includes the value, so a hot key spreads across reducers —
+    * phase 2 counts survivors per key.
+    */
+  def skewSafeCountDistinct(df: DataFrame, keyCols: Seq[String],
+      valueCol: String, outCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    df.select(keys :+ col(valueCol): _*)
+      .distinct()
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as(outCol))
+  }
+}
