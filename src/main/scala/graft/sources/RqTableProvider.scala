@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -65,7 +66,7 @@ final class RqTable(properties: Map[String, String])
   override def schema(): StructType = RqTableProvider.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch {
@@ -74,6 +75,8 @@ final class RqTable(properties: Map[String, String])
       override def build(): Scan = this
       override def readSchema(): StructType = RqTableProvider.schema
       override def toBatch: Batch = this
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new RqMicroBatchStream(merged)
 
       override def planInputPartitions(): Array[InputPartition] = {
         val (path, fmt, o) = RqTableProvider.opts(merged)

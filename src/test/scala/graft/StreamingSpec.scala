@@ -31,6 +31,37 @@ class StreamingSpec extends SparkSpec {
     assert(asMap(streamed) == asMap(batch))
   }
 
+  test("streaming sliding windows == batch QS2") {
+    val streamed = Streams.runToMemory(spark, sf0001,
+      df => Streams.slidingCounts(df), "t_sliding", mode = "complete")
+    val batch = SparkEntry.queries("qs2_sliding")(spark, sf0001)
+      .select("w", "c")
+    assert(asMap(streamed) == asMap(batch))
+  }
+
+  test("rq DSv2 source streams new files incrementally (micro-batch)") {
+    val dir = java.nio.file.Files.createTempDirectory("rqstream")
+    def addFile(n: Int): Unit =
+      java.nio.file.Files.writeString(dir.resolve(s"f$n.json"),
+        "{\"n\":" + n + "}\n")
+    addFile(1); addFile(2)
+    val q = spark.readStream
+      .format(classOf[graft.sources.RqTableProvider].getName)
+      .option("recordFormat", "json")
+      .load(dir.toString)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("t_rqstream").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("t_rqstream").count() == 2)
+      addFile(3)
+      q.processAllAvailable()
+      val got = spark.table("t_rqstream").collect()
+        .map(_.getString(0)).sorted.toSeq
+      assert(got == Seq("{\"n\":1}", "{\"n\":2}", "{\"n\":3}"))
+    } finally q.stop()
+  }
+
   test("stateful dedup within watermark keeps one row per key") {
     val deduped = Streams.runToMemory(spark, sf0001,
       Streams.dedupWithinWatermark, "t_dedup")
