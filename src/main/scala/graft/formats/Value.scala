@@ -117,6 +117,70 @@ object JsonCodec {
     sb.append('"')
   }
 
+  /** 2-space-indented pretty form (reference K3, `--format indented`:
+    * serde_json PrettyFormatter, json.rs:76-82).
+    */
+  def emitIndented(v: Value): String = {
+    val sb = new StringBuilder
+    emitPretty(v, sb, 0, color = false)
+    sb.toString
+  }
+
+  /** ANSI-colored indented form (reference K2, `--format readable`:
+    * the custom colorizing formatter, json.rs:115-520 — keys cyan,
+    * strings green, numbers yellow, bool/null magenta).
+    */
+  def emitReadable(v: Value): String = {
+    val sb = new StringBuilder
+    emitPretty(v, sb, 0, color = true)
+    sb.toString
+  }
+
+  private def colored(s: String, code: String, on: Boolean): String =
+    if (on) s"\u001b[${code}m$s\u001b[0m" else s
+
+  private def emitPretty(v: Value, sb: StringBuilder, indent: Int,
+      color: Boolean): scala.Unit = {
+    val pad = "  " * indent
+    val padIn = "  " * (indent + 1)
+    v match {
+      case Value.Seq(vs) if vs.nonEmpty =>
+        sb.append("[\n")
+        vs.zipWithIndex.foreach { case (e, i) =>
+          sb.append(padIn)
+          emitPretty(e, sb, indent + 1, color)
+          if (i < vs.length - 1) sb.append(',')
+          sb.append('\n')
+        }
+        sb.append(pad).append(']')
+      case Value.Map(kvs) if kvs.nonEmpty =>
+        sb.append("{\n")
+        kvs.zipWithIndex.foreach { case ((k, e), i) =>
+          val keyJson = {
+            val ksb = new StringBuilder
+            k match {
+              case Value.Str(s) => emitString(s, ksb)
+              case other => emitString(emit(other), ksb)
+            }
+            ksb.toString
+          }
+          sb.append(padIn).append(colored(keyJson, "36", color)).append(": ")
+          emitPretty(e, sb, indent + 1, color)
+          if (i < kvs.length - 1) sb.append(',')
+          sb.append('\n')
+        }
+        sb.append(pad).append('}')
+      case scalar =>
+        val plain = emit(scalar)
+        val code = scalar match {
+          case _: Value.Str => "32"
+          case _: Value.I64 | _: Value.U64 | _: Value.F64 => "33"
+          case _ => "35"
+        }
+        sb.append(colored(plain, code, color))
+    }
+  }
+
   /** Parse one JSON value from s starting at offset; returns (value,
     * next offset). Throws IllegalArgumentException on malformed input.
     */

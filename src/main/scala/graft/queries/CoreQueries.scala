@@ -603,6 +603,49 @@ object CoreQueries {
         .orderBy("r_name")
     },
 
+    // VARIANT shredding (Spark 4): props JSON → VARIANT → typed field.
+    // Oracle extracts via DuckDB's JSON path into the same BIGINT.
+    Q("q24b_variant",
+      """SELECT event_id,
+        |CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"),
+          expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+        .orderBy("event_id")
+    },
+
+    // TPC-H Q3 shape: selective dims, fact join, decimal revenue agg,
+    // top-10 (the canonical shipping-priority composite).
+    Q("q31_tpch_q3",
+      s"""SELECT l_orderkey, ${dsumSql("l_extendedprice*(1-l_discount)")}
+         |  AS revenue,
+         |CAST(o_orderdate AS DATE) AS odate, o_orderpriority
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) {
+      (s, d) =>
+        t(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+          .join(t(s, d, "orders")
+            .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+            col("c_custkey") === col("o_custkey"))
+          .join(t(s, d, "lineitem")
+            .where(col("l_shipdate") > lit("1998-01-01").cast("timestamp")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+          .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+          .select(col("l_orderkey"), col("revenue"),
+            col("o_orderdate").cast(DateType).as("odate"),
+            col("o_orderpriority"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+    },
+
     // Composite: join + agg + window. Rank key is the exact decimal sum
     // (NOT the rounded double) so tie-breaking matches across engines.
     Q("q30_composite",

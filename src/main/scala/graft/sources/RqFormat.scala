@@ -78,9 +78,19 @@ object RqFormat {
   def encode(format: String, values: Iterator[Value], out: OutputStream,
       options: Map[String, String] = Map.empty): Unit = format match {
     case "json" =>
+      // formatter selection mirrors --format compact/indented/readable
+      // (rq.rs:216, 323-329; compact is the pipe default)
+      val emit: Value => String = opt(options, "jsonFormat")
+        .getOrElse("compact") match {
+        case "compact" => JsonCodec.emit
+        case "indented" => JsonCodec.emitIndented
+        case "readable" => JsonCodec.emitReadable
+        case other => throw new IllegalArgumentException(
+          s"unknown jsonFormat: $other (compact|indented|readable)")
+      }
       values.foreach { v =>
-        out.write(JsonCodec.emit(v).getBytes(StandardCharsets.UTF_8))
-        out.write('\n') // one line per record (json.rs:110)
+        out.write(emit(v).getBytes(StandardCharsets.UTF_8))
+        out.write('\n') // one record per doc + newline (json.rs:110)
       }
     case "csv" =>
       values.foreach { v =>
