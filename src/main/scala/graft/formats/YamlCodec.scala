@@ -11,11 +11,15 @@ import org.yaml.snakeyaml.{DumperOptions, Yaml}
   */
 object YamlCodec {
 
-  private def yaml: Yaml = {
+  // SnakeYAML is not thread-safe, but construction is expensive —
+  // cache one instance per executor thread instead of per call.
+  private val yamlTL: ThreadLocal[Yaml] = ThreadLocal.withInitial { () =>
     val opts = new DumperOptions()
     opts.setDefaultFlowStyle(DumperOptions.FlowStyle.BLOCK)
     new Yaml(opts)
   }
+
+  private def yaml: Yaml = yamlTL.get()
 
   /** Whole input → exactly one Value (single-document semantics). */
   def parse(input: String): Value = fromJava(yaml.load[AnyRef](input))

@@ -132,19 +132,71 @@ object Dedup {
       .where(col("j") >= threshold)
   }
 
-  /** Embedding near-dup pairs with cosine ≥ threshold — exact pairwise
-    * baseline (the ANN/LSH variant in Similarity is the scale path).
+  /** Embedding near-dup pairs with cosine ≥ threshold — EXACT pairwise
+    * join. Exact cosine self-join is inherently O(n²) compute (no
+    * blocking scheme is simultaneously exact and subquadratic on
+    * arbitrary data at moderate thresholds), so the scale question is
+    * the *shape* of the n² work, not its existence:
+    *
+    *  - `shuffle_replicate_nl` forces CartesianProductExec instead of
+    *    BroadcastNestedLoopJoin: no corpus-sized broadcast, and memory
+    *    per task is one (spillable) tile, not the whole table;
+    *  - both sides are round-robin repartitioned into `tiles` chunks,
+    *    so the product runs as tiles² evenly-sized tasks — each task a
+    *    tile×tile block of the pair matrix;
+    *  - norms are computed once per vector, not once per pair.
+    *
+    * For corpora where O(n²) is unaffordable, use
+    * [[embeddingNearDupsLSH]] (blocked candidates + exact verify) at a
+    * realistic near-dup threshold.
     */
   def embeddingNearDups(
       emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
-    // norms once per vector, not once per pair (bit-identical cosine)
+      threshold: Double, tiles: Int = 8): DataFrame = {
     val e = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"),
-      TextFns.l2norm(col(vecCol)).as("__n"))
-    e.as("x").join(e.as("y"), col("x.__id") < col("y.__id"))
+      TextFns.l2norm(col(vecCol)).as("__n")).repartition(tiles)
+    e.as("x").hint("shuffle_replicate_nl")
+      .join(e.as("y").hint("shuffle_replicate_nl"),
+        col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("a"), col("y.__id").as("b"),
         (TextFns.dot(col("x.__v"), col("y.__v")) /
           (col("x.__n") * col("y.__n"))).as("c"))
+      .where(col("c") >= threshold)
+  }
+
+  /** Embedding near-dup pairs via random-hyperplane LSH blocking +
+    * exact cosine verification — the 100TB path, same shape as
+    * [[minhashNearDups]]: banded candidate generation (shuffle key =
+    * (band, sign-pattern key), cost Σ bucket² instead of n²), exact
+    * cosine only on candidates. With the (96,12) defaults a pair at
+    * cosine 0.9165 is missed with probability ~8e-9 (see
+    * [[HyperplaneBands]]); false candidates are eliminated by the
+    * verify step, so precision is exact.
+    */
+  def embeddingNearDupsLSH(
+      emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bands: Int = 96, bitsPerBand: Int = 12,
+      seed: Int = 0x5eed): DataFrame = {
+    val e = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      TextFns.l2norm(col(vecCol)).as("__n"),
+      HashFns.hyperplaneBands(col(vecCol), bands, bitsPerBand, seed)
+        .as("__bk"))
+    val banded = e.select(col("__id"),
+      posexplode(col("__bk")).as(Seq("__band", "__key")))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.__band") === col("y.__band") &&
+          col("x.__key") === col("y.__key") &&
+          col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("a"), col("y.__id").as("b"))
+      .distinct()
+    cand
+      .join(e.select(col("__id").as("a"), col("__v").as("__va"),
+        col("__n").as("__na")), "a")
+      .join(e.select(col("__id").as("b"), col("__v").as("__vb"),
+        col("__n").as("__nb")), "b")
+      .select(col("a"), col("b"),
+        (TextFns.dot(col("__va"), col("__vb")) /
+          (col("__na") * col("__nb"))).as("c"))
       .where(col("c") >= threshold)
   }
 }

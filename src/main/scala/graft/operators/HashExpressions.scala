@@ -212,6 +212,72 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Random-hyperplane LSH band keys for an embedding vector (SURVEY
+  * §2.11 scale path for embedding near-dup): `bands` keys, each the
+  * sign-bit pattern of `bitsPerBand` seeded Gaussian hyperplane
+  * projections (Charikar SimHash-for-vectors). Two vectors at angle θ
+  * agree on one hyperplane bit with probability 1-θ/π, so a pair with
+  * cosine ≥ t shares ≥1 band key with probability
+  * 1-(1-p^r)^b, p = 1-arccos(t)/π — with the (96,12) defaults a
+  * c=0.9165 pair is missed with probability ~8e-9.
+  *
+  * Determinism: hyperplanes are drawn from java.util.Random(seed ^ dim)
+  * Gaussians, so signatures are reproducible across sessions, cluster
+  * sizes and row orders.
+  */
+case class HyperplaneBands(
+    child: Expression, bands: Int, bitsPerBand: Int, seed: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_bands"
+
+  // hyperplanes depend on the (runtime) vector dimension; cache per dim
+  @transient private lazy val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+
+  private def planes(d: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent(d, dim => {
+      val rnd = new java.util.Random(seed.toLong ^ (dim.toLong << 32))
+      Array.fill(bands * bitsPerBand)(Array.fill(dim)(rnd.nextGaussian()))
+    })
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val isFloat = child.dataType.asInstanceOf[ArrayType]
+      .elementType == FloatType
+    val d = a.numElements()
+    val v = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      v(i) = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      i += 1
+    }
+    val ps = planes(d)
+    val out = new Array[Long](bands)
+    var b = 0
+    var p = 0
+    while (b < bands) {
+      var key = 0L
+      var r = 0
+      while (r < bitsPerBand) {
+        val plane = ps(p); p += 1
+        var dot = 0.0
+        i = 0
+        while (i < d) { dot += v(i) * plane(i); i += 1 }
+        key = (key << 1) | (if (dot >= 0) 1L else 0L)
+        r += 1
+      }
+      out(b) = key
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
 /** Dot product of two float/double arrays with strict left-to-right
   * double accumulation — the exact IEEE sequence of
   * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` (and of DuckDB's
@@ -263,4 +329,8 @@ object HashFns {
     Bridge.column(WordShingles(e(c), n))
   def dotProduct(a: Column, b: Column): Column =
     Bridge.column(DotProduct(e(a), e(b)))
+  def hyperplaneBands(
+      c: Column, bands: Int = 96, bitsPerBand: Int = 12,
+      seed: Int = 0x5eed): Column =
+    Bridge.column(HyperplaneBands(e(c), bands, bitsPerBand, seed))
 }

@@ -96,13 +96,12 @@ object DedupQueries {
         .orderBy("a", "b")
     },
 
-    // Embedding cosine near-dups, exact pairwise baseline. vec_id<1000
-    // bounds the quadratic pair space at bench scale while covering the
-    // whole table at oracle scale (500 rows at sf0.01).
+    // Embedding cosine near-dups, exact pairwise over the WHOLE table —
+    // tiled CartesianProduct (tiles² even tasks, spillable, no
+    // corpus-sized broadcast), not a BroadcastNestedLoopJoin.
     Q("xd4_embedding_neardup",
       """WITH e AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS v
-        |  FROM embeddings WHERE vec_id < 1000
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         |)
         |SELECT a, b, ROUND(c, 4) AS c FROM (
         |  SELECT x.vec_id AS a, y.vec_id AS b,
@@ -111,9 +110,42 @@ object DedupQueries {
         |       SQRT(LIST_INNER_PRODUCT(y.v, y.v))) AS c
         |  FROM e x JOIN e y ON x.vec_id < y.vec_id
         |) WHERE c >= 0.44 ORDER BY a, b""".stripMargin) { (s, d) =>
-      Dedup.embeddingNearDups(
-          t(s, d, "embeddings").where(col("vec_id") < 1000),
+      Dedup.embeddingNearDups(t(s, d, "embeddings"),
           "vec_id", "embedding", threshold = 0.44)
+        .select(col("a"), col("b"), round(col("c"), 4).as("c"))
+        .orderBy("a", "b")
+    },
+
+    // Hyperplane-LSH blocked embedding near-dup (the 100TB path) over a
+    // corpus with PLANTED near-dups: original vectors ∪ copies shifted
+    // by +0.05 per element. For unit vectors cosine(v, v+0.05·1) ≥
+    // √0.84 ≈ 0.9165 for ANY v (minimize (1+.05s)²/(1.16+.1s) over
+    // s=Σv), and random cross pairs stay ≪ 0.9, so threshold 0.9
+    // selects exactly the planted pairs at every scale factor. Oracle =
+    // independent exact all-pairs SQL on the same derived corpus; the
+    // hash match proves the LSH blocking loses nothing.
+    Q("xd6_embedding_lsh",
+      """WITH base AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), corpus AS (
+        |  SELECT vec_id AS id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS id,
+        |         LIST_TRANSFORM(v, x -> x + 0.05) AS v FROM base
+        |)
+        |SELECT a, b, ROUND(c, 4) AS c FROM (
+        |  SELECT x.id AS a, y.id AS b,
+        |    LIST_INNER_PRODUCT(x.v, y.v) /
+        |      (SQRT(LIST_INNER_PRODUCT(x.v, x.v)) *
+        |       SQRT(LIST_INNER_PRODUCT(y.v, y.v))) AS c
+        |  FROM corpus x JOIN corpus y ON x.id < y.id
+        |) WHERE c >= 0.9 ORDER BY a, b""".stripMargin) { (s, d) =>
+      val base = t(s, d, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val corpus = base.select(col("vec_id").as("id"), col("v"))
+        .unionAll(base.select((col("vec_id") + 100000).as("id"),
+          transform(col("v"), x => x + lit(0.05d)).as("v")))
+      Dedup.embeddingNearDupsLSH(corpus, "id", "v", threshold = 0.9)
         .select(col("a"), col("b"), round(col("c"), 4).as("c"))
         .orderBy("a", "b")
     },

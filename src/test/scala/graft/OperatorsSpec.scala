@@ -84,6 +84,35 @@ class OperatorsSpec extends SparkSpec {
     assert((bf & ivf).size.toDouble / bf.size >= 0.8)
   }
 
+  test("hyperplane-LSH embedding near-dup equals brute force on " +
+      "planted near-dups") {
+    val base = T.t(spark, sf0001, "embeddings").select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    // original ∪ (+0.05-shifted) copies: cosine(v, v+0.05·1) ≥ √0.84
+    // for unit v, so threshold 0.9 isolates the planted pairs
+    val corpus = base.select(col("vec_id").as("id"), col("v"))
+      .unionAll(base.select((col("vec_id") + 100000).as("id"),
+        transform(col("v"), x => x + lit(0.05d)).as("v")))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = pairs(Dedup.embeddingNearDupsLSH(corpus, "id", "v", 0.9))
+    val brute = pairs(Dedup.embeddingNearDups(corpus, "id", "v", 0.9))
+    assert(brute.nonEmpty, "planted pairs must exist")
+    assert(blocked == brute)
+  }
+
+  test("exact embedding near-dup runs as tiled CartesianProduct, " +
+      "not BroadcastNestedLoopJoin") {
+    val emb = T.t(spark, sf0001, "embeddings")
+    val plan = Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.44)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("CartesianProduct"),
+      s"expected CartesianProduct in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "corpus-sized broadcast is a scale-killer")
+  }
+
   test("exact dedup keeps lowest id per normalized text") {
     import spark.implicits._
     val df = Seq((1L, "Hello World"), (2L, "  hello world "),
