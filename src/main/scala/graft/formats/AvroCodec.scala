@@ -36,6 +36,16 @@ object AvroCodec {
     readStream(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path)))
 
+  /** Incremental OCF read from an open stream: DataFileStream decodes
+    * block-by-block, one record in flight. The caller owns and closes
+    * the underlying stream after exhausting the iterator.
+    */
+  def readIterator(in: java.io.InputStream): Iterator[Value] = {
+    val reader = new DataFileStream[AnyRef](
+      in, new GenericDatumReader[AnyRef]())
+    reader.iterator.asScala.map(fromAvro)
+  }
+
   private def fromAvro(o: AnyRef): Value = o match {
     case null => Value.Unit
     case b: java.lang.Boolean => Value.Bool(b)
@@ -72,12 +82,22 @@ object AvroCodec {
   def writeStream(values: Iterable[Value], schema: Schema,
       codec: String = "null"): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
-    val writer = new DataFileWriter[AnyRef](new GenericDatumWriter[AnyRef](schema))
-    writer.setCodec(codecFor(codec))
-    writer.create(schema, bos)
+    val writer = openWriter(bos, schema, codec)
     try values.foreach(v => writer.append(toAvro(v, schema)))
     finally writer.close()
     bos.toByteArray
+  }
+
+  /** Open an OCF writer over a caller-owned stream for incremental
+    * appends; flush() (not close()) leaves the stream to the caller.
+    */
+  def openWriter(out: java.io.OutputStream, schema: Schema,
+      codec: String = "null"): DataFileWriter[AnyRef] = {
+    val writer = new DataFileWriter[AnyRef](
+      new GenericDatumWriter[AnyRef](schema))
+    writer.setCodec(codecFor(codec))
+    writer.create(schema, out)
+    writer
   }
 
   def codecFor(name: String): CodecFactory = name match {

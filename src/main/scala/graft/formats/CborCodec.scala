@@ -27,6 +27,9 @@ object CborCodec {
     bos.toByteArray
   }
 
+  /** Append one encoded item to an open stream (incremental sink). */
+  def encodeTo(v: Value, out: DataOutputStream): Unit = write(v, out)
+
   private def head(major: Int, arg: Long, out: DataOutputStream): Unit = {
     val m = major << 5
     if (arg < 24) out.writeByte(m | arg.toInt)
@@ -57,101 +60,108 @@ object CborCodec {
 
   // ---- decode ----
 
-  def decode(buf: ByteBuffer): Value = {
-    val ib = buf.get() & 0xff
+  def decode(buf: ByteBuffer): Value = decode(ByteIn(buf))
+
+  private[formats] def decode(in: ByteIn): Value = {
+    val ib = in.u8()
     val major = ib >> 5
     val info = ib & 0x1f
     major match {
       case 0 =>
-        val n = arg(buf, info)
+        val n = arg(in, info)
         if (n >= 0) Value.I64(n) else Value.U64(n)
       case 1 =>
-        val n = arg(buf, info)
+        val n = arg(in, info)
         if (n >= 0) Value.I64(-1 - n)
         else throw new IllegalArgumentException("cbor: negint overflow")
       case 2 =>
-        if (info == 31) indefBytes(buf)
-        else { val b = new Array[Byte](arg(buf, info).toInt); buf.get(b)
-          Value.Bytes(b) }
+        if (info == 31) indefBytes(in)
+        else Value.Bytes(in.bytes(arg(in, info).toInt))
       case 3 =>
-        if (info == 31) indefText(buf)
-        else { val b = new Array[Byte](arg(buf, info).toInt); buf.get(b)
-          Value.Str(new String(b, StandardCharsets.UTF_8)) }
+        if (info == 31) indefText(in)
+        else Value.Str(
+          new String(in.bytes(arg(in, info).toInt), StandardCharsets.UTF_8))
       case 4 =>
         if (info == 31) {
           var items = Vector.empty[Value]
-          while ((buf.get(buf.position()) & 0xff) != 0xff)
-            items :+= decode(buf)
-          buf.get() // break
+          while (in.peek() != 0xff) items :+= decode(in)
+          in.u8() // break
           Value.Seq(items)
-        } else Value.Seq(Vector.fill(arg(buf, info).toInt)(decode(buf)))
+        } else Value.Seq(Vector.fill(arg(in, info).toInt)(decode(in)))
       case 5 =>
         if (info == 31) {
           var items = Vector.empty[(Value, Value)]
-          while ((buf.get(buf.position()) & 0xff) != 0xff)
-            items :+= ((decode(buf), decode(buf)))
-          buf.get()
+          while (in.peek() != 0xff) items :+= ((decode(in), decode(in)))
+          in.u8()
           Value.Map(items)
         } else Value.Map(
-          Vector.fill(arg(buf, info).toInt)((decode(buf), decode(buf))))
+          Vector.fill(arg(in, info).toInt)((decode(in), decode(in))))
       case 6 => // tag: skip, keep inner (serde_cbor drops unknown tags)
-        arg(buf, info)
-        decode(buf)
+        arg(in, info)
+        decode(in)
       case 7 =>
         info match {
           case 20 => Value.Bool(false)
           case 21 => Value.Bool(true)
           case 22 => Value.Unit
           case 23 => Value.Unit // undefined → Unit (serde none/unit)
-          case 25 => Value.F64(halfToDouble(buf.getShort() & 0xffff))
-          case 26 => Value.F64(buf.getFloat().toDouble)
-          case 27 => Value.F64(buf.getDouble())
+          case 25 => Value.F64(halfToDouble(in.s16() & 0xffff))
+          case 26 => Value.F64(in.f32().toDouble)
+          case 27 => Value.F64(in.f64())
           case n if n < 20 => Value.I64(n.toLong) // simple values
-          case 24 => Value.I64((buf.get() & 0xff).toLong)
+          case 24 => Value.I64(in.u8().toLong)
           case other =>
             throw new IllegalArgumentException(s"cbor: bad simple $other")
         }
     }
   }
 
-  def decodeStream(bytes: Array[Byte]): Vector[Value] = {
-    val buf = ByteBuffer.wrap(bytes)
-    var out = Vector.empty[Value]
-    while (buf.hasRemaining) out :+= decode(buf)
-    out
-  }
+  def decodeStream(bytes: Array[Byte]): Vector[Value] =
+    decodeIterator(ByteIn(ByteBuffer.wrap(bytes))).toVector
 
-  private def arg(buf: ByteBuffer, info: Int): Long = info match {
+  /** Incremental decode from an open stream: one item in flight,
+    * constant memory regardless of input size (cbor.rs:18-25).
+    */
+  def decodeIterator(in: java.io.InputStream): Iterator[Value] =
+    decodeIterator(ByteIn(in))
+
+  private def decodeIterator(bi: ByteIn): Iterator[Value] =
+    new Iterator[Value] {
+      def hasNext: Boolean = !bi.atEnd()
+      def next(): Value = decode(bi)
+    }
+
+  private def arg(in: ByteIn, info: Int): Long = info match {
     case n if n < 24 => n.toLong
-    case 24 => buf.get() & 0xffL
-    case 25 => buf.getShort() & 0xffffL
-    case 26 => buf.getInt() & 0xffffffffL
-    case 27 => buf.getLong()
+    case 24 => in.u8() & 0xffL
+    case 25 => in.s16() & 0xffffL
+    case 26 => in.i32() & 0xffffffffL
+    case 27 => in.i64()
     case other =>
       throw new IllegalArgumentException(s"cbor: bad additional info $other")
   }
 
-  private def indefBytes(buf: ByteBuffer): Value = {
+  private def indefBytes(in: ByteIn): Value = {
     val bos = new ByteArrayOutputStream()
-    while ((buf.get(buf.position()) & 0xff) != 0xff) {
-      decode(buf) match {
+    while (in.peek() != 0xff) {
+      decode(in) match {
         case Value.Bytes(b) => bos.write(b)
         case _ => throw new IllegalArgumentException("cbor: bad indef bytes")
       }
     }
-    buf.get()
+    in.u8()
     Value.Bytes(bos.toByteArray)
   }
 
-  private def indefText(buf: ByteBuffer): Value = {
+  private def indefText(in: ByteIn): Value = {
     val sb = new StringBuilder
-    while ((buf.get(buf.position()) & 0xff) != 0xff) {
-      decode(buf) match {
+    while (in.peek() != 0xff) {
+      decode(in) match {
         case Value.Str(s) => sb.append(s)
         case _ => throw new IllegalArgumentException("cbor: bad indef text")
       }
     }
-    buf.get()
+    in.u8()
     Value.Str(sb.toString)
   }
 

@@ -32,6 +32,9 @@ object MsgPackCodec {
     bos.toByteArray
   }
 
+  /** Append one encoded value to an open stream (incremental sink). */
+  def encodeTo(v: Value, out: DataOutputStream): Unit = write(v, out)
+
   private def write(v: Value, out: DataOutputStream): Unit = v match {
     case Value.Unit => out.writeByte(0xc0)
     case Value.Bool(b) => out.writeByte(if (b) 0xc3 else 0xc2)
@@ -81,48 +84,50 @@ object MsgPackCodec {
   // ---- decode ----
 
   /** Decode one value from buf; ByteBuffer position advances. */
-  def decode(buf: ByteBuffer): Value = {
-    val m = buf.get() & 0xff
+  def decode(buf: ByteBuffer): Value = decode(ByteIn(buf))
+
+  private[formats] def decode(in: ByteIn): Value = {
+    val m = in.u8()
     m match {
       case 0xc0 => Value.Unit
       case 0xc2 => Value.Bool(false)
       case 0xc3 => Value.Bool(true)
       case b if b < 0x80 => Value.I64(b) // positive fixint
       case b if b >= 0xe0 => Value.I64((b - 256).toLong) // negative fixint
-      case 0xcc => Value.I64(buf.get() & 0xffL)
-      case 0xcd => Value.I64(buf.getShort() & 0xffffL)
-      case 0xce => Value.I64(buf.getInt() & 0xffffffffL)
+      case 0xcc => Value.I64(in.u8() & 0xffL)
+      case 0xcd => Value.I64(in.s16() & 0xffffL)
+      case 0xce => Value.I64(in.i32() & 0xffffffffL)
       case 0xcf =>
-        val bits = buf.getLong()
+        val bits = in.i64()
         if (bits >= 0) Value.I64(bits) else Value.U64(bits)
-      case 0xd0 => Value.I64(buf.get().toLong)
-      case 0xd1 => Value.I64(buf.getShort().toLong)
-      case 0xd2 => Value.I64(buf.getInt().toLong)
-      case 0xd3 => Value.I64(buf.getLong())
-      case 0xca => Value.F64(buf.getFloat().toDouble)
-      case 0xcb => Value.F64(buf.getDouble())
-      case b if b >= 0xa0 && b < 0xc0 => str(buf, b & 0x1f)
-      case 0xd9 => str(buf, buf.get() & 0xff)
-      case 0xda => str(buf, buf.getShort() & 0xffff)
-      case 0xdb => str(buf, buf.getInt())
-      case 0xc4 => bin(buf, buf.get() & 0xff)
-      case 0xc5 => bin(buf, buf.getShort() & 0xffff)
-      case 0xc6 => bin(buf, buf.getInt())
-      case b if b >= 0x90 && b < 0xa0 => arr(buf, b & 0x0f)
-      case 0xdc => arr(buf, buf.getShort() & 0xffff)
-      case 0xdd => arr(buf, buf.getInt())
-      case b if b >= 0x80 && b < 0x90 => map(buf, b & 0x0f)
-      case 0xde => map(buf, buf.getShort() & 0xffff)
-      case 0xdf => map(buf, buf.getInt())
+      case 0xd0 => Value.I64(in.s8().toLong)
+      case 0xd1 => Value.I64(in.s16().toLong)
+      case 0xd2 => Value.I64(in.i32().toLong)
+      case 0xd3 => Value.I64(in.i64())
+      case 0xca => Value.F64(in.f32().toDouble)
+      case 0xcb => Value.F64(in.f64())
+      case b if b >= 0xa0 && b < 0xc0 => str(in, b & 0x1f)
+      case 0xd9 => str(in, in.u8())
+      case 0xda => str(in, in.s16() & 0xffff)
+      case 0xdb => str(in, in.i32())
+      case 0xc4 => bin(in, in.u8())
+      case 0xc5 => bin(in, in.s16() & 0xffff)
+      case 0xc6 => bin(in, in.i32())
+      case b if b >= 0x90 && b < 0xa0 => arr(in, b & 0x0f)
+      case 0xdc => arr(in, in.s16() & 0xffff)
+      case 0xdd => arr(in, in.i32())
+      case b if b >= 0x80 && b < 0x90 => map(in, b & 0x0f)
+      case 0xde => map(in, in.s16() & 0xffff)
+      case 0xdf => map(in, in.i32())
       // ext → Bytes, type tag dropped (messagepack.rs:82)
-      case 0xd4 => extBytes(buf, 1)
-      case 0xd5 => extBytes(buf, 2)
-      case 0xd6 => extBytes(buf, 4)
-      case 0xd7 => extBytes(buf, 8)
-      case 0xd8 => extBytes(buf, 16)
-      case 0xc7 => extBytes(buf, buf.get() & 0xff)
-      case 0xc8 => extBytes(buf, buf.getShort() & 0xffff)
-      case 0xc9 => extBytes(buf, buf.getInt())
+      case 0xd4 => extBytes(in, 1)
+      case 0xd5 => extBytes(in, 2)
+      case 0xd6 => extBytes(in, 4)
+      case 0xd7 => extBytes(in, 8)
+      case 0xd8 => extBytes(in, 16)
+      case 0xc7 => extBytes(in, in.u8())
+      case 0xc8 => extBytes(in, in.s16() & 0xffff)
+      case 0xc9 => extBytes(in, in.i32())
       case other =>
         throw new IllegalArgumentException(
           f"msgpack: invalid marker 0x$other%02x")
@@ -132,29 +137,30 @@ object MsgPackCodec {
   /** Back-to-back value stream; stops cleanly at end of buffer
     * (reference EOF classification, messagepack.rs:45-47).
     */
-  def decodeStream(bytes: Array[Byte]): Vector[Value] = {
-    val buf = ByteBuffer.wrap(bytes)
-    var out = Vector.empty[Value]
-    while (buf.hasRemaining) out :+= decode(buf)
-    out
-  }
+  def decodeStream(bytes: Array[Byte]): Vector[Value] =
+    decodeIterator(ByteIn(ByteBuffer.wrap(bytes))).toVector
 
-  private def str(buf: ByteBuffer, n: Int): Value = {
-    val b = new Array[Byte](n)
-    buf.get(b)
-    Value.Str(new String(b, StandardCharsets.UTF_8))
+  /** Incremental decode from an open stream: one record in flight,
+    * constant memory regardless of input size (messagepack.rs:40-51).
+    */
+  def decodeIterator(in: java.io.InputStream): Iterator[Value] =
+    decodeIterator(ByteIn(in))
+
+  private def decodeIterator(bi: ByteIn): Iterator[Value] =
+    new Iterator[Value] {
+      def hasNext: Boolean = !bi.atEnd()
+      def next(): Value = decode(bi)
+    }
+
+  private def str(in: ByteIn, n: Int): Value =
+    Value.Str(new String(in.bytes(n), StandardCharsets.UTF_8))
+  private def bin(in: ByteIn, n: Int): Value = Value.Bytes(in.bytes(n))
+  private def extBytes(in: ByteIn, n: Int): Value = {
+    in.u8() // ext type tag, dropped
+    bin(in, n)
   }
-  private def bin(buf: ByteBuffer, n: Int): Value = {
-    val b = new Array[Byte](n)
-    buf.get(b)
-    Value.Bytes(b)
-  }
-  private def extBytes(buf: ByteBuffer, n: Int): Value = {
-    buf.get() // ext type tag, dropped
-    bin(buf, n)
-  }
-  private def arr(buf: ByteBuffer, n: Int): Value =
-    Value.Seq(Vector.fill(n)(decode(buf)))
-  private def map(buf: ByteBuffer, n: Int): Value =
-    Value.Map(Vector.fill(n)((decode(buf), decode(buf))))
+  private def arr(in: ByteIn, n: Int): Value =
+    Value.Seq(Vector.fill(n)(decode(in)))
+  private def map(in: ByteIn, n: Int): Value =
+    Value.Map(Vector.fill(n)((decode(in), decode(in))))
 }

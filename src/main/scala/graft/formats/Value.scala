@@ -181,157 +181,187 @@ object JsonCodec {
     }
   }
 
-  /** Parse one JSON value from s starting at offset; returns (value,
-    * next offset). Throws IllegalArgumentException on malformed input.
+  /** Single-char-pushback cursor over a Reader — the parser below works
+    * identically over an in-memory String and an open multi-GB stream
+    * (the reference's constant-memory StreamDeserializer property,
+    * json.rs:53-58): one value in flight, never the whole input.
     */
-  def parseOne(s: String, from: Int): (Value, Int) = {
-    var i = skipWs(s, from)
-    if (i >= s.length) throw err("unexpected end of input", i)
-    s.charAt(i) match {
-      case 'n' => expect(s, i, "null"); (Value.Unit, i + 4)
-      case 't' => expect(s, i, "true"); (Value.Bool(true), i + 4)
-      case 'f' => expect(s, i, "false"); (Value.Bool(false), i + 5)
-      case '"' =>
-        val (str, j) = parseString(s, i)
-        (Value.Str(str), j)
-      case '[' =>
-        i += 1
-        var items = Vector.empty[Value]
-        i = skipWs(s, i)
-        if (i < s.length && s.charAt(i) == ']') (Value.Seq(items), i + 1)
-        else {
-          var done = false
-          while (!done) {
-            val (v, j) = parseOne(s, i)
-            items :+= v
-            i = skipWs(s, j)
-            if (i >= s.length) throw err("unterminated array", i)
-            s.charAt(i) match {
-              case ',' => i += 1
-              case ']' => i += 1; done = true
-              case c => throw err(s"expected , or ] got $c", i)
-            }
-          }
-          (Value.Seq(items), i)
-        }
-      case '{' =>
-        i += 1
-        var items = Vector.empty[(Value, Value)]
-        i = skipWs(s, i)
-        if (i < s.length && s.charAt(i) == '}') (Value.Map(items), i + 1)
-        else {
-          var done = false
-          while (!done) {
-            i = skipWs(s, i)
-            val (k, j1) = parseString(s, i)
-            i = skipWs(s, j1)
-            if (i >= s.length || s.charAt(i) != ':')
-              throw err("expected :", i)
-            val (v, j2) = parseOne(s, i + 1)
-            items :+= ((Value.Str(k): Value, v))
-            i = skipWs(s, j2)
-            if (i >= s.length) throw err("unterminated object", i)
-            s.charAt(i) match {
-              case ',' => i += 1
-              case '}' => i += 1; done = true
-              case c => throw err(s"expected , or } got $c", i)
-            }
-          }
-          (Value.Map(items), i)
-        }
-      case c if c == '-' || (c >= '0' && c <= '9') => parseNumber(s, i)
-      case c => throw err(s"unexpected char $c", i)
+  private final class Cursor(r: java.io.Reader) {
+    private var pushed: Int = -2 // -2 = no pushback
+    private var pos: Int = 0
+    def read(): Int = {
+      val c =
+        if (pushed != -2) { val p = pushed; pushed = -2; p }
+        else r.read()
+      if (c >= 0) pos += 1
+      c
     }
+    def unread(c: Int): scala.Unit = if (c >= 0) { pushed = c; pos -= 1 }
+    def peek(): Int = { val c = read(); unread(c); c }
+    def offset: Int = pos
   }
 
   def parse(s: String): Value = {
-    val (v, end) = parseOne(s, 0)
-    val rest = skipWs(s, end)
-    if (rest != s.length) throw err("trailing content", rest)
+    val cur = new Cursor(new java.io.StringReader(s))
+    val v = parseValue(cur)
+    skipWs(cur)
+    if (cur.peek() >= 0) throw err("trailing content", cur.offset)
     v
   }
 
   /** Whitespace-separated stream of JSON values (the reference's S1
     * framing: serde_json StreamDeserializer, json.rs:53-58).
     */
-  def parseStream(s: String): Vector[Value] = {
-    var out = Vector.empty[Value]
-    var i = skipWs(s, 0)
-    while (i < s.length) {
-      val (v, j) = parseOne(s, i)
-      out :+= v
-      i = skipWs(s, j)
+  def parseStream(s: String): Vector[Value] =
+    parseIterator(new java.io.StringReader(s)).toVector
+
+  /** Incremental whitespace-separated value stream from an open reader:
+    * one value in flight, constant memory regardless of input size.
+    */
+  def parseIterator(r: java.io.Reader): Iterator[Value] = {
+    val cur = new Cursor(r)
+    new Iterator[Value] {
+      def hasNext: Boolean = { skipWs(cur); cur.peek() >= 0 }
+      def next(): Value = parseValue(cur)
     }
-    out
   }
 
-  private def skipWs(s: String, from: Int): Int = {
-    var i = from
-    while (i < s.length && (s.charAt(i) == ' ' || s.charAt(i) == '\n' ||
-      s.charAt(i) == '\t' || s.charAt(i) == '\r')) i += 1
-    i
-  }
-
-  private def expect(s: String, i: Int, lit: String): scala.Unit =
-    if (!s.regionMatches(i, lit, 0, lit.length))
-      throw err(s"expected $lit", i)
-
-  private def parseString(s: String, from: Int): (String, Int) = {
-    if (s.charAt(from) != '"') throw err("expected string", from)
-    val sb = new StringBuilder
-    var i = from + 1
-    while (i < s.length && s.charAt(i) != '"') {
-      val c = s.charAt(i)
-      if (c == '\\') {
-        if (i + 1 >= s.length) throw err("bad escape", i)
-        s.charAt(i + 1) match {
-          case '"' => sb.append('"'); i += 2
-          case '\\' => sb.append('\\'); i += 2
-          case '/' => sb.append('/'); i += 2
-          case 'n' => sb.append('\n'); i += 2
-          case 't' => sb.append('\t'); i += 2
-          case 'r' => sb.append('\r'); i += 2
-          case 'b' => sb.append('\b'); i += 2
-          case 'f' => sb.append('\f'); i += 2
-          case 'u' =>
-            if (i + 6 > s.length) throw err("bad \\u escape", i)
-            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
-            i += 6
-          case c2 => throw err(s"bad escape \\$c2", i)
+  private def parseValue(cur: Cursor): Value = {
+    skipWs(cur)
+    val c = cur.peek()
+    if (c < 0) throw err("unexpected end of input", cur.offset)
+    c.toChar match {
+      case 'n' => expect(cur, "null"); Value.Unit
+      case 't' => expect(cur, "true"); Value.Bool(true)
+      case 'f' => expect(cur, "false"); Value.Bool(false)
+      case '"' => Value.Str(parseString(cur))
+      case '[' =>
+        cur.read()
+        skipWs(cur)
+        if (cur.peek() == ']') { cur.read(); Value.Seq(Vector.empty) }
+        else {
+          var items = Vector.empty[Value]
+          var done = false
+          while (!done) {
+            items :+= parseValue(cur)
+            skipWs(cur)
+            val d = cur.read()
+            if (d == ',') ()
+            else if (d == ']') done = true
+            else if (d < 0) throw err("unterminated array", cur.offset)
+            else throw err(s"expected , or ] got ${d.toChar}", cur.offset)
+          }
+          Value.Seq(items)
         }
-      } else { sb.append(c); i += 1 }
+      case '{' =>
+        cur.read()
+        skipWs(cur)
+        if (cur.peek() == '}') { cur.read(); Value.Map(Vector.empty) }
+        else {
+          var items = Vector.empty[(Value, Value)]
+          var done = false
+          while (!done) {
+            skipWs(cur)
+            val k = parseString(cur)
+            skipWs(cur)
+            if (cur.read() != ':') throw err("expected :", cur.offset)
+            val v = parseValue(cur)
+            items :+= ((Value.Str(k): Value, v))
+            skipWs(cur)
+            val d = cur.read()
+            if (d == ',') ()
+            else if (d == '}') done = true
+            else if (d < 0) throw err("unterminated object", cur.offset)
+            else throw err(s"expected , or } got ${d.toChar}", cur.offset)
+          }
+          Value.Map(items)
+        }
+      case ch if ch == '-' || (ch >= '0' && ch <= '9') => parseNumber(cur)
+      case ch => throw err(s"unexpected char $ch", cur.offset)
     }
-    if (i >= s.length) throw err("unterminated string", i)
-    (sb.toString, i + 1)
   }
 
-  private def parseNumber(s: String, from: Int): (Value, Int) = {
-    var i = from
-    if (i < s.length && s.charAt(i) == '-') i += 1
-    while (i < s.length && s.charAt(i) >= '0' && s.charAt(i) <= '9') i += 1
+  private def skipWs(cur: Cursor): scala.Unit = {
+    var c = cur.read()
+    while (c == ' ' || c == '\n' || c == '\t' || c == '\r') c = cur.read()
+    cur.unread(c)
+  }
+
+  private def expect(cur: Cursor, lit: String): scala.Unit = {
+    var i = 0
+    while (i < lit.length) {
+      if (cur.read() != lit.charAt(i)) throw err(s"expected $lit", cur.offset)
+      i += 1
+    }
+  }
+
+  private def parseString(cur: Cursor): String = {
+    if (cur.read() != '"') throw err("expected string", cur.offset)
+    val sb = new StringBuilder
+    var c = cur.read()
+    while (c >= 0 && c != '"') {
+      if (c == '\\') {
+        val e = cur.read()
+        if (e < 0) throw err("bad escape", cur.offset)
+        e.toChar match {
+          case '"' => sb.append('"')
+          case '\\' => sb.append('\\')
+          case '/' => sb.append('/')
+          case 'n' => sb.append('\n')
+          case 't' => sb.append('\t')
+          case 'r' => sb.append('\r')
+          case 'b' => sb.append('\b')
+          case 'f' => sb.append('\f')
+          case 'u' =>
+            val hex = new Array[Char](4)
+            var i = 0
+            while (i < 4) {
+              val h = cur.read()
+              if (h < 0) throw err("bad \\u escape", cur.offset)
+              hex(i) = h.toChar
+              i += 1
+            }
+            sb.append(Integer.parseInt(new String(hex), 16).toChar)
+          case c2 => throw err(s"bad escape \\$c2", cur.offset)
+        }
+      } else sb.append(c.toChar)
+      c = cur.read()
+    }
+    if (c < 0) throw err("unterminated string", cur.offset)
+    sb.toString
+  }
+
+  private def parseNumber(cur: Cursor): Value = {
+    val text = new StringBuilder
     var isFloat = false
-    if (i < s.length && s.charAt(i) == '.') {
-      isFloat = true
-      i += 1
-      while (i < s.length && s.charAt(i) >= '0' && s.charAt(i) <= '9') i += 1
+    def digits(): scala.Unit = {
+      var c = cur.read()
+      while (c >= '0' && c <= '9') { text.append(c.toChar); c = cur.read() }
+      cur.unread(c)
     }
-    if (i < s.length && (s.charAt(i) == 'e' || s.charAt(i) == 'E')) {
+    if (cur.peek() == '-') text.append(cur.read().toChar)
+    digits()
+    if (cur.peek() == '.') {
       isFloat = true
-      i += 1
-      if (i < s.length && (s.charAt(i) == '+' || s.charAt(i) == '-')) i += 1
-      while (i < s.length && s.charAt(i) >= '0' && s.charAt(i) <= '9') i += 1
+      text.append(cur.read().toChar)
+      digits()
     }
-    val text = s.substring(from, i)
-    if (isFloat) (Value.F64(text.toDouble), i)
+    if (cur.peek() == 'e' || cur.peek() == 'E') {
+      isFloat = true
+      text.append(cur.read().toChar)
+      if (cur.peek() == '+' || cur.peek() == '-') text.append(cur.read().toChar)
+      digits()
+    }
+    val t = text.toString
+    if (isFloat) Value.F64(t.toDouble)
     else {
-      try (Value.I64(text.toLong), i)
+      try Value.I64(t.toLong)
       catch {
         case _: NumberFormatException =>
-          if (!text.startsWith("-")) {
-            try (Value.U64(java.lang.Long.parseUnsignedLong(text)), i)
-            catch { case _: NumberFormatException =>
-              (Value.F64(text.toDouble), i) }
-          } else (Value.F64(text.toDouble), i)
+          if (!t.startsWith("-")) {
+            try Value.U64(java.lang.Long.parseUnsignedLong(t))
+            catch { case _: NumberFormatException => Value.F64(t.toDouble) }
+          } else Value.F64(t.toDouble)
       }
     }
   }

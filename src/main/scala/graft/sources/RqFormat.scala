@@ -30,36 +30,63 @@ object RqFormat {
 
   def readAll(in: InputStream): Array[Byte] = in.readAllBytes()
 
-  /** Decode a whole input into its record stream. Options carry
-    * format-specific settings (protobuf: message + schema source).
-    */
+  /** Decode a whole in-memory input into its record stream. */
   def decode(format: String, bytes: Array[Byte],
+      options: Map[String, String] = Map.empty): Iterator[Value] =
+    decodeStream(format, new java.io.ByteArrayInputStream(bytes), options)
+
+  /** Incremental decode from an OPEN stream — the reference's defining
+    * perf property (constant-memory streaming decode, json.rs:53-58,
+    * messagepack.rs:40-51, cbor.rs:18-25): json/csv/msgpack/cbor/raw/
+    * avro keep ONE record in flight regardless of file size. Only the
+    * whole-document formats (toml/yaml: whole input = one record) and
+    * the one-shot protobuf source must slurp, by their own semantics.
+    * Options carry format-specific settings (protobuf: message +
+    * schema source). The caller owns and closes `in`.
+    */
+  def decodeStream(format: String, in: InputStream,
       options: Map[String, String] = Map.empty): Iterator[Value] =
     format match {
       case "json" =>
-        JsonCodec.parseStream(
-          new String(bytes, StandardCharsets.UTF_8)).iterator
+        JsonCodec.parseIterator(new java.io.InputStreamReader(
+          new java.io.BufferedInputStream(in, 1 << 16),
+          StandardCharsets.UTF_8))
       case "csv" =>
         // headerless; every cell a string; record = Sequence (csv.rs:41-52)
-        CsvCodec.parse(new String(bytes, StandardCharsets.UTF_8)).iterator
-      case "msgpack" => MsgPackCodec.decodeStream(bytes).iterator
-      case "cbor" => CborCodec.decodeStream(bytes).iterator
+        CsvCodec.parseIterator(new java.io.InputStreamReader(
+          in, StandardCharsets.UTF_8))
+      case "msgpack" => MsgPackCodec.decodeIterator(in)
+      case "cbor" => CborCodec.decodeIterator(in)
       case "toml" =>
-        Iterator.single(
-          TomlCodec.parse(new String(bytes, StandardCharsets.UTF_8)))
+        Iterator.single(TomlCodec.parse(
+          new String(in.readAllBytes(), StandardCharsets.UTF_8)))
       case "yaml" =>
-        Iterator.single(
-          YamlCodec.parse(new String(bytes, StandardCharsets.UTF_8)))
+        Iterator.single(YamlCodec.parse(
+          new String(in.readAllBytes(), StandardCharsets.UTF_8)))
       case "raw" =>
-        // each line → Str (raw.rs:32-44); trailing newline yields no
-        // empty final record
-        val s = new String(bytes, StandardCharsets.UTF_8)
-        val lines = s.split("\n", -1)
-        val trimmed =
-          if (lines.nonEmpty && lines.last.isEmpty) lines.dropRight(1)
-          else lines
-        trimmed.iterator.map(l => Value.Str(l.stripSuffix("\r")))
-      case "avro" => AvroCodec.readStream(bytes).iterator
+        // each '\n'-terminated line → Str (raw.rs:32-44); trailing
+        // newline yields no empty final record; lone '\r' is content
+        val br = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, StandardCharsets.UTF_8), 1 << 16)
+        new Iterator[Value] {
+          private var nextLine: String = _
+          private var eof = false
+          private def fetch(): Unit = {
+            if (nextLine != null || eof) return
+            var c = br.read()
+            if (c < 0) { eof = true; return }
+            val sb = new StringBuilder
+            while (c >= 0 && c != '\n') { sb.append(c.toChar); c = br.read() }
+            nextLine = sb.toString.stripSuffix("\r")
+          }
+          def hasNext: Boolean = { fetch(); nextLine != null }
+          def next(): Value = {
+            fetch()
+            if (nextLine == null) throw new NoSuchElementException("raw")
+            val l = nextLine; nextLine = null; Value.Str(l)
+          }
+        }
+      case "avro" => AvroCodec.readIterator(in)
       case "protobuf" =>
         val msg = opt(options, "message").getOrElse(
           throw new IllegalArgumentException(
@@ -69,70 +96,104 @@ object RqFormat {
           case None => new ProtoRegistry().descriptors()
         }
         // one-shot source: at most one record (protobuf.rs:20,26-38)
-        Iterator.single(ProtoWire.decode(bytes, msg, schema))
+        Iterator.single(ProtoWire.decode(in.readAllBytes(), msg, schema))
       case other =>
         throw new IllegalArgumentException(s"unknown rq format: $other")
     }
 
-  /** Encode a record stream. */
+  /** Encode a record stream into `out` (incremental — see [[encoder]]). */
   def encode(format: String, values: Iterator[Value], out: OutputStream,
-      options: Map[String, String] = Map.empty): Unit = format match {
-    case "json" =>
-      // formatter selection mirrors --format compact/indented/readable
-      // (rq.rs:216, 323-329; compact is the pipe default)
-      val emit: Value => String = opt(options, "jsonFormat")
-        .getOrElse("compact") match {
-        case "compact" => JsonCodec.emit
-        case "indented" => JsonCodec.emitIndented
-        case "readable" => JsonCodec.emitReadable
-        case other => throw new IllegalArgumentException(
-          s"unknown jsonFormat: $other (compact|indented|readable)")
-      }
-      values.foreach { v =>
-        out.write(emit(v).getBytes(StandardCharsets.UTF_8))
-        out.write('\n') // one record per doc + newline (json.rs:110)
-      }
-    case "csv" =>
-      values.foreach { v =>
-        out.write(CsvCodec.emitRecord(v).getBytes(StandardCharsets.UTF_8))
-        out.write('\n')
-      }
-    case "msgpack" =>
-      values.foreach(v => out.write(MsgPackCodec.encode(v)))
-    case "cbor" =>
-      values.foreach(v => out.write(CborCodec.encode(v)))
-    case "toml" =>
-      values.foreach { v =>
-        out.write(TomlCodec.emit(v).getBytes(StandardCharsets.UTF_8))
-        out.write('\n') // doc + newline (toml.rs:62)
-      }
-    case "yaml" =>
-      values.foreach { v =>
-        out.write(YamlCodec.emit(v).getBytes(StandardCharsets.UTF_8))
-        out.write('\n') // doc + newline (yaml.rs:54)
-      }
-    case "raw" =>
-      values.foreach {
-        // Str/Bytes verbatim + newline; anything else is a hard error
-        // (raw.rs:46-73)
-        case Value.Str(s) =>
-          out.write(s.getBytes(StandardCharsets.UTF_8)); out.write('\n')
-        case Value.Bytes(b) => out.write(b); out.write('\n')
-        case other => throw new IllegalArgumentException(
-          s"rq raw sink: cannot write $other (only strings/bytes)")
-      }
-    case "avro" =>
-      val schemaJson = opt(options, "avroSchema").getOrElse(
-        throw new IllegalArgumentException(
-          "avro write requires option 'avroSchema' (writer schema JSON, " +
-            "reference: -A schema.avsc, rq.rs:241-259)"))
-      val codec = opt(options, "codec").getOrElse("null")
-      out.write(AvroCodec.writeStream(values.toVector,
-        AvroCodec.parseSchema(schemaJson), codec))
-    case "protobuf" => ProtoWire.serializeUnsupported() // K11 parity
-    case other =>
-      throw new IllegalArgumentException(s"unknown rq format: $other")
+      options: Map[String, String] = Map.empty): Unit = {
+    val enc = encoder(format, out, options)
+    values.foreach(enc.write)
+    enc.finish()
   }
+
+  /** Incremental per-record sink: each write() streams one encoded
+    * record into `out` — no whole-partition buffering anywhere
+    * (records flow executor→disk as they arrive; a 100 GB partition
+    * needs one record of memory). finish() flushes format trailers
+    * (avro's final block); the caller owns and closes `out`.
+    */
+  trait RecordEncoder {
+    def write(v: Value): Unit
+    def finish(): Unit = ()
+  }
+
+  def encoder(format: String, out: OutputStream,
+      options: Map[String, String] = Map.empty): RecordEncoder =
+    format match {
+      case "json" =>
+        // formatter selection mirrors --format compact/indented/readable
+        // (rq.rs:216, 323-329; compact is the pipe default)
+        val emit: Value => String = opt(options, "jsonFormat")
+          .getOrElse("compact") match {
+          case "compact" => JsonCodec.emit
+          case "indented" => JsonCodec.emitIndented
+          case "readable" => JsonCodec.emitReadable
+          case other => throw new IllegalArgumentException(
+            s"unknown jsonFormat: $other (compact|indented|readable)")
+        }
+        v => {
+          out.write(emit(v).getBytes(StandardCharsets.UTF_8))
+          out.write('\n') // one record per doc + newline (json.rs:110)
+        }
+      case "csv" =>
+        v => {
+          out.write(CsvCodec.emitRecord(v).getBytes(StandardCharsets.UTF_8))
+          out.write('\n')
+        }
+      case "msgpack" =>
+        val dos = new java.io.DataOutputStream(
+          new java.io.BufferedOutputStream(out, 1 << 16))
+        new RecordEncoder {
+          def write(v: Value): Unit = MsgPackCodec.encodeTo(v, dos)
+          override def finish(): Unit = dos.flush()
+        }
+      case "cbor" =>
+        val dos = new java.io.DataOutputStream(
+          new java.io.BufferedOutputStream(out, 1 << 16))
+        new RecordEncoder {
+          def write(v: Value): Unit = CborCodec.encodeTo(v, dos)
+          override def finish(): Unit = dos.flush()
+        }
+      case "toml" =>
+        v => {
+          out.write(TomlCodec.emit(v).getBytes(StandardCharsets.UTF_8))
+          out.write('\n') // doc + newline (toml.rs:62)
+        }
+      case "yaml" =>
+        v => {
+          out.write(YamlCodec.emit(v).getBytes(StandardCharsets.UTF_8))
+          out.write('\n') // doc + newline (yaml.rs:54)
+        }
+      case "raw" =>
+        {
+          // Str/Bytes verbatim + newline; anything else is a hard error
+          // (raw.rs:46-73)
+          case Value.Str(s) =>
+            out.write(s.getBytes(StandardCharsets.UTF_8)); out.write('\n')
+          case Value.Bytes(b) => out.write(b); out.write('\n')
+          case other => throw new IllegalArgumentException(
+            s"rq raw sink: cannot write $other (only strings/bytes)")
+        }
+      case "avro" =>
+        val schemaJson = opt(options, "avroSchema").getOrElse(
+          throw new IllegalArgumentException(
+            "avro write requires option 'avroSchema' (writer schema JSON, " +
+              "reference: -A schema.avsc, rq.rs:241-259)"))
+        val schema = AvroCodec.parseSchema(schemaJson)
+        val codec = opt(options, "codec").getOrElse("null")
+        // OCF appends records block-by-block — inherently streaming
+        val writer = AvroCodec.openWriter(out, schema, codec)
+        new RecordEncoder {
+          def write(v: Value): Unit = writer.append(AvroCodec.toAvro(v, schema))
+          override def finish(): Unit = writer.flush()
+        }
+      case "protobuf" => ProtoWire.serializeUnsupported() // K11 parity
+      case other =>
+        throw new IllegalArgumentException(s"unknown rq format: $other")
+    }
 }
 
 /** CSV record semantics (reference: src/value/csv.rs): headerless,
@@ -142,40 +203,62 @@ object RqFormat {
   */
 object CsvCodec {
 
-  def parse(input: String): Vector[Value] = {
-    val records = Vector.newBuilder[Value]
-    var cells = Vector.newBuilder[Value]
-    val cell = new StringBuilder
-    var inQuotes = false
-    var i = 0
-    var sawAny = false
-    def endCell(): Unit = { cells += Value.Str(cell.toString); cell.clear() }
-    def endRecord(): Unit = {
-      endCell()
-      records += Value.Seq(cells.result())
-      cells = Vector.newBuilder[Value]
-      sawAny = false
-    }
-    while (i < input.length) {
-      val c = input.charAt(i)
-      if (inQuotes) {
-        if (c == '"') {
-          if (i + 1 < input.length && input.charAt(i + 1) == '"') {
-            cell.append('"'); i += 2
-          } else { inQuotes = false; i += 1 }
-        } else { cell.append(c); i += 1 }
-      } else c match {
-        case '"' => inQuotes = true; sawAny = true; i += 1
-        case ',' => endCell(); sawAny = true; i += 1
-        case '\r' => i += 1
-        case '\n' =>
-          if (sawAny || cell.nonEmpty) endRecord()
-          i += 1
-        case other => cell.append(other); sawAny = true; i += 1
+  def parse(input: String): Vector[Value] =
+    parseIterator(new java.io.StringReader(input)).toVector
+
+  /** Incremental record-at-a-time parse from an open reader: one CSV
+    * record in flight, constant memory regardless of input size.
+    * Quoted cells may span newlines, so this is a char-level state
+    * machine, not a line splitter.
+    */
+  def parseIterator(r0: java.io.Reader): Iterator[Value] = {
+    val r = new java.io.PushbackReader(
+      new java.io.BufferedReader(r0, 1 << 16), 1)
+    new Iterator[Value] {
+      private var nextRec: Value = _
+      private var eof = false
+
+      private def fetch(): Unit = {
+        if (nextRec != null || eof) return
+        val cells = Vector.newBuilder[Value]
+        val cell = new StringBuilder
+        var inQuotes = false
+        var sawAny = false
+        var c = r.read()
+        while (c >= 0) {
+          if (inQuotes) {
+            if (c == '"') {
+              val n = r.read()
+              if (n == '"') cell.append('"')
+              else { inQuotes = false; if (n >= 0) r.unread(n) }
+            } else cell.append(c.toChar)
+          } else if (c == '"') { inQuotes = true; sawAny = true }
+          else if (c == ',') {
+            cells += Value.Str(cell.toString); cell.clear(); sawAny = true
+          } else if (c == '\r') ()
+          else if (c == '\n') {
+            if (sawAny || cell.nonEmpty) {
+              cells += Value.Str(cell.toString)
+              nextRec = Value.Seq(cells.result())
+              return
+            } // else: blank line, keep scanning
+          } else { cell.append(c.toChar); sawAny = true }
+          c = r.read()
+        }
+        eof = true
+        if (sawAny || cell.nonEmpty) {
+          cells += Value.Str(cell.toString)
+          nextRec = Value.Seq(cells.result())
+        }
+      }
+
+      def hasNext: Boolean = { fetch(); nextRec != null }
+      def next(): Value = {
+        fetch()
+        if (nextRec == null) throw new NoSuchElementException("csv")
+        val v = nextRec; nextRec = null; v
       }
     }
-    if (sawAny || cell.nonEmpty) endRecord()
-    records.result()
   }
 
   /** One CSV line per Sequence record; scalars stringified, nested

@@ -126,10 +126,11 @@ final class RqPartitionReader(part: RqInputPartition)
     val p = new Path(part.file)
     p.getFileSystem(new Configuration()).open(p)
   }
-  private val records: Iterator[Value] = {
-    val bytes = stream.readAllBytes()
-    RqFormat.decode(part.format, bytes, part.options)
-  }
+  // incremental decode straight off the open FS stream: one record in
+  // flight, constant memory per task regardless of file size (only
+  // toml/yaml/protobuf slurp, by their whole-document semantics)
+  private val records: Iterator[Value] =
+    RqFormat.decodeStream(part.format, stream, part.options)
   private var current: InternalRow = _
 
   override def next(): Boolean = {
@@ -165,25 +166,35 @@ final class RqDataWriter(options: Map[String, String], partitionId: Int)
     case "raw" => "txt"; case "yaml" => "yaml"; case "toml" => "toml"
     case "avro" => "avro"; case "csv" => "csv"; case other => other
   }
-  private val buffer = scala.collection.mutable.ArrayBuffer.empty[Value]
+  // Streaming sink: the file opens on the FIRST record (empty
+  // partitions emit nothing — record-per-file formats would otherwise
+  // produce empty shards, avro header-only files) and every record is
+  // encoded straight into the open stream. No partition-sized buffer:
+  // a 100 GB partition needs one record of executor memory.
+  private val path = new Path(dir, f"part-$partitionId%05d.$ext")
+  private var out: org.apache.hadoop.fs.FSDataOutputStream = _
+  private var enc: RqFormat.RecordEncoder = _
 
-  override def write(record: InternalRow): Unit =
-    buffer += JsonCodec.parse(record.getUTF8String(0).toString)
+  override def write(record: InternalRow): Unit = {
+    if (enc == null) {
+      out = path.getFileSystem(new Configuration()).create(path, true)
+      enc = RqFormat.encoder(fmt, out, options)
+    }
+    enc.write(JsonCodec.parse(record.getUTF8String(0).toString))
+  }
 
   override def commit(): WriterCommitMessage = {
-    // skip empty partitions: record-per-file formats would otherwise
-    // emit empty shards; avro would emit header-only files
-    if (buffer.nonEmpty) {
-      val out = {
-        val p = new Path(dir, f"part-$partitionId%05d.$ext")
-        val fs = p.getFileSystem(new Configuration())
-        fs.create(p, true)
-      }
-      try RqFormat.encode(fmt, buffer.iterator, out, options)
-      finally out.close()
+    if (enc != null) {
+      enc.finish()
+      out.close()
+      enc = null; out = null
     }
     new WriterCommitMessage {}
   }
-  override def abort(): Unit = ()
+  override def abort(): Unit = if (out != null) {
+    // drop the partial shard so a failed task leaves no torn output
+    out.close()
+    path.getFileSystem(new Configuration()).delete(path, false)
+  }
   override def close(): Unit = ()
 }

@@ -1,0 +1,124 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, InputStream}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.formats._
+import graft.sources.RqFormat
+
+/** Constant-memory streaming I/O guarantees (VERDICT round-1 items
+  * #2/#3; reference property: json.rs:53-58, messagepack.rs:40-51,
+  * cbor.rs:18-25 — one record in flight, never the whole file).
+  * These are structural proofs: the decode side consumes records from
+  * an input orders of magnitude larger than the heap could slurp; the
+  * encode side shows bytes reaching the sink while records are still
+  * being written, i.e. no partition-sized buffer.
+  */
+class StreamIOSpec extends AnyFunSuite {
+
+  /** ~1 TB virtual input of repeating `pattern` bytes — readAllBytes()
+    * on this would OOM instantly; incremental decode must not care.
+    */
+  private final class RepeatingStream(pattern: Array[Byte]) extends InputStream {
+    private val total = 1L << 40
+    private var pos = 0L
+    override def read(): Int =
+      if (pos >= total) -1
+      else { val b = pattern((pos % pattern.length).toInt); pos += 1; b & 0xff }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (pos >= total) return -1
+      var i = 0
+      while (i < len && pos < total) {
+        b(off + i) = pattern((pos % pattern.length).toInt); pos += 1; i += 1
+      }
+      i
+    }
+  }
+
+  test("json decode is incremental: first records of a ~1TB stream") {
+    val in = new RepeatingStream(
+      """{"a":1,"b":[true,null,"x"]} """.getBytes("UTF-8"))
+    val it = RqFormat.decodeStream("json", in)
+    val first = it.take(3).toVector
+    assert(first.size == 3)
+    assert(first.forall(_ == Value.obj(
+      "a" -> Value.I64(1),
+      "b" -> Value.seq(Value.Bool(true), Value.Unit, Value.Str("x")))))
+  }
+
+  test("msgpack decode is incremental: first records of a ~1TB stream") {
+    val one = MsgPackCodec.encode(
+      Value.obj("k" -> Value.Str("v"), "n" -> Value.I64(-7)))
+    val it = RqFormat.decodeStream("msgpack", new RepeatingStream(one))
+    assert(it.take(5).toVector.size == 5)
+  }
+
+  test("cbor decode is incremental: first records of a ~1TB stream") {
+    val one = CborCodec.encode(Value.seq(Value.I64(1), Value.Str("x")))
+    val it = RqFormat.decodeStream("cbor", new RepeatingStream(one))
+    assert(it.take(5).toVector ==
+      Vector.fill(5)(Value.seq(Value.I64(1), Value.Str("x"))))
+  }
+
+  test("csv decode is incremental: first records of a ~1TB stream") {
+    val it = RqFormat.decodeStream("csv",
+      new RepeatingStream("a,b,\"c,d\"\n".getBytes("UTF-8")))
+    assert(it.take(4).toVector == Vector.fill(4)(
+      Value.seq(Value.Str("a"), Value.Str("b"), Value.Str("c,d"))))
+  }
+
+  test("raw decode is incremental: first records of a ~1TB stream") {
+    val it = RqFormat.decodeStream("raw",
+      new RepeatingStream("line one\r\n".getBytes("UTF-8")))
+    assert(it.take(4).toVector == Vector.fill(4)(Value.Str("line one")))
+  }
+
+  test("record encoders stream bytes out before finish (no partition buffer)") {
+    for (fmt <- Seq("json", "csv", "raw", "msgpack", "cbor")) {
+      val bos = new ByteArrayOutputStream()
+      val enc = RqFormat.encoder(fmt, bos)
+      val rec = fmt match {
+        case "csv" => Value.seq(Value.Str("x" * 1000))
+        case "raw" => Value.Str("x" * 1000)
+        case _ => Value.obj("payload" -> Value.Str("x" * 1000))
+      }
+      // 1000 × ~1KB records ≫ any internal encoder buffer (64 KiB)
+      (1 to 1000).foreach(_ => enc.write(rec))
+      assert(bos.size() > 100000,
+        s"$fmt encoder buffered the partition: only ${bos.size()} bytes " +
+          "reached the sink before finish()")
+      enc.finish()
+    }
+  }
+
+  test("avro encoder streams blocks out before finish") {
+    val schema = """{"type":"record","name":"R","fields":[
+      {"name":"s","type":"string"}]}"""
+    val bos = new ByteArrayOutputStream()
+    val enc = RqFormat.encoder("avro", bos, Map("avroschema" -> schema))
+    // DataFileWriter's block buffer defaults to 64000 bytes — 10k×100B
+    // records must spill multiple blocks to the sink before finish()
+    (1 to 10000).foreach(_ =>
+      enc.write(Value.obj("s" -> Value.Str("y" * 100))))
+    assert(bos.size() > 100000,
+      s"avro encoder buffered the partition: ${bos.size()} bytes")
+    enc.finish()
+    // and the result is a valid OCF stream
+    val back = AvroCodec.readStream(bos.toByteArray)
+    assert(back.size == 10000)
+    assert(back.head == Value.obj("s" -> Value.Str("y" * 100)))
+  }
+
+  test("streamed encode output round-trips for every record format") {
+    val records = Vector(
+      Value.obj("a" -> Value.I64(1), "b" -> Value.Str("x")),
+      Value.obj("a" -> Value.I64(2), "b" -> Value.Str("y")))
+    for (fmt <- Seq("json", "msgpack", "cbor")) {
+      val bos = new ByteArrayOutputStream()
+      RqFormat.encode(fmt, records.iterator, bos)
+      val back = RqFormat.decode(fmt, bos.toByteArray).toVector
+      assert(back == records, fmt)
+    }
+  }
+}
