@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.Bridge
@@ -20,7 +19,7 @@ object CodecFns {
   private def json(v: Value): UTF8String = UTF8String.fromString(JsonCodec.emit(v))
   private def value(s: UTF8String): Value = JsonCodec.parse(s.toString)
 
-  abstract class JsonOutExpr extends UnaryExpression with CodegenFallback {
+  abstract class JsonOutExpr extends UnaryExpression with FusedUnary {
     override def dataType: DataType = StringType
   }
 
@@ -34,7 +33,7 @@ object CodecFns {
 
   /** binary msgpack stream → array of JSON texts */
   case class FromMsgPackStream(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with FusedUnary {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def prettyName: String = "from_msgpack_stream"
     override def nullSafeEval(in: Any): Any =
@@ -45,7 +44,7 @@ object CodecFns {
 
   /** JSON text → binary msgpack */
   case class ToMsgPack(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with FusedUnary {
     override def dataType: DataType = BinaryType
     override def prettyName: String = "to_msgpack"
     override def nullSafeEval(in: Any): Any =
@@ -61,7 +60,7 @@ object CodecFns {
   }
 
   case class FromCborStream(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with FusedUnary {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def prettyName: String = "from_cbor_stream"
     override def nullSafeEval(in: Any): Any =
@@ -71,7 +70,7 @@ object CodecFns {
   }
 
   case class ToCbor(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with FusedUnary {
     override def dataType: DataType = BinaryType
     override def prettyName: String = "to_cbor"
     override def nullSafeEval(in: Any): Any =

@@ -5,9 +5,10 @@ import java.security.MessageDigest
 import scala.util.hashing.MurmurHash3
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.graftbridge.Bridge
+
+import graft.functions.{FusedBinary, FusedUnary}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -38,7 +39,7 @@ object HashParams {
   * a real band — P < MaxValue).
   */
 case class MinHashSignature(child: Expression, k: Int = HashParams.K)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with FusedUnary {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
@@ -76,7 +77,7 @@ case class MinHashSignature(child: Expression, k: Int = HashParams.K)
   * sum over tokens of (2*bit_b(md5_60(token)) - 1) is >= 0.
   */
 case class SimHash60(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with FusedUnary {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash60"
@@ -126,7 +127,7 @@ case class SimHash60(child: Expression)
   * chosen by identical (deterministic) winnowing.
   */
 case class WinnowFingerprint(child: Expression, k: Int = 8, w: Int = 4)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with FusedUnary {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "winnow_fingerprint"
@@ -188,7 +189,7 @@ case class WinnowFingerprint(child: Expression, k: Int = 8, w: Int = 4)
   * every element access (observed 20× slowdown on the dedup bench).
   */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with FusedUnary {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
@@ -227,7 +228,7 @@ case class WordShingles(child: Expression, n: Int)
   */
 case class HyperplaneBands(
     child: Expression, bands: Int, bitsPerBand: Int, seed: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with FusedUnary {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "hyperplane_bands"
@@ -286,7 +287,7 @@ case class HyperplaneBands(
   */
 case class DotProduct(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+    with FusedBinary {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"

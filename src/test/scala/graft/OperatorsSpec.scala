@@ -102,6 +102,19 @@ class OperatorsSpec extends SparkSpec {
     assert(blocked == brute)
   }
 
+  test("custom hash expressions stay inside whole-stage codegen " +
+      "(no CodegenFallback poisoning)") {
+    val df = docs.select(
+      HashFns.minhashSignature(HashFns.wordShingles(col("text"), 3)).as("sig"),
+      HashFns.simhash60(split(lower(col("text")), "\\s+")).as("sh"))
+      .where(size(col("sig")) > 0)
+    val plan = df.queryExecution.executedPlan.toString
+    // `*(n)` prefixes mark operators fused into a WholeStageCodegen
+    // span — CodegenFallback would forbid it for the whole stage
+    assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined, plan)
+    assert("""\*\(\d+\) Filter""".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("exact embedding near-dup runs as tiled CartesianProduct, " +
       "not BroadcastNestedLoopJoin") {
     val emb = T.t(spark, sf0001, "embeddings")
