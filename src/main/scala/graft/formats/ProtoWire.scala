@@ -60,6 +60,166 @@ object ProtoWire {
 
   private def zigzag(n: Long): Long = (n >>> 1) ^ -(n & 1)
 
+  // ---- encode (graft extension) ----
+  //
+  // The rq K11 protobuf SINK stays unimplemented (serializeUnsupported
+  // above — reference parity, rq.rs:237-240). This encoder is an engine
+  // extension so protobuf payload columns can be produced and
+  // round-tripped in-plan (to_protobuf expression; oracle gate qc6):
+  // varint/zigzag/fixed scalars, length-delimited strings/bytes/
+  // messages, repeated fields unpacked (one tag per element — always
+  // accepted by the decoder above), map fields as {1:key,2:value}
+  // entry messages.
+
+  final private class Writer {
+    private val bos = new java.io.ByteArrayOutputStream()
+    def varint(n0: Long): Unit = {
+      var n = n0
+      while ((n & ~0x7fL) != 0) {
+        bos.write(((n & 0x7f) | 0x80).toInt)
+        n >>>= 7
+      }
+      bos.write(n.toInt)
+    }
+    def tag(fieldNum: Int, wireType: Int): Unit =
+      varint((fieldNum.toLong << 3) | wireType)
+    def fixed32(v: Int): Unit = {
+      var i = 0
+      while (i < 4) { bos.write((v >>> (8 * i)) & 0xff); i += 1 }
+    }
+    def fixed64(v: Long): Unit = {
+      var i = 0
+      while (i < 8) { bos.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 }
+    }
+    def raw(b: Array[Byte]): Unit = bos.write(b, 0, b.length)
+    def delimited(b: Array[Byte]): Unit = { varint(b.length); raw(b) }
+    def toBytes: Array[Byte] = bos.toByteArray
+  }
+
+  /** Encode one Value.Map as a message of `fqNameWithDot`. Fields
+    * absent from the record are omitted (proto3 default semantics);
+    * unknown keys error — silent drops would hide schema drift.
+    */
+  def encode(v: Value, fqNameWithDot: String,
+      schema: PSchemaSet): Array[Byte] = {
+    val w = new Writer
+    encodeMessage(v, schema.message(fqNameWithDot), schema, w)
+    w.toBytes
+  }
+
+  private def encodeMessage(v: Value, msg: PMessage, schema: PSchemaSet,
+      w: Writer): Unit = v match {
+    case Value.Map(kvs) =>
+      val byName = msg.fields.map(f => f.name -> f).toMap
+      kvs.foreach {
+        case (Value.Str(name), fieldValue) =>
+          val f = byName.getOrElse(name, throw new IllegalArgumentException(
+            s"proto: no field '$name' in ${msg.fqName}"))
+          if (fieldValue != Value.Unit) encodeField(fieldValue, f, schema, w)
+        case (k, _) =>
+          throw new IllegalArgumentException(s"proto: non-string key $k")
+      }
+    case other =>
+      throw new IllegalArgumentException(
+        s"proto: message ${msg.fqName} needs a map record, got $other")
+  }
+
+  private def encodeField(v: Value, f: PField, schema: PSchemaSet,
+      w: Writer): Unit = {
+    import PType._
+    f.ptype match {
+      case TMap(kt, vt) =>
+        val entries = v match {
+          case Value.Map(kvs) => kvs
+          case other => throw new IllegalArgumentException(
+            s"proto: map field ${f.name} needs a map, got $other")
+        }
+        entries.foreach { case (k, e) =>
+          val entry = new Writer
+          encodeField(k, PField("key", 1, repeated = false, kt), schema, entry)
+          encodeField(e, PField("value", 2, repeated = false, vt), schema, entry)
+          w.tag(f.number, 2)
+          w.delimited(entry.toBytes)
+        }
+      case _ if f.repeated =>
+        val items = v match {
+          case Value.Seq(vs) => vs
+          case single => Vector(single)
+        }
+        items.foreach(e =>
+          encodeField(e, f.copy(repeated = false), schema, w))
+      case TMessage(fq) =>
+        val sub = new Writer
+        encodeMessage(v, schema.messages.getOrElse(fq,
+          throw new IllegalArgumentException(s"proto: unknown message $fq")),
+          schema, sub)
+        w.tag(f.number, 2)
+        w.delimited(sub.toBytes)
+      case TString =>
+        w.tag(f.number, 2)
+        w.delimited(str(v, f).getBytes(StandardCharsets.UTF_8))
+      case TBytes =>
+        v match {
+          case Value.Bytes(b) => w.tag(f.number, 2); w.delimited(b)
+          case other => throw new IllegalArgumentException(
+            s"proto: bytes field ${f.name} got $other")
+        }
+      case TDouble =>
+        w.tag(f.number, 1)
+        w.fixed64(java.lang.Double.doubleToLongBits(num(v, f)))
+      case TFloat =>
+        w.tag(f.number, 5)
+        w.fixed32(java.lang.Float.floatToIntBits(num(v, f).toFloat))
+      case TFixed64 | TSFixed64 =>
+        w.tag(f.number, 1); w.fixed64(int(v, f))
+      case TFixed32 | TSFixed32 =>
+        w.tag(f.number, 5); w.fixed32(int(v, f).toInt)
+      case TSInt32 | TSInt64 =>
+        w.tag(f.number, 0)
+        val n = int(v, f)
+        w.varint((n << 1) ^ (n >> 63)) // zigzag
+      case TBool =>
+        w.tag(f.number, 0)
+        v match {
+          case Value.Bool(b) => w.varint(if (b) 1 else 0)
+          case other => throw new IllegalArgumentException(
+            s"proto: bool field ${f.name} got $other")
+        }
+      case TEnum(fq) =>
+        w.tag(f.number, 0)
+        val number = v match {
+          case Value.Str(sym) =>
+            schema.enums.get(fq)
+              .flatMap(_.values.collectFirst { case (n, s) if s == sym => n })
+              .getOrElse(throw new IllegalArgumentException(
+                s"proto: enum $fq has no value '$sym'"))
+              .toLong
+          case _ => int(v, f)
+        }
+        w.varint(number)
+      case TInt32 | TInt64 | TUInt32 | TUInt64 | TEnumOpaque =>
+        w.tag(f.number, 0); w.varint(int(v, f))
+    }
+  }
+
+  private def int(v: Value, f: PField): Long = v match {
+    case Value.I64(n) => n
+    case Value.U64(bits) => bits
+    case other => throw new IllegalArgumentException(
+      s"proto: integer field ${f.name} got $other")
+  }
+  private def num(v: Value, f: PField): Double = v match {
+    case Value.F64(d) => d
+    case Value.I64(n) => n.toDouble
+    case other => throw new IllegalArgumentException(
+      s"proto: float field ${f.name} got $other")
+  }
+  private def str(v: Value, f: PField): String = v match {
+    case Value.Str(s) => s
+    case other => throw new IllegalArgumentException(
+      s"proto: string field ${f.name} got $other")
+  }
+
   /** Decode one message of `fqNameWithDot` (leading-dot FQN,
     * doc/protobuf.md:36-44) from bytes.
     */

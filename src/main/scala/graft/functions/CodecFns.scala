@@ -119,6 +119,22 @@ object CodecFns {
     override protected def withNewChildInternal(c: Expression) = copy(child = c)
   }
 
+  /** JSON text → binary protobuf message — a graft EXTENSION: the rq
+    * K11 sink stays unimplemented for reference parity (rq.rs:237-240,
+    * ProtoWire.serializeUnsupported), but the engine can produce
+    * payload columns in-plan (and qc6 puts the decoder under the
+    * oracle hash gate via an encode→decode round-trip).
+    */
+  case class ToProtobuf(child: Expression, protoSource: String,
+      message: String) extends UnaryExpression with FusedUnary {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "to_protobuf"
+    @transient private lazy val schema = ProtoSchema.parse(protoSource)
+    override def nullSafeEval(in: Any): Any =
+      ProtoWire.encode(value(in.asInstanceOf[UTF8String]), message, schema)
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   // ---- column API ----
 
   private def e(c: Column) = Bridge.expression(c)
@@ -137,6 +153,8 @@ object CodecFns {
   def to_yaml(c: Column): Column = Bridge.column(ToYaml(e(c)))
   def from_protobuf(c: Column, protoSource: String, message: String): Column =
     Bridge.column(FromProtobuf(e(c), protoSource, message))
+  def to_protobuf(c: Column, protoSource: String, message: String): Column =
+    Bridge.column(ToProtobuf(e(c), protoSource, message))
 
   /** SQL registration: `SELECT from_msgpack(payload) ...`. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -81,6 +81,35 @@ object CodecQueries {
         .agg(count(lit(1)).as("n"), dsum(col("s_acctbal")).as("bal"))
     },
 
+    // Protobuf wire round-trip via expressions (the hardest hand-rolled
+    // codec — ProtoWire/ProtoSchema — under the same hash gate as
+    // qc1-qc5): row → JSON → proto wire bytes → decode → fields.
+    Q("qc6_protobuf_expr",
+      s"""SELECT COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS ks,
+         |${dsumSql("o_totalprice")} AS s
+         |FROM orders""".stripMargin) { (s, d) =>
+      val proto =
+        """syntax = "proto3";
+          |package graft;
+          |message Order {
+          |  int64 o_orderkey = 1;
+          |  string o_orderstatus = 2;
+          |  double o_totalprice = 3;
+          |}""".stripMargin
+      t(s, d, "orders")
+        .select(CodecFns.from_protobuf(
+          CodecFns.to_protobuf(
+            to_json(struct(col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice"))),
+            proto, ".graft.Order"),
+          proto, ".graft.Order").as("j"))
+        .select(
+          get_json_object(col("j"), "$.o_orderkey").cast(LongType).as("k"),
+          get_json_object(col("j"), "$.o_totalprice").cast(DoubleType)
+            .as("tp"))
+        .agg(count(lit(1)).as("n"), sum("k").as("ks"), dsum(col("tp")).as("s"))
+    },
+
     // YAML expression round-trip on the events props JSON.
     Q("qc5_yaml_expr",
       """SELECT CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k')

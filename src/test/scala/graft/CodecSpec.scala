@@ -272,4 +272,54 @@ class CodecSpec extends AnyFunSuite {
       ProtoWire.serializeUnsupported()
     }
   }
+
+  test("protobuf wire encoder (graft extension) round-trips through " +
+      "the decoder: scalars, nested, repeated, map, enum, sint, bytes") {
+    val proto =
+      """syntax = "proto3";
+        |package example;
+        |message Person {
+        |  string name = 1;
+        |  int32 age = 2;
+        |}
+        |message Rich {
+        |  repeated int64 nums = 1;
+        |  Person friend = 2;
+        |  Kind kind = 3;
+        |  map<string, int32> attrs = 4;
+        |  sint32 zz = 5;
+        |  double d = 6;
+        |  bytes raw = 7;
+        |  fixed64 fx = 8;
+        |  uint64 big = 9;
+        |}
+        |enum Kind { UNKNOWN = 0; ADMIN = 1; }
+        |""".stripMargin
+    val schema = ProtoSchema.parse(proto)
+    val rich = Value.obj(
+      "nums" -> Value.seq(Value.I64(1), Value.I64(-2), Value.I64(300)),
+      "friend" -> Value.obj("name" -> Value.Str("Bo"), "age" -> Value.I64(7)),
+      "kind" -> Value.Str("ADMIN"),
+      "attrs" -> Value.Map(Vector(
+        (Value.Str("x"), Value.I64(5)), (Value.Str("y"), Value.I64(-9)))),
+      "zz" -> Value.I64(-3),
+      "d" -> Value.F64(1.5),
+      "raw" -> Value.Bytes(Array[Byte](0, -1, 42)),
+      "fx" -> Value.I64(1234567890123L),
+      "big" -> Value.U64(-1L)) // 2^64-1: must survive as U64
+    val bytes = ProtoWire.encode(rich, ".example.Rich", schema)
+    assert(ProtoWire.decode(bytes, ".example.Rich", schema) == rich)
+
+    // negative int64 in a varint field: 10-byte encoding round-trips
+    val negNums = Value.obj("nums" -> Value.seq(Value.I64(Long.MinValue)))
+    assert(ProtoWire.decode(
+      ProtoWire.encode(negNums, ".example.Rich", schema),
+      ".example.Rich", schema) == negNums)
+
+    // unknown field name errors instead of silently dropping
+    intercept[IllegalArgumentException] {
+      ProtoWire.encode(Value.obj("nope" -> Value.I64(1)),
+        ".example.Person", schema)
+    }
+  }
 }
