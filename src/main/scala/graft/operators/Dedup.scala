@@ -109,15 +109,30 @@ object Dedup {
 
   /** Exact n-gram Jaccard pairs via the relational formulation:
     * explode shingles → equi-join on shingle → intersection counts →
-    * Jaccard. Shuffles on the shingle value (Catalyst handles skew via
-    * AQE); exact but quadratic in the worst case — the LSH variant is
-    * the scale path, this is the audit/oracle path.
+    * Jaccard. Shuffles on the shingle value; the LSH variant is the
+    * scale path, this is the audit/oracle path.
+    *
+    * `maxDocFreq` is the skew guard: a stop-shingle appearing in d
+    * documents contributes d² join rows (one hot bucket — AQE splits
+    * it but cannot shrink it), while carrying ~no Jaccard signal. Any
+    * shingle with document frequency > maxDocFreq is dropped from BOTH
+    * the per-doc sizes and the join, so Jaccard stays exact over the
+    * filtered shingle space and per-key join fanout is bounded by
+    * maxDocFreq² regardless of corpus size.
     */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, shingleN: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("__id"),
+      threshold: Double, shingleN: Int = 3,
+      maxDocFreq: Int = 1000): DataFrame = {
+    val shAll = docs.select(col(idCol).as("__id"),
       explode(TextFns.wordShingles(col(textCol), shingleN)).as("__s"))
+    // wordShingles dedups per doc, so count(*) per shingle = doc freq
+    val sh =
+      if (maxDocFreq == Int.MaxValue) shAll
+      else shAll.join(
+        shAll.groupBy("__s").agg(count(lit(1)).as("__df"))
+          .where(col("__df") <= maxDocFreq).select("__s"),
+        "__s")
     val sizes = sh.groupBy("__id").agg(count(lit(1)).as("__n"))
     val inter = sh.as("x").join(sh.as("y"),
         col("x.__s") === col("y.__s") && col("x.__id") < col("y.__id"))

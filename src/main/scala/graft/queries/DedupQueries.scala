@@ -17,19 +17,29 @@ object DedupQueries {
     * shingle explode → self-join → intersection counts. Shared by the
     * MinHash-LSH and relational-Jaccard entries.
     */
-  private def jaccardOracleSql(threshold: Double): String =
+  private def jaccardOracleSql(threshold: Double,
+      maxDocFreq: Option[Int] = None): String = {
+    val shExpr = maxDocFreq match {
+      case None => "sh0"
+      // same df cap as Dedup.ngramJaccardPairs, in lockstep
+      case Some(cap) =>
+        s"""(SELECT sh0.doc_id, sh0.s FROM sh0
+           |   JOIN (SELECT s FROM sh0 GROUP BY s
+           |         HAVING COUNT(*) <= $cap) ok USING (s))""".stripMargin
+    }
     s"""WITH toks AS (
        |  SELECT doc_id, GENERATE_SUBSCRIPTS(fw, 1) AS i, UNNEST(fw) AS w
        |  FROM (SELECT doc_id,
        |          LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'),
        |                      t -> t <> '') AS fw
        |        FROM documents)
-       |), sh AS (
+       |), sh0 AS (
        |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
        |  FROM toks a
        |  JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
        |  JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2
-       |), sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |), sh AS (SELECT * FROM $shExpr),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS ix
        |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
@@ -40,6 +50,7 @@ object DedupQueries {
        |JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
        |WHERE CAST(ix AS DOUBLE) / (sa.n + sb.n - ix) >= $threshold
        |ORDER BY a, b""".stripMargin
+  }
 
   val all: Seq[Q] = Seq(
     // MinHash + LSH (shingle → 128-perm signature → 32×4 band join →
@@ -88,10 +99,12 @@ object DedupQueries {
     },
 
     // Same semantics as xd1 but via the relational exact formulation
-    // (explode→join→count) — the audit path for the LSH operator.
-    Q("xd3_ngram_jaccard", jaccardOracleSql(0.5)) { (s, d) =>
+    // (explode→join→count) — the audit path for the LSH operator, with
+    // the df-1000 stop-shingle skew guard applied in BOTH engines.
+    Q("xd3_ngram_jaccard", jaccardOracleSql(0.5, maxDocFreq = Some(1000))) {
+      (s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
-          threshold = 0.5)
+          threshold = 0.5, maxDocFreq = 1000)
         .select(col("a"), col("b"), round(col("j"), 4).as("j"))
         .orderBy("a", "b")
     },

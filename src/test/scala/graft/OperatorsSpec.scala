@@ -102,6 +102,25 @@ class OperatorsSpec extends SparkSpec {
     assert(blocked == brute)
   }
 
+  test("ngram-Jaccard df cap drops stop-shingle-only pairs, keeps rest") {
+    import spark.implicits._
+    // docs 1/2 share a genuinely duplicated phrase; docs 3..8 share
+    // ONLY the stop-shingle "the same words" (df=8 > cap)
+    val stop = "the same words"
+    val docs = (Seq(
+      (1L, s"alpha beta gamma delta $stop"),
+      (2L, s"alpha beta gamma delta $stop")) ++
+      (3L to 8L).map(i => (i, s"unique$i tail$i extra$i $stop")))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.1,
+      maxDocFreq = Int.MaxValue).select("a", "b").collect().toSet
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.1,
+      maxDocFreq = 4).select("a", "b").collect().toSet
+    assert(uncapped.size > 1, "stop-shingle pairs must exist uncapped")
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))) == Set((1L, 2L)),
+      "capped result keeps the true near-dup, drops stop-shingle pairs")
+  }
+
   test("custom hash expressions stay inside whole-stage codegen " +
       "(no CodegenFallback poisoning)") {
     val df = docs.select(
