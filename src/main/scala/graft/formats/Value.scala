@@ -136,48 +136,98 @@ object JsonCodec {
     sb.toString
   }
 
-  private def colored(s: String, code: String, on: Boolean): String =
-    if (on) s"\u001b[${code}m$s\u001b[0m" else s
+  /** ANSI styles mirroring ReadableFormatter::new (json.rs:115-143);
+    * ansi_term emits bold=1, dimmed=2, italic=3, then the colour.
+    */
+  private object Ansi {
+    val Null = "1;2;3;30" // Black dimmed bold italic
+    val True = "1;3;32" // Green bold italic
+    val False = "1;3;31" // Red bold italic
+    val Num = "34" // Blue
+    val StrChar = "32" // Green
+    val StrQuote = "2;32" // Green dimmed (quotes + escapes)
+    val KeyChar = "34" // Blue
+    val KeyQuote = "2;34" // Blue dimmed (quotes + escapes)
+    val Punct = "1" // bold brackets / comma / colon
+  }
 
+  private def paint(sb: StringBuilder, style: String, s: String,
+      on: Boolean): scala.Unit =
+    if (on) sb.append('').append('[').append(style).append('m')
+      .append(s).append('').append("[0m")
+    else sb.append(s)
+
+  /** Styled string literal: quotes and escape sequences dimmed, plain
+    * fragments in the content colour (json.rs:276-372).
+    */
+  private def emitStringStyled(s: String, sb: StringBuilder,
+      quoteStyle: String, charStyle: String, color: Boolean): scala.Unit = {
+    paint(sb, quoteStyle, "\"", color)
+    val plain = new StringBuilder
+    def flush(): scala.Unit =
+      if (plain.nonEmpty) {
+        paint(sb, charStyle, plain.toString, color); plain.clear()
+      }
+    def esc(e: String): scala.Unit = { flush(); paint(sb, quoteStyle, e, color) }
+    s.foreach {
+      case '"' => esc("\\\"")
+      case '\\' => esc("\\\\")
+      case '\n' => esc("\\n")
+      case '\r' => esc("\\r")
+      case '\t' => esc("\\t")
+      case c if c < ' ' => esc(f"\\u${c.toInt}%04x")
+      case c => plain.append(c)
+    }
+    flush()
+    paint(sb, quoteStyle, "\"", color)
+  }
+
+  /** Pretty form shared by K3 (color=false: serde PrettyFormatter
+    * shape — 2-space indent, `: ` separator, empty containers inline)
+    * and K2 (color=true: the ReadableFormatter styles above).
+    */
   private def emitPretty(v: Value, sb: StringBuilder, indent: Int,
       color: Boolean): scala.Unit = {
     val pad = "  " * indent
     val padIn = "  " * (indent + 1)
     v match {
-      case Value.Seq(vs) if vs.nonEmpty =>
-        sb.append("[\n")
+      case Value.Unit => paint(sb, Ansi.Null, "null", color)
+      case Value.Bool(true) => paint(sb, Ansi.True, "true", color)
+      case Value.Bool(false) => paint(sb, Ansi.False, "false", color)
+      case n @ (_: Value.I64 | _: Value.U64 | _: Value.F64) =>
+        paint(sb, Ansi.Num, emit(n), color)
+      case Value.Str(s) =>
+        emitStringStyled(s, sb, Ansi.StrQuote, Ansi.StrChar, color)
+      case Value.Bytes(b) =>
+        // serde serializes byte blobs as number arrays — same layout
+        emitPretty(Value.Seq(b.toVector.map(x => Value.I64(x & 0xff))),
+          sb, indent, color)
+      case Value.Seq(vs) if vs.isEmpty => paint(sb, Ansi.Punct, "[]", color)
+      case Value.Map(kvs) if kvs.isEmpty => paint(sb, Ansi.Punct, "{}", color)
+      case Value.Seq(vs) =>
+        paint(sb, Ansi.Punct, "[", color)
         vs.zipWithIndex.foreach { case (e, i) =>
-          sb.append(padIn)
+          if (i > 0) paint(sb, Ansi.Punct, ",", color)
+          sb.append('\n').append(padIn)
           emitPretty(e, sb, indent + 1, color)
-          if (i < vs.length - 1) sb.append(',')
-          sb.append('\n')
         }
-        sb.append(pad).append(']')
-      case Value.Map(kvs) if kvs.nonEmpty =>
-        sb.append("{\n")
+        sb.append('\n').append(pad)
+        paint(sb, Ansi.Punct, "]", color)
+      case Value.Map(kvs) =>
+        paint(sb, Ansi.Punct, "{", color)
         kvs.zipWithIndex.foreach { case ((k, e), i) =>
-          val keyJson = {
-            val ksb = new StringBuilder
-            k match {
-              case Value.Str(s) => emitString(s, ksb)
-              case other => emitString(emit(other), ksb)
-            }
-            ksb.toString
+          if (i > 0) paint(sb, Ansi.Punct, ",", color)
+          sb.append('\n').append(padIn)
+          val keyText = k match {
+            case Value.Str(s) => s
+            case other => emit(other) // non-string key → stringify
           }
-          sb.append(padIn).append(colored(keyJson, "36", color)).append(": ")
+          emitStringStyled(keyText, sb, Ansi.KeyQuote, Ansi.KeyChar, color)
+          paint(sb, Ansi.Punct, ": ", color)
           emitPretty(e, sb, indent + 1, color)
-          if (i < kvs.length - 1) sb.append(',')
-          sb.append('\n')
         }
-        sb.append(pad).append('}')
-      case scalar =>
-        val plain = emit(scalar)
-        val code = scalar match {
-          case _: Value.Str => "32"
-          case _: Value.I64 | _: Value.U64 | _: Value.F64 => "33"
-          case _ => "35"
-        }
-        sb.append(colored(plain, code, color))
+        sb.append('\n').append(pad)
+        paint(sb, Ansi.Punct, "}", color)
     }
   }
 

@@ -273,6 +273,52 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("indented JSON (K3) matches serde PrettyFormatter shape") {
+    val v = Value.obj(
+      "a" -> Value.F64(2.5),
+      "b" -> Value.seq(Value.I64(1), Value.Str("x")),
+      "c" -> Value.Unit,
+      "d" -> Value.Map(Vector.empty),
+      "e" -> Value.Bool(true))
+    val expected =
+      """{
+        |  "a": 2.5,
+        |  "b": [
+        |    1,
+        |    "x"
+        |  ],
+        |  "c": null,
+        |  "d": {},
+        |  "e": true
+        |}""".stripMargin
+    assert(JsonCodec.emitIndented(v) == expected)
+    assert(JsonCodec.emitIndented(Value.Seq(Vector.empty)) == "[]")
+  }
+
+  test("readable JSON (K2) carries ReadableFormatter styles and " +
+      "reduces to the indented form when ANSI is stripped") {
+    val v = Value.obj(
+      "key" -> Value.Str("s\nval"),
+      "n" -> Value.I64(-3),
+      "t" -> Value.Bool(true),
+      "f" -> Value.Bool(false),
+      "z" -> Value.Unit)
+    val readable = JsonCodec.emitReadable(v)
+    val stripped = readable.replaceAll("\\[[0-9;]*m", "")
+    assert(stripped == JsonCodec.emitIndented(v))
+    // style fidelity vs json.rs:115-143 (ansi_term code order 1;2;3;col)
+    assert(readable.contains("[2;34m\"")) // key quote: Blue dimmed
+    assert(readable.contains("[34mkey")) // key chars: Blue
+    assert(readable.contains("[2;32m\"")) // string quote: Green dimmed
+    assert(readable.contains("[2;32m\\n")) // escape: dimmed
+    assert(readable.contains("[34m-3")) // number: Blue
+    assert(readable.contains("[1;3;32mtrue")) // Green bold italic
+    assert(readable.contains("[1;3;31mfalse")) // Red bold italic
+    assert(readable.contains("[1;2;3;30mnull")) // Black dim bold italic
+    assert(readable.contains("[1m{")) // bold brace
+    assert(readable.contains("[1m: ")) // bold colon
+  }
+
   test("protobuf wire encoder (graft extension) round-trips through " +
       "the decoder: scalars, nested, repeated, map, enum, sint, bytes") {
     val proto =
