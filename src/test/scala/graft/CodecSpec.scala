@@ -108,6 +108,71 @@ class CodecSpec extends AnyFunSuite {
       Array[Byte](0xf9.toByte, 0x3c, 0x00)) == Vector(Value.F64(1.0)))
   }
 
+  test("width collapse contract: narrow msgpack ints/floats decode " +
+      "value-losslessly and re-encode minimal-width (§2.4)") {
+    // Every (input bytes, decoded Value) pair below is a §2.4 edge:
+    // the reference keeps I8/I16/I32/U8/U16/U32/F32 as distinct
+    // carriers (mod.rs:24-35) purely to re-emit them; graft collapses
+    // to I64/U64/F64 (Value.scala width notes) — VALUE-level identity
+    // is the contract, byte-level width is canonicalized on re-encode.
+    val cases: Seq[(Array[Byte], Value)] = Seq(
+      (Array[Byte](0xd0.toByte, -123), Value.I64(-123)), // int8
+      (Array[Byte](0xd1.toByte, 0xff.toByte, 0x85.toByte),
+        Value.I64(-123)), // int16 holding an int8 value
+      (Array[Byte](0xd2.toByte, 0, 0, 0x30, 0x39), Value.I64(12345)), // int32
+      (Array[Byte](0xcc.toByte, 0xff.toByte), Value.I64(255)), // uint8
+      (Array[Byte](0xcd.toByte, 0, 0x2a), Value.I64(42)), // uint16 wide
+      (Array[Byte](0xce.toByte, 0, 0, 0, 0x2a), Value.I64(42)), // uint32 wide
+      (Array[Byte](0xcf.toByte, 0, 0, 0, 0, 0, 0, 0, 0x2a),
+        Value.I64(42)), // uint64 wide, fits i64 → I64 (print-identical)
+      (Array[Byte](0xcf.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte,
+        0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte),
+        Value.U64(-1L)), // uint64 above i64::MAX → U64 (2^64-1)
+      (Array[Byte](0xca.toByte, 0x3f, 0xc0.toByte, 0, 0),
+        Value.F64(1.5)) // f32 → F64 (byte-level f32 width is dropped)
+    )
+    cases.foreach { case (bytes, expected) =>
+      val decoded = MsgPackCodec.decodeStream(bytes)
+      assert(decoded == Vector(expected), bytes.map("%02x".format(_)).mkString)
+      // value-level round-trip through the canonical re-encode
+      assert(MsgPackCodec.decodeStream(MsgPackCodec.encode(decoded.head)) ==
+        decoded)
+    }
+    // canonical re-encode uses minimal width: 42 → positive fixint
+    assert(MsgPackCodec.encode(Value.I64(42)).toSeq == Seq(0x2a.toByte))
+    // f32 input re-emits as f64 (documented divergence from the
+    // reference, which preserves F32, messagepack.rs:96-128)
+    assert(MsgPackCodec.encode(Value.F64(1.5))(0) == 0xcb.toByte)
+  }
+
+  test("width collapse contract: narrow cbor arguments (§2.4)") {
+    val cases: Seq[(Array[Byte], Value)] = Seq(
+      (Array[Byte](0x18, 0x2a), Value.I64(42)), // uint8 arg
+      (Array[Byte](0x19, 0, 0x2a), Value.I64(42)), // uint16 arg
+      (Array[Byte](0x1a, 0, 0, 0, 0x2a), Value.I64(42)), // uint32 arg
+      (Array[Byte](0x1b, 0, 0, 0, 0, 0, 0, 0, 0x2a), Value.I64(42)),
+      (Array[Byte](0x38, 0x7f), Value.I64(-128)), // negint uint8 arg
+      (Array[Byte](0xf9.toByte, 0x3c, 0x00), Value.F64(1.0)), // f16
+      (Array[Byte](0xfa.toByte, 0x3f, 0xc0.toByte, 0, 0), Value.F64(1.5)))
+    cases.foreach { case (bytes, expected) =>
+      assert(CborCodec.decodeStream(bytes) == Vector(expected))
+      assert(CborCodec.decodeStream(CborCodec.encode(expected)) ==
+        Vector(expected))
+    }
+    // canonical minimal-width re-encode
+    assert(CborCodec.encode(Value.I64(42)).toSeq == Seq(0x18, 0x2a).map(_.toByte))
+    // u64 above i64::MAX survives as the full 64-bit argument
+    assert(CborCodec.decodeStream(CborCodec.encode(Value.U64(-1L))) ==
+      Vector(Value.U64(-1L)))
+    // error parity: negint below i64::MIN cannot be represented
+    // (reference value model is i64/u64 too, mod.rs:29-35)
+    intercept[IllegalArgumentException] {
+      CborCodec.decodeStream(Array[Byte](0x3b,
+        0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte,
+        0xff.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte))
+    }
+  }
+
   test("tutorial golden: identity pipeline (doc/tutorial.md:13-17)") {
     val in = "null\ntrue\n{\"a\": 2.5}"
     val out = JsonCodec.parseStream(in).map(JsonCodec.emit).mkString("\n")
