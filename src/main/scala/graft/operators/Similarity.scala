@@ -47,19 +47,61 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
-  /** IVF-style ANN: deterministic centroids (the first `nlist` corpus
-    * vectors by id — a seeded k-means refinement can replace this
-    * without changing the plumbing), corpus assigned to nearest
-    * centroid, queries probe `nprobe` cells.
+  /** Deterministic k-means centroids: init = first `nlist` corpus
+    * vectors by id, then `iters` Lloyd rounds — assign every corpus
+    * vector to its nearest (cosine) centroid, recompute each cell's
+    * per-dimension mean. Fully distributed per round; only the
+    * CENTROIDS (nlist × dim doubles — a few KB) come to the driver,
+    * which also keeps the lineage flat across iterations instead of
+    * stacking `iters` crossJoin+window layers into one plan.
+    * Determinism: decimal-accumulated means (order-independent) and
+    * id-ordered tie-breaks, so the same corpus yields the same cells
+    * on any cluster size.
+    */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int = 3): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast(DoubleType)).as("v"))
+    var cents = c.orderBy("id").limit(nlist)
+      .select(col("id").as("cent_id"), col("v").as("cent_v"))
+    var i = 0
+    while (i < iters) {
+      val assigned = c.crossJoin(broadcast(cents))
+        .withColumn("__cs", TextFns.cosine(col("v"), col("cent_v")))
+        .withColumn("__cr", row_number().over(
+          Window.partitionBy(col("id"))
+            .orderBy(col("__cs").desc, col("cent_id"))))
+        .where(col("__cr") === 1)
+      val means = assigned
+        .select(col("cent_id"), posexplode(col("v")).as(Seq("__p", "__x")))
+        .groupBy("cent_id", "__p")
+        .agg((sum(col("__x").cast(DecimalType(38, 15))) / count(lit(1)))
+          .cast(DoubleType).as("__m"))
+        .groupBy("cent_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("__p"), col("__m")))),
+          s => s.getField("__m")).as("cent_v"))
+      val rows = means.select(col("cent_id").cast("long"), col("cent_v"))
+        .as[(Long, scala.Seq[Double])].collect().sortBy(_._1)
+      cents = rows.toSeq.toDF("cent_id", "cent_v")
+      i += 1
+    }
+    cents
+  }
+
+  /** IVF-style ANN: seeded-k-means centroids (deterministic Lloyd
+    * refinement above), corpus assigned to nearest centroid once,
+    * queries probe `nprobe` cells.
     */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 3): DataFrame = {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       TextFns.l2norm(col(vecCol)).as("nv"))
-    val cents = c.orderBy("id").limit(nlist)
-      .select(col("id").as("cent_id"), col("v").as("cent_v"))
+    val cents = kmeansCentroids(corpus, idCol, vecCol, nlist, kmeansIters)
 
     // rank centroids per row (windowed by the row id, never by the
     // vector payload — an array partition key would shuffle and sort

@@ -70,7 +70,7 @@ class OperatorsSpec extends SparkSpec {
     assert(fps(0).forall(_ >= 0), "31-bit positive hashes")
   }
 
-  test("IVF ANN recall >= 0.8 vs brute force") {
+  test("IVF ANN recall >= 0.9 vs brute force (k-means centroids)") {
     val emb = T.t(spark, sf0001, "embeddings")
     val queries = emb.where(col("vec_id") < 10)
     def pairs(df: org.apache.spark.sql.DataFrame) =
@@ -81,7 +81,20 @@ class OperatorsSpec extends SparkSpec {
     val ivf = pairs(Similarity.ivfTopK(emb, queries, "vec_id",
       "embedding", 3))
     assert(bf.nonEmpty)
-    assert((bf & ivf).size.toDouble / bf.size >= 0.8)
+    assert((bf & ivf).size.toDouble / bf.size >= 0.9,
+      s"recall ${(bf & ivf).size.toDouble / bf.size}")
+  }
+
+  test("k-means centroids are deterministic and partition the corpus") {
+    val emb = T.t(spark, sf0001, "embeddings")
+    val a = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 8)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toVector))
+      .sortBy(_._1)
+    val b = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 8)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toVector))
+      .sortBy(_._1)
+    assert(a.toSeq == b.toSeq, "two runs must agree bit-for-bit")
+    assert(a.length > 1 && a.length <= 8)
   }
 
   test("hyperplane-LSH embedding near-dup equals brute force on " +
