@@ -44,8 +44,11 @@ object Dedup {
       HashFns.minhashSignature(col(shinglesCol), k).as("__sig"))
     // one row per (band index, band slice); the slice array is the
     // LSH bucket key
+    // posexplode_outer: band arrays are fixed-length, never empty, and
+    // the outer variant skips the size>0/isnotnull pre-filter that
+    // would re-evaluate the signature expression twice more per row
     val banded = sig.select(col("__id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+      posexplode_outer(transform(sequence(lit(0), lit(bands - 1)),
         i => slice(col("__sig"), i * rowsPerBand + 1, lit(rowsPerBand))))
         .as(Seq("__band", "__key")))
     banded.as("x").join(banded.as("y"),
@@ -94,7 +97,7 @@ object Dedup {
     val sh = docs.select(col(idCol).as("__id"),
       HashFns.simhash60(TextFns.tokenSet(col(textCol))).as("__s"))
     val banded = sh.select(col("__id"), col("__s"),
-      posexplode(array((0 until bands).map(i =>
+      posexplode_outer(array((0 until bands).map(i =>
         shiftright(col("__s"), i * bits).bitwiseAND(mask)): _*))
         .as(Seq("__band", "__key")))
     banded.as("x").join(banded.as("y"),
@@ -197,7 +200,7 @@ object Dedup {
       HashFns.hyperplaneBands(col(vecCol), bands, bitsPerBand, seed)
         .as("__bk"))
     val banded = e.select(col("__id"),
-      posexplode(col("__bk")).as(Seq("__band", "__key")))
+      posexplode_outer(col("__bk")).as(Seq("__band", "__key")))
     val cand = banded.as("x").join(banded.as("y"),
         col("x.__band") === col("y.__band") &&
           col("x.__key") === col("y.__key") &&
