@@ -672,6 +672,35 @@ object CoreQueries {
         .select(col("c_mktsegment"), col("rk"), col("c_custkey"),
           round(col("dtotal").cast(DoubleType), 4).as("total"))
         .orderBy("c_mktsegment", "rk")
+    },
+
+    // Exact percentiles (linear interpolation — Spark `percentile` and
+    // DuckDB `quantile_cont` share the p·(n-1) index definition).
+    Q("q32_percentile",
+      """SELECT l_returnflag,
+        |ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS p50,
+        |ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS p90,
+        |ROUND(QUANTILE_CONT(l_extendedprice, 0.99), 4) AS p99
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+        .orderBy("l_returnflag")
+    },
+
+    // Sketch twin of q32: approx_percentile (GK, bounded memory at any
+    // scale) — approximate, so rows-only like q10b/xs2.
+    Q.noOracle("q32b_approx_percentile") { (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr(
+          "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
+          .as("approx"))
+        .orderBy("l_returnflag")
     }
   )
 }

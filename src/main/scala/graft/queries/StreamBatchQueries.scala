@@ -77,6 +77,33 @@ object StreamBatchQueries {
         .select(col("user_id"),
           col("session_window.start").as("session_start"), col("n"))
         .orderBy("user_id", "session_start")
+    },
+
+    // Stream-stream interval join semantics (QS4): purchases within 1h
+    // AFTER a view by the same user. The streaming runner
+    // (Streams.viewPurchaseJoin: two watermarked branches + event-time
+    // range join, bounded state) is parity-tested against this batch
+    // plan in StreamingSpec.
+    Q("qs4_stream_join",
+      """SELECT v.user_id AS user_id, v.event_id AS view_id,
+        |       p.event_id AS buy_id
+        |FROM events v JOIN events p ON p.user_id = v.user_id
+        | AND v.event_type = 'view' AND p.event_type = 'purchase'
+        | AND p.ts::TIMESTAMP > v.ts::TIMESTAMP
+        | AND p.ts::TIMESTAMP <= v.ts::TIMESTAMP + INTERVAL 1 HOUR
+        |ORDER BY user_id, view_id, buy_id""".stripMargin) { (s, d) =>
+      val e = t(s, d, "events")
+      val v = e.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("vts"),
+          col("event_id").as("view_id"))
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_uid"), col("ts").as("pts"),
+          col("event_id").as("buy_id"))
+      v.join(p, col("user_id") === col("p_uid") &&
+          col("pts") > col("vts") &&
+          col("pts") <= col("vts") + expr("INTERVAL 1 HOUR"))
+        .select(col("user_id"), col("view_id"), col("buy_id"))
+        .orderBy("user_id", "view_id", "buy_id")
     }
   )
 }

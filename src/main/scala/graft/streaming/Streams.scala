@@ -58,6 +58,28 @@ object Streams {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n"))
 
+  /** Stream-stream interval join (QS4): purchases within 1h after a
+    * view by the same user. Both branches carry watermarks and the
+    * join condition bounds event time on both sides, so Spark evicts
+    * view-side state once the watermark passes vts + 1h — state stays
+    * bounded no matter how long the stream runs.
+    */
+  def viewPurchaseJoin(events: DataFrame): DataFrame = {
+    val views = events.where(col("event_type") === "view")
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("ts").as("vts"),
+        col("event_id").as("view_id"))
+    val purchases = events.where(col("event_type") === "purchase")
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").as("p_uid"), col("ts").as("pts"),
+        col("event_id").as("buy_id"))
+    views.join(purchases,
+      col("user_id") === col("p_uid") &&
+        col("pts") > col("vts") &&
+        col("pts") <= col("vts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("view_id"), col("buy_id"))
+  }
+
   /** Stateful dedup bounded by the watermark (SURVEY §2.10). */
   def dedupWithinWatermark(events: DataFrame): DataFrame =
     events.withWatermark("ts", "2 hours")

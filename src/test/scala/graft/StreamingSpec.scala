@@ -62,6 +62,17 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join == batch QS4") {
+    val streamed = Streams.runToMemory(spark, sf0001,
+      Streams.viewPurchaseJoin, "t_ssjoin")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "view_id", "buy_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = SparkEntry.queries("qs4_stream_join")(spark, sf0001)
+    assert(pairs(batch).nonEmpty, "join pairs must exist at sf0.001")
+    assert(pairs(streamed) == pairs(batch))
+  }
+
   test("stateful dedup within watermark keeps one row per key") {
     val deduped = Streams.runToMemory(spark, sf0001,
       Streams.dedupWithinWatermark, "t_dedup")
