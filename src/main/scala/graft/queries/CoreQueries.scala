@@ -701,6 +701,59 @@ object CoreQueries {
           "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
           .as("approx"))
         .orderBy("l_returnflag")
+    },
+
+    // CUBE: all 4 grouping combinations (q11 covers ROLLUP; this is
+    // the remaining grouping-sets shape).
+    Q("q33_cube",
+      """SELECT n_regionkey, n_nationkey,
+        |CAST(GROUPING(n_regionkey) AS INT) AS gr,
+        |CAST(GROUPING(n_nationkey) AS INT) AS gn, COUNT(*) AS c
+        |FROM nation GROUP BY CUBE(n_regionkey, n_nationkey)
+        |ORDER BY gr, gn, n_regionkey NULLS FIRST, n_nationkey NULLS
+        | FIRST""".stripMargin) { (s, d) =>
+      t(s, d, "nation")
+        .cube(col("n_regionkey"), col("n_nationkey"))
+        .agg(grouping(col("n_regionkey")).cast("int").as("gr"),
+          grouping(col("n_nationkey")).cast("int").as("gn"),
+          count(lit(1)).as("c"))
+        .select(col("n_regionkey"), col("n_nationkey"), col("gr"),
+          col("gn"), col("c"))
+        .orderBy(col("gr"), col("gn"), col("n_regionkey").asc_nulls_first,
+          col("n_nationkey").asc_nulls_first)
+    },
+
+    // Distribution windows: percent_rank / cume_dist (rank family's
+    // remaining members beyond q12b).
+    Q("q34_window_dist",
+      """SELECT c_mktsegment, c_custkey,
+        |ROUND(PERCENT_RANK() OVER w, 4) AS pr,
+        |ROUND(CUME_DIST() OVER w, 4) AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |             ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, d, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"),
+          round(percent_rank().over(w), 4).as("pr"),
+          round(cume_dist().over(w), 4).as("cd"))
+        .orderBy("c_mktsegment", "c_custkey")
+    },
+
+    // Ordered string aggregation (LISTAGG semantics) — expressed as
+    // sort-then-join so the result is deterministic under any
+    // partitioning (collect_list order is not, array_sort fixes it).
+    Q("q35_string_agg",
+      """SELECT n_regionkey, STRING_AGG(n_name, ',' ORDER BY n_name) AS ns
+        |FROM nation GROUP BY n_regionkey
+        |ORDER BY n_regionkey""".stripMargin) { (s, d) =>
+      t(s, d, "nation")
+        .groupBy("n_regionkey")
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",")
+          .as("ns"))
+        .orderBy("n_regionkey")
     }
   )
 }
