@@ -18,6 +18,57 @@ import graft.functions.TextFns
   */
 object Dedup {
 
+  /** Connected components over an undirected pair graph (the step that
+    * turns near-dup PAIRS into dedup CLUSTERS: keep one representative
+    * per component). Iterative min-label propagation: each round every
+    * node takes the minimum label among itself and its neighbors;
+    * converges in O(component diameter) rounds — near-dup components
+    * are shallow (a dup cluster is almost a clique), so a handful of
+    * rounds suffices at any corpus size.
+    *
+    * Scale shape: each round is one equi-join + one min-aggregation on
+    * the node id — no driver-side graph. The driver sees only the
+    * convergence counter, and `localCheckpoint` cuts the growing
+    * lineage so round N's plan does not replay rounds 1..N-1.
+    * Output: (id, component) where component = min node id reachable.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val neighborLabels = edges
+        .join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.unionAll(neighborLabels)
+        .groupBy("id").agg(min("label").as("next_label"))
+        .localCheckpoint(true)
+      changed = labels.join(next, "id")
+        .where(col("next_label") < col("label")).count()
+      labels = next.select(col("id"), col("next_label").as("label"))
+      i += 1
+    }
+    labels.select(col("id"), col("label").as("component"))
+  }
+
+  /** Cluster-level near-dup dedup: survivors = one representative (the
+    * min id) per connected component of the pair graph, plus every
+    * document that appears in no near-dup pair.
+    */
+  def dedupByComponents(docs: DataFrame, pairs: DataFrame,
+      idCol: String, aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
+    val dropped = comps.where(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    docs.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Exact dedup on normalized text: keep the lowest id per normalized
     * sha256 — one hash-shuffle, the 100TB-safe exact dedup.
     */

@@ -163,6 +163,31 @@ object DedupQueries {
         .orderBy("a", "b")
     },
 
+    // Connected components over the MinHash near-dup pair graph — the
+    // cluster step of a dedup pipeline (pairs → components → one
+    // representative each). Oracle recomputes the same pairs via exact
+    // all-pairs SQL, then closes them with a recursive CTE; matching
+    // hashes prove the distributed min-label propagation converged to
+    // the true components.
+    Q("xd7_components",
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT * FROM (${jaccardOracleSql(0.5)})
+         |), edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION ALL SELECT b AS src, a AS dst FROM pairs
+         |), reach AS (
+         |  SELECT src AS id, src AS lab FROM edges
+         |  UNION
+         |  SELECT e.dst AS id, r.lab AS lab
+         |  FROM reach r JOIN edges e ON e.src = r.id
+         |)
+         |SELECT id, MIN(lab) AS component FROM reach
+         |GROUP BY id ORDER BY id""".stripMargin) { (s, d) =>
+      val pairs = Dedup.minhashNearDups(t(s, d, "documents"),
+        "doc_id", "text", threshold = 0.5)
+      Dedup.connectedComponents(pairs, "a", "b").orderBy("id")
+    },
+
     // Exact dedup keep-first: survivors of normalized-text dedup.
     Q("xd5_exact_dedup",
       """SELECT COUNT(*) AS survivors, CAST(SUM(doc_id) AS BIGINT) AS idsum

@@ -115,6 +115,24 @@ class OperatorsSpec extends SparkSpec {
     assert(blocked == brute)
   }
 
+  test("connected components: chain + triangle + isolated pair") {
+    import spark.implicits._
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+      .toDF("a", "b")
+    val got = Dedup.connectedComponents(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    val docs = (1L to 25L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val survivors = Dedup.dedupByComponents(docs, pairs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // min of each component survives; isolated docs untouched
+    assert(survivors == (1L to 25L).toSet --
+      Set(2L, 3L, 4L, 11L, 12L, 21L))
+  }
+
   test("ngram-Jaccard df cap drops stop-shingle-only pairs, keeps rest") {
     import spark.implicits._
     // docs 1/2 share a genuinely duplicated phrase; docs 3..8 share
