@@ -50,6 +50,31 @@ object TextFns {
   /** Count of BPE-ish tokens: letter runs, digit runs, single other
     * non-space chars. Same regex semantics in java.util.regex and RE2.
     */
+  /** Sliding-window document chunking (training-data prep): split a
+    * document into overlapping token windows of `maxTokens` every
+    * `stride` tokens — the op that turns a 100TB document corpus into
+    * model-context-sized samples. Tokens materialize ONCE per row in a
+    * projection; the Generate then explodes precomputed start offsets,
+    * so the text is never re-split per chunk (the no-CSE-in-lambda
+    * pitfall, PLANS.md). Output: (idCol, start, n_tok, chunk).
+    */
+  def chunkDocs(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, maxTokens: Int = 64, stride: Int = 32)
+      : org.apache.spark.sql.DataFrame = {
+    require(stride > 0 && maxTokens > 0, "chunkDocs: positive sizes")
+    df.select(col(idCol),
+        filter(split(col(textCol), "\\s+"), t => t =!= "").as("__toks"))
+      .where(size(col("__toks")) > 0)
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0), size(col("__toks")) - 1, lit(stride)))
+          .as("start"))
+      .select(col(idCol), col("start"),
+        size(slice(col("__toks"), col("start") + 1, lit(maxTokens)))
+          .as("n_tok"),
+        array_join(slice(col("__toks"), col("start") + 1, lit(maxTokens)),
+          " ").as("chunk"))
+  }
+
   def tokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 }

@@ -128,6 +128,28 @@ object TextAnalysisQueries {
         .select(col("doc_id"), size(col("fp")).as("n_fp"),
           element_at(col("fp"), 1).as("fp_min"))
         .orderBy("doc_id")
+    },
+
+    // Sliding-window chunking (64-token windows, stride 32) — the
+    // document→training-sample op. Oracle replays the same slicing
+    // with DuckDB list ops (1-based inclusive fw[s+1 : s+64] ==
+    // Spark slice(toks, s+1, 64)).
+    Q("xt5_chunks",
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'),
+        |                t -> t <> '') AS fw
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(k AS INT) AS start,
+        |  CAST(LEN(fw[k+1 : k+64]) AS INT) AS n_tok,
+        |  ARRAY_TO_STRING(fw[k+1 : k+64], ' ') AS chunk
+        |FROM d, UNNEST(RANGE(0, GREATEST(LEN(fw), 1), 32)) u(k)
+        |WHERE LEN(fw) > 0 AND k < LEN(fw)
+        |ORDER BY doc_id, start""".stripMargin) { (s, d) =>
+      TextFns.chunkDocs(t(s, d, "documents"), "doc_id", "text",
+          maxTokens = 64, stride = 32)
+        .orderBy("doc_id", "start")
     }
   )
 }

@@ -115,6 +115,23 @@ class OperatorsSpec extends SparkSpec {
     assert(blocked == brute)
   }
 
+  test("chunkDocs: window/stride boundaries, short docs, empty docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "only three tokens"),
+      (3L, "   ")).toDF("doc_id", "text")
+    val got = TextFns.chunkDocs(docs, "doc_id", "text",
+        maxTokens = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getString(3))).toSet
+    assert(got == Set(
+      (1L, 0, 4, "t1 t2 t3 t4"), (1L, 3, 4, "t4 t5 t6 t7"),
+      (1L, 6, 4, "t7 t8 t9 t10"), (1L, 9, 1, "t10"),
+      (2L, 0, 3, "only three tokens")))
+    // doc 3 (whitespace only) yields no chunks
+  }
+
   test("connected components: chain + triangle + isolated pair") {
     import spark.implicits._
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
