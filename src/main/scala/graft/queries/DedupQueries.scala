@@ -17,7 +17,7 @@ object DedupQueries {
     * shingle explode → self-join → intersection counts. Shared by the
     * MinHash-LSH and relational-Jaccard entries.
     */
-  private def jaccardOracleSql(threshold: Double,
+  private[queries] def jaccardOracleSql(threshold: Double,
       maxDocFreq: Option[Int] = None): String = {
     val shExpr = maxDocFreq match {
       case None => "sh0"
