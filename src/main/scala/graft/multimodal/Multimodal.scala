@@ -82,4 +82,46 @@ object Multimodal {
       }
     }
   }
+
+  /** Resize stage (stub): a real implementation re-encodes the pixel
+    * buffer at (targetW, targetH); the stub rewrites the metadata and
+    * keeps the payload opaque. The Spark shape is the honest part —
+    * a narrow per-partition map, no shuffle, metadata struct updated
+    * in-plan.
+    */
+  def resize(media: Dataset[MediaRecord], targetW: Int, targetH: Int)
+      : Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map(r => r.copy(width = targetW, height = targetH))
+    }
+  }
+
+  /** One sampled frame of a (stub-)video payload. */
+  case class MediaFrame(
+      media_id: Long, frame_no: Int, frame: Array[Byte])
+
+  /** Frame sampling (stub decode): treat the payload as `frameCount`
+    * fixed-size frames and emit every `stride`-th one — the row-
+    * expanding iterator-to-iterator shape of real video sampling
+    * (one decoder per partition, frames streamed out, never the whole
+    * video's frames in memory at once).
+    */
+  def sampleFrames(media: Dataset[MediaRecord], frameCount: Int,
+      stride: Int): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    require(frameCount > 0 && stride > 0)
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val frameSize = math.max(1, r.payload.length / frameCount)
+        (0 until frameCount by stride).iterator
+          .map { f =>
+            val from = math.min(f * frameSize, r.payload.length)
+            val until = math.min(from + frameSize, r.payload.length)
+            MediaFrame(r.media_id, f,
+              java.util.Arrays.copyOfRange(r.payload, from, until))
+          }
+      }
+    }
+  }
 }

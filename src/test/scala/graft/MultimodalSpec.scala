@@ -34,4 +34,41 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(f => f.media_id -> f.histogram.toSeq).toMap
     assert(feats.map(f => f.media_id -> f.histogram.toSeq).toMap == feats2)
   }
+
+  test("resize rewrites metadata, keeps payload; no shuffle in plan") {
+    import spark.implicits._
+    val media = Multimodal.asMediaTable(T.t(spark, sf0001, "documents"))
+      .as[Multimodal.MediaRecord]
+    val resized = Multimodal.resize(media, 224, 224)
+    val plan = resized.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"resize must be a narrow map:\n$plan")
+    val r = resized.orderBy("media_id").limit(1).collect()(0)
+    assert(r.width == 224 && r.height == 224)
+    assert(r.payload.nonEmpty)
+  }
+
+  test("frame sampling emits every stride-th frame, payload partitioned") {
+    import spark.implicits._
+    val media = Multimodal.asMediaTable(T.t(spark, sf0001, "documents"))
+      .as[Multimodal.MediaRecord].limit(5)
+    val frames = Multimodal.sampleFrames(media, frameCount = 8, stride = 3)
+      .collect()
+    val byId = frames.groupBy(_.media_id)
+    assert(byId.size == 5)
+    byId.values.foreach { fs =>
+      assert(fs.map(_.frame_no).sorted.toSeq == Seq(0, 3, 6))
+    }
+    // sampled frames are disjoint slices of the payload
+    val one = media.orderBy("media_id").limit(1)
+      .collect()(0)
+    val sampled = frames.filter(_.media_id == one.media_id)
+      .sortBy(_.frame_no)
+    val frameSize = math.max(1, one.payload.length / 8)
+    sampled.foreach { f =>
+      val expect = java.util.Arrays.copyOfRange(one.payload,
+        math.min(f.frame_no * frameSize, one.payload.length),
+        math.min(f.frame_no * frameSize + frameSize, one.payload.length))
+      assert(java.util.Arrays.equals(f.frame, expect))
+    }
+  }
 }
