@@ -279,6 +279,81 @@ case class HyperplaneBands(
     copy(child = newChild)
 }
 
+/** Top-n nearest centroids of an embedding vector, as a plan-shipped
+  * constant centroid matrix (IVF cell assignment, SURVEY §2.11):
+  * scores = dot(v, c_i)/‖c_i‖ (orders identically to cosine for a
+  * fixed row — positive 1/‖v‖ scale), ties to the lower centroid id.
+  * A single fused expression: cell assignment is a NARROW MAP over
+  * the corpus — no broadcast join, no per-row window, no shuffle —
+  * and the inner loop is a tight double array scan (the higher-order
+  * transform/array_sort formulation of the same thing evaluates
+  * interpreted per element and ran 3× slower).
+  */
+case class NearestCentroids(child: Expression, ids: Seq[Long],
+    vecs: Seq[Seq[Double]], n: Int)
+    extends UnaryExpression with FusedUnary {
+
+  require(ids.length == vecs.length && ids.nonEmpty && n >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+
+  @transient private lazy val cents: Array[Array[Double]] =
+    vecs.map(_.toArray).toArray
+  @transient private lazy val invNorms: Array[Double] =
+    cents.map { c =>
+      val s = c.map(x => x * x).sum
+      if (s > 0) 1.0 / math.sqrt(s) else 0.0
+    }
+  @transient private lazy val idArr: Array[Long] = ids.toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val isFloat = child.dataType.asInstanceOf[ArrayType]
+      .elementType == FloatType
+    val d = a.numElements()
+    val v = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      v(i) = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      i += 1
+    }
+    val m = cents.length
+    val scores = new Array[Double](m)
+    var c = 0
+    while (c < m) {
+      val cv = cents(c)
+      val lim = math.min(d, cv.length)
+      var dot = 0.0
+      i = 0
+      while (i < lim) { dot += v(i) * cv(i); i += 1 }
+      scores(c) = dot * invNorms(c)
+      c += 1
+    }
+    // partial selection of the top-k (k is tiny: 1..nprobe)
+    val k = math.min(n, m)
+    val taken = new Array[Boolean](m)
+    val out = new Array[Long](k)
+    var r = 0
+    while (r < k) {
+      var best = -1
+      c = 0
+      while (c < m) {
+        if (!taken(c) && (best < 0 || scores(c) > scores(best) ||
+          (scores(c) == scores(best) && idArr(c) < idArr(best)))) best = c
+        c += 1
+      }
+      taken(best) = true
+      out(r) = idArr(best)
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
 /** Dot product of two float/double arrays with strict left-to-right
   * double accumulation — the exact IEEE sequence of
   * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` (and of DuckDB's
@@ -334,4 +409,7 @@ object HashFns {
       c: Column, bands: Int = 96, bitsPerBand: Int = 12,
       seed: Int = 0x5eed): Column =
     Bridge.column(HyperplaneBands(e(c), bands, bitsPerBand, seed))
+  def nearestCentroids(c: Column, ids: Seq[Long],
+      vecs: Seq[Seq[Double]], n: Int): Column =
+    Bridge.column(NearestCentroids(e(c), ids, vecs, n))
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -14,11 +14,13 @@ import graft.functions.TextFns
   *    query set against the corpus, rank per query. One pass over the
   *    corpus, no corpus self-shuffle; at 100TB this is the right plan
   *    whenever |queries| is broadcastable.
-  *  - [[ivfTopK]]: the scale path — IVF-style partitioning. Corpus
-  *    vectors are assigned to their nearest centroid once (a narrow
-  *    map), queries probe only the `nprobe` nearest centroid cells, so
-  *    the candidate set shrinks by ~|centroids|/nprobe. Approximate:
-  *    recall measured against the brute-force baseline in tests.
+  *  - [[ivfTopK]]: the scale path — IVF-style partitioning. Centroids
+  *    are a driver-side literal (nlist × dim doubles — a few KB), so
+  *    cell assignment is a NARROW MAP over the corpus (zero shuffle;
+  *    an earlier broadcast-join + per-row-window formulation shuffled
+  *    the whole corpus once per ranking). Queries probe the `nprobe`
+  *    nearest cells, shrinking candidates by ~nlist/nprobe.
+  *    Approximate: recall measured against brute force in tests.
   *
   * Norms are precomputed per row before any pair join (computing them
   * inside the n·q pair loop triples the dot-product work) — the cosine
@@ -47,16 +49,25 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Cell ids of the `n` nearest centroids via the fused
+    * [[NearestCentroids]] expression — a narrow map (no join, no
+    * window, no shuffle) with a tight compiled inner loop. Ranks by
+    * dot(v,c)/‖c‖, which orders identically to cosine for a fixed row
+    * (positive 1/‖v‖ scale); ties go to the lower centroid id.
+    */
+  private def nearestCells(v: Column, cents: Seq[(Long, Seq[Double])],
+      n: Int): Column =
+    HashFns.nearestCentroids(v, cents.map(_._1), cents.map(_._2), n)
+
   /** Deterministic k-means centroids: init = first `nlist` corpus
-    * vectors by id, then `iters` Lloyd rounds — assign every corpus
-    * vector to its nearest (cosine) centroid, recompute each cell's
-    * per-dimension mean. Fully distributed per round; only the
-    * CENTROIDS (nlist × dim doubles — a few KB) come to the driver,
-    * which also keeps the lineage flat across iterations instead of
-    * stacking `iters` crossJoin+window layers into one plan.
-    * Determinism: decimal-accumulated means (order-independent) and
-    * id-ordered tie-breaks, so the same corpus yields the same cells
-    * on any cluster size.
+    * vectors by id, then up to `iters` Lloyd rounds — assign every
+    * vector to its nearest centroid (narrow map over the centroid
+    * literal — no shuffle), recompute per-dimension means (one small
+    * (cell, dim) aggregation). Only the centroid matrix reaches the
+    * driver, which also keeps lineage flat across rounds. Stops early
+    * when centroids stop moving. Determinism: decimal-accumulated
+    * means (order-independent) and id-ordered tie-breaks, so the same
+    * corpus yields the same cells on any cluster size.
     */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int = 3): DataFrame = {
@@ -64,63 +75,50 @@ object Similarity {
     import spark.implicits._
     val c = corpus.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast(DoubleType)).as("v"))
-    var cents = c.orderBy("id").limit(nlist)
-      .select(col("id").as("cent_id"), col("v").as("cent_v"))
+    var cents: Seq[(Long, Seq[Double])] = c.orderBy("id").limit(nlist)
+      .select(col("id"), col("v"))
+      .as[(Long, scala.Seq[Double])].collect().toSeq
+    var moved = true
     var i = 0
-    while (i < iters) {
-      val assigned = c.crossJoin(broadcast(cents))
-        .withColumn("__cs", TextFns.cosine(col("v"), col("cent_v")))
-        .withColumn("__cr", row_number().over(
-          Window.partitionBy(col("id"))
-            .orderBy(col("__cs").desc, col("cent_id"))))
-        .where(col("__cr") === 1)
-      val means = assigned
-        .select(col("cent_id"), posexplode(col("v")).as(Seq("__p", "__x")))
-        .groupBy("cent_id", "__p")
+    while (moved && i < iters) {
+      val cell = element_at(nearestCells(col("v"), cents, 1), 1)
+      val next = c.select(cell.as("__cell"),
+          posexplode_outer(col("v")).as(Seq("__p", "__x")))
+        .groupBy("__cell", "__p")
         .agg((sum(col("__x").cast(DecimalType(38, 15))) / count(lit(1)))
           .cast(DoubleType).as("__m"))
-        .groupBy("cent_id")
+        .groupBy("__cell")
         .agg(transform(
           array_sort(collect_list(struct(col("__p"), col("__m")))),
           s => s.getField("__m")).as("cent_v"))
-      val rows = means.select(col("cent_id").cast("long"), col("cent_v"))
-        .as[(Long, scala.Seq[Double])].collect().sortBy(_._1)
-      cents = rows.toSeq.toDF("cent_id", "cent_v")
+        .select(col("__cell").cast("long"), col("cent_v"))
+        .as[(Long, scala.Seq[Double])].collect().sortBy(_._1).toSeq
+      moved = next != cents
+      cents = next
       i += 1
     }
-    cents
+    spark.createDataFrame(cents.map(c0 => (c0._1, c0._2)))
+      .toDF("cent_id", "cent_v")
   }
 
   /** IVF-style ANN: seeded-k-means centroids (deterministic Lloyd
-    * refinement above), corpus assigned to nearest centroid once,
+    * refinement above), corpus assigned to its cell via a narrow map,
     * queries probe `nprobe` cells.
     */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 3): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-      TextFns.l2norm(col(vecCol)).as("nv"))
+    import corpus.sparkSession.implicits._
     val cents = kmeansCentroids(corpus, idCol, vecCol, nlist, kmeansIters)
+      .as[(Long, scala.Seq[Double])].collect().sortBy(_._1).toSeq
 
-    // rank centroids per row (windowed by the row id, never by the
-    // vector payload — an array partition key would shuffle and sort
-    // on the vectors themselves)
-    def nearestCells(df: DataFrame, idc: String, vc: String, n: Int)
-        : DataFrame =
-      df.crossJoin(broadcast(cents))
-        .withColumn("__cs", TextFns.cosine(col(vc), col("cent_v")))
-        .withColumn("__cr", row_number().over(
-          Window.partitionBy(col(idc))
-            .orderBy(col("__cs").desc, col("cent_id"))))
-        .where(col("__cr") <= n)
-        .withColumnRenamed("cent_id", "cell")
-        .drop("__cs", "__cr", "cent_v")
-
-    val assigned = nearestCells(c, "id", "v", 1)
-    val probes = nearestCells(
-      queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
-        TextFns.l2norm(col(vecCol)).as("nq")), "qid", "qv", nprobe)
+    val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+        TextFns.l2norm(col(vecCol)).as("nv"))
+      .withColumn("cell", element_at(nearestCells(col("v"), cents, 1), 1))
+    val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        TextFns.l2norm(col(vecCol)).as("nq"))
+      .withColumn("cell", explode(nearestCells(col("qv"), cents, nprobe)))
 
     assigned.join(probes, "cell")
       .where(col("id") =!= col("qid"))
