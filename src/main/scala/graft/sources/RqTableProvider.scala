@@ -12,6 +12,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -66,7 +67,8 @@ final class RqTable(properties: Map[String, String])
   override def schema(): StructType = RqTableProvider.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ)
+      TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch {
@@ -107,9 +109,34 @@ final class RqTable(properties: Map[String, String])
       override def truncate(): WriteBuilder = this
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new RqBatchWrite(merged)
+        override def toStreaming: streaming.StreamingWrite =
+          new RqStreamingWrite(merged)
       }
     }
   }
+}
+
+/** Streaming sink: `df.writeStream.format("rq")...` — the full
+  * reference pipeline shape (unbounded in → rq-format out). Each
+  * epoch's partitions write epoch-unique shards through the same
+  * streaming per-record encoders as the batch path.
+  */
+final class RqStreamingWrite(options: Map[String, String])
+    extends streaming.StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
+    RqStreamingWriterFactory(options)
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+final case class RqStreamingWriterFactory(options: Map[String, String])
+    extends streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new RqDataWriter(options, f"part-$epochId%05d-$partitionId%05d")
 }
 
 final case class RqInputPartition(file: String, format: String,
@@ -154,10 +181,10 @@ final class RqBatchWrite(options: Map[String, String]) extends BatchWrite {
 final case class RqWriterFactory(options: Map[String, String])
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new RqDataWriter(options, partitionId)
+    new RqDataWriter(options, f"part-$partitionId%05d")
 }
 
-final class RqDataWriter(options: Map[String, String], partitionId: Int)
+final class RqDataWriter(options: Map[String, String], baseName: String)
     extends DataWriter[InternalRow] {
 
   private val (dir, fmt, _) = RqTableProvider.opts(options)
@@ -171,7 +198,7 @@ final class RqDataWriter(options: Map[String, String], partitionId: Int)
   // produce empty shards, avro header-only files) and every record is
   // encoded straight into the open stream. No partition-sized buffer:
   // a 100 GB partition needs one record of executor memory.
-  private val path = new Path(dir, f"part-$partitionId%05d.$ext")
+  private val path = new Path(dir, s"$baseName.$ext")
   private var out: org.apache.hadoop.fs.FSDataOutputStream = _
   private var enc: RqFormat.RecordEncoder = _
 

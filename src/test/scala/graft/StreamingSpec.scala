@@ -73,6 +73,28 @@ class StreamingSpec extends SparkSpec {
     assert(pairs(streamed) == pairs(batch))
   }
 
+  test("rq streaming sink: readStream rq -> writeStream rq round-trip") {
+    import java.nio.file.Files
+    val inDir = Files.createTempDirectory("rq_ss_in")
+    val outDir = Files.createTempDirectory("rq_ss_out").toString
+    val ckpt = Files.createTempDirectory("rq_ss_ck").toString
+    Files.writeString(inDir.resolve("a.json"),
+      """{"k":1,"s":"x"} {"k":2,"s":"y"}""")
+    val engine = new graft.RqEngine(spark)
+    val q = spark.readStream
+      .format(classOf[graft.sources.RqTableProvider].getName)
+      .option("recordFormat", "json").load(inDir.toString)
+      .writeStream.format(classOf[graft.sources.RqTableProvider].getName)
+      .option("recordFormat", "msgpack").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // read back the msgpack shards through the batch source
+    val back = engine.read("msgpack", outDir)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(back == Seq("""{"k":1,"s":"x"}""", """{"k":2,"s":"y"}"""))
+  }
+
   test("stateful dedup within watermark keeps one row per key") {
     val deduped = Streams.runToMemory(spark, sf0001,
       Streams.dedupWithinWatermark, "t_dedup")
