@@ -236,7 +236,14 @@ object JsonCodec {
     * (the reference's constant-memory StreamDeserializer property,
     * json.rs:53-58): one value in flight, never the whole input.
     */
-  private final class Cursor(r: java.io.Reader) {
+  private sealed abstract class Cursor {
+    def read(): Int
+    def unread(c: Int): scala.Unit
+    def peek(): Int
+    def offset: Int
+  }
+
+  private final class ReaderCursor(r: java.io.Reader) extends Cursor {
     private var pushed: Int = -2 // -2 = no pushback
     private var pos: Int = 0
     def read(): Int = {
@@ -251,8 +258,21 @@ object JsonCodec {
     def offset: Int = pos
   }
 
+  /** Offset cursor over an in-memory String — the per-row hot path of
+    * the codec expressions (to_/from_ × 100k+ rows): no Reader lock,
+    * no pushback indirection.
+    */
+  private final class StringCursor(s: String) extends Cursor {
+    private var pos: Int = 0
+    def read(): Int =
+      if (pos < s.length) { val c = s.charAt(pos); pos += 1; c } else -1
+    def unread(c: Int): scala.Unit = if (c >= 0) pos -= 1
+    def peek(): Int = if (pos < s.length) s.charAt(pos) else -1
+    def offset: Int = pos
+  }
+
   def parse(s: String): Value = {
-    val cur = new Cursor(new java.io.StringReader(s))
+    val cur = new StringCursor(s)
     val v = parseValue(cur)
     skipWs(cur)
     if (cur.peek() >= 0) throw err("trailing content", cur.offset)
@@ -263,13 +283,15 @@ object JsonCodec {
     * framing: serde_json StreamDeserializer, json.rs:53-58).
     */
   def parseStream(s: String): Vector[Value] =
-    parseIterator(new java.io.StringReader(s)).toVector
+    parseIterator(new StringCursor(s)).toVector
 
   /** Incremental whitespace-separated value stream from an open reader:
     * one value in flight, constant memory regardless of input size.
     */
-  def parseIterator(r: java.io.Reader): Iterator[Value] = {
-    val cur = new Cursor(r)
+  def parseIterator(r: java.io.Reader): Iterator[Value] =
+    parseIterator(new ReaderCursor(r))
+
+  private def parseIterator(cur: Cursor): Iterator[Value] = {
     new Iterator[Value] {
       def hasNext: Boolean = { skipWs(cur); cur.peek() >= 0 }
       def next(): Value = parseValue(cur)
