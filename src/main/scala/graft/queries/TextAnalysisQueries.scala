@@ -130,6 +130,22 @@ object TextAnalysisQueries {
         .orderBy("doc_id")
     },
 
+    // Regex redaction (PII-scrub shape): replace digit runs in the
+    // events props payload, count touched rows + output size. Same
+    // pattern dialect in both engines ('[0-9]+' is ERE ∩ Java-regex).
+    Q("xt6_redact",
+      """SELECT CAST(SUM(LENGTH(red)) AS BIGINT) AS chars,
+        |CAST(COUNT(*) FILTER (red <> props) AS BIGINT) AS changed
+        |FROM (SELECT props,
+        |        REGEXP_REPLACE(props, '[0-9]+', '<NUM>', 'g') AS red
+        |      FROM events)""".stripMargin) { (s, d) =>
+      t(s, d, "events")
+        .select(col("props"),
+          regexp_replace(col("props"), "[0-9]+", "<NUM>").as("red"))
+        .agg(sum(length(col("red"))).cast("long").as("chars"),
+          count(when(col("red") =!= col("props"), 1)).as("changed"))
+    },
+
     // Sliding-window chunking (64-token windows, stride 32) — the
     // document→training-sample op. Oracle replays the same slicing
     // with DuckDB list ops (1-based inclusive fw[s+1 : s+64] ==
