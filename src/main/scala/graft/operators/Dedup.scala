@@ -89,7 +89,8 @@ object Dedup {
     */
   def minhashCandidates(
       docs: DataFrame, idCol: String, shinglesCol: String,
-      bands: Int = 32, rowsPerBand: Int = 4): DataFrame = {
+      bands: Int = 32, rowsPerBand: Int = 4,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     val k = bands * rowsPerBand
     val sig = docs.select(col(idCol).as("__id"),
       HashFns.minhashSignature(col(shinglesCol), k).as("__sig"))
@@ -102,13 +103,32 @@ object Dedup {
       posexplode_outer(transform(sequence(lit(0), lit(bands - 1)),
         i => slice(col("__sig"), i * rowsPerBand + 1, lit(rowsPerBand))))
         .as(Seq("__band", "__key")))
+    joinBuckets(capBuckets(banded, maxBucket))
+  }
+
+  /** Candidate join over banded rows: a-b pairs sharing a bucket. */
+  private def joinBuckets(banded: DataFrame): DataFrame =
     banded.as("x").join(banded.as("y"),
         col("x.__band") === col("y.__band") &&
           col("x.__key") === col("y.__key") &&
           col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("a"), col("y.__id").as("b"))
       .distinct()
-  }
+
+  /** LSH bucket-size skew guard: a bucket of m members contributes
+    * m²/2 candidate pairs — a mass-duplicated document (boilerplate,
+    * crawler artifacts) lands its whole clique in EVERY band's bucket
+    * and a single hot key dominates the join. Buckets above maxBucket
+    * contribute no candidates (the standard pathological-bucket skip);
+    * their members still pair through any non-hot bucket they share.
+    * Default = uncapped (exact oracle parity).
+    */
+  private def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame =
+    if (maxBucket == Int.MaxValue) banded
+    else banded.join(
+      banded.groupBy("__band", "__key").agg(count(lit(1)).as("__bc"))
+        .where(col("__bc") <= maxBucket).select("__band", "__key"),
+      Seq("__band", "__key"))
 
   /** MinHash near-dup pairs, verified by exact Jaccard ≥ threshold on
     * the candidate set. With blocked candidates + exact verification the
@@ -120,11 +140,13 @@ object Dedup {
   def minhashNearDups(
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3,
-      bands: Int = 32, rowsPerBand: Int = 4): DataFrame = {
+      bands: Int = 32, rowsPerBand: Int = 4,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     val sh = docs.select(col(idCol).as("__id"),
       TextFns.wordShingles(col(textCol), shingleN).as("__sh"))
     val cand = minhashCandidates(
-      sh.withColumnRenamed("__id", "id"), "id", "__sh", bands, rowsPerBand)
+      sh.withColumnRenamed("__id", "id"), "id", "__sh", bands, rowsPerBand,
+      maxBucket)
     cand
       .join(sh.select(col("__id").as("a"), col("__sh").as("__sa")), "a")
       .join(sh.select(col("__id").as("b"), col("__sh").as("__sb")), "b")
@@ -140,17 +162,18 @@ object Dedup {
     */
   def simhashNearDups(
       docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+      maxHamming: Int = 3, bands: Int = 4,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     require(maxHamming <= bands - 1,
       s"recall guarantee needs maxHamming <= bands-1")
     val bits = 60 / bands
     val mask = (1L << bits) - 1
     val sh = docs.select(col(idCol).as("__id"),
       HashFns.simhash60(TextFns.tokenSet(col(textCol))).as("__s"))
-    val banded = sh.select(col("__id"), col("__s"),
+    val banded = capBuckets(sh.select(col("__id"), col("__s"),
       posexplode_outer(array((0 until bands).map(i =>
         shiftright(col("__s"), i * bits).bitwiseAND(mask)): _*))
-        .as(Seq("__band", "__key")))
+        .as(Seq("__band", "__key"))), maxBucket)
     banded.as("x").join(banded.as("y"),
         col("x.__band") === col("y.__band") &&
           col("x.__key") === col("y.__key") &&

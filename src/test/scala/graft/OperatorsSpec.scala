@@ -115,6 +115,34 @@ class OperatorsSpec extends SparkSpec {
     assert(blocked == brute)
   }
 
+  test("LSH bucket cap skips pathological buckets, keeps normal pairs") {
+    import spark.implicits._
+    // 12 identical docs (a dup clique: every band bucket has 12
+    // members) + one ordinary near-dup pair
+    val boiler = "exactly the same boilerplate text repeated verbatim " +
+      "across many crawled pages again and again"
+    val docs = ((1L to 12L).map(i => (i, boiler)) ++ Seq(
+      (20L, "a genuinely unique document about spark lsh banding quality"),
+      (21L, "a genuinely unique document about spark lsh banding scale")))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.minhashNearDups(docs, "doc_id", "text", 0.4)
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.minhashNearDups(docs, "doc_id", "text", 0.4,
+        maxBucket = 8)
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((1L, 2L)) && uncapped.contains((20L, 21L)))
+    // clique pairs suppressed (every shared bucket is hot), normal pair kept
+    assert(capped == Set((20L, 21L)))
+    // a permissive cap changes nothing
+    val permissive = Dedup.minhashNearDups(docs, "doc_id", "text", 0.4,
+        maxBucket = 1000)
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(permissive == uncapped)
+  }
+
   test("chunkDocs: window/stride boundaries, short docs, empty docs") {
     import spark.implicits._
     val docs = Seq(
