@@ -43,4 +43,27 @@ object Scale {
       .groupBy(keys: _*)
       .agg(count(lit(1)).as(outCol))
   }
+  /** Deterministic hash split/sample: bucket = integer value of the
+    * first two hex chars of md5(key-as-string), i.e. a uniform,
+    * engine-independent 0..255 draw that is exactly reproducible on
+    * any cluster size, partitioning, or engine (md5 is md5 — this is
+    * how training corpora get stable train/val/test membership and
+    * stable N% samples across reruns, unlike rand()-based sampling).
+    * A narrow map; no shuffle, no RNG state.
+    */
+  def hashBucket(keyAsString: Column): Column =
+    conv(substring(md5(keyAsString), 1, 2), 16, 10).cast(IntegerType)
+
+  /** Stable fraction sample: keep rows whose bucket < 256·fraction. */
+  def hashSample(df: DataFrame, keyCol: Column, fraction: Double): DataFrame =
+    df.where(hashBucket(keyCol.cast(StringType)) <
+      math.round(256 * fraction).toInt)
+
+  /** Stable 3-way split labels over bucket thresholds (train/val/test). */
+  def splitLabel(keyAsString: Column, trainUpto: Int = 205,
+      valUpto: Int = 230): Column = {
+    val b = hashBucket(keyAsString)
+    when(b < trainUpto, "train").when(b < valUpto, "val").otherwise("test")
+  }
+
 }
