@@ -118,10 +118,40 @@ object TextAnalysisQueries {
         .orderBy("doc_id")
     },
 
-    // Winnowing fingerprint (rolling-hash, custom Expression) — not
-    // SQL-expressible → rows-only driver check; exact values pinned in
-    // TextAnalysisSpec. Shared-entry counts feed near-dup audit.
-    Q.noOracle("xt4_fingerprint") { (s, d) =>
+    // Winnowing fingerprint (rolling-hash, custom Expression). The
+    // oracle replays the whole MOSS pipeline in SQL — normalize,
+    // 8-gram polynomial rolling hash mod 2^31-1 via LIST_REDUCE,
+    // min-per-4-window, distinct-sorted — upgrading this from the
+    // round-1 rows-only check to the full hash gate.
+    Q("xt4_fingerprint",
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g') AS s
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, s, LEN(s) AS n FROM d
+        |), h AS (
+        |  SELECT doc_id, n,
+        |    CASE WHEN n >= 8 THEN
+        |      LIST_TRANSFORM(RANGE(1, n - 8 + 2), i ->
+        |        LIST_REDUCE(LIST_TRANSFORM(RANGE(0, 8), j ->
+        |          CAST(ORD(SUBSTR(s, CAST(i + j AS INT), 1)) AS BIGINT)),
+        |          (acc, x) -> (acc * 257 + x) % 2147483647))
+        |    ELSE [] END AS hashes
+        |  FROM g
+        |), sel AS (
+        |  SELECT doc_id, LEN(hashes) AS nh,
+        |    CASE
+        |      WHEN nh = 0 THEN []
+        |      WHEN nh < 4 THEN [LIST_MIN(hashes)]
+        |      ELSE LIST_SORT(LIST_DISTINCT(
+        |        LIST_TRANSFORM(RANGE(1, nh - 4 + 2), w ->
+        |          LIST_MIN(hashes[w : w + 3]))))
+        |    END AS fp
+        |  FROM h
+        |)
+        |SELECT doc_id, CAST(LEN(fp) AS INT) AS n_fp, fp[1] AS fp_min
+        |FROM sel ORDER BY doc_id""".stripMargin) { (s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"),
           HashFns.winnowFingerprint(col("text")).as("fp"))
