@@ -35,7 +35,14 @@ object ProtoSchema {
 
   final case class PField(name: String, number: Int, repeated: Boolean,
       ptype: PType)
-  final case class PMessage(fqName: String, fields: Vector[PField])
+  final case class PMessage(fqName: String, fields: Vector[PField]) {
+    // per-descriptor lookup caches — the wire codec runs per RECORD,
+    // and rebuilding these maps per record dominated qc6's profile
+    @transient lazy val byNumber: Map[Int, PField] =
+      fields.map(f => f.number -> f).toMap
+    @transient lazy val byName: Map[String, PField] =
+      fields.map(f => f.name -> f).toMap
+  }
   final case class PEnum(fqName: String, values: Map[Int, String])
 
   /** A compiled schema set: fully-qualified name → descriptor. Message

@@ -110,7 +110,7 @@ object ProtoWire {
   private def encodeMessage(v: Value, msg: PMessage, schema: PSchemaSet,
       w: Writer): Unit = v match {
     case Value.Map(kvs) =>
-      val byName = msg.fields.map(f => f.name -> f).toMap
+      val byName = msg.byName
       kvs.foreach {
         case (Value.Str(name), fieldValue) =>
           val f = byName.getOrElse(name, throw new IllegalArgumentException(
@@ -230,7 +230,7 @@ object ProtoWire {
 
   private def decodeMessage(r: Reader, msg: PMessage,
       schema: PSchemaSet): Value = {
-    val byNumber = msg.fields.map(f => f.number -> f).toMap
+    val byNumber = msg.byNumber
     // insertion-ordered accumulation; repeated fields accumulate Vectors
     val order = scala.collection.mutable.ArrayBuffer.empty[String]
     val acc = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Value]]
