@@ -11,8 +11,10 @@ object Verify {
     }
     val sfDir = args(0)
     val outDir = args(1)
-    // optional filter for local iteration; the driver passes 2 args
-    val nameRe = if (args.length == 3) args(2) else ".*"
+    // optional filter for local iteration (substring-find semantics,
+    // so `qc6` matches qc6_protobuf_expr); the driver passes 2 args
+    val nameRe =
+      java.util.regex.Pattern.compile(if (args.length == 3) args(2) else "")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -23,7 +25,8 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(_._1.matches(nameRe)).foreach { case (name, fn) =>
+    SparkEntry.queries.filter(q => nameRe.matcher(q._1).find())
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -42,7 +45,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(_._1.matches(nameRe))
+    val json = SparkEntry.oracleSql.filter(q => nameRe.matcher(q._1).find())
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -47,9 +47,6 @@ object TextFns {
     */
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Count of BPE-ish tokens: letter runs, digit runs, single other
-    * non-space chars. Same regex semantics in java.util.regex and RE2.
-    */
   /** Sliding-window document chunking (training-data prep): split a
     * document into overlapping token windows of `maxTokens` every
     * `stride` tokens — the op that turns a 100TB document corpus into
@@ -75,6 +72,9 @@ object TextFns {
           " ").as("chunk"))
   }
 
+  /** Count of BPE-ish tokens: letter runs, digit runs, single other
+    * non-space chars. Same regex semantics in java.util.regex and RE2.
+    */
   def tokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
 }

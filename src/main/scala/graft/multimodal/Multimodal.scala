@@ -113,11 +113,16 @@ object Multimodal {
     require(frameCount > 0 && stride > 0)
     media.mapPartitions { it =>
       it.flatMap { r =>
-        val frameSize = math.max(1, r.payload.length / frameCount)
+        // ceil framing: frames tile the WHOLE payload (no unreachable
+        // tail bytes); frames past the end are skipped, not emitted
+        // empty (short payloads yield fewer frames)
+        val frameSize =
+          math.max(1, (r.payload.length + frameCount - 1) / frameCount)
         (0 until frameCount by stride).iterator
-          .map { f =>
-            val from = math.min(f * frameSize, r.payload.length)
-            val until = math.min(from + frameSize, r.payload.length)
+          .map(f => (f, f * frameSize,
+            math.min(f * frameSize + frameSize, r.payload.length)))
+          .takeWhile { case (_, from, _) => from < r.payload.length }
+          .map { case (f, from, until) =>
             MediaFrame(r.media_id, f,
               java.util.Arrays.copyOfRange(r.payload, from, until))
           }

@@ -54,6 +54,11 @@ object Dedup {
       labels = next.select(col("id"), col("next_label").as("label"))
       i += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still improving) — a component with " +
+          "diameter > maxIter exists; raise maxIter")
     labels.select(col("id"), col("label").as("component"))
   }
 
@@ -268,19 +273,14 @@ object Dedup {
   def embeddingNearDupsLSH(
       emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bands: Int = 96, bitsPerBand: Int = 12,
-      seed: Int = 0x5eed): DataFrame = {
+      seed: Int = 0x5eed, maxBucket: Int = Int.MaxValue): DataFrame = {
     val e = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"),
       TextFns.l2norm(col(vecCol)).as("__n"),
       HashFns.hyperplaneBands(col(vecCol), bands, bitsPerBand, seed)
         .as("__bk"))
     val banded = e.select(col("__id"),
       posexplode_outer(col("__bk")).as(Seq("__band", "__key")))
-    val cand = banded.as("x").join(banded.as("y"),
-        col("x.__band") === col("y.__band") &&
-          col("x.__key") === col("y.__key") &&
-          col("x.__id") < col("y.__id"))
-      .select(col("x.__id").as("a"), col("y.__id").as("b"))
-      .distinct()
+    val cand = joinBuckets(capBuckets(banded, maxBucket))
     cand
       .join(e.select(col("__id").as("a"), col("__v").as("__va"),
         col("__n").as("__na")), "a")

@@ -54,10 +54,19 @@ object Scale {
   def hashBucket(keyAsString: Column): Column =
     conv(substring(md5(keyAsString), 1, 2), 16, 10).cast(IntegerType)
 
-  /** Stable fraction sample: keep rows whose bucket < 256·fraction. */
-  def hashSample(df: DataFrame, keyCol: Column, fraction: Double): DataFrame =
-    df.where(hashBucket(keyCol.cast(StringType)) <
-      math.round(256 * fraction).toInt)
+  /** 16-bit variant for finer thresholds (sampling). */
+  def hashBucket16(keyAsString: Column): Column =
+    conv(substring(md5(keyAsString), 1, 4), 16, 10).cast(IntegerType)
+
+  /** Stable fraction sample over 65536 buckets; fractions below the
+    * 1/65536 grain are a config error, not an empty result.
+    */
+  def hashSample(df: DataFrame, keyCol: Column, fraction: Double): DataFrame = {
+    val cut = math.round(65536 * fraction).toInt
+    require(cut >= 1 && fraction <= 1.0,
+      s"hashSample: fraction $fraction below 1/65536 granularity")
+    df.where(hashBucket16(keyCol.cast(StringType)) < cut)
+  }
 
   /** Stable 3-way split labels over bucket thresholds (train/val/test). */
   def splitLabel(keyAsString: Column, trainUpto: Int = 205,

@@ -72,6 +72,17 @@ object Similarity {
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int = 3): DataFrame = {
     val spark = corpus.sparkSession
+    spark.createDataFrame(
+      kmeansCentroidsLocal(corpus, idCol, vecCol, nlist, iters))
+      .toDF("cent_id", "cent_v")
+  }
+
+  /** Driver-side centroid matrix (tiny) — avoids a DataFrame
+    * round-trip for callers that broadcast it as a plan constant.
+    */
+  private def kmeansCentroidsLocal(corpus: DataFrame, idCol: String,
+      vecCol: String, nlist: Int, iters: Int): Seq[(Long, Seq[Double])] = {
+    val spark = corpus.sparkSession
     import spark.implicits._
     val c = corpus.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast(DoubleType)).as("v"))
@@ -97,8 +108,7 @@ object Similarity {
       cents = next
       i += 1
     }
-    spark.createDataFrame(cents.map(c0 => (c0._1, c0._2)))
-      .toDF("cent_id", "cent_v")
+    cents
   }
 
   /** IVF-style ANN: seeded-k-means centroids (deterministic Lloyd
@@ -109,9 +119,8 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 3): DataFrame = {
-    import corpus.sparkSession.implicits._
-    val cents = kmeansCentroids(corpus, idCol, vecCol, nlist, kmeansIters)
-      .as[(Long, scala.Seq[Double])].collect().sortBy(_._1).toSeq
+    val cents =
+      kmeansCentroidsLocal(corpus, idCol, vecCol, nlist, kmeansIters)
 
     val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
         TextFns.l2norm(col(vecCol)).as("nv"))

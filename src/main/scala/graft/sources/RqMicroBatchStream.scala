@@ -27,7 +27,10 @@ final class RqMicroBatchStream(options: Map[String, String])
     if (!fs.exists(p)) Array.empty
     else if (fs.getFileStatus(p).isDirectory)
       fs.listStatus(p).filter(_.isFile).map(_.getPath.toString)
-        .filterNot(f => new Path(f).getName.startsWith("_"))
+        .filterNot { f =>
+          val n = new Path(f).getName
+          n.startsWith("_") || n.startsWith(".") // hidden + temps
+        }
         .sorted
     else Array(p.toString)
   }

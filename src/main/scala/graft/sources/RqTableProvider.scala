@@ -87,7 +87,9 @@ final class RqTable(properties: Map[String, String])
           val p = new Path(path)
           if (fs.getFileStatus(p).isDirectory)
             fs.listStatus(p).filter(_.isFile).map(_.getPath)
-              .filterNot(_.getName.startsWith("_")).sortBy(_.toString)
+              .filterNot(f => f.getName.startsWith("_") ||
+                f.getName.startsWith(".")) // hidden + in-flight temps
+              .sortBy(_.toString)
           else Array(p)
         }
         files.map(f =>
@@ -136,7 +138,7 @@ final case class RqStreamingWriterFactory(options: Map[String, String])
     extends streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new RqDataWriter(options, f"part-$epochId%05d-$partitionId%05d")
+    new RqDataWriter(options, f"part-$epochId%05d-$partitionId%05d", taskId)
 }
 
 final case class RqInputPartition(file: String, format: String,
@@ -181,11 +183,11 @@ final class RqBatchWrite(options: Map[String, String]) extends BatchWrite {
 final case class RqWriterFactory(options: Map[String, String])
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new RqDataWriter(options, f"part-$partitionId%05d")
+    new RqDataWriter(options, f"part-$partitionId%05d", taskId)
 }
 
-final class RqDataWriter(options: Map[String, String], baseName: String)
-    extends DataWriter[InternalRow] {
+final class RqDataWriter(options: Map[String, String], baseName: String,
+    taskId: Long) extends DataWriter[InternalRow] {
 
   private val (dir, fmt, _) = RqTableProvider.opts(options)
   private val ext = fmt match {
@@ -198,13 +200,22 @@ final class RqDataWriter(options: Map[String, String], baseName: String)
   // produce empty shards, avro header-only files) and every record is
   // encoded straight into the open stream. No partition-sized buffer:
   // a 100 GB partition needs one record of executor memory.
-  private val path = new Path(dir, s"$baseName.$ext")
+  //
+  // Attempt safety: records stream into an ATTEMPT-UNIQUE temp file
+  // (dot-prefixed → invisible to the reader's listing); commit()
+  // renames it onto the final shard name. Concurrent speculative /
+  // zombie attempts of the same partition therefore never touch each
+  // other's bytes, and abort() deletes only this attempt's temp.
+  // Spark's commit coordinator admits one commit per partition, so the
+  // rename target is written exactly once.
+  private val finalPath = new Path(dir, s"$baseName.$ext")
+  private val tmpPath = new Path(dir, s".$baseName-attempt-$taskId.$ext.tmp")
   private var out: org.apache.hadoop.fs.FSDataOutputStream = _
   private var enc: RqFormat.RecordEncoder = _
 
   override def write(record: InternalRow): Unit = {
     if (enc == null) {
-      out = path.getFileSystem(new Configuration()).create(path, true)
+      out = tmpPath.getFileSystem(new Configuration()).create(tmpPath, true)
       enc = RqFormat.encoder(fmt, out, options)
     }
     enc.write(JsonCodec.parse(record.getUTF8String(0).toString))
@@ -215,13 +226,18 @@ final class RqDataWriter(options: Map[String, String], baseName: String)
       enc.finish()
       out.close()
       enc = null; out = null
+      val fs = finalPath.getFileSystem(new Configuration())
+      fs.delete(finalPath, false) // clear any stale shard, then move
+      if (!fs.rename(tmpPath, finalPath))
+        throw new java.io.IOException(
+          s"rq sink: failed to commit $tmpPath -> $finalPath")
     }
     new WriterCommitMessage {}
   }
   override def abort(): Unit = if (out != null) {
-    // drop the partial shard so a failed task leaves no torn output
+    // drop only this attempt's temp; committed shards stay intact
     out.close()
-    path.getFileSystem(new Configuration()).delete(path, false)
+    tmpPath.getFileSystem(new Configuration()).delete(tmpPath, false)
   }
   override def close(): Unit = ()
 }

@@ -63,12 +63,24 @@ class MultimodalSpec extends SparkSpec {
       .collect()(0)
     val sampled = frames.filter(_.media_id == one.media_id)
       .sortBy(_.frame_no)
-    val frameSize = math.max(1, one.payload.length / 8)
+    // ceil framing tiles the whole payload; no frame starts past the end
+    val frameSize = math.max(1, (one.payload.length + 7) / 8)
     sampled.foreach { f =>
+      assert(f.frame_no * frameSize < one.payload.length)
       val expect = java.util.Arrays.copyOfRange(one.payload,
-        math.min(f.frame_no * frameSize, one.payload.length),
+        f.frame_no * frameSize,
         math.min(f.frame_no * frameSize + frameSize, one.payload.length))
       assert(java.util.Arrays.equals(f.frame, expect))
+      assert(f.frame.nonEmpty)
     }
+    // stride=1 over a tiny payload: frames concatenate to the payload,
+    // no empty frames for payload shorter than frameCount
+    import spark.implicits._
+    val tiny = Seq(Multimodal.MediaRecord(99L, "video",
+      Array[Byte](1, 2, 3, 4, 5), 0, 0, 5L)).toDS()
+    val tf = Multimodal.sampleFrames(tiny, frameCount = 8, stride = 1)
+      .collect().sortBy(_.frame_no)
+    assert(tf.forall(_.frame.nonEmpty))
+    assert(tf.flatMap(_.frame).toSeq == Seq[Byte](1, 2, 3, 4, 5))
   }
 }
