@@ -110,6 +110,20 @@ class StreamIOSpec extends AnyFunSuite {
     assert(back.head == Value.obj("s" -> Value.Str("y" * 100)))
   }
 
+  test("rq reader skips dot-prefixed temps and underscore files") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("rq_list")
+    Files.writeString(dir.resolve("a.json"), "{\"k\":1}\n")
+    Files.writeString(dir.resolve(".b-attempt-7.json.tmp"), "{\"k\":99}\n")
+    Files.writeString(dir.resolve("_SUCCESS"), "")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").getOrCreate()
+    val got = new graft.RqEngine(spark).read("json", dir.toString)
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("{\"k\":1}"),
+      "in-flight attempt temps and markers must be invisible to reads")
+  }
+
   test("streamed encode output round-trips for every record format") {
     val records = Vector(
       Value.obj("a" -> Value.I64(1), "b" -> Value.Str("x")),
