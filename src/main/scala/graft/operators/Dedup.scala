@@ -95,20 +95,25 @@ object Dedup {
   def minhashCandidates(
       docs: DataFrame, idCol: String, shinglesCol: String,
       bands: Int = 32, rowsPerBand: Int = 4,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
+      maxBucket: Int = Int.MaxValue): DataFrame =
+    joinBuckets(capBuckets(
+      minhashBanded(docs, idCol, shinglesCol, bands, rowsPerBand),
+      maxBucket))
+
+  /** One row per (band index, band-slice bucket key) per document.
+    * posexplode_outer: band arrays are fixed-length, never empty, and
+    * the outer variant skips the size>0/isnotnull pre-filter that
+    * would re-evaluate the signature expression twice more per row.
+    */
+  private def minhashBanded(docs: DataFrame, idCol: String,
+      shinglesCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
     val k = bands * rowsPerBand
     val sig = docs.select(col(idCol).as("__id"),
       HashFns.minhashSignature(col(shinglesCol), k).as("__sig"))
-    // one row per (band index, band slice); the slice array is the
-    // LSH bucket key
-    // posexplode_outer: band arrays are fixed-length, never empty, and
-    // the outer variant skips the size>0/isnotnull pre-filter that
-    // would re-evaluate the signature expression twice more per row
-    val banded = sig.select(col("__id"),
+    sig.select(col("__id"),
       posexplode_outer(transform(sequence(lit(0), lit(bands - 1)),
         i => slice(col("__sig"), i * rowsPerBand + 1, lit(rowsPerBand))))
         .as(Seq("__band", "__key")))
-    joinBuckets(capBuckets(banded, maxBucket))
   }
 
   /** Candidate join over banded rows: a-b pairs sharing a bucket. */
@@ -155,6 +160,39 @@ object Dedup {
     cand
       .join(sh.select(col("__id").as("a"), col("__sh").as("__sa")), "a")
       .join(sh.select(col("__id").as("b"), col("__sh").as("__sb")), "b")
+      .select(col("a"), col("b"),
+        TextFns.jaccard(col("__sa"), col("__sb")).as("j"))
+      .where(col("j") >= threshold)
+  }
+
+  /** Incremental near-dup: pairs between a NEW batch and an EXISTING
+    * corpus only — the continuous-ingestion shape. The delta's banded
+    * signatures join the corpus's banded signatures on (band, key), so
+    * cost is Σ bucket_new × bucket_corpus per key — never corpus², and
+    * nothing about the historical corpus is recomputed pairwise.
+    * Output: (a = corpus id, b = new id, j). Caller contract: id
+    * spaces are disjoint.
+    */
+  def minhashNearDupsAgainst(
+      newDocs: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, threshold: Double, shingleN: Int = 3,
+      bands: Int = 32, rowsPerBand: Int = 4,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    def shingled(df: DataFrame) = df.select(col(idCol).as("__id"),
+      TextFns.wordShingles(col(textCol), shingleN).as("__sh"))
+    val shN = shingled(newDocs)
+    val shC = shingled(corpus)
+    val bandedC = capBuckets(
+      minhashBanded(shC, "__id", "__sh", bands, rowsPerBand), maxBucket)
+    val bandedN = minhashBanded(shN, "__id", "__sh", bands, rowsPerBand)
+    val cand = bandedC.as("x").join(bandedN.as("y"),
+        col("x.__band") === col("y.__band") &&
+          col("x.__key") === col("y.__key"))
+      .select(col("x.__id").as("a"), col("y.__id").as("b"))
+      .distinct()
+    cand
+      .join(shC.select(col("__id").as("a"), col("__sh").as("__sa")), "a")
+      .join(shN.select(col("__id").as("b"), col("__sh").as("__sb")), "b")
       .select(col("a"), col("b"),
         TextFns.jaccard(col("__sa"), col("__sb")).as("j"))
       .where(col("j") >= threshold)

@@ -18,7 +18,8 @@ object DedupQueries {
     * MinHash-LSH and relational-Jaccard entries.
     */
   private[queries] def jaccardOracleSql(threshold: Double,
-      maxDocFreq: Option[Int] = None): String = {
+      maxDocFreq: Option[Int] = None,
+      pairCond: String = "x.doc_id < y.doc_id"): String = {
     val shExpr = maxDocFreq match {
       case None => "sh0"
       // same df cap as Dedup.ngramJaccardPairs, in lockstep
@@ -42,7 +43,7 @@ object DedupQueries {
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS ix
-       |  FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+       |  FROM sh x JOIN sh y ON x.s = y.s AND ($pairCond)
        |  GROUP BY 1, 2
        |)
        |SELECT a, b, ROUND(CAST(ix AS DOUBLE) / (sa.n + sb.n - ix), 4) AS j
@@ -186,6 +187,21 @@ object DedupQueries {
       val pairs = Dedup.minhashNearDups(t(s, d, "documents"),
         "doc_id", "text", threshold = 0.5)
       Dedup.connectedComponents(pairs, "a", "b").orderBy("id")
+    },
+
+    // Incremental dedup: near-dup pairs between a NEW half of the
+    // corpus and the EXISTING half only (continuous-ingestion shape —
+    // no corpus self-join). Oracle = exact cross-half all-pairs SQL.
+    Q("xd8_incremental",
+      jaccardOracleSql(0.5,
+        pairCond = "x.doc_id < 250 AND y.doc_id >= 250")) { (s, d) =>
+      val docs = t(s, d, "documents")
+      Dedup.minhashNearDupsAgainst(
+          docs.where(col("doc_id") >= 250),
+          docs.where(col("doc_id") < 250),
+          "doc_id", "text", threshold = 0.5)
+        .select(col("a"), col("b"), round(col("j"), 4).as("j"))
+        .orderBy("a", "b")
     },
 
     // Exact dedup keep-first: survivors of normalized-text dedup.
