@@ -151,9 +151,16 @@ final case class RqReaderFactory() extends PartitionReaderFactory {
 
 final class RqPartitionReader(part: RqInputPartition)
     extends PartitionReader[InternalRow] {
-  private val stream = {
+  private val stream: java.io.InputStream = {
     val p = new Path(part.file)
-    p.getFileSystem(new Configuration()).open(p)
+    val conf = new Configuration()
+    val raw = p.getFileSystem(conf).open(p)
+    // transparent decompression by extension (.gz/.bz2/...), exactly
+    // like Hadoop text inputs — crawl dumps arrive compressed;
+    // decompression composes with the incremental decode below
+    val codec = new org.apache.hadoop.io.compress.CompressionCodecFactory(
+      conf).getCodec(p)
+    if (codec != null) codec.createInputStream(raw) else raw
   }
   // incremental decode straight off the open FS stream: one record in
   // flight, constant memory per task regardless of file size (only
@@ -190,11 +197,19 @@ final class RqDataWriter(options: Map[String, String], baseName: String,
     taskId: Long) extends DataWriter[InternalRow] {
 
   private val (dir, fmt, _) = RqTableProvider.opts(options)
-  private val ext = fmt match {
+  // optional whole-file compression (option "compression": gzip|none);
+  // the reader auto-detects by extension
+  private val gzip = options.get("compression") match {
+    case Some("gzip") => true
+    case None | Some("none") => false
+    case Some(other) => throw new IllegalArgumentException(
+      s"rq sink: unsupported compression $other (gzip|none)")
+  }
+  private val ext = (fmt match {
     case "json" => "json"; case "msgpack" => "mp"; case "cbor" => "cbor"
     case "raw" => "txt"; case "yaml" => "yaml"; case "toml" => "toml"
     case "avro" => "avro"; case "csv" => "csv"; case other => other
-  }
+  }) + (if (gzip) ".gz" else "")
   // Streaming sink: the file opens on the FIRST record (empty
   // partitions emit nothing — record-per-file formats would otherwise
   // produce empty shards, avro header-only files) and every record is
@@ -210,12 +225,15 @@ final class RqDataWriter(options: Map[String, String], baseName: String,
   // rename target is written exactly once.
   private val finalPath = new Path(dir, s"$baseName.$ext")
   private val tmpPath = new Path(dir, s".$baseName-attempt-$taskId.$ext.tmp")
-  private var out: org.apache.hadoop.fs.FSDataOutputStream = _
+  private var out: java.io.OutputStream = _
   private var enc: RqFormat.RecordEncoder = _
 
   override def write(record: InternalRow): Unit = {
     if (enc == null) {
-      out = tmpPath.getFileSystem(new Configuration()).create(tmpPath, true)
+      val raw = tmpPath.getFileSystem(new Configuration())
+        .create(tmpPath, true)
+      out = if (gzip) new java.util.zip.GZIPOutputStream(raw, 1 << 16)
+        else raw
       enc = RqFormat.encoder(fmt, out, options)
     }
     enc.write(JsonCodec.parse(record.getUTF8String(0).toString))
@@ -224,7 +242,7 @@ final class RqDataWriter(options: Map[String, String], baseName: String,
   override def commit(): WriterCommitMessage = {
     if (enc != null) {
       enc.finish()
-      out.close()
+      out.close() // closes the full wrapper chain incl. gzip trailer
       enc = null; out = null
       val fs = finalPath.getFileSystem(new Configuration())
       fs.delete(finalPath, false) // clear any stale shard, then move

@@ -115,6 +115,20 @@ class OperatorsSpec extends SparkSpec {
     assert(blocked == brute)
   }
 
+  test("incremental near-dup equals the cross-half slice of full pairs") {
+    val all = T.t(spark, sf0001, "documents")
+    val mid = 25L
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pairs(Dedup.minhashNearDups(all, "doc_id", "text", 0.5))
+      .filter { case (a, b) => a < mid && b >= mid }
+    val incr = pairs(Dedup.minhashNearDupsAgainst(
+      all.where(col("doc_id") >= mid), all.where(col("doc_id") < mid),
+      "doc_id", "text", 0.5))
+    assert(incr == full)
+  }
+
   test("LSH bucket cap skips pathological buckets, keeps normal pairs") {
     import spark.implicits._
     // 12 identical docs (a dup clique: every band bucket has 12

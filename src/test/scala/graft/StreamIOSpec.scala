@@ -124,6 +124,32 @@ class StreamIOSpec extends AnyFunSuite {
       "in-flight attempt temps and markers must be invisible to reads")
   }
 
+  test("rq source reads gzipped inputs transparently; sink writes them") {
+    import java.nio.file.Files
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").getOrCreate()
+    val engine = new graft.RqEngine(spark)
+    // externally-gzipped input (a crawl dump): auto-detected by .gz
+    val inDir = Files.createTempDirectory("rq_gz_in")
+    val gz = new java.util.zip.GZIPOutputStream(
+      Files.newOutputStream(inDir.resolve("a.json.gz")))
+    gz.write("""{"k":1} {"k":2}""".getBytes("UTF-8"))
+    gz.close()
+    val got = engine.read("json", inDir.toString)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(got == Seq("""{"k":1}""", """{"k":2}"""))
+    // engine-written gzip round-trips through the same reader
+    val outDir = Files.createTempDirectory("rq_gz_out").toString
+    engine.write("json", engine.read("json", inDir.toString), outDir,
+      Map("compression" -> "gzip"))
+    val files = new java.io.File(outDir).listFiles().map(_.getName)
+      .filterNot(_.startsWith("."))
+    assert(files.nonEmpty && files.forall(_.endsWith(".json.gz")), files.toSeq)
+    val back = engine.read("json", outDir)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(back == got)
+  }
+
   test("streamed encode output round-trips for every record format") {
     val records = Vector(
       Value.obj("a" -> Value.I64(1), "b" -> Value.Str("x")),
