@@ -157,12 +157,7 @@ object Dedup {
     val cand = minhashCandidates(
       sh.withColumnRenamed("__id", "id"), "id", "__sh", bands, rowsPerBand,
       maxBucket)
-    cand
-      .join(sh.select(col("__id").as("a"), col("__sh").as("__sa")), "a")
-      .join(sh.select(col("__id").as("b"), col("__sh").as("__sb")), "b")
-      .select(col("a"), col("b"),
-        TextFns.jaccard(col("__sa"), col("__sb")).as("j"))
-      .where(col("j") >= threshold)
+    verifyJaccard(cand, sh, sh, threshold)
   }
 
   /** Incremental near-dup: pairs between a NEW batch and an EXISTING
@@ -182,21 +177,38 @@ object Dedup {
       TextFns.wordShingles(col(textCol), shingleN).as("__sh"))
     val shN = shingled(newDocs)
     val shC = shingled(corpus)
-    val bandedC = capBuckets(
-      minhashBanded(shC, "__id", "__sh", bands, rowsPerBand), maxBucket)
-    val bandedN = minhashBanded(shN, "__id", "__sh", bands, rowsPerBand)
+    var bandedC = minhashBanded(shC, "__id", "__sh", bands, rowsPerBand)
+    var bandedN = minhashBanded(shN, "__id", "__sh", bands, rowsPerBand)
+    if (maxBucket != Int.MaxValue) {
+      // cap on the COMBINED bucket population so the result equals the
+      // cross-slice of a capped full run (a hot bucket is hot no
+      // matter which side its members arrive on)
+      val ok = bandedC.select("__band", "__key")
+        .unionAll(bandedN.select("__band", "__key"))
+        .groupBy("__band", "__key").agg(count(lit(1)).as("__bc"))
+        .where(col("__bc") <= maxBucket).select("__band", "__key")
+      bandedC = bandedC.join(ok, Seq("__band", "__key"))
+      bandedN = bandedN.join(ok, Seq("__band", "__key"))
+    }
     val cand = bandedC.as("x").join(bandedN.as("y"),
         col("x.__band") === col("y.__band") &&
           col("x.__key") === col("y.__key"))
       .select(col("x.__id").as("a"), col("y.__id").as("b"))
       .distinct()
+    verifyJaccard(cand, shC, shN, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate (a, b) pairs: a's
+    * shingles from `shA`, b's from `shB` (both keyed `__id`/`__sh`).
+    */
+  private def verifyJaccard(cand: DataFrame, shA: DataFrame,
+      shB: DataFrame, threshold: Double): DataFrame =
     cand
-      .join(shC.select(col("__id").as("a"), col("__sh").as("__sa")), "a")
-      .join(shN.select(col("__id").as("b"), col("__sh").as("__sb")), "b")
+      .join(shA.select(col("__id").as("a"), col("__sh").as("__sa")), "a")
+      .join(shB.select(col("__id").as("b"), col("__sh").as("__sb")), "b")
       .select(col("a"), col("b"),
         TextFns.jaccard(col("__sa"), col("__sb")).as("j"))
       .where(col("j") >= threshold)
-  }
 
   /** SimHash near-dup pairs: 60-bit signatures, banded into `bands`
     * equal bit-slices for candidate blocking. By pigeonhole, any pair

@@ -49,6 +49,14 @@ object RqTableProvider {
   val schema: StructType =
     StructType(Seq(StructField("value", StringType, nullable = false)))
 
+  /** Extension→codec mapping is static; share one factory instead of
+    * paying a Configuration XML parse + codec registry scan per
+    * partition reader (millions of small files = millions of readers).
+    */
+  lazy val codecFactory: org.apache.hadoop.io.compress.CompressionCodecFactory =
+    new org.apache.hadoop.io.compress.CompressionCodecFactory(
+      new Configuration())
+
   def opts(options: Map[String, String]): (String, String, Map[String, String]) = {
     val path = options.getOrElse("path",
       throw new IllegalArgumentException("rq source requires a path"))
@@ -108,9 +116,11 @@ final class RqTable(properties: Map[String, String])
       "rq sink expects a single STRING column of JSON records " +
         s"(got ${info.schema().simpleString}); use RqEngine.write")
     new WriteBuilder with SupportsTruncate {
-      override def truncate(): WriteBuilder = this
+      private var doTruncate = false
+      override def truncate(): WriteBuilder = { doTruncate = true; this }
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new RqBatchWrite(merged)
+        override def toBatch: BatchWrite =
+          new RqBatchWrite(merged, doTruncate)
         override def toStreaming: streaming.StreamingWrite =
           new RqStreamingWrite(merged)
       }
@@ -153,13 +163,11 @@ final class RqPartitionReader(part: RqInputPartition)
     extends PartitionReader[InternalRow] {
   private val stream: java.io.InputStream = {
     val p = new Path(part.file)
-    val conf = new Configuration()
-    val raw = p.getFileSystem(conf).open(p)
+    val raw = p.getFileSystem(new Configuration()).open(p)
     // transparent decompression by extension (.gz/.bz2/...), exactly
     // like Hadoop text inputs — crawl dumps arrive compressed;
     // decompression composes with the incremental decode below
-    val codec = new org.apache.hadoop.io.compress.CompressionCodecFactory(
-      conf).getCodec(p)
+    val codec = RqTableProvider.codecFactory.getCodec(p)
     if (codec != null) codec.createInputStream(raw) else raw
   }
   // incremental decode straight off the open FS stream: one record in
@@ -180,9 +188,24 @@ final class RqPartitionReader(part: RqInputPartition)
   override def close(): Unit = stream.close()
 }
 
-final class RqBatchWrite(options: Map[String, String]) extends BatchWrite {
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+final class RqBatchWrite(options: Map[String, String],
+    truncate: Boolean = false) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    if (truncate) {
+      // a REAL truncate: clear prior shards driver-side before tasks
+      // launch. Relying on same-filename replacement is not enough —
+      // partition counts or the compression extension can change
+      // between runs, leaving stale shards that double-read later.
+      val (dir, _, _) = RqTableProvider.opts(options)
+      val d = new Path(dir)
+      val fs = d.getFileSystem(new Configuration())
+      if (fs.exists(d)) fs.listStatus(d).filter(_.isFile).map(_.getPath)
+        .filterNot(p => p.getName.startsWith("_") ||
+          p.getName.startsWith("."))
+        .foreach(fs.delete(_, false))
+    }
     RqWriterFactory(options)
+  }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
@@ -199,7 +222,7 @@ final class RqDataWriter(options: Map[String, String], baseName: String,
   private val (dir, fmt, _) = RqTableProvider.opts(options)
   // optional whole-file compression (option "compression": gzip|none);
   // the reader auto-detects by extension
-  private val gzip = options.get("compression") match {
+  private val gzip = options.get("compression").map(_.toLowerCase) match {
     case Some("gzip") => true
     case None | Some("none") => false
     case Some(other) => throw new IllegalArgumentException(
@@ -253,8 +276,11 @@ final class RqDataWriter(options: Map[String, String], baseName: String,
     new WriterCommitMessage {}
   }
   override def abort(): Unit = if (out != null) {
-    // drop only this attempt's temp; committed shards stay intact
-    out.close()
+    // drop only this attempt's temp; committed shards stay intact.
+    // close() may itself throw (gzip trailer into a dead stream) —
+    // the temp must still be deleted and the ORIGINAL task failure
+    // must stay visible, so swallow close errors here.
+    try out.close() catch { case _: java.io.IOException => () }
     tmpPath.getFileSystem(new Configuration()).delete(tmpPath, false)
   }
   override def close(): Unit = ()

@@ -150,6 +150,25 @@ class StreamIOSpec extends AnyFunSuite {
     assert(back == got)
   }
 
+  test("overwrite truncates stale shards even when extensions change") {
+    import java.nio.file.Files
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").getOrCreate()
+    val engine = new graft.RqEngine(spark)
+    val inDir = Files.createTempDirectory("rq_tr_in")
+    Files.writeString(inDir.resolve("a.json"), """{"k":1} {"k":2}""")
+    val outDir = Files.createTempDirectory("rq_tr_out").toString
+    engine.write("json", engine.read("json", inDir.toString), outDir)
+    // second overwrite writes .json.gz shards — run 1's .json shards
+    // must be truncated, not left to double-read
+    engine.write("json", engine.read("json", inDir.toString), outDir,
+      Map("compression" -> "GZIP")) // value is case-insensitive
+    val back = engine.read("json", outDir)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(back == Seq("""{"k":1}""", """{"k":2}"""),
+      "stale uncompressed shards must not survive an overwrite")
+  }
+
   test("streamed encode output round-trips for every record format") {
     val records = Vector(
       Value.obj("a" -> Value.I64(1), "b" -> Value.Str("x")),
