@@ -79,14 +79,28 @@ final class RqTable(properties: Map[String, String])
       TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with Batch {
+    new ScanBuilder with Scan with Batch
+        with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
       private val merged = props ++ options.asScala.map {
         case (k, v) => k.toLowerCase -> v }
+      // LIMIT pushdown: each partition reader stops decoding after
+      // `limit` records (partial push — Spark keeps its global Limit),
+      // so `read.format("rq").load(huge.gz).limit(5)` decodes a few
+      // records instead of the whole stream.
+      private var pushedLimit: Option[Int] = None
+      override def pushLimit(limit: Int): Boolean = {
+        pushedLimit = Some(limit); true
+      }
+      override def isPartiallyPushed: Boolean = true
+
       override def build(): Scan = this
       override def readSchema(): StructType = RqTableProvider.schema
       override def toBatch: Batch = this
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new RqMicroBatchStream(merged)
+      override def description(): String =
+        s"rq(${merged.getOrElse("path", "?")})" +
+          pushedLimit.map(l => s" PushedLimit: $l").getOrElse("")
 
       override def planInputPartitions(): Array[InputPartition] = {
         val (path, fmt, o) = RqTableProvider.opts(merged)
@@ -101,7 +115,8 @@ final class RqTable(properties: Map[String, String])
           else Array(p)
         }
         files.map(f =>
-          RqInputPartition(f.toString, fmt, o): InputPartition).toArray
+          RqInputPartition(f.toString, fmt, o, pushedLimit): InputPartition)
+          .toArray
       }
 
       override def createReaderFactory(): PartitionReaderFactory =
@@ -152,7 +167,8 @@ final case class RqStreamingWriterFactory(options: Map[String, String])
 }
 
 final case class RqInputPartition(file: String, format: String,
-    options: Map[String, String]) extends InputPartition
+    options: Map[String, String], limit: Option[Int] = None)
+    extends InputPartition
 
 final case class RqReaderFactory() extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -172,9 +188,12 @@ final class RqPartitionReader(part: RqInputPartition)
   }
   // incremental decode straight off the open FS stream: one record in
   // flight, constant memory per task regardless of file size (only
-  // toml/yaml/protobuf slurp, by their whole-document semantics)
-  private val records: Iterator[Value] =
-    RqFormat.decodeStream(part.format, stream, part.options)
+  // toml/yaml/protobuf slurp, by their whole-document semantics);
+  // a pushed LIMIT stops the decode loop after n records per partition
+  private val records: Iterator[Value] = {
+    val all = RqFormat.decodeStream(part.format, stream, part.options)
+    part.limit.fold(all)(all.take)
+  }
   private var current: InternalRow = _
 
   override def next(): Boolean = {

@@ -169,6 +169,27 @@ class StreamIOSpec extends AnyFunSuite {
       "stale uncompressed shards must not survive an overwrite")
   }
 
+  test("limit pushdown stops decoding: head of a file with a poisoned tail") {
+    import java.nio.file.Files
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").getOrCreate()
+    val dir = Files.createTempDirectory("rq_limit")
+    // 3 good records, then garbage that would throw if decoded — a
+    // pushed limit of 2 must return before reaching it
+    Files.writeString(dir.resolve("a.json"),
+      """{"k":1} {"k":2} {"k":3} THIS-IS-NOT-JSON""")
+    val df = spark.read
+      .format(classOf[graft.sources.RqTableProvider].getName)
+      .option("recordFormat", "json").load(dir.toString)
+    val got = df.limit(2).collect().map(_.getString(0)).toSeq
+    assert(got == Seq("""{"k":1}""", """{"k":2}"""))
+    // the scan advertises the pushed limit
+    val plan = df.limit(2).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedLimit: 2"), plan)
+    // without a limit the garbage tail correctly errors
+    intercept[Exception] { df.collect() }
+  }
+
   test("streamed encode output round-trips for every record format") {
     val records = Vector(
       Value.obj("a" -> Value.I64(1), "b" -> Value.Str("x")),
