@@ -710,11 +710,17 @@ object CoreQueries {
     // Sketch twin of q32: approx_percentile (GK, bounded memory at any
     // scale) — approximate, so rows-only like q10b/xs2.
     Q.noOracle("q32b_approx_percentile") { (s, d) =>
+      // Scalar columns only: the driver's rows-check loads the parquet
+      // into pandas and sorts, which cannot hash array cells.
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(expr(
           "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
           .as("approx"))
+        .select(col("l_returnflag"),
+          col("approx").getItem(0).as("p50"),
+          col("approx").getItem(1).as("p90"),
+          col("approx").getItem(2).as("p99"))
         .orderBy("l_returnflag")
     },
 
