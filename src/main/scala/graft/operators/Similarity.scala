@@ -59,15 +59,24 @@ object Similarity {
       n: Int): Column =
     HashFns.nearestCentroids(v, cents.map(_._1), cents.map(_._2), n)
 
-  /** Deterministic k-means centroids: init = first `nlist` corpus
-    * vectors by id, then up to `iters` Lloyd rounds — assign every
-    * vector to its nearest centroid (narrow map over the centroid
-    * literal — no shuffle), recompute per-dimension means (one small
-    * (cell, dim) aggregation). Only the centroid matrix reaches the
-    * driver, which also keeps lineage flat across rounds. Stops early
-    * when centroids stop moving. Determinism: decimal-accumulated
-    * means (order-independent) and id-ordered tie-breaks, so the same
-    * corpus yields the same cells on any cluster size.
+  /** Deterministic k-means centroids, trained on a bounded sample.
+    *
+    * The corpus contributes ONE job: a hash-ordered `TakeOrdered` of at
+    * most `max(128·nlist, 2048)` vectors (deterministic pseudo-random
+    * spread, single pass, no full sort). Lloyd then runs driver-side on
+    * that sample — at any corpus size the training cost is a few KB of
+    * arithmetic, where the previous formulation re-scanned the corpus
+    * per iteration (a rows×dim posexplode + aggregation + collect,
+    * ~4 Spark jobs each — the whole cost of xs2 at bench scale, and a
+    * 100TB anti-pattern: centroid training must not scale with the
+    * corpus).
+    *
+    * Determinism: the sample is hash-of-id ordered (stable), Lloyd
+    * accumulates in ascending-id order (fixed fp order), assignment
+    * ranks by dot(v,c)/‖c‖ with ties to the lower centroid id — the
+    * same metric [[NearestCentroids]] applies at query time. Cells that
+    * lose all members drop (ids stay sparse), matching the previous
+    * behavior. Same corpus → bit-identical centroids on any cluster.
     */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int = 3): DataFrame = {
@@ -84,31 +93,63 @@ object Similarity {
       vecCol: String, nlist: Int, iters: Int): Seq[(Long, Seq[Double])] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val c = corpus.select(col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast(DoubleType)).as("v"))
-    var cents: Seq[(Long, Seq[Double])] = c.orderBy("id").limit(nlist)
-      .select(col("id"), col("v"))
-      .as[(Long, scala.Seq[Double])].collect().toSeq
-    var moved = true
-    var i = 0
-    while (moved && i < iters) {
-      val cell = element_at(nearestCells(col("v"), cents, 1), 1)
-      val next = c.select(cell.as("__cell"),
-          posexplode_outer(col("v")).as(Seq("__p", "__x")))
-        .groupBy("__cell", "__p")
-        .agg((sum(col("__x").cast(DecimalType(38, 15))) / count(lit(1)))
-          .cast(DoubleType).as("__m"))
-        .groupBy("__cell")
-        .agg(transform(
-          array_sort(collect_list(struct(col("__p"), col("__m")))),
-          s => s.getField("__m")).as("cent_v"))
-        .select(col("__cell").cast("long"), col("cent_v"))
-        .as[(Long, scala.Seq[Double])].collect().sortBy(_._1).toSeq
-      moved = next != cents
-      cents = next
-      i += 1
+    val cap = math.max(128 * nlist, 2048)
+    val sample: Array[(Long, Array[Double])] = corpus
+      .select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => x.cast(DoubleType)).as("v"))
+      .orderBy(pmod(xxhash64(col("id")), lit(1000003L)), col("id"))
+      .limit(cap)
+      .as[(Long, scala.Seq[Double])].collect()
+      .map { case (id, v) => (id, v.toArray) }
+      .sortBy(_._1)
+    if (sample.isEmpty) return Seq.empty
+    val dim = sample.head._2.length
+
+    // init = lowest-id sample vectors, cell id = position (0..nlist-1)
+    var cents: Array[(Long, Array[Double])] =
+      sample.take(nlist).zipWithIndex.map { case ((_, v), i) =>
+        (i.toLong, v.clone())
+      }
+    def norm(v: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
     }
-    cents
+    var moved = true
+    var it = 0
+    while (moved && it < iters) {
+      val cnorms = cents.map(c => norm(c._2))
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      sample.foreach { case (_, v) =>
+        var best = 0; var bestScore = Double.NegativeInfinity
+        var ci = 0
+        while (ci < cents.length) {
+          var d = 0.0; var j = 0
+          val cv = cents(ci)._2
+          while (j < dim) { d += v(j) * cv(j); j += 1 }
+          val score = if (cnorms(ci) == 0.0) d else d / cnorms(ci)
+          if (score > bestScore) { bestScore = score; best = ci }
+          ci += 1 // strict > keeps ties on the lower centroid id
+        }
+        val s = sums(best); var j = 0
+        while (j < dim) { s(j) += v(j); j += 1 }
+        counts(best) += 1
+      }
+      val next = cents.indices.iterator
+        .filter(counts(_) > 0)
+        .map { ci =>
+          val m = new Array[Double](dim); var j = 0
+          while (j < dim) { m(j) = sums(ci)(j) / counts(ci); j += 1 }
+          (cents(ci)._1, m)
+        }.toArray
+      moved = !(next.length == cents.length &&
+        next.indices.forall(i => next(i)._1 == cents(i)._1 &&
+          java.util.Arrays.equals(next(i)._2, cents(i)._2)))
+      cents = next
+      it += 1
+    }
+    cents.map { case (id, v) => (id, v.toSeq) }.toSeq
   }
 
   /** IVF-style ANN: seeded-k-means centroids (deterministic Lloyd
