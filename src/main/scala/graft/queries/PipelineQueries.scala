@@ -51,11 +51,26 @@ object PipelineQueries {
       val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
         threshold = 0.5)
       val survivors = Dedup.dedupByComponents(docs, pairs, "doc_id")
-      val chunks = TextFns.chunkDocs(survivors, "doc_id", "text",
-        maxTokens = 64, stride = 32)
-      survivors.agg(count(lit(1)).as("n_docs"))
-        .crossJoin(chunks.agg(count(lit(1)).as("n_chunks"),
-          sum("n_tok").cast("long").as("n_tok")))
+      // Single pass over the survivor lineage: its upstream (minhash
+      // bands + iterative components) is the expensive part, and
+      // aggregating docs and chunks as separate branches would execute
+      // that chain twice. explode_outer keeps zero-chunk docs (one
+      // null-start row) so one aggregation yields all three stats.
+      // Chunk semantics identical to TextFns.chunkDocs (hash-gated on
+      // its own in xt5): stride-32 starts, 64-token slices.
+      val chunked = survivors.select(col("doc_id"),
+          filter(split(col("text"), "\\s+"), t => t =!= "").as("__toks"))
+        .select(col("doc_id"), col("__toks"),
+          explode_outer(when(size(col("__toks")) > 0,
+            sequence(lit(0), size(col("__toks")) - 1, lit(32))))
+            .as("start"))
+      chunked.agg(
+        sum(when(col("start") === 0 || col("start").isNull, 1)
+          .otherwise(0)).cast("long").as("n_docs"),
+        count(col("start")).as("n_chunks"),
+        sum(when(col("start").isNotNull,
+          size(slice(col("__toks"), col("start") + 1, lit(64)))))
+          .cast("long").as("n_tok"))
     }
   )
 }
