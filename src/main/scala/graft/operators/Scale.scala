@@ -75,4 +75,29 @@ object Scale {
     when(b < trainUpto, "train").when(b < valUpto, "val").otherwise("test")
   }
 
+  /** Deterministic stratified sample: exactly min(k, |stratum|) rows
+    * per stratum, chosen by md5-of-key order (uniform, engine- and
+    * partitioning-independent — the per-stratum analogue of
+    * [[hashSample]], where a fraction can't guarantee per-group
+    * counts). One shuffle on the strata columns; the `rn` column stays
+    * in the output as the stable within-stratum draw index.
+    */
+  def stratifiedSample(df: DataFrame, strata: Seq[String],
+      keyCol: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("rn", row_number().over(
+        Window.partitionBy(strata.map(col): _*)
+          .orderBy(md5(keyCol.cast(StringType)), keyCol)))
+      .where(col("rn") <= k)
+  }
+
+  /** Deterministic fixed-size global sample: the k smallest rows in
+    * md5-of-key order — what reservoir sampling gives, minus the RNG
+    * state: stable across reruns and cluster sizes. Plans as
+    * TakeOrderedAndProject (per-partition top-k then a k-row merge on
+    * the driver), NOT a global sort — one corpus pass at any scale.
+    */
+  def fixedSample(df: DataFrame, keyCol: Column, k: Int): DataFrame =
+    df.orderBy(md5(keyCol.cast(StringType)), keyCol).limit(k)
+
 }

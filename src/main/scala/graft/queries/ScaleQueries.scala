@@ -58,6 +58,34 @@ object ScaleQueries {
         .groupBy("split")
         .agg(count(lit(1)).as("n"), sum("doc_id").as("idsum"))
         .orderBy("split")
+    },
+
+    // Stratified sample: exactly 20 docs per language, membership
+    // decided by md5-of-id order (stable across engines/reruns/
+    // partitionings — rand() sampling has none of those). One shuffle
+    // on the stratum key; oracle replays the same window.
+    Q("xk4_stratified_sample",
+      """SELECT lang, doc_id, CAST(rn AS INT) AS rn FROM (
+        |  SELECT lang, doc_id, ROW_NUMBER() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin) { (s, d) =>
+      Scale.stratifiedSample(t(s, d, "documents"), Seq("lang"),
+          col("doc_id"), 20)
+        .select(col("lang"), col("doc_id"), col("rn").cast("int").as("rn"))
+        .orderBy("lang", "rn")
+    },
+
+    // Fixed-size global sample (deterministic reservoir): the 100
+    // smallest docs in md5-of-id order. Plans as TakeOrderedAndProject
+    // — per-partition top-k, k-row driver merge, no global sort.
+    Q("xk5_reservoir_sample",
+      """SELECT doc_id, lang FROM documents
+        |ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id
+        |LIMIT 100""".stripMargin) { (s, d) =>
+      Scale.fixedSample(t(s, d, "documents"), col("doc_id"), 100)
+        .select("doc_id", "lang")
     }
   )
 }

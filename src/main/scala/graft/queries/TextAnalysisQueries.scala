@@ -196,6 +196,89 @@ object TextAnalysisQueries {
       TextFns.chunkDocs(t(s, d, "documents"), "doc_id", "text",
           maxTokens = 64, stride = 32)
         .orderBy("doc_id", "start")
+    },
+
+    // Train/benchmark decontamination: train docs sharing any word
+    // 5-gram with a test-split doc (splits from the xk3 md5-bucket
+    // math, so membership is engine-stable). Spark blocks on the
+    // BROADCAST benchmark shingle set — no corpus shuffle; the oracle
+    // brute-forces the same overlap with list slicing.
+    Q("xt7_decontam",
+      """WITH lab AS (
+        |  SELECT doc_id, text,
+        |    (STRPOS('0123456789abcdef',
+        |            SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |    + STRPOS('0123456789abcdef',
+        |             SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+        |      AS bucket
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, bucket,
+        |    LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'),
+        |                t -> t <> '') AS fw
+        |  FROM lab
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, bucket,
+        |    ARRAY_TO_STRING(fw[i+1 : i+5], ' ') AS s
+        |  FROM tok, UNNEST(RANGE(0, GREATEST(LEN(fw) - 4, 0))) u(i)
+        |)
+        |SELECT tr.doc_id AS train_id,
+        |  COUNT(DISTINCT tr.s) AS n_shingles,
+        |  COUNT(DISTINCT te.doc_id) AS n_bench_docs
+        |FROM (SELECT * FROM sh WHERE bucket < 205) tr
+        |JOIN (SELECT * FROM sh WHERE bucket >= 230) te ON te.s = tr.s
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"),
+        graft.operators.Scale.splitLabel(col("doc_id").cast("string"))
+          .as("split"))
+      graft.operators.Decontaminate.overlapReport(
+          docs.where(col("split") === "train"),
+          docs.where(col("split") === "test"),
+          "doc_id", "text", n = 5)
+        .orderBy("train_id")
+    },
+
+    // TF-IDF: top-3 terms per doc by tf·ln(N/df), ties to the
+    // alphabetically-first term. The ranking comparison runs on the
+    // raw double in BOTH engines (same (tf,df,N) ints → same IEEE
+    // result), output score goes through the r4 grain.
+    Q("xt8_tfidf",
+      s"""WITH toks AS (
+         |  SELECT doc_id, UNNEST(LIST_FILTER(
+         |    STRING_SPLIT_REGEX(LOWER(text), '\\s+'), t -> t <> '')) AS w
+         |  FROM documents
+         |), tf AS (
+         |  SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+         |), df AS (
+         |  SELECT w, COUNT(*) AS df FROM tf GROUP BY 1
+         |), n AS (SELECT COUNT(*) AS n FROM documents),
+         |scored AS (
+         |  SELECT doc_id, tf.w,
+         |    tf * LN(CAST(n AS DOUBLE) / df) AS raw,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY tf * LN(CAST(n AS DOUBLE) / df) DESC, tf.w) AS rnk
+         |  FROM tf JOIN df USING (w) CROSS JOIN n
+         |)
+         |SELECT doc_id, w, ${r4Sql("raw")} AS score, CAST(rnk AS INT) AS rnk
+         |FROM scored WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin) {
+      (s, d) =>
+      val docs = t(s, d, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(TextFns.tokens(col("text"))).as("w"))
+      val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("__n"))
+      val raw = col("tf") * log(col("__n").cast(DoubleType) / col("df"))
+      tf.join(dfreq, "w")
+        .crossJoin(broadcast(n))
+        .withColumn("raw", raw)
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+            .orderBy(col("raw").desc, col("w"))))
+        .where(col("rnk") <= 3)
+        .select(col("doc_id"), col("w"), r4(col("raw")).as("score"),
+          col("rnk").cast("int").as("rnk"))
+        .orderBy("doc_id", "rnk")
     }
   )
 }

@@ -53,4 +53,53 @@ class ScaleSpec extends SparkSpec {
       col("c_custkey") === col("o_custkey")).count()
     assert(joined.count() == direct)
   }
+
+  test("stratified sample: exact per-stratum size, stable across runs") {
+    val docs = T.t(spark, sf0001, "documents")
+    val a = Scale.stratifiedSample(docs, Seq("lang"), col("doc_id"), 5)
+      .select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val b = Scale.stratifiedSample(docs.repartition(13), Seq("lang"),
+        col("doc_id"), 5)
+      .select("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(a == b, "membership must not depend on partitioning")
+    val perLang = a.groupBy(_._1).view.mapValues(_.size)
+    val counts = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.foreach { case (l, n) =>
+      assert(perLang(l) == math.min(5L, n), s"stratum $l")
+    }
+  }
+
+  test("fixed sample: k rows, TakeOrdered plan, stable membership") {
+    val docs = T.t(spark, sf0001, "documents")
+    val s1 = Scale.fixedSample(docs, col("doc_id"), 17)
+    assert(s1.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"), "must not global-sort")
+    val a = s1.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Scale.fixedSample(docs.repartition(7), col("doc_id"), 17)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a.size == 17 && a == b)
+  }
+
+  test("decontamination finds planted overlap via broadcast join") {
+    import graft.operators.Decontaminate
+    val spark0 = spark
+    import spark0.implicits._
+    val bench = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF(
+      "doc_id", "text")
+    val train = Seq(
+      (10L, "prefix words alpha beta gamma delta epsilon zeta suffix"),
+      (11L, "completely different content with no shared phrases here"),
+      (12L, "alpha beta gamma delta epsilon more text")).toDF(
+      "doc_id", "text")
+    val rep = Decontaminate.overlapReport(train, bench, "doc_id", "text", 5)
+    assert(rep.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"), "benchmark side must broadcast")
+    val rows = rep.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    // doc 10 shares both 5-grams of the bench doc, doc 12 shares one
+    assert(rows == Seq((10L, 2L, 1L), (12L, 1L, 1L)), rows.toString)
+  }
 }
