@@ -52,7 +52,7 @@ object Bench {
     // per-query map (80+ entries) cannot fit, so stdout carries a
     // headline subset and the complete map goes to bench_full.json.
     val headliners = Seq("q01_project", "q09_agg_having", "q14_frame_running",
-      "q16_topk", "q29_star", "q31_tpch_q3", "qc1_msgpack_expr",
+      "q16_topk", "q29_star", "q31_tpch_q3", "q38_tpch_q5", "qc1_msgpack_expr",
       "qc5_yaml_expr", "xd1_minhash_lsh", "xd3_ngram_jaccard",
       "xs1_ann_brute_topk", "xs2_ann_ivf", "xt2_quality", "xp1_pipeline")
     val head = results.filter(r => headliners.contains(r._1))

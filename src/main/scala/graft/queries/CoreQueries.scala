@@ -775,6 +775,84 @@ object CoreQueries {
         .agg(array_join(array_sort(collect_list(col("n_name"))), ",")
           .as("ns"))
         .orderBy("n_regionkey")
+    },
+
+    // Correlated LATERAL subquery with per-row ORDER BY + LIMIT (top-2
+    // orders per customer) through the SQL parser — exercises
+    // Catalyst's lateral-join decorrelation of a limited sort, the
+    // shape DataFrame code can't express directly.
+    Q("q36_lateral",
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |WHERE c.c_custkey < 200
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin) {
+      (s, d) =>
+      t(s, d, "customer").createOrReplaceTempView("customer")
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+          |FROM customer c, LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM orders
+          |  WHERE o_custkey = c.c_custkey
+          |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+          |WHERE c.c_custkey < 200
+          |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+    },
+
+    // QUALIFY shape: filter on a window rank without a subquery (the
+    // oracle uses DuckDB's QUALIFY; Spark plans window → Filter).
+    Q("q37_qualify",
+      """SELECT o_orderpriority, o_orderkey, o_totalprice
+        |FROM orders
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice DESC, o_orderkey) <= 3
+        |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey"""
+        .stripMargin) { (s, d) =>
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("o_orderpriority")
+            .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+        .where(col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .orderBy(col("o_orderpriority"), col("o_totalprice").desc,
+          col("o_orderkey"))
+    },
+
+    // TPC-H Q5 shape: 6-table snowflake (fact + 5 dims), selective
+    // region + date-range predicates, revenue by nation. The dims are
+    // broadcast; lineitem streams through the join chain once.
+    Q("q38_tpch_q5",
+      s"""SELECT n_name, ${dsumSql("l_extendedprice*(1-l_discount)")}
+         |  AS revenue
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |  AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) {
+      (s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders")
+          .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+        .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, d, "region").where(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
     }
   )
 }
