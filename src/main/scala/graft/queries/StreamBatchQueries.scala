@@ -104,6 +104,25 @@ object StreamBatchQueries {
           col("pts") <= col("vts") + expr("INTERVAL 1 HOUR"))
         .select(col("user_id"), col("view_id"), col("buy_id"))
         .orderBy("user_id", "view_id", "buy_id")
+    },
+
+    // Stream-static enrichment join (QS5): purchases pick up the
+    // static per-user profile (first event id + lifetime count). Runs
+    // the SAME Streams.enrichPurchases the streaming runner uses —
+    // StreamingSpec asserts stream==batch parity on it.
+    Q("qs5_stream_static",
+      """WITH u AS (SELECT user_id, MIN(event_id) AS first_event,
+        |            COUNT(*) AS n_events FROM events GROUP BY user_id)
+        |SELECT e.event_id, e.user_id, u.first_event, u.n_events
+        |FROM events e JOIN u USING (user_id)
+        |WHERE e.event_type = 'purchase'
+        |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      val e = t(s, d, "events")
+      val profile = e.groupBy("user_id")
+        .agg(min("event_id").as("first_event"),
+          count(lit(1)).as("n_events"))
+      graft.streaming.Streams.enrichPurchases(e, profile)
+        .orderBy("event_id")
     }
   )
 }

@@ -80,6 +80,21 @@ object Streams {
       .select(col("user_id"), col("view_id"), col("buy_id"))
   }
 
+  /** Stream-static enrichment join (QS5): purchase events join a
+    * static per-user profile. The static side is a plan-time
+    * DataFrame broadcast into every micro-batch — the canonical
+    * dimension-enrichment shape, completely stateless on the stream
+    * side (no watermark needed; at scale persist() the dim so each
+    * micro-batch re-broadcasts without recompute). Works identically
+    * on a batch `events` frame, which is what the qs5 oracle entry
+    * runs.
+    */
+  def enrichPurchases(events: DataFrame, profile: DataFrame): DataFrame =
+    events.where(col("event_type") === "purchase")
+      .join(broadcast(profile), "user_id")
+      .select(col("event_id"), col("user_id"), col("first_event"),
+        col("n_events"))
+
   /** Stateful dedup bounded by the watermark (SURVEY §2.10). */
   def dedupWithinWatermark(events: DataFrame): DataFrame =
     events.withWatermark("ts", "2 hours")

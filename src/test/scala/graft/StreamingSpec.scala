@@ -102,6 +102,20 @@ class StreamingSpec extends SparkSpec {
     assert(deduped.count() == keys)
   }
 
+  test("stream-static broadcast join == batch QS5") {
+    val profile = graft.queries.T.t(spark, sf0001, "events")
+      .groupBy("user_id").agg(min("event_id").as("first_event"),
+        count(lit(1)).as("n_events"))
+    val streamed = Streams.runToMemory(spark, sf0001,
+      ev => Streams.enrichPurchases(ev, profile), "t_qs5")
+    val batch = Streams.enrichPurchases(
+      graft.queries.T.t(spark, sf0001, "events"), profile)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(batch).nonEmpty)
+    assert(rows(streamed) == rows(batch))
+  }
+
   test("flatMapGroupsWithState running totals cover all users") {
     val streamed = Streams.runToMemory(spark, sf0001,
       df => Streams.runningUserTotals(df).toDF(), "t_state")
