@@ -77,4 +77,34 @@ object TextFns {
     */
   def tokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** Fraction of word n-grams that are duplicates of an earlier one in
+    * the same doc (Gopher-style repetition signal). Entirely per-row —
+    * a narrow map over the corpus, no shuffle: distinct count from the
+    * single-pass [[wordShingles]] set, total from the token count.
+    */
+  def dupShingleFrac(text: Column, n: Int = 3): Column = {
+    val total = greatest(size(tokens(text)) - (n - 1), lit(0))
+    when(total > 0,
+      lit(1.0) - size(wordShingles(text, n)).cast(DoubleType) / total)
+      .otherwise(0.0)
+  }
+
+  /** Fraction of tokens taken by the single most frequent token —
+    * computed per row with a sort + one `aggregate` pass over the
+    * array (longest equal-run), no explode/groupBy shuffle.
+    */
+  def topWordFrac(text: Column): Column = {
+    val toks = tokens(text)
+    val best = aggregate(array_sort(toks),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    when(size(toks) > 0, best.cast(DoubleType) / size(toks)).otherwise(0.0)
+  }
 }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -28,6 +27,20 @@ import graft.functions.TextFns
   */
 object Similarity {
 
+  /** Per-query top-k from (qid, id, sim) candidate rows via the
+    * bounded [[TopKPairs]] aggregate: map-side partials forward at
+    * most k pairs per (partition, qid) to the shuffle, where the
+    * window formulation would ship every candidate row to one reducer
+    * per query. Output order/tie-break identical to
+    * `row_number() OVER (PARTITION BY qid ORDER BY sim DESC, id)`.
+    */
+  private def rankTopK(pairs: DataFrame, k: Int): DataFrame =
+    pairs.groupBy(col("qid"))
+      .agg(TopK.topKPairs(col("sim"), col("id"), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("qid"), col("t.id").as("id"), col("t.sim").as("sim"),
+        (col("pos") + 1).cast("int").as("rank"))
+
   /** Exact top-k neighbors for each query vector (cosine), excluding
     * self-matches. `queries` must be small enough to broadcast.
     */
@@ -38,15 +51,13 @@ object Similarity {
       TextFns.l2norm(col(vecCol)).as("nv"))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
       TextFns.l2norm(col(vecCol)).as("nq"))
-    c.crossJoin(broadcast(q))
-      .where(col("id") =!= col("qid"))
-      .select(col("qid"), col("id"),
-        (TextFns.dot(col("v"), col("qv")) / (col("nv") * col("nq")))
-          .as("sim"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid"))
-          .orderBy(col("sim").desc, col("id"))))
-      .where(col("rank") <= k)
+    rankTopK(
+      c.crossJoin(broadcast(q))
+        .where(col("id") =!= col("qid"))
+        .select(col("qid"), col("id"),
+          (TextFns.dot(col("v"), col("qv")) / (col("nv") * col("nq")))
+            .as("sim")),
+      k)
   }
 
   /** Cell ids of the `n` nearest centroids via the fused
@@ -170,14 +181,12 @@ object Similarity {
         TextFns.l2norm(col(vecCol)).as("nq"))
       .withColumn("cell", explode(nearestCells(col("qv"), cents, nprobe)))
 
-    assigned.join(probes, "cell")
-      .where(col("id") =!= col("qid"))
-      .select(col("qid"), col("id"),
-        (TextFns.dot(col("v"), col("qv")) / (col("nv") * col("nq")))
-          .as("sim"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid"))
-          .orderBy(col("sim").desc, col("id"))))
-      .where(col("rank") <= k)
+    rankTopK(
+      assigned.join(probes, "cell")
+        .where(col("id") =!= col("qid"))
+        .select(col("qid"), col("id"),
+          (TextFns.dot(col("v"), col("qv")) / (col("nv") * col("nq")))
+            .as("sim")),
+      k)
   }
 }

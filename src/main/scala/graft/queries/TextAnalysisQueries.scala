@@ -238,6 +238,45 @@ object TextAnalysisQueries {
         .orderBy("train_id")
     },
 
+    // Repetition quality signals (Gopher-style): duplicate-3-gram
+    // fraction + top-word fraction, per doc. Spark side is a pure
+    // NARROW MAP (shingle set + sorted-array run scan per row — zero
+    // shuffle at any corpus size); the oracle recomputes both via
+    // explode/groupBy, which only the oracle can afford.
+    Q("xt9_repetition",
+      s"""WITH tok AS (
+         |  SELECT doc_id, LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text),
+         |    '\\s+'), t -> t <> '') AS fw
+         |  FROM documents
+         |), base AS (
+         |  SELECT doc_id, fw, LEN(fw) AS n FROM tok
+         |), tg AS (
+         |  SELECT doc_id,
+         |    COUNT(DISTINCT ARRAY_TO_STRING(fw[i+1 : i+3], ' ')) AS d3
+         |  FROM base, UNNEST(RANGE(0, GREATEST(n - 2, 0))) u(i)
+         |  GROUP BY doc_id
+         |), tw AS (
+         |  SELECT doc_id, MAX(c) AS mx FROM (
+         |    SELECT doc_id, w, COUNT(*) AS c FROM (
+         |      SELECT doc_id, UNNEST(fw) AS w FROM base)
+         |    GROUP BY doc_id, w)
+         |  GROUP BY doc_id
+         |)
+         |SELECT b.doc_id,
+         |  ${r4Sql("CASE WHEN b.n > 2 THEN 1.0 - CAST(tg.d3 AS DOUBLE)" +
+             " / (b.n - 2) ELSE 0.0 END")} AS dup3,
+         |  ${r4Sql("CASE WHEN b.n > 0 THEN CAST(tw.mx AS DOUBLE) / b.n" +
+             " ELSE 0.0 END")} AS topw
+         |FROM base b
+         |LEFT JOIN tg USING (doc_id) LEFT JOIN tw USING (doc_id)
+         |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          r4(TextFns.dupShingleFrac(col("text"), 3)).as("dup3"),
+          r4(TextFns.topWordFrac(col("text"))).as("topw"))
+        .orderBy("doc_id")
+    },
+
     // TF-IDF: top-3 terms per doc by tf·ln(N/df), ties to the
     // alphabetically-first term. The ranking comparison runs on the
     // raw double in BOTH engines (same (tf,df,N) ints → same IEEE

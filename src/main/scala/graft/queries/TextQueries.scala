@@ -45,16 +45,22 @@ object TextQueries {
         .select(col("vec_id"), col("embedding").as("v"))
       val q = emb.where(col("vec_id") === 1)
         .select(col("v").as("qv"))
+      // Top-5 via orderBy+limit (TakeOrderedAndProject: per-partition
+      // top-k + 5-row driver merge) BEFORE the rank window — a global
+      // row_number over the corpus would funnel every similarity
+      // through one WindowExec partition. The window then runs on 5
+      // rows only.
       emb.where(col("vec_id") =!= 1)
         .crossJoin(broadcast(q))
         .select(col("vec_id"),
           (TextFns.dot(col("v"), col("qv")) /
             (TextFns.l2norm(col("v")) * TextFns.l2norm(col("qv"))))
             .as("raw_sim"))
+        .orderBy(col("raw_sim").desc, col("vec_id"))
+        .limit(5)
         .withColumn("rank", row_number().over(
           org.apache.spark.sql.expressions.Window
             .orderBy(col("raw_sim").desc, col("vec_id"))))
-        .where(col("rank") <= 5)
         .select(col("rank"), col("vec_id"), round(col("raw_sim"), 4).as("sim"))
         .orderBy("rank")
     },

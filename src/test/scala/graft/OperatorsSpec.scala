@@ -243,4 +243,23 @@ class OperatorsSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 3L))
   }
+
+  test("repetition signals on planted docs (narrow map, known values)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a a a a"),          // one distinct 3-gram of 3 → dup3=2/3
+      (2L, "w x y z"),            // all 3-grams distinct → dup3=0
+      (3L, ""),                   // empty → both 0
+      (4L, "b b c c c")           // top word c: 3/5
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextFns.dupShingleFrac(col("text"), 3).as("d"),
+        TextFns.topWordFrac(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(math.abs(got(1L)._1 - 2.0 / 3) < 1e-12 && got(1L)._2 == 1.0)
+    assert(got(2L) == (0.0, 0.25))
+    assert(got(3L) == (0.0, 0.0))
+    assert(got(4L)._2 == 0.6)
+  }
 }
