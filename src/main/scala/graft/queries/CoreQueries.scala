@@ -853,6 +853,49 @@ object CoreQueries {
         .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // Time-RANGE window frame: trailing-1h per-user event count + sum
+    // (sessions/rate-limiting shape). The frame is defined on floored
+    // epoch SECONDS in both engines — Spark's cast-to-long truncates
+    // the µs part, so the oracle floors EPOCH() the same way; RANGE
+    // includes peers at the same second identically.
+    Q("q39_range_frame",
+      s"""SELECT event_id, user_id, c_1h, s_1h FROM (
+         |  SELECT event_id, user_id,
+         |    CAST(COUNT(*) OVER w AS BIGINT) AS c_1h,
+         |    ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w
+         |      AS DOUBLE), 4) AS s_1h
+         |  FROM (SELECT event_id, user_id, value,
+         |          CAST(FLOOR(EPOCH(ts::TIMESTAMP)) AS BIGINT) AS sec
+         |        FROM events)
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY sec
+         |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+         |) ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").cast("long"))
+        .rangeBetween(-3600, Window.currentRow)
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("c_1h"),
+          round(sum(col("value").cast(DecimalType(28, 6))).over(w)
+            .cast(DoubleType), 4).as("s_1h"))
+        .orderBy("event_id")
+    },
+
+    // Exact MEDIAN aggregate (order statistic — deterministic cross-
+    // engine: midpoint interpolation is one IEEE averaging step).
+    Q("q40_median",
+      """SELECT l_returnflag,
+        |CAST(MEDIAN(l_quantity) AS DOUBLE) AS med_qty,
+        |CAST(MEDIAN(l_extendedprice) AS DOUBLE) AS med_price
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(median(col("l_quantity")).as("med_qty"),
+          median(col("l_extendedprice")).as("med_price"))
+        .orderBy("l_returnflag")
     }
   )
 }
