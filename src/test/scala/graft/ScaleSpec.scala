@@ -83,6 +83,38 @@ class ScaleSpec extends SparkSpec {
     assert(a.size == 17 && a == b)
   }
 
+  test("AQE splits a skewed sort-merge join partition") {
+    def withConf(pairs: (String, String)*)(f: => Unit): Unit = {
+      val old = pairs.map(p => p._1 -> spark.conf.getOption(p._1))
+      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try f finally old.foreach { case (k, o) =>
+        o.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    }
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false") {
+      // 90% of the fact lands on key 0 → one shuffle partition holds
+      // ~4MB vs KB-sized siblings; AQE must split it at runtime.
+      val fact = spark.range(0, 60000).select(
+        when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+        lpad(col("id").cast("string"), 64, "0").as("pad"))
+      val dim = spark.range(0, 1000).select(col("id").as("k"),
+        (col("id") * 2).as("dv"))
+      val j = fact.join(dim, "k")
+      val n = j.queryExecution.toRdd.count()
+      // k=0: 54000 rows (id%10!=0) + id=0 itself → 54000+1 matches via
+      // dim key 0; nonzero multiples of 10 under 1000: 99 more.
+      assert(n == 54000L + 1 + 99)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew"),
+        s"expected AQE skew split marker in final plan:\n$plan")
+    }
+  }
+
   test("decontamination finds planted overlap via broadcast join") {
     import graft.operators.Decontaminate
     val spark0 = spark
