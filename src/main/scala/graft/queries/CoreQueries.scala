@@ -883,6 +883,42 @@ object CoreQueries {
         .orderBy("event_id")
     },
 
+    // NOT IN subquery. With provably non-null keys (this testdata)
+    // Catalyst lowers it to a broadcast left-anti; with nullable keys
+    // the same query becomes the null-aware anti join, where one null
+    // in the subquery empties the result — the SQL-level semantics are
+    // what's contracted here, distinct from q06's hand-built anti.
+    Q("q41_not_in",
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_nationkey NOT IN (
+        |  SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+        |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      t(s, d, "supplier").createOrReplaceTempView("supplier")
+      t(s, d, "nation").createOrReplaceTempView("nation")
+      s.sql(
+        """SELECT s_suppkey, s_name FROM supplier
+          |WHERE s_nationkey NOT IN (
+          |  SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+          |ORDER BY s_suppkey""".stripMargin)
+    },
+
+    // UNPIVOT (wide → long): per-order measures melted to rows.
+    Q("q42_unpivot",
+      """SELECT o_orderkey, m, CAST(v AS DOUBLE) AS v
+        |FROM (SELECT o_orderkey,
+        |        o_totalprice AS price,
+        |        CAST(o_custkey AS DOUBLE) AS cust
+        |      FROM orders WHERE o_orderkey < 200)
+        |UNPIVOT (v FOR m IN (price, cust))
+        |ORDER BY o_orderkey, m""".stripMargin) { (s, d) =>
+      t(s, d, "orders").where(col("o_orderkey") < 200)
+        .select(col("o_orderkey"), col("o_totalprice").as("price"),
+          col("o_custkey").cast("double").as("cust"))
+        .unpivot(Array(col("o_orderkey")),
+          Array(col("price"), col("cust")), "m", "v")
+        .orderBy("o_orderkey", "m")
+    },
+
     // Exact MEDIAN aggregate (order statistic — deterministic cross-
     // engine: midpoint interpolation is one IEEE averaging step).
     Q("q40_median",
