@@ -19,7 +19,8 @@ object DedupQueries {
     */
   private[queries] def jaccardOracleSql(threshold: Double,
       maxDocFreq: Option[Int] = None,
-      pairCond: String = "x.doc_id < y.doc_id"): String = {
+      pairCond: String = "x.doc_id < y.doc_id",
+      source: String = "documents"): String = {
     val shExpr = maxDocFreq match {
       case None => "sh0"
       // same df cap as Dedup.ngramJaccardPairs, in lockstep
@@ -33,7 +34,7 @@ object DedupQueries {
        |  FROM (SELECT doc_id,
        |          LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'),
        |                      t -> t <> '') AS fw
-       |        FROM documents)
+       |        FROM $source)
        |), sh0 AS (
        |  SELECT DISTINCT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS s
        |  FROM toks a

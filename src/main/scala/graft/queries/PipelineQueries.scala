@@ -71,6 +71,102 @@ object PipelineQueries {
         sum(when(col("start").isNotNull,
           size(slice(col("__toks"), col("start") + 1, lit(64)))))
           .cast("long").as("n_tok"))
+    },
+
+    // The full training-data pipeline: md5 split → drop train docs
+    // contaminated by the test split (any shared word 5-gram) →
+    // MinHash near-dedup the clean train set → chunk the survivors.
+    // One oracle replays every stage: bucket math, shingle-overlap
+    // contamination, exact all-pairs Jaccard over the CLEAN subset,
+    // recursive-CTE component closure, list-slice chunking.
+    Q("xp2_train_pipeline",
+      s"""WITH RECURSIVE lab AS (
+         |  SELECT doc_id, text,
+         |    (STRPOS('0123456789abcdef',
+         |            SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+         |    + STRPOS('0123456789abcdef',
+         |             SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+         |      AS bucket
+         |  FROM documents
+         |), tok0 AS (
+         |  SELECT doc_id, bucket,
+         |    LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'),
+         |                t -> t <> '') AS fw
+         |  FROM lab
+         |), sh5 AS (
+         |  SELECT DISTINCT doc_id, bucket,
+         |    ARRAY_TO_STRING(fw[i+1 : i+5], ' ') AS s
+         |  FROM tok0, UNNEST(RANGE(0, GREATEST(LEN(fw) - 4, 0))) u(i)
+         |), contam AS (
+         |  SELECT DISTINCT tr.doc_id
+         |  FROM (SELECT * FROM sh5 WHERE bucket < 205) tr
+         |  JOIN (SELECT * FROM sh5 WHERE bucket >= 230) te ON te.s = tr.s
+         |), clean AS (
+         |  SELECT doc_id, text FROM lab
+         |  WHERE bucket < 205
+         |    AND doc_id NOT IN (SELECT doc_id FROM contam)
+         |), pairs AS (
+         |  SELECT * FROM (${DedupQueries.jaccardOracleSql(0.5,
+              source = "clean")})
+         |), edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION ALL SELECT b AS src, a AS dst FROM pairs
+         |), reach AS (
+         |  SELECT src AS id, src AS lab FROM edges
+         |  UNION
+         |  SELECT e.dst AS id, r.lab AS lab
+         |  FROM reach r JOIN edges e ON e.src = r.id
+         |), comp AS (
+         |  SELECT id, MIN(lab) AS component FROM reach GROUP BY id
+         |), survivors AS (
+         |  SELECT * FROM clean
+         |  WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+         |), d2 AS (
+         |  SELECT doc_id,
+         |    LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'),
+         |                t -> t <> '') AS fw
+         |  FROM survivors
+         |), chunks AS (
+         |  SELECT doc_id, fw[k+1 : k+64] AS c
+         |  FROM d2, UNNEST(RANGE(0, GREATEST(LEN(fw), 1), 32)) u(k)
+         |  WHERE LEN(fw) > 0 AND k < LEN(fw)
+         |)
+         |SELECT (SELECT COUNT(*) FROM lab WHERE bucket < 205) AS n_train,
+         |  (SELECT COUNT(*) FROM contam) AS n_contam,
+         |  (SELECT COUNT(*) FROM survivors) AS n_docs,
+         |  COUNT(*) AS n_chunks,
+         |  CAST(SUM(LEN(c)) AS BIGINT) AS n_tok
+         |FROM chunks""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"),
+        graft.operators.Scale.splitLabel(col("doc_id").cast("string"))
+          .as("split"))
+      val train = docs.where(col("split") === "train")
+      val bench = docs.where(col("split") === "test")
+      val contam = graft.operators.Decontaminate
+        .overlapReport(train, bench, "doc_id", "text", n = 5)
+        .select(col("train_id").as("doc_id"))
+      val clean = train.join(contam, Seq("doc_id"), "left_anti")
+      val pairs = Dedup.minhashNearDups(clean, "doc_id", "text",
+        threshold = 0.5)
+      val survivors = Dedup.dedupByComponents(clean, pairs, "doc_id")
+      // survivor-side stats in ONE pass (xp1 pattern); the train/
+      // contam counts are cheap side branches that stop before the
+      // expensive minhash+components chain.
+      val chunked = survivors.select(col("doc_id"),
+          filter(split(col("text"), "\\s+"), t => t =!= "").as("__toks"))
+        .select(col("doc_id"), col("__toks"),
+          explode_outer(when(size(col("__toks")) > 0,
+            sequence(lit(0), size(col("__toks")) - 1, lit(32))))
+            .as("start"))
+      train.agg(count(lit(1)).as("n_train"))
+        .crossJoin(contam.agg(count(lit(1)).as("n_contam")))
+        .crossJoin(chunked.agg(
+          sum(when(col("start") === 0 || col("start").isNull, 1)
+            .otherwise(0)).cast("long").as("n_docs"),
+          count(col("start")).as("n_chunks"),
+          sum(when(col("start").isNotNull,
+            size(slice(col("__toks"), col("start") + 1, lit(64)))))
+            .cast("long").as("n_tok")))
     }
   )
 }
