@@ -116,6 +116,41 @@ class StreamingSpec extends SparkSpec {
     assert(rows(streamed) == rows(batch))
   }
 
+  test("foreachBatch incremental dedup == batch delta-vs-corpus pairs") {
+    import org.apache.spark.sql.types._
+    import graft.operators.Dedup
+    val docs = graft.queries.T.t(spark, sf0001, "documents")
+    val corpus = docs.where(col("doc_id") < 250)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    // the arriving half streams in; each micro-batch runs the same
+    // delta-vs-corpus MinHash join xd8 gates (no corpus self-join)
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sf0001)
+      .where(col("doc_id") >= 250)
+    val got = collection.mutable.Set[(Long, Long)]()
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        val pairs = Dedup.minhashNearDupsAgainst(batch, corpus,
+            "doc_id", "text", threshold = 0.5)
+          .select("a", "b").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        got.synchronized { got ++= pairs }
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val batchPairs = Dedup.minhashNearDupsAgainst(
+        docs.where(col("doc_id") >= 250), corpus,
+        "doc_id", "text", threshold = 0.5)
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchPairs.nonEmpty, "planted cross-half near-dups expected")
+    assert(got.toSet == batchPairs)
+  }
+
   test("flatMapGroupsWithState running totals cover all users") {
     val streamed = Streams.runToMemory(spark, sf0001,
       df => Streams.runningUserTotals(df).toDF(), "t_state")
