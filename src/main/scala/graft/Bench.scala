@@ -43,7 +43,11 @@ object Bench {
         } catch { case _: Throwable => -1.0 }
       name -> t
     }
-    def r3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator honors the JVM default locale,
+    // which would print comma decimal separators (invalid JSON) on
+    // e.g. de_DE machines.
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jmap(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")

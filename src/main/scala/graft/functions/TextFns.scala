@@ -72,6 +72,33 @@ object TextFns {
           " ").as("chunk"))
   }
 
+  /** One-pass chunk statistics (n_docs, n_chunks, n_tok) for the
+    * stride/`maxTokens` slicing of [[chunkDocs]] — shared by the xp1
+    * and xp2 pipeline entries, IN LOCKSTEP with chunkDocs (xt5) and
+    * the DuckDB oracle replicas. explode_outer keeps zero-chunk docs
+    * (one null-start row) so a single aggregation also yields the doc
+    * count — aggregating docs and chunks as separate branches would
+    * execute the (typically expensive) upstream lineage twice.
+    */
+  def chunkStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, maxTokens: Int = 64, stride: Int = 32)
+      : org.apache.spark.sql.DataFrame = {
+    require(stride > 0 && maxTokens > 0, "chunkStats: positive sizes")
+    df.select(col(idCol),
+        filter(split(col(textCol), "\\s+"), t => t =!= "").as("__toks"))
+      .select(col(idCol), col("__toks"),
+        explode_outer(when(size(col("__toks")) > 0,
+          sequence(lit(0), size(col("__toks")) - 1, lit(stride))))
+          .as("start"))
+      .agg(
+        sum(when(col("start") === 0 || col("start").isNull, 1)
+          .otherwise(0)).cast("long").as("n_docs"),
+        count(col("start")).as("n_chunks"),
+        sum(when(col("start").isNotNull,
+          size(slice(col("__toks"), col("start") + 1, lit(maxTokens)))))
+          .cast("long").as("n_tok"))
+  }
+
   /** Count of BPE-ish tokens: letter runs, digit runs, single other
     * non-space chars. Same regex semantics in java.util.regex and RE2.
     */

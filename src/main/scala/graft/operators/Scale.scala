@@ -85,6 +85,9 @@ object Scale {
   def stratifiedSample(df: DataFrame, strata: Seq[String],
       keyCol: Column, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(!df.columns.contains("rn"),
+      "stratifiedSample: input already has an 'rn' column (it would be" +
+        " silently overwritten by the draw index)")
     df.withColumn("rn", row_number().over(
         Window.partitionBy(strata.map(col): _*)
           .orderBy(md5(keyCol.cast(StringType)), keyCol)))

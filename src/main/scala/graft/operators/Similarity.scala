@@ -105,16 +105,20 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val cap = math.max(128 * nlist, 2048)
-    val sample: Array[(Long, Array[Double])] = corpus
+    val sample0: Array[(Long, Array[Double])] = corpus
       .select(col(idCol).cast("long").as("id"),
         transform(col(vecCol), x => x.cast(DoubleType)).as("v"))
+      .where(col("v").isNotNull)
       .orderBy(pmod(xxhash64(col("id")), lit(1000003L)), col("id"))
       .limit(cap)
       .as[(Long, scala.Seq[Double])].collect()
       .map { case (id, v) => (id, v.toArray) }
       .sortBy(_._1)
-    if (sample.isEmpty) return Seq.empty
-    val dim = sample.head._2.length
+    if (sample0.isEmpty) return Seq.empty
+    val dim = sample0.head._2.length
+    // drop ragged rows instead of corrupting means / crashing the
+    // assignment loop (the replaced distributed form tolerated them)
+    val sample = sample0.filter(_._2.length == dim)
 
     // init = lowest-id sample vectors, cell id = position (0..nlist-1)
     var cents: Array[(Long, Array[Double])] =

@@ -23,9 +23,12 @@ import org.apache.spark.sql.types._
   * reducer vs k·partitions tiny partials: the difference between a
   * plan that survives a 100TB corpus and one that doesn't.
   *
-  * Buffer: a sorted set capped at k (insert + trim is O(log k));
-  * ties (equal score AND id — impossible for unique ids) collapse,
-  * matching row_number's deterministic (score desc, id asc) order.
+  * Buffer: a sorted set capped at k (insert + trim is O(log k)).
+  * CONTRACT: ids must be unique within a group — an exact duplicate
+  * (score, id) pair collapses in the set, where row_number() would
+  * count it twice. Every caller (one candidate row per (qid, id) by
+  * construction) satisfies this; feed pre-deduped candidates or the
+  * group may return fewer than k rows.
   */
 case class TopKPairs(
     scoreExpr: Expression, idExpr: Expression, k: Int,
@@ -113,8 +116,11 @@ case class TopKPairs(
 }
 
 object TopK {
-  /** Column form: array<struct<sim,id>> of the k best pairs. */
+  /** Column form: array<struct<sim,id>> of the k best pairs. Inputs
+    * are cast up front — the aggregate's eval casts blindly, so an
+    * int id or float score would otherwise CCE inside executor tasks.
+    */
   def topKPairs(score: Column, id: Column, k: Int): Column =
-    Bridge.column(TopKPairs(Bridge.expression(score),
-      Bridge.expression(id), k).toAggregateExpression())
+    Bridge.column(TopKPairs(Bridge.expression(score.cast(DoubleType)),
+      Bridge.expression(id.cast(LongType)), k).toAggregateExpression())
 }

@@ -51,26 +51,10 @@ object PipelineQueries {
       val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
         threshold = 0.5)
       val survivors = Dedup.dedupByComponents(docs, pairs, "doc_id")
-      // Single pass over the survivor lineage: its upstream (minhash
-      // bands + iterative components) is the expensive part, and
-      // aggregating docs and chunks as separate branches would execute
-      // that chain twice. explode_outer keeps zero-chunk docs (one
-      // null-start row) so one aggregation yields all three stats.
-      // Chunk semantics identical to TextFns.chunkDocs (hash-gated on
-      // its own in xt5): stride-32 starts, 64-token slices.
-      val chunked = survivors.select(col("doc_id"),
-          filter(split(col("text"), "\\s+"), t => t =!= "").as("__toks"))
-        .select(col("doc_id"), col("__toks"),
-          explode_outer(when(size(col("__toks")) > 0,
-            sequence(lit(0), size(col("__toks")) - 1, lit(32))))
-            .as("start"))
-      chunked.agg(
-        sum(when(col("start") === 0 || col("start").isNull, 1)
-          .otherwise(0)).cast("long").as("n_docs"),
-        count(col("start")).as("n_chunks"),
-        sum(when(col("start").isNotNull,
-          size(slice(col("__toks"), col("start") + 1, lit(64)))))
-          .cast("long").as("n_tok"))
+      // One aggregation pass over the survivor lineage (minhash bands
+      // + iterative components are the expensive upstream) — see
+      // TextFns.chunkStats.
+      TextFns.chunkStats(survivors, "doc_id", "text")
     },
 
     // The full training-data pipeline: md5 split → drop train docs
@@ -142,31 +126,24 @@ object PipelineQueries {
           .as("split"))
       val train = docs.where(col("split") === "train")
       val bench = docs.where(col("split") === "test")
+      // localCheckpoint: contam (a tiny id set) feeds BOTH the
+      // n_contam count and the clean-corpus anti-join upstream of the
+      // minhash chain — without it the full train-corpus shingle
+      // broadcast join executes twice.
       val contam = graft.operators.Decontaminate
         .overlapReport(train, bench, "doc_id", "text", n = 5)
         .select(col("train_id").as("doc_id"))
+        .localCheckpoint()
       val clean = train.join(contam, Seq("doc_id"), "left_anti")
       val pairs = Dedup.minhashNearDups(clean, "doc_id", "text",
         threshold = 0.5)
       val survivors = Dedup.dedupByComponents(clean, pairs, "doc_id")
-      // survivor-side stats in ONE pass (xp1 pattern); the train/
-      // contam counts are cheap side branches that stop before the
-      // expensive minhash+components chain.
-      val chunked = survivors.select(col("doc_id"),
-          filter(split(col("text"), "\\s+"), t => t =!= "").as("__toks"))
-        .select(col("doc_id"), col("__toks"),
-          explode_outer(when(size(col("__toks")) > 0,
-            sequence(lit(0), size(col("__toks")) - 1, lit(32))))
-            .as("start"))
+      // survivor-side stats in ONE pass (TextFns.chunkStats); the
+      // train/contam counts are cheap side branches that stop before
+      // the expensive minhash+components chain.
       train.agg(count(lit(1)).as("n_train"))
         .crossJoin(contam.agg(count(lit(1)).as("n_contam")))
-        .crossJoin(chunked.agg(
-          sum(when(col("start") === 0 || col("start").isNull, 1)
-            .otherwise(0)).cast("long").as("n_docs"),
-          count(col("start")).as("n_chunks"),
-          sum(when(col("start").isNotNull,
-            size(slice(col("__toks"), col("start") + 1, lit(64)))))
-            .cast("long").as("n_tok")))
+        .crossJoin(TextFns.chunkStats(survivors, "doc_id", "text"))
     }
   )
 }
