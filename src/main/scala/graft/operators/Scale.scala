@@ -103,4 +103,24 @@ object Scale {
   def fixedSample(df: DataFrame, keyCol: Column, k: Int): DataFrame =
     df.orderBy(md5(keyCol.cast(StringType)), keyCol).limit(k)
 
+  /** Scale-hygienic parquet layout: directory-partitioned on
+    * `partitionCols` (readers with partition predicates prune whole
+    * directories), rows sorted within each task by `sortCols` (tight
+    * rowgroup min/max → predicate pushdown skips pages), and file
+    * sizes bounded by `maxRecordsPerFile` (neither 10GB monofiles nor
+    * a million-file explosion — the two failure modes of unmanaged
+    * 100TB writes).
+    */
+  def writeLayout(df: DataFrame, dir: String, partitionCols: Seq[String],
+      sortCols: Seq[String], maxRecordsPerFile: Long): Unit = {
+    require(partitionCols.nonEmpty, "writeLayout: partition columns")
+    df.sortWithinPartitions(
+        (partitionCols ++ sortCols).map(col): _*)
+      .write
+      .partitionBy(partitionCols: _*)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite")
+      .parquet(dir)
+  }
+
 }

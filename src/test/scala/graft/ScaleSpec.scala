@@ -115,6 +115,60 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    def withConf(pairs: (String, String)*)(f: => Unit): Unit = {
+      val old = pairs.map(p => p._1 -> spark.conf.getOption(p._1))
+      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try f finally old.foreach { case (k, o) =>
+        o.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom")
+      .toString
+    spark.range(0, 200000)
+      .selectExpr("id AS k", "id * 2 AS v")
+      .write.mode("overwrite").parquet(s"$dir/fact")
+    spark.range(0, 2000)
+      .selectExpr("id * 100 AS k", "id AS dv")
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB") {
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim").where(col("dv") < 100)
+      val j = fact.join(dim, "k")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"expected an injected bloom runtime filter in:\n$plan")
+      assert(j.count() == 100)
+    }
+  }
+
+  test("writeLayout: partition dirs, bounded files, pruned reads") {
+    val docs = T.t(spark, sf0001, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-layout")
+      .toString
+    Scale.writeLayout(docs, dir, Seq("lang"), Seq("doc_id"),
+      maxRecordsPerFile = 50)
+    val root = new java.io.File(dir)
+    val langDirs = root.listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("lang=")).sorted
+    assert(langDirs.nonEmpty, "expected lang= partition directories")
+    // file-size bound: no part file exceeds maxRecordsPerFile rows
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.count())
+    val maxRows = back.groupBy(input_file_name()).count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxRows <= 50, s"file with $maxRows rows exceeds bound")
+    // partition pruning: a lang predicate reaches PartitionFilters
+    val pruned = back.where(col("lang") === langDirs.head.stripPrefix(
+      "lang="))
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(lang"),
+      s"expected partition pruning in:\n$scan")
+  }
+
   test("decontamination finds planted overlap via broadcast join") {
     import graft.operators.Decontaminate
     val spark0 = spark
