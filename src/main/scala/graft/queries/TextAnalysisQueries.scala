@@ -277,6 +277,79 @@ object TextAnalysisQueries {
         .orderBy("doc_id")
     },
 
+    // BM25 retrieval (k1=1.2, b=0.75, Lucene idf) for a fixed query
+    // term set — the doc-search op over a training corpus. Per-term
+    // scores are pivoted to columns and added in FIXED order: a SUM()
+    // over per-term doubles would accumulate in engine-chosen order
+    // and drift by ulps. avglen goes through the davg decimal grain;
+    // ranking compares the raw double identically in both engines.
+    Q("xt10_bm25",
+      s"""WITH tok AS (
+         |  SELECT doc_id, LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text),
+         |    '\\s+'), t -> t <> '') AS fw
+         |  FROM documents
+         |), lens AS (
+         |  SELECT doc_id, LEN(fw) AS len FROM tok WHERE LEN(fw) > 0
+         |), n AS (SELECT COUNT(*) AS n FROM documents),
+         |al AS (SELECT ${davgSql("len")} AS avglen FROM lens),
+         |tf AS (
+         |  SELECT doc_id, w, COUNT(*) AS tf FROM (
+         |    SELECT doc_id, UNNEST(fw) AS w FROM tok)
+         |  WHERE w IN ('spark', 'join', 'window') GROUP BY 1, 2
+         |), dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+         |persc AS (
+         |  SELECT doc_id, w,
+         |    LN((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+         |      * (tf * 2.2)
+         |      / (tf + 1.2 * (0.25 + 0.75 * len / avglen)) AS sc
+         |  FROM tf JOIN dfq USING (w) JOIN lens USING (doc_id)
+         |  CROSS JOIN n CROSS JOIN al
+         |), scored AS (
+         |  SELECT doc_id,
+         |    COALESCE(MAX(CASE WHEN w = 'join' THEN sc END), 0)
+         |    + COALESCE(MAX(CASE WHEN w = 'spark' THEN sc END), 0)
+         |    + COALESCE(MAX(CASE WHEN w = 'window' THEN sc END), 0)
+         |      AS raw
+         |  FROM persc GROUP BY doc_id
+         |)
+         |SELECT doc_id, score, CAST(rnk AS INT) AS rnk FROM (
+         |  SELECT doc_id, ${r4Sql("raw")} AS score,
+         |    ROW_NUMBER() OVER (ORDER BY raw DESC, doc_id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 10 ORDER BY rnk""".stripMargin) { (s, d) =>
+      val terms = Seq("join", "spark", "window") // fixed add order
+      val docs = t(s, d, "documents")
+      val toksArr = docs.select(col("doc_id"),
+        TextFns.tokens(col("text")).as("fw"))
+      val lens = toksArr.where(size(col("fw")) > 0)
+        .select(col("doc_id"), size(col("fw")).as("len"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val al = lens.agg(davg(col("len")).as("avglen"))
+      val tf = toksArr.select(col("doc_id"), explode(col("fw")).as("w"))
+        .where(col("w").isInCollection(terms))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val persc = tf.join(dfq, "w").join(lens, "doc_id")
+        .crossJoin(broadcast(n)).crossJoin(broadcast(al))
+        .select(col("doc_id"), col("w"),
+          (log((col("n").cast(DoubleType) - col("df") + 0.5) /
+              (col("df") + 0.5) + 1.0)
+            * (col("tf") * 2.2)
+            / (col("tf") + lit(1.2) * (lit(0.25)
+              + lit(0.75) * col("len") / col("avglen")))).as("sc"))
+      val scored = persc.groupBy("doc_id")
+        .agg(terms.map(tm =>
+            coalesce(max(when(col("w") === tm, col("sc"))), lit(0.0)))
+          .reduceLeft(_ + _).as("raw"))
+      scored.orderBy(col("raw").desc, col("doc_id")).limit(10)
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("raw").desc, col("doc_id"))))
+        .select(col("doc_id"), r4(col("raw")).as("score"),
+          col("rnk").cast("int").as("rnk"))
+        .orderBy("rnk")
+    },
+
     // TF-IDF: top-3 terms per doc by tf·ln(N/df), ties to the
     // alphabetically-first term. The ranking comparison runs on the
     // raw double in BOTH engines (same (tf,df,N) ints → same IEEE
