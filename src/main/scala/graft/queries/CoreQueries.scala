@@ -919,6 +919,41 @@ object CoreQueries {
         .orderBy("o_orderkey", "m")
     },
 
+    // Equi-width histogram via width_bucket (profiling/binning op;
+    // integer bucket arithmetic — no float edges).
+    Q("q43_width_bucket",
+      // DuckDB 1.0 has no WIDTH_BUCKET — the oracle replays the exact
+      // bucket function in integer math: 0 below range, 11 at/above
+      // the upper edge, else n_chars/100 + 1 (buckets 1..10).
+      """SELECT CAST(CASE WHEN n_chars < 0 THEN 0
+        |            WHEN n_chars >= 1000 THEN 11
+        |            ELSE n_chars // 100 + 1 END AS BIGINT) AS b,
+        |COUNT(*) AS c
+        |FROM documents GROUP BY b ORDER BY b""".stripMargin) { (s, d) =>
+      t(s, d, "documents")
+        .select(width_bucket(col("n_chars"), lit(0), lit(1000), lit(10))
+          .as("b"))
+        .groupBy("b").agg(count(lit(1)).as("c"))
+        .orderBy("b")
+    },
+
+    // Fuzzy string matching: Levenshtein pairs under a threshold
+    // (entity-resolution shape; exact integer distance both engines).
+    Q("q44_levenshtein",
+      """SELECT a.n_name AS a, b.n_name AS b,
+        |CAST(LEVENSHTEIN(a.n_name, b.n_name) AS INT) AS d
+        |FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+        |WHERE LEVENSHTEIN(a.n_name, b.n_name) <= 5
+        |ORDER BY a, b""".stripMargin) { (s, d) =>
+      val n = t(s, d, "nation")
+      n.as("x").join(n.as("y"),
+          col("x.n_nationkey") < col("y.n_nationkey"))
+        .select(col("x.n_name").as("a"), col("y.n_name").as("b"),
+          levenshtein(col("x.n_name"), col("y.n_name")).as("d"))
+        .where(col("d") <= 5)
+        .orderBy("a", "b")
+    },
+
     // Exact MEDIAN aggregate (order statistic — deterministic cross-
     // engine: midpoint interpolation is one IEEE averaging step).
     Q("q40_median",

@@ -91,6 +91,31 @@ object TextQueries {
           round(sum(col("n_chars")).cast(DoubleType) / count(lit(1)), 4)
             .as("ac"))
         .orderBy("lang", "source")
+    },
+
+    // Data-quality profile per language: the ingest-monitoring op a
+    // pipeline runs before/after every transform stage (counts,
+    // cardinalities, ranges, empties). Partial+final aggregation —
+    // one shuffle keyed by the profile dimension.
+    Q("qx5_profile",
+      s"""SELECT lang, COUNT(*) AS n,
+         |CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         |CAST(MIN(n_chars) AS BIGINT) AS min_c,
+         |CAST(MAX(n_chars) AS BIGINT) AS max_c,
+         |${davgSql("n_chars")} AS avg_c,
+         |CAST(COUNT(*) FILTER (WHERE TRIM(text) = '') AS BIGINT)
+         |  AS n_empty
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) {
+      (s, d) =>
+      t(s, d, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("source")).as("n_sources"),
+          min("n_chars").as("min_c"),
+          max("n_chars").as("max_c"),
+          davg(col("n_chars")).as("avg_c"),
+          count(when(trim(col("text")) === "", 1)).as("n_empty"))
+        .orderBy("lang")
     }
   )
 }
