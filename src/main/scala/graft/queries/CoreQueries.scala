@@ -954,6 +954,50 @@ object CoreQueries {
         .orderBy("a", "b")
     },
 
+    // Typed Dataset surface: groupByKey + mapGroups with genuine
+    // per-group imperative logic (sort timestamps, scan consecutive
+    // gaps) — the case where the typed API earns its shuffle (no
+    // partial agg possible; every other aggregate in this file stays
+    // declarative ON PURPOSE). Seconds-floored epochs in both engines.
+    Q("q45_typed_gaps",
+      """SELECT o_custkey, n, max_gap_s FROM (
+        |  SELECT o_custkey, COUNT(*) AS n,
+        |    COALESCE(MAX(gap), 0) AS max_gap_s
+        |  FROM (
+        |    SELECT o_custkey,
+        |      sec - LAG(sec) OVER (PARTITION BY o_custkey
+        |        ORDER BY sec) AS gap,
+        |      sec
+        |    FROM (SELECT o_custkey,
+        |            CAST(FLOOR(EPOCH(o_orderdate::TIMESTAMP)) AS BIGINT)
+        |              AS sec
+        |          FROM orders)
+        |  ) GROUP BY o_custkey
+        |) ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      import s.implicits._
+      t(s, d, "orders")
+        // o_orderdate is TIMESTAMP_NTZ: no direct long cast — go via
+        // TIMESTAMP (session TZ is UTC, matching DuckDB's naive EPOCH)
+        .select(col("o_custkey"),
+          col("o_orderdate").cast("timestamp").cast("long").as("sec"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (k, rows) =>
+          val secs = rows.map(_._2).toArray
+          java.util.Arrays.sort(secs)
+          var maxGap = 0L
+          var i = 1
+          while (i < secs.length) {
+            val g = secs(i) - secs(i - 1)
+            if (g > maxGap) maxGap = g
+            i += 1
+          }
+          (k, secs.length.toLong, maxGap)
+        }
+        .toDF("o_custkey", "n", "max_gap_s")
+        .orderBy("o_custkey")
+    },
+
     // Exact MEDIAN aggregate (order statistic — deterministic cross-
     // engine: midpoint interpolation is one IEEE averaging step).
     Q("q40_median",
