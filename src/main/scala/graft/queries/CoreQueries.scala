@@ -998,6 +998,44 @@ object CoreQueries {
         .orderBy("o_custkey")
     },
 
+    // Calendar-spine gap filling: month spine from min to max order
+    // month (sequence + explode), left join so ZERO months surface —
+    // the time-series densification op plain GROUP BY can't express.
+    Q("q46_gapfill",
+      """WITH b AS (
+        |  SELECT CAST(DATE_TRUNC('month', MIN(o_orderdate::TIMESTAMP))
+        |           AS TIMESTAMP) AS lo,
+        |         CAST(DATE_TRUNC('month', MAX(o_orderdate::TIMESTAMP))
+        |           AS TIMESTAMP) AS hi
+        |  FROM orders
+        |), months AS (
+        |  SELECT CAST(UNNEST(GENERATE_SERIES(lo, hi,
+        |    INTERVAL 1 MONTH)) AS DATE) AS m FROM b
+        |), cnt AS (
+        |  SELECT CAST(DATE_TRUNC('month', o_orderdate::TIMESTAMP)
+        |           AS DATE) AS m,
+        |         COUNT(*) AS c
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT m, COALESCE(c, 0) AS c
+        |FROM months LEFT JOIN cnt USING (m) ORDER BY m""".stripMargin) {
+      (s, d) =>
+      val o = t(s, d, "orders")
+        .select(col("o_orderdate").cast("timestamp").as("ts"))
+      val bounds = o.agg(
+        date_trunc("month", min(col("ts"))).as("lo"),
+        date_trunc("month", max(col("ts"))).as("hi"))
+      val months = bounds.select(explode(sequence(col("lo"), col("hi"),
+          expr("INTERVAL 1 MONTH"))).as("mts"))
+        .select(col("mts").cast("date").as("m"))
+      val cnt = o.groupBy(date_trunc("month", col("ts")).cast("date")
+          .as("m"))
+        .agg(count(lit(1)).as("c"))
+      months.join(cnt, Seq("m"), "left")
+        .select(col("m"), coalesce(col("c"), lit(0L)).as("c"))
+        .orderBy("m")
+    },
+
     // Exact MEDIAN aggregate (order statistic — deterministic cross-
     // engine: midpoint interpolation is one IEEE averaging step).
     Q("q40_median",
