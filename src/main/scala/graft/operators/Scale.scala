@@ -114,7 +114,13 @@ object Scale {
   def writeLayout(df: DataFrame, dir: String, partitionCols: Seq[String],
       sortCols: Seq[String], maxRecordsPerFile: Long): Unit = {
     require(partitionCols.nonEmpty, "writeLayout: partition columns")
-    df.sortWithinPartitions(
+    // repartition first: without it every task holds rows of every
+    // partition value and emits tasks×values files — the small-file
+    // explosion this helper exists to prevent. maxRecordsPerFile then
+    // splits the per-value writes; a pathologically hot value still
+    // funnels through one task (salt the repartition if that matters).
+    df.repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions(
         (partitionCols ++ sortCols).map(col): _*)
       .write
       .partitionBy(partitionCols: _*)

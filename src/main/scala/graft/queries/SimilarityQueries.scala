@@ -59,33 +59,45 @@ object SimilarityQueries {
     // max / integer sum), so no cross-engine transcendental risk.
     // Output: per-vector scale, quantized checksum, max dequant error.
     Q("xs3_quantize",
+      // Degenerate-input contract aligned in BOTH engines: null
+      // elements are filtered before anything else (Spark's aggregate
+      // would null-poison the sum where LIST_SUM skips), and empty /
+      // all-zero vectors short-circuit to (0, 0, 0) (array_max of
+      // empty is NULL in Spark, LIST_MAX NULL in DuckDB).
       s"""WITH e AS (
-         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |  SELECT vec_id,
+         |    LIST_FILTER(embedding::DOUBLE[], x -> x IS NOT NULL) AS v
+         |  FROM embeddings
          |), s AS (
          |  SELECT vec_id, v,
          |    LIST_MAX(LIST_TRANSFORM(v, x -> ABS(x))) / 127.0 AS sc
          |  FROM e
          |)
-         |SELECT vec_id, ${r4Sql("sc")} AS scale,
-         |  CASE WHEN sc = 0 THEN 0 ELSE
+         |SELECT vec_id,
+         |  CASE WHEN sc IS NULL OR sc = 0 THEN 0.0
+         |       ELSE ${r4Sql("sc")} END AS scale,
+         |  CASE WHEN sc IS NULL OR sc = 0 THEN 0 ELSE
          |    CAST(LIST_SUM(LIST_TRANSFORM(v,
          |      x -> CAST(FLOOR(x / sc + 0.5) AS BIGINT))) AS BIGINT)
          |  END AS qsum,
-         |  CASE WHEN sc = 0 THEN 0.0 ELSE
+         |  CASE WHEN sc IS NULL OR sc = 0 THEN 0.0 ELSE
          |    ${r4Sql("LIST_MAX(LIST_TRANSFORM(v," +
               " x -> ABS(x - FLOOR(x / sc + 0.5) * sc)))")}
          |  END AS max_err
          |FROM s ORDER BY vec_id""".stripMargin) { (s, d) =>
-      val v = transform(col("embedding"), x => x.cast("double"))
+      val v = filter(transform(col("embedding"), x => x.cast("double")),
+        x => x.isNotNull)
+      val degenerate = col("sc").isNull || col("sc") === 0
       t(s, d, "embeddings")
         .select(col("vec_id"), v.as("v"),
           (array_max(transform(v, x => abs(x))) / 127.0).as("sc"))
-        .select(col("vec_id"), r4(col("sc")).as("scale"),
-          when(col("sc") === 0, 0L).otherwise(
+        .select(col("vec_id"),
+          when(degenerate, 0.0).otherwise(r4(col("sc"))).as("scale"),
+          when(degenerate, 0L).otherwise(
             aggregate(col("v"), lit(0L), (acc, x) =>
               acc + floor(x / col("sc") + 0.5).cast("long")))
             .as("qsum"),
-          when(col("sc") === 0, 0.0).otherwise(
+          when(degenerate, 0.0).otherwise(
             r4(array_max(transform(col("v"), x =>
               abs(x - floor(x / col("sc") + 0.5) * col("sc"))))))
             .as("max_err"))

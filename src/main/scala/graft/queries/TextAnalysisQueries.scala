@@ -281,8 +281,12 @@ object TextAnalysisQueries {
     // term set — the doc-search op over a training corpus. Per-term
     // scores are pivoted to columns and added in FIXED order: a SUM()
     // over per-term doubles would accumulate in engine-chosen order
-    // and drift by ulps. avglen goes through the davg decimal grain;
-    // ranking compares the raw double identically in both engines.
+    // and drift by ulps. avglen goes through the davg decimal grain.
+    // CAST(2.2 AS DOUBLE) is load-bearing: bare `tf * 2.2` makes
+    // DuckDB compute in exact DECIMAL (6.6) where Spark's double
+    // product gives 6.6000000000000005 — an ulp divergence of the
+    // same class the r4 grain exists for. 0.25/0.5/0.75 are binary-
+    // exact, 1.2 only ever multiplies a double (promoted identically).
     Q("xt10_bm25",
       s"""WITH tok AS (
          |  SELECT doc_id, LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text),
@@ -300,7 +304,7 @@ object TextAnalysisQueries {
          |persc AS (
          |  SELECT doc_id, w,
          |    LN((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
-         |      * (tf * 2.2)
+         |      * (tf * CAST(2.2 AS DOUBLE))
          |      / (tf + 1.2 * (0.25 + 0.75 * len / avglen)) AS sc
          |  FROM tf JOIN dfq USING (w) JOIN lens USING (doc_id)
          |  CROSS JOIN n CROSS JOIN al

@@ -10,6 +10,14 @@ import graft.queries.T
   */
 class ScaleSpec extends SparkSpec {
 
+  /** Set session confs for the block, restoring prior values after. */
+  private def withConf(pairs: (String, String)*)(f: => Unit): Unit = {
+    val old = pairs.map(p => p._1 -> spark.conf.getOption(p._1))
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach { case (k, o) =>
+      o.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("salted sum == direct decimal sum") {
     val ev = T.t(spark, sf0001, "events")
     val salted = Scale.saltedDecimalSum(ev, Seq("event_type"), "value", "s")
@@ -84,12 +92,6 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("AQE splits a skewed sort-merge join partition") {
-    def withConf(pairs: (String, String)*)(f: => Unit): Unit = {
-      val old = pairs.map(p => p._1 -> spark.conf.getOption(p._1))
-      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-      try f finally old.foreach { case (k, o) =>
-        o.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
-    }
     withConf(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.skewJoin.enabled" -> "true",
@@ -116,12 +118,6 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("runtime bloom filter prunes the fact side of a selective join") {
-    def withConf(pairs: (String, String)*)(f: => Unit): Unit = {
-      val old = pairs.map(p => p._1 -> spark.conf.getOption(p._1))
-      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-      try f finally old.foreach { case (k, o) =>
-        o.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
-    }
     val dir = java.nio.file.Files.createTempDirectory("graft-bloom")
       .toString
     spark.range(0, 200000)
