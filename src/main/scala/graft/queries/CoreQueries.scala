@@ -1036,6 +1036,27 @@ object CoreQueries {
         .orderBy("m")
     },
 
+    // Explicit GROUPING SETS (the general form behind q11's ROLLUP and
+    // q33's CUBE): a hand-picked, non-hierarchical set combination.
+    Q("q47_grouping_sets",
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c,
+         |${dsumSql("o_totalprice")} AS s
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+         |  (o_orderpriority), ())
+         |ORDER BY o_orderstatus NULLS FIRST,
+         |  o_orderpriority NULLS FIRST""".stripMargin) { (s, d) =>
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql(
+        s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c,
+           |${dsumSql("o_totalprice")} AS s
+           |FROM orders
+           |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+           |  (o_orderpriority), ())
+           |ORDER BY o_orderstatus NULLS FIRST,
+           |  o_orderpriority NULLS FIRST""".stripMargin)
+    },
+
     // Exact MEDIAN aggregate (order statistic — deterministic cross-
     // engine: midpoint interpolation is one IEEE averaging step).
     Q("q40_median",

@@ -165,6 +165,20 @@ class ScaleSpec extends SparkSpec {
       s"expected partition pruning in:\n$scan")
   }
 
+  test("guard rails reject misuse instead of silently corrupting") {
+    val docs = T.t(spark, sf0001, "documents")
+    intercept[IllegalArgumentException] {
+      Scale.stratifiedSample(docs.withColumn("rn", lit(1)),
+        Seq("lang"), col("doc_id"), 5)
+    }
+    intercept[IllegalArgumentException] {
+      Scale.writeLayout(docs, "/tmp/never", Seq(), Seq("doc_id"), 10)
+    }
+    intercept[IllegalArgumentException] {
+      Scale.hashSample(docs, col("doc_id"), 1e-9)
+    }
+  }
+
   test("decontamination finds planted overlap via broadcast join") {
     import graft.operators.Decontaminate
     val spark0 = spark
