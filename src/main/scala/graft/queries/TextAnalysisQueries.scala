@@ -354,6 +354,44 @@ object TextAnalysisQueries {
         .orderBy("rnk")
     },
 
+    // Unigram negative log-likelihood per token (the model-based
+    // quality-filter shape: high NLL = unusual token mix). The
+    // per-doc sum of irrational ln values is the add-order trap — so
+    // each per-token logprob is QUANTIZED to DECIMAL(28,12) first and
+    // the sum runs in exact decimal (order-free), divided once at the
+    // end. ln inputs are identical (c/N of BIGINTs) in both engines.
+    Q("xt11_logprob",
+      s"""WITH toks AS (
+         |  SELECT doc_id, UNNEST(LIST_FILTER(
+         |    STRING_SPLIT_REGEX(LOWER(text), '\\s+'), t -> t <> '')) AS w
+         |  FROM documents
+         |), freq AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+         |n AS (SELECT COUNT(*) AS n FROM toks),
+         |lp AS (
+         |  SELECT doc_id,
+         |    CAST(LN(CAST(c AS DOUBLE) / n) AS DECIMAL(28,12)) AS l
+         |  FROM toks JOIN freq USING (w) CROSS JOIN n
+         |)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         |  ${r4Sql("-(CAST(SUM(l) AS DOUBLE) / COUNT(*))")} AS nll
+         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+      val docs = t(s, d, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(TextFns.tokens(col("text"))).as("w"))
+      val freq = toks.groupBy("w").agg(count(lit(1)).as("c"))
+      val n = toks.agg(count(lit(1)).as("n"))
+      toks.join(freq, "w").crossJoin(broadcast(n))
+        .select(col("doc_id"),
+          log(col("c").cast(DoubleType) / col("n"))
+            .cast(DecimalType(28, 12)).as("l"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          r4(-(sum(col("l")).cast(DoubleType) / count(lit(1))))
+            .as("nll"))
+        .orderBy("doc_id")
+    },
+
     // TF-IDF: top-3 terms per doc by tf·ln(N/df), ties to the
     // alphabetically-first term. The ranking comparison runs on the
     // raw double in BOTH engines (same (tf,df,N) ints → same IEEE

@@ -116,6 +116,19 @@ class StreamingSpec extends SparkSpec {
     assert(rows(streamed) == rows(batch))
   }
 
+  test("update-mode aggregation: last emitted state per key == batch") {
+    // complete/append modes are covered by QS1-QS3; update mode emits
+    // one row per CHANGED key per micro-batch, so the latest row per
+    // key must converge to the batch aggregate.
+    val streamed = Streams.runToMemory(spark, sf0001,
+      ev => ev.groupBy("user_id").agg(count(lit(1)).as("n")),
+      "t_update", mode = "update")
+    val finalState = streamed.groupBy("user_id").agg(max("n").as("n"))
+    val batch = graft.queries.T.t(spark, sf0001, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    assert(asMap(finalState) == asMap(batch))
+  }
+
   test("foreachBatch incremental dedup == batch delta-vs-corpus pairs") {
     import org.apache.spark.sql.types._
     import graft.operators.Dedup
