@@ -16,12 +16,16 @@ import org.apache.spark.sql.types._
   *
   * The point is the AGGREGATION SHAPE: as a TypedImperativeAggregate
   * it participates in partial aggregation, so each map partition
-  * forwards at most k pairs per group to the shuffle — where the
-  * row_number()-window formulation of top-k ships EVERY candidate row
-  * to the group's single window partition first. For a brute-force
-  * similarity scan that is |corpus| rows per query through one
-  * reducer vs k·partitions tiny partials: the difference between a
-  * plan that survives a 100TB corpus and one that doesn't.
+  * forwards at most k pairs per group to the shuffle. Spark 4's
+  * native InferWindowGroupLimit bounds the row_number()-window
+  * formulation to the same shuffle volume (Partial/Final
+  * WindowGroupLimit) — measured, not assumed — but it still SORTS the
+  * full map partition (O(n log n) over every candidate row) before
+  * the partial limit, sorts again after the shuffle, and runs the
+  * rank Window on top. The bounded heap replaces both sorts with
+  * O(n log k) inserts into a hash aggregate. For a brute-force
+  * similarity scan the candidate stream is |corpus|·|queries| rows,
+  * so sorting it is exactly the cost worth deleting.
   *
   * Buffer: a sorted set capped at k (insert + trim is O(log k)).
   * CONTRACT: ids must be unique within a group — an exact duplicate
