@@ -54,6 +54,40 @@ object DedupQueries {
        |ORDER BY a, b""".stripMargin
   }
 
+  /** Corpus with PLANTED embedding near-dups (original ∪ +0.05-shifted
+    * copies; see the xd6 Scaladoc for the cosine bound) — shared by
+    * the xd6 pair query and the xd9 component query.
+    */
+  private def plantedCorpus(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val base = t(s, d, "embeddings").select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    base.select(col("vec_id").as("id"), col("v"))
+      .unionAll(base.select((col("vec_id") + 100000).as("id"),
+        transform(col("v"), x => x + lit(0.05d)).as("v")))
+  }
+
+  /** Exact all-pairs cosine ≥0.9 over the planted corpus, DuckDB
+    * formulation (xd6 oracle; also the pair source inside xd9's
+    * recursive closure).
+    */
+  private val embeddingPairsOracleSql: String =
+    """WITH base AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |), corpus AS (
+      |  SELECT vec_id AS id, v FROM base
+      |  UNION ALL
+      |  SELECT vec_id + 100000 AS id,
+      |         LIST_TRANSFORM(v, x -> x + 0.05) AS v FROM base
+      |)
+      |SELECT a, b, ROUND(c, 4) AS c FROM (
+      |  SELECT x.id AS a, y.id AS b,
+      |    LIST_INNER_PRODUCT(x.v, y.v) /
+      |      (SQRT(LIST_INNER_PRODUCT(x.v, x.v)) *
+      |       SQRT(LIST_INNER_PRODUCT(y.v, y.v))) AS c
+      |  FROM corpus x JOIN corpus y ON x.id < y.id
+      |) WHERE c >= 0.9 ORDER BY a, b""".stripMargin
+
   val all: Seq[Q] = Seq(
     // MinHash + LSH (shingle → 128-perm signature → 32×4 band join →
     // exact-Jaccard verify). Oracle = independent exact all-pairs SQL.
@@ -139,30 +173,35 @@ object DedupQueries {
     // selects exactly the planted pairs at every scale factor. Oracle =
     // independent exact all-pairs SQL on the same derived corpus; the
     // hash match proves the LSH blocking loses nothing.
-    Q("xd6_embedding_lsh",
-      """WITH base AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-        |), corpus AS (
-        |  SELECT vec_id AS id, v FROM base
-        |  UNION ALL
-        |  SELECT vec_id + 100000 AS id,
-        |         LIST_TRANSFORM(v, x -> x + 0.05) AS v FROM base
-        |)
-        |SELECT a, b, ROUND(c, 4) AS c FROM (
-        |  SELECT x.id AS a, y.id AS b,
-        |    LIST_INNER_PRODUCT(x.v, y.v) /
-        |      (SQRT(LIST_INNER_PRODUCT(x.v, x.v)) *
-        |       SQRT(LIST_INNER_PRODUCT(y.v, y.v))) AS c
-        |  FROM corpus x JOIN corpus y ON x.id < y.id
-        |) WHERE c >= 0.9 ORDER BY a, b""".stripMargin) { (s, d) =>
-      val base = t(s, d, "embeddings").select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-      val corpus = base.select(col("vec_id").as("id"), col("v"))
-        .unionAll(base.select((col("vec_id") + 100000).as("id"),
-          transform(col("v"), x => x + lit(0.05d)).as("v")))
-      Dedup.embeddingNearDupsLSH(corpus, "id", "v", threshold = 0.9)
+    Q("xd6_embedding_lsh", embeddingPairsOracleSql) { (s, d) =>
+      Dedup.embeddingNearDupsLSH(plantedCorpus(s, d), "id", "v",
+          threshold = 0.9)
         .select(col("a"), col("b"), round(col("c"), 4).as("c"))
         .orderBy("a", "b")
+    },
+
+    // Semantic cluster dedup: connected components over the
+    // hyperplane-LSH embedding pair graph (the embedding-level
+    // analogue of xd7's text components — pairs → clusters → one
+    // representative). Oracle: exact all-pairs cosine + recursive-CTE
+    // closure over the same planted corpus.
+    Q("xd9_semantic_components",
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT * FROM ($embeddingPairsOracleSql)
+         |), edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION ALL SELECT b AS src, a AS dst FROM pairs
+         |), reach AS (
+         |  SELECT src AS id, src AS lab FROM edges
+         |  UNION
+         |  SELECT e.dst AS id, r.lab AS lab
+         |  FROM reach r JOIN edges e ON e.src = r.id
+         |)
+         |SELECT id, MIN(lab) AS component FROM reach
+         |GROUP BY id ORDER BY id""".stripMargin) { (s, d) =>
+      val pairs = Dedup.embeddingNearDupsLSH(plantedCorpus(s, d),
+        "id", "v", threshold = 0.9)
+      Dedup.connectedComponents(pairs, "a", "b").orderBy("id")
     },
 
     // Connected components over the MinHash near-dup pair graph — the
