@@ -392,6 +392,43 @@ object TextAnalysisQueries {
         .orderBy("doc_id")
     },
 
+    // Corpus lexical statistics (Zipf-head diagnostics): vocabulary
+    // size, hapax count, and the token-mass share of the 10 most
+    // frequent words — the corpus-health numbers a data curator reads
+    // before training. Head share goes through exact integer sums and
+    // one final division.
+    Q("xt12_vocab_stats",
+      s"""WITH toks AS (
+         |  SELECT UNNEST(LIST_FILTER(
+         |    STRING_SPLIT_REGEX(LOWER(text), '\\s+'), t -> t <> '')) AS w
+         |  FROM documents
+         |), freq AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+         |top10 AS (
+         |  SELECT CAST(SUM(c) AS BIGINT) AS head FROM (
+         |    SELECT c FROM freq ORDER BY c DESC, w LIMIT 10)
+         |)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS vocab,
+         |  CAST(COUNT(*) FILTER (WHERE c = 1) AS BIGINT) AS hapax,
+         |  CAST(SUM(c) AS BIGINT) AS total,
+         |  ${r4Sql("CAST(head AS DOUBLE) / CAST(SUM(c) AS DOUBLE)")}
+         |    AS head_share
+         |FROM freq CROSS JOIN top10
+         |GROUP BY head""".stripMargin) { (s, d) =>
+      val toks = t(s, d, "documents")
+        .select(explode(TextFns.tokens(col("text"))).as("w"))
+      val freq = toks.groupBy("w").agg(count(lit(1)).as("c"))
+      val top10 = freq.orderBy(col("c").desc, col("w")).limit(10)
+        .agg(sum("c").cast("long").as("head"))
+      freq.crossJoin(broadcast(top10))
+        .groupBy("head")
+        .agg(count(lit(1)).as("vocab"),
+          count(when(col("c") === 1, 1)).as("hapax"),
+          sum("c").cast("long").as("total"),
+          r4(col("head").cast(DoubleType) /
+            sum("c").cast("long").cast(DoubleType)).as("head_share"))
+        .select("vocab", "hapax", "total", "head_share")
+    },
+
     // TF-IDF: top-3 terms per doc by tf·ln(N/df), ties to the
     // alphabetically-first term. The ranking comparison runs on the
     // raw double in BOTH engines (same (tf,df,N) ints → same IEEE

@@ -244,6 +244,41 @@ class OperatorsSpec extends SparkSpec {
     assert(kept == Set(1L, 3L))
   }
 
+  test("kmeans centroid training tolerates null and ragged vectors") {
+    import spark.implicits._
+    val messy = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)), (2L, Seq(0.0, 1.0, 0.0)),
+      (3L, Seq(0.0, 0.0, 1.0)), (4L, Seq(0.9, 0.1, 0.0)),
+      (5L, Seq(0.5, 0.5)), // ragged — must be dropped, not crash
+      (6L, Seq(0.1, 0.9, 0.0))
+    ).toDF("vec_id", "embedding")
+      .unionByName(Seq((7L, Option.empty[Seq[Double]]))
+        .toDF("vec_id", "embedding")) // null vector
+    val cents = Similarity.kmeansCentroids(messy, "vec_id", "embedding", 2)
+      .collect()
+    assert(cents.nonEmpty && cents.length <= 2)
+    assert(cents.forall(_.getSeq[Double](1).length == 3),
+      "all centroids must carry the modal dimension")
+  }
+
+  test("TopKPairs buffer serialize/deserialize round-trips") {
+    import org.apache.spark.sql.functions.{col => c}
+    val agg = TopKPairs(
+      org.apache.spark.sql.graftbridge.Bridge.expression(c("s")),
+      org.apache.spark.sql.graftbridge.Bridge.expression(c("i")), 3)
+    val buf = agg.createAggregationBuffer()
+    Seq((0.9, 1L), (0.8, 2L), (0.95, 3L), (0.7, 4L), (0.9, 0L))
+      .foreach(buf.add)
+    while (buf.size > 3) buf.pollLast()
+    val back = agg.deserialize(agg.serialize(buf))
+    assert(back.size == 3)
+    val best = back.iterator().next()
+    assert(best == (0.95, 3L))
+    // tie at 0.9: lower id (0) must outrank id 1
+    val arr = new java.util.ArrayList(back)
+    assert(arr.get(1) == (0.9, 0L) && arr.get(2) == (0.9, 1L))
+  }
+
   test("repetition signals on planted docs (narrow map, known values)") {
     import spark.implicits._
     val df = Seq(
