@@ -17,7 +17,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver parses the LAST stdout lines; stray
+    // WARNs (e.g. WindowExec) after the headline JSON break the parse.
+    spark.sparkContext.setLogLevel("ERROR")
 
     // global session warmup so the first query doesn't absorb JVM/
     // codegen/FileIndex initialization

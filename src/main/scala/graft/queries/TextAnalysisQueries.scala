@@ -345,12 +345,14 @@ object TextAnalysisQueries {
         .agg(terms.map(tm =>
             coalesce(max(when(col("w") === tm, col("sc"))), lit(0.0)))
           .reduceLeft(_ + _).as("raw"))
+      // Rank the 10 surviving rows without a WindowExec (see
+      // TextQueries qx2): single-partition physical numbering after a
+      // re-asserted sort — no "No Partition Defined" WARN, same result.
       scored.orderBy(col("raw").desc, col("doc_id")).limit(10)
-        .withColumn("rnk", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("raw").desc, col("doc_id"))))
-        .select(col("doc_id"), r4(col("raw")).as("score"),
-          col("rnk").cast("int").as("rnk"))
+        .coalesce(1)
+        .sortWithinPartitions(col("raw").desc, col("doc_id"))
+        .withColumn("rnk", (monotonically_increasing_id() + 1).cast("int"))
+        .select(col("doc_id"), r4(col("raw")).as("score"), col("rnk"))
         .orderBy("rnk")
     },
 

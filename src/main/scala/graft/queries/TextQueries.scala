@@ -58,9 +58,13 @@ object TextQueries {
             .as("raw_sim"))
         .orderBy(col("raw_sim").desc, col("vec_id"))
         .limit(5)
-        .withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("raw_sim").desc, col("vec_id"))))
+        // Rank the 5 surviving rows without a WindowExec: coalesce to
+        // one partition (5 rows), re-assert the order within it, and
+        // number rows physically. monotonically_increasing_id on a
+        // single partition is 0..n-1 in row order, so rank = id + 1.
+        .coalesce(1)
+        .sortWithinPartitions(col("raw_sim").desc, col("vec_id"))
+        .withColumn("rank", (monotonically_increasing_id() + 1).cast("int"))
         .select(col("rank"), col("vec_id"), round(col("raw_sim"), 4).as("sim"))
         .orderBy("rank")
     },
