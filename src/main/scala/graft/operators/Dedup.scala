@@ -45,13 +45,23 @@ object Dedup {
     while (changed > 0 && i < maxIter) {
       val neighborLabels = edges
         .join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("label"))
-      val next = labels.unionAll(neighborLabels)
-        .groupBy("id").agg(min("label").as("next_label"))
+        .select(col("dst").as("id"), col("label"), lit(false).as("self"))
+      // Carry the node's OWN previous label through the aggregation
+      // (every id has exactly one self row) so convergence is decided
+      // inside the same pass: `improved` = the min over neighbors beat
+      // the old label. The count() below then scans the checkpointed
+      // blocks — a narrow cached read, NOT the shuffle join per round
+      // this used to cost.
+      val next = labels
+        .select(col("id"), col("label"), lit(true).as("self"))
+        .unionAll(neighborLabels)
+        .groupBy("id")
+        .agg(min("label").as("label"),
+          (min("label") < max(when(col("self"), col("label"))))
+            .as("improved"))
         .localCheckpoint(true)
-      changed = labels.join(next, "id")
-        .where(col("next_label") < col("label")).count()
-      labels = next.select(col("id"), col("next_label").as("label"))
+      changed = next.where(col("improved")).count()
+      labels = next.select(col("id"), col("label"))
       i += 1
     }
     if (changed > 0)

@@ -192,6 +192,22 @@ class OperatorsSpec extends SparkSpec {
       Set(2L, 3L, 4L, 11L, 12L, 21L))
   }
 
+  test("connected components: deep chain needs O(diameter) rounds; " +
+      "maxIter guard trips below it, converges above it") {
+    import spark.implicits._
+    // path graph 1-2-...-30: diameter 29, so min-label propagation
+    // needs 29 rounds. The default 20-round cap must fail loudly
+    // (silent wrong labels would split one component into several).
+    val chain = (1L until 30L).map(i => (i, i + 1)).toDF("a", "b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, "a", "b").collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    val got = Dedup.connectedComponents(chain, "a", "b", maxIter = 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to 30L).map(_ -> 1L).toMap)
+  }
+
   test("ngram-Jaccard df cap drops stop-shingle-only pairs, keeps rest") {
     import spark.implicits._
     // docs 1/2 share a genuinely duplicated phrase; docs 3..8 share
