@@ -43,6 +43,43 @@ object MultimodalQueries {
         .select(col("media_id"), col("width"), col("height"),
           round(element_at(col("histogram"), 7), 4).as("h7"))
         .orderBy("media_id")
+    },
+
+    // REAL image decode: each doc becomes a genuine 24bpp BMP (dims
+    // planted from the id, pixels from the text), and the query
+    // recovers width/height/bpp/pixel-count by PARSING the container
+    // bytes. The oracle recomputes the planted formulas in SQL — a
+    // decoder bug (stride, bottom-up rows, header offsets) breaks the
+    // hash match. Both stages are narrow per-partition maps.
+    Q("xm3_bmp_decode",
+      """SELECT doc_id AS media_id,
+        |CAST(8 + doc_id % 24 AS INT) AS width,
+        |CAST(8 + (doc_id * 3) % 16 AS INT) AS height,
+        |CAST(24 AS INT) AS bpp,
+        |CAST((8 + doc_id % 24) * (8 + (doc_id * 3) % 16) * 3 AS INT)
+        |  AS npx
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, d) =>
+      Multimodal.decodeBmpMeta(
+          Multimodal.encodeBmpTable(t(s, d, "documents")))
+        .toDF().orderBy("media_id")
+    },
+
+    // Real audio decode: 16-bit PCM WAV per doc (rate/channels from
+    // the id, frame count from the text byte length), metadata
+    // recovered by walking the RIFF chunks. Duration is exact integer
+    // math in both engines.
+    Q("xm4_wav_decode",
+      """SELECT doc_id AS media_id,
+        |CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+        |CAST(1 + doc_id % 2 AS INT) AS channels,
+        |CAST(16 AS INT) AS bits,
+        |CAST(50 + OCTET_LENGTH(ENCODE(text)) % 200 AS INT) AS n_frames,
+        |CAST((50 + OCTET_LENGTH(ENCODE(text)) % 200) * 1000
+        |  // (8000 + (doc_id % 4) * 4000) AS INT) AS dur_ms
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, d) =>
+      Multimodal.decodeWavMeta(
+          Multimodal.encodeWavTable(t(s, d, "documents")))
+        .toDF().orderBy("media_id")
     }
   )
 }

@@ -2,10 +2,107 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.multimodal.Multimodal
+import graft.multimodal.{MediaCodecs, Multimodal}
 import graft.queries.T
 
 class MultimodalSpec extends SparkSpec {
+
+  private def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+
+  test("BMP encode matches the public DIB layout byte-for-byte; " +
+      "decode roundtrips pixels incl. row padding") {
+    // 2x1, 24bpp: stride pads 6 pixel bytes to 8; file = 54 + 8 = 62
+    val px = bytes(1, 2, 3, 4, 5, 6)
+    val enc = MediaCodecs.encodeBmp(2, 1, px)
+    val expected = bytes(
+      0x42, 0x4d, 62, 0, 0, 0, 0, 0, 0, 0, 54, 0, 0, 0, // BM, size, off
+      40, 0, 0, 0, 2, 0, 0, 0, 1, 0, 0, 0,              // hdr, w, h
+      1, 0, 24, 0, 0, 0, 0, 0, 8, 0, 0, 0,              // planes,bpp,BI_RGB,img
+      0x13, 0x0b, 0, 0, 0x13, 0x0b, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+      1, 2, 3, 4, 5, 6, 0, 0)                           // row + 2 pad
+    assert(java.util.Arrays.equals(enc, expected),
+      enc.map(b => b & 0xff).mkString(","))
+    val dec = MediaCodecs.decodeBmp(enc)
+    assert(dec.width == 2 && dec.height == 1 && dec.bpp == 24)
+    assert(java.util.Arrays.equals(dec.pixels, px))
+  }
+
+  test("BMP bottom-up storage and top-down (negative height) decode " +
+      "agree on pixel order") {
+    // 1x2 top-down pixels: row0 = (1,2,3), row1 = (4,5,6); stride 4
+    val px = bytes(1, 2, 3, 4, 5, 6)
+    val enc = MediaCodecs.encodeBmp(1, 2, px)
+    // stored bottom-up: row1 first
+    assert(enc.slice(54, 57).toSeq == Seq[Byte](4, 5, 6))
+    assert(java.util.Arrays.equals(MediaCodecs.decodeBmp(enc).pixels, px))
+    // craft the equivalent top-down file: height = -2, rows top-down
+    val td = enc.clone()
+    val bb = java.nio.ByteBuffer.wrap(td)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(22, -2)
+    System.arraycopy(bytes(1, 2, 3, 0), 0, td, 54, 4)
+    System.arraycopy(bytes(4, 5, 6, 0), 0, td, 58, 4)
+    assert(java.util.Arrays.equals(MediaCodecs.decodeBmp(td).pixels, px))
+    intercept[IllegalArgumentException] {
+      MediaCodecs.decodeBmp(bytes(0x42, 0x41) ++ enc.drop(2)) // bad magic
+    }
+  }
+
+  test("WAV encode matches the RIFF/PCM layout byte-for-byte; decoder " +
+      "skips unknown chunks and honors the odd-size pad") {
+    val enc = MediaCodecs.encodeWav(8000, 1, Array[Short](1, -2))
+    val expected = bytes(
+      0x52, 0x49, 0x46, 0x46, 40, 0, 0, 0, 0x57, 0x41, 0x56, 0x45,
+      0x66, 0x6d, 0x74, 0x20, 16, 0, 0, 0, 1, 0, 1, 0,
+      0x40, 0x1f, 0, 0, 0x80, 0x3e, 0, 0, 2, 0, 16, 0,
+      0x64, 0x61, 0x74, 0x61, 4, 0, 0, 0, 1, 0, 0xfe, 0xff)
+    assert(java.util.Arrays.equals(enc, expected),
+      enc.map(b => b & 0xff).mkString(","))
+    val dec = MediaCodecs.decodeWav(enc)
+    assert(dec.sampleRate == 8000 && dec.channels == 1 &&
+      dec.bitsPerSample == 16)
+    assert(dec.samples.toSeq == Seq[Short](1, -2))
+    // splice an odd-sized LIST chunk (3 bytes + 1 RIFF pad) before data
+    val list = bytes(0x4c, 0x49, 0x53, 0x54, 3, 0, 0, 0, 9, 9, 9, 0)
+    val spliced = enc.take(36) ++ list ++ enc.drop(36)
+    val bb = java.nio.ByteBuffer.wrap(spliced)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, spliced.length - 8)
+    assert(MediaCodecs.decodeWav(spliced).samples.toSeq ==
+      Seq[Short](1, -2))
+    intercept[IllegalArgumentException] {
+      MediaCodecs.decodeWav(enc.take(36)) // no data chunk
+    }
+  }
+
+  test("xm3/xm4 pipelines: decoded metadata equals planted formulas " +
+      "and BMP pixels roundtrip the text bytes") {
+    import spark.implicits._
+    val docs = T.t(spark, sf0001, "documents").limit(20)
+    val metas = Multimodal.decodeBmpMeta(Multimodal.encodeBmpTable(docs))
+      .collect()
+    metas.foreach { m =>
+      assert(m.width == 8 + (m.media_id % 24).toInt)
+      assert(m.height == 8 + (m.media_id * 3 % 16).toInt)
+      assert(m.npx == m.width * m.height * 3)
+    }
+    val one = docs.orderBy("doc_id").limit(1)
+      .select("doc_id", "text").as[(Long, String)].collect()(0)
+    val blob = Multimodal.encodeBmpTable(docs.where(col("doc_id") === one._1))
+      .collect()(0)
+    val img = MediaCodecs.decodeBmp(blob.payload)
+    assert(java.util.Arrays.equals(img.pixels,
+      Multimodal.cyclicBytes(one._2.getBytes("UTF-8"),
+        img.width * img.height * 3)))
+    val wavs = Multimodal.decodeWavMeta(Multimodal.encodeWavTable(docs))
+      .collect()
+    wavs.foreach { w =>
+      assert(w.sample_rate == 8000 + (w.media_id % 4).toInt * 4000)
+      assert(w.channels == 1 + (w.media_id % 2).toInt)
+      assert(w.bits == 16)
+      assert(w.dur_ms == (w.n_frames.toLong * 1000 / w.sample_rate).toInt)
+    }
+  }
 
   test("media table carries binary payload + typed metadata") {
     val media = Multimodal.asMediaTable(T.t(spark, sf0001, "documents"))
