@@ -173,6 +173,85 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("minimal-width integer re-encode is byte-identical to the " +
+      "reference serializers across the full boundary matrix (§2.4)") {
+    // Independent expected-bytes oracles, implemented here straight
+    // from the public specs (msgpack spec families == rmp's
+    // write_uint/write_sint; CBOR RFC 8949 §3 heads == serde_cbor):
+    // the codecs must agree byte-for-byte at EVERY width boundary,
+    // u64 top range and negative fixint edges included.
+    def be(n: Long, bytes: Int): Array[Byte] =
+      (bytes - 1 to 0 by -1).map(i => ((n >>> (8 * i)) & 0xff).toByte)
+        .toArray
+    def mpExpected(n: Long): Array[Byte] =
+      if (n >= 0) {
+        if (n < 128) Array(n.toByte) // positive fixint
+        else if (n < 256) 0xcc.toByte +: be(n, 1)
+        else if (n < 65536) 0xcd.toByte +: be(n, 2)
+        else if (n < 4294967296L) 0xce.toByte +: be(n, 4)
+        else 0xcf.toByte +: be(n, 8)
+      } else {
+        if (n >= -32) Array((n & 0xff).toByte) // negative fixint
+        else if (n >= -128) 0xd0.toByte +: be(n & 0xff, 1)
+        else if (n >= -32768) 0xd1.toByte +: be(n & 0xffff, 2)
+        else if (n >= Int.MinValue) 0xd2.toByte +: be(n & 0xffffffffL, 4)
+        else 0xd3.toByte +: be(n, 8)
+      }
+    def cborHead(major: Int, arg: Long): Array[Byte] = {
+      val m = major << 5
+      if (arg >= 0 && arg < 24) Array((m | arg).toByte)
+      else if (arg >= 0 && arg < 256) (m | 24).toByte +: be(arg, 1)
+      else if (arg >= 0 && arg < 65536) (m | 25).toByte +: be(arg, 2)
+      else if (arg >= 0 && arg < 4294967296L) (m | 26).toByte +: be(arg, 4)
+      else (m | 27).toByte +: be(arg, 8) // incl. args with the top bit set
+    }
+    def cborExpected(n: Long): Array[Byte] =
+      if (n >= 0) cborHead(0, n) else cborHead(1, -1 - n)
+
+    val boundaries = Seq(
+      0L, 1L, 23L, 24L, 31L, 32L, 127L,            // fix ranges
+      128L, 255L, 256L, 65535L, 65536L,            // u8/u16 edges
+      4294967295L, 4294967296L, Long.MaxValue,     // u32/u64 edges
+      -1L, -23L, -24L, -25L, -31L, -32L, -33L,     // negative fixint edges
+      -128L, -129L, -32768L, -32769L,              // i8/i16 edges
+      Int.MinValue.toLong, Int.MinValue - 1L, Long.MinValue)
+    val rnd = new scala.util.Random(20260812L)
+    val samples = boundaries ++
+      Seq.fill(500)(rnd.nextLong() >> rnd.nextInt(64)) ++
+      boundaries.flatMap(b => Seq(b - 1, b + 1))
+    samples.foreach { n =>
+      val v = Value.I64(n)
+      assert(MsgPackCodec.encode(v).toSeq == mpExpected(n).toSeq,
+        s"msgpack width family for $n")
+      assert(CborCodec.encode(v).toSeq == cborExpected(n).toSeq,
+        s"cbor head for $n")
+      assert(MsgPackCodec.decodeStream(MsgPackCodec.encode(v)) ==
+        Vector(v))
+      assert(CborCodec.decodeStream(CborCodec.encode(v)) == Vector(v))
+    }
+    // u64 top range (bits interpreted unsigned; reference mod.rs:33):
+    // 2^63 .. 2^64-1 must take the 8-byte unsigned family with the
+    // exact bit pattern, and round-trip as U64.
+    val u64Edges = Seq(Long.MinValue /* 2^63 */ , -1L /* 2^64-1 */ ,
+      Long.MinValue + 1, -2L, rnd.nextLong() | Long.MinValue)
+    u64Edges.foreach { bits =>
+      val v = Value.U64(bits)
+      assert(MsgPackCodec.encode(v).toSeq ==
+        (0xcf.toByte +: be(bits, 8)).toSeq, s"msgpack u64 $bits")
+      assert(CborCodec.encode(v).toSeq ==
+        (0x1b.toByte +: be(bits, 8)).toSeq, s"cbor u64 $bits")
+      assert(MsgPackCodec.decodeStream(MsgPackCodec.encode(v)) ==
+        Vector(v))
+      assert(CborCodec.decodeStream(CborCodec.encode(v)) == Vector(v))
+    }
+    // a U64 whose value fits i64 canonicalizes to the same bytes as
+    // the equal I64 (width-collapse contract, Value.scala:8-14)
+    assert(MsgPackCodec.encode(Value.U64(300)).toSeq ==
+      MsgPackCodec.encode(Value.I64(300)).toSeq)
+    assert(CborCodec.encode(Value.U64(300)).toSeq ==
+      CborCodec.encode(Value.I64(300)).toSeq)
+  }
+
   test("tutorial golden: identity pipeline (doc/tutorial.md:13-17)") {
     val in = "null\ntrue\n{\"a\": 2.5}"
     val out = JsonCodec.parseStream(in).map(JsonCodec.emit).mkString("\n")
