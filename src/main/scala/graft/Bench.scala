@@ -45,6 +45,29 @@ object Bench {
         } catch { case _: Throwable => -1.0 }
       name -> t
     }
+    // Streaming bench: the qs4 stream-stream interval join re-run as a
+    // REAL multi-batch stream (time-ordered file splits, 2 files per
+    // trigger) under the RocksDB state store — the off-heap state
+    // configuration a 100 TB stream needs. Single run: startup cost
+    // dominates, a median would re-pay it 3×.
+    val streamBench =
+      try {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_qs4s")
+        val ev = graft.queries.T.t(spark, sfDir, "events")
+        ev.repartitionByRange(8, org.apache.spark.sql.functions.col("ts"))
+          .write.mode("overwrite").parquet(tmp.toString)
+        val t0 = System.nanoTime()
+        graft.streaming.Streams.withRocksDBStateStore(spark) {
+          val stream = spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "2").parquet(tmp.toString)
+          val q = graft.streaming.Streams.viewPurchaseJoin(stream)
+            .writeStream.outputMode("append").format("noop").start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
+    val allResults = results :+ ("qs4_stream_rocksdb" -> streamBench)
+
     // Locale.ROOT: the f-interpolator honors the JVM default locale,
     // which would print comma decimal separators (invalid JSON) on
     // e.g. de_DE machines.
@@ -53,7 +76,7 @@ object Bench {
     def jmap(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = allResults.map(_._2).filter(_ >= 0).sum
     // The driver captures only the last 2000 chars of stdout; the full
     // per-query map (80+ entries) cannot fit, so stdout carries a
     // headline subset and the complete map goes to bench_full.json.
@@ -61,14 +84,14 @@ object Bench {
       "q16_topk", "q29_star", "q31_tpch_q3", "q38_tpch_q5", "qc1_msgpack_expr",
       "qc5_yaml_expr", "xd1_minhash_lsh", "xd3_ngram_jaccard",
       "xs1_ann_brute_topk", "xs2_ann_ivf", "xt2_quality", "xp1_pipeline")
-    val head = results.filter(r => headliners.contains(r._1))
+    val head = allResults.filter(r => headliners.contains(r._1))
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
-      s""""queries":${jmap(head)},"n_queries":${results.size},""" +
+      s""""queries":${jmap(head)},"n_queries":${allResults.size},""" +
       s""""full":"bench_full.json","sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"),
       s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
-        s""""queries":${jmap(results)},"sf":"$sfDir"}""" + "\n")
+        s""""queries":${jmap(allResults)},"sf":"$sfDir"}""" + "\n")
     println(line)
     spark.stop()
   }

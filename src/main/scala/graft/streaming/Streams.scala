@@ -124,6 +124,34 @@ object Streams {
       }
   }
 
+  /** The RocksDB state store provider (bundled with Spark 4): state
+    * lives off-heap in a per-partition RocksDB instance instead of the
+    * default in-memory HashMap — the required configuration once
+    * stream-stream join / dedup state outgrows executor heap (the
+    * 100 TB stream shape). Toggled per query via
+    * `spark.sql.streaming.stateStore.providerClass`.
+    */
+  val RocksDBProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Run `body` with the RocksDB state store provider configured
+    * (changelog checkpointing on — incremental commits instead of
+    * full SST re-uploads), restoring the previous provider after.
+    */
+  def withRocksDBStateStore[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val ckey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, RocksDBProvider)
+    spark.conf.set(ckey, "true")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Run a streaming transform of the events table to completion via
     * the memory sink and return the result (used by parity tests; the
     * file-source → transform → sink wiring is the production shape).

@@ -73,6 +73,65 @@ class StreamingSpec extends SparkSpec {
     assert(pairs(streamed) == pairs(batch))
   }
 
+  test("qs4 under the RocksDB state store provider matches the " +
+      "default provider (off-heap state toggle)") {
+    val streamed = Streams.withRocksDBStateStore(spark) {
+      assert(spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass") ==
+        Streams.RocksDBProvider)
+      Streams.runToMemory(spark, sf0001,
+        Streams.viewPurchaseJoin, "t_ssjoin_rocks")
+    }
+    // toggle restored after the block
+    assert(spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+      .forall(_ != Streams.RocksDBProvider))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "view_id", "buy_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = SparkEntry.queries("qs4_stream_join")(spark, sf0001)
+    assert(pairs(streamed) == pairs(batch))
+  }
+
+  test("stream-stream join state is bounded: watermark eviction " +
+      "removes rows under RocksDB (state-store metrics)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, String, Long)]
+    val events = mem.toDF()
+      .toDF("sec", "user_id", "event_type", "event_id")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val q = Streams.withRocksDBStateStore(spark) {
+      Streams.viewPurchaseJoin(events)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("t_evict").start()
+    }
+    try {
+      // batch 1: hour 0 — 200 view rows + 50 purchases enter state
+      mem.addData((0L until 200L).map(u =>
+        (u * 10, u, "view", u)) ++
+        (0L until 50L).map(u => (u * 10 + 5, u, "purchase", 1000 + u)))
+      q.processAllAvailable()
+      // batches 2-3: jump to hour 20 — the 2h watermark passes far
+      // beyond hour 0 + 1h join range, so ALL hour-0 state is evictable
+      mem.addData(Seq((72000L, 9999L, "view", 5000L)))
+      q.processAllAvailable()
+      mem.addData(Seq((72060L, 9999L, "purchase", 5001L)))
+      q.processAllAvailable()
+      val progs = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      val totals = progs.map(_.stateOperators.map(_.numRowsTotal).sum)
+      val removed = progs.map(_.stateOperators.map(_.numRowsRemoved).sum)
+      assert(totals.max >= 250, s"state must hold batch-1 rows: " +
+        totals.mkString(","))
+      assert(removed.sum > 0, "watermark must evict join state")
+      assert(totals.last < totals.max,
+        s"final state must shrink after eviction: ${totals.mkString(",")}")
+      // the join itself produced the hour-0 pairs before eviction
+      assert(spark.table("t_evict").count() >= 50)
+    } finally q.stop()
+  }
+
   test("rq streaming sink: readStream rq -> writeStream rq round-trip") {
     import java.nio.file.Files
     val inDir = Files.createTempDirectory("rq_ss_in")
