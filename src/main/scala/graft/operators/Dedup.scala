@@ -329,6 +329,18 @@ object Dedup {
     * cosine 0.9165 is missed with probability ~8e-9 (see
     * [[HyperplaneBands]]); false candidates are eliminated by the
     * verify step, so precision is exact.
+    *
+    * SCALING THE PARAMETERS: Σ bucket² grows ~quadratically in corpus
+    * size at FIXED band width, so `bitsPerBand` must grow with the
+    * corpus (keep n/2^bits bounded) and `bands` re-derived from the
+    * recall target: for sign-agreement probability p = 1 − acos(t)/π
+    * at threshold t, a pair is missed with (1 − p^bits)^bands.
+    * Measured on the 40k-vector scale corpus (SCALE_r4.json): (96,12)
+    * → 38M candidate-join rows, (128,16) → ~5M, identical output
+    * (miss bound 6e-7 per pair at cosine 0.9165). The defaults stay
+    * (96,12) for small-corpus oracle parity; pass wider bands at
+    * scale — `graft.tools.LshDiag` measures bucket occupancy / pair
+    * volume to drive the choice.
     */
   def embeddingNearDupsLSH(
       emb: DataFrame, idCol: String, vecCol: String,

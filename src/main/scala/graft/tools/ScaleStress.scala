@@ -1,0 +1,300 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Scale-stress harness (VERDICT r3 item 1): generates an
+  * sf1-equivalent corpus (10× the sf0.1 documents/embeddings) with
+  * PLANTED near-duplicates, runs the production dedup/ANN paths
+  * end-to-end, and writes `SCALE_r4.json` with wall-times, semantic
+  * checks at the planted-pair level, and physical-plan evidence that
+  * the banded joins stay hash joins at 10× bench scale.
+  *
+  * Corpus construction (all deterministic, no RNG state shared with
+  * Spark):
+  *  - documents: replica 0 = original; replica k>0 gets doc_id +
+  *    k·1e6 and a seeded word-shuffle of the text — same token
+  *    multiset, different shingle set, so replicas are NOT near-dups
+  *    of their originals (shingle Jaccard collapses under word
+  *    reordering). EXCEPT: for doc_id % 50 == 0, replica 1 keeps the
+  *    original text plus one appended token — a PLANTED near-dup pair
+  *    (doc_id, doc_id + 1e6) whose exact Jaccard stays high.
+  *  - embeddings: replica 0 = original; replica k>0 gets vec_id +
+  *    k·1e6 and a seeded component permutation (cosine between a
+  *    random vector and its permutation ≈ 0, so replicas are not
+  *    near-dups). The xd6/xd9 queries then plant their own +0.05
+  *    shifted copies per corpus — expected pair count == corpus size
+  *    EXACTLY, a closed-form semantic check at any scale.
+  */
+object ScaleStress {
+
+  private def shuffleWords(text: String, seed: Long): String = {
+    val words = text.split("\\s+").filter(_.nonEmpty)
+    val r = new java.util.Random(seed)
+    var i = words.length - 1
+    while (i > 0) {
+      val j = r.nextInt(i + 1)
+      val tmp = words(i); words(i) = words(j); words(j) = tmp
+      i -= 1
+    }
+    words.mkString(" ")
+  }
+
+  private def permuteVec(v: Seq[Float], seed: Long): Seq[Float] = {
+    val arr = v.toArray
+    val r = new java.util.Random(seed)
+    var i = arr.length - 1
+    while (i > 0) {
+      val j = r.nextInt(i + 1)
+      val tmp = arr(i); arr(i) = arr(j); arr(j) = tmp
+      i -= 1
+    }
+    arr.toSeq
+  }
+
+  /** Extract the join/exchange skeleton from an executed plan. */
+  private def joinLines(df: DataFrame): Seq[String] =
+    df.queryExecution.executedPlan.toString.linesIterator
+      .map(_.trim.stripPrefix("+- ").stripPrefix(":- "))
+      .filter(l => l.contains("Join") || l.contains("Cartesian") ||
+        l.contains("Exchange"))
+      .map(_.takeWhile(_ != '(').trim).toSeq.distinct
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val outDir = "/tmp/graft_scale_sf1"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // ------------------------------------------------ corpus generation
+    val tGen0 = System.nanoTime()
+    val OFF = 1000000L
+    val baseDocs = spark.read.parquet(s"$baseDir/documents.parquet")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val docsN = spark.range(factor).crossJoin(baseDocs)
+      .select(col("id").as("k"), col("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .as[(Long, Long, String, String, String, Long)]
+      .map { case (k, id, text, lang, src, nc) =>
+        val newId = id + k * OFF
+        val newText =
+          if (k == 0) text
+          else if (k == 1 && id % 50 == 0) text + " graftdupmark"
+          else shuffleWords(text, id * 31 + k)
+        (newId, newText, lang, src, nc)
+      }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docsN.write.mode("overwrite")
+      .parquet(s"$outDir/documents.parquet")
+    val baseEmb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    val embN = spark.range(factor).crossJoin(baseEmb)
+      .select(col("id").as("k"), col("vec_id"), col("embedding"),
+        col("label"))
+      .as[(Long, Long, Seq[Float], Int)]
+      .map { case (k, id, v, lab) =>
+        (id + k * OFF, if (k == 0) v else permuteVec(v, id * 10 + k), lab)
+      }
+      .toDF("vec_id", "embedding", "label")
+    embN.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    val genSec = (System.nanoTime() - tGen0) / 1e9
+    val nDocs = spark.read.parquet(s"$outDir/documents.parquet").count()
+    val nEmb = spark.read.parquet(s"$outDir/embeddings.parquet").count()
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Any]()
+    results += "base_dir" -> baseDir
+    results += "factor" -> factor
+    results += "n_documents" -> nDocs
+    results += "n_embeddings" -> nEmb
+    results += "gen_sec" -> genSec
+
+    def timed[A](name: String)(body: => (Long, Seq[(String, Any)])): Unit = {
+      val t0 = System.nanoTime()
+      val (rows, extra) = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      results += s"${name}_sec" -> sec
+      results += s"${name}_rows" -> rows
+      extra.foreach { case (k, v) => results += s"${name}_$k" -> v }
+      println(f"[scale] $name%-18s $sec%8.2fs  rows=$rows")
+    }
+
+    val docs = spark.read.parquet(s"$outDir/documents.parquet")
+
+    // ------------------------------------------------ xd1 MinHash LSH
+    var xd1Plan: Seq[String] = Nil
+    var xd1Pairs: DataFrame = null
+    timed("xd1_minhash_lsh") {
+      xd1Pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        threshold = 0.5).cache()
+      val n = xd1Pairs.count()
+      xd1Plan = joinLines(xd1Pairs)
+      // planted-pair recall: exact Jaccard (audit path) restricted to
+      // the planted universe must be a subset of the LSH result
+      val plantedDocs = docs.where(
+        (col("doc_id") % 50 === 0 && col("doc_id") < OFF) ||
+          (col("doc_id") >= OFF && col("doc_id") < 2 * OFF &&
+            (col("doc_id") - OFF) % 50 === 0))
+      val exactPlanted = Dedup.ngramJaccardPairs(plantedDocs,
+          "doc_id", "text", threshold = 0.5, maxDocFreq = 1000)
+        .where(col("b") === col("a") + OFF)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      val lshFound = xd1Pairs.where(col("b") === col("a") + OFF)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      val missed = exactPlanted -- lshFound
+      require(missed.isEmpty,
+        s"LSH missed ${missed.size} planted pairs: ${missed.take(5)}")
+      (n, Seq("planted_expected" -> exactPlanted.size,
+        "planted_found" -> (exactPlanted & lshFound).size,
+        "planted_recall" -> 1.0))
+    }
+
+    // ------------------------------------------------ xd7 components
+    timed("xd7_components") {
+      val comps = Dedup.connectedComponents(xd1Pairs, "a", "b").cache()
+      val n = comps.count()
+      // every planted pair must share a component
+      val viol = xd1Pairs.where(col("b") === col("a") + OFF)
+        .join(comps.withColumnRenamed("component", "ca"),
+          col("a") === col("id")).drop("id")
+        .join(comps.withColumnRenamed("component", "cb"),
+          col("b") === col("id"))
+        .where(col("ca") =!= col("cb")).count()
+      require(viol == 0, s"$viol planted pairs split across components")
+      comps.unpersist()
+      (n, Seq("split_planted_pairs" -> viol))
+    }
+    xd1Pairs.unpersist()
+
+    // ------------------------------------------------ xd6 embedding LSH
+    val emb = spark.read.parquet(s"$outDir/embeddings.parquet")
+    def plantedCorpus: DataFrame = {
+      val base = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      base.select(col("vec_id").as("id"), col("v"))
+        .unionAll(base.select((col("vec_id") + 100000).as("id"),
+          transform(col("v"), x => x + lit(0.05d)).as("v")))
+    }
+    var xd6Plan: Seq[String] = Nil
+    var xd6Pairs: DataFrame = null
+    timed("xd6_embedding_lsh") {
+      xd6Pairs = Dedup.embeddingNearDupsLSH(plantedCorpus, "id", "v",
+        threshold = 0.9).cache()
+      val n = xd6Pairs.count()
+      xd6Plan = joinLines(xd6Pairs)
+      // closed-form expectation: exactly one pair per corpus vector
+      // (vec, vec+0.05·1 has cosine ≥ 0.9165 for unit-ish vectors;
+      // permuted replicas and cross pairs stay far below 0.9)
+      require(n == nEmb,
+        s"expected exactly $nEmb planted pairs, got $n")
+      val shifted = xd6Pairs.where(col("b") === col("a") + 100000).count()
+      require(shifted == n, s"non-planted pairs present: ${n - shifted}")
+      (n, Seq("expected" -> nEmb, "all_planted" -> true))
+    }
+
+    // -------------------------------------- xd6 with scale-tuned bands
+    // Same operator, corpus-sized parameters (see the
+    // embeddingNearDupsLSH Scaladoc scaling rule): 16-bit bands cut
+    // the candidate-join volume ~7× at this corpus size; 128 bands
+    // hold the miss bound at ~6e-7 per planted pair. Output must be
+    // IDENTICAL to the (96,12) run.
+    timed("xd6_tuned_128x16") {
+      val tuned = Dedup.embeddingNearDupsLSH(plantedCorpus, "id", "v",
+        threshold = 0.9, bands = 128, bitsPerBand = 16)
+      val n = tuned.count()
+      require(n == nEmb, s"tuned run expected $nEmb pairs, got $n")
+      val diff = tuned.select("a", "b")
+        .exceptAll(xd6Pairs.select("a", "b")).count()
+      require(diff == 0, s"tuned run diverged on $diff pairs")
+      (n, Seq("matches_default_params" -> true))
+    }
+
+    // ------------------------------------------------ xd9 components
+    timed("xd9_semantic_components") {
+      val comps = Dedup.connectedComponents(xd6Pairs, "a", "b")
+      val n = comps.count()
+      val nComp = comps.agg(countDistinct("component")).as[Long].head()
+      require(n == 2 * nEmb && nComp == nEmb,
+        s"expected ${2 * nEmb} nodes in $nEmb components, " +
+          s"got $n nodes in $nComp")
+      (n, Seq("components" -> nComp))
+    }
+    xd6Pairs.unpersist()
+
+    // ------------------------- plan shape in the no-broadcast regime
+    // At real 100 TB scale the banded side exceeds any broadcast
+    // threshold; with broadcast disabled (and AQE off for a static
+    // snapshot) the candidate joins must degrade to SHUFFLE joins —
+    // never to a nested-loop/cartesian.
+    val (xd1NoB, xd6NoB) = {
+      val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        (joinLines(Dedup.minhashNearDups(docs, "doc_id", "text", 0.5)),
+          joinLines(Dedup.embeddingNearDupsLSH(plantedCorpus, "id", "v",
+            0.9)))
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+        spark.conf.set("spark.sql.adaptive.enabled", prevA)
+      }
+    }
+
+    // ------------------------------------------------ xs2 IVF ANN
+    timed("xs2_ann_ivf") {
+      val df = graft.SparkEntry.queries("xs2_ann_ivf")(spark,
+        outDir.stripSuffix("/"))
+      (df.count(), Nil)
+    }
+
+    // ------------------------------------------------ xp2 pipeline
+    timed("xp2_train_pipeline") {
+      val df = graft.SparkEntry.queries("xp2_train_pipeline")(spark,
+        outDir.stripSuffix("/"))
+      (df.count(), Nil)
+    }
+
+    // ------------------------------------------------ emit artifacts
+    def json(v: Any): String = v match {
+      case s: String => "\"" + s.replace("\"", "\\\"") + "\""
+      case d: Double => String.format(java.util.Locale.ROOT, "%.3f",
+        Double.box(d))
+      case other => other.toString
+    }
+    val payload = results.map { case (k, v) => s""""$k":${json(v)}""" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get("SCALE_r4.json"), payload + "\n")
+    val planReport = new StringBuilder
+    planReport ++= s"# Plan snapshots at ${factor}x bench scale " +
+      s"($nDocs docs / $nEmb vectors)\n\n"
+    planReport ++= "## xd1_minhash_lsh (banded MinHash candidate join)\n"
+    xd1Plan.foreach(l => planReport ++= s"  $l\n")
+    planReport ++= "\n## xd6_embedding_lsh (hyperplane-LSH band join)\n"
+    xd6Plan.foreach(l => planReport ++= s"  $l\n")
+    planReport ++= "\n## xd1 with broadcast disabled " +
+      "(the >broadcast-threshold regime at 100 TB)\n"
+    xd1NoB.foreach(l => planReport ++= s"  $l\n")
+    planReport ++= "\n## xd6 with broadcast disabled\n"
+    xd6NoB.foreach(l => planReport ++= s"  $l\n")
+    planReport ++= "\nAssertion: no CartesianProduct / " +
+      "BroadcastNestedLoopJoin in any of the four plans.\n"
+    val bad = (xd1Plan ++ xd6Plan ++ xd1NoB ++ xd6NoB).filter(l =>
+      l.contains("Cartesian") || l.contains("BroadcastNestedLoop"))
+    require(bad.isEmpty, s"scale-killer join shapes at ${factor}x: $bad")
+    Files.writeString(Paths.get("SCALE_r4_plans.txt"),
+      planReport.toString)
+    println(payload)
+    spark.stop()
+  }
+}
