@@ -53,18 +53,26 @@ object Bench {
     val streamBench =
       try {
         val tmp = java.nio.file.Files.createTempDirectory("graft_qs4s")
-        val ev = graft.queries.T.t(spark, sfDir, "events")
-        ev.repartitionByRange(8, org.apache.spark.sql.functions.col("ts"))
-          .write.mode("overwrite").parquet(tmp.toString)
-        val t0 = System.nanoTime()
-        graft.streaming.Streams.withRocksDBStateStore(spark) {
-          val stream = spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", "2").parquet(tmp.toString)
-          val q = graft.streaming.Streams.viewPurchaseJoin(stream)
-            .writeStream.outputMode("append").format("noop").start()
-          try q.processAllAvailable() finally q.stop()
+        try {
+          val ev = graft.queries.T.t(spark, sfDir, "events")
+          ev.repartitionByRange(8, org.apache.spark.sql.functions.col("ts"))
+            .write.mode("overwrite").parquet(tmp.toString)
+          val t0 = System.nanoTime()
+          graft.streaming.Streams.withRocksDBStateStore(spark) {
+            val stream = spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", "2").parquet(tmp.toString)
+            val q = graft.streaming.Streams.viewPurchaseJoin(stream)
+              .writeStream.outputMode("append").format("noop").start()
+            try q.processAllAvailable() finally q.stop()
+          }
+          (System.nanoTime() - t0) / 1e9
+        } finally {
+          // each bench run writes a full events-table copy here; left
+          // behind, the round loop steadily fills /tmp
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
+            .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
         }
-        (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => -1.0 }
     val allResults = results :+ ("qs4_stream_rocksdb" -> streamBench)
 

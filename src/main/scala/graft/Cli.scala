@@ -59,7 +59,11 @@ object Cli {
       quiet: Boolean = false,
       trace: Boolean = false,
       help: Boolean = false,
-      version: Boolean = false)
+      version: Boolean = false,
+      // true iff argv contained the LITERAL token "-v": the reference's
+      // CSV first-run warning keys on exactly that (rq.rs:186 scans raw
+      // env::args() for "-v"), so --input-csv / bundled -vq never warn
+      sawDashV: Boolean = false)
 
   final case class CliError(message: String)
     extends IllegalArgumentException(message)
@@ -73,7 +77,7 @@ object Cli {
     * the `protobuf add <schema> [-b|--base <dir>]` subcommand.
     */
   def parse(args: Seq[String]): Options = {
-    var o = Options()
+    var o = Options(sawDashV = args.contains("-v"))
     var positionals = Vector.empty[String]
     var protoAddBase: Option[String] = None
     var noMoreFlags = false
@@ -206,7 +210,8 @@ object Cli {
 
   def setRanCmd(cmd: String): Unit = {
     Files.createDirectories(configDir)
-    Files.createFile(configDir.resolve(s"has-ran-$cmd"))
+    val marker = configDir.resolve(s"has-ran-$cmd")
+    if (!Files.exists(marker)) Files.createFile(marker)
   }
 
   // ----------------------------------------------------------------- run
@@ -269,7 +274,7 @@ object Cli {
       ttyOut: Boolean = false): Unit = {
     o.subcmd match {
       case Some(ProtobufAdd(schema, base)) =>
-        new ProtoRegistry().add(
+        new ProtoRegistry(configDir).add(
           Paths.get(schema), base.map(Paths.get(_)))
         ()
       case None =>
@@ -284,7 +289,7 @@ object Cli {
                 "might not be what you wanted.\n" +
                 "[WARN] [rq] Specify (-j|--input-json) explicitly or " +
                 "run rq --help once to suppress this warning.")
-          else if (inFmt == "csv")
+          else if (inFmt == "csv" && o.sawDashV)
             System.err.println(
               "[WARN] [rq] You started rq -v, which puts it in CSV " +
                 "input mode.\n" +

@@ -72,11 +72,18 @@ object MediaCodecs {
     require(bpp == 24, s"unsupported bpp $bpp (24 only)")
     require(compression == 0, s"unsupported compression $compression")
     require(width > 0, s"bad width $width")
+    require(pixelOffset >= 54 && pixelOffset <= bytes.length,
+      s"bad pixel-array offset $pixelOffset")
     val topDown = rawHeight < 0 // negative height = rows stored top-down
     val height = math.abs(rawHeight)
-    val stride = rowStride(width)
-    require(bytes.length >= pixelOffset + stride.toLong * height,
+    // all size math in Long: width/height are attacker-controlled and
+    // Int products wrap negative past ~715M px, defeating the checks
+    val strideL = ((width.toLong * 3) + 3) & ~3L
+    require(width.toLong * height * 3 <= Int.MaxValue,
+      s"unreasonable BMP dimensions ${width}x$height")
+    require(bytes.length >= pixelOffset + strideL * height,
       "truncated BMP pixel array")
+    val stride = strideL.toInt
     val out = new Array[Byte](width * height * 3)
     var row = 0
     while (row < height) {
@@ -132,7 +139,9 @@ object MediaCodecs {
     while (pos + 8 <= bytes.length) {
       val id = fourcc(pos)
       val size = buf.getInt(pos + 4)
-      require(size >= 0 && pos + 8 + size <= bytes.length,
+      // Long arithmetic: a size near Int.MaxValue wraps pos+8+size
+      // negative and would pass an Int comparison
+      require(size >= 0 && pos + 8 + size.toLong <= bytes.length,
         s"chunk '$id' overruns file")
       id match {
         case "fmt " =>

@@ -143,12 +143,19 @@ object Streams {
     val ckey =
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     val prev = spark.conf.getOption(key)
+    val prevC = spark.conf.getOption(ckey)
     spark.conf.set(key, RocksDBProvider)
     spark.conf.set(ckey, "true")
     try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      prevC match {
+        case Some(v) => spark.conf.set(ckey, v)
+        case None => spark.conf.unset(ckey)
+      }
     }
   }
 

@@ -56,10 +56,17 @@ object ScaleStress {
     arr.toSeq
   }
 
-  /** Extract the join/exchange skeleton from an executed plan. */
+  /** Extract the join/exchange skeleton from an executed plan. Strips
+    * the tree-drawing prefix and the whole-stage-codegen `*(N)` tag
+    * BEFORE truncating at the first paren — otherwise a codegen-wrapped
+    * node like `*(5) SortMergeJoin …` collapses to a bare `*`, which
+    * both destroys the artifact's evidentiary value and lets the
+    * BroadcastNestedLoopJoin assertion pass vacuously.
+    */
   private def joinLines(df: DataFrame): Seq[String] =
     df.queryExecution.executedPlan.toString.linesIterator
-      .map(_.trim.stripPrefix("+- ").stripPrefix(":- "))
+      .map(_.replaceAll("""^[\s:+-]*""", "")
+        .replaceFirst("""^\*\(\d+\)\s*""", ""))
       .filter(l => l.contains("Join") || l.contains("Cartesian") ||
         l.contains("Exchange"))
       .map(_.takeWhile(_ != '(').trim).toSeq.distinct
@@ -87,13 +94,16 @@ object ScaleStress {
       .select(col("id").as("k"), col("doc_id"), col("text"),
         col("lang"), col("source"), col("n_chars"))
       .as[(Long, Long, String, String, String, Long)]
-      .map { case (k, id, text, lang, src, nc) =>
+      .map { case (k, id, text, lang, src, _) =>
         val newId = id + k * OFF
         val newText =
           if (k == 0) text
           else if (k == 1 && id % 50 == 0) text + " graftdupmark"
           else shuffleWords(text, id * 31 + k)
-        (newId, newText, lang, src, nc)
+        // recompute n_chars: shuffled/marked replicas change the length,
+        // and the corpus is a reusable on-disk artifact whose n_chars
+        // must stay consistent with text for any downstream query
+        (newId, newText, lang, src, newText.length.toLong)
       }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     docsN.write.mode("overwrite")

@@ -219,8 +219,13 @@ class CliSpec extends AnyFunSuite {
         err.toString("UTF-8")
       }
       assert(capturedErr(Options()).contains("JSON input mode"))
-      assert(capturedErr(Options(inputCsv = true))
+      // the CSV warning keys on the literal "-v" in argv (rq.rs:186):
+      // explicit --input-csv is flagged intent and must stay silent
+      assert(capturedErr(Options(inputCsv = true, sawDashV = true))
         .contains("CSV input mode"))
+      assert(capturedErr(Options(inputCsv = true)).isEmpty)
+      assert(Cli.parse(Seq("-v")).sawDashV)
+      assert(!Cli.parse(Seq("--input-csv")).sawDashV)
       assert(capturedErr(Options(quiet = true)).isEmpty)
       assert(!Cli.hasRanCmd("help"))
       Cli.setRanCmd("help")

@@ -180,4 +180,42 @@ class MultimodalSpec extends SparkSpec {
     assert(tf.forall(_.frame.nonEmpty))
     assert(tf.flatMap(_.frame).toSeq == Seq[Byte](1, 2, 3, 4, 5))
   }
+
+  test("malformed containers fail the bounds checks cleanly — no " +
+      "Int-overflow bypass, no raw OOM/IndexOutOfBounds") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // WAV: data-chunk size near Int.MaxValue on a tiny file must hit
+    // the 'overruns file' require, not wrap negative and allocate
+    val wavEvil = {
+      val b = ByteBuffer.allocate(44).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(36)
+      b.put("WAVE".getBytes("US-ASCII"))
+      b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      b.putShort(1).putShort(1).putInt(8000).putInt(16000)
+      b.putShort(2).putShort(16)
+      b.put("data".getBytes("US-ASCII")).putInt(0x7ffffff0)
+      b.array()
+    }
+    val e1 = intercept[IllegalArgumentException](
+      MediaCodecs.decodeWav(wavEvil))
+    assert(e1.getMessage.contains("overruns file"))
+    // BMP: negative pixel offset and huge width must fail validation,
+    // not crash in arraycopy / wrap the stride product
+    val good = MediaCodecs.encodeBmp(2, 2, new Array[Byte](12))
+    def patched(at: Int, v: Int): Array[Byte] = {
+      val c = good.clone()
+      ByteBuffer.wrap(c).order(ByteOrder.LITTLE_ENDIAN).putInt(at, v)
+      c
+    }
+    val e2 = intercept[IllegalArgumentException](
+      MediaCodecs.decodeBmp(patched(10, -100))) // pixelOffset < 54
+    assert(e2.getMessage.contains("pixel-array offset"))
+    val e3 = intercept[IllegalArgumentException](
+      MediaCodecs.decodeBmp(patched(18, 0x7ffffff0))) // width overflow
+    assert(e3.getMessage.contains("truncated BMP pixel array") ||
+      e3.getMessage.contains("unreasonable BMP dimensions"))
+    // round-trip still intact after the hardening
+    val img = MediaCodecs.decodeBmp(good)
+    assert(img.width == 2 && img.height == 2)
+  }
 }
