@@ -338,9 +338,10 @@ object Dedup {
     * Measured on the 40k-vector scale corpus (SCALE_r4.json): (96,12)
     * → 38M candidate-join rows, (128,16) → ~5M, identical output
     * (miss bound 6e-7 per pair at cosine 0.9165). The defaults stay
-    * (96,12) for small-corpus oracle parity; pass wider bands at
-    * scale — `graft.tools.LshDiag` measures bucket occupancy / pair
-    * volume to drive the choice.
+    * (96,12) for small-corpus oracle parity; at scale derive the
+    * parameters with [[lshParams]] (the rule as code) —
+    * `graft.tools.LshDiag` measures actual bucket occupancy / pair
+    * volume to validate the choice on a given corpus.
     */
   def embeddingNearDupsLSH(
       emb: DataFrame, idCol: String, vecCol: String,
@@ -362,5 +363,35 @@ object Dedup {
         (TextFns.dot(col("__va"), col("__vb")) /
           (col("__na") * col("__nb"))).as("c"))
       .where(col("c") >= threshold)
+  }
+
+  /** Derive (bands, bitsPerBand) for [[embeddingNearDupsLSH]] from the
+    * corpus size and recall target — the measured scaling rule on that
+    * method's Scaladoc, as code:
+    *
+    *  - `bitsPerBand` keeps the expected bucket load n/2^bits ≈ 1
+    *    (floor 12, the small-corpus default). Candidate volume per
+    *    band is ~Σ bucket² ≈ n²/2^bits + n, so load-1 buckets make the
+    *    total ~bands·2n — linear in n with a log-growing band count —
+    *    instead of quadratic at fixed width.
+    *  - `bands` is the smallest B with (1 − p^bits)^B ≤ missProb,
+    *    where p = 1 − acos(t)/π is the per-hyperplane sign-agreement
+    *    probability at cosine threshold t.
+    *
+    * Reproduces the SCALE_r4 measured point: (40000, 0.9165) → 16-bit
+    * bands, ~7× less candidate-join volume than the (96,12) default at
+    * identical output (miss bound ≤1e-6 per pair).
+    */
+  def lshParams(n: Long, threshold: Double,
+      missProb: Double = 1e-6): (Int, Int) = {
+    require(n > 0 && threshold > 0 && threshold < 1, "n>0, 0<t<1")
+    require(missProb > 0 && missProb < 1, "0<missProb<1")
+    val bits = math.max(12,
+      math.ceil(math.log(n.toDouble) / math.log(2)).toInt)
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val pBand = math.pow(p, bits)
+    val bands = math.max(1,
+      math.ceil(math.log(missProb) / math.log1p(-pBand)).toInt)
+    (bands, bits)
   }
 }

@@ -113,6 +113,37 @@ class OperatorsSpec extends SparkSpec {
     val brute = pairs(Dedup.embeddingNearDups(corpus, "id", "v", 0.9))
     assert(brute.nonEmpty, "planted pairs must exist")
     assert(blocked == brute)
+    // corpus-derived parameters (the scaling rule as code) must find
+    // the same pairs
+    val (bands, bits) = Dedup.lshParams(1000, 0.9)
+    val auto = pairs(Dedup.embeddingNearDupsLSH(corpus, "id", "v", 0.9,
+      bands = bands, bitsPerBand = bits))
+    assert(auto == brute)
+  }
+
+  test("lshParams reproduces the measured scaling points and holds " +
+      "the miss bound") {
+    // the SCALE_r4 measured point: 40k vectors at cosine 0.9165 →
+    // 16-bit bands, ~124 of them (doc: 128 gives 6e-7; smallest B
+    // under 1e-6 is a few fewer)
+    val (b40k, bits40k) = Dedup.lshParams(40000, 0.9165)
+    assert(bits40k == 16, s"expected 16 bits at 40k, got $bits40k")
+    assert(b40k >= 110 && b40k <= 130, s"bands out of range: $b40k")
+    // small corpora floor at the (.,12) default width
+    assert(Dedup.lshParams(100, 0.9165)._2 == 12)
+    // the guarantee itself: (1 - p^bits)^bands <= missProb, and one
+    // band fewer violates it (minimality)
+    for (n <- Seq(1000L, 100000L, 10000000L); t <- Seq(0.8, 0.9, 0.95)) {
+      val (bands, bits) = Dedup.lshParams(n, t)
+      val p = 1.0 - math.acos(t) / math.Pi
+      val miss = math.pow(1.0 - math.pow(p, bits), bands)
+      assert(miss <= 1e-6, s"miss bound violated at ($n,$t): $miss")
+      assert(math.pow(1.0 - math.pow(p, bits), bands - 1) > 1e-6,
+        s"bands not minimal at ($n,$t)")
+    }
+    // monotonicity: corpus growth never narrows the bands
+    assert(Dedup.lshParams(1000000, 0.9165)._2 >=
+      Dedup.lshParams(10000, 0.9165)._2)
   }
 
   test("incremental near-dup equals the cross-half slice of full pairs") {
