@@ -74,7 +74,10 @@ object ScaleStress {
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
-    val outDir = "/tmp/graft_scale_sf1"
+    // optional artifact suffix ("f5" → SCALE_r4_f5.json) so
+    // scaling-curve runs at several factors don't overwrite each other
+    val suffix = args.lift(2).map("_" + _).getOrElse("")
+    val outDir = s"/tmp/graft_scale_sf1$suffix"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -229,6 +232,22 @@ object ScaleStress {
       (n, Seq("matches_default_params" -> true))
     }
 
+    // ----------------------------- xd6 with lshParams-derived bands
+    // The scaling rule as code (Dedup.lshParams) must hold at this
+    // corpus size too: derived parameters, identical output.
+    val (autoBands, autoBits) = Dedup.lshParams(2 * nEmb, 0.9)
+    timed("xd6_auto_params") {
+      val auto = Dedup.embeddingNearDupsLSH(plantedCorpus, "id", "v",
+        threshold = 0.9, bands = autoBands, bitsPerBand = autoBits)
+      val n = auto.count()
+      require(n == nEmb, s"auto-params run expected $nEmb pairs, got $n")
+      val diff = auto.select("a", "b")
+        .exceptAll(xd6Pairs.select("a", "b")).count()
+      require(diff == 0, s"auto-params run diverged on $diff pairs")
+      (n, Seq("bands" -> autoBands, "bits" -> autoBits,
+        "matches_default_params" -> true))
+    }
+
     // ------------------------------------------------ xd9 components
     timed("xd9_semantic_components") {
       val comps = Dedup.connectedComponents(xd6Pairs, "a", "b")
@@ -284,7 +303,7 @@ object ScaleStress {
     }
     val payload = results.map { case (k, v) => s""""$k":${json(v)}""" }
       .mkString("{", ",", "}")
-    Files.writeString(Paths.get("SCALE_r4.json"), payload + "\n")
+    Files.writeString(Paths.get(s"SCALE_r4$suffix.json"), payload + "\n")
     val planReport = new StringBuilder
     planReport ++= s"# Plan snapshots at ${factor}x bench scale " +
       s"($nDocs docs / $nEmb vectors)\n\n"
@@ -302,7 +321,7 @@ object ScaleStress {
     val bad = (xd1Plan ++ xd6Plan ++ xd1NoB ++ xd6NoB).filter(l =>
       l.contains("Cartesian") || l.contains("BroadcastNestedLoop"))
     require(bad.isEmpty, s"scale-killer join shapes at ${factor}x: $bad")
-    Files.writeString(Paths.get("SCALE_r4_plans.txt"),
+    Files.writeString(Paths.get(s"SCALE_r4_plans$suffix.txt"),
       planReport.toString)
     println(payload)
     spark.stop()
