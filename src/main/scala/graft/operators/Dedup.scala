@@ -386,8 +386,10 @@ object Dedup {
       missProb: Double = 1e-6): (Int, Int) = {
     require(n > 0 && threshold > 0 && threshold < 1, "n>0, 0<t<1")
     require(missProb > 0 && missProb < 1, "0<missProb<1")
+    // exact integer ceil(log2 n): the floating form log(n)/log(2)
+    // returns k+1 for several exact powers of two (2^29, 2^31, ...)
     val bits = math.max(12,
-      math.ceil(math.log(n.toDouble) / math.log(2)).toInt)
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1)))
     val p = 1.0 - math.acos(threshold) / math.Pi
     val pBand = math.pow(p, bits)
     val bands = math.max(1,

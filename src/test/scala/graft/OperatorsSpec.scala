@@ -144,6 +144,14 @@ class OperatorsSpec extends SparkSpec {
     // monotonicity: corpus growth never narrows the bands
     assert(Dedup.lshParams(1000000, 0.9165)._2 >=
       Dedup.lshParams(10000, 0.9165)._2)
+    // exact powers of two: ceil(log2 n) must not pick up a float ulp
+    // (log(2^29)/log(2) = 29.000000000000004 rounds up to 30)
+    for (k <- Seq(16, 29, 31, 39)) {
+      assert(Dedup.lshParams(1L << k, 0.9165)._2 == k,
+        s"bits at n=2^$k")
+      assert(Dedup.lshParams((1L << k) + 1, 0.9165)._2 == k + 1,
+        s"bits at n=2^$k+1")
+    }
   }
 
   test("incremental near-dup equals the cross-half slice of full pairs") {
