@@ -472,6 +472,81 @@ object TextAnalysisQueries {
         .select(col("doc_id"), col("w"), r4(col("raw")).as("score"),
           col("rnk").cast("int").as("rnk"))
         .orderBy("doc_id", "rnk")
+    },
+
+    // Cross-document duplicated-span signal (the substring-dedup
+    // shape of Lee et al. "Deduplicating Training Data Makes Language
+    // Models Better"): per doc, the fraction of its winnowed
+    // fingerprints that also occur in ANY other document. The
+    // winnowing guarantee (k=40 chars, window 16) means any substring
+    // of length ≥ 55 shared between two docs contributes at least one
+    // shared fingerprint — so a high shared_frac flags boilerplate /
+    // license blocks / mirrored passages without any pairwise
+    // comparison. The gram must be LONG for this signal: at the xt4
+    // defaults (8,4) every 8-char gram of a small-vocabulary corpus
+    // occurs in many documents and the fraction saturates at 1.0. Plan shape at 100 TB: explode fingerprints (narrow),
+    // one agg shuffle on the uniformly-distributed hash for document
+    // frequency, one hash join back on the same key, one agg shuffle
+    // on doc_id — never a doc×doc product. The oracle replays the
+    // full winnowing pipeline in SQL (as xt4) and then the same
+    // df≥2 aggregation.
+    Q("xt13_shared_spans",
+      s"""WITH d AS (
+        |  SELECT doc_id,
+        |    REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g') AS s
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, s, LEN(s) AS n FROM d
+        |), h AS (
+        |  SELECT doc_id, n,
+        |    CASE WHEN n >= 40 THEN
+        |      LIST_TRANSFORM(RANGE(1, n - 40 + 2), i ->
+        |        LIST_REDUCE(LIST_TRANSFORM(RANGE(0, 40), j ->
+        |          CAST(ORD(SUBSTR(s, CAST(i + j AS INT), 1)) AS BIGINT)),
+        |          (acc, x) -> (acc * 257 + x) % 2147483647))
+        |    ELSE [] END AS hashes
+        |  FROM g
+        |), sel AS (
+        |  SELECT doc_id, LEN(hashes) AS nh,
+        |    CASE
+        |      WHEN nh = 0 THEN []
+        |      WHEN nh < 16 THEN [LIST_MIN(hashes)]
+        |      ELSE LIST_SORT(LIST_DISTINCT(
+        |        LIST_TRANSFORM(RANGE(1, nh - 16 + 2), w ->
+        |          LIST_MIN(hashes[w : w + 15]))))
+        |    END AS fp
+        |  FROM h
+        |),
+        |ex AS (SELECT doc_id, UNNEST(fp) AS fph FROM sel),
+        |fdf AS (SELECT fph, COUNT(DISTINCT doc_id) AS df
+        |        FROM ex GROUP BY fph),
+        |sh AS (SELECT e.doc_id, COUNT(*) AS ns
+        |       FROM ex e JOIN fdf USING (fph)
+        |       WHERE df >= 2 GROUP BY e.doc_id)
+        |SELECT s.doc_id, CAST(LEN(s.fp) AS INT) AS n_fp,
+        |  CAST(COALESCE(sh.ns, 0) AS INT) AS n_shared,
+        |  ${r4Sql("""CASE WHEN LEN(s.fp) = 0 THEN 0.0
+        |    ELSE CAST(COALESCE(sh.ns, 0) AS DOUBLE) / LEN(s.fp)
+        |  END""")} AS shared_frac
+        |FROM sel s LEFT JOIN sh ON s.doc_id = sh.doc_id
+        |ORDER BY s.doc_id""".stripMargin) { (s, d) =>
+      val fps = t(s, d, "documents")
+        .select(col("doc_id"),
+          HashFns.winnowFingerprint(col("text"), k = 40, w = 16)
+            .as("fp"))
+      val ex = fps.select(col("doc_id"), explode(col("fp")).as("fph"))
+      val fdf = ex.groupBy("fph")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val shared = ex.join(fdf, "fph").where(col("df") >= 2)
+        .groupBy("doc_id").agg(count(lit(1)).as("ns"))
+      fps.select(col("doc_id"), size(col("fp")).as("n_fp"))
+        .join(shared, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_fp"),
+          coalesce(col("ns"), lit(0L)).cast(IntegerType).as("n_shared"),
+          r4(when(col("n_fp") === 0, lit(0.0))
+            .otherwise(coalesce(col("ns"), lit(0L)).cast(DoubleType) /
+              col("n_fp"))).as("shared_frac"))
+        .orderBy("doc_id")
     }
   )
 }
