@@ -139,7 +139,10 @@ case class WinnowFingerprint(child: Expression, k: Int = 8, w: Int = 4)
   private val Mod = 2147483647L
 
   override def nullSafeEval(input: Any): Any = {
-    val s = input.toString.toLowerCase.replaceAll("\\s+", " ")
+    // Locale.ROOT: default-locale lowercasing diverges from the SQL
+    // oracle's LOWER on e.g. tr_TR JVMs ('I' → 'ı')
+    val s = input.toString.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("\\s+", " ")
     if (s.length < k) return new GenericArrayData(Array.empty[Long])
     // rolling polynomial hash of every k-gram
     val nGrams = s.length - k + 1

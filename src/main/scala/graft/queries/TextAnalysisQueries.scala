@@ -28,6 +28,40 @@ object TextAnalysisQueries {
     s"LEN(LIST_FILTER(fw, t -> LIST_CONTAINS([${
       words.map(w => s"'$w'").mkString(",")}], t)))"
 
+  /** DuckDB replay of [[graft.operators.WinnowFingerprint]] for gram
+    * size k and window w: CTEs `d`→`g`→`h`→`sel`, ending with
+    * (doc_id, fp) rows in `sel`. ONE definition interpolated into
+    * every winnowing oracle (xt4, xt13) so a determinism fix lands in
+    * all of them at once.
+    */
+  private def winnowSql(k: Int, w: Int): String =
+    s"""d AS (
+       |  SELECT doc_id,
+       |    REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g') AS s
+       |  FROM documents
+       |), g AS (
+       |  SELECT doc_id, s, LEN(s) AS n FROM d
+       |), h AS (
+       |  SELECT doc_id, n,
+       |    CASE WHEN n >= $k THEN
+       |      LIST_TRANSFORM(RANGE(1, n - $k + 2), i ->
+       |        LIST_REDUCE(LIST_TRANSFORM(RANGE(0, $k), j ->
+       |          CAST(ORD(SUBSTR(s, CAST(i + j AS INT), 1)) AS BIGINT)),
+       |          (acc, x) -> (acc * 257 + x) % 2147483647))
+       |    ELSE [] END AS hashes
+       |  FROM g
+       |), sel AS (
+       |  SELECT doc_id, LEN(hashes) AS nh,
+       |    CASE
+       |      WHEN nh = 0 THEN []
+       |      WHEN nh < $w THEN [LIST_MIN(hashes)]
+       |      ELSE LIST_SORT(LIST_DISTINCT(
+       |        LIST_TRANSFORM(RANGE(1, nh - $w + 2), w ->
+       |          LIST_MIN(hashes[w : w + ${w - 1}]))))
+       |    END AS fp
+       |  FROM h
+       |)""".stripMargin
+
   val all: Seq[Q] = Seq(
     // n-gram/stopword language ID: argmax of per-language stopword hit
     // counts, alphabetical tie-break (ties happen often on this
@@ -124,37 +158,15 @@ object TextAnalysisQueries {
     // min-per-4-window, distinct-sorted — upgrading this from the
     // round-1 rows-only check to the full hash gate.
     Q("xt4_fingerprint",
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g') AS s
-        |  FROM documents
-        |), g AS (
-        |  SELECT doc_id, s, LEN(s) AS n FROM d
-        |), h AS (
-        |  SELECT doc_id, n,
-        |    CASE WHEN n >= 8 THEN
-        |      LIST_TRANSFORM(RANGE(1, n - 8 + 2), i ->
-        |        LIST_REDUCE(LIST_TRANSFORM(RANGE(0, 8), j ->
-        |          CAST(ORD(SUBSTR(s, CAST(i + j AS INT), 1)) AS BIGINT)),
-        |          (acc, x) -> (acc * 257 + x) % 2147483647))
-        |    ELSE [] END AS hashes
-        |  FROM g
-        |), sel AS (
-        |  SELECT doc_id, LEN(hashes) AS nh,
-        |    CASE
-        |      WHEN nh = 0 THEN []
-        |      WHEN nh < 4 THEN [LIST_MIN(hashes)]
-        |      ELSE LIST_SORT(LIST_DISTINCT(
-        |        LIST_TRANSFORM(RANGE(1, nh - 4 + 2), w ->
-        |          LIST_MIN(hashes[w : w + 3]))))
-        |    END AS fp
-        |  FROM h
-        |)
+      s"""WITH ${winnowSql(8, 4)}
         |SELECT doc_id, CAST(LEN(fp) AS INT) AS n_fp, fp[1] AS fp_min
         |FROM sel ORDER BY doc_id""".stripMargin) { (s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"),
-          HashFns.winnowFingerprint(col("text")).as("fp"))
+          // coalesce: the expression is null-intolerant, but the
+          // oracle's CASE ... ELSE [] maps NULL text to an empty list
+          HashFns.winnowFingerprint(coalesce(col("text"), lit("")))
+            .as("fp"))
         .select(col("doc_id"), size(col("fp")).as("n_fp"),
           element_at(col("fp"), 1).as("fp_min"))
         .orderBy("doc_id")
@@ -491,61 +503,46 @@ object TextAnalysisQueries {
     // full winnowing pipeline in SQL (as xt4) and then the same
     // df≥2 aggregation.
     Q("xt13_shared_spans",
-      s"""WITH d AS (
-        |  SELECT doc_id,
-        |    REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g') AS s
-        |  FROM documents
-        |), g AS (
-        |  SELECT doc_id, s, LEN(s) AS n FROM d
-        |), h AS (
-        |  SELECT doc_id, n,
-        |    CASE WHEN n >= 40 THEN
-        |      LIST_TRANSFORM(RANGE(1, n - 40 + 2), i ->
-        |        LIST_REDUCE(LIST_TRANSFORM(RANGE(0, 40), j ->
-        |          CAST(ORD(SUBSTR(s, CAST(i + j AS INT), 1)) AS BIGINT)),
-        |          (acc, x) -> (acc * 257 + x) % 2147483647))
-        |    ELSE [] END AS hashes
-        |  FROM g
-        |), sel AS (
-        |  SELECT doc_id, LEN(hashes) AS nh,
-        |    CASE
-        |      WHEN nh = 0 THEN []
-        |      WHEN nh < 16 THEN [LIST_MIN(hashes)]
-        |      ELSE LIST_SORT(LIST_DISTINCT(
-        |        LIST_TRANSFORM(RANGE(1, nh - 16 + 2), w ->
-        |          LIST_MIN(hashes[w : w + 15]))))
-        |    END AS fp
-        |  FROM h
-        |),
+      s"""WITH ${winnowSql(40, 16)},
         |ex AS (SELECT doc_id, UNNEST(fp) AS fph FROM sel),
-        |fdf AS (SELECT fph, COUNT(DISTINCT doc_id) AS df
-        |        FROM ex GROUP BY fph),
-        |sh AS (SELECT e.doc_id, COUNT(*) AS ns
-        |       FROM ex e JOIN fdf USING (fph)
-        |       WHERE df >= 2 GROUP BY e.doc_id)
-        |SELECT s.doc_id, CAST(LEN(s.fp) AS INT) AS n_fp,
+        |-- COUNT(*) == COUNT(DISTINCT doc_id): fp is LIST_DISTINCT per
+        |-- doc, so (doc_id, fph) rows are unique by construction
+        |fdf AS (SELECT fph, COUNT(*) AS df FROM ex GROUP BY fph),
+        |sh AS (SELECT e.doc_id, COUNT(*) AS n_fp,
+        |         COUNT(*) FILTER (df >= 2) AS ns
+        |       FROM ex e JOIN fdf USING (fph) GROUP BY e.doc_id)
+        |SELECT s.doc_id, CAST(COALESCE(sh.n_fp, 0) AS INT) AS n_fp,
         |  CAST(COALESCE(sh.ns, 0) AS INT) AS n_shared,
-        |  ${r4Sql("""CASE WHEN LEN(s.fp) = 0 THEN 0.0
-        |    ELSE CAST(COALESCE(sh.ns, 0) AS DOUBLE) / LEN(s.fp)
+        |  ${r4Sql("""CASE WHEN COALESCE(sh.n_fp, 0) = 0 THEN 0.0
+        |    ELSE CAST(COALESCE(sh.ns, 0) AS DOUBLE) / sh.n_fp
         |  END""")} AS shared_frac
         |FROM sel s LEFT JOIN sh ON s.doc_id = sh.doc_id
         |ORDER BY s.doc_id""".stripMargin) { (s, d) =>
-      val fps = t(s, d, "documents")
+      // The fingerprint expression is evaluated on TWO subplan scans
+      // (the df aggregate and the join probe), not three: n_fp comes
+      // out of the same per-doc aggregate as n_shared, and
+      // explode_outer keeps fingerprint-less docs (short or NULL
+      // text) alive with a NULL fph so no third pass / doc-universe
+      // join is needed. A window over fph would cut it to one pass
+      // but would put a boilerplate fingerprint's entire bucket in a
+      // single task; the groupBy+join form stays AQE-skew-splittable.
+      // At real pipeline scale, materialize ex once (Scale.writeLayout)
+      // and run both sides from the written table.
+      val ex = t(s, d, "documents")
         .select(col("doc_id"),
-          HashFns.winnowFingerprint(col("text"), k = 40, w = 16)
-            .as("fp"))
-      val ex = fps.select(col("doc_id"), explode(col("fp")).as("fph"))
-      val fdf = ex.groupBy("fph")
-        .agg(countDistinct(col("doc_id")).as("df"))
-      val shared = ex.join(fdf, "fph").where(col("df") >= 2)
-        .groupBy("doc_id").agg(count(lit(1)).as("ns"))
-      fps.select(col("doc_id"), size(col("fp")).as("n_fp"))
-        .join(shared, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_fp"),
-          coalesce(col("ns"), lit(0L)).cast(IntegerType).as("n_shared"),
-          r4(when(col("n_fp") === 0, lit(0.0))
-            .otherwise(coalesce(col("ns"), lit(0L)).cast(DoubleType) /
-              col("n_fp"))).as("shared_frac"))
+          explode_outer(HashFns.winnowFingerprint(
+            coalesce(col("text"), lit("")), k = 40, w = 16)).as("fph"))
+      val fdf = ex.where(col("fph").isNotNull)
+        .groupBy("fph").agg(count(lit(1)).as("df"))
+      ex.join(fdf, Seq("fph"), "left")
+        .groupBy("doc_id")
+        .agg(count(col("fph")).as("nf"),
+          count(when(col("df") >= 2, lit(1))).as("ns"))
+        .select(col("doc_id"), col("nf").cast(IntegerType).as("n_fp"),
+          col("ns").cast(IntegerType).as("n_shared"),
+          r4(when(col("nf") === 0, lit(0.0))
+            .otherwise(col("ns").cast(DoubleType) / col("nf")))
+            .as("shared_frac"))
         .orderBy("doc_id")
     }
   )
