@@ -337,9 +337,9 @@ object Dedup {
     * at threshold t, a pair is missed with (1 − p^bits)^bands.
     * Measured on the 40k-vector scale corpus (SCALE_r4.json): (96,12)
     * → 38M candidate-join rows, (128,16) → ~5M, identical output
-    * (miss bound 6e-7 per pair at cosine 0.9165). The defaults stay
-    * (96,12) for small-corpus oracle parity; at scale derive the
-    * parameters with [[lshParams]] (the rule as code) —
+    * (miss bound 6e-7 per pair at cosine 0.9165). Callers with a known
+    * corpus size should prefer [[embeddingNearDupsLSHAuto]], which
+    * derives the parameters with [[lshParams]] (the rule as code) —
     * `graft.tools.LshDiag` measures actual bucket occupancy / pair
     * volume to validate the choice on a given corpus.
     */
@@ -363,6 +363,25 @@ object Dedup {
         (TextFns.dot(col("__va"), col("__vb")) /
           (col("__na") * col("__nb"))).as("c"))
       .where(col("c") >= threshold)
+  }
+
+  /** [[embeddingNearDupsLSH]] with (bands, bitsPerBand) derived from
+    * the ACTUAL corpus size via [[lshParams]] — the production default
+    * for embedding near-dup at any scale. Fixed-width banding is
+    * quadratic in n once buckets saturate (measured on the 20×
+    * scale corpus: (96,12) 197s vs auto 57s, identical output —
+    * SCALE_r4_f20.json), so the width must track log2(n). Costs one
+    * count() job up front — metadata-cheap on columnar sources and
+    * amortized over the banded self-join it right-sizes.
+    */
+  def embeddingNearDupsLSHAuto(
+      emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, missProb: Double = 1e-6,
+      seed: Int = 0x5eed, maxBucket: Int = Int.MaxValue): DataFrame = {
+    val n = emb.count()
+    val (bands, bits) = lshParams(math.max(1L, n), threshold, missProb)
+    embeddingNearDupsLSH(emb, idCol, vecCol, threshold, bands, bits,
+      seed, maxBucket)
   }
 
   /** Derive (bands, bitsPerBand) for [[embeddingNearDupsLSH]] from the

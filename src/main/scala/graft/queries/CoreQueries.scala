@@ -1202,6 +1202,42 @@ object CoreQueries {
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
         .limit(20)
+    },
+
+    // TPC-H Q17 shape: correlated scalar subquery per part ("small
+    // quantity" orders vs 0.2× that part's average). Decorrelated into
+    // a per-partkey window average over the part-pruned lineitem — ONE
+    // scan and ONE shuffle (hash by l_partkey), against the naive
+    // groupBy-then-rejoin which scans the pruned join twice. The part
+    // filter broadcasts (tiny dim) so pruning happens before the
+    // shuffle; per-part threshold uses the decimal-sum davg formula so
+    // both engines derive a bit-identical cutoff.
+    Q("q51_tpch_q17",
+      s"""WITH j AS (
+         |  SELECT l_partkey, l_quantity, l_extendedprice
+         |  FROM lineitem JOIN part ON p_partkey = l_partkey
+         |  WHERE p_brand IN ('Brand#11', 'Brand#23')
+         |), thr AS (
+         |  SELECT l_partkey, ${davgSql("l_quantity")} AS aq
+         |  FROM j GROUP BY l_partkey
+         |)
+         |SELECT ${dsumSql("l_extendedprice")} AS sum_price,
+         |       COUNT(*) AS n_small
+         |FROM j JOIN thr USING (l_partkey)
+         |WHERE l_quantity < 0.2 * aq""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy(col("l_partkey"))
+      val pruned = t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")
+          .where(col("p_brand").isin("Brand#11", "Brand#23"))
+          .select("p_partkey")),
+          col("p_partkey") === col("l_partkey"))
+      pruned
+        .withColumn("aq",
+          round(sum(col("l_quantity").cast(DecimalType(28, 6))).over(w)
+            .cast(DoubleType) / count(lit(1)).over(w), 4))
+        .where(col("l_quantity") < lit(0.2) * col("aq"))
+        .agg(dsum(col("l_extendedprice")).as("sum_price"),
+          count(lit(1)).as("n_small"))
     }
   )
 }

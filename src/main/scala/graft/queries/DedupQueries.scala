@@ -172,9 +172,12 @@ object DedupQueries {
     // s=Σv), and random cross pairs stay ≪ 0.9, so threshold 0.9
     // selects exactly the planted pairs at every scale factor. Oracle =
     // independent exact all-pairs SQL on the same derived corpus; the
-    // hash match proves the LSH blocking loses nothing.
+    // hash match proves the LSH blocking loses nothing. The band
+    // parameters are DERIVED from the actual corpus size (lshParams) —
+    // fixed-width banding goes quadratic once buckets saturate
+    // (SCALE_r4_f20.json: 197s fixed vs 57s auto, identical rows).
     Q("xd6_embedding_lsh", embeddingPairsOracleSql) { (s, d) =>
-      Dedup.embeddingNearDupsLSH(plantedCorpus(s, d), "id", "v",
+      Dedup.embeddingNearDupsLSHAuto(plantedCorpus(s, d), "id", "v",
           threshold = 0.9)
         .select(col("a"), col("b"), round(col("c"), 4).as("c"))
         .orderBy("a", "b")
@@ -199,7 +202,7 @@ object DedupQueries {
          |)
          |SELECT id, MIN(lab) AS component FROM reach
          |GROUP BY id ORDER BY id""".stripMargin) { (s, d) =>
-      val pairs = Dedup.embeddingNearDupsLSH(plantedCorpus(s, d),
+      val pairs = Dedup.embeddingNearDupsLSHAuto(plantedCorpus(s, d),
         "id", "v", threshold = 0.9)
       Dedup.connectedComponents(pairs, "a", "b").orderBy("id")
     },

@@ -123,6 +123,23 @@ object StreamBatchQueries {
           count(lit(1)).as("n_events"))
       graft.streaming.Streams.enrichPurchases(e, profile)
         .orderBy("event_id")
+    },
+
+    // Streaming incremental near-dup (QS6): docs ≥400 arrive as a
+    // stream and are near-dup-checked against the static <400 corpus.
+    // Runs the SAME Streams.nearDupsAgainstCorpus the foreachBatch
+    // runner applies per micro-batch (StreamingSpec asserts the
+    // chunked stream reproduces this batch result exactly); oracle =
+    // independent exact cross-slice Jaccard SQL.
+    Q("qs6_stream_neardup",
+      DedupQueries.jaccardOracleSql(0.5,
+        pairCond = "x.doc_id < 400 AND y.doc_id >= 400")) { (s, d) =>
+      val docs = t(s, d, "documents")
+      graft.streaming.Streams.nearDupsAgainstCorpus(
+          docs.where(col("doc_id") >= 400),
+          docs.where(col("doc_id") < 400), threshold = 0.5)
+        .select(col("a"), col("b"), round(col("j"), 4).as("j"))
+        .orderBy("a", "b")
     }
   )
 }

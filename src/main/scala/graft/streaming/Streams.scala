@@ -95,6 +95,50 @@ object Streams {
       .select(col("event_id"), col("user_id"), col("first_event"),
         col("n_events"))
 
+  /** Streaming incremental near-dup (QS6): newly-arriving documents
+    * are checked against a STATIC corpus — continuous-ingestion dedup
+    * as a stream. The per-batch transform is exactly
+    * [[graft.operators.Dedup.minhashNearDupsAgainst]]: delta band rows
+    * equi-join the corpus band rows on (band, key), so each
+    * micro-batch costs delta-bands × matching corpus buckets — never
+    * corpus² — and needs NO streaming state (the corpus is a static
+    * side, the delta is fully processed within its batch).
+    */
+  def nearDupsAgainstCorpus(newDocs: DataFrame, corpus: DataFrame,
+      threshold: Double): DataFrame =
+    graft.operators.Dedup.minhashNearDupsAgainst(
+      newDocs, corpus, "doc_id", "text", threshold)
+
+  /** Run the QS6 stream: a file-source of delta document parquet files
+    * → per-micro-batch banded near-dup vs `corpus` → parquet sink.
+    * The composite transform (band join + candidate distinct + verify)
+    * is not a single append-mode streaming plan, so it runs via
+    * `foreachBatch` — the canonical Structured Streaming shape for
+    * batch-composite logic; exactly-once comes from idempotent
+    * per-batch overwrite into a batchId-named subdir. The corpus is
+    * cached so its shingles/signatures are not recomputed per batch.
+    */
+  def runNearDupStream(spark: SparkSession, deltaDir: String,
+      corpus: DataFrame, threshold: Double, outDir: String): Unit = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val cached = corpus.cache()
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(deltaDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        nearDupsAgainstCorpus(batch, cached, threshold)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .start()
+    try q.processAllAvailable()
+    finally { q.stop(); cached.unpersist() }
+  }
+
   /** Stateful dedup bounded by the watermark (SURVEY §2.10). */
   def dedupWithinWatermark(events: DataFrame): DataFrame =
     events.withWatermark("ts", "2 hours")

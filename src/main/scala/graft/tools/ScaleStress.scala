@@ -200,8 +200,11 @@ object ScaleStress {
     }
     var xd6Plan: Seq[String] = Nil
     var xd6Pairs: DataFrame = null
+    // The PRODUCTION path (what the xd6/xd9 queries run): band
+    // parameters derived from the actual corpus size via lshParams.
+    val (autoBands, autoBits) = Dedup.lshParams(2 * nEmb, 0.9)
     timed("xd6_embedding_lsh") {
-      xd6Pairs = Dedup.embeddingNearDupsLSH(plantedCorpus, "id", "v",
+      xd6Pairs = Dedup.embeddingNearDupsLSHAuto(plantedCorpus, "id", "v",
         threshold = 0.9).cache()
       val n = xd6Pairs.count()
       xd6Plan = joinLines(xd6Pairs)
@@ -212,40 +215,24 @@ object ScaleStress {
         s"expected exactly $nEmb planted pairs, got $n")
       val shifted = xd6Pairs.where(col("b") === col("a") + 100000).count()
       require(shifted == n, s"non-planted pairs present: ${n - shifted}")
-      (n, Seq("expected" -> nEmb, "all_planted" -> true))
+      (n, Seq("expected" -> nEmb, "all_planted" -> true,
+        "bands" -> autoBands, "bits" -> autoBits))
     }
 
-    // -------------------------------------- xd6 with scale-tuned bands
-    // Same operator, corpus-sized parameters (see the
-    // embeddingNearDupsLSH Scaladoc scaling rule): 16-bit bands cut
-    // the candidate-join volume ~7× at this corpus size; 128 bands
-    // hold the miss bound at ~6e-7 per planted pair. Output must be
-    // IDENTICAL to the (96,12) run.
-    timed("xd6_tuned_128x16") {
-      val tuned = Dedup.embeddingNearDupsLSH(plantedCorpus, "id", "v",
-        threshold = 0.9, bands = 128, bitsPerBand = 16)
-      val n = tuned.count()
-      require(n == nEmb, s"tuned run expected $nEmb pairs, got $n")
-      val diff = tuned.select("a", "b")
+    // ----------------------- xd6 with the fixed small-corpus defaults
+    // The former default (96,12): quadratic candidate volume once
+    // buckets saturate — kept in the curve as the counterexample that
+    // motivates deriving the width from log2(n). Output must be
+    // IDENTICAL to the auto run (recall bound holds for both).
+    timed("xd6_fixed_96x12") {
+      val fixed = Dedup.embeddingNearDupsLSH(plantedCorpus, "id", "v",
+        threshold = 0.9, bands = 96, bitsPerBand = 12)
+      val n = fixed.count()
+      require(n == nEmb, s"fixed run expected $nEmb pairs, got $n")
+      val diff = fixed.select("a", "b")
         .exceptAll(xd6Pairs.select("a", "b")).count()
-      require(diff == 0, s"tuned run diverged on $diff pairs")
-      (n, Seq("matches_default_params" -> true))
-    }
-
-    // ----------------------------- xd6 with lshParams-derived bands
-    // The scaling rule as code (Dedup.lshParams) must hold at this
-    // corpus size too: derived parameters, identical output.
-    val (autoBands, autoBits) = Dedup.lshParams(2 * nEmb, 0.9)
-    timed("xd6_auto_params") {
-      val auto = Dedup.embeddingNearDupsLSH(plantedCorpus, "id", "v",
-        threshold = 0.9, bands = autoBands, bitsPerBand = autoBits)
-      val n = auto.count()
-      require(n == nEmb, s"auto-params run expected $nEmb pairs, got $n")
-      val diff = auto.select("a", "b")
-        .exceptAll(xd6Pairs.select("a", "b")).count()
-      require(diff == 0, s"auto-params run diverged on $diff pairs")
-      (n, Seq("bands" -> autoBands, "bits" -> autoBits,
-        "matches_default_params" -> true))
+      require(diff == 0, s"fixed run diverged on $diff pairs")
+      (n, Seq("matches_auto_params" -> true))
     }
 
     // ------------------------------------------------ xd9 components
@@ -272,8 +259,8 @@ object ScaleStress {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       try {
         (joinLines(Dedup.minhashNearDups(docs, "doc_id", "text", 0.5)),
-          joinLines(Dedup.embeddingNearDupsLSH(plantedCorpus, "id", "v",
-            0.9)))
+          joinLines(Dedup.embeddingNearDupsLSHAuto(plantedCorpus, "id",
+            "v", 0.9)))
       } finally {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
         spark.conf.set("spark.sql.adaptive.enabled", prevA)

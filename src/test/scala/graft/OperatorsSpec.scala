@@ -119,6 +119,10 @@ class OperatorsSpec extends SparkSpec {
     val auto = pairs(Dedup.embeddingNearDupsLSH(corpus, "id", "v", 0.9,
       bands = bands, bitsPerBand = bits))
     assert(auto == brute)
+    // the production wrapper (count → lshParams → LSH) agrees too
+    val wrapped = pairs(Dedup.embeddingNearDupsLSHAuto(
+      corpus, "id", "v", 0.9))
+    assert(wrapped == brute)
   }
 
   test("lshParams reproduces the measured scaling points and holds " +

@@ -188,39 +188,28 @@ class StreamingSpec extends SparkSpec {
     assert(asMap(finalState) == asMap(batch))
   }
 
-  test("foreachBatch incremental dedup == batch delta-vs-corpus pairs") {
-    import org.apache.spark.sql.types._
-    import graft.operators.Dedup
+  test("QS6 chunked near-dup stream == batch delta-vs-corpus pairs") {
+    // the arriving docs (≥400, the qs6 split) land as FOUR parquet
+    // files so maxFilesPerTrigger=1 forces four micro-batches; the
+    // production runner (foreachBatch → per-batch parquet dir +
+    // checkpoint) must reproduce the one-shot batch answer exactly
     val docs = graft.queries.T.t(spark, sf0001, "documents")
-    val corpus = docs.where(col("doc_id") < 250)
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType), StructField("text", StringType),
-      StructField("lang", StringType), StructField("source", StringType),
-      StructField("n_chars", LongType)))
-    // the arriving half streams in; each micro-batch runs the same
-    // delta-vs-corpus MinHash join xd8 gates (no corpus self-join)
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(sf0001)
-      .where(col("doc_id") >= 250)
-    val got = collection.mutable.Set[(Long, Long)]()
-    val q = stream.writeStream.outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-          org.apache.spark.sql.Row], _: Long) =>
-        val pairs = Dedup.minhashNearDupsAgainst(batch, corpus,
-            "doc_id", "text", threshold = 0.5)
-          .select("a", "b").collect()
-          .map(r => (r.getLong(0), r.getLong(1)))
-        got.synchronized { got ++= pairs }
-        ()
-      }.start()
-    try q.processAllAvailable() finally q.stop()
-    val batchPairs = Dedup.minhashNearDupsAgainst(
-        docs.where(col("doc_id") >= 250), corpus,
-        "doc_id", "text", threshold = 0.5)
-      .select("a", "b").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = java.nio.file.Files.createTempDirectory("qs6")
+    val deltaDir = base.resolve("delta").toString
+    val outDir = base.resolve("out").toString
+    docs.where(col("doc_id") >= 400).repartition(4)
+      .write.parquet(deltaDir)
+    Streams.runNearDupStream(spark, deltaDir,
+      docs.where(col("doc_id") < 400), threshold = 0.5, outDir)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamed = pairs(spark.read.parquet(s"$outDir/batch=*"))
+    val batchPairs = pairs(Streams.nearDupsAgainstCorpus(
+      docs.where(col("doc_id") >= 400), docs.where(col("doc_id") < 400),
+      threshold = 0.5))
     assert(batchPairs.nonEmpty, "planted cross-half near-dups expected")
-    assert(got.toSet == batchPairs)
+    assert(streamed == batchPairs)
   }
 
   test("flatMapGroupsWithState running totals cover all users") {
