@@ -1238,6 +1238,159 @@ object CoreQueries {
         .where(col("l_quantity") < lit(0.2) * col("aq"))
         .agg(dsum(col("l_extendedprice")).as("sum_price"),
           count(lit(1)).as("n_small"))
+    },
+
+    // TPC-H Q4 shape (order priority checking): correlated EXISTS whose
+    // predicate references an OUTER column (l_shipdate > o_orderdate +
+    // 60 days — the testdata has no commit/receipt dates, so "late" is
+    // ship-lag). The semi-join keeps the equi key (l_orderkey) hashable
+    // and evaluates the date comparison as a residual condition, so the
+    // plan is one hash semi-join + partial/final agg — lineitem is
+    // never widened by the join output.
+    Q("q52_tpch_q4",
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+        .stripMargin) { (s, d) =>
+      t(s, d, "orders")
+        .where(col("o_orderdate") >= lit("1997-01-01").cast(TimestampType)
+          && col("o_orderdate") < lit("1997-07-01").cast(TimestampType))
+        .join(t(s, d, "lineitem").select("l_orderkey", "l_shipdate"),
+          col("l_orderkey") === col("o_orderkey")
+            && col("l_shipdate") >
+              col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
+    // TPC-H Q7 shape (volume shipping between a nation pair): the OR
+    // over (supp,cust) nation assignments means neither dimension can
+    // be pruned to a single nation — but both CAN be pruned to the
+    // 2-nation set before the fact joins, so the big orders⋈lineitem
+    // shuffle carries ~2/25 of each table; the pair predicate runs as
+    // a residual filter after both enrichments. Nation names ride
+    // along via two broadcast joins (aliased to avoid ambiguity).
+    Q("q53_tpch_q7",
+      s"""SELECT supp_nation, cust_nation, l_year,
+         |${dsumSql("volume")} AS revenue FROM (
+         |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |    CAST(YEAR(l_shipdate) AS INT) AS l_year,
+         |    l_extendedprice * (1 - l_discount) AS volume
+         |  FROM lineitem
+         |  JOIN supplier ON s_suppkey = l_suppkey
+         |  JOIN orders ON o_orderkey = l_orderkey
+         |  JOIN customer ON c_custkey = o_custkey
+         |  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+         |  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+         |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+         |) GROUP BY supp_nation, cust_nation, l_year
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) {
+      (s, d) =>
+      val pair = Seq("NATION_1", "NATION_2")
+      val supp2 = t(s, d, "supplier")
+        .join(t(s, d, "nation").where(col("n_name").isin(pair: _*)),
+          col("n_nationkey") === col("s_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust2 = t(s, d, "customer")
+        .join(t(s, d, "nation").where(col("n_name").isin(pair: _*)),
+          col("n_nationkey") === col("c_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      t(s, d, "lineitem")
+        .join(broadcast(supp2), col("s_suppkey") === col("l_suppkey"))
+        .join(t(s, d, "orders")
+            .join(broadcast(cust2), col("c_custkey") === col("o_custkey"))
+            .select("o_orderkey", "cust_nation"),
+          col("o_orderkey") === col("l_orderkey"))
+        .where((col("supp_nation") === "NATION_1"
+            && col("cust_nation") === "NATION_2")
+          || (col("supp_nation") === "NATION_2"
+            && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    // TPC-H Q10 shape (returned-item reporting): quarter-windowed
+    // returns revenue per customer, top 20. Date filter pushes to the
+    // orders scan, returnflag to the lineitem scan; nation broadcasts;
+    // the revenue sort is a TakeOrdered (k=20), never a global sort.
+    // c_custkey tie-breaks the ORDER BY so the LIMIT is deterministic.
+    Q("q54_tpch_q10",
+      s"""SELECT c_custkey, c_name, n_name,
+         |${dsumSql("l_extendedprice*(1-l_discount)")} AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN nation ON n_nationkey = c_nationkey
+         |WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+         |  AND o_orderdate < TIMESTAMP '1998-04-01'
+         |  AND l_returnflag = 'R'
+         |GROUP BY c_custkey, c_name, n_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) {
+      (s, d) =>
+      t(s, d, "lineitem").where(col("l_returnflag") === "R")
+        .join(t(s, d, "orders")
+            .where(col("o_orderdate") >=
+                lit("1998-01-01").cast(TimestampType)
+              && col("o_orderdate") <
+                lit("1998-04-01").cast(TimestampType))
+            .select("o_orderkey", "o_custkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, d, "customer"), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("n_nationkey") === col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    // TPC-H Q22 shape (global sales opportunity): scalar-subquery
+    // threshold + NOT EXISTS anti-join. The testdata has no c_phone
+    // and every customer has ≥1 order, so the adaptation is "dormant
+    // high-balance customers": balance above the positive-balance
+    // average AND no order since 2000-01-01, grouped by nation band.
+    // The average is one tiny agg cross-joined as a broadcast scalar;
+    // the anti-join's right side is date-pruned at the orders scan.
+    Q("q55_tpch_q22",
+      s"""WITH thr AS (
+         |  SELECT ${davgSql("c_acctbal")} AS avg_bal
+         |  FROM customer WHERE c_acctbal > 0
+         |)
+         |SELECT c_nationkey % 5 AS nation_band,
+         |  COUNT(*) AS numcust, ${dsumSql("c_acctbal")} AS totacctbal
+         |FROM customer, thr
+         |WHERE c_acctbal > avg_bal
+         |  AND NOT EXISTS (SELECT 1 FROM orders
+         |    WHERE o_custkey = c_custkey
+         |      AND o_orderdate >= TIMESTAMP '2000-01-01')
+         |GROUP BY nation_band ORDER BY nation_band""".stripMargin) {
+      (s, d) =>
+      val cust = t(s, d, "customer")
+      val thr = cust.where(col("c_acctbal") > 0)
+        .agg(davg(col("c_acctbal")).as("avg_bal"))
+      cust.crossJoin(broadcast(thr))
+        .where(col("c_acctbal") > col("avg_bal"))
+        .join(t(s, d, "orders")
+            .where(col("o_orderdate") >=
+              lit("2000-01-01").cast(TimestampType))
+            .select("o_custkey"),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .groupBy((col("c_nationkey") % 5).as("nation_band"))
+        .agg(count(lit(1)).as("numcust"),
+          dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy("nation_band")
     }
   )
 }
