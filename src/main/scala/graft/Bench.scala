@@ -68,10 +68,16 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         } finally {
           // each bench run writes a full events-table copy here; left
-          // behind, the round loop steadily fills /tmp
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
-            .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+          // behind, the round loop steadily fills /tmp. Best-effort:
+          // a straggler holding a checkpoint file must not turn a
+          // successful measurement into -1.0 via the outer catch.
+          try {
+            import scala.jdk.CollectionConverters._
+            val walk = java.nio.file.Files.walk(tmp)
+            try walk.iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+            finally walk.close()
+          } catch { case _: Throwable => () }
         }
       } catch { case _: Throwable => -1.0 }
     val allResults = results :+ ("qs4_stream_rocksdb" -> streamBench)

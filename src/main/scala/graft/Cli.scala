@@ -93,36 +93,43 @@ object Cli {
         case i => (raw.substring(0, i), Some(raw.substring(i + 1)))
       }
       def v: String = inline.getOrElse(value(name))
+      // clap parity: a no-value flag given an inline value is a usage
+      // error (`--quiet=false` must not silently mean --quiet)
+      def set(update: => Options): Unit = {
+        inline.foreach(x =>
+          throw CliError(s"unexpected value '$x' for '$name'"))
+        o = update
+      }
       name match {
         case "--format" =>
           val f = v
           if (!formats(f)) throw CliError(s"unrecognized format: $f")
           o = o.copy(format = Some(f))
         case "--codec" => o = o.copy(codec = Some(v))
-        case "--input-avro" => o = o.copy(inputAvro = true)
-        case "--input-cbor" => o = o.copy(inputCbor = true)
-        case "--input-json" => o = o.copy(inputJson = true)
-        case "--input-csv" => o = o.copy(inputCsv = true)
-        case "--input-message-pack" => o = o.copy(inputMsgPack = true)
+        case "--input-avro" => set(o.copy(inputAvro = true))
+        case "--input-cbor" => set(o.copy(inputCbor = true))
+        case "--input-json" => set(o.copy(inputJson = true))
+        case "--input-csv" => set(o.copy(inputCsv = true))
+        case "--input-message-pack" => set(o.copy(inputMsgPack = true))
         case "--input-protobuf" => o = o.copy(inputProtobuf = Some(v))
-        case "--input-raw" => o = o.copy(inputRaw = true)
-        case "--input-toml" => o = o.copy(inputToml = true)
-        case "--input-yaml" => o = o.copy(inputYaml = true)
+        case "--input-raw" => set(o.copy(inputRaw = true))
+        case "--input-toml" => set(o.copy(inputToml = true))
+        case "--input-yaml" => set(o.copy(inputYaml = true))
         case "--output-avro" => o = o.copy(outputAvro = Some(v))
-        case "--output-cbor" => o = o.copy(outputCbor = true)
-        case "--output-json" => o = o.copy(outputJson = true)
-        case "--output-raw" => o = o.copy(outputRaw = true)
-        case "--output-csv" => o = o.copy(outputCsv = true)
-        case "--output-message-pack" => o = o.copy(outputMsgPack = true)
+        case "--output-cbor" => set(o.copy(outputCbor = true))
+        case "--output-json" => set(o.copy(outputJson = true))
+        case "--output-raw" => set(o.copy(outputRaw = true))
+        case "--output-csv" => set(o.copy(outputCsv = true))
+        case "--output-message-pack" => set(o.copy(outputMsgPack = true))
         case "--output-protobuf" => o = o.copy(outputProtobuf = Some(v))
-        case "--output-toml" => o = o.copy(outputToml = true)
-        case "--output-yaml" => o = o.copy(outputYaml = true)
+        case "--output-toml" => set(o.copy(outputToml = true))
+        case "--output-yaml" => set(o.copy(outputYaml = true))
         case "--log" => o = o.copy(log = Some(v))
-        case "--quiet" => o = o.copy(quiet = true)
-        case "--trace" => o = o.copy(trace = true)
+        case "--quiet" => set(o.copy(quiet = true))
+        case "--trace" => set(o.copy(trace = true))
         case "--base" => protoAddBase = Some(v)
-        case "--help" => o = o.copy(help = true)
-        case "--version" => o = o.copy(version = true)
+        case "--help" => set(o.copy(help = true))
+        case "--version" => set(o.copy(version = true))
         case other => throw CliError(s"unknown flag: $other")
       }
     }
@@ -176,8 +183,14 @@ object Cli {
       else positionals :+= arg
     }
 
+    // clap parity: -b/--base exists only on `protobuf add`; anywhere
+    // else it must be a usage error, not silently dropped
+    def requireNoBase(): Unit = protoAddBase.foreach(_ =>
+      throw CliError(
+        "'-b/--base' is only valid with the 'protobuf add' subcommand"))
+
     positionals match {
-      case Vector() => o
+      case Vector() => requireNoBase(); o
       case ps if ps.head == "protobuf" =>
         // subcommand grammar: protobuf add <schema> (rq.rs:96-113)
         ps.drop(1) match {
@@ -188,7 +201,7 @@ object Cli {
           case other => throw CliError(
             s"unknown protobuf subcommand: ${other.mkString(" ")}")
         }
-      case Vector(q) => o.copy(query = Some(q))
+      case Vector(q) => requireNoBase(); o.copy(query = Some(q))
       case ps => throw CliError(
         s"unexpected extra arguments: ${ps.tail.mkString(" ")}")
     }

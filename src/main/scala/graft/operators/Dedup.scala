@@ -391,11 +391,22 @@ object Dedup {
     *  - `bitsPerBand` keeps the expected bucket load n/2^bits ≈ 1
     *    (floor 12, the small-corpus default). Candidate volume per
     *    band is ~Σ bucket² ≈ n²/2^bits + n, so load-1 buckets make the
-    *    total ~bands·2n — linear in n with a log-growing band count —
-    *    instead of quadratic at fixed width.
+    *    total ~bands·2n instead of quadratic at fixed width. Since
+    *    bits ≈ log2 n, the per-band match probability p^bits =
+    *    n^(log2 p) shrinks as a small power of n, so `bands` (and with
+    *    it signature cost and candidate volume per row) grows
+    *    ~n^(−log2 p) — e.g. n^0.22 at t=0.9. Sub-linear, not constant:
+    *    total candidate volume is ~n^1.22 there, vs n² at fixed width.
     *  - `bands` is the smallest B with (1 − p^bits)^B ≤ missProb,
     *    where p = 1 − acos(t)/π is the per-hyperplane sign-agreement
     *    probability at cosine threshold t.
+    *
+    * Low thresholds at large n make that band count explode (p^bits →
+    * 0, B → ∞, previously saturating Int silently); the require below
+    * turns that into an explicit error. When it fires: raise the
+    * threshold, relax missProb, or block on MinHash/SimHash shingles
+    * instead — hyperplane LSH is the wrong tool for loose cosine
+    * matching at corpus scale.
     *
     * Reproduces the SCALE_r4 measured point: (40000, 0.9165) → 16-bit
     * bands, ~7× less candidate-join volume than the (96,12) default at
@@ -411,8 +422,16 @@ object Dedup {
       64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1)))
     val p = 1.0 - math.acos(threshold) / math.Pi
     val pBand = math.pow(p, bits)
-    val bands = math.max(1,
-      math.ceil(math.log(missProb) / math.log1p(-pBand)).toInt)
+    val bandsD = math.ceil(math.log(missProb) / math.log1p(-pBand))
+    // 16384 comfortably covers every documented operating point
+    // (t=0.9 at n=1e12 needs 6795) while rejecting the runaway regime
+    // before it becomes a 2^31-band signature job.
+    val maxBands = 16384
+    require(bandsD.isFinite && bandsD <= maxBands,
+      f"lshParams(n=$n, t=$threshold, missProb=$missProb) needs " +
+        f"$bandsD%.3g bands (> $maxBands): raise threshold, relax " +
+        "missProb, or use MinHash/SimHash blocking for loose matching")
+    val bands = math.max(1, bandsD.toInt)
     (bands, bits)
   }
 }

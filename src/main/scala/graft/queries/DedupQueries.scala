@@ -56,16 +56,24 @@ object DedupQueries {
 
   /** Corpus with PLANTED embedding near-dups (original ∪ +0.05-shifted
     * copies; see the xd6 Scaladoc for the cosine bound) — shared by
-    * the xd6 pair query and the xd9 component query.
+    * the xd6 pair query, the xd9 component query, and the scale
+    * harnesses (ScaleStress/LshDiag). THE single definition of the
+    * planted construction: the +100000 id offset and +0.05 shift here
+    * must mirror [[embeddingPairsOracleSql]], and the SCALE_r4
+    * evidence is only valid while harness and oracle agree.
     */
-  private def plantedCorpus(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
-    val base = t(s, d, "embeddings").select(col("vec_id"),
+  def plantedEmbeddingCorpus(emb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val base = emb.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
     base.select(col("vec_id").as("id"), col("v"))
       .unionAll(base.select((col("vec_id") + 100000).as("id"),
         transform(col("v"), x => x + lit(0.05d)).as("v")))
   }
+
+  private def plantedCorpus(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    plantedEmbeddingCorpus(t(s, d, "embeddings"))
 
   /** Exact all-pairs cosine ≥0.9 over the planted corpus, DuckDB
     * formulation (xd6 oracle; also the pair source inside xd9's

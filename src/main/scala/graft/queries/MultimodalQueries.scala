@@ -73,8 +73,10 @@ object MultimodalQueries {
         |CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
         |CAST(1 + doc_id % 2 AS INT) AS channels,
         |CAST(16 AS INT) AS bits,
-        |CAST(50 + OCTET_LENGTH(ENCODE(text)) % 200 AS INT) AS n_frames,
-        |CAST((50 + OCTET_LENGTH(ENCODE(text)) % 200) * 1000
+        |CAST(50 + OCTET_LENGTH(ENCODE(COALESCE(text, ''))) % 200
+        |  AS INT) AS n_frames,
+        |CAST((50 + OCTET_LENGTH(ENCODE(COALESCE(text, ''))) % 200)
+        |  * 1000
         |  // (8000 + (doc_id % 4) * 4000) AS INT) AS dur_ms
         |FROM documents ORDER BY media_id""".stripMargin) { (s, d) =>
       Multimodal.decodeWavMeta(

@@ -19,11 +19,8 @@ object LshDiag {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-    val base = emb.select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
-    val corpus = base.select(col("vec_id").as("id"), col("v"))
-      .unionAll(base.select((col("vec_id") + 100000).as("id"),
-        transform(col("v"), x => x + lit(0.05d)).as("v")))
+    // shared planted-corpus definition (see DedupQueries Scaladoc)
+    val corpus = graft.queries.DedupQueries.plantedEmbeddingCorpus(emb)
     val vec =
       if (!center) corpus
       else {

@@ -56,20 +56,7 @@ object ScaleStress {
     arr.toSeq
   }
 
-  /** Extract the join/exchange skeleton from an executed plan. Strips
-    * the tree-drawing prefix and the whole-stage-codegen `*(N)` tag
-    * BEFORE truncating at the first paren — otherwise a codegen-wrapped
-    * node like `*(5) SortMergeJoin …` collapses to a bare `*`, which
-    * both destroys the artifact's evidentiary value and lets the
-    * BroadcastNestedLoopJoin assertion pass vacuously.
-    */
-  private def joinLines(df: DataFrame): Seq[String] =
-    df.queryExecution.executedPlan.toString.linesIterator
-      .map(_.replaceAll("""^[\s:+-]*""", "")
-        .replaceFirst("""^\*\(\d+\)\s*""", ""))
-      .filter(l => l.contains("Join") || l.contains("Cartesian") ||
-        l.contains("Exchange"))
-      .map(_.takeWhile(_ != '(').trim).toSeq.distinct
+  import StressUtil.joinLines
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -191,13 +178,11 @@ object ScaleStress {
 
     // ------------------------------------------------ xd6 embedding LSH
     val emb = spark.read.parquet(s"$outDir/embeddings.parquet")
-    def plantedCorpus: DataFrame = {
-      val base = emb.select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
-      base.select(col("vec_id").as("id"), col("v"))
-        .unionAll(base.select((col("vec_id") + 100000).as("id"),
-          transform(col("v"), x => x + lit(0.05d)).as("v")))
-    }
+    // the ONE planted-corpus definition, shared with the xd6/xd9
+    // queries and their oracle — measuring a locally-redefined corpus
+    // here would silently decouple the SCALE evidence from the gate
+    def plantedCorpus: DataFrame =
+      graft.queries.DedupQueries.plantedEmbeddingCorpus(emb)
     var xd6Plan: Seq[String] = Nil
     var xd6Pairs: DataFrame = null
     // The PRODUCTION path (what the xd6/xd9 queries run): band
@@ -282,13 +267,8 @@ object ScaleStress {
     }
 
     // ------------------------------------------------ emit artifacts
-    def json(v: Any): String = v match {
-      case s: String => "\"" + s.replace("\"", "\\\"") + "\""
-      case d: Double => String.format(java.util.Locale.ROOT, "%.3f",
-        Double.box(d))
-      case other => other.toString
-    }
-    val payload = results.map { case (k, v) => s""""$k":${json(v)}""" }
+    val payload = results
+      .map { case (k, v) => s""""$k":${StressUtil.jsonScalar(v)}""" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"SCALE_r4$suffix.json"), payload + "\n")
     val planReport = new StringBuilder

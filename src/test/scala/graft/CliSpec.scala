@@ -126,6 +126,16 @@ class CliSpec extends AnyFunSuite {
     intercept[CliError](parse("-p"))
     intercept[CliError](parse("protobuf", "add"))
     intercept[CliError](parse("protobuf", "launch", "x.proto"))
+    // clap parity: inline value on a no-value flag is a usage error
+    // (--quiet=false must not silently mean --quiet) …
+    intercept[CliError](parse("--quiet=false"))
+    intercept[CliError](parse("--input-json=yes"))
+    // … and -b/--base outside `protobuf add` errors instead of being
+    // silently discarded
+    intercept[CliError](parse("-b", "/tmp/protos"))
+    intercept[CliError](parse("--base", "/tmp/protos", ".q"))
+    assert(parse("protobuf", "add", "x.proto", "-b", "/tmp/protos")
+      .subcmd.contains(ProtobufAdd("x.proto", Some("/tmp/protos"))))
   }
 
   test("protobuf add with -b/--base (rq.rs:108-112)") {

@@ -156,6 +156,13 @@ class OperatorsSpec extends SparkSpec {
       assert(Dedup.lshParams((1L << k) + 1, 0.9165)._2 == k + 1,
         s"bits at n=2^$k+1")
     }
+    // the runaway regime (loose threshold at corpus scale) must be an
+    // explicit error, not an Int-saturated 2^31-band signature job
+    val e = intercept[IllegalArgumentException](
+      Dedup.lshParams(1L << 40, 0.3))
+    assert(e.getMessage.contains("MinHash"))
+    // the documented extreme operating point still fits the cap
+    assert(Dedup.lshParams(1000000000000L, 0.9)._1 <= 16384)
   }
 
   test("incremental near-dup equals the cross-half slice of full pairs") {
