@@ -62,6 +62,61 @@ class ScaleSpec extends SparkSpec {
     assert(joined.count() == direct)
   }
 
+  test("spill-forced execution matches default execution " +
+      "(window, SMJ buffer, object-hash-agg fallback)") {
+    // At 100 TB these operators WILL spill; prove the answers don't
+    // change when they do. Thresholds force: WindowExec's row buffer
+    // through UnsafeExternalSorter disk spills (q32 windows by
+    // l_returnflag — ~20k-row partitions, far past both lowered
+    // thresholds), SortMergeJoin's buffered-match path (q38 with
+    // broadcasts disabled so the dims actually sort-merge), and the
+    // TopKPairs TypedImperativeAggregate into the sort-based fallback
+    // after a single hash-map key (exercising its serialize/merge
+    // path).
+    def rows(name: String): Seq[String] =
+      SparkEntry.queries(name)(spark, sf001)
+        .collect().map(_.toString).toSeq
+    val w0 = rows("q32_percentile")
+    val j0 = rows("q38_tpch_q5")
+    val k0 = rows("xs1_ann_brute_topk")
+    assert(w0.nonEmpty && j0.nonEmpty && k0.nonEmpty)
+    // count spilled bytes during the forced block — equality alone
+    // would pass vacuously if the thresholds stopped taking effect
+    val spilled = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null)
+          spilled.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try withConf(
+      "spark.sql.windowExec.buffer.in.memory.threshold" -> "128",
+      "spark.sql.windowExec.buffer.spill.threshold" -> "1024",
+      "spark.sql.sortMergeJoinExec.buffer.spill.threshold" -> "1024",
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "1",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      assert(rows("q32_percentile") == w0,
+        "window results changed under forced spill")
+      assert(rows("q38_tpch_q5") == j0,
+        "join results changed under forced SMJ buffer spill")
+      assert(rows("xs1_ann_brute_topk") == k0,
+        "top-k agg changed under sort-based fallback")
+    } finally {
+      // listener events are delivered async; poll briefly before
+      // detaching (listenerBus.waitUntilEmpty is private[spark])
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (spilled.get() == 0 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    assert(spilled.get() > 0,
+      "no task reported spilled bytes — the forced-spill confs had no effect")
+  }
+
   test("stratified sample: exact per-stratum size, stable across runs") {
     val docs = T.t(spark, sf0001, "documents")
     val a = Scale.stratifiedSample(docs, Seq("lang"), col("doc_id"), 5)
