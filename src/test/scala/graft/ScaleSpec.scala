@@ -117,6 +117,28 @@ class ScaleSpec extends SparkSpec {
       "no task reported spilled bytes — the forced-spill confs had no effect")
   }
 
+  test("results are invariant to shuffle partition count " +
+      "(add-order independence)") {
+    // PLANS.md's re-planning-safety claim as a test: every
+    // oracle-hashed double aggregate accumulates in DECIMAL(28,6), so
+    // the answer must not depend on how many partitions the shuffle
+    // lands in (AQE coalescing, different cluster sizes). Covers a
+    // plain agg, a broadcast star, a 6-table TPC-H shape, ln-based
+    // TF-IDF scoring, and the banded-LSH dedup path.
+    val names = Seq("q09_agg_having", "q29_star", "q48_tpch_q9",
+      "xt8_tfidf", "xd1_minhash_lsh")
+    def run(name: String): Seq[String] =
+      SparkEntry.queries(name)(spark, sf001)
+        .collect().map(_.toString).toSeq
+    val base = names.map(n => n -> run(n)).toMap
+    for (p <- Seq("1", "13")) {
+      withConf("spark.sql.shuffle.partitions" -> p) {
+        for (n <- names)
+          assert(run(n) == base(n), s"$n diverged at $p partitions")
+      }
+    }
+  }
+
   test("stratified sample: exact per-stratum size, stable across runs") {
     val docs = T.t(spark, sf0001, "documents")
     val a = Scale.stratifiedSample(docs, Seq("lang"), col("doc_id"), 5)

@@ -212,6 +212,49 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batchPairs)
   }
 
+  test("checkpoint restart: stateful dedup recovers state and the " +
+      "file sink stays exactly-once") {
+    // The 100 TB failure mode: an executor/driver dies mid-stream and
+    // the job restarts from the checkpoint. If dedup state were lost,
+    // keys seen before the kill would re-emit after it; if the file
+    // sink replayed a committed batch, rows would double. Both show up
+    // as duplicate user_ids in the output.
+    val ev = graft.queries.T.t(spark, sf0001, "events")
+    val in = java.nio.file.Files.createTempDirectory("g_restart_in")
+    val out = java.nio.file.Files.createTempDirectory("g_restart_out")
+    val ckpt = java.nio.file.Files.createTempDirectory("g_restart_ck")
+    // 4 time-ordered files; the same user_ids recur across files, so
+    // state from batch 0 is load-bearing for batches 1-3
+    ev.repartitionByRange(4, col("ts"))
+      .write.mode("overwrite").parquet(in.toString)
+    def start() = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in.toString)
+      .select("user_id").dropDuplicates("user_id")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    val q1 = start()
+    try {
+      // let at least one batch commit, then kill mid-stream
+      val deadline = System.nanoTime() + 60e9.toLong
+      while ((q1.lastProgress == null || q1.lastProgress.batchId < 1)
+          && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(q1.lastProgress != null && q1.lastProgress.batchId >= 1,
+        "first batch never committed")
+    } finally q1.stop()
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(out.toString)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got.distinct.sorted == got.sorted,
+      "duplicate user_ids: state lost at restart or sink replayed a batch")
+    val want = ev.select("user_id").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got.sorted == want)
+  }
+
   test("flatMapGroupsWithState running totals cover all users") {
     val streamed = Streams.runToMemory(spark, sf0001,
       df => Streams.runningUserTotals(df).toDF(), "t_state")
