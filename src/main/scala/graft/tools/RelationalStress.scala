@@ -36,7 +36,10 @@ object RelationalStress {
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
-    val outDir = "/tmp/graft_scale_rel"
+    // optional artifact suffix ("f100" → SCALE_r4_relational_f100.json)
+    // so scaling-curve runs at several factors don't overwrite each other
+    val suffix = args.lift(2).map("_" + _).getOrElse("")
+    val outDir = s"/tmp/graft_scale_rel$suffix"
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -120,7 +123,8 @@ object RelationalStress {
     val payload = results
       .map { case (k, v) => s""""$k":${StressUtil.jsonScalar(v)}""" }
       .mkString("{", ",", "}")
-    Files.writeString(Paths.get("SCALE_r4_relational.json"), payload + "\n")
+    Files.writeString(Paths.get(s"SCALE_r4_relational$suffix.json"),
+      payload + "\n")
     val report = new StringBuilder
     report ++= s"# Relational join skeletons at ${factor}x bench scale " +
       s"($nLineitem lineitem / $nOrders orders), broadcast DISABLED\n"
@@ -130,7 +134,7 @@ object RelationalStress {
       report ++= s"\n## $n\n"
       ls.foreach(l => report ++= s"  $l\n")
     }
-    Files.writeString(Paths.get("SCALE_r4_relational_plans.txt"),
+    Files.writeString(Paths.get(s"SCALE_r4_relational_plans$suffix.txt"),
       report.toString)
     println(payload)
     spark.stop()
