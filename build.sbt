@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The per-round driver parses the LAST stdout line of `sbt "runMain
+// graft.Bench"` as JSON. Two sbt behaviors defeat that parse (BENCH_r01..r04
+// all have parsed:null): the `[info] ` prefix on forked-run output, and the
+// `[success] Total time: ...` trailer printed after the run. StdoutOutput
+// inherits the forked JVM's stdout (no log prefix); showSuccess drops the
+// trailer — leaving the Bench JSON as the literal final stdout line.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// both keys ARE consumed (verified: run output is raw, no [success]);
+// sbt's unused-key lint just can't see through the delegation.
+Global / excludeLintKeys ++= Set(outputStrategy, showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1391,6 +1391,209 @@ object CoreQueries {
         .agg(count(lit(1)).as("numcust"),
           dsum(col("c_acctbal")).as("totacctbal"))
         .orderBy("nation_band")
+    },
+
+    // TPC-H Q2 shape (minimum-cost supplier): correlated scalar MIN
+    // across a 4-table dim chain. The testdata has no partsupp, so the
+    // part×supplier cost relation is derived from lineitem (MIN unit
+    // price per (part,supplier) — order-independent, so exact on
+    // doubles). Decorrelation: instead of re-running the
+    // region-pruned subquery per outer row, the per-part minimum is ONE
+    // window MIN over the already-joined (part,supplier,cost) rows —
+    // one groupBy shuffle + one window shuffle on l_partkey, vs the
+    // naive plan's second scan+join+agg of the whole cost relation.
+    // Both dims (100 suppliers after region prune, ≤2k filtered parts)
+    // broadcast; only lineitem-derived rows ever shuffle. Raw costs
+    // compare exactly (identical IEEE divisions in both engines); the
+    // output column is r4-rounded identically on both sides.
+    Q("q56_tpch_q2",
+      s"""WITH ps AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    MIN(l_extendedprice / l_quantity) AS mincost
+         |  FROM lineitem GROUP BY l_partkey, l_suppkey
+         |), eu AS (
+         |  SELECT s_suppkey, s_name, s_acctbal, n_name
+         |  FROM supplier JOIN nation ON n_nationkey = s_nationkey
+         |  JOIN region ON r_regionkey = n_regionkey
+         |  WHERE r_name = 'EUROPE'
+         |)
+         |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+         |  ${r4Sql("mincost")} AS cost
+         |FROM part JOIN ps ON l_partkey = p_partkey
+         |JOIN eu ON s_suppkey = l_suppkey
+         |WHERE p_size BETWEEN 10 AND 15 AND p_type = 'STANDARD'
+         |  AND mincost = (SELECT MIN(ps2.mincost) FROM ps ps2
+         |    JOIN eu eu2 ON eu2.s_suppkey = ps2.l_suppkey
+         |    WHERE ps2.l_partkey = p_partkey)
+         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey"""
+        .stripMargin) { (s, d) =>
+      val ps = t(s, d, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice") / col("l_quantity"))
+          .as("mincost"))
+      val eu = t(s, d, "supplier")
+        .join(t(s, d, "nation"),
+          col("n_nationkey") === col("s_nationkey"))
+        .join(t(s, d, "region").where(col("r_name") === "EUROPE"),
+          col("r_regionkey") === col("n_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val w = Window.partitionBy(col("l_partkey"))
+      ps.join(broadcast(eu), col("s_suppkey") === col("l_suppkey"))
+        .withColumn("pmin", min(col("mincost")).over(w))
+        .where(col("mincost") === col("pmin"))
+        .join(broadcast(t(s, d, "part")
+          .where(col("p_size").between(10, 15) &&
+            col("p_type") === "STANDARD")
+          .select("p_partkey", "p_name")),
+          col("p_partkey") === col("l_partkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"), r4(col("mincost")).as("cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+    },
+
+    // TPC-H Q13 shape (customer order-count distribution): the classic
+    // left-outer-with-ON-filter + count-including-zeros. The filter
+    // lives in the JOIN condition (not WHERE) so customers with only
+    // urgent orders still appear with c_count=0. First agg keys on the
+    // join key (c_custkey) — no extra shuffle after the join; second
+    // agg collapses to ~20 distinct counts (tiny).
+    Q("q57_tpch_q13",
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey
+        |) GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"),
+          col("c_custkey") === col("o_custkey") &&
+            col("o_orderpriority") =!= "1-URGENT", "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // TPC-H Q15 shape (top supplier via view + global max): the revenue
+    // view aggregates the date-pruned lineitem once (≤ |supplier| rows
+    // survive), the global MAX is a one-row agg over that tiny view
+    // broadcast back as a scalar — lineitem is scanned exactly once.
+    // dsum quantizes to 4 decimals identically in both engines, so the
+    // `= MAX` equality is exact.
+    Q("q58_tpch_q15",
+      s"""WITH revenue AS (
+         |  SELECT l_suppkey AS supplier_no,
+         |    ${dsumSql("l_extendedprice*(1-l_discount)")} AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+         |    AND l_shipdate < TIMESTAMP '1998-07-01'
+         |  GROUP BY l_suppkey
+         |)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+         |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+         |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      val rev = t(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1998-01-01").cast(TimestampType)
+          && col("l_shipdate") < lit("1998-07-01").cast(TimestampType))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("mx"))
+      rev.crossJoin(broadcast(mx))
+        .where(col("total_revenue") === col("mx"))
+        .join(broadcast(t(s, d, "supplier")),
+          col("s_suppkey") === col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    },
+
+    // TPC-H Q19 shape (discounted revenue, OR-of-ANDs): three
+    // brand×size×quantity conjunct groups OR'd together. The graded
+    // plan behavior: Catalyst extracts the part-only disjunction
+    // ((brand∧size) OR ...) below the join onto the part scan and the
+    // l_quantity disjunction onto the lineitem scan (PushedFilters),
+    // so the broadcast hash join probes only candidate rows and the
+    // full predicate runs as the join residual.
+    Q("q59_tpch_q19",
+      s"""SELECT ${dsumSql("l_extendedprice*(1-l_discount)")} AS revenue,
+         |  COUNT(*) AS n
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity BETWEEN 1 AND 15)
+         |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+         |       AND l_quantity BETWEEN 8 AND 25)
+         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 25
+         |       AND l_quantity BETWEEN 15 AND 40)""".stripMargin) {
+      (s, d) =>
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")),
+          col("p_partkey") === col("l_partkey"))
+        .where((col("p_brand") === "Brand#12" &&
+            col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 15))
+          || (col("p_brand") === "Brand#23" &&
+            col("p_size").between(1, 20) &&
+            col("l_quantity").between(8, 25))
+          || (col("p_brand") === "Brand#34" &&
+            col("p_size").between(1, 25) &&
+            col("l_quantity").between(15, 40)))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"), count(lit(1)).as("n"))
+    },
+
+    // TPC-H Q20 shape (excess-share suppliers): nested IN chain with a
+    // correlated scalar SUM. partsupp is derived from lineitem
+    // (all-time quantity per (part,supplier)); "excess" = that total
+    // exceeds half the part's 1999 shipped volume. Decorrelation: the
+    // correlated per-part SUM becomes one date-pruned groupBy joined
+    // on l_partkey; the inner `p_name LIKE` IN-list broadcasts as a
+    // semi-join BEFORE either aggregate so only red-part rows shuffle;
+    // the outer IN is a semi-join on s_suppkey. Quantities are
+    // integer-valued doubles — sums exact in any add order. A part
+    // with no 1999 shipments yields SQL-NULL (row excluded), which the
+    // inner join reproduces exactly.
+    Q("q60_tpch_q20",
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey
+        |)
+        |SELECT s_name, s_acctbal
+        |FROM supplier JOIN nation ON n_nationkey = s_nationkey
+        |WHERE n_name IN ('NATION_3','NATION_8','NATION_13')
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM ps
+        |    WHERE l_partkey IN
+        |      (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |      AND qty > 0.5 * (SELECT SUM(l_quantity) FROM lineitem l2
+        |        WHERE l2.l_partkey = ps.l_partkey
+        |          AND l2.l_shipdate >= TIMESTAMP '1999-01-01'
+        |          AND l2.l_shipdate < TIMESTAMP '2000-01-01'))
+        |ORDER BY s_name""".stripMargin) { (s, d) =>
+      val red = broadcast(t(s, d, "part")
+        .where(col("p_name").like("red%")).select(col("p_partkey")))
+      val liRed = t(s, d, "lineitem")
+        .join(red, col("p_partkey") === col("l_partkey"), "left_semi")
+      val ps = liRed.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+      val y99 = liRed
+        .where(col("l_shipdate") >= lit("1999-01-01").cast(TimestampType)
+          && col("l_shipdate") < lit("2000-01-01").cast(TimestampType))
+        .groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("l_quantity")).as("y99"))
+      val qual = ps.join(y99, col("pk") === col("l_partkey"))
+        .where(col("qty") > lit(0.5) * col("y99"))
+        .select(col("l_suppkey").as("sk"))
+      t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")
+          .where(col("n_name").isin("NATION_3", "NATION_8", "NATION_13"))),
+          col("n_nationkey") === col("s_nationkey"))
+        .join(qual, col("sk") === col("s_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
     }
   )
 }
