@@ -1,12 +1,58 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract + BASELINE.md protocol: one warm-up
   * run, then median of 3 timed runs, per query). Prints exactly one
-  * JSON line.
+  * JSON line; the full evidence record goes to bench_full.json:
+  *
+  *  - `queries`: median seconds (the headline protocol number)
+  *  - `runs`: ALL four wall times `[warmup, r1, r2, r3]` — so a
+  *    cross-round drift can be attributed to noise (runs disagree) vs
+  *    a real slowdown (runs agree) from artifacts alone
+  *  - `stages`: per-query task-metric deltas over the 3 timed runs
+  *    (shuffle read/write bytes, memory/disk spill, JVM GC ms) — the
+  *    "is it the plan or the machine" signal
+  *  - `plan_fp`: 8-hex fingerprint of the executed plan with expr-ids
+  *    and codegen ids normalized away — byte-equal across rounds iff
+  *    the physical plan is unchanged
+  *  - `qs4`: streaming bench split into startup vs steady-state
+  *    sec/batch (a single opaque total cannot trend)
   */
 object Bench {
+
+  /** Process-wide task-metric accumulator. Listener events are posted
+    * asynchronously; snapshots are taken after a short drain pause,
+    * which bounds skew to well under the MB-scale deltas of interest.
+    */
+  private final class MetricsListener extends SparkListener {
+    val shuffleRead = new AtomicLong
+    val shuffleWrite = new AtomicLong
+    val spillMem = new AtomicLong
+    val spillDisk = new AtomicLong
+    val gcMs = new AtomicLong
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spillMem.addAndGet(m.memoryBytesSpilled)
+        spillDisk.addAndGet(m.diskBytesSpilled)
+        gcMs.addAndGet(m.jvmGCTime)
+      }
+    }
+    def snapshot(): Seq[Long] = {
+      Thread.sleep(50) // let the listener bus drain
+      Seq(shuffleRead.get, shuffleWrite.get, spillMem.get,
+        spillDisk.get, gcMs.get)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -20,6 +66,8 @@ object Bench {
     // ERROR, not WARN: the driver parses the LAST stdout lines; stray
     // WARNs (e.g. WindowExec) after the headline JSON break the parse.
     spark.sparkContext.setLogLevel("ERROR")
+    val metrics = new MetricsListener
+    spark.sparkContext.addSparkListener(metrics)
 
     // global session warmup so the first query doesn't absorb JVM/
     // codegen/FileIndex initialization
@@ -34,23 +82,42 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    /** Physical-plan fingerprint, stable across JVMs/rounds iff the
+      * plan shape is unchanged: expression ids, codegen/exchange ids,
+      * and file-listing specifics are normalized away before hashing.
+      */
+    def planFingerprint(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): String =
+      try {
+        val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+          .replaceAll("#\\d+", "#x")
+          .replaceAll("\\[plan_id=\\d+\\]", "")
+          .replaceAll("\\[id=#?\\d+\\]", "")
+          .replaceAll("(?m)^.*(Location|InMemoryFileIndex).*$", "")
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(p.getBytes("UTF-8"))
+        d.take(4).map(b => f"$b%02x").mkString
+      } catch { case NonFatal(_) => "error" }
+
     val names = SparkEntry.declared.map(_.name) // stable contract order
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val t =
+      val (runs, stages) =
         try {
-          timeOnce(fn) // warm-up
-          val runs = Seq.fill(3)(timeOnce(fn)).sorted
-          runs(1) // median
-        } catch { case _: Throwable => -1.0 }
-      name -> t
+          val w = timeOnce(fn) // warm-up
+          val before = metrics.snapshot()
+          val timed = Seq.fill(3)(timeOnce(fn))
+          val after = metrics.snapshot()
+          (w +: timed, after.zip(before).map { case (a, b) => a - b })
+        } catch { case NonFatal(_) => (Seq(-1.0), Seq.empty[Long]) }
+      (name, runs, stages, planFingerprint(fn))
     }
     // Streaming bench: the qs4 stream-stream interval join re-run as a
     // REAL multi-batch stream (time-ordered file splits, 2 files per
     // trigger) under the RocksDB state store — the off-heap state
-    // configuration a 100 TB stream needs. Single run: startup cost
-    // dominates, a median would re-pay it 3×.
-    val streamBench =
+    // configuration a 100 TB stream needs. Single run (a median would
+    // re-pay startup 3×), but split into startup + steady-state
+    // sec/batch via the query's progress log so the number can trend.
+    val (streamTotal, streamBatches, streamSecPerBatch) =
       try {
         val tmp = java.nio.file.Files.createTempDirectory("graft_qs4s")
         try {
@@ -58,54 +125,85 @@ object Bench {
           ev.repartitionByRange(8, org.apache.spark.sql.functions.col("ts"))
             .write.mode("overwrite").parquet(tmp.toString)
           val t0 = System.nanoTime()
+          var progress: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = Nil
           graft.streaming.Streams.withRocksDBStateStore(spark) {
             val stream = spark.readStream.schema(ev.schema)
               .option("maxFilesPerTrigger", "2").parquet(tmp.toString)
             val q = graft.streaming.Streams.viewPurchaseJoin(stream)
               .writeStream.outputMode("append").format("noop").start()
-            try q.processAllAvailable() finally q.stop()
+            try q.processAllAvailable() finally {
+              progress = q.recentProgress.toSeq
+              q.stop()
+            }
           }
-          (System.nanoTime() - t0) / 1e9
+          val total = (System.nanoTime() - t0) / 1e9
+          // steady state = mean batch duration EXCLUDING the first
+          // batch (which absorbs stream init + state-store open)
+          val durs = progress.filter(_.numInputRows > 0)
+            .map(_.durationMs.get("triggerExecution").toDouble / 1e3)
+          val steady =
+            if (durs.size > 1) durs.tail.sum / (durs.size - 1) else -1.0
+          (total, durs.size, steady)
         } finally {
           // each bench run writes a full events-table copy here; left
           // behind, the round loop steadily fills /tmp. Best-effort:
           // a straggler holding a checkpoint file must not turn a
-          // successful measurement into -1.0 via the outer catch.
+          // successful measurement into -1.0 via the outer catch
+          // (NonFatal: an OOM/interrupt must propagate, not vanish).
           try {
             import scala.jdk.CollectionConverters._
             val walk = java.nio.file.Files.walk(tmp)
             try walk.iterator().asScala.toSeq.reverse
               .foreach(java.nio.file.Files.deleteIfExists(_))
             finally walk.close()
-          } catch { case _: Throwable => () }
+          } catch { case NonFatal(_) => () }
         }
-      } catch { case _: Throwable => -1.0 }
-    val allResults = results :+ ("qs4_stream_rocksdb" -> streamBench)
+      } catch { case NonFatal(_) => (-1.0, 0, -1.0) }
 
     // Locale.ROOT: the f-interpolator honors the JVM default locale,
     // which would print comma decimal separators (invalid JSON) on
     // e.g. de_DE machines.
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def jmap(kv: Seq[(String, Double)]): String =
-      kv.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    def jmap(kv: Seq[(String, String)]): String =
+      kv.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-    val total = allResults.map(_._2).filter(_ >= 0).sum
+    def median(runs: Seq[Double]): Double =
+      if (runs.head < 0) -1.0 else runs.tail.sorted.apply(1)
+
+    val medians = results.map(r => r._1 -> median(r._2)) :+
+      ("qs4_stream_rocksdb" -> streamTotal)
+    val total = medians.map(_._2).filter(_ >= 0).sum
     // The driver captures only the last 2000 chars of stdout; the full
-    // per-query map (80+ entries) cannot fit, so stdout carries a
-    // headline subset and the complete map goes to bench_full.json.
+    // evidence record (runs/stages/fingerprints for 120+ entries)
+    // cannot fit, so stdout carries a headline subset and the complete
+    // record goes to bench_full.json.
     val headliners = Seq("q01_project", "q09_agg_having", "q14_frame_running",
       "q16_topk", "q29_star", "q31_tpch_q3", "q38_tpch_q5", "qc1_msgpack_expr",
       "qc5_yaml_expr", "xd1_minhash_lsh", "xd3_ngram_jaccard",
       "xs1_ann_brute_topk", "xs2_ann_ivf", "xt2_quality", "xp1_pipeline")
-    val head = allResults.filter(r => headliners.contains(r._1))
+    val head = medians.filter(r => headliners.contains(r._1))
+      .map { case (k, v) => k -> r3(v) }
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
-      s""""queries":${jmap(head)},"n_queries":${allResults.size},""" +
+      s""""queries":${jmap(head)},"n_queries":${medians.size},""" +
+      s""""qs4_sec_per_batch":${r3(streamSecPerBatch)},""" +
       s""""full":"bench_full.json","sf":"$sfDir"}"""
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_full.json"),
+
+    val stageKeys = Seq("shuffle_read_b", "shuffle_write_b",
+      "spill_mem_b", "spill_disk_b", "gc_ms")
+    val full =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
-        s""""queries":${jmap(allResults)},"sf":"$sfDir"}""" + "\n")
+      s""""queries":${jmap(medians.map { case (k, v) => k -> r3(v) })},""" +
+      s""""runs":${jmap(results.map(r =>
+          r._1 -> r._2.map(r3).mkString("[", ",", "]")))},""" +
+      s""""stages":${jmap(results.filter(_._3.nonEmpty).map(r =>
+          r._1 -> jmap(stageKeys.zip(r._3.map(_.toString)))))},""" +
+      s""""plan_fp":${jmap(results.map(r => r._1 -> ("\"" + r._4 + "\"")))},""" +
+      s""""qs4":{"total_sec":${r3(streamTotal)},"n_batches":$streamBatches,""" +
+      s""""sec_per_batch_steady":${r3(streamSecPerBatch)}},""" +
+      s""""sf":"$sfDir"}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_full.json"), full + "\n")
     println(line)
     spark.stop()
   }

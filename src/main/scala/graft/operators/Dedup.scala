@@ -434,4 +434,77 @@ object Dedup {
     val bands = math.max(1, bandsD.toInt)
     (bands, bits)
   }
+
+  /** Paragraph/line-level dedup (the CCNet/RefinedWeb boilerplate-
+    * removal shape): corpus-wide removal of duplicated spans WITHIN
+    * surviving documents, not whole-document dedup.
+    *
+    *  1. Explode each document into fixed `paraWords`-word paragraphs
+    *     with a stable (doc_id, idx) identity (the testdata corpus has
+    *     no newline structure; on real data the splitter would be
+    *     `split('\n\n')` with the same downstream contract).
+    *  2. Exact stage: a paragraph duplicated ANYWHERE in the corpus
+    *     survives only at its globally-first occurrence (min pid) —
+    *     one hash shuffle on the paragraph text.
+    *  3. Near stage: banded MinHash over word-`shingleN` shingles of
+    *     the exact-stage survivors (same [[minhashNearDups]] machinery
+    *     as xd1 — Σ bucket² candidates, never paragraphs²), exact
+    *     Jaccard ≥ `threshold` verification; every pair's LATER member
+    *     (greater pid) is dropped. Non-recursive by design: p drops
+    *     iff SOME earlier exact-survivor is near-identical, whether or
+    *     not that survivor itself drops — deterministic without a
+    *     fixpoint, and exactly replayable in SQL.
+    *  4. Reassemble: surviving paragraphs re-concatenate in idx order;
+    *     documents whose every paragraph dropped disappear (they are
+    *     pure boilerplate).
+    *
+    * Output: (doc_id, clean_text, n_para, n_kept) — one row per doc
+    * with ≥1 surviving paragraph.
+    *
+    * pid = doc_id·100000 + idx is a single orderable key (guarded; at
+    * true corpus scale swap in a struct (doc_id, idx) ordering —
+    * every comparison below is through pid only).
+    */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+      paraWords: Int = 6, threshold: Double = 0.8,
+      shingleN: Int = 2): DataFrame = {
+    val maxIdx = 100000L
+    // normalized word stream, identical to the oracle's
+    // LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text),'\s+'), t->t<>'')
+    val words = filter(split(lower(col(textCol)), "\\s+"), w => w =!= "")
+    val paras = docs
+      .select(col(idCol).cast(LongType).as("doc_id"), words.as("__w"))
+      .where(size(col("__w")) > 0) // sequence(0,-1) would count down
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0),
+          ceil(size(col("__w")) / lit(paraWords.toDouble)).cast(IntegerType)
+            - lit(1)),
+        i => slice(col("__w"), i * paraWords + 1, lit(paraWords))))
+        .as(Seq("idx", "__pw")))
+      .select(col("doc_id"), col("idx").cast(LongType).as("idx"),
+        (col("doc_id") * maxIdx + col("idx")).as("pid"),
+        array_join(col("__pw"), " ").as("ptext"),
+        size(col("__pw")).as("nw"))
+    // exact stage: globally-first occurrence per paragraph text
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("ptext")
+    val s1 = paras.withColumn("__fp", min(col("pid")).over(w))
+      .where(col("pid") === col("__fp")).drop("__fp")
+    // near stage: banded-LSH pairs over exact-survivors; drop later ids
+    val nearDrops = minhashNearDups(
+        s1.where(col("nw") >= shingleN).select("pid", "ptext"),
+        "pid", "ptext", threshold, shingleN)
+      .select(col("b").as("pid")).distinct()
+    val s2 = s1.join(nearDrops, Seq("pid"), "left_anti")
+    val nPara = paras.groupBy(col("doc_id").as("__d"))
+      .agg(count(lit(1)).as("n_para"))
+    s2.groupBy("doc_id")
+      .agg(array_join(transform(array_sort(
+          collect_list(struct(col("idx"), col("ptext")))),
+          x => x.getField("ptext")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+      .join(nPara, col("__d") === col("doc_id"))
+      .select(col("doc_id"), col("clean_text"), col("n_para"),
+        col("n_kept"))
+      .orderBy("doc_id")
+  }
 }

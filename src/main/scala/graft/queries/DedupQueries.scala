@@ -264,6 +264,62 @@ object DedupQueries {
         |)""".stripMargin) { (s, d) =>
       Dedup.exactDedup(t(s, d, "documents"), "doc_id", "text")
         .agg(count(lit(1)).as("survivors"), sum("doc_id").as("idsum"))
+    },
+
+    // Paragraph/line-level dedup (CCNet/RefinedWeb boilerplate
+    // removal): corpus-wide exact + near-dup removal of 6-word spans
+    // WITHIN surviving documents, then reassembly. Oracle replays the
+    // full pipeline in SQL: span explosion → window-min exact stage →
+    // inverted-index bigram join (shared-shingle candidates are a
+    // superset of J≥0.8 pairs, so the SQL answer is EXACT) → drop
+    // later members → reassemble. The Spark side's banded-LSH
+    // candidates equal the exact answer because miss probability at
+    // J=0.8 under 32×4 bands is (1-0.8⁴)³² ≈ 5e-8.
+    Q("xd10_paragraph_dedup",
+      raw"""WITH d0 AS (
+        |  SELECT doc_id, LIST_FILTER(
+        |    STRING_SPLIT_REGEX(LOWER(text), '\s+'), t -> t <> '') AS fw
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS idx,
+        |    doc_id * 100000 + i AS pid,
+        |    ARRAY_TO_STRING(
+        |      fw[(CAST(i AS INT)*6+1):(CAST(i AS INT)*6+6)], ' ') AS ptext,
+        |    LEN(fw[(CAST(i AS INT)*6+1):(CAST(i AS INT)*6+6)]) AS nw
+        |  FROM d0, UNNEST(RANGE(0,
+        |    CAST(CEIL(LEN(fw)/6.0) AS BIGINT))) AS t(i)
+        |), s1 AS (
+        |  SELECT * FROM (SELECT p.*,
+        |    MIN(pid) OVER (PARTITION BY ptext) AS fp FROM p)
+        |  WHERE pid = fp
+        |), toks AS (
+        |  SELECT pid, GENERATE_SUBSCRIPTS(fw2, 1) AS i, UNNEST(fw2) AS w
+        |  FROM (SELECT pid, STRING_SPLIT(ptext, ' ') AS fw2
+        |        FROM s1 WHERE nw >= 2)
+        |), sh AS (
+        |  SELECT DISTINCT a.pid, a.w || ' ' || b.w AS s
+        |  FROM toks a JOIN toks b ON b.pid = a.pid AND b.i = a.i + 1
+        |), sizes AS (SELECT pid, COUNT(*) AS n FROM sh GROUP BY pid),
+        |inter AS (
+        |  SELECT x.pid AS qa, y.pid AS qb, COUNT(*) AS ix
+        |  FROM sh x JOIN sh y ON x.s = y.s AND x.pid < y.pid
+        |  GROUP BY 1, 2
+        |), drops AS (
+        |  SELECT DISTINCT qb AS pid FROM inter
+        |  JOIN sizes sa ON sa.pid = qa JOIN sizes sb ON sb.pid = qb
+        |  WHERE CAST(ix AS DOUBLE) / (sa.n + sb.n - ix) >= 0.8
+        |), s2 AS (
+        |  SELECT * FROM s1 WHERE pid NOT IN (SELECT pid FROM drops)
+        |)
+        |SELECT doc_id,
+        |  ARRAY_TO_STRING(LIST(ptext ORDER BY idx), ' ') AS clean_text,
+        |  np.n_para, COUNT(*) AS n_kept
+        |FROM s2 JOIN (SELECT doc_id AS d2, COUNT(*) AS n_para
+        |              FROM p GROUP BY 1) np ON d2 = doc_id
+        |GROUP BY doc_id, np.n_para
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Dedup.paragraphDedup(t(s, d, "documents"), "doc_id", "text",
+        paraWords = 6, threshold = 0.8, shingleN = 2)
     }
   )
 }

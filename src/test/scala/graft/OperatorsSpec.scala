@@ -310,6 +310,37 @@ class OperatorsSpec extends SparkSpec {
     assert(kept == Set(1L, 3L))
   }
 
+  test("paragraph dedup drops exact + near spans, keeps first, reassembles") {
+    import spark.implicits._
+    // 3-word paragraphs: doc 1 = [A][B], doc 2 = [A again][C],
+    // doc 3 = [B with one word changed (J=2/4=0.5<0.8? bigrams: "b1 b2","b2 b3" vs "b1 b2","b2 zz" → J=1/3)] kept,
+    // doc 4 = [B's words exactly] dropped by exact stage.
+    val docs = Seq(
+      (1L, "a1 a2 a3 b1 b2 b3"),
+      (2L, "a1 a2 a3 c1 c2 c3"),   // first span dup of doc1 span0
+      (3L, "b1 b2 zz"),            // near-ish but below threshold
+      (4L, "b1 b2 b3")             // exact dup of doc1 span1
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs, "doc_id", "text",
+        paraWords = 3, threshold = 0.8, shingleN = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ("a1 a2 a3 b1 b2 b3", 2L, 2L))
+    assert(out(2L) == ("c1 c2 c3", 2L, 1L)) // lost its duplicated span
+    assert(out(3L) == ("b1 b2 zz", 1L, 1L))
+    assert(!out.contains(4L)) // all paragraphs were boilerplate
+    // near stage at J=1.0 via reordered-free exact-bigram twin: a span
+    // whose text differs but bigram set matches an earlier span drops
+    val near = Seq(
+      (10L, "x1 x2 x3 x4"),
+      (20L, "x1 x2 x3 x9")) // bigrams {x1 x2,x2 x3,x3 x9} J=2/4=0.5
+      .toDF("doc_id", "text")
+    val kept2 = Dedup.paragraphDedup(near, "doc_id", "text",
+        paraWords = 4, threshold = 0.5, shingleN = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 == Set(10L)) // 20's only span near-dups 10's at J≥0.5
+  }
+
   test("kmeans centroid training tolerates null and ragged vectors") {
     import spark.implicits._
     val messy = Seq(
