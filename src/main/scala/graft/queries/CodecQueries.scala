@@ -110,6 +110,59 @@ object CodecQueries {
         .agg(count(lit(1)).as("n"), sum("k").as("ks"), dsum(col("tp")).as("s"))
     },
 
+    // Heterogeneous-stream VARIANT round-trip (doc/tutorial.md:13-17's
+    // `null true {"a":2.5}` shape — mixed top-level scalars, nulls,
+    // objects and arrays in ONE stream is legal rq input, SURVEY §1.1):
+    // documents rows become a deterministic 5-way type mix keyed on
+    // doc_id % 5, go through the rq JSON sink + source, land in a
+    // single VariantType column, and are shredded back with
+    // schema_of_variant / try_variant_get. The oracle computes the
+    // same per-kind counts and sums straight from parquet — a hash
+    // match proves the VARIANT carrier preserves every kind end to
+    // end.
+    Q("qc7_variant_stream",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |CAST(SUM(CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_num,
+        |CAST(SUM(CASE WHEN doc_id % 5 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_str,
+        |CAST(SUM(CASE WHEN doc_id % 5 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_obj,
+        |CAST(SUM(CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_arr,
+        |CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN n_chars END) AS BIGINT) AS sum_num,
+        |CAST(SUM(CASE WHEN doc_id % 5 = 3 THEN n_chars END) AS BIGINT) AS sum_obj_c,
+        |CAST(SUM(CASE WHEN doc_id % 5 = 4 THEN n_chars END) AS BIGINT) AS sum_arr1
+        |FROM documents""".stripMargin) { (s, d) =>
+      val engine = new RqEngine(s)
+      val dir = Files.createTempDirectory("qc7").toString
+      val mixed = t(s, d, "documents").select(
+        when(col("doc_id") % 5 === 0, col("n_chars").cast(StringType))
+          .when(col("doc_id") % 5 === 1, // lang is [a-z]{2} — no escaping
+            concat(lit("\""), col("lang"), lit("\"")))
+          .when(col("doc_id") % 5 === 2, lit("null"))
+          .when(col("doc_id") % 5 === 3,
+            to_json(struct(col("doc_id").as("id"), col("n_chars").as("c"))))
+          .otherwise(to_json(array(col("doc_id"), col("n_chars"))))
+          .as("value"))
+      engine.write("json", mixed, dir)
+      engine.readVariant("json", dir)
+        .select(expr("schema_of_variant(value)").as("kind"),
+          expr("is_variant_null(value)").as("isnull"),
+          expr("try_variant_get(value, '$', 'bigint')").as("num"),
+          expr("try_variant_get(value, '$.c', 'bigint')").as("objc"),
+          expr("try_variant_get(value, '$[1]', 'bigint')").as("arr1"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("isnull"), 1L).otherwise(0L)).as("n_null"),
+          sum(when(col("kind") === "BIGINT", 1L).otherwise(0L)).as("n_num"),
+          sum(when(col("kind") === "STRING", 1L).otherwise(0L)).as("n_str"),
+          sum(when(col("kind").startsWith("OBJECT"), 1L).otherwise(0L))
+            .as("n_obj"),
+          sum(when(col("kind").startsWith("ARRAY"), 1L).otherwise(0L))
+            .as("n_arr"),
+          sum(col("num")).as("sum_num"),
+          sum(col("objc")).as("sum_obj_c"),
+          sum(when(col("kind").startsWith("ARRAY"), col("arr1")))
+            .as("sum_arr1"))
+    },
+
     // YAML expression round-trip on the events props JSON.
     Q("qc5_yaml_expr",
       """SELECT CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k')
