@@ -58,6 +58,10 @@ object Cli {
       log: Option[String] = None,
       quiet: Boolean = false,
       trace: Boolean = false,
+      // graft extension (no rq analog): width-tagged decode for the
+      // binary formats — Value.I8..U32/F32 carried through the pipe
+      // (reference mod.rs:24-37 in-flight fidelity)
+      typed: Boolean = false,
       help: Boolean = false,
       version: Boolean = false,
       // true iff argv contained the LITERAL token "-v": the reference's
@@ -127,6 +131,7 @@ object Cli {
         case "--log" => o = o.copy(log = Some(v))
         case "--quiet" => set(o.copy(quiet = true))
         case "--trace" => set(o.copy(trace = true))
+        case "--typed" => set(o.copy(typed = true))
         case "--base" => protoAddBase = Some(v)
         case "--help" => set(o.copy(help = true))
         case "--version" => set(o.copy(version = true))
@@ -312,8 +317,10 @@ object Cli {
                 "rq --help once to suppress this warning.")
         }
         val (outFmt, outOpts) = outputFormat(o, ttyOut)
+        val inOptsT =
+          if (o.typed) inOpts + ("typed" -> "true") else inOpts
         RqFormat.encode(outFmt,
-          RqFormat.decodeStream(inFmt, in, inOpts), out, outOpts)
+          RqFormat.decodeStream(inFmt, in, inOptsT), out, outOpts)
         out.flush()
     }
   }

@@ -113,9 +113,13 @@ object AvroCodec {
     new Schema.Parser().parse(new File(path))
 
   /** Value → Avro datum guided by the writer schema, with the
-    * reference's guards.
+    * reference's guards. widen: the schema (not the in-flight tag)
+    * dictates avro widths — the reference's avro sink likewise widens
+    * its I8..I32 to the schema type (avro.rs:99-113).
     */
-  def toAvro(v: Value, schema: Schema): AnyRef = (schema.getType, v) match {
+  def toAvro(v0: Value, schema: Schema): AnyRef = {
+    val v = Value.widen(v0)
+    (schema.getType, v) match {
     case (Schema.Type.UNION, _) =>
       val branches = schema.getTypes.asScala
       val branch = v match {
@@ -178,6 +182,7 @@ object AvroCodec {
       rec
     case (t, value) =>
       throw new IllegalArgumentException(s"avro: cannot write $value as $t")
+    }
   }
 
   private def fits(v: Value, s: Schema): Boolean = (s.getType, v) match {

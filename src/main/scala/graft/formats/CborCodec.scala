@@ -48,6 +48,19 @@ object CborCodec {
       if (bits >= 0) head(0, bits, out)
       else { out.writeByte(0x1b); out.writeLong(bits) } // full u64 arg
     case Value.F64(d) => out.writeByte(0xfb); out.writeDouble(d)
+    // tagged scalars (typed mode): integers re-encode minimal-width
+    // (serde_cbor's Serializer::serialize_i*/u* all re-minimalize),
+    // so minimal-wire round-trips stay byte-identical. F32 keeps its
+    // 0xfa marker (serde_cbor writes f32 as f32) — the width the
+    // DEFAULT mode widens to 0xfb.
+    case Value.I8(x) => write(Value.I64(x.toLong), out)
+    case Value.I16(x) => write(Value.I64(x.toLong), out)
+    case Value.I32(x) => write(Value.I64(x.toLong), out)
+    case Value.U8(x) => head(0, x.toLong, out)
+    case Value.U16(x) => head(0, x.toLong, out)
+    case Value.U32(x) => head(0, x, out)
+    case Value.F32(f) => out.writeByte(0xfa); out.writeFloat(f)
+    case Value.Chr(c) => write(Value.Str(c.toString), out) // serde char
     case Value.Str(s) =>
       val b = s.getBytes(StandardCharsets.UTF_8)
       head(3, b.length, out); out.write(b)
@@ -60,19 +73,38 @@ object CborCodec {
 
   // ---- decode ----
 
-  def decode(buf: ByteBuffer): Value = decode(ByteIn(buf))
+  /** `typed = true` tags scalars the way serde_cbor hands them to the
+    * reference's ValueVisitor: unsigned by WIRE width (inline/1-byte
+    * arg → U8 … 8-byte arg → U64), negatives by value-minimal signed
+    * width (serde_cbor computes -1-n then visits the smallest fitting
+    * i*), f16/f32 → F32 (serde_cbor converts half to f32), f64 → F64.
+    * Default false: the proven minimal-width collapse, unchanged.
+    */
+  def decode(buf: ByteBuffer, typed: Boolean = false): Value =
+    decode(ByteIn(buf), typed)
 
-  private[formats] def decode(in: ByteIn): Value = {
+  private[formats] def decode(in: ByteIn, typed: Boolean): Value = {
     val ib = in.u8()
     val major = ib >> 5
     val info = ib & 0x1f
     major match {
       case 0 =>
         val n = arg(in, info)
-        if (n >= 0) Value.I64(n) else Value.U64(n)
+        if (!typed) { if (n >= 0) Value.I64(n) else Value.U64(n) }
+        else if (info < 24 || info == 24) Value.U8(n.toInt)
+        else if (info == 25) Value.U16(n.toInt)
+        else if (info == 26) Value.U32(n)
+        else Value.U64(n)
       case 1 =>
         val n = arg(in, info)
-        if (n >= 0) Value.I64(-1 - n)
+        if (n >= 0) {
+          val v = -1 - n
+          if (!typed) Value.I64(v)
+          else if (v >= Byte.MinValue) Value.I8(v.toByte)
+          else if (v >= Short.MinValue) Value.I16(v.toShort)
+          else if (v >= Int.MinValue) Value.I32(v.toInt)
+          else Value.I64(v)
+        }
         else throw new IllegalArgumentException("cbor: negint overflow")
       case 2 =>
         if (info == 31) indefBytes(in)
@@ -84,29 +116,34 @@ object CborCodec {
       case 4 =>
         if (info == 31) {
           var items = Vector.empty[Value]
-          while (in.peek() != 0xff) items :+= decode(in)
+          while (in.peek() != 0xff) items :+= decode(in, typed)
           in.u8() // break
           Value.Seq(items)
-        } else Value.Seq(Vector.fill(arg(in, info).toInt)(decode(in)))
+        } else Value.Seq(Vector.fill(arg(in, info).toInt)(decode(in, typed)))
       case 5 =>
         if (info == 31) {
           var items = Vector.empty[(Value, Value)]
-          while (in.peek() != 0xff) items :+= ((decode(in), decode(in)))
+          while (in.peek() != 0xff)
+            items :+= ((decode(in, typed), decode(in, typed)))
           in.u8()
           Value.Map(items)
-        } else Value.Map(
-          Vector.fill(arg(in, info).toInt)((decode(in), decode(in))))
+        } else Value.Map(Vector.fill(arg(in, info).toInt)(
+          (decode(in, typed), decode(in, typed))))
       case 6 => // tag: skip, keep inner (serde_cbor drops unknown tags)
         arg(in, info)
-        decode(in)
+        decode(in, typed)
       case 7 =>
         info match {
           case 20 => Value.Bool(false)
           case 21 => Value.Bool(true)
           case 22 => Value.Unit
           case 23 => Value.Unit // undefined → Unit (serde none/unit)
-          case 25 => Value.F64(halfToDouble(in.s16() & 0xffff))
-          case 26 => Value.F64(in.f32().toDouble)
+          case 25 =>
+            val d = halfToDouble(in.s16() & 0xffff)
+            if (typed) Value.F32(d.toFloat) else Value.F64(d)
+          case 26 =>
+            val f = in.f32()
+            if (typed) Value.F32(f) else Value.F64(f.toDouble)
           case 27 => Value.F64(in.f64())
           case n if n < 20 => Value.I64(n.toLong) // simple values
           case 24 => Value.I64(in.u8().toLong)
@@ -116,19 +153,20 @@ object CborCodec {
     }
   }
 
-  def decodeStream(bytes: Array[Byte]): Vector[Value] =
-    decodeIterator(ByteIn(ByteBuffer.wrap(bytes))).toVector
+  def decodeStream(bytes: Array[Byte], typed: Boolean = false): Vector[Value] =
+    decodeIterator(ByteIn(ByteBuffer.wrap(bytes)), typed).toVector
 
   /** Incremental decode from an open stream: one item in flight,
     * constant memory regardless of input size (cbor.rs:18-25).
     */
-  def decodeIterator(in: java.io.InputStream): Iterator[Value] =
-    decodeIterator(ByteIn(in))
+  def decodeIterator(in: java.io.InputStream,
+      typed: Boolean = false): Iterator[Value] =
+    decodeIterator(ByteIn(in), typed)
 
-  private def decodeIterator(bi: ByteIn): Iterator[Value] =
+  private def decodeIterator(bi: ByteIn, typed: Boolean): Iterator[Value] =
     new Iterator[Value] {
       def hasNext: Boolean = !bi.atEnd()
-      def next(): Value = decode(bi)
+      def next(): Value = decode(bi, typed)
     }
 
   private def arg(in: ByteIn, info: Int): Long = info match {
@@ -144,7 +182,7 @@ object CborCodec {
   private def indefBytes(in: ByteIn): Value = {
     val bos = new ByteArrayOutputStream()
     while (in.peek() != 0xff) {
-      decode(in) match {
+      decode(in, typed = false) match {
         case Value.Bytes(b) => bos.write(b)
         case _ => throw new IllegalArgumentException("cbor: bad indef bytes")
       }
@@ -156,7 +194,7 @@ object CborCodec {
   private def indefText(in: ByteIn): Value = {
     val sb = new StringBuilder
     while (in.peek() != 0xff) {
-      decode(in) match {
+      decode(in, typed = false) match {
         case Value.Str(s) => sb.append(s)
         case _ => throw new IllegalArgumentException("cbor: bad indef text")
       }

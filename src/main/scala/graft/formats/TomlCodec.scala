@@ -282,7 +282,9 @@ object TomlCodec {
   /** One TOML document per record; top level must be a Map with
     * string keys (toml crate constraint, documented-lossy edge).
     */
-  def emit(v: Value): String = v match {
+  def emit(v: Value): String = Value.widen(v) match {
+    // widen: width-tagged scalars (typed mode) print as their values —
+    // TOML has no width syntax, mirroring the reference's toml sink
     case m: Value.Map =>
       val sb = new StringBuilder
       emitTable(m, Vector.empty, sb)
@@ -360,6 +362,8 @@ object TomlCodec {
         emitInline(e, sb)
       }
       sb.append('}')
+    // unreachable from emit() (deep-widened at entry); total for safety
+    case tagged => emitInline(Value.widen(tagged), sb)
   }
 
   private def keyStr(k: Value): String = k match {

@@ -36,9 +36,62 @@ object Value {
     */
   final case class Map(v: Vector[(Value, Value)]) extends Value
 
+  // ---- opt-in width/char-tagged scalars (typed mode) ----
+  //
+  // The reference's Value enum carries I8..I64 / U8..U64 / F32/F64 /
+  // Char end to end (mod.rs:24-37); its deserializers tag by the WIRE
+  // width they saw (rmp/serde_cbor call the width-matched visit_*).
+  // graft's default mode collapses these to I64/U64/F64 under the
+  // minimal-width re-encode contract; typed-mode decodes
+  // (MsgPackCodec/CborCodec `typed = true`) produce the tagged
+  // variants below instead, so the in-flight tag survives the
+  // identity pipeline. Every sink accepts them: msgpack/cbor/json
+  // natively, the rest after [[Value.widen]] — the same widening the
+  // reference's own sinks perform (avro.rs:99-113,
+  // messagepack.rs:96-128).
+  final case class I8(v: Byte) extends Value
+  final case class I16(v: Short) extends Value
+  final case class I32(v: Int) extends Value
+  /** 0..255, stored widened. */
+  final case class U8(v: Int) extends Value
+  /** 0..65535, stored widened. */
+  final case class U16(v: Int) extends Value
+  /** 0..2³²-1, stored widened. */
+  final case class U32(v: Long) extends Value
+  final case class F32(v: Float) extends Value
+  /** mod.rs:26 — present for API parity; unreachable from the binary
+    * formats (msgpack/cbor have no char wire type; serde encodes char
+    * as a 1-char string), exactly as in the reference.
+    */
+  final case class Chr(v: scala.Char) extends Value
+
   def obj(kvs: (String, Value)*): Map =
     Map(kvs.toVector.map { case (k, v) => (Str(k): Value, v) })
   def seq(vs: Value*): Seq = Seq(vs.toVector)
+
+  /** Deep re-widening of tagged scalars to the untagged core model —
+    * what width-oblivious sinks consume. Invariant (CodecSpec):
+    * `widen(decode(bytes, typed = true)) == decode(bytes)` for every
+    * msgpack/cbor input, so typed mode can never change VALUES, only
+    * carry the extra tag.
+    */
+  def widen(v: Value): Value = v match {
+    case I8(x) => I64(x.toLong)
+    case I16(x) => I64(x.toLong)
+    case I32(x) => I64(x.toLong)
+    case U8(x) => I64(x.toLong)
+    case U16(x) => I64(x.toLong)
+    case U32(x) => I64(x)
+    case F32(x) => F64(x.toDouble)
+    case Chr(c) => Str(c.toString)
+    // typed decodes tag 0xcf/u64 as U64 even when the value fits a
+    // Long; default-mode canonicalization makes that I64 — widening
+    // must land on the same canonical form
+    case U64(bits) if bits >= 0 => I64(bits)
+    case Seq(vs) => Seq(vs.map(widen))
+    case Map(kvs) => Map(kvs.map { case (k, e) => (widen(k), widen(e)) })
+    case other => other
+  }
 }
 
 /** JSON parse/emit for Value — the engine's canonical text form
@@ -68,6 +121,22 @@ object JsonCodec {
       else if (d == Math.floor(d) && !d.isInfinite && Math.abs(d) < 1e15)
         sb.append(d.toLong).append(".0")
       else sb.append(d)
+    // tagged scalars print exactly as their widened value would —
+    // except F32, whose shortest-roundtrip repr is the f32 one
+    // (serde_json prints Value::F32(1.1) as "1.1", not the widened
+    // double 1.100000023841858)
+    case Value.I8(n) => sb.append(n.toInt)
+    case Value.I16(n) => sb.append(n.toInt)
+    case Value.I32(n) => sb.append(n)
+    case Value.U8(n) => sb.append(n)
+    case Value.U16(n) => sb.append(n)
+    case Value.U32(n) => sb.append(n)
+    case Value.F32(f) =>
+      if (f.isNaN || f.isInfinite) sb.append("null")
+      else if (f == Math.floor(f) && Math.abs(f) < 1e15f)
+        sb.append(f.toLong).append(".0")
+      else sb.append(f)
+    case Value.Chr(c) => emitString(c.toString, sb)
     case Value.Str(s) => emitString(s, sb)
     case Value.Bytes(b) =>
       sb.append('[')
@@ -194,8 +263,12 @@ object JsonCodec {
       case Value.Unit => paint(sb, Ansi.Null, "null", color)
       case Value.Bool(true) => paint(sb, Ansi.True, "true", color)
       case Value.Bool(false) => paint(sb, Ansi.False, "false", color)
-      case n @ (_: Value.I64 | _: Value.U64 | _: Value.F64) =>
+      case n @ (_: Value.I64 | _: Value.U64 | _: Value.F64 | _: Value.I8 |
+          _: Value.I16 | _: Value.I32 | _: Value.U8 | _: Value.U16 |
+          _: Value.U32 | _: Value.F32) =>
         paint(sb, Ansi.Num, emit(n), color)
+      case Value.Chr(c) =>
+        emitStringStyled(c.toString, sb, Ansi.StrQuote, Ansi.StrChar, color)
       case Value.Str(s) =>
         emitStringStyled(s, sb, Ansi.StrQuote, Ansi.StrChar, color)
       case Value.Bytes(b) =>

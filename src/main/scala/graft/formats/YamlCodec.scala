@@ -24,7 +24,8 @@ object YamlCodec {
   /** Whole input → exactly one Value (single-document semantics). */
   def parse(input: String): Value = fromJava(yaml.load[AnyRef](input))
 
-  def emit(v: Value): String = yaml.dump(toJava(v))
+  // widen: YAML has no width tags; typed-mode scalars emit as values
+  def emit(v: Value): String = yaml.dump(toJava(Value.widen(v)))
 
   private def fromJava(o: AnyRef): Value = o match {
     case null => Value.Unit
@@ -64,5 +65,7 @@ object YamlCodec {
       val m = new java.util.LinkedHashMap[AnyRef, AnyRef]()
       kvs.foreach { case (k, e) => m.put(toJava(k), toJava(e)) }
       m
+    // unreachable from emit() (deep-widened at entry); total for safety
+    case tagged => toJava(Value.widen(tagged))
   }
 }

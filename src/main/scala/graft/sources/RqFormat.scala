@@ -55,8 +55,12 @@ object RqFormat {
         // headerless; every cell a string; record = Sequence (csv.rs:41-52)
         CsvCodec.parseIterator(new java.io.InputStreamReader(
           in, StandardCharsets.UTF_8))
-      case "msgpack" => MsgPackCodec.decodeIterator(in)
-      case "cbor" => CborCodec.decodeIterator(in)
+      // typed=true: width-tagged decode (Value.I8..U32/F32 carried
+      // in-flight — reference mod.rs:24-37 fidelity; opt-in)
+      case "msgpack" => MsgPackCodec.decodeIterator(in,
+        opt(options, "typed").contains("true"))
+      case "cbor" => CborCodec.decodeIterator(in,
+        opt(options, "typed").contains("true"))
       case "toml" =>
         Iterator.single(TomlCodec.parse(
           new String(in.readAllBytes(), StandardCharsets.UTF_8)))
@@ -265,7 +269,8 @@ object CsvCodec {
     * values and Unit/Bytes are hard errors (value_to_csv,
     * csv.rs:77-110; sequence-only check csv.rs:60-75).
     */
-  def emitRecord(v: Value): String = v match {
+  // widen: CSV cells are untyped text; typed-mode tags emit as values
+  def emitRecord(v: Value): String = graft.formats.Value.widen(v) match {
     case Value.Seq(cells) =>
       cells.map {
         case Value.Bool(b) => quote(b.toString)

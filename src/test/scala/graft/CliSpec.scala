@@ -171,6 +171,25 @@ class CliSpec extends AnyFunSuite {
     assert(indented == "{\n  \"a\": [\n    1,\n    2\n  ]\n}\n")
   }
 
+  test("--typed: -m -M pipe is byte-identical on a width-mixed " +
+      "stream incl. f32; the default pipe is not (mod.rs:24-37)") {
+    // minimal encodings of every msgpack integer family + f32 + f64
+    val mixed = Array[Byte](
+      0x05, 0xcc.toByte, 0xc8.toByte, 0xcd.toByte, 0x01, 0x00,
+      0xce.toByte, 0x00, 0x01, 0x00, 0x00,
+      0xcf.toByte, 0x80.toByte, 0, 0, 0, 0, 0, 0, 0,
+      0xf4.toByte, 0xd0.toByte, 0x85.toByte,
+      0xd1.toByte, 0x80.toByte, 0x00,
+      0xca.toByte, 0x3f, 0xc0.toByte, 0, 0, // f32 1.5
+      0xcb.toByte, 0x3f, 0xf8.toByte, 0, 0, 0, 0, 0, 0)
+    val o = Options(inputMsgPack = true, outputMsgPack = true)
+    assert(pipe(o.copy(typed = true), mixed).toSeq == mixed.toSeq)
+    assert(pipe(o, mixed).toSeq != mixed.toSeq) // f32 widened to f64
+    // --typed parses as a long flag and composes with bundled shorts
+    assert(Cli.parse(Array("-mM", "--typed")).typed)
+    assert(!Cli.parse(Array("-mM")).typed)
+  }
+
   test("json -> cbor -> json roundtrip preserves records") {
     val src = "{\"a\":1} [1,2,3] \"s\" true null".getBytes(UTF_8)
     val cbor = pipe(Options(outputCbor = true), src)

@@ -252,6 +252,132 @@ class CodecSpec extends AnyFunSuite {
       CborCodec.encode(Value.I64(300)).toSeq)
   }
 
+  test("typed mode: wire-width tags match the reference's visit_* " +
+      "dispatch and widen to the default decode (mod.rs:24-37)") {
+    import Value._
+    val mp: scala.Seq[(Array[Byte], Value)] = scala.Seq(
+      (Array[Byte](0x2a), U8(42)), // positive fixint → visit_u8
+      (Array[Byte](0xe9.toByte), I8(-23)), // negative fixint → visit_i8
+      (Array[Byte](0xcc.toByte, 0xff.toByte), U8(255)),
+      (Array[Byte](0xcd.toByte, 0x01, 0x00), U16(256)),
+      (Array[Byte](0xce.toByte, 0, 1, 0, 0), U32(65536L)),
+      (Array[Byte](0xcf.toByte, 0, 0, 0, 0, 0, 0, 0, 0x2a), U64(42L)),
+      (Array[Byte](0xd0.toByte, -123), I8(-123)),
+      (Array[Byte](0xd1.toByte, 0x80.toByte, 0), I16(-32768)),
+      (Array[Byte](0xd2.toByte, 0x80.toByte, 0, 0, 0), I32(Int.MinValue)),
+      (Array[Byte](0xca.toByte, 0x3f, 0xc0.toByte, 0, 0), F32(1.5f)))
+    mp.foreach { case (bytes, tagged) =>
+      assert(MsgPackCodec.decodeStream(bytes, typed = true) ==
+        Vector(tagged), bytes.map("%02x".format(_)).mkString)
+      // widen-invariant: typed mode may add a tag, never change values
+      assert(Value.widen(tagged) == MsgPackCodec.decodeStream(bytes).head)
+    }
+    val cb: scala.Seq[(Array[Byte], Value)] = scala.Seq(
+      (Array[Byte](0x05), U8(5)), // inline arg → visit_u8
+      (Array[Byte](0x18, 0xc8.toByte), U8(200)),
+      (Array[Byte](0x19, 0x01, 0x00), U16(256)),
+      (Array[Byte](0x1a, 0, 1, 0, 0), U32(65536L)),
+      (Array[Byte](0x1b, 0, 0, 0, 0, 0, 0, 0, 0x2a), U64(42L)),
+      (Array[Byte](0x29), I8(-10)), // negint inline
+      (Array[Byte](0x38, 0x7f), I8(-128)), // fits i8
+      (Array[Byte](0x38, 0xff.toByte), I16(-256)), // u8 arg, needs i16
+      (Array[Byte](0x39, 0x01, 0x00), I16(-257)),
+      (Array[Byte](0xf9.toByte, 0x3c, 0x00), F32(1.0f)), // f16 → f32
+      (Array[Byte](0xfa.toByte, 0x3f, 0xc0.toByte, 0, 0), F32(1.5f)))
+    cb.foreach { case (bytes, tagged) =>
+      assert(CborCodec.decodeStream(bytes, typed = true) ==
+        Vector(tagged), bytes.map("%02x".format(_)).mkString)
+      assert(Value.widen(tagged) == CborCodec.decodeStream(bytes).head)
+    }
+    // tags survive inside containers
+    val nested = MsgPackCodec.encode(Value.obj(
+      "a" -> Value.I64(-123), "b" -> Value.seq(Value.F64(1.5))))
+    assert(MsgPackCodec.decodeStream(nested, typed = true) == Vector(
+      Value.Map(Vector((Str("a"), I8(-123)),
+        (Str("b"), Seq(Vector(F64(1.5))))))))
+  }
+
+  test("typed mode: minimal-wire round-trips are byte-identical, " +
+      "including the f32 width the default mode widens away") {
+    // width-mixed minimal streams: every integer family + f32 + f64
+    val mpBytes = Array[Byte](
+      0x05, // fixpos
+      0xcc.toByte, 0xc8.toByte, // u8 200
+      0xcd.toByte, 0x01, 0x00, // u16 256
+      0xce.toByte, 0x00, 0x01, 0x00, 0x00, // u32 65536
+      0xcf.toByte, 0x80.toByte, 0, 0, 0, 0, 0, 0, 0, // u64 2^63
+      0xf4.toByte, // negative fixint -12
+      0xd0.toByte, 0x85.toByte, // i8 -123
+      0xd1.toByte, 0x80.toByte, 0x00, // i16 -32768
+      0xd2.toByte, 0x80.toByte, 0, 0, 0, // i32 min
+      0xd3.toByte, 0x80.toByte, 0, 0, 0, 0, 0, 0, 0, // i64 min
+      0xca.toByte, 0x3f, 0xc0.toByte, 0, 0, // f32 1.5
+      0xcb.toByte, 0x3f, 0xf8.toByte, 0, 0, 0, 0, 0, 0) // f64 1.5
+    assert(MsgPackCodec.encodeStream(
+      MsgPackCodec.decodeStream(mpBytes, typed = true)).toSeq ==
+      mpBytes.toSeq)
+    // negative control: the default mode re-emits the f32 as f64, so
+    // its round-trip of the same stream is NOT byte-identical — the
+    // typed mode is what closes that gap
+    assert(MsgPackCodec.encodeStream(
+      MsgPackCodec.decodeStream(mpBytes)).toSeq != mpBytes.toSeq)
+
+    val cbBytes = Array[Byte](
+      0x05, // inline
+      0x18, 0xc8.toByte, // u8 200
+      0x19, 0x01, 0x00, // u16 256
+      0x1a, 0, 1, 0, 0, // u32 65536
+      0x1b, 0x80.toByte, 0, 0, 0, 0, 0, 0, 0, // u64 2^63
+      0x29, // negint -10
+      0x38, 0x7f, // -128
+      0x39, 0x01, 0x00, // -257
+      0xfa.toByte, 0x3f, 0xc0.toByte, 0, 0, // f32 1.5
+      0xfb.toByte, 0x3f, 0xf8.toByte, 0, 0, 0, 0, 0, 0) // f64 1.5
+    assert(CborCodec.encodeStream(
+      CborCodec.decodeStream(cbBytes, typed = true)).toSeq ==
+      cbBytes.toSeq)
+    assert(CborCodec.encodeStream(
+      CborCodec.decodeStream(cbBytes)).toSeq != cbBytes.toSeq)
+    // f16 widens to F32 on decode (serde_cbor converts half to f32) —
+    // byte-identity is NOT claimed for f16 input, matching the
+    // reference, whose Value enum has no F16 either
+    assert(CborCodec.encodeStream(CborCodec.decodeStream(
+      Array[Byte](0xf9.toByte, 0x3c, 0x00), typed = true)).toSeq ==
+      Array[Byte](0xfa.toByte, 0x3f, 0x80.toByte, 0, 0).toSeq)
+  }
+
+  test("typed mode: widen(decode typed) == decode default across the " +
+      "boundary matrix (typed can never change values)") {
+    val rnd = new scala.util.Random(20260813L)
+    val ints = Seq(0L, 127L, 128L, 255L, 256L, 65535L, 65536L,
+      4294967295L, 4294967296L, Long.MaxValue, -1L, -32L, -33L, -128L,
+      -129L, -32768L, -32769L, Int.MinValue.toLong, Long.MinValue) ++
+      Seq.fill(300)(rnd.nextLong() >> rnd.nextInt(64))
+    ints.foreach { n =>
+      val mb = MsgPackCodec.encode(Value.I64(n))
+      assert(Value.widen(MsgPackCodec.decodeStream(mb, typed = true).head)
+        == MsgPackCodec.decodeStream(mb).head, s"msgpack $n")
+      val cbb = CborCodec.encode(Value.I64(n))
+      assert(Value.widen(CborCodec.decodeStream(cbb, typed = true).head)
+        == CborCodec.decodeStream(cbb).head, s"cbor $n")
+    }
+  }
+
+  test("typed mode: JSON sink prints F32 at f32 precision " +
+      "(serde_json Value::F32 parity) and widens the rest") {
+    assert(JsonCodec.emit(Value.F32(1.1f)) == "1.1")
+    assert(JsonCodec.emit(Value.F32(2f)) == "2.0")
+    assert(JsonCodec.emit(Value.obj("a" -> Value.F32(2.5f),
+      "b" -> Value.I8(-5), "c" -> Value.U16(300))) ==
+      """{"a":2.5,"b":-5,"c":300}""")
+    // default mode would print the widened double — the documented
+    // divergence typed mode removes
+    assert(JsonCodec.emit(Value.F64(1.1f.toDouble)) != "1.1")
+    // width-oblivious sinks consume the widened form
+    assert(TomlCodec.emit(Value.obj("x" -> Value.U8(7))) == "x = 7\n"
+      || TomlCodec.emit(Value.obj("x" -> Value.U8(7))).contains("x = 7"))
+  }
+
   test("tutorial golden: identity pipeline (doc/tutorial.md:13-17)") {
     val in = "null\ntrue\n{\"a\": 2.5}"
     val out = JsonCodec.parseStream(in).map(JsonCodec.emit).mkString("\n")
