@@ -1594,6 +1594,176 @@ object CoreQueries {
         .join(qual, col("sk") === col("s_suppkey"), "left_semi")
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
+    },
+
+    // TPC-H Q6 shape (forecasting revenue change): the purest pushdown
+    // showcase — a single lineitem scan where EVERY predicate (date
+    // range, discount band, quantity cap) must reach PushedFilters,
+    // feeding one partial+final agg. No join, no wide exchange: the
+    // 100 TB plan is scan → filter → 2-row shuffle.
+    Q("q61_tpch_q6",
+      s"""SELECT ${dsumSql("l_extendedprice*l_discount")} AS revenue,
+         |  COUNT(*) AS n
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01'
+         |  AND l_discount BETWEEN 0.03 AND 0.05
+         |  AND l_quantity < 24""".stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType)
+          && col("l_shipdate") < lit("1998-01-01").cast(TimestampType)
+          && col("l_discount").between(0.03, 0.05)
+          && col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount"))
+          .as("revenue"), count(lit(1)).as("n"))
+    },
+
+    // TPC-H Q8 shape (national market share): ratio of two aggregates
+    // over the same 7-table join — the numerator is a CASE inside the
+    // sum, so ONE pass computes both (no second scan/join for the
+    // denominator). Dims broadcast after their filters; the orders⋈
+    // customer⋈lineitem chain shuffles once per key. The ratio divides
+    // two decimal-exact sums and r4-rounds identically in both
+    // engines.
+    Q("q62_tpch_q8",
+      s"""SELECT CAST(o_year AS INT) AS o_year,
+         |  ${r4Sql("CAST(SUM(CAST(CASE WHEN nation = 'NATION_3' " +
+           "THEN volume ELSE 0 END AS DECIMAL(28,6))) AS DOUBLE) / " +
+           "CAST(SUM(CAST(volume AS DECIMAL(28,6))) AS DOUBLE)")}
+         |    AS mkt_share
+         |FROM (
+         |  SELECT YEAR(o_orderdate) AS o_year,
+         |    l_extendedprice * (1 - l_discount) AS volume,
+         |    n2.n_name AS nation
+         |  FROM lineitem
+         |  JOIN part ON p_partkey = l_partkey AND p_type = 'STANDARD'
+         |  JOIN supplier ON s_suppkey = l_suppkey
+         |  JOIN orders ON o_orderkey = l_orderkey
+         |  JOIN customer ON c_custkey = o_custkey
+         |  JOIN nation n1 ON n1.n_nationkey = c_nationkey
+         |  JOIN region ON r_regionkey = n1.n_regionkey
+         |    AND r_name = 'AMERICA'
+         |  JOIN nation n2 ON n2.n_nationkey = s_nationkey
+         |) GROUP BY o_year ORDER BY o_year""".stripMargin) { (s, d) =>
+      val amCust = t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation").as("n1")
+          .join(t(s, d, "region").where(col("r_name") === "AMERICA"),
+            col("r_regionkey") === col("n_regionkey"))
+          .select(col("n_nationkey").as("cnk"))),
+          col("cnk") === col("c_nationkey"))
+        .select("c_custkey")
+      val suppNat = t(s, d, "supplier")
+        .join(t(s, d, "nation").as("n2"),
+          col("n2.n_nationkey") === col("s_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")
+          .where(col("p_type") === "STANDARD").select("p_partkey")),
+          col("p_partkey") === col("l_partkey"))
+        .join(broadcast(suppNat), col("s_suppkey") === col("l_suppkey"))
+        .join(t(s, d, "orders")
+            .join(amCust, col("c_custkey") === col("o_custkey"),
+              "left_semi")
+            .select("o_orderkey", "o_orderdate"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(year(col("o_orderdate")).as("o_year"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("volume"), col("nation"))
+        .groupBy(col("o_year"))
+        .agg(r4(
+          sum(when(col("nation") === "NATION_3", col("volume"))
+            .otherwise(0).cast(DecimalType(28, 6))).cast(DoubleType) /
+          sum(col("volume").cast(DecimalType(28, 6))).cast(DoubleType))
+          .as("mkt_share"))
+        .select(col("o_year").cast(IntegerType).as("o_year"),
+          col("mkt_share"))
+        .orderBy("o_year")
+    },
+
+    // TPC-H Q12 shape (shipping-priority line counts): the two-way
+    // conditional count over one join — both counters come out of the
+    // SAME pass (CASE inside SUM), never two scans. The testdata has
+    // no l_shipmode, so the band key is l_returnflag; the date filter
+    // pushes to the lineitem scan.
+    Q("q63_tpch_q12",
+      """SELECT l_returnflag,
+        |CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |  AND l_shipdate < TIMESTAMP '1999-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, d) =>
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, d, "orders")
+        .join(t(s, d, "lineitem")
+          .where(col("l_shipdate") >= lit("1998-01-01").cast(TimestampType)
+            && col("l_shipdate") < lit("1999-01-01").cast(TimestampType)),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    },
+
+    // TPC-H Q14 shape (promotion effect): percentage ratio of two
+    // CASE'd decimal sums over one month of lineitem ⋈ part — single
+    // pass, part broadcast, month bounds pushed to the fact scan.
+    Q("q64_tpch_q14",
+      s"""SELECT ${r4Sql("100.0 * CAST(SUM(CAST(CASE WHEN p_type = " +
+           "'PROMO' THEN l_extendedprice*(1-l_discount) ELSE 0 END " +
+           "AS DECIMAL(28,6))) AS DOUBLE) / " +
+           "CAST(SUM(CAST(l_extendedprice*(1-l_discount) " +
+           "AS DECIMAL(28,6))) AS DOUBLE)")} AS promo_revenue
+         |FROM lineitem JOIN part ON p_partkey = l_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1998-03-01'
+         |  AND l_shipdate < TIMESTAMP '1998-04-01'""".stripMargin) {
+      (s, d) =>
+      val vol = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      t(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1998-03-01").cast(TimestampType)
+          && col("l_shipdate") < lit("1998-04-01").cast(TimestampType))
+        .join(broadcast(t(s, d, "part").select("p_partkey", "p_type")),
+          col("p_partkey") === col("l_partkey"))
+        .agg(r4(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", vol).otherwise(0)
+            .cast(DecimalType(28, 6))).cast(DoubleType) /
+          sum(vol.cast(DecimalType(28, 6))).cast(DoubleType))
+          .as("promo_revenue"))
+    },
+
+    // TPC-H Q16 shape (parts/supplier relationship): COUNT(DISTINCT)
+    // per attribute group with a NOT-IN supplier exclusion. partsupp
+    // is the lineitem-derived (part,supplier) relation; the excluded
+    // suppliers (negative balance ~ the reference's complaint filter)
+    // anti-join BEFORE the distinct agg so excluded rows never reach
+    // the shuffle; the part attribute filter broadcasts.
+    Q("q65_tpch_q16",
+      """SELECT p_brand, p_type, p_size,
+        |CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#13'
+        |  AND p_size IN (1, 5, 9, 14, 20, 28, 36, 45)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+        .stripMargin) { (s, d) =>
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")
+          .where(col("p_brand") =!= "Brand#13" &&
+            col("p_size").isin(1, 5, 9, 14, 20, 28, 36, 45))
+          .select("p_partkey", "p_brand", "p_type", "p_size")),
+          col("p_partkey") === col("l_partkey"))
+        .join(broadcast(t(s, d, "supplier")
+          .where(col("s_acctbal") < 0).select("s_suppkey")),
+          col("s_suppkey") === col("l_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
     }
   )
 }

@@ -44,17 +44,8 @@ object ScaleStress {
     words.mkString(" ")
   }
 
-  private def permuteVec(v: Seq[Float], seed: Long): Seq[Float] = {
-    val arr = v.toArray
-    val r = new java.util.Random(seed)
-    var i = arr.length - 1
-    while (i > 0) {
-      val j = r.nextInt(i + 1)
-      val tmp = arr(i); arr(i) = arr(j); arr(j) = tmp
-      i -= 1
-    }
-    arr.toSeq
-  }
+  // vector permutation + embedding replication live in StressUtil so
+  // every curve point (SCALE_r4*, LshScale/SCALE_r5) scales the same way
 
   import StressUtil.joinLines
 
@@ -98,16 +89,7 @@ object ScaleStress {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     docsN.write.mode("overwrite")
       .parquet(s"$outDir/documents.parquet")
-    val baseEmb = spark.read.parquet(s"$baseDir/embeddings.parquet")
-    val embN = spark.range(factor).crossJoin(baseEmb)
-      .select(col("id").as("k"), col("vec_id"), col("embedding"),
-        col("label"))
-      .as[(Long, Long, Seq[Float], Int)]
-      .map { case (k, id, v, lab) =>
-        (id + k * OFF, if (k == 0) v else permuteVec(v, id * 10 + k), lab)
-      }
-      .toDF("vec_id", "embedding", "label")
-    embN.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    StressUtil.replicateEmbeddings(spark, baseDir, outDir, factor)
     val genSec = (System.nanoTime() - tGen0) / 1e9
     val nDocs = spark.read.parquet(s"$outDir/documents.parquet").count()
     val nEmb = spark.read.parquet(s"$outDir/embeddings.parquet").count()

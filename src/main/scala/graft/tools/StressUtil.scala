@@ -1,11 +1,52 @@
 package graft.tools
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Helpers shared by the scale-stress harnesses (ScaleStress /
-  * RelationalStress) so their evidence extraction can't drift apart.
+  * RelationalStress / LshScale) so their evidence extraction and
+  * corpus construction can't drift apart.
   */
 object StressUtil {
+
+  /** Fisher–Yates permutation of a vector, deterministic per seed —
+    * replicas of an embedding become semantically unrelated vectors
+    * with an identical value distribution.
+    */
+  def permuteVec(v: Seq[Float], seed: Long): Seq[Float] = {
+    val arr = v.toArray
+    val r = new java.util.Random(seed)
+    var i = arr.length - 1
+    while (i > 0) {
+      val j = r.nextInt(i + 1)
+      val tmp = arr(i); arr(i) = arr(j); arr(j) = tmp
+      i -= 1
+    }
+    arr.toSeq
+  }
+
+  /** Replicate the embeddings table `factor`× with id offsets: replica
+    * 0 is byte-identical, replicas k>0 carry permuted vectors (same
+    * distribution, no accidental near-dups). THE scaling recipe for
+    * every LSH scale artifact (SCALE_r4*, SCALE_r5) — one definition
+    * so curve points at different factors measure the same corpus law.
+    */
+  def replicateEmbeddings(spark: SparkSession, baseDir: String,
+      outDir: String, factor: Int): Long = {
+    import spark.implicits._
+    val OFF = 1000000L
+    val baseEmb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    spark.range(factor).crossJoin(baseEmb)
+      .select(col("id").as("k"), col("vec_id"), col("embedding"),
+        col("label"))
+      .as[(Long, Long, Seq[Float], Int)]
+      .map { case (k, id, v, lab) =>
+        (id + k * OFF, if (k == 0) v else permuteVec(v, id * 10 + k), lab)
+      }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    spark.read.parquet(s"$outDir/embeddings.parquet").count()
+  }
 
   /** Extract the join/exchange skeleton from an executed plan. Strips
     * the tree-drawing prefix and the whole-stage-codegen `*(N)` tag

@@ -165,6 +165,34 @@ class OperatorsSpec extends SparkSpec {
     assert(Dedup.lshParams(1000000000000L, 0.9)._1 <= 16384)
   }
 
+  test("lshParams: measured candidate volume on an isotropic corpus " +
+      "matches the law's uniform-occupancy prediction") {
+    // The scaling law's predicted candidate count is
+    // bands · C(n,2) / 2^bits under uniform bucket occupancy; on an
+    // isotropic Gaussian corpus hyperplane bits are balanced coin
+    // flips, so the measured volume must sit near the prediction —
+    // this is the spec-scale anchor of the SCALE_r5 curve point
+    // (LshScale validates the same quantity at 200k vectors).
+    import spark.implicits._
+    val n = 4096
+    val rnd = new java.util.Random(77L)
+    // dim 64 (the real embeddings dim): with dim >> bits the 12
+    // hyperplane bits are near-independent, so occupancy is near
+    // uniform; at low dim the bits correlate and the volume inflates
+    val df = Seq.tabulate(n)(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextGaussian()))).toDF("id", "v")
+    val (bands, bits) = Dedup.lshParams(n, 0.9)
+    assert(bits == 12, "log2(4096) = the 12-bit floor boundary")
+    val vol = df.select(posexplode_outer(HashFns.hyperplaneBands(
+        col("v"), bands, bits, 0x5eed)).as(Seq("b", "k")))
+      .groupBy("b", "k").agg(count(lit(1)).as("m"))
+      .agg(sum((col("m") * (col("m") - 1)).cast("long") / 2)
+        .cast("long")).head.getLong(0)
+    val predicted = bands.toDouble * n * (n - 1) / 2 / math.pow(2, bits)
+    assert(vol > predicted / 4 && vol < predicted * 4,
+      s"measured candidate volume $vol vs predicted $predicted")
+  }
+
   test("incremental near-dup equals the cross-half slice of full pairs") {
     val all = T.t(spark, sf0001, "documents")
     val mid = 25L
