@@ -86,9 +86,9 @@ object Bench {
       * plan shape is unchanged: expression ids, codegen/exchange ids,
       * and file-listing specifics are normalized away before hashing.
       */
-    def planFingerprint(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): String =
+    def planFingerprint(df: org.apache.spark.sql.DataFrame): String =
       try {
-        val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val p = df.queryExecution.executedPlan.toString
           .replaceAll("#\\d+", "#x")
           .replaceAll("\\[plan_id=\\d+\\]", "")
           .replaceAll("\\[id=#?\\d+\\]", "")
@@ -101,15 +101,23 @@ object Bench {
     val names = SparkEntry.declared.map(_.name) // stable contract order
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val (runs, stages) =
+      // ONE DataFrame serves both the fingerprint and the warm-up run:
+      // several codec queries do eager work (temp-dir writes) at
+      // construction, so a separate fingerprint-only construction
+      // would pay a 5th full side-effect per bench run
+      val (runs, stages, fp) =
         try {
-          val w = timeOnce(fn) // warm-up
+          val df0 = fn(spark, sfDir)
+          val fp = planFingerprint(df0)
+          val t0 = System.nanoTime()
+          df0.queryExecution.toRdd.count() // warm-up (pre-built plan)
+          val w = (System.nanoTime() - t0) / 1e9
           val before = metrics.snapshot()
           val timed = Seq.fill(3)(timeOnce(fn))
           val after = metrics.snapshot()
-          (w +: timed, after.zip(before).map { case (a, b) => a - b })
-        } catch { case NonFatal(_) => (Seq(-1.0), Seq.empty[Long]) }
-      (name, runs, stages, planFingerprint(fn))
+          (w +: timed, after.zip(before).map { case (a, b) => a - b }, fp)
+        } catch { case NonFatal(_) => (Seq(-1.0), Seq.empty[Long], "error") }
+      (name, runs, stages, fp)
     }
     // Streaming bench: the qs4 stream-stream interval join re-run as a
     // REAL multi-batch stream (time-ordered file splits, 2 files per
@@ -126,6 +134,12 @@ object Bench {
             .write.mode("overwrite").parquet(tmp.toString)
           val t0 = System.nanoTime()
           var progress: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = Nil
+          // recentProgress is a ring buffer (default 100 entries); a
+          // larger events table would evict the startup batch and
+          // silently shift the steady-state split — size it so every
+          // batch of any plausible bench corpus is retained
+          spark.conf.set(
+            "spark.sql.streaming.numRecentProgressUpdates", "10000")
           graft.streaming.Streams.withRocksDBStateStore(spark) {
             val stream = spark.readStream.schema(ev.schema)
               .option("maxFilesPerTrigger", "2").parquet(tmp.toString)

@@ -113,12 +113,15 @@ object AvroCodec {
     new Schema.Parser().parse(new File(path))
 
   /** Value → Avro datum guided by the writer schema, with the
-    * reference's guards. widen: the schema (not the in-flight tag)
-    * dictates avro widths — the reference's avro sink likewise widens
-    * its I8..I32 to the schema type (avro.rs:99-113).
+    * reference's guards. widenShallow per node: the schema (not the
+    * in-flight tag) dictates avro widths — the reference's avro sink
+    * likewise widens its I8..I32 to the schema type (avro.rs:99-113).
+    * Shallow (not deep) because this function already recurses
+    * node-by-node; a deep widen here would rebuild every subtree once
+    * per ancestor level.
     */
   def toAvro(v0: Value, schema: Schema): AnyRef = {
-    val v = Value.widen(v0)
+    val v = Value.widenShallow(v0)
     (schema.getType, v) match {
     case (Schema.Type.UNION, _) =>
       val branches = schema.getTypes.asScala
@@ -158,16 +161,21 @@ object AvroCodec {
       vs.map(toAvro(_, schema.getElementType)).asJava
     case (Schema.Type.MAP, Value.Map(kvs)) =>
       val m = new java.util.LinkedHashMap[String, AnyRef]()
-      kvs.foreach {
-        case (Value.Str(k), e) => m.put(k, toAvro(e, schema.getValueType))
-        case (k, _) =>
-          // non-string map key → error (avro.rs:138-146)
-          throw new IllegalArgumentException(s"avro: non-string map key $k")
+      kvs.foreach { kv =>
+        (Value.widenShallow(kv._1), kv._2) match { // Chr key → Str
+          case (Value.Str(k), e) => m.put(k, toAvro(e, schema.getValueType))
+          case (k, _) =>
+            // non-string map key → error (avro.rs:138-146)
+            throw new IllegalArgumentException(s"avro: non-string map key $k")
+        }
       }
       m
     case (Schema.Type.RECORD, Value.Map(kvs)) =>
       val rec = new GenericData.Record(schema)
-      val byName = kvs.collect { case (Value.Str(k), e) => k -> e }.toMap
+      val byName = kvs.collect {
+        case (k, e) if Value.widenShallow(k).isInstanceOf[Value.Str] =>
+          Value.widenShallow(k).asInstanceOf[Value.Str].v -> e
+      }.toMap
       schema.getFields.asScala.foreach { f =>
         byName.get(f.name) match {
           case Some(e) => rec.put(f.pos, toAvro(e, f.schema))

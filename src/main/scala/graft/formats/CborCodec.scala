@@ -91,7 +91,7 @@ object CborCodec {
       case 0 =>
         val n = arg(in, info)
         if (!typed) { if (n >= 0) Value.I64(n) else Value.U64(n) }
-        else if (info < 24 || info == 24) Value.U8(n.toInt)
+        else if (info <= 24) Value.U8(n.toInt) // inline or 1-byte arg
         else if (info == 25) Value.U16(n.toInt)
         else if (info == 26) Value.U32(n)
         else Value.U64(n)

@@ -103,7 +103,11 @@ object ProtoWire {
   def encode(v: Value, fqNameWithDot: String,
       schema: PSchemaSet): Array[Byte] = {
     val w = new Writer
-    encodeMessage(v, schema.message(fqNameWithDot), schema, w)
+    // deep-widen typed-mode tags at the entry (the schema dictates
+    // wire widths here, as in every width-oblivious sink) so the
+    // int()/num()/str() matches below stay total over what reaches them
+    encodeMessage(Value.widen(v), schema.message(fqNameWithDot),
+      schema, w)
     w.toBytes
   }
 

@@ -69,13 +69,12 @@ object Value {
     Map(kvs.toVector.map { case (k, v) => (Str(k): Value, v) })
   def seq(vs: Value*): Seq = Seq(vs.toVector)
 
-  /** Deep re-widening of tagged scalars to the untagged core model —
-    * what width-oblivious sinks consume. Invariant (CodecSpec):
-    * `widen(decode(bytes, typed = true)) == decode(bytes)` for every
-    * msgpack/cbor input, so typed mode can never change VALUES, only
-    * carry the extra tag.
+  /** Scalar-level widening (no recursion): the tagged variants to
+    * their untagged core form, everything else unchanged. Sinks that
+    * already recurse node-by-node (avro) use this per node instead of
+    * paying the deep rebuild at every recursion level.
     */
-  def widen(v: Value): Value = v match {
+  def widenShallow(v: Value): Value = v match {
     case I8(x) => I64(x.toLong)
     case I16(x) => I64(x.toLong)
     case I32(x) => I64(x.toLong)
@@ -88,9 +87,19 @@ object Value {
     // Long; default-mode canonicalization makes that I64 — widening
     // must land on the same canonical form
     case U64(bits) if bits >= 0 => I64(bits)
+    case other => other
+  }
+
+  /** Deep re-widening of tagged scalars to the untagged core model —
+    * what width-oblivious sinks consume. Invariant (CodecSpec):
+    * `widen(decode(bytes, typed = true)) == decode(bytes)` for every
+    * msgpack/cbor input, so typed mode can never change VALUES, only
+    * carry the extra tag.
+    */
+  def widen(v: Value): Value = v match {
     case Seq(vs) => Seq(vs.map(widen))
     case Map(kvs) => Map(kvs.map { case (k, e) => (widen(k), widen(e)) })
-    case other => other
+    case scalar => widenShallow(scalar)
   }
 }
 

@@ -461,9 +461,13 @@ object Dedup {
     * Output: (doc_id, clean_text, n_para, n_kept) — one row per doc
     * with ≥1 surviving paragraph.
     *
-    * pid = doc_id·100000 + idx is a single orderable key (guarded; at
-    * true corpus scale swap in a struct (doc_id, idx) ordering —
-    * every comparison below is through pid only).
+    * pid = doc_id·100000 + idx is a single orderable key. The idx
+    * range IS enforced: a document with ≥ maxIdx paragraphs fails the
+    * run with an explicit error (the guard lives inside the pid
+    * expression itself so column pruning can never drop it) instead
+    * of silently colliding into another document's key space. At true
+    * corpus scale swap in a struct (doc_id, idx) ordering — every
+    * comparison below is through pid only.
     */
   def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
       paraWords: Int = 6, threshold: Double = 0.8,
@@ -482,7 +486,12 @@ object Dedup {
         i => slice(col("__w"), i * paraWords + 1, lit(paraWords))))
         .as(Seq("idx", "__pw")))
       .select(col("doc_id"), col("idx").cast(LongType).as("idx"),
-        (col("doc_id") * maxIdx + col("idx")).as("pid"),
+        when(col("idx") < maxIdx, col("doc_id") * maxIdx + col("idx"))
+          .otherwise(raise_error(concat(lit(
+            s"paragraphDedup: document with >= $maxIdx paragraphs " +
+              "(doc_id "), col("doc_id"),
+            lit(") would collide pid keys"))).cast(LongType))
+          .as("pid"),
         array_join(col("__pw"), " ").as("ptext"),
         size(col("__pw")).as("nw"))
     // exact stage: globally-first occurrence per paragraph text

@@ -100,31 +100,40 @@ object LshScale {
       (n, autoBands, autoBits, vAuto, vFixed)
     }
 
-    // law 1: auto volume exponent across the extreme factors ~ n^1.22
-    val (n0, _, _, v0, _) = points.head
+    // law 2 first (valid at any single factor): fixed/auto volume
+    // ratio ≈ uniform-model prediction at the top factor
     val (n1, b1, t1, v1, vF1) = points.last
-    val exponent = math.log(v1.toDouble / v0) / math.log(n1.toDouble / n0)
-    results += "auto_volume_exponent" -> exponent
-    require(exponent > 0.9 && exponent < 1.6,
-      f"auto candidate volume grew as n^$exponent%.2f — outside the " +
-        "near-linear regime the lshParams law promises (~n^1.22)")
-    // law 2: fixed/auto volume ratio ≈ uniform-model prediction
     val predicted = (96.0 / math.pow(2, 12)) /
       (b1.toDouble / math.pow(2, t1))
     val measured = vF1.toDouble / v1
     results += "fixed_over_auto_predicted" -> predicted
     results += "fixed_over_auto_measured" -> measured
-    require(measured > predicted / 5 && measured < predicted * 5,
-      f"fixed/auto volume ratio $measured%.1f vs predicted " +
-        f"$predicted%.1f — occupancy model off by >5x")
-    println(f"[lsh-scale] exponent=$exponent%.3f " +
-      f"fixed/auto measured=$measured%.1f predicted=$predicted%.1f")
+    // law 1 needs two DISTINCT corpus sizes; a single-factor run
+    // skips it (log(1)/log(1) = NaN) instead of failing spuriously
+    val (n0, _, _, v0, _) = points.head
+    val exponentOpt =
+      if (points.size < 2 || n1 == n0) None
+      else Some(math.log(v1.toDouble / v0) / math.log(n1.toDouble / n0))
+    exponentOpt.foreach(e => results += "auto_volume_exponent" -> e)
 
+    // the artifact is the point of the run: persist it BEFORE the law
+    // assertions so a violated band still leaves the measurements
     val json = results.map { case (k, v) =>
       "\"" + k + "\": " + StressUtil.jsonScalar(v)
     }.mkString("{", ", ", "}")
     Files.writeString(Paths.get("SCALE_r5.json"), json + "\n")
     println(json)
+
+    exponentOpt.foreach { exponent =>
+      require(exponent > 0.9 && exponent < 1.6,
+        f"auto candidate volume grew as n^$exponent%.2f — outside the " +
+          "near-linear regime the lshParams law promises (~n^1.22)")
+    }
+    require(measured > predicted / 5 && measured < predicted * 5,
+      f"fixed/auto volume ratio $measured%.1f vs predicted " +
+        f"$predicted%.1f — occupancy model off by >5x")
+    println(f"[lsh-scale] exponent=${exponentOpt.getOrElse(Double.NaN)}%.3f " +
+      f"fixed/auto measured=$measured%.1f predicted=$predicted%.1f")
     spark.stop()
   }
 }
