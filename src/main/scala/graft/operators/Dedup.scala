@@ -494,18 +494,31 @@ object Dedup {
           .as("pid"),
         array_join(col("__pw"), " ").as("ptext"),
         size(col("__pw")).as("nw"))
-    // exact stage: globally-first occurrence per paragraph text
+    // exact stage: globally-first occurrence per paragraph text.
+    // localCheckpoint: the survivors are referenced FIVE times below
+    // (banded signatures, both exact-verify sides, the anti-join
+    // left, reassembly); without materialization each reference
+    // replays the scan → explode → window-shuffle chain — the
+    // unoptimized plan showed 12 parquet scans of the corpus. One
+    // paragraph-table materialization beats five corpus re-scans at
+    // any scale (same trade connectedComponents makes).
     val w = org.apache.spark.sql.expressions.Window.partitionBy("ptext")
     val s1 = paras.withColumn("__fp", min(col("pid")).over(w))
       .where(col("pid") === col("__fp")).drop("__fp")
+      .localCheckpoint(true)
     // near stage: banded-LSH pairs over exact-survivors; drop later ids
     val nearDrops = minhashNearDups(
         s1.where(col("nw") >= shingleN).select("pid", "ptext"),
         "pid", "ptext", threshold, shingleN)
       .select(col("b").as("pid")).distinct()
     val s2 = s1.join(nearDrops, Seq("pid"), "left_anti")
-    val nPara = paras.groupBy(col("doc_id").as("__d"))
-      .agg(count(lit(1)).as("n_para"))
+    // per-doc paragraph count straight from the word array — a narrow
+    // 2-column scan, NOT a second explode+aggregate of the corpus
+    val nPara = docs
+      .select(col(idCol).cast(LongType).as("__d"), words.as("__w2"))
+      .where(size(col("__w2")) > 0)
+      .select(col("__d"),
+        ceil(size(col("__w2")) / lit(paraWords.toDouble)).as("n_para"))
     s2.groupBy("doc_id")
       .agg(array_join(transform(array_sort(
           collect_list(struct(col("idx"), col("ptext")))),
