@@ -106,8 +106,14 @@ object Dedup {
       docs: DataFrame, idCol: String, shinglesCol: String,
       bands: Int = 32, rowsPerBand: Int = 4,
       maxBucket: Int = Int.MaxValue): DataFrame =
+    // localCheckpoint: the banded rows feed BOTH sides of the bucket
+    // self-join (and the cap's occupancy count) — without it each
+    // reference replays the scan + shingle + 128-perm signature
+    // chain, the dominant per-row cost. One banded materialization
+    // (32 small rows/doc) vs 2-3 signature passes over the corpus.
     joinBuckets(capBuckets(
-      minhashBanded(docs, idCol, shinglesCol, bands, rowsPerBand),
+      minhashBanded(docs, idCol, shinglesCol, bands, rowsPerBand)
+        .localCheckpoint(true),
       maxBucket))
 
   /** One row per (band index, band-slice bucket key) per document.
@@ -162,8 +168,14 @@ object Dedup {
       threshold: Double, shingleN: Int = 3,
       bands: Int = 32, rowsPerBand: Int = 4,
       maxBucket: Int = Int.MaxValue): DataFrame = {
+    // localCheckpoint: the shingled corpus feeds the signature pass
+    // AND both exact-verify join sides — the first-cut plan scanned
+    // the source parquet 8× per run (shingling it each time); with
+    // the two materializations (shingles here, banded rows in
+    // minhashCandidates) the corpus is scanned and shingled ONCE.
     val sh = docs.select(col(idCol).as("__id"),
       TextFns.wordShingles(col(textCol), shingleN).as("__sh"))
+      .localCheckpoint(true)
     val cand = minhashCandidates(
       sh.withColumnRenamed("__id", "id"), "id", "__sh", bands, rowsPerBand,
       maxBucket)
@@ -183,12 +195,18 @@ object Dedup {
       textCol: String, threshold: Double, shingleN: Int = 3,
       bands: Int = 32, rowsPerBand: Int = 4,
       maxBucket: Int = Int.MaxValue): DataFrame = {
+    // same materialization story as minhashNearDups: each shingled
+    // side feeds its signature pass + one verify join; each banded
+    // side feeds the cap count + the cross join
     def shingled(df: DataFrame) = df.select(col(idCol).as("__id"),
       TextFns.wordShingles(col(textCol), shingleN).as("__sh"))
+      .localCheckpoint(true)
     val shN = shingled(newDocs)
     val shC = shingled(corpus)
     var bandedC = minhashBanded(shC, "__id", "__sh", bands, rowsPerBand)
+      .localCheckpoint(true)
     var bandedN = minhashBanded(shN, "__id", "__sh", bands, rowsPerBand)
+      .localCheckpoint(true)
     if (maxBucket != Int.MaxValue) {
       // cap on the COMBINED bucket population so the result equals the
       // cross-slice of a capped full run (a hot bucket is hot no
