@@ -253,10 +253,13 @@ object Dedup {
     val mask = (1L << bits) - 1
     val sh = docs.select(col(idCol).as("__id"),
       HashFns.simhash60(TextFns.tokenSet(col(textCol))).as("__s"))
+    // localCheckpoint: the banded rows (which carry the signature)
+    // feed the cap's occupancy count and both self-join sides; the
+    // md5-based simhash is computed once, not per reference
     val banded = capBuckets(sh.select(col("__id"), col("__s"),
       posexplode_outer(array((0 until bands).map(i =>
         shiftright(col("__s"), i * bits).bitwiseAND(mask)): _*))
-        .as(Seq("__band", "__key"))), maxBucket)
+        .as(Seq("__band", "__key"))).localCheckpoint(true), maxBucket)
     banded.as("x").join(banded.as("y"),
         col("x.__band") === col("y.__band") &&
           col("x.__key") === col("y.__key") &&
@@ -365,12 +368,20 @@ object Dedup {
       emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bands: Int = 96, bitsPerBand: Int = 12,
       seed: Int = 0x5eed, maxBucket: Int = Int.MaxValue): DataFrame = {
+    // localCheckpoint: `e` carries the hyperplane signature — at auto
+    // params that is bands·bits (thousands of) sign dot-products per
+    // vector — and feeds the banding AND both exact-verify sides;
+    // `banded` feeds the cap count and both self-join sides. Without
+    // the two materializations the first-cut xd6 plan scanned the
+    // source parquet 16× and recomputed every signature 3-4×.
     val e = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"),
       TextFns.l2norm(col(vecCol)).as("__n"),
       HashFns.hyperplaneBands(col(vecCol), bands, bitsPerBand, seed)
         .as("__bk"))
+      .localCheckpoint(true)
     val banded = e.select(col("__id"),
       posexplode_outer(col("__bk")).as(Seq("__band", "__key")))
+      .localCheckpoint(true)
     val cand = joinBuckets(capBuckets(banded, maxBucket))
     cand
       .join(e.select(col("__id").as("a"), col("__v").as("__va"),
