@@ -73,13 +73,26 @@ object Bench {
     // codegen/FileIndex initialization
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    // Several operators localCheckpoint intermediates (their
+    // materialize-once contract); each bench re-construction leaves
+    // the previous run's blocks behind until the ContextCleaner gets
+    // to them, and across 132 queries × 4 runs that squeezes
+    // execution memory (observed: xd10 runs climbing 6.6→10.0s within
+    // one bench). Release them eagerly after every timed run — the
+    // unpersist happens OUTSIDE the timer.
+    def dropPersisted(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+
     // toRdd.count materializes every output row through the full plan;
     // a plain count() would let Catalyst prune the projections away and
     // time only scan+count.
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       fn(spark, sfDir).queryExecution.toRdd.count()
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      dropPersisted()
+      sec
     }
 
     /** Physical-plan fingerprint, stable across JVMs/rounds iff the
@@ -112,6 +125,7 @@ object Bench {
           val t0 = System.nanoTime()
           df0.queryExecution.toRdd.count() // warm-up (pre-built plan)
           val w = (System.nanoTime() - t0) / 1e9
+          dropPersisted()
           val before = metrics.snapshot()
           val timed = Seq.fill(3)(timeOnce(fn))
           val after = metrics.snapshot()

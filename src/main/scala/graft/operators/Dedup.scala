@@ -287,8 +287,12 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3,
       maxDocFreq: Int = 1000): DataFrame = {
+    // localCheckpoint: the exploded shingles feed the df count, both
+    // self-join sides and the per-doc sizes (5 references) — shingle
+    // once, read cached blocks after (materialize-once policy)
     val shAll = docs.select(col(idCol).as("__id"),
       explode(TextFns.wordShingles(col(textCol), shingleN)).as("__s"))
+      .localCheckpoint(true)
     // wordShingles dedups per doc, so count(*) per shingle = doc freq
     val sh =
       if (maxDocFreq == Int.MaxValue) shAll

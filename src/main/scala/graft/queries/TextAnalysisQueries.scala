@@ -526,12 +526,15 @@ object TextAnalysisQueries {
       // join is needed. A window over fph would cut it to one pass
       // but would put a boilerplate fingerprint's entire bucket in a
       // single task; the groupBy+join form stays AQE-skew-splittable.
-      // At real pipeline scale, materialize ex once (Scale.writeLayout)
-      // and run both sides from the written table.
+      // localCheckpoint: the df aggregate and the join probe both
+      // consume `ex`; materializing it runs the rolling-hash
+      // winnowing ONCE per row instead of twice (the same
+      // materialize-once policy as the Dedup operators).
       val ex = t(s, d, "documents")
         .select(col("doc_id"),
           explode_outer(HashFns.winnowFingerprint(
             coalesce(col("text"), lit("")), k = 40, w = 16)).as("fph"))
+        .localCheckpoint(true)
       val fdf = ex.where(col("fph").isNotNull)
         .groupBy("fph").agg(count(lit(1)).as("df"))
       ex.join(fdf, Seq("fph"), "left")
