@@ -504,7 +504,7 @@ object Dedup {
     */
   def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
       paraWords: Int = 6, threshold: Double = 0.8,
-      shingleN: Int = 2): DataFrame = {
+      shingleN: Int = 2, maxBucket: Int = Int.MaxValue): DataFrame = {
     val maxIdx = 100000L
     // normalized word stream, identical to the oracle's
     // LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text),'\s+'), t->t<>'')
@@ -539,10 +539,15 @@ object Dedup {
     val s1 = paras.withColumn("__fp", min(col("pid")).over(w))
       .where(col("pid") === col("__fp")).drop("__fp")
       .localCheckpoint(true)
-    // near stage: banded-LSH pairs over exact-survivors; drop later ids
+    // near stage: banded-LSH pairs over exact-survivors; drop later
+    // ids. maxBucket is the hot-bucket knob: short spans over a small
+    // vocabulary produce large identical-shingle-set classes whose
+    // buckets collide in EVERY band (measured: the uncapped f10
+    // scale run spends its time exactly there); production corpora
+    // should cap, the oracle-checked default stays exact
     val nearDrops = minhashNearDups(
         s1.where(col("nw") >= shingleN).select("pid", "ptext"),
-        "pid", "ptext", threshold, shingleN)
+        "pid", "ptext", threshold, shingleN, maxBucket = maxBucket)
       .select(col("b").as("pid")).distinct()
     val s2 = s1.join(nearDrops, Seq("pid"), "left_anti")
     // per-doc paragraph count straight from the word array — a narrow

@@ -10,7 +10,7 @@ import graft.operators.Dedup
 /** Scale-stress harness (VERDICT r3 item 1): generates an
   * sf1-equivalent corpus (10× the sf0.1 documents/embeddings) with
   * PLANTED near-duplicates, runs the production dedup/ANN paths
-  * end-to-end, and writes `SCALE_r4.json` with wall-times, semantic
+  * end-to-end, and writes `SCALE_r5_dedup.json` with wall-times, semantic
   * checks at the planted-pair level, and physical-plan evidence that
   * the banded joins stay hash joins at 10× bench scale.
   *
@@ -158,6 +158,35 @@ object ScaleStress {
     }
     xd1Pairs.unpersist()
 
+    // ------------------------------------------ xd10 paragraph dedup
+    // (round-5 operator at scale factor): corpus-wide span dedup over
+    // the replicated docs. Closed-form invariant: a MARKED replica
+    // (k=1, id%50==0) shares every full 6-word span with its base doc
+    // — the base owns the smaller pid, so the replica survives with
+    // at most its altered tail (the span holding the appended mark,
+    // plus a possible 1-word overflow span): n_kept ≤ 2.
+    timed("xd10_paragraph_dedup") {
+      val out = Dedup.paragraphDedup(docs, "doc_id", "text",
+        paraWords = 6, threshold = 0.8, shingleN = 2).cache()
+      val n = out.count()
+      val plan = joinLines(out)
+      require(!plan.exists(l => l.contains("Cartesian") ||
+        l.contains("BroadcastNestedLoopJoin")),
+        s"scale-killer join shape in xd10: $plan")
+      val sums = out.agg(sum("n_para").as("np"), sum("n_kept").as("nk"))
+        .head
+      val (np, nk) = (sums.getLong(0), sums.getLong(1))
+      require(nk <= np, s"kept $nk > total $np")
+      val markedBad = out.where(col("doc_id") >= OFF &&
+        col("doc_id") < 2 * OFF && (col("doc_id") - OFF) % 50 === 0 &&
+        col("n_kept") > 2).count()
+      require(markedBad == 0,
+        s"$markedBad marked replicas kept > 2 spans — exact stage " +
+          "failed to dedup their base-doc spans")
+      out.unpersist()
+      (n, Seq("n_para" -> np, "n_kept" -> nk, "dropped" -> (np - nk)))
+    }
+
     // ------------------------------------------------ xd6 embedding LSH
     val emb = spark.read.parquet(s"$outDir/embeddings.parquet")
     // the ONE planted-corpus definition, shared with the xd6/xd9
@@ -252,7 +281,7 @@ object ScaleStress {
     val payload = results
       .map { case (k, v) => s""""$k":${StressUtil.jsonScalar(v)}""" }
       .mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"SCALE_r4$suffix.json"), payload + "\n")
+    Files.writeString(Paths.get(s"SCALE_r5_dedup$suffix.json"), payload + "\n")
     val planReport = new StringBuilder
     planReport ++= s"# Plan snapshots at ${factor}x bench scale " +
       s"($nDocs docs / $nEmb vectors)\n\n"
@@ -270,7 +299,7 @@ object ScaleStress {
     val bad = (xd1Plan ++ xd6Plan ++ xd1NoB ++ xd6NoB).filter(l =>
       l.contains("Cartesian") || l.contains("BroadcastNestedLoop"))
     require(bad.isEmpty, s"scale-killer join shapes at ${factor}x: $bad")
-    Files.writeString(Paths.get(s"SCALE_r4_plans$suffix.txt"),
+    Files.writeString(Paths.get(s"SCALE_r5_dedup_plans$suffix.txt"),
       planReport.toString)
     println(payload)
     spark.stop()
