@@ -343,6 +343,8 @@ object Cli {
       |        -P/--output-protobuf <.pkg.Msg> (unimplemented, rq parity)
       |OTHER:  --format compact|readable|indented   -l/--log <spec>
       |        -q/--quiet   --trace   --help   --version
+      |        --typed  (graft extension: width-tagged binary decode —
+      |                  preserves i8..u32/f32 wire widths in flight)
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {
