@@ -49,6 +49,62 @@ class CodecSpec extends AnyFunSuite {
         .map(kvs => Value.Map(kvs.toVector.map {
           case (k, v) => (Value.Str(k): Value, v) })))
 
+  // ---- typed-mode generator: tagged scalars mixed into containers ----
+
+  private val genTaggedScalar: Gen[Value] = Gen.oneOf(
+    Arbitrary.arbitrary[Byte].map(Value.I8),
+    Arbitrary.arbitrary[Short].map(Value.I16),
+    Arbitrary.arbitrary[Int].map(Value.I32),
+    Gen.chooseNum(0, 255).map(Value.U8),
+    Gen.chooseNum(0, 65535).map(Value.U16),
+    Gen.chooseNum(0L, 4294967295L).map(Value.U32),
+    Arbitrary.arbitrary[Float].suchThat(f => !f.isNaN && !f.isInfinite)
+      .map(Value.F32),
+    Gen.alphaChar.map(Value.Chr))
+
+  private def genValueTyped(depth: Int): Gen[Value] =
+    if (depth <= 0) Gen.oneOf(genScalar, genTaggedScalar)
+    else Gen.frequency(
+      4 -> genScalar,
+      3 -> genTaggedScalar,
+      2 -> Gen.listOfN(3, genValueTyped(depth - 1))
+        .map(vs => Value.Seq(vs.toVector)),
+      2 -> Gen.listOfN(3, Gen.zip(Gen.identifier, genValueTyped(depth - 1)))
+        .map(kvs => Value.Map(kvs.toVector.map {
+          case (k, v) => (Value.Str(k): Value, v) })))
+
+  test("typed mode property: tagged values encode like their widened " +
+      "form, and typed round-trips reach a byte fixpoint in one step") {
+    val seed = org.scalacheck.rng.Seed(43L)
+    var s = seed
+    var n = 0
+    while (n < 300) {
+      genValueTyped(3).apply(Gen.Parameters.default, s).foreach { v =>
+        // default-mode decode of ANY tagged value's encoding equals
+        // the deep-widened value — tags can alter bytes only where
+        // the width is a real wire width (F32), never values
+        val w0m = MsgPackCodec.encode(v)
+        assert(MsgPackCodec.decodeStream(w0m) == Vector(Value.widen(v)))
+        val w0c = CborCodec.encode(v)
+        assert(CborCodec.decodeStream(w0c) == Vector(Value.widen(v)))
+        // E∘D(typed) is idempotent on wire bytes: after ONE typed
+        // round-trip the bytes are stable (minimal-within-tag)
+        val w1m = MsgPackCodec.encode(
+          MsgPackCodec.decodeStream(w0m, typed = true).head)
+        assert(MsgPackCodec.encode(
+          MsgPackCodec.decodeStream(w1m, typed = true).head).toSeq ==
+          w1m.toSeq)
+        val w1c = CborCodec.encode(
+          CborCodec.decodeStream(w0c, typed = true).head)
+        assert(CborCodec.encode(
+          CborCodec.decodeStream(w1c, typed = true).head).toSeq ==
+          w1c.toSeq)
+        n += 1
+      }
+      s = s.next
+    }
+  }
+
   test("msgpack round-trips every Value") {
     forAllValues { v =>
       assert(MsgPackCodec.decodeStream(MsgPackCodec.encode(v)) == Vector(v))
