@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   *     hash-parity over the SAME scaled tables — correctness evidence
   *     at 10× bench scale, not just wall-times.
   *
-  * Artifacts: SCALE_r4_relational.json + SCALE_r4_relational_plans.txt.
+  * Artifacts: SCALE_r5_relational.json + SCALE_r5_relational_plans.txt.
   */
 object RelationalStress {
 
@@ -31,12 +31,16 @@ object RelationalStress {
 
   private val shapes = Seq("q29_star", "q31_tpch_q3", "q38_tpch_q5",
     "q48_tpch_q9", "q49_tpch_q18", "q50_tpch_q21", "q52_tpch_q4",
-    "q53_tpch_q7", "q54_tpch_q10", "q14_frame_running")
+    "q53_tpch_q7", "q54_tpch_q10", "q14_frame_running",
+    // round-5 additions: window-decorrelated scalar MIN (q56), nested
+    // IN chain with date-pruned correlated SUM (q60), 7-table
+    // market-share ratio (q62), distinct-count + anti-join (q65)
+    "q56_tpch_q2", "q60_tpch_q20", "q62_tpch_q8", "q65_tpch_q16")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
-    // optional artifact suffix ("f100" → SCALE_r4_relational_f100.json)
+    // optional artifact suffix ("f100" → SCALE_r5_relational_f100.json)
     // so scaling-curve runs at several factors don't overwrite each other
     val suffix = args.lift(2).map("_" + _).getOrElse("")
     val outDir = s"/tmp/graft_scale_rel$suffix"
@@ -142,7 +146,7 @@ object RelationalStress {
     val payload = results
       .map { case (k, v) => s""""$k":${StressUtil.jsonScalar(v)}""" }
       .mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"SCALE_r4_relational$suffix.json"),
+    Files.writeString(Paths.get(s"SCALE_r5_relational$suffix.json"),
       payload + "\n")
     val report = new StringBuilder
     report ++= s"# Relational join skeletons at ${factor}x bench scale " +
@@ -153,7 +157,7 @@ object RelationalStress {
       report ++= s"\n## $n\n"
       ls.foreach(l => report ++= s"  $l\n")
     }
-    Files.writeString(Paths.get(s"SCALE_r4_relational_plans$suffix.txt"),
+    Files.writeString(Paths.get(s"SCALE_r5_relational_plans$suffix.txt"),
       report.toString)
     println(payload)
     spark.stop()
