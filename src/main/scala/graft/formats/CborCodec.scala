@@ -75,10 +75,12 @@ object CborCodec {
 
   /** `typed = true` tags scalars the way serde_cbor hands them to the
     * reference's ValueVisitor: unsigned by WIRE width (inline/1-byte
-    * arg → U8 … 8-byte arg → U64), negatives by value-minimal signed
-    * width (serde_cbor computes -1-n then visits the smallest fitting
-    * i*), f16/f32 → F32 (serde_cbor converts half to f32), f64 → F64.
-    * Default false: the proven minimal-width collapse, unchanged.
+    * arg → U8 … 8-byte arg → U64), negatives by WIRE width widened one
+    * signed step (serde_cbor 0.11.2 de.rs computes -1-n at the next
+    * signed width: inline → visit_i8, 1-byte arg → visit_i16, 2-byte →
+    * visit_i32, 4/8-byte → visit_i64), f16/f32 → F32 (serde_cbor
+    * converts half to f32), f64 → F64. Default false: the proven
+    * minimal-width collapse, unchanged.
     */
   def decode(buf: ByteBuffer, typed: Boolean = false): Value =
     decode(ByteIn(buf), typed)
@@ -100,9 +102,12 @@ object CborCodec {
         if (n >= 0) {
           val v = -1 - n
           if (!typed) Value.I64(v)
-          else if (v >= Byte.MinValue) Value.I8(v.toByte)
-          else if (v >= Short.MinValue) Value.I16(v.toShort)
-          else if (v >= Int.MinValue) Value.I32(v.toInt)
+          // wire width + one signed step, NOT value-minimal: serde_cbor
+          // widens because -1-n at u8 width can reach -256 (> i8), so
+          // 38 18 (-25) arrives as I16 even though it fits i8
+          else if (info < 24) Value.I8(v.toByte)
+          else if (info == 24) Value.I16(v.toShort)
+          else if (info == 25) Value.I32(v.toInt)
           else Value.I64(v)
         }
         else throw new IllegalArgumentException("cbor: negint overflow")

@@ -468,103 +468,339 @@ object Dedup {
     (bands, bits)
   }
 
+  /** Sentinel for `maxBucket`: derive the hot-bucket cap from the
+    * actual near-stage population via [[autoMaxBucket]].
+    */
+  val AutoBucket: Int = 0
+
+  /** Occupancy-law default for the paragraph-dedup hot-bucket cap.
+    * MinHash band keys are rowsPerBand-tuples of 64-bit minima, so the
+    * RANDOM expected bucket load is ~0 at any corpus size
+    * ([[lshParams]] keeps load ≈ 1 by widening keys with log₂ n;
+    * minhash keys are born wider than that). A bucket of size m ≫ 1 is
+    * therefore a real near-identical shingle-set class: small classes
+    * are the true near-dup clusters the operator must keep, unbounded
+    * classes are mass boilerplate that collides in EVERY band and
+    * whose m² candidate volume is the measured superlinear term
+    * (SCALE_r5_dedup.json: 327s at 10×, all in hot buckets). The cap
+    * grows with log₂ n so legit clusters sit far below it at any
+    * plausible scale, while retained per-band volume is bounded by
+    * cap·n — O(n log n) worst case, ~O(n) in practice.
+    */
+  def autoMaxBucket(n: Long): Int = {
+    val log2n =
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
+    math.max(64, 16 * log2n)
+  }
+
+  /** Derive (bands, rowsPerBand) for the MinHash band join from corpus
+    * size and the Jaccard level recall must hold at — [[lshParams]]'
+    * occupancy/recall law transposed to shingle space:
+    *
+    *  - `rowsPerBand` grows with log₂ n: a background pair at Jaccard
+    *    j collides per band with probability j^r, so expected
+    *    background candidate volume ~n²·j^r stays ~linear only if r
+    *    tracks log n. r = max(4, ceil(log₂ n / 4)) reproduces the
+    *    long-validated small-corpus default (r=4 through n=64k) and
+    *    adds one row per 16× growth.
+    *  - `bands` is the smallest B with (1 − recallAt^r)^B ≤ missProb —
+    *    the same closed form as the hyperplane law with p = recallAt.
+    *
+    * `recallAt` is the Jaccard AT WHICH the blocked result must equal
+    * the exact result. [[minhashNearDupsAuto]] defaults it to (1+t)/2:
+    * the "true duplicates sit well above the verify threshold" regime
+    * every measured corpus exhibits (sf0.1 documents: min observed
+    * pair j = 0.8 at t = 0.5), because a hard guarantee at loose t is
+    * the expensive LSH regime (t=0.5 needs 214 bands at r=4).
+    * [[paragraphDedup]] pins recallAt = t instead: span shingle sets
+    * are tiny (5 bigrams per 6-word span), so pairs at EXACTLY t exist
+    * by construction (measured: all 41 sf0.1 span pairs sit at
+    * j = 0.8) and only the full guarantee keeps the oracle exact.
+    *
+    * Identical shingle SETS collide in every band at any (B, r) — that
+    * pathology is [[autoMaxBucket]]'s to bound, not this law's.
+    */
+  def minhashParams(n: Long, recallAt: Double,
+      missProb: Double = 1e-6): (Int, Int) = {
+    require(n > 0 && recallAt > 0 && recallAt < 1, "n>0, 0<recallAt<1")
+    require(missProb > 0 && missProb < 1, "0<missProb<1")
+    val log2n =
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
+    val r = math.max(4, math.ceil(log2n / 4.0).toInt)
+    val pBand = math.pow(recallAt, r)
+    val bandsD = math.ceil(math.log(missProb) / math.log1p(-pBand))
+    val maxBands = 4096
+    require(bandsD.isFinite && bandsD <= maxBands,
+      f"minhashParams(n=$n, recallAt=$recallAt, missProb=$missProb) " +
+        f"needs $bandsD%.3g bands (> $maxBands): raise recallAt or " +
+        "relax missProb")
+    (math.max(1, bandsD.toInt), r)
+  }
+
+  /** [[minhashNearDups]] with (bands, rowsPerBand) derived from the
+    * actual corpus size via [[minhashParams]] — the production default
+    * at any scale (the MinHash analogue of
+    * [[embeddingNearDupsLSHAuto]]). Costs one count() up front,
+    * amortized over the band join it right-sizes.
+    */
+  def minhashNearDupsAuto(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 3, missProb: Double = 1e-6,
+      recallAt: Double = Double.NaN,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val n = math.max(1L, docs.count())
+    val at = if (recallAt.isNaN) (1.0 + threshold) / 2.0 else recallAt
+    val (bands, rows) = minhashParams(n, at, missProb)
+    minhashNearDups(docs, idCol, textCol, threshold, shingleN, bands,
+      rows, maxBucket)
+  }
+
+  /** Normalized word stream, identical to the oracle's
+    * LIST_FILTER(STRING_SPLIT_REGEX(LOWER(x),'\s+'), t->t<>'').
+    */
+  private def normWords(c: Column): Column =
+    filter(split(lower(c), "\\s+"), w => w =!= "")
+
+  /** Explode documents into normalized spans per `splitter`:
+    * (doc_id, idx, ptext, nw) — a stable in-document position (the
+    * reassembly order), the normalized span text, and its word count.
+    * The downstream exact/near stages are splitter-independent.
+    */
+  private def explodeSpans(docs: DataFrame, idCol: String,
+      textCol: String, splitter: ParagraphSplitter): DataFrame =
+    splitter match {
+      case ParagraphSplitter.FixedWindow(pw) =>
+        val words = normWords(col(textCol))
+        docs.select(col(idCol).cast(LongType).as("doc_id"), words.as("__w"))
+          .where(size(col("__w")) > 0) // sequence(0,-1) would count down
+          .select(col("doc_id"), posexplode(transform(
+            sequence(lit(0),
+              ceil(size(col("__w")) / lit(pw.toDouble)).cast(IntegerType)
+                - lit(1)),
+            i => slice(col("__w"), i * pw + 1, lit(pw))))
+            .as(Seq("idx", "__pw")))
+          .select(col("doc_id"), col("idx").cast(LongType).as("idx"),
+            array_join(col("__pw"), " ").as("ptext"),
+            size(col("__pw")).as("nw"))
+      case ParagraphSplitter.Delimiter(re) =>
+        docs.select(col(idCol).cast(LongType).as("doc_id"),
+            posexplode(split(col(textCol), re)).as(Seq("idx", "__p")))
+          .select(col("doc_id"), col("idx").cast(LongType).as("idx"),
+            normWords(col("__p")).as("__pw"))
+          .where(size(col("__pw")) > 0) // empty paragraphs drop entirely
+          .select(col("doc_id"), col("idx"),
+            array_join(col("__pw"), " ").as("ptext"),
+            size(col("__pw")).as("nw"))
+    }
+
+  /** Per-doc counted-span totals (`n_para`) straight from the text
+    * column — a narrow scan, NOT a second explode+aggregate.
+    */
+  private def paraCounts(docs: DataFrame, idCol: String,
+      textCol: String, splitter: ParagraphSplitter): DataFrame =
+    splitter match {
+      case ParagraphSplitter.FixedWindow(pw) =>
+        docs.select(col(idCol).cast(LongType).as("__d"),
+            normWords(col(textCol)).as("__w2"))
+          .where(size(col("__w2")) > 0)
+          .select(col("__d"),
+            ceil(size(col("__w2")) / lit(pw.toDouble)).as("n_para"))
+      case ParagraphSplitter.Delimiter(re) =>
+        docs.select(col(idCol).cast(LongType).as("__d"),
+            size(filter(transform(split(col(textCol), re),
+              p => size(normWords(p))), n => n > 0))
+              .cast(LongType).as("n_para"))
+          .where(col("n_para") > 0)
+    }
+
   /** Paragraph/line-level dedup (the CCNet/RefinedWeb boilerplate-
     * removal shape): corpus-wide removal of duplicated spans WITHIN
-    * surviving documents, not whole-document dedup.
-    *
-    *  1. Explode each document into fixed `paraWords`-word paragraphs
-    *     with a stable (doc_id, idx) identity (the testdata corpus has
-    *     no newline structure; on real data the splitter would be
-    *     `split('\n\n')` with the same downstream contract).
-    *  2. Exact stage: a paragraph duplicated ANYWHERE in the corpus
-    *     survives only at its globally-first occurrence (min pid) —
-    *     one hash shuffle on the paragraph text.
-    *  3. Near stage: banded MinHash over word-`shingleN` shingles of
-    *     the exact-stage survivors (same [[minhashNearDups]] machinery
-    *     as xd1 — Σ bucket² candidates, never paragraphs²), exact
-    *     Jaccard ≥ `threshold` verification; every pair's LATER member
-    *     (greater pid) is dropped. Non-recursive by design: p drops
-    *     iff SOME earlier exact-survivor is near-identical, whether or
-    *     not that survivor itself drops — deterministic without a
-    *     fixpoint, and exactly replayable in SQL.
-    *  4. Reassemble: surviving paragraphs re-concatenate in idx order;
-    *     documents whose every paragraph dropped disappear (they are
-    *     pure boilerplate).
-    *
-    * Output: (doc_id, clean_text, n_para, n_kept) — one row per doc
-    * with ≥1 surviving paragraph.
-    *
-    * pid = doc_id·100000 + idx is a single orderable key. The idx
-    * range IS enforced: a document with ≥ maxIdx paragraphs fails the
-    * run with an explicit error (the guard lives inside the pid
-    * expression itself so column pruning can never drop it) instead
-    * of silently colliding into another document's key space. At true
-    * corpus scale swap in a struct (doc_id, idx) ordering — every
-    * comparison below is through pid only.
+    * surviving documents, not whole-document dedup. Fixed-window
+    * splitter entry point — see the [[ParagraphSplitter]] overload for
+    * the full pipeline contract and the newline splitter.
     */
   def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
       paraWords: Int = 6, threshold: Double = 0.8,
-      shingleN: Int = 2, maxBucket: Int = Int.MaxValue): DataFrame = {
-    val maxIdx = 100000L
-    // normalized word stream, identical to the oracle's
-    // LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text),'\s+'), t->t<>'')
-    val words = filter(split(lower(col(textCol)), "\\s+"), w => w =!= "")
-    val paras = docs
-      .select(col(idCol).cast(LongType).as("doc_id"), words.as("__w"))
-      .where(size(col("__w")) > 0) // sequence(0,-1) would count down
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(0),
-          ceil(size(col("__w")) / lit(paraWords.toDouble)).cast(IntegerType)
-            - lit(1)),
-        i => slice(col("__w"), i * paraWords + 1, lit(paraWords))))
-        .as(Seq("idx", "__pw")))
-      .select(col("doc_id"), col("idx").cast(LongType).as("idx"),
-        when(col("idx") < maxIdx, col("doc_id") * maxIdx + col("idx"))
-          .otherwise(raise_error(concat(lit(
-            s"paragraphDedup: document with >= $maxIdx paragraphs " +
-              "(doc_id "), col("doc_id"),
-            lit(") would collide pid keys"))).cast(LongType))
-          .as("pid"),
-        array_join(col("__pw"), " ").as("ptext"),
-        size(col("__pw")).as("nw"))
-    // exact stage: globally-first occurrence per paragraph text.
-    // localCheckpoint: the survivors are referenced FIVE times below
-    // (banded signatures, both exact-verify sides, the anti-join
-    // left, reassembly); without materialization each reference
-    // replays the scan → explode → window-shuffle chain — the
-    // unoptimized plan showed 12 parquet scans of the corpus. One
-    // paragraph-table materialization beats five corpus re-scans at
-    // any scale (same trade connectedComponents makes).
+      shingleN: Int = 2, maxBucket: Int = AutoBucket): DataFrame =
+    paragraphDedup(docs, idCol, textCol,
+      ParagraphSplitter.FixedWindow(paraWords), threshold, shingleN,
+      maxBucket)
+
+  /** Paragraph/line-level dedup over an arbitrary [[ParagraphSplitter]]:
+    *
+    *  1. Explode each document into spans with a stable (doc_id, idx)
+    *     identity — fixed word windows or blank-line paragraphs; both
+    *     feed the identical downstream contract.
+    *  2. Exact stage: a span duplicated ANYWHERE in the corpus
+    *     survives only at its globally-first occurrence (min pid) —
+    *     one hash shuffle on the span text.
+    *  3. Near stage: banded MinHash over word-`shingleN` shingles of
+    *     the exact-stage survivors (same [[minhashNearDups]] machinery
+    *     as xd1 — Σ bucket² candidates, never spans²), exact Jaccard ≥
+    *     `threshold` verification; every pair's LATER member (greater
+    *     pid) is dropped. Band parameters derive from the ACTUAL
+    *     survivor count via [[minhashParams]] anchored at the verify
+    *     threshold (span pairs sit at exactly t by construction), and
+    *     the default hot-bucket cap from [[autoMaxBucket]] — identical
+    *     shingle-set classes collide in every band, so without the cap
+    *     boilerplate-heavy corpora go superlinear (SCALE_r5_dedup:
+    *     327s at 10× uncapped). Non-recursive by design: p drops iff
+    *     SOME earlier exact-survivor is near-identical, whether or not
+    *     that survivor itself drops — deterministic without a
+    *     fixpoint, and exactly replayable in SQL.
+    *  4. Reassemble: surviving spans re-concatenate in idx order with
+    *     the splitter's separator; documents whose every span dropped
+    *     disappear (they are pure boilerplate).
+    *
+    * Output: (doc_id, clean_text, n_para, n_kept) — one row per doc
+    * with ≥1 surviving span.
+    *
+    * pid = struct(doc_id, idx): struct ordering is lexicographic, so
+    * "earlier" means (smaller doc, then smaller position) with NO
+    * bound on paragraphs per document or on the doc-id range (the
+    * former doc_id·100000+idx encoding hard-failed ≥100k-span docs).
+    */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+      splitter: ParagraphSplitter, threshold: Double,
+      shingleN: Int, maxBucket: Int): DataFrame = {
+    val paras = explodeSpans(docs, idCol, textCol, splitter)
+      .withColumn("pid", struct(col("doc_id"), col("idx")))
+    // exact stage: globally-first occurrence per span text.
+    // localCheckpoint: the survivors are referenced SIX times below
+    // (the near-stage population count, banded signatures, both
+    // exact-verify sides, the anti-join left, reassembly); without
+    // materialization each reference replays the scan → explode →
+    // window-shuffle chain — the unoptimized plan showed 12 parquet
+    // scans of the corpus. One span-table materialization beats five
+    // corpus re-scans at any scale (same trade connectedComponents
+    // makes).
     val w = org.apache.spark.sql.expressions.Window.partitionBy("ptext")
     val s1 = paras.withColumn("__fp", min(col("pid")).over(w))
       .where(col("pid") === col("__fp")).drop("__fp")
       .localCheckpoint(true)
-    // near stage: banded-LSH pairs over exact-survivors; drop later
-    // ids. maxBucket is the hot-bucket knob: short spans over a small
-    // vocabulary produce large identical-shingle-set classes whose
-    // buckets collide in EVERY band (measured: the uncapped f10
-    // scale run spends its time exactly there); production corpora
-    // should cap, the oracle-checked default stays exact
-    val nearDrops = minhashNearDups(
-        s1.where(col("nw") >= shingleN).select("pid", "ptext"),
-        "pid", "ptext", threshold, shingleN, maxBucket = maxBucket)
+    val nearInput = s1.where(col("nw") >= shingleN).select("pid", "ptext")
+    // size the near stage from its ACTUAL population — one count over
+    // the checkpointed blocks, amortized over the band join it sizes
+    val n = math.max(1L, nearInput.count())
+    val cap = if (maxBucket == AutoBucket) autoMaxBucket(n) else maxBucket
+    val (bands, rows) = minhashParams(n, recallAt = threshold)
+    val nearDrops = minhashNearDups(nearInput, "pid", "ptext", threshold,
+        shingleN, bands, rows, maxBucket = cap)
       .select(col("b").as("pid")).distinct()
     val s2 = s1.join(nearDrops, Seq("pid"), "left_anti")
-    // per-doc paragraph count straight from the word array — a narrow
-    // 2-column scan, NOT a second explode+aggregate of the corpus
-    val nPara = docs
-      .select(col(idCol).cast(LongType).as("__d"), words.as("__w2"))
-      .where(size(col("__w2")) > 0)
-      .select(col("__d"),
-        ceil(size(col("__w2")) / lit(paraWords.toDouble)).as("n_para"))
+    val nPara = paraCounts(docs, idCol, textCol, splitter)
     s2.groupBy("doc_id")
       .agg(array_join(transform(array_sort(
           collect_list(struct(col("idx"), col("ptext")))),
-          x => x.getField("ptext")), " ").as("clean_text"),
+          x => x.getField("ptext")), splitter.joinSep).as("clean_text"),
         count(lit(1)).as("n_kept"))
       .join(nPara, col("__d") === col("doc_id"))
       .select(col("doc_id"), col("clean_text"), col("n_para"),
         col("n_kept"))
       .orderBy("doc_id")
+  }
+
+  /** Incremental paragraph dedup (the qs7 continuous-ingestion shape,
+    * fixed-window splitter): see the [[ParagraphSplitter]] overload.
+    */
+  def paragraphDedupAgainst(newDocs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, paraWords: Int = 6,
+      threshold: Double = 0.8, shingleN: Int = 2,
+      maxBucket: Int = AutoBucket): DataFrame =
+    paragraphDedupAgainst(newDocs, corpus, idCol, textCol,
+      ParagraphSplitter.FixedWindow(paraWords), threshold, shingleN,
+      maxBucket)
+
+  /** Incremental paragraph dedup: spans of NEWLY-ARRIVING documents
+    * drop when they exactly match, or are near-duplicates (J ≥
+    * `threshold`) of, the CORPUS SPAN STORE — the corpus's exact-stage
+    * survivors, i.e. exactly the reference universe [[paragraphDedup]]
+    * checks spans against. Per-batch cost is delta-bands × matching
+    * store buckets (the [[minhashNearDupsAgainst]] shape) — never
+    * store², and nothing is recomputed pairwise over the corpus.
+    *
+    * Per-batch independence: delta spans are NOT checked against each
+    * other (each new document dedups against the corpus alone), so a
+    * chunked stream reproduces the one-shot batch result exactly —
+    * StreamingSpec asserts that parity and the qs7 oracle replays the
+    * semantics in SQL. Caller contract: doc-id spaces are disjoint.
+    * Output: one row per delta doc with ≥1 surviving span, same schema
+    * as [[paragraphDedup]].
+    */
+  def paragraphDedupAgainst(newDocs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, splitter: ParagraphSplitter,
+      threshold: Double, shingleN: Int, maxBucket: Int): DataFrame = {
+    // corpus span store: exact-stage survivors (min-pid per ptext) —
+    // checkpointed because it feeds the exact anti-join, the store
+    // population count, and the near stage's banding + verify side
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("ptext")
+    val store = explodeSpans(corpus, idCol, textCol, splitter)
+      .withColumn("pid", struct(col("doc_id"), col("idx")))
+      .withColumn("__fp", min(col("pid")).over(w))
+      .where(col("pid") === col("__fp")).drop("__fp")
+      .localCheckpoint(true)
+    // exact stage: a delta span whose text exists in the store drops.
+    // e1 feeds the near-stage population (count + banding + verify)
+    // and the reassembly — materialize once.
+    val e1 = explodeSpans(newDocs, idCol, textCol, splitter)
+      .withColumn("pid", struct(col("doc_id"), col("idx")))
+      .join(store.select("ptext"), Seq("ptext"), "left_anti")
+      .localCheckpoint(true)
+    val storeN = store.where(col("nw") >= shingleN).select("pid", "ptext")
+    val deltaN = e1.where(col("nw") >= shingleN).select("pid", "ptext")
+    // cap + band params derive from the COMBINED population so a
+    // chunked run equals the batch run (a hot bucket is hot no matter
+    // which side its members arrive on — same rule the capped
+    // minhashNearDupsAgainst applies)
+    val n = math.max(1L, storeN.count() + deltaN.count())
+    val cap = if (maxBucket == AutoBucket) autoMaxBucket(n) else maxBucket
+    val (bands, rows) = minhashParams(n, recallAt = threshold)
+    val nearDrops = minhashNearDupsAgainst(deltaN, storeN, "pid",
+        "ptext", threshold, shingleN, bands, rows, cap)
+      .select(col("b").as("pid")).distinct()
+    val s2 = e1.join(nearDrops, Seq("pid"), "left_anti")
+    val nPara = paraCounts(newDocs, idCol, textCol, splitter)
+    s2.groupBy("doc_id")
+      .agg(array_join(transform(array_sort(
+          collect_list(struct(col("idx"), col("ptext")))),
+          x => x.getField("ptext")), splitter.joinSep).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+      .join(nPara, col("__d") === col("doc_id"))
+      .select(col("doc_id"), col("clean_text"), col("n_para"),
+        col("n_kept"))
+      .orderBy("doc_id")
+  }
+}
+
+/** Paragraph-splitting strategies for [[Dedup.paragraphDedup]] /
+  * [[Dedup.paragraphDedupAgainst]]. Both produce the same downstream
+  * span contract — (doc_id, idx, ptext, nw) — so the exact/near stages
+  * are splitter-independent; only span boundaries and the clean_text
+  * separator differ.
+  */
+sealed trait ParagraphSplitter {
+  /** Separator re-joining surviving spans into clean_text. */
+  def joinSep: String
+}
+
+object ParagraphSplitter {
+  /** Fixed `words`-word windows over the normalized word stream — the
+    * fallback for corpora without newline structure (the synthetic
+    * testdata shape). Surviving spans re-join with a single space.
+    */
+  final case class FixedWindow(words: Int = 6) extends ParagraphSplitter {
+    require(words > 0, "words > 0")
+    val joinSep: String = " "
+  }
+
+  /** Delimiter-separated paragraphs (the real-corpus CCNet default:
+    * blank lines): text splits on `regex`, each paragraph normalizes
+    * to its word stream. Paragraphs with no words drop entirely and
+    * are not counted in n_para; surviving paragraphs re-join with a
+    * blank line.
+    */
+  final case class Delimiter(regex: String = "\\n{2,}")
+      extends ParagraphSplitter {
+    val joinSep: String = "\n\n"
   }
 }

@@ -25,11 +25,43 @@ object HashParams {
   /** Mersenne prime 2^31-1: universal-hash modulus. */
   val P: Long = 2147483647L
   val K: Int = 128
-  private val rnd = new scala.util.Random(7)
-  /** a ∈ [1, 2^30): a*h < 2^62 — no Long overflow for 32-bit h. */
-  val A: Array[Long] = Array.fill(K)(1L + rnd.nextInt((1 << 30) - 1))
-  val B: Array[Long] = Array.fill(K)(rnd.nextInt(Int.MaxValue).toLong)
   val Seed: Int = 0xfeed
+
+  // Coefficient tables, extensible to ANY signature width (the auto
+  // band law sizes k from the corpus, e.g. 37×4=148 > the fixed 128):
+  // the first K pairs reproduce the original fixed-table draw order
+  // (all a's, then all b's, from Random(7)); indices ≥ K continue the
+  // same stream as (a, b) pairs — so widening never changes a lower
+  // index, and every signature is deterministic regardless of which
+  // widths were requested first. a ∈ [1, 2^30): a*h < 2^62 — no Long
+  // overflow for 32-bit h.
+  private var a = Array.emptyLongArray
+  private var b = Array.emptyLongArray
+
+  /** The (a, b) tables, grown to at least `k` entries. Callers must
+    * not mutate. Synchronized: tasks race on first use of a width.
+    */
+  def ab(k: Int): (Array[Long], Array[Long]) = synchronized {
+    if (a.length < k) {
+      val n = math.max(k, K)
+      val rnd = new scala.util.Random(7)
+      val na = new Array[Long](n)
+      val nb = new Array[Long](n)
+      var j = 0
+      while (j < K) { na(j) = 1L + rnd.nextInt((1 << 30) - 1); j += 1 }
+      j = 0
+      while (j < K) { nb(j) = rnd.nextInt(Int.MaxValue).toLong; j += 1 }
+      j = K
+      while (j < n) {
+        na(j) = 1L + rnd.nextInt((1 << 30) - 1)
+        nb(j) = rnd.nextInt(Int.MaxValue).toLong
+        j += 1
+      }
+      a = na
+      b = nb
+    }
+    (a, b)
+  }
 }
 
 /** MinHash signature of a distinct-string array: for each of k universal
@@ -44,8 +76,13 @@ case class MinHashSignature(child: Expression, k: Int = HashParams.K)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
 
+  // one synchronized table lookup per expression instance per JVM,
+  // not one per row — 32 executor threads share the hot loop
+  @transient private lazy val coeffs = HashParams.ab(k)
+
   override def nullSafeEval(input: Any): Any = {
     import HashParams._
+    val (ca, cb) = coeffs
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val out = Array.fill(k)(Long.MaxValue)
@@ -55,7 +92,7 @@ case class MinHashSignature(child: Expression, k: Int = HashParams.K)
       val h = MurmurHash3.bytesHash(bytes, Seed).toLong & 0xffffffffL
       var j = 0
       while (j < k) {
-        val v = (A(j) * h + B(j)) % P
+        val v = (ca(j) * h + cb(j)) % P
         if (v < out(j)) out(j) = v
         j += 1
       }

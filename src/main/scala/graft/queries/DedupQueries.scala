@@ -97,10 +97,13 @@ object DedupQueries {
       |) WHERE c >= 0.9 ORDER BY a, b""".stripMargin
 
   val all: Seq[Q] = Seq(
-    // MinHash + LSH (shingle → 128-perm signature → 32×4 band join →
-    // exact-Jaccard verify). Oracle = independent exact all-pairs SQL.
+    // MinHash + LSH (shingle → signature → band join → exact-Jaccard
+    // verify), band parameters derived from the ACTUAL corpus size via
+    // minhashParams (the production default — fixed-width banding is
+    // the quadratic counterexample, same law as xd6's hyperplane
+    // params). Oracle = independent exact all-pairs SQL.
     Q("xd1_minhash_lsh", jaccardOracleSql(0.5)) { (s, d) =>
-      Dedup.minhashNearDups(t(s, d, "documents"), "doc_id", "text",
+      Dedup.minhashNearDupsAuto(t(s, d, "documents"), "doc_id", "text",
           threshold = 0.5)
         .select(col("a"), col("b"), round(col("j"), 4).as("j"))
         .orderBy("a", "b")
@@ -272,9 +275,14 @@ object DedupQueries {
     // full pipeline in SQL: span explosion → window-min exact stage →
     // inverted-index bigram join (shared-shingle candidates are a
     // superset of J≥0.8 pairs, so the SQL answer is EXACT) → drop
-    // later members → reassemble. The Spark side's banded-LSH
-    // candidates equal the exact answer because miss probability at
-    // J=0.8 under 32×4 bands is (1-0.8⁴)³² ≈ 5e-8.
+    // later members → reassemble. The oracle's pid = doc_id·100000+i
+    // is order-equivalent to the engine's struct(doc_id, idx) key at
+    // oracle scale (pid never appears in the output). The Spark side's
+    // banded-LSH candidates equal the exact answer because
+    // minhashParams anchors recall AT the verify threshold (miss ≤
+    // 1e-6 per pair), and the autoMaxBucket cap never engages at
+    // oracle scale (hot classes are a scale-corpus pathology —
+    // OperatorsSpec pins both properties).
     Q("xd10_paragraph_dedup",
       raw"""WITH d0 AS (
         |  SELECT doc_id, LIST_FILTER(

@@ -140,6 +140,77 @@ object StreamBatchQueries {
           docs.where(col("doc_id") < 400), threshold = 0.5)
         .select(col("a"), col("b"), round(col("j"), 4).as("j"))
         .orderBy("a", "b")
+    },
+
+    // Streaming paragraph dedup (QS7): docs ≥400 arrive as a stream
+    // and have their 6-word spans deduped against the <400 corpus's
+    // span store (xd10's exact+near machinery in the qs6 delta-vs-
+    // corpus shape). Runs the SAME Streams.paragraphDedupAgainstCorpus
+    // the foreachBatch runner applies per micro-batch (StreamingSpec
+    // asserts the chunked stream reproduces this batch result
+    // exactly); oracle = full SQL replay of the cross-slice pipeline:
+    // corpus window-min store → delta exact anti-join → inverted-index
+    // bigram join vs the store (a superset of J≥0.8 candidates, so the
+    // SQL answer is exact) → reassemble delta docs.
+    Q("qs7_stream_paragraph_dedup",
+      raw"""WITH d0 AS (
+        |  SELECT doc_id, LIST_FILTER(
+        |    STRING_SPLIT_REGEX(LOWER(text), '\s+'), t -> t <> '') AS fw
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS idx,
+        |    doc_id * 100000 + i AS pid,
+        |    ARRAY_TO_STRING(
+        |      fw[(CAST(i AS INT)*6+1):(CAST(i AS INT)*6+6)], ' ') AS ptext,
+        |    LEN(fw[(CAST(i AS INT)*6+1):(CAST(i AS INT)*6+6)]) AS nw
+        |  FROM d0, UNNEST(RANGE(0,
+        |    CAST(CEIL(LEN(fw)/6.0) AS BIGINT))) AS t(i)
+        |), store AS (
+        |  SELECT * FROM (SELECT p.*,
+        |    MIN(pid) OVER (PARTITION BY ptext) AS fp
+        |    FROM p WHERE doc_id < 400)
+        |  WHERE pid = fp
+        |), e1 AS (
+        |  SELECT * FROM p WHERE doc_id >= 400
+        |    AND ptext NOT IN (SELECT ptext FROM store)
+        |), toksq AS (
+        |  SELECT pid, GENERATE_SUBSCRIPTS(fw2, 1) AS i, UNNEST(fw2) AS w
+        |  FROM (SELECT pid, STRING_SPLIT(ptext, ' ') AS fw2
+        |        FROM e1 WHERE nw >= 2)
+        |), shq AS (
+        |  SELECT DISTINCT a.pid, a.w || ' ' || b.w AS s
+        |  FROM toksq a JOIN toksq b ON b.pid = a.pid AND b.i = a.i + 1
+        |), tokss AS (
+        |  SELECT pid, GENERATE_SUBSCRIPTS(fw2, 1) AS i, UNNEST(fw2) AS w
+        |  FROM (SELECT pid, STRING_SPLIT(ptext, ' ') AS fw2
+        |        FROM store WHERE nw >= 2)
+        |), shs AS (
+        |  SELECT DISTINCT a.pid, a.w || ' ' || b.w AS s
+        |  FROM tokss a JOIN tokss b ON b.pid = a.pid AND b.i = a.i + 1
+        |), sizesq AS (SELECT pid, COUNT(*) AS n FROM shq GROUP BY pid),
+        |sizess AS (SELECT pid, COUNT(*) AS n FROM shs GROUP BY pid),
+        |inter AS (
+        |  SELECT q.pid AS qd, s.pid AS sd, COUNT(*) AS ix
+        |  FROM shq q JOIN shs s ON q.s = s.s GROUP BY 1, 2
+        |), drops AS (
+        |  SELECT DISTINCT qd AS pid FROM inter
+        |  JOIN sizesq sq ON sq.pid = qd JOIN sizess ss ON ss.pid = sd
+        |  WHERE CAST(ix AS DOUBLE) / (sq.n + ss.n - ix) >= 0.8
+        |), s2 AS (
+        |  SELECT * FROM e1 WHERE pid NOT IN (SELECT pid FROM drops)
+        |)
+        |SELECT doc_id,
+        |  ARRAY_TO_STRING(LIST(ptext ORDER BY idx), ' ') AS clean_text,
+        |  np.n_para, COUNT(*) AS n_kept
+        |FROM s2 JOIN (SELECT doc_id AS d2, COUNT(*) AS n_para
+        |              FROM p WHERE doc_id >= 400 GROUP BY 1) np
+        |  ON d2 = doc_id
+        |GROUP BY doc_id, np.n_para
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      graft.streaming.Streams.paragraphDedupAgainstCorpus(
+        docs.where(col("doc_id") >= 400),
+        docs.where(col("doc_id") < 400), threshold = 0.8)
     }
   )
 }

@@ -109,6 +109,22 @@ object Streams {
     graft.operators.Dedup.minhashNearDupsAgainst(
       newDocs, corpus, "doc_id", "text", threshold)
 
+  /** Streaming paragraph dedup (QS7): newly-arriving documents have
+    * their SPANS deduped against a static corpus's span store — the
+    * continuous-ingestion form of xd10's boilerplate removal. The
+    * per-batch transform is exactly
+    * [[graft.operators.Dedup.paragraphDedupAgainst]]: delta spans drop
+    * on exact or near (J ≥ threshold) match with the corpus's
+    * exact-stage survivor spans, then reassemble. Delta spans are
+    * independent of each other (each new doc dedups against the
+    * corpus alone), so a chunked stream reproduces the one-shot batch
+    * result exactly and NO streaming state is needed.
+    */
+  def paragraphDedupAgainstCorpus(newDocs: DataFrame, corpus: DataFrame,
+      threshold: Double): DataFrame =
+    graft.operators.Dedup.paragraphDedupAgainst(
+      newDocs, corpus, "doc_id", "text", threshold = threshold)
+
   /** Run the QS6 stream: a file-source of delta document parquet files
     * → per-micro-batch banded near-dup vs `corpus` → parquet sink.
     * The composite transform (band join + candidate distinct + verify)
@@ -119,7 +135,32 @@ object Streams {
     * cached so its shingles/signatures are not recomputed per batch.
     */
   def runNearDupStream(spark: SparkSession, deltaDir: String,
-      corpus: DataFrame, threshold: Double, outDir: String): Unit = {
+      corpus: DataFrame, threshold: Double, outDir: String): Unit =
+    runDocBatchStream(spark, deltaDir, corpus, outDir)(
+      nearDupsAgainstCorpus(_, _, threshold))
+
+  /** Run the QS7 stream: delta document files → per-micro-batch span
+    * dedup against `corpus`'s span store → parquet sink. Same
+    * foreachBatch shape (and exactly-once story) as
+    * [[runNearDupStream]].
+    */
+  def runParagraphDedupStream(spark: SparkSession, deltaDir: String,
+      corpus: DataFrame, threshold: Double, outDir: String): Unit =
+    runDocBatchStream(spark, deltaDir, corpus, outDir)(
+      paragraphDedupAgainstCorpus(_, _, threshold))
+
+  /** Shared QS6/QS7 runner: a file-source of delta document parquet
+    * files → `transform(batch, corpus)` per micro-batch → parquet
+    * sink. The composite transforms (band joins + distinct + verify)
+    * are not single append-mode streaming plans, so they run via
+    * `foreachBatch` — the canonical Structured Streaming shape for
+    * batch-composite logic; exactly-once comes from idempotent
+    * per-batch overwrite into a batchId-named subdir. The corpus is
+    * cached so its spans/signatures are not recomputed per batch.
+    */
+  private def runDocBatchStream(spark: SparkSession, deltaDir: String,
+      corpus: DataFrame, outDir: String)(
+      transform: (DataFrame, DataFrame) => DataFrame): Unit = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("lang", StringType), StructField("source", StringType),
@@ -129,7 +170,7 @@ object Streams {
       .option("maxFilesPerTrigger", "1").parquet(deltaDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        nearDupsAgainstCorpus(batch, cached, threshold)
+        transform(batch, cached)
           .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         ()
       }

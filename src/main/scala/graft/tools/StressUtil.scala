@@ -36,6 +36,20 @@ object StressUtil {
     import spark.implicits._
     val OFF = 1000000L
     val baseEmb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    // same replication invariant RelationalStress guards for
+    // o_orderkey: replica id ranges must be disjoint (max base id <
+    // OFF) and the top replica's offset must not overflow Long — a
+    // silent collision would corrupt the planted-pair counts every
+    // LSH scale artifact asserts on
+    locally {
+      val maxId = baseEmb.agg(max(col("vec_id"))).head.getLong(0)
+      require(maxId < OFF,
+        s"base vec_id max $maxId >= offset $OFF: replica ids would " +
+          "collide; raise OFF above the base id range")
+      require(factor.toLong * OFF > 0 &&
+        OFF <= Long.MaxValue / factor.toLong,
+        s"factor $factor * OFF $OFF overflows Long")
+    }
     spark.range(factor).crossJoin(baseEmb)
       .select(col("id").as("k"), col("vec_id"), col("embedding"),
         col("label"))

@@ -335,9 +335,14 @@ class CodecSpec extends AnyFunSuite {
       (Array[Byte](0x1a, 0, 1, 0, 0), U32(65536L)),
       (Array[Byte](0x1b, 0, 0, 0, 0, 0, 0, 0, 0x2a), U64(42L)),
       (Array[Byte](0x29), I8(-10)), // negint inline
-      (Array[Byte](0x38, 0x7f), I8(-128)), // fits i8
-      (Array[Byte](0x38, 0xff.toByte), I16(-256)), // u8 arg, needs i16
-      (Array[Byte](0x39, 0x01, 0x00), I16(-257)),
+      // major-1 tags follow WIRE width + one signed step (serde_cbor
+      // 0.11.2: 0x38 → visit_i16, 0x39 → visit_i32, 0x3a → visit_i64),
+      // not value-minimal width — 38 7f fits i8 but arrives as I16
+      (Array[Byte](0x38, 0x18), I16(-25)),
+      (Array[Byte](0x38, 0x7f), I16(-128)),
+      (Array[Byte](0x38, 0xff.toByte), I16(-256)),
+      (Array[Byte](0x39, 0x01, 0x00), I32(-257)),
+      (Array[Byte](0x3a, 0, 1, 0, 0), I64(-65537L)),
       (Array[Byte](0xf9.toByte, 0x3c, 0x00), F32(1.0f)), // f16 → f32
       (Array[Byte](0xfa.toByte, 0x3f, 0xc0.toByte, 0, 0), F32(1.5f)))
     cb.foreach { case (bytes, tagged) =>

@@ -369,6 +369,118 @@ class OperatorsSpec extends SparkSpec {
     assert(kept2 == Set(10L)) // 20's only span near-dups 10's at J≥0.5
   }
 
+  test("paragraph dedup struct key handles a >=100k-span document") {
+    import spark.implicits._
+    // the former pid = doc_id*100000+idx encoding hard-failed any doc
+    // with >= 100k spans; the struct (doc_id, idx) key has no bound
+    val big = (0 until 100100).map(i => s"w${i}a w${i}b w${i}c")
+      .mkString(" ")
+    val docs = Seq((1L, big), (2L, "w0a w0b w0c")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs, "doc_id", "text", paraWords = 3,
+        threshold = 0.8, shingleN = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(1L) == (100100L, 100100L)) // all spans unique, all kept
+    assert(!out.contains(2L)) // its one span duplicates doc 1's span 0
+  }
+
+  test("paragraph dedup cap: auto default is inert at spec scale, an " +
+      "engaged cap skips hot buckets and keeps their spans") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toList
+    // the auto cap must never engage on a healthy corpus — default ==
+    // explicitly-uncapped on the real spec corpus (this plus the
+    // SCALE_r6 capped-vs-uncapped delta is the oracle-exactness story)
+    assert(rows(Dedup.paragraphDedup(docs, "doc_id", "text")) ==
+      rows(Dedup.paragraphDedup(docs, "doc_id", "text",
+        maxBucket = Int.MaxValue)))
+    // engaged cap: with maxBucket=1 every shared bucket is "hot", so
+    // the near stage is fully suppressed and the near-dup span
+    // survives (cap semantics: hot buckets contribute no candidates)
+    val near = Seq(
+      (10L, "x1 x2 x3 x4"),
+      (20L, "x1 x2 x3 x9")) // J=0.5 vs 10's span
+      .toDF("doc_id", "text")
+    val capped = Dedup.paragraphDedup(near, "doc_id", "text",
+      graft.operators.ParagraphSplitter.FixedWindow(4),
+      threshold = 0.5, shingleN = 2, maxBucket = 1)
+    assert(capped.select("doc_id").as[Long].collect().toSet ==
+      Set(10L, 20L))
+  }
+
+  test("newline paragraph splitter: blank-line spans, exact drop, " +
+      "blank-line reassembly, empty paragraphs uncounted") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Alpha beta gamma.\n\nShared boilerplate para here." +
+        "\n\n\n\nThird unique thought."),
+      // para 1 normalizes to doc 1's para 1 words (single \n is not a
+      // split; whitespace collapses) → exact-dropped
+      (2L, "Shared  boilerplate\npara here.\n\nAnother doc entirely."),
+      (3L, "\n\n \n\n")) // only empty paragraphs → doc disappears
+      .toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs, "doc_id", "text",
+        graft.operators.ParagraphSplitter.Delimiter(),
+        threshold = 0.8, shingleN = 2, maxBucket = Dedup.AutoBucket)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ("alpha beta gamma.\n\nshared boilerplate para " +
+      "here.\n\nthird unique thought.", 3L, 3L))
+    assert(out(2L) == ("another doc entirely.", 2L, 1L))
+    assert(!out.contains(3L))
+  }
+
+  test("minhashParams: log-n row growth, anchored bands, auto == " +
+      "fixed output on the spec corpus") {
+    // the sf0.1 xd10 operating point (44098 exact-survivor spans at
+    // t=0.8) and the validated small-corpus row count
+    assert(Dedup.minhashParams(44098, 0.8) == (27, 4))
+    assert(Dedup.minhashParams(60000, 0.75)._2 == 4)
+    assert(Dedup.minhashParams(600000, 0.75)._2 == 5) // +1 row per 16×
+    assert(Dedup.minhashParams(1L << 40, 0.9)._2 == 10)
+    // the runaway regime is an explicit error, not a 2^31-band job
+    intercept[IllegalArgumentException] {
+      Dedup.minhashParams(1L << 40, 0.3)
+    }
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the xd1 promotion evidence at spec scale: derived parameters
+    // reproduce the fixed-band result exactly
+    assert(pairs(Dedup.minhashNearDupsAuto(docs, "doc_id", "text", 0.5))
+      == pairs(Dedup.minhashNearDups(docs, "doc_id", "text", 0.5)))
+  }
+
+  test("incremental paragraph dedup: vs-corpus semantics, chunked == " +
+      "batch") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "c1 c2 c3 c4"),
+      // span A again (exact-deduped inside the store) + span B
+      (2L, "c1 c2 c3 c4 d1 d2 d3 d4")).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "c1 c2 c3 c4"),  // exact match with store span A → drops
+      (11L, "d1 d2 d3 zz"),  // near (J=2/4=0.5) vs store span B → drops
+      (12L, "e1 e2 e3 e4"),  // unrelated → survives
+      // same as 12: delta spans do NOT check each other (per-batch
+      // independence is what makes chunked == batch) → survives
+      (13L, "e1 e2 e3 e4")).toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Dedup.paragraphDedupAgainst(d, corpus, "doc_id", "text",
+        paraWords = 4, threshold = 0.5, shingleN = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    val out = rows(run(delta))
+    assert(out == Map(
+      12L -> ("e1 e2 e3 e4", 1L, 1L),
+      13L -> ("e1 e2 e3 e4", 1L, 1L)))
+    val chunked = rows(run(delta.where(col("doc_id") <= 11))
+      .unionAll(run(delta.where(col("doc_id") > 11))))
+    assert(chunked == out)
+  }
+
   test("kmeans centroid training tolerates null and ragged vectors") {
     import spark.implicits._
     val messy = Seq(

@@ -212,6 +212,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batchPairs)
   }
 
+  test("QS7 chunked paragraph-dedup stream == batch delta-vs-corpus " +
+      "result") {
+    // same 4-micro-batch shape as QS6; the per-batch transform is the
+    // composite span pipeline (store anti-join + banded near + verify
+    // + reassembly), so this is the chunked==batch proof for qs7
+    val docs = graft.queries.T.t(spark, sf0001, "documents")
+    val base = java.nio.file.Files.createTempDirectory("qs7")
+    val deltaDir = base.resolve("delta").toString
+    val outDir = base.resolve("out").toString
+    docs.where(col("doc_id") >= 400).repartition(4)
+      .write.parquet(deltaDir)
+    Streams.runParagraphDedupStream(spark, deltaDir,
+      docs.where(col("doc_id") < 400), threshold = 0.8, outDir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val streamed = rows(spark.read.parquet(s"$outDir/batch=*"))
+    val batch = rows(Streams.paragraphDedupAgainstCorpus(
+      docs.where(col("doc_id") >= 400), docs.where(col("doc_id") < 400),
+      threshold = 0.8))
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("checkpoint restart: stateful dedup recovers state and the " +
       "file sink stays exactly-once") {
     // The 100 TB failure mode: an executor/driver dies mid-stream and
