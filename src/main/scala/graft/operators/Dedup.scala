@@ -116,10 +116,35 @@ object Dedup {
         .localCheckpoint(true),
       maxBucket))
 
+  /** Diagnostic for the scale harnesses: total banded candidate-pair
+    * volume Σ m·(m−1)/2 over all (band, key) buckets of the given
+    * banding — the join work the band parameters buy or cost, measured
+    * on the actual corpus (the auto-vs-fixed evidence metric).
+    */
+  private[graft] def minhashCandidateVolume(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, bands: Int, rowsPerBand: Int): Long = {
+    val sh = docs.select(col(idCol).as("__id"),
+      TextFns.wordShingles(col(textCol), shingleN).as("__sh"))
+    minhashBanded(sh, "__id", "__sh", bands, rowsPerBand)
+      .groupBy("__band", "__key").agg(count(lit(1)).as("m"))
+      .agg(coalesce(sum(expr("m * (m - 1) DIV 2")), lit(0L)))
+      .head.getLong(0)
+  }
+
   /** One row per (band index, band-slice bucket key) per document.
     * posexplode_outer: band arrays are fixed-length, never empty, and
     * the outer variant skips the size>0/isnotnull pre-filter that
     * would re-evaluate the signature expression twice more per row.
+    *
+    * The bucket key is xxhash64 of the band's minhash slice, NOT the
+    * raw array: every downstream operation shuffles, sorts, windows or
+    * joins on this key, and array<long> keys force interpreted
+    * per-element ordering everywhere (measured: the occupancy window
+    * over 16M array-keyed rows burned 6.7k CPU-seconds at 10× scale;
+    * long keys radix-sort). A 64-bit collision can only ADD a spurious
+    * candidate pair, which the exact-Jaccard verify step then
+    * discards — the final output is collision-immune.
     */
   private def minhashBanded(docs: DataFrame, idCol: String,
       shinglesCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
@@ -129,7 +154,8 @@ object Dedup {
     sig.select(col("__id"),
       posexplode_outer(transform(sequence(lit(0), lit(bands - 1)),
         i => slice(col("__sig"), i * rowsPerBand + 1, lit(rowsPerBand))))
-        .as(Seq("__band", "__key")))
+        .as(Seq("__band", "__k0")))
+      .select(col("__id"), col("__band"), xxhash64(col("__k0")).as("__key"))
   }
 
   /** Candidate join over banded rows: a-b pairs sharing a bucket. */
@@ -148,12 +174,21 @@ object Dedup {
     * contribute no candidates (the standard pathological-bucket skip);
     * their members still pair through any non-hot bucket they share.
     * Default = uncapped (exact oracle parity).
+    *
+    * Occupancy via hash-aggregate + join-back with a `shuffle_hash`
+    * hint on the ok-list side. Both alternatives fail at 10× scale:
+    * unhinted, AQE broadcast the multi-million-row ok-list and ran the
+    * driver out of memory; a window count pays WindowExec's per-group
+    * buffering over millions of 1-row (band, key) groups (measured:
+    * ~1.9k CPU-seconds of overhead at 16M banded rows). Hash agg +
+    * hash join handle micro-groups at streaming cost.
     */
   private def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame =
     if (maxBucket == Int.MaxValue) banded
     else banded.join(
       banded.groupBy("__band", "__key").agg(count(lit(1)).as("__bc"))
-        .where(col("__bc") <= maxBucket).select("__band", "__key"),
+        .where(col("__bc") <= maxBucket).select("__band", "__key")
+        .hint("shuffle_hash"),
       Seq("__band", "__key"))
 
   /** MinHash near-dup pairs, verified by exact Jaccard ≥ threshold on
@@ -210,11 +245,14 @@ object Dedup {
     if (maxBucket != Int.MaxValue) {
       // cap on the COMBINED bucket population so the result equals the
       // cross-slice of a capped full run (a hot bucket is hot no
-      // matter which side its members arrive on)
+      // matter which side its members arrive on); shuffle_hash for the
+      // same no-broadcast / no-window reasons as capBuckets — the two
+      // joins share the agg subplan, so the shuffle stage is reused
       val ok = bandedC.select("__band", "__key")
         .unionAll(bandedN.select("__band", "__key"))
         .groupBy("__band", "__key").agg(count(lit(1)).as("__bc"))
         .where(col("__bc") <= maxBucket).select("__band", "__key")
+        .hint("shuffle_hash")
       bandedC = bandedC.join(ok, Seq("__band", "__key"))
       bandedN = bandedN.join(ok, Seq("__band", "__key"))
     }
