@@ -102,18 +102,21 @@ object Bench {
 
     // toRdd.count materializes every output row through the full plan;
     // a plain count() would let Catalyst prune the projections away and
-    // time only scan+count. Returns (wall sec, per-run task-metric
-    // deltas) — the snapshots (and their listener-drain sleeps) sit
-    // OUTSIDE the timed region.
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Double, Seq[Long]) = {
-      val before = metrics.snapshot()
+    // time only scan+count. Returns (wall sec, after-snapshot, per-run
+    // task-metric deltas) — the caller THREADS each run's
+    // after-snapshot in as the next run's before (they are identical
+    // reads: nothing runs between), halving the 50ms listener-drain
+    // sleeps, which otherwise total ~half a minute across a session.
+    // All snapshots sit OUTSIDE the timed region.
+    def timeOnceFrom(
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        before: Seq[Long]): (Double, Seq[Long], Seq[Long]) = {
       val t0 = System.nanoTime()
       fn(spark, sfDir).queryExecution.toRdd.count()
       val sec = (System.nanoTime() - t0) / 1e9
       dropPersisted()
       val after = metrics.snapshot()
-      (sec, after.zip(before).map { case (a, b) => a - b })
+      (sec, after, after.zip(before).map { case (a, b) => a - b })
     }
 
     /** Physical-plan fingerprint, stable across JVMs/rounds iff the
@@ -151,7 +154,12 @@ object Bench {
         df0.queryExecution.toRdd.count() // warm-up (pre-built plan)
         val w = (System.nanoTime() - t0) / 1e9
         dropPersisted()
-        val timed = Seq.fill(3)(timeOnce(fn))
+        var snap = metrics.snapshot()
+        val timed = Seq.fill(3) {
+          val (sec, after, deltas) = timeOnceFrom(fn, snap)
+          snap = after
+          (sec, deltas)
+        }
         QResult(name, w +: timed.map(_._1), timed.map(_._2),
           timed.map(_._2).transpose.map(_.sum), fp)
       } catch {
@@ -163,11 +171,20 @@ object Bench {
     // different session position, long after its neighbors) was a
     // host-noise victim, not a regression — the in-session control the
     // r5 cross-round drift adjudication lacked.
-    val pass2 = benchHeadliners.reverse.map { name =>
-      val fn = SparkEntry.queries(name)
-      val (sec, deltas) =
-        try timeOnce(fn) catch { case NonFatal(_) => (-1.0, Seq.empty[Long]) }
-      (name, sec, if (deltas.nonEmpty) deltas(6) / 1e9 else -1.0)
+    val pass2 = {
+      var snap = metrics.snapshot()
+      benchHeadliners.reverse.map { name =>
+        val fn = SparkEntry.queries(name)
+        try {
+          val (sec, after, deltas) = timeOnceFrom(fn, snap)
+          snap = after
+          (name, sec, deltas(6) / 1e9)
+        } catch {
+          case NonFatal(_) =>
+            snap = metrics.snapshot()
+            (name, -1.0, -1.0)
+        }
+      }
     }
     // Streaming bench: the qs4 stream-stream interval join re-run as a
     // REAL multi-batch stream (time-ordered file splits, 2 files per

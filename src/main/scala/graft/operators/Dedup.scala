@@ -146,7 +146,7 @@ object Dedup {
     * candidate pair, which the exact-Jaccard verify step then
     * discards — the final output is collision-immune.
     */
-  private def minhashBanded(docs: DataFrame, idCol: String,
+  private[graft] def minhashBanded(docs: DataFrame, idCol: String,
       shinglesCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
     val k = bands * rowsPerBand
     val sig = docs.select(col(idCol).as("__id"),
@@ -507,9 +507,12 @@ object Dedup {
   }
 
   /** Sentinel for `maxBucket`: derive the hot-bucket cap from the
-    * actual near-stage population via [[autoMaxBucket]].
+    * actual near-stage population via [[autoMaxBucket]]. -1, not 0:
+    * maxBucket = 0 has a meaning of its own (every bucket exceeds it,
+    * suppressing the near stage entirely), and repurposing it would
+    * silently change that caller's output.
     */
-  val AutoBucket: Int = 0
+  val AutoBucket: Int = -1
 
   /** Occupancy-law default for the paragraph-dedup hot-bucket cap.
     * MinHash band keys are rowsPerBand-tuples of 64-bit minima, so the
@@ -560,7 +563,12 @@ object Dedup {
     */
   def minhashParams(n: Long, recallAt: Double,
       missProb: Double = 1e-6): (Int, Int) = {
-    require(n > 0 && recallAt > 0 && recallAt < 1, "n>0, 0<recallAt<1")
+    // recallAt = 1 is the exact-duplicate limit: identical shingle
+    // SETS have identical signatures, so one band suffices (the math
+    // below degenerates to bands = 1 on its own) — threshold-1.0
+    // callers (identical-set dedup, e.g. word-reordered spans) must
+    // not be rejected.
+    require(n > 0 && recallAt > 0 && recallAt <= 1, "n>0, 0<recallAt<=1")
     require(missProb > 0 && missProb < 1, "0<missProb<1")
     val log2n =
       64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
@@ -604,7 +612,7 @@ object Dedup {
     * reassembly order), the normalized span text, and its word count.
     * The downstream exact/near stages are splitter-independent.
     */
-  private def explodeSpans(docs: DataFrame, idCol: String,
+  private[graft] def explodeSpans(docs: DataFrame, idCol: String,
       textCol: String, splitter: ParagraphSplitter): DataFrame =
     splitter match {
       case ParagraphSplitter.FixedWindow(pw) =>
@@ -749,59 +757,124 @@ object Dedup {
       ParagraphSplitter.FixedWindow(paraWords), threshold, shingleN,
       maxBucket)
 
-  /** Incremental paragraph dedup: spans of NEWLY-ARRIVING documents
-    * drop when they exactly match, or are near-duplicates (J ≥
-    * `threshold`) of, the CORPUS SPAN STORE — the corpus's exact-stage
-    * survivors, i.e. exactly the reference universe [[paragraphDedup]]
-    * checks spans against. Per-batch cost is delta-bands × matching
-    * store buckets (the [[minhashNearDupsAgainst]] shape) — never
-    * store², and nothing is recomputed pairwise over the corpus.
-    *
-    * Per-batch independence: delta spans are NOT checked against each
-    * other (each new document dedups against the corpus alone), so a
-    * chunked stream reproduces the one-shot batch result exactly —
-    * StreamingSpec asserts that parity and the qs7 oracle replays the
-    * semantics in SQL. Caller contract: doc-id spaces are disjoint.
-    * Output: one row per delta doc with ≥1 surviving span, same schema
-    * as [[paragraphDedup]].
+  /** The corpus span store for [[paragraphDedupAgainst]]: the corpus's
+    * exact-stage survivors (min-pid per span text), checkpointed —
+    * exactly the reference universe [[paragraphDedup]] checks spans
+    * against. Build ONCE and reuse across delta batches (the
+    * streaming runner does): rebuilding it per micro-batch would put
+    * corpus-sized work on every batch.
     */
-  def paragraphDedupAgainst(newDocs: DataFrame, corpus: DataFrame,
-      idCol: String, textCol: String, splitter: ParagraphSplitter,
-      threshold: Double, shingleN: Int, maxBucket: Int): DataFrame = {
-    // corpus span store: exact-stage survivors (min-pid per ptext) —
-    // checkpointed because it feeds the exact anti-join, the store
-    // population count, and the near stage's banding + verify side
+  def paragraphSpanStore(corpus: DataFrame, idCol: String,
+      textCol: String, splitter: ParagraphSplitter): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("ptext")
-    val store = explodeSpans(corpus, idCol, textCol, splitter)
+    explodeSpans(corpus, idCol, textCol, splitter)
       .withColumn("pid", struct(col("doc_id"), col("idx")))
       .withColumn("__fp", min(col("pid")).over(w))
       .where(col("pid") === col("__fp")).drop("__fp")
       .localCheckpoint(true)
-    // exact stage: a delta span whose text exists in the store drops.
-    // e1 feeds the near-stage population (count + banding + verify)
-    // and the reassembly — materialize once.
-    val e1 = explodeSpans(newDocs, idCol, textCol, splitter)
-      .withColumn("pid", struct(col("doc_id"), col("idx")))
-      .join(store.select("ptext"), Seq("ptext"), "left_anti")
-      .localCheckpoint(true)
+  }
+
+  /** Incremental paragraph dedup: spans of NEWLY-ARRIVING documents
+    * drop when they exactly match, or are near-duplicates (J ≥
+    * `threshold`) of, the CORPUS SPAN STORE. Per-batch cost is
+    * delta-bands × matching store buckets (the
+    * [[minhashNearDupsAgainst]] shape) — never store².
+    *
+    * Chunked == batch BY CONSTRUCTION: delta spans are not checked
+    * against each other, and the band parameters AND the hot-bucket
+    * cap occupancy derive from the STORE side alone — nothing about
+    * the result of a delta span depends on what else arrived in its
+    * chunk. (Deriving either from the combined population would make
+    * a hot boilerplate class's fate depend on chunk size.) Store-side
+    * occupancy is also the right cost bound for a long-running
+    * stream: a hot DELTA class against small store buckets costs only
+    * store-bucket × delta-bucket — linear in the delta — while hot
+    * STORE buckets would be re-paid by every batch, and those are
+    * exactly what the cap skips. StreamingSpec asserts the parity;
+    * the qs7 oracle replays the semantics in SQL. Caller contract:
+    * doc-id spaces are disjoint. Output: one row per delta doc with
+    * ≥1 surviving span, same schema as [[paragraphDedup]].
+    */
+  def paragraphDedupAgainst(newDocs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, splitter: ParagraphSplitter,
+      threshold: Double, shingleN: Int, maxBucket: Int): DataFrame =
+    paragraphDedupAgainstStore(newDocs,
+      prepareParagraphStore(corpus, idCol, textCol, splitter, threshold,
+        shingleN, maxBucket),
+      idCol, textCol)
+
+  /** Prebuilt, fully-materialized near-stage state for
+    * [[paragraphDedupAgainstStore]]: the span store, its shingled and
+    * banded-and-capped forms, and the store-derived parameters. Build
+    * ONCE per corpus via [[prepareParagraphStore]] — every frame here
+    * is checkpointed, so per-batch work touches the corpus only
+    * through cached blocks (no re-shingling, no re-banding, no
+    * occupancy shuffle per micro-batch).
+    */
+  final case class ParagraphStore private[operators] (
+      store: DataFrame, shingled: DataFrame, banded: DataFrame,
+      bands: Int, rowsPerBand: Int, cap: Int,
+      splitter: ParagraphSplitter, threshold: Double, shingleN: Int)
+
+  /** Build the [[ParagraphStore]] for a corpus: exact-survivor spans,
+    * their shingle sets, and the capped banded rows, with (bands,
+    * rowsPerBand, cap) derived from the STORE population — the
+    * chunk-invariance anchor of [[paragraphDedupAgainst]].
+    */
+  def prepareParagraphStore(corpus: DataFrame, idCol: String,
+      textCol: String, splitter: ParagraphSplitter, threshold: Double,
+      shingleN: Int, maxBucket: Int): ParagraphStore = {
+    val store = paragraphSpanStore(corpus, idCol, textCol, splitter)
     val storeN = store.where(col("nw") >= shingleN).select("pid", "ptext")
-    val deltaN = e1.where(col("nw") >= shingleN).select("pid", "ptext")
-    // cap + band params derive from the COMBINED population so a
-    // chunked run equals the batch run (a hot bucket is hot no matter
-    // which side its members arrive on — same rule the capped
-    // minhashNearDupsAgainst applies)
-    val n = math.max(1L, storeN.count() + deltaN.count())
+    val n = math.max(1L, storeN.count())
     val cap = if (maxBucket == AutoBucket) autoMaxBucket(n) else maxBucket
     val (bands, rows) = minhashParams(n, recallAt = threshold)
-    val nearDrops = minhashNearDupsAgainst(deltaN, storeN, "pid",
-        "ptext", threshold, shingleN, bands, rows, cap)
+    val shS = storeN.select(col("pid").as("__id"),
+      TextFns.wordShingles(col("ptext"), shingleN).as("__sh"))
+      .localCheckpoint(true)
+    // store-only occupancy cap: hot STORE buckets contribute no
+    // candidates no matter what any delta holds (chunk-invariant)
+    val bandedS = capBuckets(
+      minhashBanded(shS, "__id", "__sh", bands, rows)
+        .localCheckpoint(true), cap)
+      .localCheckpoint(true)
+    ParagraphStore(store, shS, bandedS, bands, rows, cap, splitter,
+      threshold, shingleN)
+  }
+
+  /** [[paragraphDedupAgainst]] against a prebuilt [[ParagraphStore]] —
+    * the per-micro-batch entry point: all per-batch frames are
+    * delta-sized except the exact-stage anti-join and the verify
+    * join, which read the store's cached blocks.
+    */
+  def paragraphDedupAgainstStore(newDocs: DataFrame,
+      ps: ParagraphStore, idCol: String, textCol: String): DataFrame = {
+    // exact stage: a delta span whose text exists in the store drops.
+    // e1 feeds the near-stage banding + verify and the reassembly —
+    // materialize once.
+    val e1 = explodeSpans(newDocs, idCol, textCol, ps.splitter)
+      .withColumn("pid", struct(col("doc_id"), col("idx")))
+      .join(ps.store.select("ptext"), Seq("ptext"), "left_anti")
+      .localCheckpoint(true)
+    val deltaN = e1.where(col("nw") >= ps.shingleN).select("pid", "ptext")
+    val shD = deltaN.select(col("pid").as("__id"),
+      TextFns.wordShingles(col("ptext"), ps.shingleN).as("__sh"))
+      .localCheckpoint(true)
+    val bandedD = minhashBanded(shD, "__id", "__sh", ps.bands,
+      ps.rowsPerBand)
+    val cand = ps.banded.as("x").join(bandedD.as("y"),
+        col("x.__band") === col("y.__band") &&
+          col("x.__key") === col("y.__key"))
+      .select(col("x.__id").as("a"), col("y.__id").as("b"))
+      .distinct()
+    val nearDrops = verifyJaccard(cand, ps.shingled, shD, ps.threshold)
       .select(col("b").as("pid")).distinct()
     val s2 = e1.join(nearDrops, Seq("pid"), "left_anti")
-    val nPara = paraCounts(newDocs, idCol, textCol, splitter)
+    val nPara = paraCounts(newDocs, idCol, textCol, ps.splitter)
     s2.groupBy("doc_id")
       .agg(array_join(transform(array_sort(
           collect_list(struct(col("idx"), col("ptext")))),
-          x => x.getField("ptext")), splitter.joinSep).as("clean_text"),
+          x => x.getField("ptext")), ps.splitter.joinSep).as("clean_text"),
         count(lit(1)).as("n_kept"))
       .join(nPara, col("__d") === col("doc_id"))
       .select(col("doc_id"), col("clean_text"), col("n_para"),

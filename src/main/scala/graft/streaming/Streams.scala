@@ -135,49 +135,68 @@ object Streams {
     * cached so its shingles/signatures are not recomputed per batch.
     */
   def runNearDupStream(spark: SparkSession, deltaDir: String,
-      corpus: DataFrame, threshold: Double, outDir: String): Unit =
-    runDocBatchStream(spark, deltaDir, corpus, outDir)(
-      nearDupsAgainstCorpus(_, _, threshold))
+      corpus: DataFrame, threshold: Double, outDir: String): Unit = {
+    // the corpus is cached once so its shingles/signatures are not
+    // re-read from source per batch
+    val cached = corpus.cache()
+    try runDocBatchStream(spark, deltaDir, outDir)(
+      nearDupsAgainstCorpus(_, cached, threshold))
+    finally cached.unpersist()
+  }
 
   /** Run the QS7 stream: delta document files → per-micro-batch span
     * dedup against `corpus`'s span store → parquet sink. Same
     * foreachBatch shape (and exactly-once story) as
-    * [[runNearDupStream]].
+    * [[runNearDupStream]]. The store (spans + shingles + capped
+    * banded rows + derived parameters) is prepared ONCE before the
+    * stream starts — per-batch work is delta-sized, reading the store
+    * only through its checkpointed blocks.
     */
   def runParagraphDedupStream(spark: SparkSession, deltaDir: String,
-      corpus: DataFrame, threshold: Double, outDir: String): Unit =
-    runDocBatchStream(spark, deltaDir, corpus, outDir)(
-      paragraphDedupAgainstCorpus(_, _, threshold))
+      corpus: DataFrame, threshold: Double, outDir: String): Unit = {
+    val ps = graft.operators.Dedup.prepareParagraphStore(corpus,
+      "doc_id", "text", graft.operators.ParagraphSplitter.FixedWindow(),
+      threshold, shingleN = 2, maxBucket = graft.operators.Dedup.AutoBucket)
+    runDocBatchStream(spark, deltaDir, outDir)(
+      graft.operators.Dedup.paragraphDedupAgainstStore(_, ps,
+        "doc_id", "text"))
+  }
 
   /** Shared QS6/QS7 runner: a file-source of delta document parquet
-    * files → `transform(batch, corpus)` per micro-batch → parquet
-    * sink. The composite transforms (band joins + distinct + verify)
-    * are not single append-mode streaming plans, so they run via
-    * `foreachBatch` — the canonical Structured Streaming shape for
-    * batch-composite logic; exactly-once comes from idempotent
-    * per-batch overwrite into a batchId-named subdir. The corpus is
-    * cached so its spans/signatures are not recomputed per batch.
+    * files → `transform(batch)` per micro-batch → parquet sink. The
+    * composite transforms (band joins + distinct + verify) are not
+    * single append-mode streaming plans, so they run via `foreachBatch`
+    * — the canonical Structured Streaming shape for batch-composite
+    * logic; exactly-once comes from idempotent per-batch overwrite
+    * into a batchId-named subdir. After each committed batch, the
+    * checkpoint blocks THAT batch created are released (the composite
+    * transforms localCheckpoint their intermediates; left in place
+    * they accumulate corpus-scale storage across a long stream) while
+    * pre-existing blocks — the caller's cached corpus or prepared
+    * store — survive.
     */
   private def runDocBatchStream(spark: SparkSession, deltaDir: String,
-      corpus: DataFrame, outDir: String)(
-      transform: (DataFrame, DataFrame) => DataFrame): Unit = {
+      outDir: String)(transform: DataFrame => DataFrame): Unit = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("lang", StringType), StructField("source", StringType),
       StructField("n_chars", LongType)))
-    val cached = corpus.cache()
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(deltaDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        transform(batch, cached)
+        val before = spark.sparkContext.getPersistentRDDs.keySet
+        transform(batch)
           .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        spark.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => before(id) }
+          .values.foreach(_.unpersist(blocking = false))
         ()
       }
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .start()
     try q.processAllAvailable()
-    finally { q.stop(); cached.unpersist() }
+    finally q.stop()
   }
 
   /** Stateful dedup bounded by the watermark (SURVEY §2.10). */

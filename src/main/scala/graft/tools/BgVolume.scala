@@ -54,6 +54,18 @@ object BgVolume {
     val OFF = 1000000L
     val base = spark.read.parquet(s"$baseDir/documents.parquet")
       .select("doc_id", "text")
+    // same replication guard as StressUtil/RelationalStress: disjoint
+    // replica id ranges, no Long overflow — a silent collision would
+    // corrupt both volume numbers this artifact exists to publish
+    locally {
+      val maxId = base.agg(max(col("doc_id"))).head.getLong(0)
+      require(maxId < OFF,
+        s"base doc_id max $maxId >= offset $OFF: replica ids would " +
+          "collide; raise OFF above the base id range")
+      require(factor.toLong * OFF > 0 &&
+        OFF <= Long.MaxValue / factor.toLong,
+        s"factor $factor * OFF $OFF overflows Long")
+    }
     val bg = spark.range(factor).crossJoin(base)
       .select(col("id").as("k"), col("doc_id"), col("text"))
       .as[(Long, Long, String)]

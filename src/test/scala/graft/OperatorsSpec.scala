@@ -481,6 +481,33 @@ class OperatorsSpec extends SparkSpec {
     assert(chunked == out)
   }
 
+  test("incremental paragraph dedup: cap and band params are STORE-" +
+      "derived, so chunking cannot change the result even when a hot " +
+      "delta class engages the cap") {
+    import spark.implicits._
+    // one store span; a 12-member near-identical DELTA class (J=0.5 vs
+    // the store span each). With combined-population occupancy a
+    // maxBucket=1 cap would fire for the whole batch (13 > 1) but not
+    // for small chunks — the chunk-size-dependent outcome the store-
+    // only derivation exists to prevent: store buckets have 1 member,
+    // the cap keeps them, and every delta span drops regardless of
+    // how the delta is batched.
+    val corpus = Seq((1L, "t1 t2 t3 t4")).toDF("doc_id", "text")
+    val delta = (10L to 21L).map(i => (i, s"t1 t2 t3 z$i"))
+      .toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Dedup.paragraphDedupAgainst(d, corpus, "doc_id", "text",
+        graft.operators.ParagraphSplitter.FixedWindow(4),
+        threshold = 0.5, shingleN = 2, maxBucket = 1)
+    val whole = run(delta).collect().toSeq
+    val chunked = (10L to 21L by 3).flatMap(lo =>
+      run(delta.where(col("doc_id") >= lo && col("doc_id") < lo + 3))
+        .collect())
+    assert(whole.isEmpty, "near stage must engage: every delta span " +
+      "is a near-dup of the store span")
+    assert(chunked.isEmpty)
+  }
+
   test("kmeans centroid training tolerates null and ragged vectors") {
     import spark.implicits._
     val messy = Seq(
