@@ -881,6 +881,135 @@ object Dedup {
         col("n_kept"))
       .orderBy("doc_id")
   }
+
+  /** One ingested batch from [[paragraphDedupIngest]]: the cleaned
+    * batch documents, the spans the store absorbed (the batch's
+    * exact-stage survivors — persist this frame to replay the store
+    * after a restart, as the streaming runner does), and the evolved
+    * store for the next batch.
+    */
+  final case class ParagraphIngest(cleaned: DataFrame,
+      appended: DataFrame, next: ParagraphStore)
+
+  /** EVOLVING-store incremental paragraph dedup (the qs8 continuous-
+    * ingestion shape): each batch's spans dedup against everything
+    * seen so far — the initial corpus plus every earlier batch — and
+    * the store then absorbs the batch's exact-stage survivors,
+    * INCLUDING near-dropped ones, which one-shot semantics keep as
+    * candidate killers (a span drops when ANY earlier exact survivor
+    * verifies, whether or not that survivor itself dropped).
+    *
+    * Drop rule, arrival-order-wins: a store span kills a batch span it
+    * verifies against unconditionally (the store is strictly earlier);
+    * within a batch, struct (doc_id, idx) order decides — exactly
+    * [[paragraphDedup]]'s rule. So when arrival order is monotone in
+    * doc_id, ANY chunking reproduces the one-shot batch answer over
+    * corpus ∪ deltas restricted to the delta docs (StreamingSpec
+    * asserts 1-chunk == 3-chunk == one-shot); out-of-order arrival
+    * stays well-defined, first-arrival wins. Caller contract: each doc
+    * arrives in exactly one batch.
+    *
+    * Per-batch cost is delta-sized everywhere except the exact-stage
+    * anti-join, the store-vs-delta band join, and the verify join,
+    * which read the store's checkpointed blocks (and broadcast the
+    * delta side when it is small). Band parameters and the hot-bucket
+    * cap stay FROZEN from [[prepareParagraphStore]] — deriving them
+    * from the evolving population would make a span's fate depend on
+    * when it arrived; re-derive by re-preparing the store at
+    * compaction cadence if the corpus grows far past its initial size.
+    * Batch appends bypass the cap until then (a delta-sized batch
+    * cannot make a bucket hot faster than the re-preparation cadence
+    * bounds).
+    */
+  def paragraphDedupIngest(batch: DataFrame, ps: ParagraphStore,
+      idCol: String, textCol: String): ParagraphIngest = {
+    val spans = explodeSpans(batch, idCol, textCol, ps.splitter)
+      .withColumn("pid", struct(col("doc_id"), col("idx")))
+    // exact stage vs everything seen: first-in-batch per span text
+    // (window min), and absent from the store — the store holds every
+    // distinct span text seen so far, so one anti-join covers the
+    // whole history
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("ptext")
+    val e1 = spans.withColumn("__fp", min(col("pid")).over(w))
+      .where(col("pid") === col("__fp")).drop("__fp")
+      .join(ps.store.select("ptext"), Seq("ptext"), "left_anti")
+      .localCheckpoint(true)
+    val shD = e1.where(col("nw") >= ps.shingleN)
+      .select(col("pid").as("__id"),
+        TextFns.wordShingles(col("ptext"), ps.shingleN).as("__sh"))
+      .localCheckpoint(true)
+    val bandedD = minhashBanded(shD, "__id", "__sh", ps.bands,
+      ps.rowsPerBand).localCheckpoint(true)
+    // near stage: store-vs-batch pairs carry no pid condition (earlier
+    // by construction); batch-vs-batch pairs order by pid
+    val candS = ps.banded.as("x").join(bandedD.as("y"),
+        col("x.__band") === col("y.__band") &&
+          col("x.__key") === col("y.__key"))
+      .select(col("x.__id").as("a"), col("y.__id").as("b"))
+    val candD = bandedD.as("x").join(bandedD.as("y"),
+        col("x.__band") === col("y.__band") &&
+          col("x.__key") === col("y.__key") &&
+          col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("a"), col("y.__id").as("b"))
+    val nearDrops = verifyJaccard(candS.unionAll(candD).distinct(),
+        ps.shingled.unionByName(shD), shD, ps.threshold)
+      .select(col("b").as("pid")).distinct()
+    val s2 = e1.join(nearDrops, Seq("pid"), "left_anti")
+    val nPara = paraCounts(batch, idCol, textCol, ps.splitter)
+    val cleaned = s2.groupBy("doc_id")
+      .agg(array_join(transform(array_sort(
+          collect_list(struct(col("idx"), col("ptext")))),
+          x => x.getField("ptext")), ps.splitter.joinSep).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+      .join(nPara, col("__d") === col("doc_id"))
+      .select(col("doc_id"), col("clean_text"), col("n_para"),
+        col("n_kept"))
+      .orderBy("doc_id")
+    ParagraphIngest(cleaned, e1, appendFrames(ps, e1, shD, bandedD))
+  }
+
+  /** Absorb already-determined exact-survivor spans — e.g. the durable
+    * `appended` parquet of committed batches, replayed after a restart
+    * — into the store: their shingles and banded rows recompute under
+    * the store's FROZEN parameters (MinHash signatures are
+    * deterministic per span text, so the rebuilt store is
+    * block-for-block equivalent to the one the crashed stream held).
+    * Appended span texts are globally distinct by construction (each
+    * batch's survivors were anti-joined against the store of their
+    * day), so all committed batches can replay in one append.
+    */
+  def appendSpansToStore(ps: ParagraphStore, spans: DataFrame)
+      : ParagraphStore = {
+    val sp = spans.localCheckpoint(true)
+    val sh = sp.where(col("nw") >= ps.shingleN)
+      .select(col("pid").as("__id"),
+        TextFns.wordShingles(col("ptext"), ps.shingleN).as("__sh"))
+      .localCheckpoint(true)
+    val banded = minhashBanded(sh, "__id", "__sh", ps.bands,
+      ps.rowsPerBand).localCheckpoint(true)
+    appendFrames(ps, sp, sh, banded)
+  }
+
+  private def appendFrames(ps: ParagraphStore, sp: DataFrame,
+      sh: DataFrame, banded: DataFrame): ParagraphStore =
+    ps.copy(store = ps.store.unionByName(
+        sp.select(ps.store.columns.map(col).toSeq: _*)),
+      shingled = ps.shingled.unionByName(sh),
+      banded = ps.banded.unionByName(banded))
+
+  /** Rewrite the store's accumulated per-batch unions as single
+    * checkpointed frames. Correctness never needs this — but after
+    * many [[paragraphDedupIngest]] batches the store frames are unions
+    * of N checkpoints, so plan depth and block count grow with batch
+    * count. The streaming runner compacts every `compactEvery` batches
+    * and releases the superseded blocks — the LSM amortization:
+    * delta-sized appends between store-sized rewrites. Parameters stay
+    * frozen (compaction is a physical rewrite, not a re-preparation).
+    */
+  def compactParagraphStore(ps: ParagraphStore): ParagraphStore =
+    ps.copy(store = ps.store.localCheckpoint(true),
+      shingled = ps.shingled.localCheckpoint(true),
+      banded = ps.banded.localCheckpoint(true))
 }
 
 /** Paragraph-splitting strategies for [[Dedup.paragraphDedup]] /

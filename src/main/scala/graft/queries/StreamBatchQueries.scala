@@ -211,6 +211,70 @@ object StreamBatchQueries {
       graft.streaming.Streams.paragraphDedupAgainstCorpus(
         docs.where(col("doc_id") >= 400),
         docs.where(col("doc_id") < 400), threshold = 0.8)
+    },
+
+    // EVOLVING-store streaming paragraph dedup (QS8): docs ≥400 arrive
+    // in three doc_id-ordered chunks; each chunk dedups against the
+    // <400 corpus PLUS every earlier chunk's absorbed spans (near-
+    // dropped spans stay in the store as candidate killers, exactly as
+    // one-shot semantics keep them). Under monotone arrival the union
+    // of chunk outputs equals the one-shot xd10 pipeline over ALL docs
+    // restricted to the delta — so the oracle is xd10's full SQL
+    // replay (span explosion → global window-min exact stage →
+    // inverted-index bigram join → drop later members → reassemble)
+    // with the output filtered to doc_id ≥ 400. StreamingSpec asserts
+    // the chunked==one-shot identity and the runner's restart
+    // recovery; the SQL here is chunk-count-blind, which is the point.
+    Q("qs8_evolving_paragraph_dedup",
+      raw"""WITH d0 AS (
+        |  SELECT doc_id, LIST_FILTER(
+        |    STRING_SPLIT_REGEX(LOWER(text), '\s+'), t -> t <> '') AS fw
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS idx,
+        |    doc_id * 100000 + i AS pid,
+        |    ARRAY_TO_STRING(
+        |      fw[(CAST(i AS INT)*6+1):(CAST(i AS INT)*6+6)], ' ') AS ptext,
+        |    LEN(fw[(CAST(i AS INT)*6+1):(CAST(i AS INT)*6+6)]) AS nw
+        |  FROM d0, UNNEST(RANGE(0,
+        |    CAST(CEIL(LEN(fw)/6.0) AS BIGINT))) AS t(i)
+        |), s1 AS (
+        |  SELECT * FROM (SELECT p.*,
+        |    MIN(pid) OVER (PARTITION BY ptext) AS fp FROM p)
+        |  WHERE pid = fp
+        |), toks AS (
+        |  SELECT pid, GENERATE_SUBSCRIPTS(fw2, 1) AS i, UNNEST(fw2) AS w
+        |  FROM (SELECT pid, STRING_SPLIT(ptext, ' ') AS fw2
+        |        FROM s1 WHERE nw >= 2)
+        |), sh AS (
+        |  SELECT DISTINCT a.pid, a.w || ' ' || b.w AS s
+        |  FROM toks a JOIN toks b ON b.pid = a.pid AND b.i = a.i + 1
+        |), sizes AS (SELECT pid, COUNT(*) AS n FROM sh GROUP BY pid),
+        |inter AS (
+        |  SELECT x.pid AS qa, y.pid AS qb, COUNT(*) AS ix
+        |  FROM sh x JOIN sh y ON x.s = y.s AND x.pid < y.pid
+        |  GROUP BY 1, 2
+        |), drops AS (
+        |  SELECT DISTINCT qb AS pid FROM inter
+        |  JOIN sizes sa ON sa.pid = qa JOIN sizes sb ON sb.pid = qb
+        |  WHERE CAST(ix AS DOUBLE) / (sa.n + sb.n - ix) >= 0.8
+        |), s2 AS (
+        |  SELECT * FROM s1 WHERE pid NOT IN (SELECT pid FROM drops)
+        |)
+        |SELECT doc_id,
+        |  ARRAY_TO_STRING(LIST(ptext ORDER BY idx), ' ') AS clean_text,
+        |  np.n_para, COUNT(*) AS n_kept
+        |FROM s2 JOIN (SELECT doc_id AS d2, COUNT(*) AS n_para
+        |              FROM p WHERE doc_id >= 400 GROUP BY 1) np
+        |  ON d2 = doc_id
+        |WHERE doc_id >= 400
+        |GROUP BY doc_id, np.n_para
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      graft.streaming.Streams.evolvingParagraphDedupChunked(
+        docs.where(col("doc_id") >= 400),
+        docs.where(col("doc_id") < 400), threshold = 0.8,
+        bounds = Seq(450L, 550L))
     }
   )
 }

@@ -176,7 +176,21 @@ object Streams {
     * store — survive.
     */
   private def runDocBatchStream(spark: SparkSession, deltaDir: String,
-      outDir: String)(transform: DataFrame => DataFrame): Unit = {
+      outDir: String)(transform: DataFrame => DataFrame): Unit =
+    docStream(spark, deltaDir, outDir) { (batch, batchId) =>
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      transform(batch)
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => before(id) }
+        .values.foreach(_.unpersist(blocking = false))
+    }
+
+  /** The bare QS6/QS7/QS8 stream skeleton: file-source of delta
+    * document parquet → `onBatch` per micro-batch → stop when drained.
+    */
+  private def docStream(spark: SparkSession, deltaDir: String,
+      outDir: String)(onBatch: (DataFrame, Long) => Unit): Unit = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("lang", StringType), StructField("source", StringType),
@@ -185,18 +199,102 @@ object Streams {
       .option("maxFilesPerTrigger", "1").parquet(deltaDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val before = spark.sparkContext.getPersistentRDDs.keySet
-        transform(batch)
-          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-        spark.sparkContext.getPersistentRDDs
-          .filterNot { case (id, _) => before(id) }
-          .values.foreach(_.unpersist(blocking = false))
-        ()
+        onBatch(batch, batchId); ()
       }
       .option("checkpointLocation", s"$outDir/_checkpoint")
       .start()
     try q.processAllAvailable()
     finally q.stop()
+  }
+
+  /** Run the QS8 stream: delta document files → per-micro-batch
+    * EVOLVING-store span dedup → parquet sink. Unlike [[
+    * runParagraphDedupStream]]'s static store, here the store absorbs
+    * each batch's exact-survivor spans, so later documents dedup
+    * against earlier STREAMED documents too — the full continuous-
+    * ingestion story. Three structural pieces:
+    *
+    *  - Durability: each batch's absorbed spans also land in
+    *    `outDir/store/batch=<id>` (idempotent overwrite, same
+    *    exactly-once story as the result sink); a restarted stream
+    *    rebuilds the store by replaying them through
+    *    [[graft.operators.Dedup.appendSpansToStore]] — signatures are
+    *    deterministic, so the rebuilt store is equivalent to the one
+    *    the crashed run held.
+    *  - Compaction: every `compactEvery` batches the store's
+    *    accumulated union frames rewrite into single checkpoints and
+    *    the superseded blocks release — delta-sized appends between
+    *    store-sized rewrites (the LSM amortization), keeping plan
+    *    depth and block count bounded on a long stream.
+    *  - Frozen parameters: band params + hot-bucket cap derive from
+    *    the INITIAL corpus and never move mid-stream (a span's fate
+    *    must not depend on arrival time); re-prepare the store when
+    *    the stream has grown the corpus far past its initial size.
+    */
+  def runEvolvingParagraphDedupStream(spark: SparkSession,
+      deltaDir: String, corpus: DataFrame, threshold: Double,
+      outDir: String, compactEvery: Int = 8): Unit = {
+    import graft.operators.Dedup
+    val sc = spark.sparkContext
+    val pre = sc.getPersistentRDDs.keySet
+    var ps = Dedup.prepareParagraphStore(corpus, "doc_id", "text",
+      graft.operators.ParagraphSplitter.FixedWindow(), threshold,
+      shingleN = 2, maxBucket = Dedup.AutoBucket)
+    val storeDir = new org.apache.hadoop.fs.Path(s"$outDir/store")
+    val fs = storeDir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(storeDir) && fs.listStatus(storeDir).nonEmpty)
+      ps = Dedup.appendSpansToStore(ps,
+        spark.read.parquet(s"$outDir/store/batch=*"))
+    // blocks the evolving store currently owns — released at each
+    // compaction once the rewritten frames supersede them
+    var owned = sc.getPersistentRDDs.keySet -- pre
+    var batches = 0
+    docStream(spark, deltaDir, outDir) { (batch, batchId) =>
+      val before = sc.getPersistentRDDs.keySet
+      val ing = Dedup.paragraphDedupIngest(batch, ps, "doc_id", "text")
+      ing.appended.write.mode("overwrite")
+        .parquet(s"$outDir/store/batch=$batchId")
+      ing.cleaned.write.mode("overwrite")
+        .parquet(s"$outDir/batch=$batchId")
+      ps = ing.next
+      owned ++= sc.getPersistentRDDs.keySet -- before
+      batches += 1
+      if (batches % compactEvery == 0) {
+        val preCompact = sc.getPersistentRDDs.keySet
+        ps = Dedup.compactParagraphStore(ps)
+        val kept = sc.getPersistentRDDs.keySet -- preCompact
+        sc.getPersistentRDDs
+          .filter { case (id, _) => owned(id) && !kept(id) }
+          .values.foreach(_.unpersist(blocking = false))
+        owned = kept
+      }
+    }
+  }
+
+  /** Batch-shape QS8 harness (the oracle entry): ingest `newDocs`
+    * through the evolving store in doc_id-ordered chunks split at
+    * `bounds`, exactly as the streaming runner would see them arrive.
+    * Monotone arrival makes the union of per-chunk outputs equal the
+    * one-shot [[graft.operators.Dedup.paragraphDedup]] over
+    * corpus ∪ newDocs restricted to newDocs — which is what the SQL
+    * oracle replays.
+    */
+  def evolvingParagraphDedupChunked(newDocs: DataFrame,
+      corpus: DataFrame, threshold: Double,
+      bounds: Seq[Long]): DataFrame = {
+    import graft.operators.Dedup
+    var ps = Dedup.prepareParagraphStore(corpus, "doc_id", "text",
+      graft.operators.ParagraphSplitter.FixedWindow(), threshold,
+      shingleN = 2, maxBucket = Dedup.AutoBucket)
+    val edges = (Long.MinValue +: bounds.sorted) :+ Long.MaxValue
+    val parts = edges.sliding(2).map { case Seq(lo, hi) =>
+      val ing = Dedup.paragraphDedupIngest(
+        newDocs.where(col("doc_id") >= lo && col("doc_id") < hi),
+        ps, "doc_id", "text")
+      ps = ing.next
+      ing.cleaned
+    }.toSeq
+    parts.reduce(_.unionAll(_)).orderBy("doc_id")
   }
 
   /** Stateful dedup bounded by the watermark (SURVEY §2.10). */

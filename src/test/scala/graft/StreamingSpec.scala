@@ -236,6 +236,72 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("QS8 evolving-store ingest: any chunking == one-shot paragraph " +
+      "dedup over corpus ∪ deltas restricted to deltas") {
+    // the store absorbs every batch's exact survivors (including
+    // near-dropped spans), so under monotone doc_id arrival the chunk
+    // structure must be invisible: 1-chunk == 3-chunk == one-shot
+    // xd10 over all docs restricted to the ≥400 slice
+    val docs = graft.queries.T.t(spark, sf0001, "documents")
+    val delta = docs.where(col("doc_id") >= 400)
+    val corpus = docs.where(col("doc_id") < 400)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val one = rows(Streams.evolvingParagraphDedupChunked(
+      delta, corpus, 0.8, bounds = Seq.empty))
+    val three = rows(Streams.evolvingParagraphDedupChunked(
+      delta, corpus, 0.8, bounds = Seq(470L, 540L)))
+    val oneShot = rows(graft.operators.Dedup.paragraphDedup(
+        docs, "doc_id", "text")
+      .where(col("doc_id") >= 400))
+    assert(one.nonEmpty)
+    assert(three == one)
+    assert(one == oneShot)
+    // the evolving store MUST differ from qs7's static store whenever
+    // delta docs near-dup each other — otherwise this query is qs7
+    val staticStore = rows(Streams.paragraphDedupAgainstCorpus(
+      delta, corpus, threshold = 0.8))
+    assert(staticStore != one,
+      "testdata has no cross-delta span dups; evolving == static " +
+        "makes qs8 indistinguishable from qs7")
+  }
+
+  test("QS8 runner: restart mid-stream rebuilds the store from the " +
+      "durable span appends and finishes identically") {
+    val docs = graft.queries.T.t(spark, sf0001, "documents")
+    val delta = docs.where(col("doc_id") >= 400)
+    val corpus = docs.where(col("doc_id") < 400).cache()
+    val base = java.nio.file.Files.createTempDirectory("qs8")
+    val deltaDir = base.resolve("delta").toString
+    val outDir = base.resolve("out").toString
+    // chunk files written sequentially: the file-stream source orders
+    // by mtime, so arrival is monotone in doc_id as the store requires
+    delta.where(col("doc_id") < 470).coalesce(1)
+      .write.mode("append").parquet(deltaDir)
+    // first run sees ONLY chunk 1, drains, stops — the "crash"
+    Streams.runEvolvingParagraphDedupStream(spark, deltaDir, corpus,
+      0.8, outDir, compactEvery = 2)
+    Thread.sleep(20) // distinct mtimes for deterministic batch order
+    delta.where(col("doc_id") >= 470 && col("doc_id") < 540).coalesce(1)
+      .write.mode("append").parquet(deltaDir)
+    Thread.sleep(20)
+    delta.where(col("doc_id") >= 540).coalesce(1)
+      .write.mode("append").parquet(deltaDir)
+    // restart: the checkpoint skips batch 0; the store rebuilds from
+    // outDir/store/batch=0 before batches 1-2 process
+    Streams.runEvolvingParagraphDedupStream(spark, deltaDir, corpus,
+      0.8, outDir, compactEvery = 2)
+    corpus.unpersist()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val streamed = rows(spark.read.parquet(s"$outDir/batch=*"))
+    val oneShot = rows(graft.operators.Dedup.paragraphDedup(
+      docs, "doc_id", "text").where(col("doc_id") >= 400))
+    assert(streamed == oneShot)
+  }
+
   test("checkpoint restart: stateful dedup recovers state and the " +
       "file sink stays exactly-once") {
     // The 100 TB failure mode: an executor/driver dies mid-stream and
