@@ -35,20 +35,8 @@ import graft.operators.Dedup
   */
 object ScaleStress {
 
-  private def shuffleWords(text: String, seed: Long): String = {
-    val words = text.split("\\s+").filter(_.nonEmpty)
-    val r = new java.util.Random(seed)
-    var i = words.length - 1
-    while (i > 0) {
-      val j = r.nextInt(i + 1)
-      val tmp = words(i); words(i) = words(j); words(j) = tmp
-      i -= 1
-    }
-    words.mkString(" ")
-  }
-
-  // vector permutation + embedding replication live in StressUtil so
-  // every curve point (SCALE_r4*, LshScale/SCALE_r5) scales the same way
+  // document/vector replication lives in StressUtil so every curve
+  // point (SCALE_r4*, LshScale/SCALE_r5, StreamScale) scales the same way
 
   import StressUtil.joinLines
 
@@ -72,26 +60,7 @@ object ScaleStress {
     // ------------------------------------------------ corpus generation
     val tGen0 = System.nanoTime()
     val OFF = 1000000L
-    val baseDocs = spark.read.parquet(s"$baseDir/documents.parquet")
-      .select("doc_id", "text", "lang", "source", "n_chars")
-    val docsN = spark.range(factor).crossJoin(baseDocs)
-      .select(col("id").as("k"), col("doc_id"), col("text"),
-        col("lang"), col("source"), col("n_chars"))
-      .as[(Long, Long, String, String, String, Long)]
-      .map { case (k, id, text, lang, src, _) =>
-        val newId = id + k * OFF
-        val newText =
-          if (k == 0) text
-          else if (k == 1 && id % 50 == 0) text + " graftdupmark"
-          else shuffleWords(text, id * 31 + k)
-        // recompute n_chars: shuffled/marked replicas change the length,
-        // and the corpus is a reusable on-disk artifact whose n_chars
-        // must stay consistent with text for any downstream query
-        (newId, newText, lang, src, newText.length.toLong)
-      }
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
-    docsN.write.mode("overwrite")
-      .parquet(s"$outDir/documents.parquet")
+    StressUtil.replicateDocuments(spark, baseDir, outDir, factor)
     StressUtil.replicateEmbeddings(spark, baseDir, outDir, factor)
     val genSec = (System.nanoTime() - tGen0) / 1e9
     val nDocs = spark.read.parquet(s"$outDir/documents.parquet").count()

@@ -1,0 +1,244 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, ParagraphSplitter}
+
+/** Scale harness for the QS8 evolving-store paragraph dedup
+  * ([[graft.operators.Dedup.paragraphDedupIngest]]): replicate the
+  * sf0.1 documents `factor`×, treat the first half of the replicas as
+  * the initial corpus and stream the second half through the store in
+  * doc_id-ordered batches, and measure
+  *
+  *  - per-batch wall + executor-CPU as the store grows (the
+  *    continuous-ingestion cost curve — does absorbing each batch's
+  *    survivors make later batches pay more than the store-scan they
+  *    must pay?),
+  *  - chunk-count invariance at scale (coarse vs fine chunking of the
+  *    SAME delta must produce identical cleaned output — the frozen
+  *    store parameters make this structural; an implementation bug in
+  *    the append path would break it here long before spec scale),
+  *  - the compaction A/B (same batches, `compactEvery`=4 vs never):
+  *    compaction pays a store-sized rewrite to keep the store frames
+  *    single checkpoints instead of ever-deeper unions — the artifact
+  *    records both cost curves so the LSM amortization is measured,
+  *    not asserted.
+  *
+  * Emits `SCALE_r6_stream.json` (+ `_plans.txt` with the candidate-
+  * join skeleton of a late batch under the no-broadcast regime).
+  */
+object StreamScale {
+
+  import StressUtil.joinLines
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(8)
+    val suffix = args.lift(2).map("_" + _).getOrElse("")
+    require(factor >= 2 && factor % 2 == 0, "factor must be even >= 2")
+    val outDir = s"/tmp/graft_stream_scale$suffix"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val OFF = 1000000L
+    val tGen0 = System.nanoTime()
+    val nDocs = StressUtil.replicateDocuments(spark, baseDir, outDir,
+      factor)
+    val genSec = (System.nanoTime() - tGen0) / 1e9
+    val docs = spark.read.parquet(s"$outDir/documents.parquet")
+    val maxBase = spark.read.parquet(s"$baseDir/documents.parquet")
+      .agg(max(col("doc_id"))).head.getLong(0)
+
+    // first factor/2 replicas are the standing corpus; the rest arrive
+    // as `factor` equal batches (each half a replica), doc_id-ordered
+    val corpusK = factor / 2
+    val corpus = docs.where(col("doc_id") < corpusK * OFF)
+      .localCheckpoint(true)
+    val cut = maxBase / 2
+    val batchBounds: Seq[(Long, Long)] =
+      (corpusK until factor).flatMap { k =>
+        Seq((k * OFF, k * OFF + cut), (k * OFF + cut, (k + 1) * OFF))
+      }
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Any]()
+    results += "base_dir" -> baseDir
+    results += "factor" -> factor
+    results += "n_documents" -> nDocs
+    results += "gen_sec" -> genSec
+    results += "n_batches" -> batchBounds.size
+
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            cpuNs.addAndGet(e.taskMetrics.executorCpuTime)
+      })
+
+    // blocks alive at this point (the corpus checkpoint) must survive
+    // every run-boundary release — each run re-prepares its store from
+    // the checkpointed corpus
+    val protectedIds = spark.sparkContext.getPersistentRDDs.keySet
+    def dropPersisted(): Unit =
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => protectedIds(id) }
+        .values.foreach(_.unpersist(blocking = false))
+
+    /** Digest of a cleaned-output frame: order-independent, collision-
+      * resistant enough for an equality assertion without collecting
+      * megabytes of clean_text to the driver.
+      */
+    def digest(df: DataFrame): (Long, Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(doc_id, clean_text, n_para, n_kept))"),
+        sum(col("n_kept"))).head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+
+    /** Stream the delta through the evolving store in `bounds`-shaped
+      * batches; returns (per-batch wall, per-batch cpu, compaction
+      * wall total, digest of the unioned cleaned output, final store
+      * span count, per-batch appended span counts).
+      */
+    def runStream(bounds: Seq[(Long, Long)], compactEvery: Int,
+        label: String): (Seq[Double], Seq[Double], Double,
+        (Long, Long, Long), Long, Seq[Long]) = {
+      dropPersisted()
+      var ps = Dedup.prepareParagraphStore(corpus, "doc_id", "text",
+        ParagraphSplitter.FixedWindow(), threshold = 0.8,
+        shingleN = 2, maxBucket = Dedup.AutoBucket)
+      val wall = Seq.newBuilder[Double]
+      val cpu = Seq.newBuilder[Double]
+      val appended = Seq.newBuilder[Long]
+      var compactSec = 0.0
+      var outs = List.empty[DataFrame]
+      bounds.zipWithIndex.foreach { case ((lo, hi), i) =>
+        Thread.sleep(50)
+        val cpu0 = cpuNs.get
+        val t0 = System.nanoTime()
+        val ing = Dedup.paragraphDedupIngest(
+          docs.where(col("doc_id") >= lo && col("doc_id") < hi),
+          ps, "doc_id", "text")
+        // cleaned is lazy — materialize it inside the timed window the
+        // way the streaming runner's parquet write would
+        val cleaned = ing.cleaned.localCheckpoint(true)
+        val nApp = ing.appended.count()
+        ps = ing.next
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(50)
+        val cpuSec = (cpuNs.get - cpu0) / 1e9
+        wall += sec; cpu += cpuSec; appended += nApp
+        outs ::= cleaned
+        if ((i + 1) % compactEvery == 0) {
+          val tc = System.nanoTime()
+          ps = Dedup.compactParagraphStore(ps)
+          compactSec += (System.nanoTime() - tc) / 1e9
+        }
+        println(f"[stream:$label] batch $i%2d [$lo,$hi) " +
+          f"$sec%7.2fs cpu=$cpuSec%7.2fs appended=$nApp")
+      }
+      val all = outs.reduce(_.unionAll(_))
+      val d = digest(all)
+      val storeSpans = ps.store.count()
+      (wall.result(), cpu.result(), compactSec, d, storeSpans,
+        appended.result())
+    }
+
+    def jArr(xs: Seq[Double]): String =
+      xs.map(x => String.format(java.util.Locale.ROOT, "%.3f",
+        Double.box(x))).mkString("[", ",", "]")
+
+    // ---------------------------------- production run: compaction on
+    val (wall, cpu, compSec, dig, storeSpans, app) =
+      runStream(batchBounds, compactEvery = 4, "prod")
+    results += "batch_sec" -> RawJson(jArr(wall))
+    results += "batch_cpu_sec" -> RawJson(jArr(cpu))
+    results += "batch_appended" ->
+      RawJson(app.mkString("[", ",", "]"))
+    results += "compact_sec" -> compSec
+    results += "total_sec" -> wall.sum
+    results += "total_cpu_sec" -> cpu.sum
+    results += "final_store_spans" -> storeSpans
+    results += "out_rows" -> dig._1
+    results += "out_kept_spans" -> dig._3
+
+    // ------------------------------- chunk-count invariance at scale
+    // same delta in `factor/2` coarse batches (one replica each) must
+    // produce the identical cleaned output — frozen store parameters
+    // make the chunk structure invisible by construction
+    val coarse = (corpusK until factor)
+      .map(k => (k * OFF, (k + 1) * OFF))
+    val (cWall, cCpu, _, cDig, cStore, _) =
+      runStream(coarse, compactEvery = 4, "coarse")
+    require(cDig == dig,
+      s"chunk-count invariance broken at ${factor}x: fine=$dig " +
+        s"coarse=$cDig")
+    require(cStore == storeSpans,
+      s"store diverged across chunkings: $storeSpans vs $cStore")
+    results += "coarse_batch_sec" -> RawJson(jArr(cWall))
+    results += "coarse_total_cpu_sec" -> cCpu.sum
+    results += "chunk_invariance" -> true
+
+    // ------------------------------------- compaction A/B: never vs 4
+    // same fine batches with compaction disabled — the store frames
+    // grow as unions of one checkpoint per batch; the curve shows what
+    // compaction buys on a long-running stream
+    val (nWall, nCpu, _, nDig, _, _) =
+      runStream(batchBounds, compactEvery = Int.MaxValue, "nocompact")
+    require(nDig == dig,
+      s"compaction changed results: $dig vs $nDig")
+    results += "nocompact_batch_sec" -> RawJson(jArr(nWall))
+    results += "nocompact_total_cpu_sec" -> nCpu.sum
+
+    // ------------------------- late-batch plan under the no-broadcast
+    // regime: at 100 TB neither side of the candidate join broadcasts;
+    // the store-vs-delta band join must stay a shuffle hash join
+    dropPersisted()
+    val psF = Dedup.prepareParagraphStore(corpus, "doc_id", "text",
+      ParagraphSplitter.FixedWindow(), threshold = 0.8,
+      shingleN = 2, maxBucket = Dedup.AutoBucket)
+    val (lo, hi) = batchBounds.last
+    val planLines = {
+      val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try joinLines(Dedup.paragraphDedupIngest(
+        docs.where(col("doc_id") >= lo && col("doc_id") < hi),
+        psF, "doc_id", "text").cleaned)
+      finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+        spark.conf.set("spark.sql.adaptive.enabled", prevA)
+      }
+    }
+    val bad = planLines.filter(l => l.contains("Cartesian") ||
+      l.contains("BroadcastNestedLoop"))
+    require(bad.isEmpty, s"scale-killer join shapes in qs8 ingest: $bad")
+
+    val payload = results
+      .map { case (k, v) => s""""$k":${StressUtil.jsonScalar(v)}""" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"SCALE_r6_stream$suffix.json"),
+      payload + "\n")
+    val report = new StringBuilder
+    report ++= s"# QS8 ingest plan, last batch at ${factor}x, " +
+      "broadcast disabled\n"
+    planLines.foreach(l => report ++= s"  $l\n")
+    report ++= "\nAssertion: no CartesianProduct / " +
+      "BroadcastNestedLoopJoin.\n"
+    Files.writeString(Paths.get(s"SCALE_r6_stream_plans$suffix.txt"),
+      report.toString)
+    println(payload)
+    spark.stop()
+  }
+}

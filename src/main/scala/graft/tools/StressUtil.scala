@@ -25,6 +25,64 @@ object StressUtil {
     arr.toSeq
   }
 
+  /** Replicate the documents table `factor`× with id offsets — THE
+    * document-corpus scaling recipe (shared by ScaleStress and
+    * StreamScale so their curve points measure the same corpus law):
+    * replica 0 is the original; replica 1 of every 50th doc keeps the
+    * original text plus one appended token (a PLANTED near-dup pair
+    * at high Jaccard); every other replica gets a seeded word-shuffle
+    * (same token multiset, different shingle set — NOT a near-dup).
+    */
+  def replicateDocuments(spark: SparkSession, baseDir: String,
+      outDir: String, factor: Int): Long = {
+    import spark.implicits._
+    val OFF = 1000000L
+    val baseDocs = spark.read.parquet(s"$baseDir/documents.parquet")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    locally {
+      val maxId = baseDocs.agg(max(col("doc_id"))).head.getLong(0)
+      require(maxId < OFF,
+        s"base doc_id max $maxId >= offset $OFF: replica ids would " +
+          "collide; raise OFF above the base id range")
+      require(factor.toLong * OFF > 0 &&
+        OFF <= Long.MaxValue / factor.toLong,
+        s"factor $factor * OFF $OFF overflows Long")
+    }
+    spark.range(factor).crossJoin(baseDocs)
+      .select(col("id").as("k"), col("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .as[(Long, Long, String, String, String, Long)]
+      .map { case (k, id, text, lang, src, _) =>
+        val newId = id + k * OFF
+        val newText =
+          if (k == 0) text
+          else if (k == 1 && id % 50 == 0) text + " graftdupmark"
+          else shuffleWords(text, id * 31 + k)
+        // recompute n_chars: shuffled/marked replicas change the length,
+        // and the corpus is a reusable on-disk artifact whose n_chars
+        // must stay consistent with text for any downstream query
+        (newId, newText, lang, src, newText.length.toLong)
+      }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    spark.read.parquet(s"$outDir/documents.parquet").count()
+  }
+
+  /** Fisher–Yates word shuffle, deterministic per seed — the document
+    * replica transform of [[replicateDocuments]].
+    */
+  def shuffleWords(text: String, seed: Long): String = {
+    val words = text.split("\\s+").filter(_.nonEmpty)
+    val r = new java.util.Random(seed)
+    var i = words.length - 1
+    while (i > 0) {
+      val j = r.nextInt(i + 1)
+      val tmp = words(i); words(i) = words(j); words(j) = tmp
+      i -= 1
+    }
+    words.mkString(" ")
+  }
+
   /** Replicate the embeddings table `factor`× with id offsets: replica
     * 0 is byte-identical, replicas k>0 carry permuted vectors (same
     * distribution, no accidental near-dups). THE scaling recipe for
@@ -78,12 +136,19 @@ object StressUtil {
       .map(_.takeWhile(_ != '(').trim).toSeq.distinct
 
   /** Minimal JSON scalar encoding for the artifact payloads (strings,
-    * 3-decimal Locale.ROOT doubles, everything else via toString).
+    * 3-decimal Locale.ROOT doubles, [[RawJson]] verbatim, everything
+    * else via toString).
     */
   def jsonScalar(v: Any): String = v match {
+    case RawJson(s) => s
     case s: String => "\"" + s.replace("\"", "\\\"") + "\""
     case d: Double =>
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     case other => other.toString
   }
 }
+
+/** A pre-encoded JSON fragment (array/object) for
+  * [[StressUtil.jsonScalar]] — emitted verbatim into the artifact.
+  */
+final case class RawJson(s: String)
