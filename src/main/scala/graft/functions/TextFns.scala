@@ -117,13 +117,49 @@ object TextFns {
       .otherwise(0.0)
   }
 
+  /** Polynomial rolling hash of a string into [0, buckets) — the
+    * hashed-feature function of the DSIR importance weights (xt14).
+    * Same recurrence as the winnowing gram hash
+    * ([[graft.operators.WinnowFingerprint]]): acc·257 + codepoint,
+    * mod 2^31−1, so the DuckDB oracle replays it with the identical
+    * LIST_REDUCE the winnowing oracles already use. Pure per-row
+    * column arithmetic — a narrow map at any corpus size.
+    */
+  def polyBucket(w: Column, buckets: Int): Column =
+    pmod(
+      aggregate(sequence(lit(1), length(w)), lit(0L),
+        (acc, i) => (acc * 257 + ascii(w.substr(i, lit(1)))) %
+          lit(2147483647L)),
+      lit(buckets.toLong))
+
+  /** Adjacent token pairs as "w1 w2" strings (the bigram features of
+    * xt14). Equal-length slices keep `zip_with` away from its
+    * null-padding behavior on ragged inputs.
+    */
+  def wordBigrams(toks: Column): Column = {
+    val n1 = greatest(size(toks) - 1, lit(0))
+    zip_with(slice(toks, lit(1), n1), slice(toks, lit(2), n1),
+      (a, b) => concat_ws(" ", a, b))
+  }
+
   /** Fraction of tokens taken by the single most frequent token —
     * computed per row with a sort + one `aggregate` pass over the
     * array (longest equal-run), no explode/groupBy shuffle.
     */
   def topWordFrac(text: Column): Column = {
     val toks = tokens(text)
-    val best = aggregate(array_sort(toks),
+    when(size(toks) > 0,
+      topWordRun(text).cast(DoubleType) / size(toks)).otherwise(0.0)
+  }
+
+  /** Occurrence count of the single most frequent token, as the exact
+    * integer (the longest equal-run of the sorted token array) — the
+    * numerator of [[topWordFrac]], exposed so ratio thresholds (xt15)
+    * can divide the true integer instead of reconstituting it from a
+    * double.
+    */
+  def topWordRun(text: Column): Column =
+    aggregate(array_sort(tokens(text)),
       struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
       (acc, x) => {
         val run = when(x === acc.getField("prev"),
@@ -132,6 +168,4 @@ object TextFns {
           greatest(acc.getField("best"), run).as("best"))
       },
       acc => acc.getField("best"))
-    when(size(toks) > 0, best.cast(DoubleType) / size(toks)).otherwise(0.0)
-  }
 }

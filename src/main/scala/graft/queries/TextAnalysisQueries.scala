@@ -62,6 +62,15 @@ object TextAnalysisQueries {
        |  FROM h
        |)""".stripMargin
 
+  /** DuckDB replay of [[TextFns.polyBucket]]: the winnowing gram hash
+    * recurrence over an arbitrary string expression, mod `buckets`.
+    */
+  private def polyBucketSql(sExpr: String, buckets: Int): String =
+    s"""LIST_REDUCE(LIST_TRANSFORM(RANGE(1, LEN($sExpr) + 1), __pi ->
+       |  CAST(ORD(SUBSTR($sExpr, CAST(__pi AS INT), 1)) AS BIGINT)),
+       |  (__pa, __px) -> (__pa * 257 + __px) % 2147483647) % $buckets"""
+      .stripMargin.replace('\n', ' ')
+
   val all: Seq[Q] = Seq(
     // n-gram/stopword language ID: argmax of per-language stopword hit
     // counts, alphabetical tie-break (ties happen often on this
@@ -546,6 +555,183 @@ object TextAnalysisQueries {
           r4(when(col("nf") === 0, lit(0.0))
             .otherwise(col("ns").cast(DoubleType) / col("nf")))
             .as("shared_frac"))
+        .orderBy("doc_id")
+    },
+
+    // DSIR-shape data selection (hashed n-gram importance resampling,
+    // after Xie et al. 2023, deterministic top-k instead of Gumbel
+    // sampling): bucket unigram + bigram features (512 + 512 via the
+    // winnowing-hash polyBucket), fit add-1-smoothed bucket models on
+    // the TARGET slice (lang='en') and the RAW corpus, score each doc
+    // by its total log-likelihood ratio Σ_f c_doc[f]·ln(p_t(f)/q_r(f)),
+    // and flag the top-100 (weight desc, doc_id tie-break). Scale
+    // shape: the fitted model is ≤1024 rows (broadcast); features are
+    // a narrow per-row map materialized ONCE (localCheckpoint) for the
+    // model aggregate and the scoring join; one doc_id agg shuffle.
+    // Per-feature ln values quantize to DECIMAL(28,12) before the
+    // order-free exact sum (the xt11 add-order discipline) — which
+    // also makes the top-k cutoff engine-independent: both engines
+    // rank the identical exact decimals.
+    Q("xt14_dsir",
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, LIST_FILTER(
+         |    STRING_SPLIT_REGEX(LOWER(text), '\\s+'), t -> t <> '') AS fw
+         |  FROM documents
+         |), feat AS (
+         |  SELECT doc_id, lang = 'en' AS tgt, UNNEST(
+         |    LIST_TRANSFORM(fw, w -> ${polyBucketSql("w", 512)}) ||
+         |    LIST_TRANSFORM(RANGE(1, GREATEST(LEN(fw), 1)), i ->
+         |      ${polyBucketSql("(fw[i] || ' ' || fw[i+1])", 512)} + 512)
+         |  ) AS f
+         |  FROM tok
+         |), model AS (
+         |  SELECT f, COUNT(*) AS cr, COUNT(*) FILTER (tgt) AS ct
+         |  FROM feat GROUP BY f
+         |), tot AS (
+         |  SELECT COUNT(*) AS nr, COUNT(*) FILTER (tgt) AS nt FROM feat
+         |), lr AS (
+         |  SELECT f, CAST(LN(CAST(ct + 1 AS DOUBLE) / (nt + 1024))
+         |    - LN(CAST(cr + 1 AS DOUBLE) / (nr + 1024))
+         |    AS DECIMAL(28,12)) AS l
+         |  FROM model CROSS JOIN tot
+         |), pd AS (
+         |  SELECT doc_id, COUNT(*) AS n_feat, SUM(l) AS s
+         |  FROM feat JOIN lr USING (f) GROUP BY doc_id
+         |), top AS (SELECT doc_id FROM pd ORDER BY s DESC, doc_id
+         |           LIMIT 100)
+         |SELECT doc_id, CAST(n_feat AS BIGINT) AS n_feat,
+         |  ${r4Sql("CAST(s AS DOUBLE)")} AS w,
+         |  CAST(doc_id IN (SELECT doc_id FROM top) AS INT) AS sel
+         |FROM pd ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toksC = TextFns.tokens(col("text"))
+      val uni = transform(toksC, w => TextFns.polyBucket(w, 512))
+      val bi = transform(TextFns.wordBigrams(toksC),
+        g => TextFns.polyBucket(g, 512) + lit(512L))
+      val feat = t(s, d, "documents")
+        .select(col("doc_id"), (col("lang") === "en").as("tgt"),
+          explode(concat(uni, bi)).as("f"))
+        .localCheckpoint(true)
+      val model = feat.groupBy("f").agg(count(lit(1)).as("cr"),
+        count(when(col("tgt"), 1)).as("ct"))
+      val tot = feat.agg(count(lit(1)).as("nr"),
+        count(when(col("tgt"), 1)).as("nt"))
+      val lr = model.crossJoin(broadcast(tot))
+        .select(col("f"),
+          (log((col("ct") + 1).cast(DoubleType) / (col("nt") + 1024)) -
+            log((col("cr") + 1).cast(DoubleType) / (col("nr") + 1024)))
+            .cast(DecimalType(28, 12)).as("l"))
+      val pd = feat.join(broadcast(lr), "f")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_feat"), sum(col("l")).as("s"))
+      val top = pd.orderBy(col("s").desc, col("doc_id")).limit(100)
+        .select(col("doc_id").as("__tid"))
+      pd.join(broadcast(top), pd("doc_id") === col("__tid"), "left")
+        .select(col("doc_id"), col("n_feat"),
+          r4(col("s").cast(DoubleType)).as("w"),
+          col("__tid").isNotNull.cast(IntegerType).as("sel"))
+        .orderBy("doc_id")
+    },
+
+    // Gopher-style composite quality filter (after Rae et al. 2021
+    // §A1.1): per-rule 0/1 flags + the AND. Every rule is per-row
+    // integer arithmetic over one scan — a pure narrow map with zero
+    // shuffle at any corpus size except the top-word rule's replay
+    // (per-row array pass in Spark, explode/groupBy only in the
+    // oracle). All ratio comparisons run on raw IEEE doubles built
+    // from identical integers in both engines.
+    Q("xt15_gopher_rules",
+      s"""WITH base AS (
+         |  SELECT doc_id, text, LIST_FILTER(
+         |    STRING_SPLIT_REGEX(LOWER(text), '\\s+'), t -> t <> '') AS fw,
+         |    STRING_SPLIT(text, CHR(10)) AS ln
+         |  FROM documents
+         |), m AS (
+         |  SELECT doc_id,
+         |    CAST(LEN(fw) AS INT) AS n_tok,
+         |    LEN(REGEXP_REPLACE(LOWER(text), '\\s+', '', 'g')) AS chars,
+         |    LEN(text) - LEN(REPLACE(text, '#', '')) AS nhash,
+         |    (LEN(text) - LEN(REGEXP_REPLACE(text, '\\.\\.\\.', '', 'g')))
+         |      / 3 AS nell,
+         |    LEN(LIST_FILTER(fw, t -> REGEXP_MATCHES(t, '[a-z]')))
+         |      AS nalpha,
+         |    ${hitsSql(stopwords(1)._2)} AS sw,
+         |    LEN(ln) AS nline,
+         |    LEN(LIST_FILTER(ln, l ->
+         |      REGEXP_MATCHES(LTRIM(l), '^[-*]'))) AS nbull,
+         |    LEN(LIST_FILTER(ln, l ->
+         |      REGEXP_MATCHES(l, '\\.\\.\\.$$'))) AS nelline
+         |  FROM base
+         |), tw AS (
+         |  SELECT doc_id, MAX(c) AS mx FROM (
+         |    SELECT doc_id, w, COUNT(*) AS c FROM (
+         |      SELECT doc_id, UNNEST(fw) AS w FROM base)
+         |    GROUP BY doc_id, w)
+         |  GROUP BY doc_id
+         |)
+         |SELECT *, CAST(w_ok + mwl_ok + sym_ok + line_ok + alpha_ok
+         |    + stop_ok + rep_ok = 7 AS INT) AS pass
+         |FROM (
+         |  SELECT m.doc_id, n_tok,
+         |    CAST(n_tok BETWEEN 50 AND 100000 AS INT) AS w_ok,
+         |    CAST(CASE WHEN n_tok = 0 THEN TRUE
+         |      ELSE CAST(chars AS DOUBLE) / n_tok BETWEEN 3.0 AND 10.0
+         |      END AS INT) AS mwl_ok,
+         |    CAST(CASE WHEN n_tok = 0 THEN TRUE
+         |      ELSE (nhash + nell) / n_tok <= 0.1 END AS INT) AS sym_ok,
+         |    CAST(CAST(nbull AS DOUBLE) / nline <= 0.9
+         |      AND CAST(nelline AS DOUBLE) / nline <= 0.3 AS INT)
+         |      AS line_ok,
+         |    CAST(CASE WHEN n_tok = 0 THEN TRUE
+         |      ELSE CAST(nalpha AS DOUBLE) / n_tok >= 0.8 END AS INT)
+         |      AS alpha_ok,
+         |    CAST(sw >= 2 AS INT) AS stop_ok,
+         |    CAST(CASE WHEN n_tok = 0 THEN TRUE
+         |      ELSE CAST(tw.mx AS DOUBLE) / n_tok <= 0.3 END AS INT)
+         |      AS rep_ok
+         |  FROM m LEFT JOIN tw USING (doc_id)
+         |) ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toks = TextFns.tokens(col("text"))
+      val lines = split(col("text"), "\n")
+      val m = t(s, d, "documents").select(
+        col("doc_id"),
+        size(toks).as("n_tok"),
+        length(regexp_replace(lower(col("text")), "\\s+", ""))
+          .as("chars"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "#", ""))).as("nhash"),
+        ((length(col("text")) -
+          length(regexp_replace(col("text"), "\\.\\.\\.", ""))) /
+          lit(3)).as("nell"),
+        size(filter(toks, tk => tk.rlike("[a-z]"))).as("nalpha"),
+        hits(toks, stopwords(1)._2).as("sw"),
+        size(lines).as("nline"),
+        size(filter(lines, l => ltrim(l).rlike("^[-*]"))).as("nbull"),
+        size(filter(lines, l => l.rlike("\\.\\.\\.$"))).as("nelline"),
+        TextFns.topWordRun(col("text")).as("mx"))
+      def flag(c: Column): Column = c.cast(IntegerType)
+      val zeroTrue = col("n_tok") === 0
+      val flags = m.select(
+        col("doc_id"), col("n_tok"),
+        flag(col("n_tok").between(50, 100000)).as("w_ok"),
+        flag(when(zeroTrue, lit(true)).otherwise(
+          (col("chars").cast(DoubleType) / col("n_tok"))
+            .between(3.0, 10.0))).as("mwl_ok"),
+        flag(when(zeroTrue, lit(true)).otherwise(
+          (col("nhash") + col("nell")) / col("n_tok") <= 0.1))
+          .as("sym_ok"),
+        flag(col("nbull").cast(DoubleType) / col("nline") <= 0.9 &&
+          col("nelline").cast(DoubleType) / col("nline") <= 0.3)
+          .as("line_ok"),
+        flag(when(zeroTrue, lit(true)).otherwise(
+          col("nalpha").cast(DoubleType) / col("n_tok") >= 0.8))
+          .as("alpha_ok"),
+        flag(col("sw") >= 2).as("stop_ok"),
+        flag(when(zeroTrue, lit(true)).otherwise(
+          col("mx") / col("n_tok") <= 0.3)).as("rep_ok"))
+      flags.withColumn("pass",
+        flag(col("w_ok") + col("mwl_ok") + col("sym_ok") +
+          col("line_ok") + col("alpha_ok") + col("stop_ok") +
+          col("rep_ok") === 7))
         .orderBy("doc_id")
     }
   )

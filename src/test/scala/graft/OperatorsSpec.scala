@@ -561,4 +561,71 @@ class OperatorsSpec extends SparkSpec {
     assert(got(3L) == (0.0, 0.0))
     assert(got(4L)._2 == 0.6)
   }
+
+  test("polyBucket: in-range, deterministic, order-sensitive; " +
+      "wordBigrams shape") {
+    import spark.implicits._
+    val df = Seq("table", "elbat", "a").toDF("w")
+      .select(col("w"), TextFns.polyBucket(col("w"), 512).as("b"))
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.values.forall(b => b >= 0 && b < 512))
+    assert(got("a") == 'a'.toLong % 512) // single char = its codepoint
+    assert(got("table") != got("elbat")) // anagrams hash apart
+    val again = Seq("table").toDF("w")
+      .select(TextFns.polyBucket(col("w"), 512)).head.getLong(0)
+    assert(again == got("table"))
+    val bg = Seq("x y z", "solo", "").toDF("t")
+      .select(TextFns.wordBigrams(TextFns.tokens(col("t"))))
+      .collect().map(_.getSeq[String](0))
+    assert(bg(0) == Seq("x y", "y z") && bg(1).isEmpty && bg(2).isEmpty)
+  }
+
+  test("gopher rules fire on crafted docs (symbol/line/alpha/mwl " +
+      "rules are vacuous on the synthetic corpus)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("gopher_fix").toString
+    val fill = (1 to 60).map(i => s"word$i").mkString(" ")
+    val rows = Seq(
+      // 1: healthy — 60 mid-length words, stopwords present, no junk
+      (1L, s"the data of $fill"),
+      // 2: all-bullet lines → line_ok=0 (bullet frac 1.0 > 0.9)
+      (2L, (1 to 10).map(i => s"- item $i of the $fill").mkString("\n")),
+      // 3: 4 of 10 lines end "..." → line_ok=0 (0.4 > 0.3)
+      (3L, (1 to 10).map(i =>
+        s"line $i of the $fill" + (if (i <= 4) " ..." else ""))
+        .mkString("\n")),
+      // 4: '#' flood → sym_ok=0 (and '#' tokens also sink alpha)
+      (4L, s"the config of $fill " + Seq.fill(30)("#").mkString(" ")),
+      // 5: digit tokens → alpha_ok=0
+      (5L, s"the sum of " + (1 to 57).map(_.toString).mkString(" ")),
+      // 6: single-char words → mwl_ok=0 (mean 1 < 3)
+      (6L, "the a " + Seq.fill(55)("a b c").mkString(" ")),
+      // 7: empty → n_tok=0: w_ok=0, ratio rules default true
+      (7L, ""),
+      // 8: one word repeated → rep_ok=0 (top-word frac 56/63 > 0.3)
+      (8L, s"the spam of $fill " + Seq.fill(56)("spam").mkString(" ")))
+    rows.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("fix").as("source"), length(col("text")).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("xt15_gopher_rules")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def f(id: Long, name: String): Int = {
+      val r = out(id); r.getInt(r.fieldIndex(name))
+    }
+    assert(f(1L, "pass") == 1)
+    assert(f(2L, "line_ok") == 0 && f(2L, "pass") == 0)
+    assert(f(3L, "line_ok") == 0 && f(3L, "sym_ok") == 1)
+    assert(f(4L, "sym_ok") == 0 && f(4L, "alpha_ok") == 0)
+    assert(f(5L, "alpha_ok") == 0)
+    assert(f(6L, "mwl_ok") == 0)
+    assert(f(7L, "w_ok") == 0 && f(7L, "mwl_ok") == 1 &&
+      f(7L, "rep_ok") == 1 && f(7L, "pass") == 0)
+    assert(f(8L, "rep_ok") == 0)
+    // dsir on the same fixtures: weights finite, top-k flag bounded
+    val dsir = SparkEntry.queries("xt14_dsir")(spark, dir).collect()
+    assert(dsir.length == 7) // doc 7 has no tokens → no features
+    assert(dsir.map(r => r.getInt(r.fieldIndex("sel"))).sum == 7)
+  }
 }
