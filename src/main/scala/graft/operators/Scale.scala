@@ -103,6 +103,56 @@ object Scale {
   def fixedSample(df: DataFrame, keyCol: Column, k: Int): DataFrame =
     df.orderBy(md5(keyCol.cast(StringType)), keyCol).limit(k)
 
+  /** Token-budget shard packing as a DISTRIBUTED prefix sum: assign
+    * each row the shard `floor(tokens_before_it / budget)` under a
+    * total order — the "pack documents into ~budget-token training
+    * shards" operator. The naive plan is `SUM(w) OVER (ORDER BY key)`,
+    * a partition-less window that Spark executes on ONE task after a
+    * global sort — the canonical 100TB non-starter. This runs the
+    * classic two-level scan instead:
+    *
+    *  1. a monotone bucket `g = floor((key-min)·buckets/span)` (narrow
+    *     map; only monotonicity matters, not uniformity, so the
+    *     double rounding is harmless),
+    *  2. the running sum WITHIN each bucket — a window partitioned on
+    *     `g`, `buckets`-way parallel,
+    *  3. per-bucket totals cascaded into bucket START offsets — a
+    *     window over exactly `buckets` rows (the only single-partition
+    *     step; 10^2..10^4 rows at any corpus size), broadcast back.
+    *
+    * Result is bit-identical to the naive global window for any bucket
+    * count (spec-asserted), so shard boundaries are engine- and
+    * partitioning-independent. Output = input + `shard`.
+    */
+  def packShards(df: DataFrame, orderCol: String, weightCol: String,
+      budget: Long, buckets: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0 && buckets > 0, "packShards: budget/buckets > 0")
+    require(!df.columns.exists(_.startsWith("__pk")),
+      "packShards: input carries reserved __pk* columns")
+    val k = col(orderCol)
+    val bounds = df.agg(min(k).cast(DoubleType).as("__pkmin"),
+      max(k).cast(DoubleType).as("__pkmax"))
+    val g = floor((k.cast(DoubleType) - col("__pkmin")) * buckets /
+      (col("__pkmax") - col("__pkmin") + 1d)).as("__pkg")
+    val within = df.crossJoin(broadcast(bounds))
+      .withColumn("__pkg", g)
+      .withColumn("__pkrun", sum(col(weightCol))
+        .over(Window.partitionBy("__pkg").orderBy(orderCol)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offsets = within.groupBy("__pkg")
+      .agg(sum(col(weightCol)).as("__pktot"))
+      .withColumn("__pkoff", coalesce(sum(col("__pktot"))
+        .over(Window.orderBy("__pkg")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pkg", "__pkoff")
+    within.join(broadcast(offsets), "__pkg")
+      .withColumn("shard",
+        floor((col("__pkoff") + col("__pkrun") - col(weightCol)) /
+          budget.toDouble).cast(LongType))
+      .drop("__pkg", "__pkrun", "__pkoff", "__pkmin", "__pkmax")
+  }
+
   /** Scale-hygienic parquet layout: directory-partitioned on
     * `partitionCols` (readers with partition predicates prune whole
     * directories), rows sorted within each task by `sortCols` (tight

@@ -86,6 +86,37 @@ object ScaleQueries {
         |LIMIT 100""".stripMargin) { (s, d) =>
       Scale.fixedSample(t(s, d, "documents"), col("doc_id"), 100)
         .select("doc_id", "lang")
+    },
+
+    // Token-budget shard packing (pack docs into ~4096-token training
+    // shards in doc_id order): the oracle is the NAIVE partition-less
+    // running sum — the scale-safe two-level scan in Scale.packShards
+    // must land every doc in the identical shard. Per-shard rollup
+    // keeps the gate row count at n_tokens/4096.
+    Q("xk6_pack_shards",
+      """WITH d AS (
+        |  SELECT doc_id, LEN(LIST_FILTER(
+        |    STRING_SPLIT_REGEX(LOWER(text), '\s+'), t -> t <> ''))
+        |    AS n_tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n_tok,
+        |    SUM(n_tok) OVER (ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tok AS c0
+        |  FROM d
+        |)
+        |SELECT CAST(FLOOR(c0 / 4096.0) AS BIGINT) AS shard,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          size(graft.functions.TextFns.tokens(col("text"))).as("n_tok"))
+      Scale.packShards(docs, "doc_id", "n_tok", budget = 4096)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tok"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("shard")
     }
   )
 }

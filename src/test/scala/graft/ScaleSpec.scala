@@ -275,4 +275,48 @@ class ScaleSpec extends SparkSpec {
     // doc 10 shares both 5-grams of the bench doc, doc 12 shares one
     assert(rows == Seq((10L, 2L, 1L), (12L, 1L, 1L)), rows.toString)
   }
+
+  test("packShards == naive global window, invariant to bucket count, " +
+      "big window partitioned") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = T.t(spark, sf0001, "documents")
+      .select(col("doc_id"),
+        size(graft.functions.TextFns.tokens(col("text"))).as("n_tok"))
+    def shards(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "shard").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val naive = shards(docs.withColumn("shard",
+      floor((sum("n_tok").over(Window.orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        - col("n_tok")) / 4096d).cast("long")))
+    for (b <- Seq(1, 7, 64)) {
+      val safe = Scale.packShards(docs, "doc_id", "n_tok", 4096L, b)
+      assert(shards(safe) == naive, s"buckets=$b diverges from naive")
+    }
+    // plan shape: the doc-level running sum must be a PARTITIONED
+    // window (parallel); only the buckets-row offset cascade may run
+    // partition-less
+    val plan = Scale.packShards(docs, "doc_id", "n_tok", 4096L, 64)
+      .queryExecution.executedPlan.toString
+    assert("windowspecdefinition\\(__pkg#\\d+L?, doc_id".r
+        .findFirstIn(plan).isDefined,
+      s"doc-level window must partition on the bucket:\n$plan")
+    assert("windowspecdefinition\\(doc_id".r.findFirstIn(plan).isEmpty,
+      s"no window may order the full corpus without partitioning:\n$plan")
+    // shards are contiguous doc_id ranges of ~budget tokens
+    val roll = Scale.packShards(docs, "doc_id", "n_tok", 4096L)
+      .groupBy("shard").agg(min("doc_id").as("lo"), max("doc_id").as("hi"),
+        sum("n_tok").as("tok"))
+      .orderBy("shard").collect()
+    roll.sliding(2).foreach { w =>
+      if (w.length == 2) assert(w(0).getLong(2) < w(1).getLong(1),
+        "shard doc_id ranges must not interleave")
+    }
+    val maxTok = docs.agg(max("n_tok")).head.getInt(0)
+    roll.dropRight(1).foreach { r =>
+      assert(r.getLong(3) >= 4096L - maxTok + 1 &&
+        r.getLong(3) < 4096L + maxTok,
+        s"shard ${r.getLong(0)} tokens ${r.getLong(3)} off budget")
+    }
+  }
 }
