@@ -152,6 +152,52 @@ object TextFns {
       topWordRun(text).cast(DoubleType) / size(toks)).otherwise(0.0)
   }
 
+  /** Repeated-occurrence stats over an arbitrary string array: a
+    * struct of (dupn, dupch) where dupn counts every occurrence of a
+    * value BEYOND its first and dupch the characters those repeats
+    * carry — the numerators of the Gopher duplicate-line fractions
+    * (xt16). One sort + one `aggregate` pass per row (each sorted
+    * element equal to its predecessor is a beyond-first occurrence);
+    * no explode/groupBy shuffle, and the count form is independent of
+    * the sort's tie order.
+    */
+  def dupRunStats(arr: Column): Column =
+    aggregate(array_sort(arr),
+      struct(lit(null).cast(StringType).as("prev"),
+        lit(0L).as("dupn"), lit(0L).as("dupch")),
+      (acc, x) => {
+        val rep = x === acc.getField("prev")
+        struct(x.as("prev"),
+          (acc.getField("dupn") + when(rep, 1L).otherwise(0L)).as("dupn"),
+          (acc.getField("dupch") +
+            when(rep, length(x).cast(LongType)).otherwise(0L)).as("dupch"))
+      },
+      acc => struct(acc.getField("dupn").as("dupn"),
+        acc.getField("dupch").as("dupch")))
+
+  /** Most frequent element of a string array with its count, ties
+    * broken to the lexicographically SMALLEST value (the sorted pass
+    * only replaces the champion on a strictly longer run, so the
+    * first — smallest — max run wins; same tie DuckDB's
+    * `ORDER BY c DESC, g` picks). Struct (gram, cnt); cnt=0 on empty.
+    */
+  def topElem(arr: Column): Column =
+    aggregate(array_sort(arr),
+      struct(lit(null).cast(StringType).as("prev"), lit(0L).as("run"),
+        lit(0L).as("bestrun"), lit(null).cast(StringType).as("bestgram")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1L).otherwise(1L)
+        val better = run > acc.getField("bestrun")
+        struct(x.as("prev"), run.as("run"),
+          when(better, run).otherwise(acc.getField("bestrun"))
+            .as("bestrun"),
+          when(better, x).otherwise(acc.getField("bestgram"))
+            .as("bestgram"))
+      },
+      acc => struct(acc.getField("bestgram").as("gram"),
+        acc.getField("bestrun").as("cnt")))
+
   /** Occurrence count of the single most frequent token, as the exact
     * integer (the longest equal-run of the sorted token array) — the
     * numerator of [[topWordFrac]], exposed so ratio thresholds (xt15)

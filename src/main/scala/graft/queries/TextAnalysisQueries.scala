@@ -733,6 +733,75 @@ object TextAnalysisQueries {
           col("line_ok") + col("alpha_ok") + col("stop_ok") +
           col("rep_ok") === 7))
         .orderBy("doc_id")
+    },
+
+    // Gopher repetition signals (Rae et al. 2021 §A1.1, the line/
+    // n-gram family xt9's word-level pair doesn't cover): fraction of
+    // line occurrences beyond the first, fraction of characters those
+    // repeated lines carry, and the character share of the single most
+    // frequent word bigram (count·chars / total word chars; ties to
+    // the lexicographically smallest bigram in both engines). Spark
+    // computes every signal per row — sort + one aggregate pass over
+    // the line/bigram arrays, zero shuffle at any corpus size — while
+    // the oracle replays via explode/groupBy, so the hash gate also
+    // proves the single-pass fold == the relational formulation.
+    Q("xt16_repetition_lines",
+      s"""WITH base AS (
+         |  SELECT doc_id, STRING_SPLIT(text, CHR(10)) AS ln,
+         |    LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'),
+         |                t -> t <> '') AS fw
+         |  FROM documents
+         |), lstat AS (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS nl,
+         |    SUM(c - 1) AS dupn, SUM((c - 1) * LEN(l)) AS dupch,
+         |    SUM(c * LEN(l)) AS lch
+         |  FROM (SELECT doc_id, l, COUNT(*) AS c FROM (
+         |          SELECT doc_id, UNNEST(ln) AS l FROM base)
+         |        GROUP BY doc_id, l)
+         |  GROUP BY doc_id
+         |), bg AS (
+         |  SELECT doc_id, g, COUNT(*) AS c FROM (
+         |    SELECT doc_id, fw[i+1] || ' ' || fw[i+2] AS g
+         |    FROM base, UNNEST(RANGE(0, GREATEST(LEN(fw) - 1, 0))) u(i))
+         |  GROUP BY doc_id, g
+         |), bgtop AS (
+         |  SELECT doc_id, g, c FROM (
+         |    SELECT doc_id, g, c, ROW_NUMBER() OVER (
+         |      PARTITION BY doc_id ORDER BY c DESC, g) AS rn FROM bg)
+         |  WHERE rn = 1
+         |), wch AS (
+         |  SELECT doc_id, LEN(ARRAY_TO_STRING(fw, '')) AS wc FROM base
+         |)
+         |SELECT l.doc_id, l.nl AS n_line,
+         |  ${r4Sql("CAST(l.dupn AS DOUBLE) / l.nl")} AS dup_line_frac,
+         |  ${r4Sql("CASE WHEN l.lch = 0 THEN 0.0 ELSE " +
+             "CAST(l.dupch AS DOUBLE) / l.lch END")} AS dup_char_frac,
+         |  ${r4Sql("CASE WHEN w.wc = 0 OR t.c IS NULL THEN 0.0 ELSE " +
+             "t.c * CAST(LEN(t.g) - 1 AS DOUBLE) / w.wc END")}
+         |    AS top2_char_frac
+         |FROM lstat l JOIN wch w USING (doc_id)
+         |LEFT JOIN bgtop t USING (doc_id)
+         |ORDER BY l.doc_id""".stripMargin) { (s, d) =>
+      val lines = split(col("text"), "\n")
+      val toks = TextFns.tokens(col("text"))
+      val m = t(s, d, "documents").select(
+        col("doc_id"),
+        size(lines).cast(LongType).as("n_line"),
+        TextFns.dupRunStats(lines).as("ds"),
+        length(array_join(lines, "")).as("lch"),
+        TextFns.topElem(TextFns.wordBigrams(toks)).as("tp"),
+        length(array_join(toks, "")).as("wc"))
+      m.select(col("doc_id"), col("n_line"),
+        r4(col("ds.dupn").cast(DoubleType) / col("n_line"))
+          .as("dup_line_frac"),
+        r4(when(col("lch") === 0, 0.0).otherwise(
+          col("ds.dupch").cast(DoubleType) / col("lch")))
+          .as("dup_char_frac"),
+        r4(when(col("wc") === 0 || col("tp.gram").isNull, 0.0)
+          .otherwise(col("tp.cnt") *
+            (length(col("tp.gram")) - 1).cast(DoubleType) / col("wc")))
+          .as("top2_char_frac"))
+        .orderBy("doc_id")
     }
   )
 }

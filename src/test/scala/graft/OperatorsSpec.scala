@@ -628,4 +628,35 @@ class OperatorsSpec extends SparkSpec {
     assert(dsir.length == 7) // doc 7 has no tokens → no features
     assert(dsir.map(r => r.getInt(r.fieldIndex("sel"))).sum == 7)
   }
+
+  test("line-repetition signals fire on crafted docs " +
+      "(dup lines / top-bigram concentration)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("rep_fix").toString
+    val rows = Seq(
+      // 1: 4 lines, "same line" twice → 1 beyond-first of 9 chars
+      (1L, "same line\nother a\nsame line\nlast b"),
+      // 2: unique lines, "of the" bigram 3× among 8 bigrams;
+      //    word chars = len("ofxthexofxthexofxthexcatxdog")-ish
+      (2L, "of the of the of the cat dog"),
+      // 3: empty
+      (3L, ""))
+    rows.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("fix").as("source"), length(col("text")).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("xt16_repetition_lines")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val (nl1, df1, cf1, _) = out(1L)
+    assert(nl1 == 4 && df1 == 0.25) // 1 repeat of 4 lines
+    assert(cf1 == 0.2903) // 9 repeated chars / 31 total line chars
+    val (_, df2, _, t2) = out(2L)
+    assert(df2 == 0.0)
+    // top bigram "of the": 3 occurrences × 5 word-chars / 21 total
+    assert(t2 == 0.7143)
+    assert(out(3L) == ((1L, 0.0, 0.0, 0.0)))
+  }
 }
