@@ -1,0 +1,175 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+
+/** Scale harness for the data-SELECTION operators (round-6 additions):
+  * DSIR importance weights (xt14), the Gopher quality filter (xt15),
+  * the line/bigram repetition signals (xt16), and token-budget shard
+  * packing (xk6) at `factor`× bench scale over the SHARED document
+  * replication recipe (StressUtil — same corpus law as every other
+  * SCALE artifact). Writes `SCALE_r6_select{_suffix}.json` with
+  * wall+CPU per leg, structural invariants, and join-skeleton
+  * snapshots:
+  *  - xt14: exactly 100 selected docs at any corpus size (the top-k
+  *    is an absolute budget, not a fraction), model/scoring joins are
+  *    broadcast-hash (the model is ≤1024 rows by construction);
+  *  - xt15/xt16: ZERO join nodes — the filters are narrow maps, the
+  *    100 TB shape is "one scan, no shuffle except the final sort";
+  *  - xk6: the two-level prefix sum equals the naive partition-less
+  *    window AT SCALE (bit-identical shard membership), token totals
+  *    conserve, and no window orders the full corpus unpartitioned.
+  */
+object SelectStress {
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val suffix = args.lift(2).map("_" + _).getOrElse("")
+    val outDir = s"/tmp/graft_scale_sel$suffix"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val tGen0 = System.nanoTime()
+    StressUtil.replicateDocuments(spark, baseDir, outDir, factor)
+    val genSec = (System.nanoTime() - tGen0) / 1e9
+    val nDocs = spark.read.parquet(s"$outDir/documents.parquet").count()
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Any]()
+    results += "base_dir" -> baseDir
+    results += "factor" -> factor
+    results += "n_documents" -> nDocs
+    results += "gen_sec" -> genSec
+
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            cpuNs.addAndGet(e.taskMetrics.executorCpuTime)
+      })
+    def timed[A](name: String)(body: => (Long, Seq[(String, Any)])): Unit = {
+      Thread.sleep(50)
+      val cpu0 = cpuNs.get
+      val t0 = System.nanoTime()
+      val (rows, extra) = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(50)
+      val cpuSec = (cpuNs.get - cpu0) / 1e9
+      results += s"${name}_sec" -> sec
+      results += s"${name}_cpu_sec" -> cpuSec
+      results += s"${name}_rows" -> rows
+      extra.foreach { case (k, v) => results += s"${name}_$k" -> v }
+      println(f"[select] $name%-18s $sec%8.2fs cpu=$cpuSec%8.2fs rows=$rows")
+    }
+    def dropPersisted(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+
+    val plans = scala.collection.mutable.LinkedHashMap[String, Seq[String]]()
+
+    // ------------------------------------------------ xt14 DSIR
+    timed("xt14_dsir") {
+      val df = graft.SparkEntry.queries("xt14_dsir")(spark, outDir).cache()
+      val n = df.count()
+      plans += "xt14_dsir" -> StressUtil.joinLines(df)
+      val sel = df.agg(sum("sel")).head.getLong(0)
+      require(sel == 100, s"top-k budget must stay absolute: sel=$sel")
+      // the model/scoring joins must be broadcast-hash (≤1024-row model)
+      require(plans("xt14_dsir").exists(_.startsWith("BroadcastHashJoin")),
+        s"model join not broadcast: ${plans("xt14_dsir")}")
+      df.unpersist()
+      (n, Seq("selected" -> sel))
+    }
+    dropPersisted()
+
+    // ------------------------------ xt15/xt16 narrow-map filters.
+    // A bare count() would let Spark prune every computed column and
+    // time an empty scan — sum the outputs instead so the fold/regex
+    // work actually runs (and the sums are scale-level invariants).
+    timed("xt15_gopher_rules") {
+      val df = graft.SparkEntry.queries("xt15_gopher_rules")(spark, outDir)
+      val jl = StressUtil.joinLines(df)
+      plans += "xt15_gopher_rules" -> jl
+      require(!jl.exists(_.contains("Join")),
+        s"xt15 must be join-free (narrow map): $jl")
+      val a = df.agg(count(lit(1)), sum("pass"), sum("n_tok")).head
+      (a.getLong(0), Seq("passed" -> a.getLong(1), "tokens" -> a.getLong(2)))
+    }
+    timed("xt16_repetition_lines") {
+      val df = graft.SparkEntry.queries("xt16_repetition_lines")(spark,
+        outDir)
+      val jl = StressUtil.joinLines(df)
+      plans += "xt16_repetition_lines" -> jl
+      require(!jl.exists(_.contains("Join")),
+        s"xt16 must be join-free (narrow map): $jl")
+      val a = df.agg(count(lit(1)), sum("dup_line_frac"),
+        sum("top2_char_frac")).head
+      (a.getLong(0), Seq("dup_line_frac_sum" -> a.getDouble(1),
+        "top2_char_frac_sum" -> a.getDouble(2)))
+    }
+
+    // ------------------------------------------------ xk6 packing
+    timed("xk6_pack_shards") {
+      import org.apache.spark.sql.expressions.Window
+      val docs = spark.read.parquet(s"$outDir/documents.parquet")
+        .select(col("doc_id"),
+          size(graft.functions.TextFns.tokens(col("text"))).as("n_tok"))
+        .cache()
+      val packed = graft.operators.Scale
+        .packShards(docs, "doc_id", "n_tok", budget = 4096).cache()
+      val n = packed.count()
+      plans += "xk6_pack_shards" -> StressUtil.joinLines(packed)
+      val plan = packed.queryExecution.executedPlan.toString
+      require("windowspecdefinition\\(doc_id".r.findFirstIn(plan).isEmpty,
+        "partition-less full-corpus window in packShards plan")
+      // bit-identical to the naive single-partition running sum AT SCALE
+      val naive = docs.withColumn("shard",
+        floor((sum("n_tok").over(Window.orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("n_tok")) / 4096d).cast("long"))
+      val diverged = packed.select("doc_id", "shard")
+        .exceptAll(naive.select("doc_id", "shard")).count()
+      require(diverged == 0, s"$diverged docs diverge from naive window")
+      val agg = packed.agg(sum("n_tok").as("tok"),
+        countDistinct("shard").as("shards")).head
+      val (tok, shards) = (agg.getLong(0), agg.getLong(1))
+      val tokDirect = docs.agg(sum("n_tok")).head.getLong(0)
+      require(tok == tokDirect, s"token totals drift: $tok vs $tokDirect")
+      docs.unpersist(); packed.unpersist()
+      (n, Seq("total_tokens" -> tok, "n_shards" -> shards))
+    }
+    dropPersisted()
+
+    val payload = results
+      .map { case (k, v) => s""""$k":${StressUtil.jsonScalar(v)}""" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"SCALE_r6_select$suffix.json"),
+      payload + "\n")
+    val rep = new StringBuilder
+    rep ++= s"# Selection-operator plan snapshots at ${factor}x bench " +
+      s"scale ($nDocs docs)\n"
+    plans.foreach { case (q, ls) =>
+      rep ++= s"\n## $q\n"
+      ls.foreach(l => rep ++= s"  $l\n")
+      if (ls.isEmpty) rep ++= "  (no join/exchange nodes — narrow map" +
+        " + final sort only)\n"
+    }
+    rep ++= "\nAssertions: xt14 selected==100 and broadcast-hash " +
+      "model joins; xt15/xt16 join-free; xk6 == naive window with no " +
+      "partition-less full-corpus window, token totals conserved.\n"
+    Files.writeString(Paths.get(s"SCALE_r6_select_plans$suffix.txt"),
+      rep.toString)
+    println(payload)
+    spark.stop()
+  }
+}
