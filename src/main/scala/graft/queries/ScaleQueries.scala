@@ -117,6 +117,74 @@ object ScaleQueries {
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tok"),
           min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
         .orderBy("shard")
+    },
+
+    // Mixture resampling to a TARGET language distribution (uniform
+    // token share here — the Pile/ROOTS reweighting op): per-lang
+    // factor = total_tokens / (n_langs · lang_tokens), per-doc repeat
+    // count = floor(factor) + a deterministic md5 fractional draw
+    // (16-bit bucket vs floor(frac·65536) — engine-independent, unlike
+    // rand()). Scale shape: two tiny aggs broadcast back, then a pure
+    // narrow map — the corpus never shuffles except the final per-lang
+    // rollup. The factor arithmetic is integer-derived double division,
+    // so both engines compute bit-identical factors and draws.
+    Q("xk7_mixture_resample",
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, LEN(LIST_FILTER(
+         |    STRING_SPLIT_REGEX(LOWER(text), '\\s+'), t -> t <> ''))
+         |    AS n_tok
+         |  FROM documents
+         |), bl AS (
+         |  SELECT lang, SUM(n_tok) AS tokl FROM d GROUP BY lang
+         |), t AS (
+         |  SELECT COUNT(*) AS nl, SUM(tokl) AS tot FROM bl
+         |), f AS (
+         |  SELECT lang, CAST(tot AS DOUBLE) / (nl * tokl) AS factor
+         |  FROM bl CROSS JOIN t
+         |), r AS (
+         |  SELECT d.doc_id, d.lang, d.n_tok, f.factor,
+         |    CAST(FLOOR(f.factor) AS BIGINT) +
+         |    CASE WHEN ${hb16Sql("CAST(doc_id AS VARCHAR)")} <
+         |      CAST(FLOOR((f.factor - FLOOR(f.factor)) * 65536) AS INT)
+         |    THEN 1 ELSE 0 END AS reps
+         |  FROM d JOIN f USING (lang)
+         |)
+         |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT)
+         |    AS tok,
+         |  ${r4Sql("MAX(factor)")} AS factor,
+         |  CAST(SUM(reps) AS BIGINT) AS reps_docs,
+         |  CAST(SUM(reps * n_tok) AS BIGINT) AS reps_tok
+         |FROM r GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.{DoubleType, IntegerType,
+        LongType, StringType}
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"),
+        size(graft.functions.TextFns.tokens(col("text"))).as("n_tok"))
+      val byLang = docs.groupBy("lang").agg(sum("n_tok").as("tokl"))
+      val tot = byLang.agg(count(lit(1)).as("nl"), sum("tokl").as("tot"))
+      val f = byLang.crossJoin(broadcast(tot))
+        .select(col("lang"), (col("tot").cast(DoubleType) /
+          (col("nl") * col("tokl"))).as("factor"))
+      val cut = floor((col("factor") - floor(col("factor"))) * 65536)
+        .cast(IntegerType)
+      val r = docs.join(broadcast(f), "lang")
+        .withColumn("reps", floor(col("factor")).cast(LongType) +
+          when(Scale.hashBucket16(col("doc_id").cast(StringType)) < cut,
+            1L).otherwise(0L))
+      r.groupBy("lang").agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("tok"), r4(max(col("factor"))).as("factor"),
+        sum("reps").as("reps_docs"),
+        sum(col("reps") * col("n_tok")).as("reps_tok"))
+        .orderBy("lang")
     }
   )
+
+  /** 16-bit md5 bucket in DuckDB SQL — the 4-nibble STRPOS expansion
+    * of [[Scale.hashBucket16]] (DuckDB has no base-conversion
+    * builtin; the 2-nibble form of this pattern is xk3's oracle).
+    */
+  private def hb16Sql(x: String): String = {
+    def nib(i: Int) =
+      s"(STRPOS('0123456789abcdef', SUBSTR(MD5($x), $i, 1)) - 1)"
+    s"(((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16 + ${nib(4)})"
+  }
 }

@@ -276,6 +276,28 @@ class ScaleSpec extends SparkSpec {
     assert(rows == Seq((10L, 2L, 1L), (12L, 1L, 1L)), rows.toString)
   }
 
+  test("mixture resample moves every language toward uniform token " +
+      "share, deterministically") {
+    val out = SparkEntry.queries("xk7_mixture_resample")(spark, sf0001)
+      .collect()
+    val tot = out.map(_.getLong(2)).sum.toDouble
+    val target = tot / out.length
+    out.foreach { r =>
+      val (tok, repsTok) = (r.getLong(2), r.getLong(5))
+      // achieved token mass must sit strictly closer to the uniform
+      // target than the input mass (unless already within one doc)
+      assert(math.abs(repsTok - target) <= math.abs(tok - target),
+        s"${r.getString(0)}: $tok -> $repsTok vs target $target")
+      val factor = r.getDouble(3)
+      // the draw can only round the fractional part one doc either way
+      assert(repsTok >= (tok * math.floor(factor)).toLong,
+        s"${r.getString(0)} lost whole-repeat mass")
+    }
+    val again = SparkEntry.queries("xk7_mixture_resample")(spark, sf0001)
+      .collect().map(_.toString).toSeq
+    assert(again == out.map(_.toString).toSeq) // no RNG state anywhere
+  }
+
   test("packShards == naive global window, invariant to bucket count, " +
       "big window partitioned") {
     import org.apache.spark.sql.expressions.Window
