@@ -123,11 +123,19 @@ object Scale {
     * Result is bit-identical to the naive global window for any bucket
     * count (spec-asserted), so shard boundaries are engine- and
     * partitioning-independent. Output = input + `shard`.
+    *
+    * `base` shifts the running sum by tokens already packed BEFORE
+    * this frame — the continuous-ingestion hook (qs9): because a
+    * prefix sum is associative, packing doc_id-ordered batches with
+    * each batch's `base` = total weight of all earlier batches
+    * reproduces the one-shot assignment exactly, with one Long of
+    * carried state.
     */
   def packShards(df: DataFrame, orderCol: String, weightCol: String,
-      budget: Long, buckets: Int = 256): DataFrame = {
+      budget: Long, buckets: Int = 256, base: Long = 0L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budget > 0 && buckets > 0, "packShards: budget/buckets > 0")
+    require(base >= 0, "packShards: base token offset must be >= 0")
     require(!df.columns.exists(_.startsWith("__pk")),
       "packShards: input carries reserved __pk* columns")
     val k = col(orderCol)
@@ -148,8 +156,8 @@ object Scale {
       .select("__pkg", "__pkoff")
     within.join(broadcast(offsets), "__pkg")
       .withColumn("shard",
-        floor((col("__pkoff") + col("__pkrun") - col(weightCol)) /
-          budget.toDouble).cast(LongType))
+        floor((lit(base) + col("__pkoff") + col("__pkrun") -
+          col(weightCol)) / budget.toDouble).cast(LongType))
       .drop("__pkg", "__pkrun", "__pkoff", "__pkmin", "__pkmax")
   }
 

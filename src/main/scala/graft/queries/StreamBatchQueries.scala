@@ -275,6 +275,31 @@ object StreamBatchQueries {
         docs.where(col("doc_id") >= 400),
         docs.where(col("doc_id") < 400), threshold = 0.8,
         bounds = Seq(450L, 550L))
+    },
+
+    // Streaming shard packing (QS9): doc_id-ordered chunks continue
+    // the global token prefix sum — each chunk packs with base =
+    // tokens of all earlier chunks, so any chunking reproduces the
+    // one-shot xk6 assignment (associativity; the carried state is
+    // ONE Long). The oracle is chunk-count-blind: the naive global
+    // running sum over the whole corpus, per doc.
+    Q("qs9_stream_pack",
+      raw"""WITH d AS (
+        |  SELECT doc_id, LEN(LIST_FILTER(
+        |    STRING_SPLIT_REGEX(LOWER(text), '\s+'), t -> t <> ''))
+        |    AS n_tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n_tok,
+        |    SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |      - n_tok AS c0
+        |  FROM d
+        |)
+        |SELECT doc_id, CAST(n_tok AS INT) AS n_tok,
+        |  CAST(FLOOR(c0 / 4096.0) AS BIGINT) AS shard
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.streaming.Streams.packShardsChunked(t(s, d, "documents"),
+        budget = 4096, bounds = Seq(150L, 400L, 3000L))
     }
   )
 }

@@ -297,6 +297,66 @@ object Streams {
     parts.reduce(_.unionAll(_)).orderBy("doc_id")
   }
 
+  /** Streaming token-budget shard packing (QS9): doc_id-ordered
+    * batches are packed by [[graft.operators.Scale.packShards]] with
+    * each batch's `base` = total tokens of all earlier batches — the
+    * prefix sum is associative, so any chunking reproduces the
+    * one-shot assignment exactly. The entire carried state is ONE
+    * Long. Chunk-simulation form for the oracle gate; the file-stream
+    * runner is [[runShardPackStream]].
+    */
+  def packShardsChunked(docs: DataFrame, budget: Long,
+      bounds: Seq[Long]): DataFrame = {
+    val withTok = docs.select(col("doc_id"),
+      size(graft.functions.TextFns.tokens(col("text"))).as("n_tok"))
+    var base = 0L
+    val edges = (Long.MinValue +: bounds.sorted) :+ Long.MaxValue
+    val parts = edges.sliding(2).map { case Seq(lo, hi) =>
+      val chunk = withTok
+        .where(col("doc_id") >= lo && col("doc_id") < hi)
+      val packed = graft.operators.Scale.packShards(chunk, "doc_id",
+        "n_tok", budget, base = base)
+      base += chunk.agg(coalesce(sum("n_tok"), lit(0L)))
+        .head.getLong(0)
+      packed
+    }.toSeq
+    parts.reduce(_.unionAll(_)).orderBy("doc_id")
+  }
+
+  /** Run the QS9 stream: delta document files → per-micro-batch shard
+    * packing continuing the global token prefix sum → parquet sink.
+    * Exactly-once without ANY in-memory carryover: each batch derives
+    * its base offset by summing the durable per-batch token counts of
+    * all EARLIER batches (`outDir/offsets/batch=<id>`), writes its
+    * assignments, then its own offset row — both idempotent
+    * overwrites, so a replayed batch recomputes the identical base
+    * (its own offset file, even if already present from the crashed
+    * attempt, is excluded by the `< batchId` filter). Requires
+    * doc_id-monotone arrival across batches, the same contract as the
+    * qs8 evolving store.
+    */
+  def runShardPackStream(spark: SparkSession, deltaDir: String,
+      budget: Long, outDir: String): Unit = {
+    import spark.implicits._
+    val offDir = s"$outDir/offsets"
+    docStream(spark, deltaDir, outDir) { (batch, batchId) =>
+      val base =
+        if (!new java.io.File(offDir).exists) 0L
+        else spark.read.parquet(offDir)
+          .where(col("batch_id") < batchId)
+          .agg(coalesce(sum("tok"), lit(0L))).head.getLong(0)
+      val withTok = batch.select(col("doc_id"),
+        size(graft.functions.TextFns.tokens(col("text"))).as("n_tok"))
+      graft.operators.Scale
+        .packShards(withTok, "doc_id", "n_tok", budget, base = base)
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      val tok = withTok.agg(coalesce(sum("n_tok"), lit(0L)))
+        .head.getLong(0)
+      Seq((batchId, tok)).toDF("batch_id", "tok")
+        .write.mode("overwrite").parquet(s"$offDir/batch=$batchId")
+    }
+  }
+
   /** Stateful dedup bounded by the watermark (SURVEY §2.10). */
   def dedupWithinWatermark(events: DataFrame): DataFrame =
     events.withWatermark("ts", "2 hours")

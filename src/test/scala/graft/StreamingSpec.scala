@@ -302,6 +302,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == oneShot)
   }
 
+  test("QS9 runner: shard packing across batches == one-shot, with " +
+      "restart recovering the token offset from the durable counts") {
+    val docs = graft.queries.T.t(spark, sf0001, "documents")
+    val base = java.nio.file.Files.createTempDirectory("qs9")
+    val deltaDir = base.resolve("delta").toString
+    val outDir = base.resolve("out").toString
+    docs.where(col("doc_id") < 180).coalesce(1)
+      .write.mode("append").parquet(deltaDir)
+    // first run drains batch 0 only, then stops — the "crash"
+    Streams.runShardPackStream(spark, deltaDir, 4096L, outDir)
+    Thread.sleep(20) // distinct mtimes keep arrival doc_id-monotone
+    docs.where(col("doc_id") >= 180 && col("doc_id") < 330).coalesce(1)
+      .write.mode("append").parquet(deltaDir)
+    Thread.sleep(20)
+    docs.where(col("doc_id") >= 330).coalesce(1)
+      .write.mode("append").parquet(deltaDir)
+    // restart: batches 1-2 must derive their base from offsets/batch=0
+    Streams.runShardPackStream(spark, deltaDir, 4096L, outDir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "shard").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val streamed = rows(spark.read.parquet(s"$outDir/batch=*"))
+    val oneShot = rows(graft.operators.Scale.packShards(
+      docs.select(col("doc_id"),
+        size(graft.functions.TextFns.tokens(col("text"))).as("n_tok")),
+      "doc_id", "n_tok", 4096L))
+    assert(streamed == oneShot)
+    assert(streamed.nonEmpty && streamed.values.max > 0)
+  }
+
   test("checkpoint restart: stateful dedup recovers state and the " +
       "file sink stays exactly-once") {
     // The 100 TB failure mode: an executor/driver dies mid-stream and
