@@ -126,11 +126,16 @@ object TextFns {
     * column arithmetic — a narrow map at any corpus size.
     */
   def polyBucket(w: Column, buckets: Int): Column =
-    pmod(
-      aggregate(sequence(lit(1), length(w)), lit(0L),
-        (acc, i) => (acc * 257 + ascii(w.substr(i, lit(1)))) %
-          lit(2147483647L)),
-      lit(buckets.toLong))
+    // empty-string guard: sequence(1, 0) is Spark's DESCENDING range
+    // [1, 0], which would silently fold two bogus positions (while
+    // the DuckDB replay errors on the empty list) — pin '' to bucket 0
+    // explicitly in both engines' reachable space
+    when(length(w) > 0,
+      pmod(
+        aggregate(sequence(lit(1), length(w)), lit(0L),
+          (acc, i) => (acc * 257 + ascii(w.substr(i, lit(1)))) %
+            lit(2147483647L)),
+        lit(buckets.toLong))).otherwise(lit(0L))
 
   /** Adjacent token pairs as "w1 w2" strings (the bigram features of
     * xt14). Equal-length slices keep `zip_with` away from its

@@ -138,27 +138,36 @@ object Scale {
     require(base >= 0, "packShards: base token offset must be >= 0")
     require(!df.columns.exists(_.startsWith("__pk")),
       "packShards: input carries reserved __pk* columns")
+    require(!df.columns.contains("shard"),
+      "packShards: input already has a 'shard' column (it would be " +
+        "silently overwritten by the assignment)")
     val k = col(orderCol)
     val bounds = df.agg(min(k).cast(DoubleType).as("__pkmin"),
       max(k).cast(DoubleType).as("__pkmax"))
     val g = floor((k.cast(DoubleType) - col("__pkmin")) * buckets /
       (col("__pkmax") - col("__pkmin") + 1d)).as("__pkg")
-    val within = df.crossJoin(broadcast(bounds))
-      .withColumn("__pkg", g)
-      .withColumn("__pkrun", sum(col(weightCol))
-        .over(Window.partitionBy("__pkg").orderBy(orderCol)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val offsets = within.groupBy("__pkg")
+    // materialize the bucketed input ONCE: both the offset aggregate
+    // and the window branch consume it, and without this the upstream
+    // plan (for xk6/qs9 a full-corpus re-tokenization) runs per branch
+    val src = df.crossJoin(broadcast(bounds)).withColumn("__pkg", g)
+      .localCheckpoint(true)
+    val within = src.withColumn("__pkrun", sum(col(weightCol))
+      .over(Window.partitionBy("__pkg").orderBy(orderCol)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offsets = src.groupBy("__pkg")
       .agg(sum(col(weightCol)).as("__pktot"))
       .withColumn("__pkoff", coalesce(sum(col("__pktot"))
         .over(Window.orderBy("__pkg")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("__pkg", "__pkoff")
     within.join(broadcast(offsets), "__pkg")
-      .withColumn("shard",
-        floor((lit(base) + col("__pkoff") + col("__pkrun") -
-          col(weightCol)) / budget.toDouble).cast(LongType))
-      .drop("__pkg", "__pkrun", "__pkoff", "__pkmin", "__pkmax")
+      // exact Long floor division (all operands non-negative): a
+      // double quotient would misplace boundary docs once the running
+      // offset passes 2^53 — reachable for qs9's ever-growing base
+      .withColumn("__pkc", lit(base) + col("__pkoff") +
+        col("__pkrun") - col(weightCol))
+      .withColumn("shard", expr(s"__pkc div ${budget}L"))
+      .drop("__pkg", "__pkrun", "__pkoff", "__pkmin", "__pkmax", "__pkc")
   }
 
   /** Scale-hygienic parquet layout: directory-partitioned on

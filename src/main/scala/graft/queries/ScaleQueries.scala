@@ -105,7 +105,7 @@ object ScaleQueries {
         |      ROWS UNBOUNDED PRECEDING) - n_tok AS c0
         |  FROM d
         |)
-        |SELECT CAST(FLOOR(c0 / 4096.0) AS BIGINT) AS shard,
+        |SELECT CAST(c0 // 4096 AS BIGINT) AS shard,
         |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>

@@ -296,7 +296,7 @@ object StreamBatchQueries {
         |  FROM d
         |)
         |SELECT doc_id, CAST(n_tok AS INT) AS n_tok,
-        |  CAST(FLOOR(c0 / 4096.0) AS BIGINT) AS shard
+        |  CAST(c0 // 4096 AS BIGINT) AS shard
         |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
       graft.streaming.Streams.packShardsChunked(t(s, d, "documents"),
         budget = 4096, bounds = Seq(150L, 400L, 3000L))

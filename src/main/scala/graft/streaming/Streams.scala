@@ -338,12 +338,28 @@ object Streams {
   def runShardPackStream(spark: SparkSession, deltaDir: String,
       budget: Long, outDir: String): Unit = {
     import spark.implicits._
+    val sc = spark.sparkContext
     val offDir = s"$outDir/offsets"
     docStream(spark, deltaDir, outDir) { (batch, batchId) =>
+      val before = sc.getPersistentRDDs.keySet
+      // Hadoop FS, not java.io.File — outDir may be HDFS/S3 (the qs8
+      // store replay uses the same API); only COMMITTED offset dirs
+      // count (_SUCCESS filter: a crash mid-write leaves a dir whose
+      // parquet read would wedge every restart), and only strictly
+      // earlier batches (a replayed batch must not see its own
+      // crashed attempt's offset)
+      val offPath = new org.apache.hadoop.fs.Path(offDir)
+      val fs = offPath.getFileSystem(spark.sessionState.newHadoopConf())
+      val committed =
+        if (!fs.exists(offPath)) Array.empty[String]
+        else fs.listStatus(offPath).filter(_.isDirectory).map(_.getPath)
+          .filter(p => p.getName.startsWith("batch=") &&
+            p.getName.stripPrefix("batch=").toLong < batchId &&
+            fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+          .map(_.toString)
       val base =
-        if (!new java.io.File(offDir).exists) 0L
-        else spark.read.parquet(offDir)
-          .where(col("batch_id") < batchId)
+        if (committed.isEmpty) 0L
+        else spark.read.parquet(committed.toIndexedSeq: _*)
           .agg(coalesce(sum("tok"), lit(0L))).head.getLong(0)
       val withTok = batch.select(col("doc_id"),
         size(graft.functions.TextFns.tokens(col("text"))).as("n_tok"))
@@ -354,6 +370,10 @@ object Streams {
         .head.getLong(0)
       Seq((batchId, tok)).toDF("batch_id", "tok")
         .write.mode("overwrite").parquet(s"$offDir/batch=$batchId")
+      // release the blocks packShards' materialize-once checkpoint
+      // created for THIS batch (same hygiene as runDocBatchStream)
+      sc.getPersistentRDDs.filterNot { case (id, _) => before(id) }
+        .values.foreach(_.unpersist(blocking = false))
     }
   }
 
