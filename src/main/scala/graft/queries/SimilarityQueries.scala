@@ -102,6 +102,72 @@ object SimilarityQueries {
               abs(x - floor(x / col("sc") + 0.5) * col("sc"))))))
             .as("max_err"))
         .orderBy("vec_id")
+    },
+
+    // Distributed per-label centroid + nearest-centroid assignment
+    // (the embedding-clustering shape WITHOUT driver-side k-means —
+    // contrast Similarity.ivfTopK's bounded-sample Lloyd training):
+    // element-wise label means via one (label,pos) agg — labels×dim
+    // rows out, corpus-size-independent — decimal-accumulated so the
+    // centroid doubles are add-order-exact in both engines; then every
+    // vector scores against the ≤labels broadcast centroids (narrow
+    // map) and takes its argmax by a struct-max aggregate (max cosine,
+    // ties to the smaller label — the oracle's ROW_NUMBER tie-break).
+    // Output is the label×assigned confusion matrix.
+    Q("xs5_centroid_assign",
+      """WITH comp AS (
+        |  SELECT label, UNNEST(embedding::DOUBLE[]) AS x,
+        |    GENERATE_SUBSCRIPTS(embedding, 1) AS pos
+        |  FROM embeddings
+        |), cm AS (
+        |  SELECT label AS clabel, pos,
+        |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+        |      AS m
+        |  FROM comp GROUP BY 1, 2
+        |), cent AS (
+        |  SELECT clabel, LIST(m ORDER BY pos) AS centroid
+        |  FROM cm GROUP BY 1
+        |), sc AS (
+        |  SELECT e.vec_id, e.label, c.clabel,
+        |    LIST_INNER_PRODUCT(e.embedding::DOUBLE[], c.centroid) /
+        |      (SQRT(LIST_INNER_PRODUCT(e.embedding::DOUBLE[],
+        |                               e.embedding::DOUBLE[])) *
+        |       SQRT(LIST_INNER_PRODUCT(c.centroid, c.centroid)))
+        |      AS cos
+        |  FROM embeddings e CROSS JOIN cent c
+        |), a AS (
+        |  SELECT vec_id, label, clabel, ROW_NUMBER() OVER (
+        |    PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rn
+        |  FROM sc
+        |)
+        |SELECT label, clabel AS assigned, COUNT(*) AS n
+        |FROM a WHERE rn = 1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val fns = graft.functions.TextFns
+      val emb = t(s, d, "embeddings")
+      val cent = emb
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("label").as("clabel"), col("pos"))
+        .agg((sum(col("x").cast(DoubleType).cast(DecimalType(28, 6)))
+          .cast(DoubleType) / count(lit(1))).as("m"))
+        .groupBy("clabel")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .as("pm"))
+        .select(col("clabel"),
+          transform(col("pm"), p => p.getField("m")).as("centroid"))
+      val scored = emb.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("label"), col("clabel"),
+          (fns.dot(col("embedding"), col("centroid")) /
+            (fns.l2norm(col("embedding")) * fns.l2norm(col("centroid"))))
+            .as("cos"))
+      scored.groupBy("vec_id", "label")
+        .agg(max(struct(col("cos").as("c"),
+          (lit(0) - col("clabel")).as("g"))).as("b"))
+        .select(col("label"), (lit(0) - col("b.g")).as("assigned"))
+        .groupBy("label", "assigned")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("label", "assigned")
     }
   )
 }

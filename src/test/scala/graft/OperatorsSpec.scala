@@ -629,6 +629,18 @@ class OperatorsSpec extends SparkSpec {
     assert(dsir.map(r => r.getInt(r.fieldIndex("sel"))).sum == 7)
   }
 
+  test("xs5 centroid assignment partitions the corpus exactly " +
+      "(every vector assigned once, to an existing label)") {
+    val emb = graft.queries.T.t(spark, sf0001, "embeddings")
+    val labels = emb.select("label").distinct().collect()
+      .map(_.getInt(0)).toSet
+    val out = SparkEntry.queries("xs5_centroid_assign")(spark, sf0001)
+      .collect()
+    assert(out.map(_.getLong(2)).sum == emb.count())
+    assert(out.forall(r => labels(r.getInt(1))))
+    assert(out.forall(_.getLong(2) > 0))
+  }
+
   test("line-repetition signals fire on crafted docs " +
       "(dup lines / top-bigram concentration)") {
     import spark.implicits._
