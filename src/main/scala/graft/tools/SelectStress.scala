@@ -40,13 +40,16 @@ object SelectStress {
 
     val tGen0 = System.nanoTime()
     StressUtil.replicateDocuments(spark, baseDir, outDir, factor)
+    StressUtil.replicateEmbeddings(spark, baseDir, outDir, factor)
     val genSec = (System.nanoTime() - tGen0) / 1e9
     val nDocs = spark.read.parquet(s"$outDir/documents.parquet").count()
+    val nEmb = spark.read.parquet(s"$outDir/embeddings.parquet").count()
 
     val results = scala.collection.mutable.LinkedHashMap[String, Any]()
     results += "base_dir" -> baseDir
     results += "factor" -> factor
     results += "n_documents" -> nDocs
+    results += "n_embeddings" -> nEmb
     results += "gen_sec" -> genSec
 
     val cpuNs = new java.util.concurrent.atomic.AtomicLong
@@ -147,6 +150,42 @@ object SelectStress {
       require(tok == tokDirect, s"token totals drift: $tok vs $tokDirect")
       docs.unpersist(); packed.unpersist()
       (n, Seq("total_tokens" -> tok, "n_shards" -> shards))
+    }
+    dropPersisted()
+
+    // ------------------------------------------------ xk7 mixture
+    timed("xk7_mixture_resample") {
+      val out = graft.SparkEntry
+        .queries("xk7_mixture_resample")(spark, outDir).cache()
+      val n = out.count()
+      plans += "xk7_mixture_resample" -> StressUtil.joinLines(out)
+      val rows = out.collect()
+      val tot = rows.map(_.getLong(2)).sum.toDouble
+      val target = tot / rows.length
+      val maxTok = spark.read.parquet(s"$outDir/documents.parquet")
+        .agg(max(size(graft.functions.TextFns.tokens(col("text")))))
+        .head.getInt(0)
+      rows.foreach { r =>
+        require(math.abs(r.getLong(5) - target) <=
+            math.abs(r.getLong(2) - target) + maxTok,
+          s"${r.getString(0)} moved away from uniform at scale")
+      }
+      out.unpersist()
+      (n, Seq("total_tokens" -> tot.toLong))
+    }
+    dropPersisted()
+
+    // ------------------------------------------------ xs5 centroids
+    timed("xs5_centroid_assign") {
+      val out = graft.SparkEntry
+        .queries("xs5_centroid_assign")(spark, outDir).cache()
+      val n = out.count()
+      plans += "xs5_centroid_assign" -> StressUtil.joinLines(out)
+      val assigned = out.agg(sum("n")).head.getLong(0)
+      require(assigned == nEmb,
+        s"assignment must partition the corpus: $assigned != $nEmb")
+      out.unpersist()
+      (n, Seq("vectors_assigned" -> assigned))
     }
     dropPersisted()
 
