@@ -455,6 +455,67 @@ object Dedup {
       seed, maxBucket)
   }
 
+  /** SemDedup-shape semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embeddings, then search for
+    * near-duplicate pairs ONLY within each cluster — the
+    * cluster-blocked alternative to [[embeddingNearDupsLSH]]'s
+    * hyperplane blocking. Cross-cluster duplicates are missed BY
+    * DESIGN (the SemDeDup trade-off; recall vs the exact pair set is
+    * what a caller tunes with the cluster count).
+    *
+    * This overload clusters by deterministic per-label centroids
+    * ([[Similarity.labelCentroids]] + argmax-cosine assignment) so the
+    * whole operator is exact-replayable by the SQL oracle (xd11). The
+    * label-centroid variant has a FIXED cluster count, so within-
+    * cluster pair volume is Σ cluster² ≈ n²/k — fine for classifier-
+    * style label spaces, quadratic at corpus scale. The production
+    * path at 100TB is [[semDedupAssigned]] fed by
+    * [[Similarity.kmeansCentroids]] with nlist ∝ n/target: then each
+    * cluster holds ~target rows and Σ cluster² ≈ n·target — linear in
+    * the corpus (the same occupancy law as [[lshParams]]).
+    *
+    * Dedup rule: a row is dropped iff a lower-id row in the SAME
+    * cluster has cosine ≥ threshold (the deterministic keep-first
+    * rule, chain-independent — same contract as [[paragraphDedup]]'s
+    * exact stage, not the paper's keep-farthest-from-centroid, which
+    * is sample-order-dependent). Output: (idCol, assigned, kept).
+    */
+  def semDedup(corpus: DataFrame, idCol: String, labelCol: String,
+      vecCol: String, threshold: Double): DataFrame = {
+    val cents = Similarity.labelCentroids(corpus, labelCol, vecCol)
+    semDedupAssigned(
+      Similarity.assignNearestCentroid(corpus, Seq(idCol), vecCol,
+        cents),
+      idCol, vecCol, "assigned", threshold)
+  }
+
+  /** Within-cluster near-dup marking over a pre-clustered corpus (the
+    * composable core of [[semDedup]] — plug in ANY cluster assignment:
+    * label centroids, k-means cells, even an LSH bucket). The self-
+    * join shuffles both sides on the cluster id only; exact cosine
+    * runs on within-cluster pairs alone. Norms are precomputed per row
+    * (not per pair). Keeps every input row, flagged: (idCol,
+    * clusterCol, kept).
+    */
+  def semDedupAssigned(asg: DataFrame, idCol: String, vecCol: String,
+      clusterCol: String, threshold: Double): DataFrame = {
+    // materialize once: the assignment plan above this (centroid agg +
+    // argmax) would otherwise re-run for each of the three consumers
+    val e = asg.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        col(clusterCol).as("__cl"))
+      .withColumn("__n", TextFns.l2norm(col("__v")))
+      .localCheckpoint(true)
+    val dropped = e.as("x")
+      .join(e.as("y"), col("x.__cl") === col("y.__cl") &&
+        col("x.__id") < col("y.__id"))
+      .where((TextFns.dot(col("x.__v"), col("y.__v")) /
+        (col("x.__n") * col("y.__n"))) >= threshold)
+      .select(col("y.__id").as("__id")).distinct()
+    e.join(dropped.withColumn("__dup", lit(true)), Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("__cl").as(clusterCol),
+        col("__dup").isNull.as("kept"))
+  }
+
   /** Derive (bands, bitsPerBand) for [[embeddingNearDupsLSH]] from the
     * corpus size and recall target — the measured scaling rule on that
     * method's Scaladoc, as code:

@@ -89,6 +89,65 @@ object Similarity {
     * lose all members drop (ids stay sparse), matching the previous
     * behavior. Same corpus → bit-identical centroids on any cluster.
     */
+  /** Deterministic per-label centroids: element-wise label means
+    * through ONE (label, pos) aggregate — labels×dim rows out,
+    * corpus-size-independent — with decimal accumulation so the
+    * centroid doubles are add-order-exact on any partitioning (and in
+    * a replaying SQL engine: the xs5/xd11 oracle contract). Output:
+    * `(clabel, centroid)`.
+    */
+  def labelCentroids(df: DataFrame, labelCol: String,
+      vecCol: String): DataFrame =
+    df.select(col(labelCol).as("clabel"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("clabel"), col("pos"))
+      .agg((sum(col("x").cast(DoubleType).cast(DecimalType(28, 6)))
+        .cast(DoubleType) / count(lit(1))).as("m"))
+      .groupBy("clabel")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+        .as("pm"))
+      .select(col("clabel"),
+        transform(col("pm"), p => p.getField("m")).as("centroid"))
+
+  /** Nearest-centroid assignment as a NARROW MAP: the centroid table
+    * (labels×dim — tiny at any corpus size) is folded into ONE
+    * broadcast row, and every corpus row computes its argmax cosine
+    * in-place with an `aggregate` higher-order function — the corpus
+    * never shuffles. (A first cut modeled the argmax as
+    * crossJoin+groupBy: that ships n·nlist candidate rows each
+    * carrying the full vector through a shuffle, grouped on an ARRAY
+    * key — at nlist ∝ n it is quadratic shuffle volume, and the f20
+    * SelectStress leg measured it as a wall-clock cliff.)
+    *
+    * Ties go to the smaller `clabel` — the fold scans centroids in
+    * ascending clabel order with a strict `>`, matching the oracle's
+    * `ROW_NUMBER ... ORDER BY cos DESC, clabel`. Output: keyCols +
+    * vecCol + `assigned`.
+    */
+  def assignNearestCentroid(df: DataFrame, keyCols: Seq[String],
+      vecCol: String, cents: DataFrame): DataFrame = {
+    require(keyCols.nonEmpty, "assignNearestCentroid: key columns")
+    val packed = cents
+      .agg(array_sort(collect_list(struct(col("clabel"),
+        col("centroid"), TextFns.l2norm(col("centroid")).as("n"))))
+        .as("__cents"))
+    df.crossJoin(broadcast(packed))
+      .withColumn("__vn", TextFns.l2norm(col(vecCol)))
+      .withColumn("assigned", aggregate(
+        col("__cents"),
+        struct(lit(Double.NegativeInfinity).as("c"),
+          lit(null).cast("int").as("g")),
+        (acc, ct) => {
+          val cos = TextFns.dot(col(vecCol), ct.getField("centroid")) /
+            (col("__vn") * ct.getField("n"))
+          when(cos > acc.getField("c"),
+            struct(cos.as("c"), ct.getField("clabel").as("g")))
+            .otherwise(acc)
+        }).getField("g"))
+      .select(keyCols.map(col) ++
+        Seq(col(vecCol), col("assigned")): _*)
+  }
+
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int = 3): DataFrame = {
     val spark = corpus.sparkSession

@@ -218,6 +218,78 @@ object DedupQueries {
       Dedup.connectedComponents(pairs, "a", "b").orderBy("id")
     },
 
+    // SemDedup (cluster-blocked semantic dedup, Abbas et al. 2023)
+    // over the planted corpus WITH labels: deterministic label
+    // centroids (decimal-accumulated means), argmax-cosine assignment
+    // (ties to the smaller label), then near-dup search ONLY within
+    // each assigned cluster, keep-first survivor rule. The planted
+    // +0.05-shifted copies (cosine ≥ 0.9165 to their original for any
+    // base vector, random pairs ≪ 0.9 at every SF) are the dup signal;
+    // a copy survives only if the assignment separates it from its
+    // original — the oracle replays the whole chain, so the hash match
+    // pins centroid arithmetic, tie-breaks, AND the cluster-blocking
+    // semantics. Scale: cluster count is the knob — label centroids
+    // keep k fixed (classifier shape); the 100TB path feeds
+    // semDedupAssigned from kmeansCentroids with nlist ∝ n/target so
+    // Σ cluster² ≈ n·target (ScaleStress measures it).
+    Q("xd11_semdedup",
+      """WITH base AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |  FROM embeddings
+        |), corpus AS (
+        |  SELECT vec_id AS id, label, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS id, label,
+        |         LIST_TRANSFORM(v, x -> x + 0.05) AS v FROM base
+        |), comp AS (
+        |  SELECT label, UNNEST(v) AS x, GENERATE_SUBSCRIPTS(v, 1) AS pos
+        |  FROM corpus
+        |), cm AS (
+        |  SELECT label AS clabel, pos,
+        |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+        |      AS m
+        |  FROM comp GROUP BY 1, 2
+        |), cent AS (
+        |  SELECT clabel, LIST(m ORDER BY pos) AS centroid
+        |  FROM cm GROUP BY 1
+        |), sc AS (
+        |  SELECT c.id, c.v, t.clabel,
+        |    LIST_INNER_PRODUCT(c.v, t.centroid) /
+        |      (SQRT(LIST_INNER_PRODUCT(c.v, c.v)) *
+        |       SQRT(LIST_INNER_PRODUCT(t.centroid, t.centroid)))
+        |      AS cos
+        |  FROM corpus c CROSS JOIN cent t
+        |), a AS (
+        |  SELECT id, v, clabel, ROW_NUMBER() OVER (
+        |    PARTITION BY id ORDER BY cos DESC, clabel) AS rn
+        |  FROM sc
+        |), asg AS (
+        |  SELECT id, v, clabel AS assigned FROM a WHERE rn = 1
+        |), dropped AS (
+        |  SELECT DISTINCT y.id FROM asg x JOIN asg y
+        |    ON x.assigned = y.assigned AND x.id < y.id
+        |  WHERE LIST_INNER_PRODUCT(x.v, y.v) /
+        |    (SQRT(LIST_INNER_PRODUCT(x.v, x.v)) *
+        |     SQRT(LIST_INNER_PRODUCT(y.v, y.v))) >= 0.9
+        |)
+        |SELECT g.id, g.assigned,
+        |  CAST(d.id IS NULL AS INT) AS kept
+        |FROM asg g LEFT JOIN dropped d ON g.id = d.id
+        |ORDER BY g.id""".stripMargin) { (s, d) =>
+      val base = t(s, d, "embeddings").select(col("vec_id"),
+        col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val corpus = base
+        .select(col("vec_id").as("id"), col("label"), col("v"))
+        .unionAll(base.select((col("vec_id") + 100000).as("id"),
+          col("label"),
+          transform(col("v"), x => x + lit(0.05d)).as("v")))
+      Dedup.semDedup(corpus, "id", "label", "v", threshold = 0.9)
+        .select(col("id"), col("assigned"),
+          col("kept").cast("int").as("kept"))
+        .orderBy("id")
+    },
+
     // Connected components over the MinHash near-dup pair graph — the
     // cluster step of a dedup pipeline (pairs → components → one
     // representative each). Oracle recomputes the same pairs via exact

@@ -143,28 +143,10 @@ object SimilarityQueries {
         |SELECT label, clabel AS assigned, COUNT(*) AS n
         |FROM a WHERE rn = 1
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.types.{DecimalType, DoubleType}
-      val fns = graft.functions.TextFns
       val emb = t(s, d, "embeddings")
-      val cent = emb
-        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy(col("label").as("clabel"), col("pos"))
-        .agg((sum(col("x").cast(DoubleType).cast(DecimalType(28, 6)))
-          .cast(DoubleType) / count(lit(1))).as("m"))
-        .groupBy("clabel")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
-          .as("pm"))
-        .select(col("clabel"),
-          transform(col("pm"), p => p.getField("m")).as("centroid"))
-      val scored = emb.crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("label"), col("clabel"),
-          (fns.dot(col("embedding"), col("centroid")) /
-            (fns.l2norm(col("embedding")) * fns.l2norm(col("centroid"))))
-            .as("cos"))
-      scored.groupBy("vec_id", "label")
-        .agg(max(struct(col("cos").as("c"),
-          (lit(0) - col("clabel")).as("g"))).as("b"))
-        .select(col("label"), (lit(0) - col("b.g")).as("assigned"))
+      val cent = Similarity.labelCentroids(emb, "label", "embedding")
+      Similarity.assignNearestCentroid(emb, Seq("vec_id", "label"),
+          "embedding", cent)
         .groupBy("label", "assigned")
         .agg(count(lit(1)).as("n"))
         .orderBy("label", "assigned")

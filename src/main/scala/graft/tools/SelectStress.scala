@@ -20,7 +20,13 @@ import org.apache.spark.sql.SparkSession
   *    100 TB shape is "one scan, no shuffle except the final sort";
   *  - xk6: the two-level prefix sum equals the naive partition-less
   *    window AT SCALE (bit-identical shard membership), token totals
-  *    conserve, and no window orders the full corpus unpartitioned.
+  *    conserve, and no window orders the full corpus unpartitioned;
+  *  - xk7: per-language token mass moves toward uniform (within one
+  *    max-document slack) at every factor;
+  *  - xs5: the argmax assignment partitions the replicated corpus;
+  *  - xd11: production SemDedup (k-means cells, nlist ∝ n/target →
+  *    Σ cluster² ≈ n·target, linear) with the dropped set proven
+  *    EXACTLY equal to the co-clustered planted copies, distributedly.
   */
 object SelectStress {
 
@@ -186,6 +192,51 @@ object SelectStress {
         s"assignment must partition the corpus: $assigned != $nEmb")
       out.unpersist()
       (n, Seq("vectors_assigned" -> assigned))
+    }
+    dropPersisted()
+
+    // ------------------------------------------------ xd11 semdedup
+    // The PRODUCTION SemDedup shape (vs xd11's fixed-k label-centroid
+    // oracle twin): k-means cells with nlist ∝ n/target, so each
+    // cluster holds ~target rows and within-cluster pair volume is
+    // Σ cluster² ≈ n·target — LINEAR in the corpus where fixed k is
+    // n²/k. Planted +0.05 copies are the dup signal (same corpus law
+    // as every LSH scale artifact).
+    timed("xd11_semdedup_kmeans") {
+      val corpus = graft.queries.DedupQueries.plantedEmbeddingCorpus(
+          spark.read.parquet(s"$outDir/embeddings.parquet"))
+        .localCheckpoint(true)
+      val n = corpus.count()
+      val target = 500
+      val nlist = math.max(8L, n / target).toInt
+      val cents = graft.operators.Similarity
+        .kmeansCentroids(corpus, "id", "v", nlist)
+        .select(col("cent_id").cast("int").as("clabel"),
+          col("cent_v").as("centroid"))
+      val asg = graft.operators.Similarity
+        .assignNearestCentroid(corpus, Seq("id"), "v", cents)
+        .localCheckpoint(true)
+      val out = graft.operators.Dedup
+        .semDedupAssigned(asg, "id", "v", "assigned", 0.9).cache()
+      val total = out.count()
+      require(total == n, s"flag output must cover the corpus: $total != $n")
+      plans += "xd11_semdedup_kmeans" -> StressUtil.joinLines(out)
+      require(!plans("xd11_semdedup_kmeans")
+          .exists(_.startsWith("CartesianProduct")),
+        "within-cluster self-join degenerated to a cartesian product")
+      val dropped = out.where(!col("kept")).count()
+      // exactness at scale, checked DISTRIBUTEDLY (no driver collect):
+      // the only >=0.9 pairs are (original, original+100000), so the
+      // dropped set must be EXACTLY the copies whose k-means cell
+      // matches their original's
+      val coClustered = asg.as("o").join(asg.as("c"),
+        col("c.id") === col("o.id") + 100000L &&
+          col("c.assigned") === col("o.assigned")).count()
+      require(dropped == coClustered,
+        s"dropped $dropped != co-clustered copies $coClustered")
+      out.unpersist()
+      (n, Seq("nlist" -> nlist, "dropped" -> dropped,
+        "co_cluster_recall" -> (dropped.toDouble / (n / 2))))
     }
     dropPersisted()
 

@@ -671,4 +671,74 @@ class OperatorsSpec extends SparkSpec {
     assert(t2 == 0.7143)
     assert(out(3L) == ((1L, 0.0, 0.0, 0.0)))
   }
+
+  test("semDedupAssigned: drops only within-cluster lower-id near-dups;" +
+      " cross-cluster twins survive by design; partition-invariant") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Seq(1.0, 0.0), "A"),   // kept: lowest id in its group
+      (2L, Seq(1.0, 0.01), "A"),  // cos≈1 with 1, same cluster → drop
+      (3L, Seq(1.0, 0.0), "B"),   // identical to 1 but other cluster →
+                                  // kept: the SemDedup blocking miss
+      (4L, Seq(0.0, 1.0), "A"))   // dissimilar → kept
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.semDedupAssigned(df, "id", "v", "cl", threshold = 0.95)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val df = rows.toDF("id", "v", "cl")
+    val out = run(df)
+    assert(out == Map(1L -> true, 2L -> false, 3L -> true, 4L -> true))
+    assert(run(df.repartition(7)) == out)
+  }
+
+  test("semDedup label-centroid path: assignment is geometric (a " +
+      "mislabeled vector dedups against its geometric cluster)") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 0, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, 0, Seq(1.0, 0.0, 0.0, 0.0)),   // exact dup of 1 → drop
+      (3L, 1, Seq(0.0, 0.0, 1.0, 0.0)),
+      (4L, 1, Seq(0.0, 0.0, 0.99, 0.01)), // near dup of 3 → drop
+      // labeled 0 but sits on cluster 1's axis: argmax-cos assignment
+      // sends it to cluster 1, where id 3 kills it — the label only
+      // shapes the centroids, never the dedup blocking directly
+      (5L, 0, Seq(0.0, 0.0, 1.0, 0.02)))
+    val out = Dedup.semDedup(rows.toDF("id", "label", "v"),
+        "id", "label", "v", threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2)))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(out(5L)._1 == 1, "geometric assignment must override label")
+    assert(out.view.filterKeys(Set(1L, 3L)).forall(_._2._2 == true))
+    assert(out.view.filterKeys(Set(2L, 4L, 5L)).forall(_._2._2 == false))
+  }
+
+  test("semDedup k-means scale path: planted copies dedup against " +
+      "their originals; originals never drop") {
+    val corpus = graft.queries.DedupQueries.plantedEmbeddingCorpus(
+      graft.queries.T.t(spark, sf0001, "embeddings"))
+    val nOrig = corpus.count() / 2
+    val cents = Similarity
+      .kmeansCentroids(corpus, "id", "v", nlist = 8)
+      .select(col("cent_id").cast("int").as("clabel"),
+        col("cent_v").as("centroid"))
+    val asg = Similarity.assignNearestCentroid(corpus, Seq("id"), "v",
+      cents).localCheckpoint(true)
+    val out = Dedup.semDedupAssigned(asg, "id", "v", "assigned",
+      threshold = 0.9).collect()
+    assert(out.length == nOrig * 2)
+    val dropped = out.filter(!_.getBoolean(2)).map(_.getLong(0)).toSet
+    // the only pairs at cosine >= 0.9 are (original, original+100000)
+    // — the xd6 planting property — so the EXACT contract is: dropped
+    // == the copies k-means co-clustered with their original, nothing
+    // else. (On isotropic random vectors points sit near cell
+    // boundaries, so many copies flip cells and survive — the
+    // documented SemDedup blocking miss; real embedding spaces
+    // cluster, random ones are its worst case.)
+    val cell = asg.select(col("id"), col("assigned")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expected = cell.keySet.filter(id => id >= 100000L &&
+      cell(id) == cell(id - 100000L))
+    assert(dropped == expected)
+    assert(expected.nonEmpty, "no copy was co-clustered at all")
+  }
 }
