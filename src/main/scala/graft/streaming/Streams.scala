@@ -15,21 +15,26 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** Streaming-readable view of an events parquet dir. events.ts is
-    * TIMESTAMP(NANOS) → read as long (nanosAsLong) and rebuilt at µs,
-    * exactly like the batch loader (graft.queries.T.t).
+  /** Streaming-readable view of an events parquet dir. The file-stream
+    * source needs an explicit schema, and the driver testdata has shipped
+    * `events.ts` both as TIMESTAMP(NANOS) (long under nanosAsLong) and
+    * TIMESTAMP(MICROS) (TimestampNTZ) — so probe the on-disk type with a
+    * schema-only batch read, then normalize exactly like the batch loader
+    * (graft.queries.T.normalizeEventTs).
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType =
+      spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
     // events.parquet is a single file: stream the parent dir with a
     // glob filter (the file-stream source requires a directory path)
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.queries.T.normalizeEventTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
   }
 
   /** Tumbling 1h window agg with a 2h watermark (QS1 semantics; late

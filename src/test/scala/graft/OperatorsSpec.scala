@@ -607,7 +607,7 @@ class OperatorsSpec extends SparkSpec {
       (8L, s"the spam of $fill " + Seq.fill(56)("spam").mkString(" ")))
     rows.toDF("doc_id", "text")
       .select(col("doc_id"), col("text"), lit("en").as("lang"),
-        lit("fix").as("source"), length(col("text")).as("n_chars"))
+        lit("fix").as("source"), length(col("text")).cast("long").as("n_chars"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = SparkEntry.queries("xt15_gopher_rules")(spark, dir)
       .collect().map(r => r.getLong(0) -> r).toMap
@@ -656,7 +656,7 @@ class OperatorsSpec extends SparkSpec {
       (3L, ""))
     rows.toDF("doc_id", "text")
       .select(col("doc_id"), col("text"), lit("en").as("lang"),
-        lit("fix").as("source"), length(col("text")).as("n_chars"))
+        lit("fix").as("source"), length(col("text")).cast("long").as("n_chars"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = SparkEntry.queries("xt16_repetition_lines")(spark, dir)
       .collect().map(r => r.getLong(0) ->
