@@ -516,6 +516,48 @@ object Dedup {
         col("__dup").isNull.as("kept"))
   }
 
+  /** Multi-probe SemDedup: [[semDedupAssigned]] finds a near-dup pair
+    * only when both rows share a PRIMARY cell, which at k-means-cell
+    * granularity misses boundary-straddling pairs — SCALE_r6 measured
+    * co-cluster recall at 0.20–0.22, an unusable operating point. Here
+    * each row carries `probes` (its p nearest cells,
+    * [[Similarity.assignCellsTwoLevel]] with probe ≥ 2); a candidate
+    * pair is generated when EITHER row's probe list contains the
+    * other's primary cell. Probing is candidate generation only: the
+    * corpus is still indexed (shuffled) by single cells, each row still
+    * has one primary cell, and the keep-first rule is unchanged — a row
+    * is dropped iff a lower-id candidate partner has cosine ≥
+    * threshold.
+    *
+    * Cost: the probe side explodes to n·p rows against the n-row
+    * primary side, so candidate volume is ~p × the single-cell volume
+    * (NOT p²: probes never join probes) — still Σ cell·load ≈ n·target
+    * ·p, linear in the corpus under the occupancy law. With probe = 1
+    * this reduces exactly to [[semDedupAssigned]] (probes = [primary]).
+    * Output: (idCol, cluster = primary cell, kept).
+    */
+  def semDedupMultiProbe(asg: DataFrame, idCol: String, vecCol: String,
+      probesCol: String, primaryCol: String,
+      threshold: Double): DataFrame = {
+    val e = asg.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        col(probesCol).as("__probes"), col(primaryCol).as("__cl"))
+      .withColumn("__n", TextFns.l2norm(col("__v")))
+      .localCheckpoint(true)
+    val probed = e.select(col("__id"), col("__v"), col("__n"),
+      explode(col("__probes")).as("__cell"))
+    val primary = e.select(col("__id").as("__pid"), col("__v").as("__pv"),
+      col("__n").as("__pn"), col("__cl").as("__cell"))
+    val dropped = probed.join(primary,
+        probed("__cell") === primary("__cell") &&
+          col("__id") =!= col("__pid"))
+      .where((TextFns.dot(col("__v"), col("__pv")) /
+        (col("__n") * col("__pn"))) >= threshold)
+      .select(greatest(col("__id"), col("__pid")).as("__id")).distinct()
+    e.join(dropped.withColumn("__dup", lit(true)), Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("__cl").as(primaryCol),
+        col("__dup").isNull.as("kept"))
+  }
+
   /** Derive (bands, bitsPerBand) for [[embeddingNearDupsLSH]] from the
     * corpus size and recall target — the measured scaling rule on that
     * method's Scaladoc, as code:

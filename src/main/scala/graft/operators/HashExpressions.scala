@@ -394,6 +394,146 @@ case class NearestCentroids(child: Expression, ids: Seq[Long],
     copy(child = newChild)
 }
 
+/** Two-level (coarse-quantized) nearest-centroid search: the flat
+  * [[NearestCentroids]] scan is n·K work per corpus — quadratic when
+  * the cell count K grows with the corpus (the SemDedup occupancy law
+  * sets K ∝ n/target; SCALE_r6 measured the flat argmax at 2.36× CPU
+  * for 2× data). Here the K fine centroids are grouped under ~√K
+  * coarse cells; a vector scores the √K coarse centroids, descends
+  * into the `wCoarse` best groups, and scans only their fine members —
+  * O(√K·w·load) per row instead of O(K). Same narrow-map shape: the
+  * whole two-level table ships as a plan constant (K×dim doubles — a
+  * few MB at worst), no join, no shuffle.
+  *
+  * Scoring and tie-breaks are identical to [[NearestCentroids]]
+  * (dot(v,c)/‖c‖, ties to the lower id) at both levels, so with
+  * `wCoarse` ≥ the coarse-cell count the result is EXACTLY the flat
+  * scan (the spec's equivalence gate). With small `wCoarse` the
+  * assignment is approximate in the usual IVF sense: the true nearest
+  * fine centroid can hide in an unprobed coarse group.
+  *
+  * Output: the `n` nearest fine-centroid ids (n = 1 for plain
+  * assignment; n = p for multi-probe candidate generation).
+  */
+case class TwoLevelNearestCentroids(child: Expression,
+    coarseVecs: Seq[Seq[Double]], fineIds: Seq[Seq[Long]],
+    fineVecs: Seq[Seq[Seq[Double]]], wCoarse: Int, n: Int)
+    extends UnaryExpression with FusedUnary {
+
+  require(coarseVecs.nonEmpty &&
+    coarseVecs.length == fineIds.length &&
+    fineIds.length == fineVecs.length &&
+    fineIds.zip(fineVecs).forall(p => p._1.length == p._2.length) &&
+    wCoarse >= 1 && n >= 1,
+    "two_level_nearest_centroids: ragged coarse/fine tables")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "two_level_nearest_centroids"
+
+  @transient private lazy val coarse: Array[Array[Double]] =
+    coarseVecs.map(_.toArray).toArray
+  @transient private lazy val coarseInv: Array[Double] =
+    coarse.map { c =>
+      val s = c.map(x => x * x).sum
+      if (s > 0) 1.0 / math.sqrt(s) else 0.0
+    }
+  @transient private lazy val fid: Array[Array[Long]] =
+    fineIds.map(_.toArray).toArray
+  @transient private lazy val fv: Array[Array[Array[Double]]] =
+    fineVecs.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val finv: Array[Array[Double]] =
+    fv.map(_.map { c =>
+      val s = c.map(x => x * x).sum
+      if (s > 0) 1.0 / math.sqrt(s) else 0.0
+    })
+  @transient private lazy val nFine: Int = fid.map(_.length).sum
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val isFloat = child.dataType.asInstanceOf[ArrayType]
+      .elementType == FloatType
+    val d = a.numElements()
+    val v = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      v(i) = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      i += 1
+    }
+    // level 1: score the coarse centroids, take the wCoarse best
+    // (ties to the lower coarse index — stable but semantically
+    // irrelevant: coarse cells only gate which fine groups are read)
+    val nc = coarse.length
+    val cScores = new Array[Double](nc)
+    var c = 0
+    while (c < nc) {
+      val cv = coarse(c)
+      val lim = math.min(d, cv.length)
+      var dot = 0.0
+      i = 0
+      while (i < lim) { dot += v(i) * cv(i); i += 1 }
+      cScores(c) = dot * coarseInv(c)
+      c += 1
+    }
+    val w = math.min(wCoarse, nc)
+    val cTaken = new Array[Boolean](nc)
+    val probeGroups = new Array[Int](w)
+    var r = 0
+    while (r < w) {
+      var best = -1
+      c = 0
+      while (c < nc) {
+        if (!cTaken(c) && (best < 0 || cScores(c) > cScores(best)))
+          best = c
+        c += 1
+      }
+      cTaken(best) = true
+      probeGroups(r) = best
+      r += 1
+    }
+    // level 2: flat top-n over the fine members of the probed groups,
+    // identical scoring + tie rule to NearestCentroids
+    val k = math.min(n, nFine)
+    val outId = new Array[Long](k)
+    val outScore = new Array[Double](k)
+    var filled = 0
+    var g = 0
+    while (g < w) {
+      val gi = probeGroups(g)
+      val ids = fid(gi); val vecs = fv(gi); val inv = finv(gi)
+      var f = 0
+      while (f < ids.length) {
+        val cv = vecs(f)
+        val lim = math.min(d, cv.length)
+        var dot = 0.0
+        i = 0
+        while (i < lim) { dot += v(i) * cv(i); i += 1 }
+        val score = dot * inv(f)
+        val id = ids(f)
+        // insertion into the running top-k (k is tiny: 1..probe)
+        var pos = filled
+        while (pos > 0 && (outScore(pos - 1) < score ||
+          (outScore(pos - 1) == score && outId(pos - 1) > id))) pos -= 1
+        if (pos < k) {
+          val stop = math.min(filled, k - 1)
+          var m = stop
+          while (m > pos) {
+            outId(m) = outId(m - 1); outScore(m) = outScore(m - 1)
+            m -= 1
+          }
+          outId(pos) = id; outScore(pos) = score
+          if (filled < k) filled += 1
+        }
+        f += 1
+      }
+      g += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(outId, filled))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
 /** Dot product of two float/double arrays with strict left-to-right
   * double accumulation — the exact IEEE sequence of
   * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` (and of DuckDB's
@@ -452,4 +592,9 @@ object HashFns {
   def nearestCentroids(c: Column, ids: Seq[Long],
       vecs: Seq[Seq[Double]], n: Int): Column =
     Bridge.column(NearestCentroids(e(c), ids, vecs, n))
+  def twoLevelNearestCentroids(c: Column, coarseVecs: Seq[Seq[Double]],
+      fineIds: Seq[Seq[Long]], fineVecs: Seq[Seq[Seq[Double]]],
+      wCoarse: Int, n: Int): Column =
+    Bridge.column(TwoLevelNearestCentroids(e(c), coarseVecs, fineIds,
+      fineVecs, wCoarse, n))
 }

@@ -178,7 +178,17 @@ object Similarity {
     // drop ragged rows instead of corrupting means / crashing the
     // assignment loop (the replaced distributed form tolerated them)
     val sample = sample0.filter(_._2.length == dim)
+    lloydLocal(sample, dim, nlist, iters)
+      .map { case (id, v) => (id, v.toSeq) }.toSeq
+  }
 
+  /** The deterministic Lloyd refinement itself, over an in-memory
+    * sample (see [[kmeansCentroids]] for the contract). Also reused by
+    * [[coarsenCentroids]], where the "sample" is the fine centroid
+    * table — a second-level k-means over k-means cells.
+    */
+  private def lloydLocal(sample: Array[(Long, Array[Double])], dim: Int,
+      nlist: Int, iters: Int): Array[(Long, Array[Double])] = {
     // init = lowest-id sample vectors, cell id = position (0..nlist-1)
     var cents: Array[(Long, Array[Double])] =
       sample.take(nlist).zipWithIndex.map { case ((_, v), i) =>
@@ -223,7 +233,82 @@ object Similarity {
       cents = next
       it += 1
     }
-    cents.map { case (id, v) => (id, v.toSeq) }.toSeq
+    cents
+  }
+
+  /** Public handle on the bounded-sample k-means centroids for callers
+    * that feed them straight into a plan-constant expression
+    * ([[assignCellsTwoLevel]]) instead of a DataFrame join.
+    */
+  def kmeansCentroidsSeq(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int = 3): Seq[(Long, Seq[Double])] =
+    kmeansCentroidsLocal(corpus, idCol, vecCol, nlist, iters)
+
+  /** Group K fine centroids under ~√K coarse cells (a second Lloyd
+    * over the centroid table itself — K×dim doubles, trivially
+    * driver-side at any corpus size) for
+    * [[HashFns.twoLevelNearestCentroids]]. Returns (coarse vectors,
+    * per-coarse fine ids, per-coarse fine vectors); every fine
+    * centroid lands in exactly one coarse group (nearest by
+    * dot/‖coarse‖, ties to the lower coarse index — the same metric
+    * the expression applies at query time, so a fine centroid is
+    * always discoverable through its own coarse cell).
+    */
+  def coarsenCentroids(cents: Seq[(Long, Seq[Double])], nCoarse: Int = 0,
+      iters: Int = 3)
+      : (Seq[Seq[Double]], Seq[Seq[Long]], Seq[Seq[Seq[Double]]]) = {
+    require(cents.nonEmpty, "coarsenCentroids: empty centroid table")
+    val fine = cents.sortBy(_._1)
+      .map { case (id, v) => (id, v.toArray) }.toArray
+    val dim = fine.head._2.length
+    val c = if (nCoarse > 0) nCoarse
+      else math.max(1, math.ceil(math.sqrt(fine.length.toDouble)).toInt)
+    val coarse = lloydLocal(fine, dim, c, iters)
+    val cnorms = coarse.map { case (_, v) =>
+      val s = v.map(x => x * x).sum
+      if (s > 0) math.sqrt(s) else 0.0
+    }
+    val groups = Array.fill(coarse.length)(
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])])
+    fine.foreach { case (id, v) =>
+      var best = 0; var bestScore = Double.NegativeInfinity
+      var ci = 0
+      while (ci < coarse.length) {
+        var d = 0.0; var j = 0
+        val cv = coarse(ci)._2
+        while (j < dim) { d += v(j) * cv(j); j += 1 }
+        val score = if (cnorms(ci) == 0.0) d else d / cnorms(ci)
+        if (score > bestScore) { bestScore = score; best = ci }
+        ci += 1
+      }
+      groups(best) += ((id, v))
+    }
+    // drop coarse cells with no fine members (Lloyd can strand one)
+    val keep = coarse.indices.filter(groups(_).nonEmpty)
+    (keep.map(coarse(_)._2.toSeq),
+      keep.map(groups(_).map(_._1).toSeq),
+      keep.map(groups(_).map(_._2.toSeq).toSeq))
+  }
+
+  /** Two-level cell assignment as a narrow map: `probes` = the `probe`
+    * nearest fine cells through the coarse quantizer, `assigned` =
+    * probes[0] (the primary cell — a partition of the corpus). This is
+    * the 100TB replacement for [[assignNearestCentroid]]'s flat argmax
+    * when the cell count grows with the corpus (K ∝ n/target): per-row
+    * work drops from O(K) to O(√K·wCoarse·load). `probe` ≥ 2 feeds
+    * [[Dedup.semDedupMultiProbe]]'s candidate generation, closing the
+    * boundary-straddling recall hole of primary-cell-only blocking.
+    */
+  def assignCellsTwoLevel(df: DataFrame, keyCols: Seq[String],
+      vecCol: String, cents: Seq[(Long, Seq[Double])], probe: Int = 1,
+      wCoarse: Int = 2): DataFrame = {
+    require(keyCols.nonEmpty, "assignCellsTwoLevel: key columns")
+    val (cv, fi, fv) = coarsenCentroids(cents)
+    df.withColumn("probes", HashFns.twoLevelNearestCentroids(
+        col(vecCol), cv, fi, fv, wCoarse, probe))
+      .withColumn("assigned", element_at(col("probes"), 1))
+      .select(keyCols.map(col) ++
+        Seq(col(vecCol), col("probes"), col("assigned")): _*)
   }
 
   /** IVF-style ANN: seeded-k-means centroids (deterministic Lloyd

@@ -741,4 +741,94 @@ class OperatorsSpec extends SparkSpec {
     assert(dropped == expected)
     assert(expected.nonEmpty, "no copy was co-clustered at all")
   }
+
+  test("two-level centroid search == flat scan when all coarse cells " +
+      "are probed (scoring + tie-break equivalence)") {
+    val emb = graft.queries.T.t(spark, sf0001, "embeddings")
+    val cents = Similarity.kmeansCentroidsSeq(emb, "vec_id", "embedding",
+      nlist = 24)
+    val (cv, fi, fv) = Similarity.coarsenCentroids(cents)
+    assert(fi.flatten.sorted == cents.map(_._1).sorted,
+      "coarsening must partition the fine centroid table")
+    // wCoarse >= #coarse groups → every fine centroid is scanned →
+    // must be EXACTLY the flat argmax, top-1 and top-3
+    for (k <- Seq(1, 3)) {
+      val flat = emb.select(col("vec_id"),
+        graft.operators.HashFns.nearestCentroids(col("embedding"),
+          cents.map(_._1), cents.map(_._2), k).as("cells"))
+      val two = emb.select(col("vec_id"),
+        graft.operators.HashFns.twoLevelNearestCentroids(col("embedding"),
+          cv, fi, fv, wCoarse = cv.length, n = k).as("cells"))
+      assert(flat.exceptAll(two).isEmpty && two.exceptAll(flat).isEmpty,
+        s"top-$k two-level != flat scan")
+    }
+  }
+
+  test("assignCellsTwoLevel partitions the corpus; probes are distinct " +
+      "existing cells led by the primary") {
+    val corpus = graft.queries.DedupQueries.plantedEmbeddingCorpus(
+      graft.queries.T.t(spark, sf0001, "embeddings"))
+    val cents = Similarity.kmeansCentroidsSeq(corpus, "id", "v", nlist = 16)
+    val ids = cents.map(_._1).toSet
+    val asg = Similarity.assignCellsTwoLevel(corpus, Seq("id"), "v",
+      cents, probe = 2, wCoarse = 2)
+    val rows = asg.collect()
+    assert(rows.length == corpus.count())
+    rows.foreach { r =>
+      val probes = r.getSeq[Long](r.fieldIndex("probes"))
+      assert(probes.length == 2 && probes.distinct.length == 2)
+      assert(probes.forall(ids))
+      assert(r.getLong(r.fieldIndex("assigned")) == probes.head)
+    }
+  }
+
+  test("semDedupMultiProbe with probe=1 == semDedupAssigned; probe=2 " +
+      "recovers boundary-straddling planted pairs (recall up, exactness " +
+      "kept)") {
+    val corpus = graft.queries.DedupQueries.plantedEmbeddingCorpus(
+      graft.queries.T.t(spark, sf0001, "embeddings")).localCheckpoint(true)
+    val nOrig = corpus.count() / 2
+    val cents = Similarity.kmeansCentroidsSeq(corpus, "id", "v", nlist = 16)
+    val asg1 = Similarity.assignCellsTwoLevel(corpus, Seq("id"), "v",
+      cents, probe = 1, wCoarse = cents.length).localCheckpoint(true)
+    // probe=1 multi-probe is definitionally single-cell blocking:
+    // must equal the semDedupAssigned core row for row
+    val viaMulti = Dedup.semDedupMultiProbe(asg1, "id", "v", "probes",
+      "assigned", threshold = 0.9)
+    val viaSingle = Dedup.semDedupAssigned(asg1, "id", "v", "assigned",
+      threshold = 0.9)
+      .select(col("id"), col("assigned").cast("long"), col("kept"))
+    assert(viaMulti.exceptAll(viaSingle).isEmpty &&
+      viaSingle.exceptAll(viaMulti).isEmpty)
+
+    val asg2 = Similarity.assignCellsTwoLevel(corpus, Seq("id"), "v",
+      cents, probe = 2, wCoarse = 2).localCheckpoint(true)
+    val out2 = Dedup.semDedupMultiProbe(asg2, "id", "v", "probes",
+      "assigned", threshold = 0.9).collect()
+    val dropped2 = out2.filter(!_.getBoolean(2)).map(_.getLong(0)).toSet
+    // exactness: the only >=0.9 pairs are (orig, orig+100000), so the
+    // dropped set must be EXACTLY the copies sharing a blocked pair
+    // with their original (either direction probes the other's
+    // primary), nothing else
+    val probeMap = asg2.select(col("id"), col("probes"), col("assigned"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Long](1).toSet, r.getLong(2))).toMap
+    val expected2 = probeMap.keySet.filter { id =>
+      id >= 100000L && {
+        val (cp, cprim) = probeMap(id)
+        val (op, oprim) = probeMap(id - 100000L)
+        cp.contains(oprim) || op.contains(cprim)
+      }
+    }
+    assert(dropped2 == expected2)
+    // and multi-probe must strictly beat single-cell blocking here:
+    // isotropic vectors sit near cell boundaries (the documented
+    // SemDedup worst case), so probe=2 recovers a real fraction
+    val single = probeMap.keySet.count(id => id >= 100000L &&
+      probeMap(id)._2 == probeMap(id - 100000L)._2)
+    assert(dropped2.size > single,
+      s"probe=2 (${dropped2.size}) should beat primary-only ($single)")
+    assert(dropped2.size.toDouble / nOrig > 0.5,
+      s"recall ${dropped2.size.toDouble / nOrig} too low at probe=2")
+  }
 }
