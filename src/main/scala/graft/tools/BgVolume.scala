@@ -85,7 +85,7 @@ object BgVolume {
       s""""bands":$bands,"rows_per_band":$rows,""" +
       s""""auto_cand_pairs":$auto,"fixed_32x4_cand_pairs":$fixed}"""
     Files.writeString(
-      Paths.get(s"SCALE_r6_bgvol_f$factor.json"), payload + "\n")
+      Paths.get(s"SCALE_r7_bgvol_f$factor.json"), payload + "\n")
     println(payload)
     spark.stop()
   }

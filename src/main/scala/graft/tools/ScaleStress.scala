@@ -10,7 +10,7 @@ import graft.operators.Dedup
 /** Scale-stress harness (VERDICT r3 item 1): generates an
   * sf1-equivalent corpus (10× the sf0.1 documents/embeddings) with
   * PLANTED near-duplicates, runs the production dedup/ANN paths
-  * end-to-end, and writes `SCALE_r6_dedup.json` with wall-times, semantic
+  * end-to-end, and writes `SCALE_r7_dedup.json` with wall-times, semantic
   * checks at the planted-pair level, and physical-plan evidence that
   * the banded joins stay hash joins at 10× bench scale. Round 6 adds
   * the auto-vs-fixed MinHash band comparison (candidate volumes both
@@ -274,7 +274,7 @@ object ScaleStress {
     // IDENTICAL to the auto run (recall bound holds for both).
     // factor ≤ 10 only: the counterexample measures ITSELF quadratic
     // (f20: 1711s / 39.7k CPU-s vs auto's 52s / 650 — recorded in
-    // SCALE_r6_dedup_f20.json; no need to re-pay 28 minutes per run).
+    // SCALE_r7_dedup_f20.json; no need to re-pay 28 minutes per run).
     if (factor <= 10) timed("xd6_fixed_96x12") {
       val fixed = Dedup.embeddingNearDupsLSH(plantedCorpus, "id", "v",
         threshold = 0.9, bands = 96, bitsPerBand = 12)
@@ -341,7 +341,7 @@ object ScaleStress {
     val payload = results
       .map { case (k, v) => s""""$k":${StressUtil.jsonScalar(v)}""" }
       .mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"SCALE_r6_dedup$suffix.json"), payload + "\n")
+    Files.writeString(Paths.get(s"SCALE_r7_dedup$suffix.json"), payload + "\n")
     val planReport = new StringBuilder
     planReport ++= s"# Plan snapshots at ${factor}x bench scale " +
       s"($nDocs docs / $nEmb vectors)\n\n"
@@ -359,7 +359,7 @@ object ScaleStress {
     val bad = (xd1Plan ++ xd6Plan ++ xd1NoB ++ xd6NoB).filter(l =>
       l.contains("Cartesian") || l.contains("BroadcastNestedLoop"))
     require(bad.isEmpty, s"scale-killer join shapes at ${factor}x: $bad")
-    Files.writeString(Paths.get(s"SCALE_r6_dedup_plans$suffix.txt"),
+    Files.writeString(Paths.get(s"SCALE_r7_dedup_plans$suffix.txt"),
       planReport.toString)
     println(payload)
     spark.stop()
