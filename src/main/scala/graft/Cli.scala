@@ -214,13 +214,11 @@ object Cli {
 
   // -------------------------------------------------------------- config
 
-  /** Config dir (reference: config.rs:14-36; env override parity with
-    * [[ProtoRegistry]]).
+  /** Config dir (reference: config.rs:14-36) — the single resolution
+    * lives in [[ProtoRegistry.defaultDir]] so the `protobuf add`
+    * writer and the `-p` decode path can never resolve differently.
     */
-  private def configDir: Path = Paths.get(
-    sys.props.get("graft.system.dir") // test override (env is immutable in-JVM)
-      .orElse(sys.env.get("GRAFT_SYSTEM_DIR"))
-      .getOrElse(sys.props.getOrElse("user.home", "/tmp") + "/.graft"))
+  private def configDir: Path = ProtoRegistry.defaultDir
 
   /** First-run marker (reference: rq.rs:331-357 has_ran/set_ran). */
   def hasRanCmd(cmd: String): Boolean =

@@ -23,9 +23,7 @@ import ProtoSchema.PSchemaSet
   */
 final class ProtoRegistry(baseDir: Path) {
 
-  def this() = this(Paths.get(
-    sys.env.getOrElse("GRAFT_SYSTEM_DIR",
-      sys.props.getOrElse("user.home", "/tmp") + "/.graft")))
+  def this() = this(ProtoRegistry.defaultDir)
 
   private val protoDir = baseDir.resolve("proto")
   private val cacheFile = baseDir.resolve("descriptor-cache.bin")
@@ -81,4 +79,19 @@ final class ProtoRegistry(baseDir: Path) {
   /** Decode one message (the `-p .pkg.Msg` entry point, §3.2). */
   def decodeMessage(bytes: Array[Byte], fqNameWithDot: String): Value =
     ProtoWire.decode(bytes, fqNameWithDot, descriptors())
+}
+
+object ProtoRegistry {
+  /** The ONE registry-dir resolution, shared by the `protobuf add`
+    * writer (Cli.configDir) and the `-p` decode path — previously the
+    * decode path skipped the `graft.system.dir` test override, so the
+    * two ends of the tutorial flow (`rq protobuf add` → `rq -p`) could
+    * silently resolve different registries under test. Order: JVM
+    * test override, then GRAFT_SYSTEM_DIR (reference RQ_SYSTEM_DIR
+    * parity, config.rs:14-36), then ~/.graft.
+    */
+  def defaultDir: Path = Paths.get(
+    sys.props.get("graft.system.dir")
+      .orElse(sys.env.get("GRAFT_SYSTEM_DIR"))
+      .getOrElse(sys.props.getOrElse("user.home", "/tmp") + "/.graft"))
 }

@@ -206,6 +206,52 @@ class CliSpec extends AnyFunSuite {
       raw), UTF_8) == "line one\nline two\n")
   }
 
+  test("protobuf add + -p one-shot end-to-end through a populated " +
+      "registry with a nested package (tutorial.md:44-47, " +
+      "protobuf.md:36-44)") {
+    val dir = Files.createTempDirectory("graft-proto-e2e")
+    System.setProperty("graft.system.dir", dir.toString)
+    try {
+      // registry gets TWO schemas — resolution must pick the right
+      // message by fully-qualified name, not file order
+      val person = dir.resolve("person.proto")
+      Files.writeString(person,
+        """syntax = "proto2";
+          |package example.nested;
+          |message Person {
+          |  optional string name = 1;
+          |  optional int32 age = 2;
+          |}
+          |""".stripMargin)
+      val decoy = dir.resolve("decoy.proto")
+      Files.writeString(decoy,
+        """syntax = "proto2";
+          |package other;
+          |message Person {
+          |  optional string nom = 1;
+          |}
+          |""".stripMargin)
+      Cli.run(Cli.parse(Seq("protobuf", "add", person.toString)),
+        new ByteArrayInputStream(Array.emptyByteArray),
+        new ByteArrayOutputStream())
+      Cli.run(Cli.parse(Seq("protobuf", "add", decoy.toString)),
+        new ByteArrayInputStream(Array.emptyByteArray),
+        new ByteArrayOutputStream())
+      // person.pb wire bytes for {name:"John", age:34}:
+      // field 1 LEN "John" (0x0A 0x04 J o h n), field 2 VARINT 34
+      val wire = Array[Byte](0x0a, 0x04, 'J', 'o', 'h', 'n', 0x10, 34)
+      val got = new String(pipe(
+        Cli.parse(Seq("-p", ".example.nested.Person")), wire), UTF_8)
+      // the tutorial's exact output shape (tutorial.md:47)
+      assert(got == "{\"name\":\"John\",\"age\":34}\n")
+      // unknown message name errors instead of guessing (the leading
+      // dot is the full-qualification contract, protobuf.md:36-44)
+      intercept[Exception] {
+        pipe(Cli.parse(Seq("-p", ".example.Person")), wire)
+      }
+    } finally System.clearProperty("graft.system.dir")
+  }
+
   test("-P output-protobuf fails unimplemented (K11, rq.rs:237-240)") {
     val e = intercept[Exception] {
       pipe(Options(outputProtobuf = Some(".foo.Bar")), "1".getBytes(UTF_8))
