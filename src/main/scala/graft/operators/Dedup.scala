@@ -558,6 +558,22 @@ object Dedup {
         col("__dup").isNull.as("kept"))
   }
 
+  /** Probe count for [[semDedupMultiProbe]] on a STRUCTURE-FREE
+    * (isotropic) corpus — the worst case for cell blocking. When
+    * embeddings carry no cluster structure, all nCells cell scores are
+    * near-ties, so a near-dup pair's partner cell sits deep in the
+    * probe ranking and the probe count needed for a fixed recall grows
+    * with the cell count: measured p ≈ 2.1·nCells^0.4 for recall 0.9 at
+    * threshold 0.9 (SCALE_r7 fit: 80 cells → 12 probes / 160 → 16, both
+    * landing 0.90–0.91 on the planted corpus). On CLUSTERED corpora —
+    * SemDedup's actual domain — probe=2 with wCoarse=2 already clears
+    * 0.9 (the clustered SCALE leg); this law is the honest upper bound
+    * to fall back on when nothing is known about the embedding space.
+    */
+  def semDedupIsotropicProbes(nCells: Int): Int =
+    math.max(2, math.min(nCells,
+      math.ceil(2.1 * math.pow(nCells.toDouble, 0.4)).toInt))
+
   /** Derive (bands, bitsPerBand) for [[embeddingNearDupsLSH]] from the
     * corpus size and recall target — the measured scaling rule on that
     * method's Scaladoc, as code:

@@ -210,33 +210,67 @@ object SelectStress {
     //  - probe=2 multi-probe candidate generation, closing the
     //    boundary-straddle recall hole (0.20–0.22 co-cluster recall at
     //    primary-only blocking).
-    timed("xd11_semdedup_kmeans") {
-      val corpus = graft.queries.DedupQueries.plantedEmbeddingCorpus(
-          spark.read.parquet(s"$outDir/embeddings.parquet"))
-        .localCheckpoint(true)
+    /** Shared xd11 leg body: k-means cells at nlist ∝ n/target,
+      * two-level assignment with `probe` probes / `wCoarse` coarse
+      * groups, multi-probe dedup, plan gate, corpus-cover gate.
+      * Returns (asg, dropped-count, shared metrics) for the
+      * leg-specific invariants.
+      */
+    def semDedupLeg(corpus: org.apache.spark.sql.DataFrame, legName: String,
+        probeOf: Int => Int, wCoarseOf: Int => Int)
+        : (org.apache.spark.sql.DataFrame, Long, Long, Long,
+           Seq[(String, Any)]) = {
       val n = corpus.count()
       val target = 500
       val nlist = math.max(8L, n / target).toInt
       val cents = graft.operators.Similarity
         .kmeansCentroidsSeq(corpus, "id", "v", nlist)
+      val probe = probeOf(cents.length)
+      val wCoarse = wCoarseOf(cents.length)
       val asg = graft.operators.Similarity
         .assignCellsTwoLevel(corpus, Seq("id"), "v", cents,
-          probe = 2, wCoarse = 2)
+          probe = probe, wCoarse = wCoarse)
         .localCheckpoint(true)
       val out = graft.operators.Dedup
         .semDedupMultiProbe(asg, "id", "v", "probes", "assigned", 0.9)
         .cache()
       val total = out.count()
       require(total == n, s"flag output must cover the corpus: $total != $n")
-      plans += "xd11_semdedup_kmeans" -> StressUtil.joinLines(out)
-      require(!plans("xd11_semdedup_kmeans")
-          .exists(_.startsWith("CartesianProduct")),
+      plans += legName -> StressUtil.joinLines(out)
+      require(!plans(legName).exists(_.startsWith("CartesianProduct")),
         "within-cluster self-join degenerated to a cartesian product")
       val dropped = out.where(!col("kept")).count()
-      // exactness at scale, checked DISTRIBUTEDLY (no driver collect):
-      // the only >=0.9 pairs are (original, original+100000), so the
-      // dropped set must be EXACTLY the copies sharing a blocked pair
-      // with their original — either one probes the other's primary
+      // planted copies carry id%1e6 >= 1e5 in BOTH corpus recipes
+      // (replica offsets are multiples of 1e6, the copy offset is 1e5)
+      val copiesDropped = out.where(!col("kept") &&
+        col("id") % 1000000L >= 100000L).count()
+      out.unpersist()
+      (asg, n, dropped, copiesDropped,
+        Seq("nlist" -> nlist, "n_cells" -> cents.length,
+          "probe" -> probe, "w_coarse" -> wCoarse, "dropped" -> dropped))
+    }
+
+    // ISOTROPIC leg — the blocking worst case. The driver embeddings
+    // carry NO cluster structure (within-label == cross-label cosine),
+    // so all cell scores are near-ties and the probe count for 0.9
+    // recall follows the measured worst-case law p ≈ 2.1·K^0.4
+    // (Dedup.semDedupIsotropicProbes); every coarse group must be
+    // scanned (w = K caps at the group count internally). Candidate
+    // volume is p × n·target — n^1.4 when K ∝ n on structure-free
+    // data (the clustered leg below is the constant-p domain; for a
+    // corpus KNOWN to be structure-free, xd6's hyperplane LSH is the
+    // right operator, not SemDedup).
+    timed("xd11_semdedup_kmeans") {
+      val corpus = graft.queries.DedupQueries.plantedEmbeddingCorpus(
+          spark.read.parquet(s"$outDir/embeddings.parquet"))
+        .localCheckpoint(true)
+      val (asg, n, dropped, _, metrics) = semDedupLeg(corpus,
+        "xd11_semdedup_kmeans",
+        graft.operators.Dedup.semDedupIsotropicProbes, k => k)
+      // exactness, checked DISTRIBUTEDLY: on the isotropic corpus the
+      // ONLY >=0.9 pairs are (original, original+100000) — verified
+      // by brute force offline — so the dropped set must be EXACTLY
+      // the copies sharing a blocked pair with their original
       val blocked = asg.as("o").join(asg.as("c"),
         col("c.id") === col("o.id") + 100000L &&
           (array_contains(col("c.probes"), col("o.assigned")) ||
@@ -245,10 +279,56 @@ object SelectStress {
         s"dropped $dropped != blocked-pair copies $blocked")
       val recall = dropped.toDouble / (n / 2)
       require(recall >= 0.9,
-        f"multi-probe recall $recall%.3f below the 0.9 operating point")
-      out.unpersist()
-      (n, Seq("nlist" -> nlist, "dropped" -> dropped,
-        "co_cluster_recall" -> recall))
+        f"isotropic recall $recall%.3f below the 0.9 operating point")
+      (n, metrics :+ ("co_cluster_recall" -> recall))
+    }
+    dropPersisted()
+
+    // CLUSTERED leg — SemDedup's actual domain (real embedding spaces
+    // cluster; the paper's premise). Each base vector becomes a
+    // cluster center with `factor` satellites; within-cluster pairs
+    // sit near cos 0.9, so beyond the planted copies the corpus holds
+    // REAL semantic near-dups and strict planted-pair equality cannot
+    // hold. Gates instead: (a) planted-copy recall >= 0.9 at probe=2 /
+    // wCoarse=2 — constant probe cost, ~sqrt(K)-fraction centroid
+    // scans, where the isotropic leg needed p ~ 2.1·K^0.4 and full
+    // scans; (b) the dropped set equals an independent two-sided-join
+    // replay of the drop rule (keep-first over blocked pairs), so
+    // every extra drop is a genuine blocked >=0.9 pair, not noise.
+    timed("xd11_semdedup_clustered") {
+      StressUtil.clusteredEmbeddings(spark, baseDir, outDir, factor)
+      val corpus = graft.queries.DedupQueries.plantedEmbeddingCorpus(
+          spark.read.parquet(s"$outDir/embeddings_clustered.parquet"))
+        .localCheckpoint(true)
+      val (asg, n, dropped, copiesDropped, metrics) = semDedupLeg(corpus,
+        "xd11_semdedup_clustered", _ => 2, _ => 2)
+      val recall = copiesDropped.toDouble / (n / 2)
+      require(recall >= 0.9,
+        f"clustered planted-copy recall $recall%.3f below 0.9 at probe=2")
+      // independent replay of the keep-first-over-blocked-pairs
+      // contract, as two one-DIRECTIONAL equi-joins (lower-id prober
+      // vs higher-id prober, each dropping the explicit higher side)
+      // unioned + distinct — no greatest(), different plan shape
+      import graft.functions.TextFns
+      val base = asg.select(col("id"), col("v"), col("probes"),
+        col("assigned"), TextFns.l2norm(col("v")).as("nn"))
+        .localCheckpoint(true)
+      val pr = base.select(col("id").as("pid"), col("v").as("pv"),
+        col("nn").as("pn"), explode(col("probes")).as("cell"))
+      val an = base.select(col("id").as("aid"), col("v").as("av"),
+        col("nn").as("an"), col("assigned").as("cell"))
+      val cand = pr.join(an, Seq("cell")).where(
+        (TextFns.dot(col("pv"), col("av")) /
+          (col("pn") * col("an"))) >= 0.9)
+      val replayDropped = cand.where(col("pid") < col("aid"))
+        .select(col("aid").as("did"))
+        .unionAll(cand.where(col("pid") > col("aid"))
+          .select(col("pid").as("did")))
+        .distinct().count()
+      require(replayDropped == dropped,
+        s"replay dropped $replayDropped != operator dropped $dropped")
+      (n, metrics ++ Seq("planted_recall" -> recall,
+        "copies_dropped" -> copiesDropped))
     }
     dropPersisted()
 

@@ -127,6 +127,40 @@ object StressUtil {
     * both destroys the artifact's evidentiary value and lets the
     * BroadcastNestedLoopJoin assertion pass vacuously.
     */
+  /** CLUSTERED embedding corpus: each base vector becomes a cluster
+    * center with `members` satellites at center + 0.3·perm(center) —
+    * deterministic per member id, norm-preserving, so within-cluster
+    * cosine sits ≈0.95 while cross-cluster stays ≈0 (the base vectors
+    * are isotropic). This is the corpus SemDedup's premise assumes
+    * (real embedding spaces cluster); the isotropic replication recipe
+    * above is its worst case. Member ids are center_id·members + j,
+    * kept < 100000 so plantedEmbeddingCorpus's +100000 copy offset
+    * stays collision-free.
+    */
+  def clusteredEmbeddings(spark: SparkSession, baseDir: String,
+      outDir: String, members: Int): Long = {
+    import spark.implicits._
+    val base = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    val maxId = base.agg(max(col("vec_id"))).head.getLong(0)
+    require((maxId + 1) * members < 100000L,
+      s"member ids would collide with the planted-copy offset: " +
+        s"($maxId+1)*$members >= 100000")
+    spark.range(members).crossJoin(base)
+      .select(col("id").as("j"), col("vec_id"), col("embedding"),
+        col("label"))
+      .as[(Long, Long, Seq[Float], Int)]
+      .map { case (j, cid, v, lab) =>
+        val id = cid * members + j
+        val p = permuteVec(v, id)
+        val m = v.toArray.zip(p).map { case (x, y) => x + 0.3f * y }
+        (id, m.toSeq, lab)
+      }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite")
+      .parquet(s"$outDir/embeddings_clustered.parquet")
+    spark.read.parquet(s"$outDir/embeddings_clustered.parquet").count()
+  }
+
   def joinLines(df: DataFrame): Seq[String] =
     df.queryExecution.executedPlan.toString.linesIterator
       .map(_.replaceAll("""^[\s:+-]*""", "")
