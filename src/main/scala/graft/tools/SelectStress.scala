@@ -244,10 +244,19 @@ object SelectStress {
       // (replica offsets are multiples of 1e6, the copy offset is 1e5)
       val copiesDropped = out.where(!col("kept") &&
         col("id") % 1000000L >= 100000L).count()
+      // cell-load skew diagnostics: candidate volume is
+      // ~probe·Σ load² / n-ish, so a catch-all giant cell (k-means on
+      // structure-free data grows one) turns the nominal n·target
+      // volume quadratic — publish the occupancy so the cost curve is
+      // self-explaining
+      val skew = asg.groupBy("assigned").count()
+        .agg(max("count"), sum(col("count") * col("count"))).head
       out.unpersist()
       (asg, n, dropped, copiesDropped,
         Seq("nlist" -> nlist, "n_cells" -> cents.length,
-          "probe" -> probe, "w_coarse" -> wCoarse, "dropped" -> dropped))
+          "probe" -> probe, "w_coarse" -> wCoarse, "dropped" -> dropped,
+          "max_cell_load" -> skew.getLong(0),
+          "sum_cell_load_sq" -> skew.getLong(1)))
     }
 
     // ISOTROPIC leg — the blocking worst case. The driver embeddings
