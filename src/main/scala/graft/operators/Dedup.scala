@@ -505,8 +505,12 @@ object Dedup {
         col(clusterCol).as("__cl"))
       .withColumn("__n", TextFns.l2norm(col("__v")))
       .localCheckpoint(true)
+    // shuffle-hash: both sides shuffle on the cluster id anyway, and
+    // per-partition hash tables at occupancy-law loads are small;
+    // sort-merge would sort both n-row sides for nothing
     val dropped = e.as("x")
-      .join(e.as("y"), col("x.__cl") === col("y.__cl") &&
+      .join(e.as("y").hint("shuffle_hash"),
+        col("x.__cl") === col("y.__cl") &&
         col("x.__id") < col("y.__id"))
       .where((TextFns.dot(col("x.__v"), col("y.__v")) /
         (col("x.__n") * col("y.__n"))) >= threshold)
@@ -547,7 +551,10 @@ object Dedup {
       explode(col("__probes")).as("__cell"))
     val primary = e.select(col("__id").as("__pid"), col("__v").as("__pv"),
       col("__n").as("__pn"), col("__cl").as("__cell"))
-    val dropped = probed.join(primary,
+    // shuffle-hash, not sort-merge: the probe side is n·p rows and an
+    // SMJ sorts it; hashing the (n-row) primary side per partition is
+    // a few MB at any occupancy-law load and skips both sorts
+    val dropped = probed.join(primary.hint("shuffle_hash"),
         probed("__cell") === primary("__cell") &&
           col("__id") =!= col("__pid"))
       .where((TextFns.dot(col("__v"), col("__pv")) /
