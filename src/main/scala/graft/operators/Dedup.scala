@@ -505,12 +505,16 @@ object Dedup {
         col(clusterCol).as("__cl"))
       .withColumn("__n", TextFns.l2norm(col("__v")))
       .localCheckpoint(true)
-    // shuffle-hash: both sides shuffle on the cluster id anyway, and
-    // per-partition hash tables at occupancy-law loads are small;
-    // sort-merge would sort both n-row sides for nothing
+    // sort-merge, NOT shuffle-hash: every probe row matches ~load
+    // (occupancy-law ~target≈500) build rows, so the join's cost is
+    // the pair ENUMERATION, not the per-side sort. SMJ walks each
+    // equal-key range sequentially (cache-friendly); a hash join
+    // chases ~load scattered build rows per probe — measured 13×
+    // CPU on the isotropic f10 leg (671 vs ~50 cpu-s) when a
+    // shuffle_hash hint was tried here. High-multiplicity pair
+    // joins are the one place the sort pays for itself.
     val dropped = e.as("x")
-      .join(e.as("y").hint("shuffle_hash"),
-        col("x.__cl") === col("y.__cl") &&
+      .join(e.as("y"), col("x.__cl") === col("y.__cl") &&
         col("x.__id") < col("y.__id"))
       .where((TextFns.dot(col("x.__v"), col("y.__v")) /
         (col("x.__n") * col("y.__n"))) >= threshold)
@@ -551,10 +555,12 @@ object Dedup {
       explode(col("__probes")).as("__cell"))
     val primary = e.select(col("__id").as("__pid"), col("__v").as("__pv"),
       col("__n").as("__pn"), col("__cl").as("__cell"))
-    // shuffle-hash, not sort-merge: the probe side is n·p rows and an
-    // SMJ sorts it; hashing the (n-row) primary side per partition is
-    // a few MB at any occupancy-law load and skips both sorts
-    val dropped = probed.join(primary.hint("shuffle_hash"),
+    // sort-merge, not shuffle-hash: each probe row matches ~load
+    // (≈target) primary rows, so enumeration dominates and SMJ's
+    // sequential equal-key ranges beat per-probe hash-bucket chasing
+    // (a shuffle_hash hint here measured 13× CPU on the isotropic
+    // f10 leg — the sorts are amortized over ~load× more pair work)
+    val dropped = probed.join(primary,
         probed("__cell") === primary("__cell") &&
           col("__id") =!= col("__pid"))
       .where((TextFns.dot(col("__v"), col("__pv")) /
@@ -1136,6 +1142,91 @@ object Dedup {
     ps.copy(store = ps.store.localCheckpoint(true),
       shingled = ps.shingled.localCheckpoint(true),
       banded = ps.banded.localCheckpoint(true))
+
+  /** EXACT substring dedup — the span-level "no L-gram occurs twice in
+    * the training set" operator (the suffix-array dedup of the
+    * deduplicating-training-data literature, re-expressed relationally;
+    * cf. paragraphDedup for the CCNet paragraph-level analog). Any
+    * `l`-codepoint gram that already occurred EARLIER in the corpus —
+    * global (doc_id, pos) order, first occurrence kept — marks its
+    * `[pos, pos+l)` span as duplicated; per doc the duplicated spans
+    * merge into maximal islands (touching spans merge) and are cut
+    * out of the text.
+    *
+    * Output: one row per input doc — (id, n_spans, removed_chars,
+    * clean_text), where removed_chars == length(text) -
+    * length(clean_text) always (islands are disjoint).
+    *
+    * Scale shape (100 TB honesty): the corpus-wide shuffle is the
+    * (key62, doc_id, pos) occurrence stream — ~24 bytes per character
+    * position, the intrinsic cost of exact substring dedup (the
+    * suffix-array literature pays a comparable global sort; there is
+    * no sublinear exact formulation). Everything downstream of the
+    * first group-by is linear in the DUPLICATED volume only:
+    *
+    *  1. rolling 62-bit gram keys ([[GramKeys]], one fused pass per
+    *     doc — gram TEXT never materializes here);
+    *  2. per-key df + min-occurrence — map-side combine collapses hot
+    *     grams before the shuffle, so a million-occurrence boilerplate
+    *     gram costs its occurrence count, never a pair blowup (this
+    *     op never joins occurrence×occurrence);
+    *  3. only occurrences whose key has df>1 (true dups + ~2^-62 hash
+    *     collisions) re-attach their gram text — a doc_id equi-join —
+    *     and regroup on the REAL gram, making the result exact under
+    *     any collision;
+    *  4. span island-merge per doc (window partitioned on doc_id) and
+    *     a single-pass fold rebuilds the cleaned text.
+    */
+  def substringDedup(docs: DataFrame, idCol: String, textCol: String,
+      l: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(l >= 2, s"substringDedup: window $l")
+    val d = docs.select(col(idCol).cast(LongType).as("__id"),
+      col(textCol).as("__txt"))
+    // (doc_id, pos) global order as one comparable key; 1e9 bounds
+    // positions (a single 1 GB+ document should be chunked upstream)
+    val occ = d.select(col("__id"),
+        posexplode(HashFns.gramKeys(col("__txt"), l)))
+      .select(col("__id"), (col("pos") + 1).as("__pos"),
+        col("col").as("__gk"),
+        (col("__id") * 1000000000L + col("pos") + 1).as("__key"))
+    val firsts = occ.groupBy("__gk")
+      .agg(count(lit(1)).as("__df"), min("__key").as("__mk"))
+    val cand = occ.join(firsts.where(col("__df") > 1L), "__gk")
+    val candTxt = cand.join(d, "__id")
+      .select(col("__id"), col("__pos"), col("__key"),
+        expr(s"substring(__txt, __pos, $l)").as("__gram"))
+    val exact = candTxt.groupBy("__gram").agg(min("__key").as("__mk2"))
+    val dup = candTxt.join(exact, "__gram")
+      .where(col("__key") > col("__mk2"))
+    val w = Window.partitionBy("__id").orderBy("__s")
+    val islands = dup
+      .select(col("__id"), col("__pos").as("__s"),
+        (col("__pos") + l).as("__e"))
+      .withColumn("__pm", max("__e")
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        (col("__pm").isNull || col("__s") > col("__pm")).cast("int"))
+      .withColumn("__isl", sum("__new").over(w))
+      .groupBy("__id", "__isl")
+      .agg(min("__s").as("__s"), max("__e").as("__e"))
+    val perDoc = islands.groupBy("__id")
+      .agg(sort_array(collect_list(struct(col("__s"), col("__e"))))
+        .as("__spans"))
+    d.join(perDoc, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(size(col("__spans")), lit(0)).cast(LongType)
+          .as("n_spans"),
+        coalesce(expr("aggregate(__spans, 0L, (a, sp) -> a + sp.__e - sp.__s)"),
+          lit(0L)).as("removed_chars"),
+        coalesce(expr("""aggregate(__spans,
+            named_struct('t', '', 'p', 1L),
+            (acc, sp) -> named_struct(
+              't', concat(acc.t, substring(__txt, acc.p, sp.__s - acc.p)),
+              'p', CAST(sp.__e AS BIGINT)),
+            acc -> concat(acc.t, substring(__txt, acc.p, 2147483647)))"""),
+          col("__txt")).as("clean_text"))
+  }
 }
 
 /** Paragraph-splitting strategies for [[Dedup.paragraphDedup]] /

@@ -540,6 +540,67 @@ case class TwoLevelNearestCentroids(child: Expression,
   * list_inner_product over the same values), but a single tight loop
   * instead of per-element lambda dispatch.
   */
+/** Rolling 62-bit keys of every `l`-codepoint gram of the RAW text
+  * (no normalization — exact substring dedup operates on text as-is):
+  * element `i` (0-based) is the combined hash of `substring(text,
+  * i+1, l)`, so array positions line up 1-based with SQL `substr`.
+  * Two independent rolling hashes (31-bit Mersenne-prime moduli,
+  * different bases) are packed as `h1 << 31 | h2`; equal grams always
+  * collide, unequal grams collide with ~2^-62 probability — and the
+  * consumer ([[Dedup.substringDedup]]) re-verifies candidate groups
+  * on the actual gram text, so a collision can never corrupt the
+  * result, only cost a few extra verified rows.
+  *
+  * Codepoint-indexed (not UTF-16 chars) so positions agree with
+  * Spark/DuckDB `substr` semantics on non-BMP text.
+  */
+case class GramKeys(child: Expression, l: Int)
+    extends UnaryExpression with FusedUnary {
+
+  require(l >= 2 && l <= 65536, s"gram_keys: bad window $l")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_keys"
+
+  // h2*B2 < 2^31·2^20 = 2^51, +codepoint(2^21) — no Long overflow;
+  // the rolling removal term cp·pow < 2^21·2^31 = 2^52 likewise
+  private val B1 = 257L
+  private val M1 = 2147483647L
+  private val B2 = 1000003L
+  private val M2 = 2147483629L
+
+  override def nullSafeEval(input: Any): Any = {
+    val cps = input.toString.codePoints().toArray
+    if (cps.length < l) return new GenericArrayData(Array.empty[Long])
+    val n = cps.length - l + 1
+    val out = new Array[Long](n)
+    var pow1 = 1L; var pow2 = 1L
+    var i = 0
+    while (i < l - 1) { pow1 = pow1 * B1 % M1; pow2 = pow2 * B2 % M2; i += 1 }
+    var h1 = 0L; var h2 = 0L
+    i = 0
+    while (i < l) {
+      val c = cps(i)
+      h1 = (h1 * B1 + c) % M1
+      h2 = (h2 * B2 + c) % M2
+      i += 1
+    }
+    out(0) = (h1 << 31) | h2
+    i = 1
+    while (i < n) {
+      val rm = cps(i - 1); val ad = cps(i + l - 1)
+      h1 = ((h1 - rm * pow1 % M1 + M1) % M1 * B1 + ad) % M1
+      h2 = ((h2 - rm * pow2 % M2 + M2) % M2 * B2 + ad) % M2
+      out(i) = (h1 << 31) | h2
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
 case class DotProduct(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
     with FusedBinary {
@@ -585,6 +646,8 @@ object HashFns {
     Bridge.column(WordShingles(e(c), n))
   def dotProduct(a: Column, b: Column): Column =
     Bridge.column(DotProduct(e(a), e(b)))
+  def gramKeys(c: Column, l: Int): Column =
+    Bridge.column(GramKeys(e(c), l))
   def hyperplaneBands(
       c: Column, bands: Int = 96, bitsPerBand: Int = 12,
       seed: Int = 0x5eed): Column =

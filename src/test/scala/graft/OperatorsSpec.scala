@@ -831,4 +831,72 @@ class OperatorsSpec extends SparkSpec {
     assert(dropped2.size.toDouble / nOrig > 0.5,
       s"recall ${dropped2.size.toDouble / nOrig} too low at probe=2")
   }
+
+  test("substring dedup: cross-doc spans, periodic self-dups, islands") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abcdefghijklmnopqrstuvwxyz"),   // all grams first occurrences
+      // shares the 22-char run abc..v with doc 1: every interior
+      // 10-gram is a dup; overlapping spans must merge to ONE island
+      // [3, 25) leaving only the XX/YY sentinels
+      (2L, "XXabcdefghijklmnopqrstuvYY"),
+      // period-10 text: positions 11..21 duplicate 1..11 → one island
+      // [11, 31), the canonical repeated-content collapse
+      (3L, "012345678901234567890123456789"),
+      (4L, "short")                          // below window: untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(docs, "doc_id", "text", l = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((0L, 0L, "abcdefghijklmnopqrstuvwxyz")))
+    assert(out(2L) == ((1L, 22L, "XXYY")))
+    assert(out(3L) == ((1L, 20L, "0123456789")))
+    assert(out(4L) == ((0L, 0L, "short")))
+    // disjoint-island invariant: removed == len(text) - len(clean)
+    out.foreach { case (id, (_, removed, clean)) =>
+      val orig = Map(1L -> 26, 2L -> 26, 3L -> 30, 4L -> 5)(id)
+      assert(removed == orig - clean.length)
+    }
+  }
+
+  test("substring dedup equals brute force on a dup-dense corpus") {
+    import spark.implicits._
+    // 2-letter alphabet forces heavy 8-gram sharing; brute force
+    // replays the contract with a first-seen map + island merge
+    val rnd = new scala.util.Random(42)
+    val corpus = (1L to 30L).map(id =>
+      (id, (1 to 40).map(_ => if (rnd.nextBoolean()) 'a' else 'b').mkString))
+    val l = 8
+    val seen = scala.collection.mutable.Map.empty[String, Long]
+    val expected = corpus.map { case (id, txt) =>
+      val spans = scala.collection.mutable.Buffer.empty[(Int, Int)]
+      for (p <- 1 to txt.length - l + 1) {
+        val g = txt.substring(p - 1, p - 1 + l)
+        val key = id * 1000000000L + p
+        val first = seen.getOrElseUpdate(g, key)
+        if (key > first) spans += ((p, p + l))
+      }
+      // island merge (touching spans merge) + cut
+      val merged = spans.sortBy(_._1).foldLeft(
+        List.empty[(Int, Int)]) {
+        case (acc @ ((s0, e0) :: rest), (s, e)) =>
+          if (s <= e0) (s0, math.max(e0, e)) :: rest else (s, e) :: acc
+        case (Nil, sp) => sp :: Nil
+      }.reverse
+      val clean = {
+        val sb = new StringBuilder; var p = 1
+        merged.foreach { case (s, e) =>
+          sb ++= txt.substring(p - 1, s - 1); p = e }
+        sb ++= txt.substring(math.min(p - 1, txt.length)); sb.toString
+      }
+      (id, merged.size.toLong,
+        merged.map { case (s, e) => (e - s).toLong }.sum, clean)
+    }
+    val got = Dedup.substringDedup(
+        corpus.toDF("doc_id", "text"), "doc_id", "text", l = l)
+      .orderBy("doc_id")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got == expected)
+  }
 }
