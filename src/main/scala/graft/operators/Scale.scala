@@ -133,7 +133,6 @@ object Scale {
     */
   def packShards(df: DataFrame, orderCol: String, weightCol: String,
       budget: Long, buckets: Int = 256, base: Long = 0L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(budget > 0 && buckets > 0, "packShards: budget/buckets > 0")
     require(base >= 0, "packShards: base token offset must be >= 0")
     require(!df.columns.exists(_.startsWith("__pk")),
@@ -146,28 +145,102 @@ object Scale {
       max(k).cast(DoubleType).as("__pkmax"))
     val g = floor((k.cast(DoubleType) - col("__pkmin")) * buckets /
       (col("__pkmax") - col("__pkmin") + 1d)).as("__pkg")
-    // materialize the bucketed input ONCE: both the offset aggregate
-    // and the window branch consume it, and without this the upstream
-    // plan (for xk6/qs9 a full-corpus re-tokenization) runs per branch
     val src = df.crossJoin(broadcast(bounds)).withColumn("__pkg", g)
-      .localCheckpoint(true)
-    val within = src.withColumn("__pkrun", sum(col(weightCol))
-      .over(Window.partitionBy("__pkg").orderBy(orderCol)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val offsets = src.groupBy("__pkg")
-      .agg(sum(col(weightCol)).as("__pktot"))
-      .withColumn("__pkoff", coalesce(sum(col("__pktot"))
-        .over(Window.orderBy("__pkg")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("__pkg", "__pkoff")
-    within.join(broadcast(offsets), "__pkg")
+    runningSum(src, "__pkg", Seq(orderCol), weightCol, "__pkc", base)
       // exact Long floor division (all operands non-negative): a
       // double quotient would misplace boundary docs once the running
       // offset passes 2^53 — reachable for qs9's ever-growing base
-      .withColumn("__pkc", lit(base) + col("__pkoff") +
-        col("__pkrun") - col(weightCol))
-      .withColumn("shard", expr(s"__pkc div ${budget}L"))
-      .drop("__pkg", "__pkrun", "__pkoff", "__pkmin", "__pkmax", "__pkc")
+      .withColumn("shard", expr(s"(__pkc - $weightCol) div ${budget}L"))
+      .drop("__pkg", "__pkmin", "__pkmax", "__pkc")
+  }
+
+  /** The distributed-prefix-sum core shared by [[packShards]] and
+    * [[ppsSample]]: the INCLUSIVE running sum of `weightCol` under the
+    * total order (`orderCols`), plus `base`, as `outCol`. `bucketCol`
+    * must be a numeric column that is a monotone coarsening of the
+    * order (equal-order rows share a bucket); only monotonicity
+    * matters, not uniformity. Three-step two-level scan:
+    *
+    *  1. the input is materialized ONCE (both the offset aggregate and
+    *     the window branch consume it; without this the upstream plan
+    *     — e.g. a full-corpus tokenization — runs per branch),
+    *  2. running sum WITHIN each bucket — a window partitioned on the
+    *     bucket, buckets-way parallel (never a partition-less
+    *     full-corpus window),
+    *  3. per-bucket totals cascade into bucket START offsets — a
+    *     window over exactly `buckets` rows, broadcast back.
+    *
+    * Bit-identical to the naive partition-less `SUM OVER (ORDER BY)`
+    * for any bucket count (spec-asserted by both consumers).
+    */
+  private[graft] def runningSum(src0: DataFrame, bucketCol: String,
+      orderCols: Seq[String], weightCol: String, outCol: String,
+      base: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = src0.localCheckpoint(true)
+    val within = src.withColumn("__rsrun", sum(col(weightCol))
+      .over(Window.partitionBy(bucketCol)
+        .orderBy(orderCols.map(col): _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offsets = src.groupBy(bucketCol)
+      .agg(sum(col(weightCol)).as("__rstot"))
+      .withColumn("__rsoff", coalesce(sum(col("__rstot"))
+        .over(Window.orderBy(bucketCol)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(bucketCol, "__rsoff")
+    within.join(broadcast(offsets), bucketCol)
+      .withColumn(outCol, lit(base) + col("__rsoff") + col("__rsrun"))
+      .drop("__rsrun", "__rsoff")
+  }
+
+  /** Probability-proportional-to-size SYSTEMATIC sampling (the "draw k
+    * docs with probability ∝ token count" selection op — mixture
+    * building and quality-weighted subcorpus draws): lay the corpus on
+    * a [0, W) token axis in md5-of-key order (uniform, deterministic,
+    * partitioning-independent — the same axis every sampling op here
+    * uses), drop k evenly spaced points `floor(j·W/k)`, and select
+    * each doc once per point inside its [cum−w, cum) interval. Docs
+    * longer than W/k tokens can be drawn multiple times (`sel_count`
+    * ≥ 2 — the PPS analogue of a repeat factor); zero-weight docs are
+    * never drawn. Σ sel_count == k EXACTLY (the per-doc counts
+    * telescope), partitioning- and engine-independent.
+    *
+    * Scale shape: the interval boundaries come from [[runningSum]]
+    * (two-level distributed prefix sum — no partition-less window),
+    * W from one broadcast scalar aggregate, and the point-count
+    * arithmetic is exact DECIMAL(38,0) ceil-division per row (a
+    * double quotient would misdraw boundary docs past 2^53; k·W
+    * exceeds 2^63 for billion-doc corpora × large k).
+    *
+    * Output: input rows with `sel_count` ≥ 1 appended.
+    */
+  def ppsSample(df: DataFrame, keyCol: String, weightCol: String,
+      k: Int, buckets: Int = 256): DataFrame = {
+    require(k > 0 && buckets > 0, "ppsSample: k/buckets > 0")
+    require(!df.columns.exists(c =>
+        c.startsWith("__pp") || c.startsWith("__rs")),
+      "ppsSample: input carries reserved __pp*/__rs* columns")
+    require(!df.columns.contains("sel_count"),
+      "ppsSample: input already has a 'sel_count' column")
+    // md5 hex as the order; its first two hex chars as the monotone
+    // numeric bucket (equal-prefix ties stay in one bucket, so the
+    // bucket is a true coarsening of the (md5, key) total order);
+    // integer `div` grouping keeps it exact for any bucket count ≤ 256
+    val step = math.max(1, 256 / buckets)
+    val src = df
+      .withColumn("__ppmd", md5(col(keyCol).cast(StringType)))
+      .withColumn("__ppg", expr(
+        s"CAST(conv(substring(__ppmd, 1, 2), 16, 10) AS INT) div $step"))
+    val cum = runningSum(src, "__ppg", Seq("__ppmd", keyCol),
+      weightCol, "__ppcum")
+    val tot = df.agg(sum(col(weightCol)).as("__ppW"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("sel_count", expr(
+        s"""(CAST(__ppcum AS DECIMAL(38,0)) * $k + __ppW - 1) div __ppW
+           | - (CAST(__ppcum - $weightCol AS DECIMAL(38,0)) * $k + __ppW - 1)
+           |   div __ppW""".stripMargin.replace("\n", " ")))
+      .where(col("sel_count") >= 1)
+      .drop("__ppmd", "__ppg", "__ppcum", "__ppW")
   }
 
   /** Scale-hygienic parquet layout: directory-partitioned on

@@ -175,6 +175,44 @@ object ScaleQueries {
         sum("reps").as("reps_docs"),
         sum(col("reps") * col("n_tok")).as("reps_tok"))
         .orderBy("lang")
+    },
+
+    // PPS systematic sampling (draw k=100 docs with probability ∝
+    // token count): corpus on a [0, W) token axis in md5-of-id order,
+    // k evenly spaced points, one draw per point inside each doc's
+    // interval — Σ sel_count == k exactly. The oracle replays with the
+    // NAIVE partition-less window; the engine's two-level prefix sum
+    // must land every interval boundary identically (the xk6 contract,
+    // reused), and the ceil-division point counts are exact integer
+    // arithmetic in both engines (HUGEINT / DECIMAL(38,0)).
+    Q("xk8_pps_sample",
+      """WITH d AS (
+        |  SELECT doc_id, LEN(LIST_FILTER(
+        |    STRING_SPLIT_REGEX(LOWER(text), '\s+'), t -> t <> ''))
+        |    AS n_tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n_tok,
+        |    SUM(n_tok) OVER (ORDER BY MD5(CAST(doc_id AS VARCHAR)),
+        |      doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d
+        |), w AS (SELECT SUM(n_tok) AS tw FROM d),
+        |s AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(((CAST(cum AS HUGEINT) * 100 + tw - 1) // tw)
+        |      - ((CAST(cum - n_tok AS HUGEINT) * 100 + tw - 1) // tw)
+        |      AS BIGINT) AS sel_count
+        |  FROM c, w
+        |)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, sel_count
+        |FROM s WHERE sel_count >= 1 ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        size(graft.functions.TextFns.tokens(col("text")))
+          .cast("long").as("n_tok"))
+      Scale.ppsSample(docs, "doc_id", "n_tok", k = 100)
+        .select("doc_id", "n_tok", "sel_count")
+        .orderBy("doc_id")
     }
   )
 

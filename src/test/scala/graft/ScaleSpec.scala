@@ -345,4 +345,49 @@ class ScaleSpec extends SparkSpec {
         s"shard ${r.getLong(0)} tokens ${r.getLong(3)} off budget")
     }
   }
+
+  test("ppsSample: naive-window equality, sum==k, multiplicity, plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = T.t(spark, sf0001, "documents")
+      .select(col("doc_id"),
+        size(graft.functions.TextFns.tokens(col("text")))
+          .cast("long").as("n_tok"))
+    def draws(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "sel_count").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // naive replay: partition-less window + the same exact arithmetic
+    val tw = docs.agg(sum("n_tok")).head.getLong(0)
+    def naiveAt(k: Int) = draws(docs
+      .withColumn("cum", sum("n_tok").over(
+        Window.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("sel_count", expr(
+        s"(CAST(cum AS DECIMAL(38,0)) * $k + ${tw}L - 1) div ${tw}L" +
+          s" - (CAST(cum - n_tok AS DECIMAL(38,0)) * $k + ${tw}L - 1)" +
+          s" div ${tw}L"))
+      .where(col("sel_count") >= 1))
+    for (k <- Seq(1, 17, 100); b <- Seq(1, 7, 256)) {
+      val got = draws(Scale.ppsSample(docs, "doc_id", "n_tok", k, b))
+      assert(got == naiveAt(k), s"k=$k buckets=$b diverges from naive")
+      assert(got.values.sum == k, s"k=$k: draws must partition the axis")
+    }
+    // a doc longer than W/k tokens must be drawn multiple times
+    val heavy = Seq((1L, 10L), (2L, 1000L), (3L, 10L))
+      .toDF("doc_id", "n_tok")
+    val hm = draws(Scale.ppsSample(heavy, "doc_id", "n_tok", 10))
+    assert(hm.values.sum == 10 && hm(2L) >= 8,
+      s"the 98%-mass doc must dominate the draw: $hm")
+    // zero-weight docs are never drawn
+    val withZero = Seq((1L, 0L), (2L, 50L)).toDF("doc_id", "n_tok")
+    assert(draws(Scale.ppsSample(withZero, "doc_id", "n_tok", 5)) ==
+      Map(2L -> 5L))
+    // plan: the corpus-level running sum must partition on the bucket
+    val plan = Scale.ppsSample(docs, "doc_id", "n_tok", 100)
+      .queryExecution.executedPlan.toString
+    assert("windowspecdefinition\\(__ppg#\\d+".r.findFirstIn(plan).isDefined,
+      s"running sum must partition on the md5 bucket:\n$plan")
+    assert("windowspecdefinition\\(__ppmd".r.findFirstIn(plan).isEmpty,
+      s"no window may order the full corpus without partitioning:\n$plan")
+  }
 }
