@@ -5,7 +5,7 @@ import java.security.MessageDigest
 import scala.util.hashing.MurmurHash3
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.graftbridge.Bridge
 
 import graft.functions.{FusedBinary, FusedUnary}
@@ -634,6 +634,161 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Product-quantization building blocks (xs6): `books` is the m ×
+  * ncodes × subdim codeword table, shipped as a plan constant (m·
+  * ncodes·subdim doubles — KBs). All three expressions accumulate
+  * IEEE doubles in FIXED index order (position within subspace, then
+  * subspace), so the DuckDB oracle's pivoted CASE-SUM chains compute
+  * bit-identical values — the xs3/xt10 exactness discipline.
+  */
+object PqShared {
+  def toArrays(books: Seq[Seq[Seq[Double]]]): Array[Array[Array[Double]]] =
+    books.map(_.map(_.toArray).toArray).toArray
+
+  /** In-order squared L2 between v[off, off+len) and w. */
+  def ssd(v: Array[Double], off: Int, w: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < w.length) {
+      val d = (if (off + i < v.length) v(off + i) else 0.0) - w(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  def readVec(input: Any, isFloat: Boolean): Array[Double] = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      v(i) = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      i += 1
+    }
+    v
+  }
+}
+
+/** PQ encoding: per subspace j, the index of the codeword minimizing
+  * in-order squared L2 to the subvector (strict `<` scan ascending —
+  * ties to the smaller code, matching ROW_NUMBER ORDER BY d2, code).
+  * Output: array<int> of m codes. A narrow map — the 64×-compression
+  * step that makes billion-vector ANN RAM-resident.
+  */
+case class PqEncode(child: Expression, books: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression with FusedUnary {
+  require(books.nonEmpty && books.forall(_.nonEmpty),
+    "pq_encode: empty codebook")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  @transient private lazy val bk = PqShared.toArrays(books)
+
+  override def nullSafeEval(input: Any): Any = {
+    val isFloat = child.dataType.asInstanceOf[ArrayType]
+      .elementType == FloatType
+    val v = PqShared.readVec(input, isFloat)
+    val m = bk.length
+    val out = new Array[Int](m)
+    var j = 0
+    var off = 0
+    while (j < m) {
+      val words = bk(j)
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < words.length) {
+        val d = PqShared.ssd(v, off, words(c))
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(j) = best
+      off += words(0).length
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
+/** Per-query ADC lookup table: lut[j][c] = in-order squared L2 between
+  * the query's subspace-j subvector and codeword c. Computed ONCE per
+  * query row (queries are few and broadcast); pair scoring then costs
+  * m lookups + adds instead of a dim-length dot — the PQ asymmetric-
+  * distance trick.
+  */
+case class PqLut(child: Expression, books: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression with FusedUnary {
+  require(books.nonEmpty && books.forall(_.nonEmpty),
+    "pq_lut: empty codebook")
+
+  override def dataType: DataType =
+    ArrayType(ArrayType(DoubleType, containsNull = false),
+      containsNull = false)
+  override def prettyName: String = "pq_lut"
+
+  @transient private lazy val bk = PqShared.toArrays(books)
+
+  override def nullSafeEval(input: Any): Any = {
+    val isFloat = child.dataType.asInstanceOf[ArrayType]
+      .elementType == FloatType
+    val v = PqShared.readVec(input, isFloat)
+    val m = bk.length
+    val rows = new Array[ArrayData](m)
+    var j = 0
+    var off = 0
+    while (j < m) {
+      val words = bk(j)
+      val d = new Array[Double](words.length)
+      var c = 0
+      while (c < words.length) {
+        d(c) = PqShared.ssd(v, off, words(c))
+        c += 1
+      }
+      rows(j) = new GenericArrayData(d)
+      off += words(0).length
+      j += 1
+    }
+    new GenericArrayData(rows.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
+/** ADC score of one (query, code) pair: Σ_j lut[j][codes[j]], summed
+  * in ascending subspace order (fixed IEEE sequence == the oracle's
+  * pivoted CASE-SUM chain).
+  */
+case class PqAdc(left: Expression, right: Expression)
+    extends BinaryExpression with FusedBinary {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(lut: Any, codes: Any): Any = {
+    val l = lut.asInstanceOf[ArrayData]
+    val c = codes.asInstanceOf[ArrayData]
+    val m = math.min(l.numElements(), c.numElements())
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      val row = l.getArray(j)
+      acc += row.getDouble(c.getInt(j))
+      j += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** Column wrappers for the expressions above. */
 object HashFns {
   private def e(c: Column): Expression = Bridge.expression(c)
@@ -648,6 +803,12 @@ object HashFns {
     Bridge.column(DotProduct(e(a), e(b)))
   def gramKeys(c: Column, l: Int): Column =
     Bridge.column(GramKeys(e(c), l))
+  def pqEncode(c: Column, books: Seq[Seq[Seq[Double]]]): Column =
+    Bridge.column(PqEncode(e(c), books))
+  def pqLut(c: Column, books: Seq[Seq[Seq[Double]]]): Column =
+    Bridge.column(PqLut(e(c), books))
+  def pqAdc(lut: Column, codes: Column): Column =
+    Bridge.column(PqAdc(e(lut), e(codes)))
   def hyperplaneBands(
       c: Column, bands: Int = 96, bitsPerBand: Int = 12,
       seed: Int = 0x5eed): Column =

@@ -150,6 +150,136 @@ object SimilarityQueries {
         .groupBy("label", "assigned")
         .agg(count(lit(1)).as("n"))
         .orderBy("label", "assigned")
+    },
+
+    // Product-quantization ANN (xs6): decimal-exact label-mean
+    // codebooks sliced into 8 subspaces, corpus encoded to 8 argmin
+    // codes per vector (the 64x-compression step), per-query ADC
+    // lookup tables, neighbors ranked by the asymmetric distance.
+    // Every double is computed by the SAME IEEE op sequence in both
+    // engines: in-order subspace SSDs (pivoted CASE-SUM chains here,
+    // sequential fused loops in Spark) and fixed-subspace-order ADC
+    // addition — the xs3/xt10 exactness discipline, so this
+    // approximate-search operator is still hash-gated end to end.
+    Q("xs6_pq_adc_topk",
+      s"""WITH comp AS (
+        |  SELECT vec_id, label, UNNEST(embedding::DOUBLE[]) AS x,
+        |    GENERATE_SUBSCRIPTS(embedding, 1) AS pos
+        |  FROM embeddings
+        |), cm AS (
+        |  SELECT label AS clabel, pos,
+        |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+        |      AS m
+        |  FROM comp GROUP BY 1, 2
+        |), ed AS (
+        |  SELECT c.vec_id, w.clabel, (c.pos-1)//8 AS j,
+        |    ${pivotSum("(c.pos-1)%8", "(c.x-w.m)*(c.x-w.m)", 8)} AS d2
+        |  FROM comp c JOIN cm w ON w.pos = c.pos
+        |  GROUP BY 1, 2, 3
+        |), enc AS (
+        |  SELECT vec_id, j, clabel AS code FROM (
+        |    SELECT vec_id, j, clabel, ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id, j ORDER BY d2, clabel) AS rn
+        |    FROM ed)
+        |  WHERE rn = 1
+        |), lut AS (
+        |  SELECT vec_id AS qid, j, clabel, d2 FROM ed WHERE vec_id < 10
+        |), adc AS (
+        |  SELECT l.qid, e.vec_id AS id,
+        |    ${pivotSum("e.j", "l.d2", 8)} AS adc
+        |  FROM enc e JOIN lut l ON l.j = e.j AND l.clabel = e.code
+        |  WHERE e.vec_id <> l.qid
+        |  GROUP BY 1, 2
+        |)
+        |SELECT qid, rank, id, adc FROM (
+        |  SELECT qid, id, CAST(ROW_NUMBER() OVER (
+        |      PARTITION BY qid ORDER BY adc, id) AS INT) AS rank,
+        |    ${r4Sql("adc")} AS adc
+        |  FROM adc)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      Similarity.pqTopK(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", "label", k = 5, m = 8)
+        .select(col("qid"), col("rank"), col("id"),
+          r4(col("adc")).as("adc"))
+        .orderBy("qid", "rank")
+    },
+
+    // PQ shortlist + exact rerank (the production PQ pattern): stage 1
+    // shortlists 30 candidates per query by ADC over the codes, stage
+    // 2 reranks only those with exact cosine. The oracle replays both
+    // stages — the shortlist SET depends only on xs6's hash-gated ADC
+    // values (ties to smaller id in both engines), and the rerank is
+    // xs1's exact-cosine arithmetic on that set.
+    Q("xs7_pq_rerank",
+      s"""WITH comp AS (
+        |  SELECT vec_id, label, UNNEST(embedding::DOUBLE[]) AS x,
+        |    GENERATE_SUBSCRIPTS(embedding, 1) AS pos
+        |  FROM embeddings
+        |), cm AS (
+        |  SELECT label AS clabel, pos,
+        |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+        |      AS m
+        |  FROM comp GROUP BY 1, 2
+        |), ed AS (
+        |  SELECT c.vec_id, w.clabel, (c.pos-1)//8 AS j,
+        |    ${pivotSum("(c.pos-1)%8", "(c.x-w.m)*(c.x-w.m)", 8)} AS d2
+        |  FROM comp c JOIN cm w ON w.pos = c.pos
+        |  GROUP BY 1, 2, 3
+        |), enc AS (
+        |  SELECT vec_id, j, clabel AS code FROM (
+        |    SELECT vec_id, j, clabel, ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id, j ORDER BY d2, clabel) AS rn
+        |    FROM ed)
+        |  WHERE rn = 1
+        |), lut AS (
+        |  SELECT vec_id AS qid, j, clabel, d2 FROM ed WHERE vec_id < 10
+        |), adc AS (
+        |  SELECT l.qid, e.vec_id AS id,
+        |    ${pivotSum("e.j", "l.d2", 8)} AS adc
+        |  FROM enc e JOIN lut l ON l.j = e.j AND l.clabel = e.code
+        |  WHERE e.vec_id <> l.qid
+        |  GROUP BY 1, 2
+        |), cand AS (
+        |  SELECT qid, id FROM (
+        |    SELECT qid, id, ROW_NUMBER() OVER (
+        |      PARTITION BY qid ORDER BY adc, id) AS rn
+        |    FROM adc)
+        |  WHERE rn <= 30
+        |)
+        |SELECT qid, rank, id, sim FROM (
+        |  SELECT c.qid, c.id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY c.qid
+        |      ORDER BY raw DESC, c.id) AS INT) AS rank,
+        |    ROUND(raw, 4) AS sim
+        |  FROM (
+        |    SELECT c0.qid, c0.id,
+        |      LIST_INNER_PRODUCT(x.embedding::DOUBLE[],
+        |                         q.embedding::DOUBLE[]) /
+        |        (SQRT(LIST_INNER_PRODUCT(x.embedding::DOUBLE[],
+        |                                  x.embedding::DOUBLE[])) *
+        |         SQRT(LIST_INNER_PRODUCT(q.embedding::DOUBLE[],
+        |                                  q.embedding::DOUBLE[]))) AS raw
+        |    FROM cand c0
+        |    JOIN embeddings x ON x.vec_id = c0.id
+        |    JOIN embeddings q ON q.vec_id = c0.qid
+        |  ) c
+        |) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      Similarity.pqRerankTopK(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", "label", k = 5, m = 8, shortlist = 30)
+        .select(col("qid"), col("rank"), col("id"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("qid", "rank")
     }
   )
+
+  /** Fixed-order pivoted sum: n CASE-SUM terms added left-to-right —
+    * the same IEEE addition sequence as a sequential Scala fold, so
+    * both engines produce bit-identical doubles (each CASE bucket
+    * holds exactly one row by construction).
+    */
+  private def pivotSum(cond: String, term: String, n: Int): String =
+    (0 until n).map(k => s"SUM(CASE WHEN $cond = $k THEN $term END)")
+      .mkString(" + ")
 }

@@ -161,6 +161,56 @@ object SelectStress {
     }
     dropPersisted()
 
+    // ------------------------------------------------ xk8 pps
+    timed("xk8_pps_sample") {
+      val docs = spark.read.parquet(s"$outDir/documents.parquet")
+        .select(col("doc_id"),
+          size(graft.functions.TextFns.tokens(col("text")))
+            .cast("long").as("n_tok"))
+      val k = 1000
+      val out = graft.operators.Scale
+        .ppsSample(docs, "doc_id", "n_tok", k).cache()
+      val n = out.count()
+      plans += "xk8_pps_sample" -> StressUtil.joinLines(out)
+      val plan = out.queryExecution.executedPlan.toString
+      require("windowspecdefinition\\(__ppmd".r.findFirstIn(plan).isEmpty,
+        "partition-less full-corpus window in ppsSample plan")
+      val drawn = out.agg(sum("sel_count")).head.getLong(0)
+      require(drawn == k, s"draws must partition the axis: $drawn != $k")
+      out.unpersist()
+      (n, Seq("k" -> k, "drawn" -> drawn))
+    }
+    dropPersisted()
+
+    // ------------------------------------------ xd12 substring dedup
+    // Exact substring dedup at scale: the word-shuffled replicas make
+    // chance 40-char repeats (tiny vocab), so dup volume is real but
+    // sub-corpus. Gates: the disjoint-island conservation law
+    // removed_chars == Σ len(text) − Σ len(clean_text), and no
+    // cartesian/partition-less window in the plan — the only
+    // corpus-wide exchange is the (key, doc, pos) occurrence shuffle.
+    timed("xd12_substring_dedup") {
+      val docs = spark.read.parquet(s"$outDir/documents.parquet")
+      val out = graft.operators.Dedup
+        .substringDedup(docs, "doc_id", "text", l = 40).cache()
+      val n = out.count()
+      plans += "xd12_substring_dedup" -> StressUtil.joinLines(out)
+      require(!plans("xd12_substring_dedup")
+          .exists(_.startsWith("CartesianProduct")),
+        "substringDedup degenerated to a cartesian product")
+      val a = out.agg(sum("n_spans"), sum("removed_chars"),
+        sum(length(col("clean_text")))).head
+      val totalChars = docs.agg(sum(length(col("text"))))
+        .head.getLong(0)
+      require(a.getLong(1) == totalChars - a.getLong(2),
+        s"island conservation broke: removed ${a.getLong(1)} != " +
+          s"$totalChars - ${a.getLong(2)}")
+      out.unpersist()
+      (n, Seq("spans" -> a.getLong(0), "removed_chars" -> a.getLong(1),
+        "total_chars" -> totalChars))
+    }
+    dropPersisted()
+
     // ------------------------------------------------ xk7 mixture
     timed("xk7_mixture_resample") {
       val out = graft.SparkEntry

@@ -832,6 +832,65 @@ class OperatorsSpec extends SparkSpec {
       s"recall ${dropped2.size.toDouble / nOrig} too low at probe=2")
   }
 
+  test("pq encode/lut/adc: crafted codebooks, ties to smaller code") {
+    import spark.implicits._
+    import graft.operators.HashFns
+    // m=2 subspaces of 2 dims; codewords per subspace indexed 0,1
+    val books: Seq[Seq[Seq[Double]]] = Seq(
+      Seq(Seq(0.0, 0.0), Seq(1.0, 1.0)),
+      Seq(Seq(0.0, 0.0), Seq(2.0, 2.0)))
+    val df = Seq(
+      (1L, Seq(0.9, 0.9, 1.9, 1.9)),  // → [1, 1]
+      (2L, Seq(0.1, 0.1, 0.4, 0.4)),  // → [0, 0]
+      (3L, Seq(0.5, 0.5, 1.0, 1.0))   // both subspaces tie → [0, 0]
+    ).toDF("id", "v")
+    val enc = df.select(col("id"), HashFns.pqEncode(col("v"), books))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(enc(1L) == Seq(1, 1) && enc(2L) == Seq(0, 0) &&
+      enc(3L) == Seq(0, 0))
+    // lut[j][c] = in-order SSD; adc = lut[0][c0] + lut[1][c1]
+    val adc = df.where(col("id") === 1L)
+      .select(HashFns.pqAdc(HashFns.pqLut(col("v"), books),
+        typedlit(Seq(1, 1))))
+      .head.getDouble(0)
+    val expected = {
+      val s0 = { var a = 0.0; a += (0.9 - 1.0) * (0.9 - 1.0)
+        a += (0.9 - 1.0) * (0.9 - 1.0); a }
+      val s1 = { var a = 0.0; a += (1.9 - 2.0) * (1.9 - 2.0)
+        a += (1.9 - 2.0) * (1.9 - 2.0); a }
+      s0 + s1
+    }
+    assert(adc == expected) // bit-identical: same IEEE op sequence
+  }
+
+  test("pqRerankTopK: recall >= 0.9 vs brute force on clustered corpus") {
+    import spark.implicits._
+    // PQ's premise: a clustered space. 10 centers × 50 satellites,
+    // labels = cluster id (the codebook source). Raw ADC flattens
+    // within-cluster order (coarse 10-codeword quantization), but a
+    // 6k shortlist contains the whole home cluster, so exact rerank
+    // recovers brute-force top-k.
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(10, 64)(rnd.nextGaussian())
+    val rows = for (l <- 0 until 10; i <- 0 until 50) yield
+      (l * 50L + i, l,
+        centers(l).map(_ + 0.25 * rnd.nextGaussian()).toSeq)
+    val corpus = rows.toDF("vec_id", "label", "embedding")
+      .localCheckpoint(true)
+    val queries = corpus.where(col("vec_id") % 50 === 0)
+    val k = 10
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = hits(graft.operators.Similarity
+      .bruteForceTopK(corpus, queries, "vec_id", "embedding", k))
+    val pq = hits(graft.operators.Similarity
+      .pqRerankTopK(corpus, queries, "vec_id", "embedding", "label",
+        k, m = 8, shortlist = 60))
+    val recall = (exact & pq).size.toDouble / exact.size
+    assert(recall >= 0.9, f"pq rerank recall $recall%.3f < 0.9")
+  }
+
   test("substring dedup: cross-doc spans, periodic self-dups, islands") {
     import spark.implicits._
     val docs = Seq(
