@@ -206,6 +206,100 @@ object Multimodal {
     * (one decoder per partition, frames streamed out, never the whole
     * video's frames in memory at once).
     */
+  /** 64-bit perceptual hash (average-hash) of a decoded BMP, as two
+    * unsigned 32-bit halves in signed longs (bit 63 of a single long
+    * would flip its sign — hi/lo keeps every value positive and the
+    * cross-engine arithmetic trivial).
+    */
+  case class ImageHash(media_id: Long, ahash_hi: Long, ahash_lo: Long)
+
+  /** aHash over REAL BMP parsing, integer-exact end to end (the xm5
+    * contract): average-pool the top-down pixel stream into an 8×8
+    * grid of (graysum, bytecount) cells — gray = the plain sum of the
+    * three unsigned channel bytes, no division anywhere — and set
+    * bit i·8+j iff the cell's average exceeds the GLOBAL byte average
+    * by exact cross-multiplication `S_cell·B_total > S_total·b_cell`.
+    * The usual aHash divides and compares doubles; this variant is
+    * pure integer arithmetic, so the DuckDB oracle (which replays the
+    * PLANTED pixel formulas, never touching container bytes) must
+    * match bit for bit — a decoder bug (stride, bottom-up rows,
+    * signed-byte handling) breaks the hash gate.
+    */
+  def aHashTable(media: Dataset[MediaBlob]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { b =>
+        val img = MediaCodecs.decodeBmp(b.payload)
+        val w = img.width; val h = img.height
+        val s = Array.ofDim[Long](8, 8)
+        val c = Array.ofDim[Long](8, 8)
+        var r = 0
+        while (r < h) {
+          val i = r * 8 / h
+          var cc = 0
+          while (cc < w) {
+            val j = cc * 8 / w
+            val base = (r * w + cc) * 3
+            s(i)(j) += (img.pixels(base) & 0xFF) +
+              (img.pixels(base + 1) & 0xFF) + (img.pixels(base + 2) & 0xFF)
+            c(i)(j) += 3
+            cc += 1
+          }
+          r += 1
+        }
+        var sTot = 0L
+        var i = 0
+        while (i < 8) { var j = 0; while (j < 8) { sTot += s(i)(j); j += 1 }; i += 1 }
+        val bTot = w.toLong * h * 3
+        var hi = 0L; var lo = 0L
+        i = 0
+        while (i < 8) {
+          var j = 0
+          while (j < 8) {
+            if (s(i)(j) * bTot > sTot * c(i)(j)) {
+              val idx = i * 8 + j
+              if (idx >= 32) hi |= 1L << (idx - 32) else lo |= 1L << idx
+            }
+            j += 1
+          }
+          i += 1
+        }
+        ImageHash(b.media_id, hi, lo)
+      }
+    }
+  }
+
+  /** Perceptual near-dup image pairs (xm6): band the 64-bit aHash
+    * into 8 bytes — pigeonhole guarantees every pair with Hamming ≤ 7
+    * shares at least one identical band — equi-join on (band, value),
+    * then verify exact Hamming ≤ `maxHamming` with bit_count(xor).
+    * The multimodal face of the SimHash-band dedup: candidate volume
+    * is Σ bucket², never image², and payloads never join — only the
+    * 16-byte hashes move.
+    */
+  def imageNearDups(hashes: DataFrame, maxHamming: Int = 7): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"imageNearDups: 8-byte banding guarantees recall only to " +
+        s"Hamming 7, got $maxHamming")
+    val banded = hashes.select(col("media_id"), col("ahash_hi"),
+        col("ahash_lo"),
+        explode(expr("""transform(sequence(0, 7), b ->
+          named_struct('band', b, 'v',
+            CASE WHEN b < 4 THEN shiftright(ahash_lo, b * 8) % 256
+                 ELSE shiftright(ahash_hi, (b - 4) * 8) % 256 END))"""))
+          .as("bd"))
+      .select(col("media_id"), col("ahash_hi"), col("ahash_lo"),
+        col("bd.band").as("band"), col("bd.v").as("v"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("ida"), col("b.media_id").as("idb"),
+        (expr("bit_count(a.ahash_hi ^ b.ahash_hi)") +
+          expr("bit_count(a.ahash_lo ^ b.ahash_lo)")).as("hd"))
+      .where(col("hd") <= maxHamming)
+      .distinct()
+  }
+
   def sampleFrames(media: Dataset[MediaRecord], frameCount: Int,
       stride: Int): Dataset[MediaFrame] = {
     import media.sparkSession.implicits._

@@ -1179,26 +1179,50 @@ object Dedup {
     */
   def substringDedup(docs: DataFrame, idCol: String, textCol: String,
       l: Int = 40): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(l >= 2, s"substringDedup: window $l")
     val d = docs.select(col(idCol).cast(LongType).as("__id"),
       col(textCol).as("__txt"))
-    // (doc_id, pos) global order as one comparable key; 1e9 bounds
-    // positions (a single 1 GB+ document should be chunked upstream)
-    val occ = d.select(col("__id"),
+    // every join below pairs two CORPUS-SCALE relations (the dup-gram
+    // table, the doc table, the candidate stream) — none may ever
+    // broadcast: their sizes are data-dependent (a boilerplate-heavy
+    // corpus makes the df>1 table ~the whole gram table), and the f20
+    // stress leg OOM'd the driver when AQE broadcast one. hint("merge")
+    // pins sort-merge — the scale-safe shape at any corpus size
+    val occ = gramOcc(d, l)
+    val firsts = occ.groupBy("__gk")
+      .agg(count(lit(1)).as("__df"), min("__key").as("__mk"))
+    val cand = occ.join(firsts.where(col("__df") > 1L).hint("merge"),
+      "__gk")
+    val candTxt = cand.join(d.hint("merge"), "__id")
+      .select(col("__id"), col("__pos"), col("__key"),
+        expr(s"substring(__txt, __pos, $l)").as("__gram"))
+    val exact = candTxt.groupBy("__gram").agg(min("__key").as("__mk2"))
+    val dup = candTxt.join(exact.hint("merge"), "__gram")
+      .where(col("__key") > col("__mk2"))
+      .select("__id", "__pos")
+    spansToClean(d, dup, l, idCol)
+  }
+
+  /** Rolling-key gram occurrences of `d` = (__id, __txt): one row per
+    * position — (__id, __pos 1-based, __gk 62-bit key, __key global
+    * (doc_id, pos) order as one comparable long). 1e9 bounds positions
+    * (a single 1 GB+ document should be chunked upstream).
+    */
+  private def gramOcc(d: DataFrame, l: Int): DataFrame =
+    d.select(col("__id"),
         posexplode(HashFns.gramKeys(col("__txt"), l)))
       .select(col("__id"), (col("pos") + 1).as("__pos"),
         col("col").as("__gk"),
         (col("__id") * 1000000000L + col("pos") + 1).as("__key"))
-    val firsts = occ.groupBy("__gk")
-      .agg(count(lit(1)).as("__df"), min("__key").as("__mk"))
-    val cand = occ.join(firsts.where(col("__df") > 1L), "__gk")
-    val candTxt = cand.join(d, "__id")
-      .select(col("__id"), col("__pos"), col("__key"),
-        expr(s"substring(__txt, __pos, $l)").as("__gram"))
-    val exact = candTxt.groupBy("__gram").agg(min("__key").as("__mk2"))
-    val dup = candTxt.join(exact, "__gram")
-      .where(col("__key") > col("__mk2"))
+
+  /** Duplicated-position set → per-doc output: island-merge the
+    * [pos, pos+l) spans (touching merge; window partitioned per doc)
+    * and rebuild the cleaned text with a single-pass fold. Output:
+    * (idCol, n_spans, removed_chars, clean_text) for EVERY doc in `d`.
+    */
+  private def spansToClean(d: DataFrame, dup: DataFrame, l: Int,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("__id").orderBy("__s")
     val islands = dup
       .select(col("__id"), col("__pos").as("__s"),
@@ -1213,7 +1237,8 @@ object Dedup {
     val perDoc = islands.groupBy("__id")
       .agg(sort_array(collect_list(struct(col("__s"), col("__e"))))
         .as("__spans"))
-    d.join(perDoc, Seq("__id"), "left")
+    // perDoc is corpus-scale on dup-heavy corpora — never broadcast
+    d.join(perDoc.hint("merge"), Seq("__id"), "left")
       .select(col("__id").as(idCol),
         coalesce(size(col("__spans")), lit(0)).cast(LongType)
           .as("n_spans"),
@@ -1227,6 +1252,76 @@ object Dedup {
             acc -> concat(acc.t, substring(__txt, acc.p, 2147483647)))"""),
           col("__txt")).as("clean_text"))
   }
+
+  /** Evolving gram store for STREAMING substring dedup (qs10): the
+    * per-gram-key first-occurrence table (__gk → __mk). Hash-only —
+    * the store keeps 62-bit keys, not gram text, so a double-modulus
+    * collision (P ≈ 2^-62 per gram pair) could merge two distinct
+    * grams; the batch twin and the qs10 oracle replay on REAL grams,
+    * so any corpus where that ever mattered would fail the gate.
+    */
+  final case class GramStore private[operators] (grams: DataFrame, l: Int)
+
+  def prepareGramStore(corpus: DataFrame, idCol: String,
+      textCol: String, l: Int = 40): GramStore = {
+    require(l >= 2, s"prepareGramStore: window $l")
+    val d = corpus.select(col(idCol).cast(LongType).as("__id"),
+      col(textCol).as("__txt"))
+    GramStore(gramOcc(d, l).groupBy("__gk").agg(min("__key").as("__mk"))
+      .localCheckpoint(true), l)
+  }
+
+  /** One ingested batch: per-doc dedup output for the batch, the
+    * store delta (gram keys first seen in THIS batch), and the
+    * evolved store. CONTRACT: batches arrive in ascending doc_id
+    * order (the qs9 monotone-arrival contract) — then any chunking
+    * reproduces the one-shot [[substringDedup]] over corpus ∪ deltas
+    * restricted to the delta docs, because every store key is smaller
+    * than every batch key and min-merge is associative.
+    */
+  final case class SubstringIngest(result: DataFrame,
+      appended: DataFrame, next: GramStore)
+
+  def substringDedupIngest(batch: DataFrame, store: GramStore,
+      idCol: String, textCol: String): SubstringIngest = {
+    val l = store.l
+    val d = batch.select(col(idCol).cast(LongType).as("__id"),
+      col(textCol).as("__txt")).localCheckpoint(true)
+    val occ = gramOcc(d, l).localCheckpoint(true)
+    val bmin = occ.groupBy("__gk").agg(min("__key").as("__bmk"))
+    // effective first occurrence = min(store, batch) per key —
+    // least() is null-poisoning on the left-join miss, hence coalesce.
+    // The store is corpus-scale (it grows with everything ever
+    // streamed) — hint("merge") keeps it out of broadcasts, same
+    // rationale as substringDedup's joins
+    val eff = bmin.join(store.grams.hint("merge"), Seq("__gk"), "left")
+      .select(col("__gk"),
+        coalesce(least(col("__mk"), col("__bmk")), col("__bmk"))
+          .as("__emk"))
+    val dup = occ.join(eff.hint("merge"), "__gk")
+      .where(col("__key") > col("__emk"))
+      .select("__id", "__pos")
+    val appended = bmin.join(store.grams.hint("merge"),
+        Seq("__gk"), "left_anti")
+      .select(col("__gk"), col("__bmk").as("__mk"))
+      .localCheckpoint(true)
+    SubstringIngest(spansToClean(d, dup, l, idCol), appended,
+      GramStore(store.grams.unionByName(appended), l))
+  }
+
+  /** Replay durable store deltas (crash recovery): signatures are
+    * deterministic, so a store rebuilt from the per-batch appended
+    * frames equals the one the crashed run held.
+    */
+  def appendGramsToStore(store: GramStore, appended: DataFrame): GramStore =
+    GramStore(store.grams.unionByName(
+      appended.select(col("__gk"), col("__mk"))), store.l)
+
+  /** LSM-style rewrite of the store's accumulated per-batch unions —
+    * same amortization contract as [[compactParagraphStore]].
+    */
+  def compactGramStore(store: GramStore): GramStore =
+    store.copy(grams = store.grams.localCheckpoint(true))
 }
 
 /** Paragraph-splitting strategies for [[Dedup.paragraphDedup]] /

@@ -82,6 +82,100 @@ object MultimodalQueries {
       Multimodal.decodeWavMeta(
           Multimodal.encodeWavTable(t(s, d, "documents")))
         .toDF().orderBy("media_id")
+    },
+
+    // Perceptual image hash (integer-exact aHash, xm5): the Spark side
+    // PARSES real BMP containers (stride, bottom-up rows, signed
+    // bytes); the oracle replays the PLANTED pixel formulas — dims
+    // from the id, pixel bytes cycling the UTF-8 text (ASCII testdata,
+    // so byte == codepoint; empty text falls back to the ramp) — and
+    // pools/thresholds with pure integer cross-multiplication. Any
+    // decode or pooling bug breaks the 64-bit hash match.
+    Q("xm5_image_ahash",
+      """WITH d AS (
+        |  SELECT doc_id, COALESCE(text, '') AS text,
+        |    CAST(8 + doc_id % 24 AS BIGINT) AS w,
+        |    CAST(8 + (doc_id * 3) % 16 AS BIGINT) AS h
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, w, h, x.p AS p,
+        |    CASE WHEN LENGTH(text) = 0
+        |      THEN (x.p % 251 - 125 + 256) % 256
+        |      ELSE UNICODE(SUBSTR(text,
+        |        CAST(x.p % LENGTH(text) AS INT) + 1, 1)) END AS v
+        |  FROM d CROSS JOIN LATERAL UNNEST(RANGE(0, w*h*3)) x(p)
+        |), cells AS (
+        |  SELECT doc_id, ((p//3)//w)*8//h AS i, ((p//3)%w)*8//w AS j,
+        |    SUM(v) AS s, COUNT(*) AS c, ANY_VALUE(w*h*3) AS btot
+        |  FROM b GROUP BY 1, 2, 3
+        |), tot AS (SELECT doc_id, SUM(s) AS stot FROM cells GROUP BY 1),
+        |bits AS (
+        |  SELECT c.doc_id, i*8 + j AS idx,
+        |    CASE WHEN c.s * c.btot > t.stot * c.c THEN 1 ELSE 0 END AS bit
+        |  FROM cells c JOIN tot t USING (doc_id)
+        |)
+        |SELECT doc_id AS media_id,
+        |  CAST(SUM(CASE WHEN idx >= 32 AND bit = 1
+        |    THEN 1::BIGINT << (idx - 32) ELSE 0 END) AS BIGINT) AS ahash_hi,
+        |  CAST(SUM(CASE WHEN idx < 32 AND bit = 1
+        |    THEN 1::BIGINT << idx ELSE 0 END) AS BIGINT) AS ahash_lo
+        |FROM bits GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Multimodal.aHashTable(
+          Multimodal.encodeBmpTable(t(s, d, "documents")))
+        .toDF().orderBy("media_id")
+    },
+
+    // Perceptual near-dup image pairs (xm6): 8-byte banding + exact
+    // Hamming <= 7 verify on the Spark side vs the oracle's brute
+    // all-pairs bit_count(xor) over the REPLAYED hashes — proving the
+    // pigeonhole blocking loses nothing. Rolled up to one summary row
+    // (pair count + Hamming mass) so the gate is row-stable even when
+    // the corpus holds no near-dup images.
+    Q("xm6_image_neardup",
+      """WITH d AS (
+        |  SELECT doc_id, COALESCE(text, '') AS text,
+        |    CAST(8 + doc_id % 24 AS BIGINT) AS w,
+        |    CAST(8 + (doc_id * 3) % 16 AS BIGINT) AS h
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, w, h, x.p AS p,
+        |    CASE WHEN LENGTH(text) = 0
+        |      THEN (x.p % 251 - 125 + 256) % 256
+        |      ELSE UNICODE(SUBSTR(text,
+        |        CAST(x.p % LENGTH(text) AS INT) + 1, 1)) END AS v
+        |  FROM d CROSS JOIN LATERAL UNNEST(RANGE(0, w*h*3)) x(p)
+        |), cells AS (
+        |  SELECT doc_id, ((p//3)//w)*8//h AS i, ((p//3)%w)*8//w AS j,
+        |    SUM(v) AS s, COUNT(*) AS c, ANY_VALUE(w*h*3) AS btot
+        |  FROM b GROUP BY 1, 2, 3
+        |), tot AS (SELECT doc_id, SUM(s) AS stot FROM cells GROUP BY 1),
+        |bits AS (
+        |  SELECT c.doc_id, i*8 + j AS idx,
+        |    CASE WHEN c.s * c.btot > t.stot * c.c THEN 1 ELSE 0 END AS bit
+        |  FROM cells c JOIN tot t USING (doc_id)
+        |), hashes AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(SUM(CASE WHEN idx >= 32 AND bit = 1
+        |      THEN 1::BIGINT << (idx - 32) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(SUM(CASE WHEN idx < 32 AND bit = 1
+        |      THEN 1::BIGINT << idx ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.media_id AS ida, b.media_id AS idb,
+        |    BIT_COUNT(XOR(a.hi, b.hi)) + BIT_COUNT(XOR(a.lo, b.lo)) AS hd
+        |  FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+        |  WHERE BIT_COUNT(XOR(a.hi, b.hi)) + BIT_COUNT(XOR(a.lo, b.lo)) <= 7
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(COALESCE(SUM(hd), 0) AS BIGINT) AS hd_sum,
+        |  CAST(COALESCE(SUM(ida + idb), 0) AS BIGINT) AS id_sum
+        |FROM pairs""".stripMargin) { (s, d) =>
+      val hashes = Multimodal.aHashTable(
+        Multimodal.encodeBmpTable(t(s, d, "documents"))).toDF()
+      Multimodal.imageNearDups(hashes, maxHamming = 7)
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(sum("hd"), lit(0L)).as("hd_sum"),
+          coalesce(sum(col("ida") + col("idb")), lit(0L)).as("id_sum"))
     }
   )
 }

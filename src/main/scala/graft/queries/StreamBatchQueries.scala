@@ -300,6 +300,68 @@ object StreamBatchQueries {
         |FROM c ORDER BY doc_id""".stripMargin) { (s, d) =>
       graft.streaming.Streams.packShardsChunked(t(s, d, "documents"),
         budget = 4096, bounds = Seq(150L, 400L, 3000L))
+    },
+
+    // Streaming exact substring dedup (the xd12 stream face): docs
+    // < 400 are the prepared gram store, docs >= 400 arrive in two
+    // doc_id-ordered chunks through the evolving store. Monotone
+    // arrival + associative min-merge make the chunked union equal
+    // one-shot xd12 over the WHOLE corpus restricted to the delta —
+    // which is exactly what the oracle replays (on real grams; the
+    // stream store is hash-only, see Dedup.GramStore).
+    Q("qs10_stream_substring_dedup",
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |occ AS (
+        |  SELECT doc_id, x.i AS pos, substr(text, CAST(x.i AS INT), 40) AS gram,
+        |         doc_id*1000000000 + x.i AS key
+        |  FROM d CROSS JOIN LATERAL
+        |    UNNEST(RANGE(1, GREATEST(LENGTH(text)-39, 0)+1)) x(i)
+        |),
+        |firsts AS (SELECT gram, MIN(key) AS mk FROM occ GROUP BY gram),
+        |dup AS (
+        |  SELECT o.doc_id, o.pos FROM occ o
+        |  JOIN firsts f ON o.gram = f.gram WHERE o.key > f.mk
+        |),
+        |sp AS (SELECT doc_id, pos AS s, pos + 40 AS e FROM dup),
+        |m AS (
+        |  SELECT doc_id, s, e, MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM sp
+        |),
+        |isl1 AS (
+        |  SELECT doc_id, s, e, SUM(CASE WHEN pm IS NULL OR s > pm
+        |    THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY s
+        |    ROWS UNBOUNDED PRECEDING) AS isl
+        |  FROM m
+        |),
+        |islands AS (
+        |  SELECT doc_id, isl, MIN(s) AS s, MAX(e) AS e
+        |  FROM isl1 GROUP BY doc_id, isl
+        |),
+        |segs AS (
+        |  SELECT doc_id, s, e,
+        |    COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS p
+        |  FROM islands
+        |),
+        |agg AS (
+        |  SELECT i.doc_id, COUNT(*) AS n_spans, SUM(i.e - i.s) AS removed,
+        |    STRING_AGG(substr(d.text, CAST(i.p AS INT),
+        |      CAST(i.s - i.p AS INT)), '' ORDER BY i.s)
+        |      || substr(ANY_VALUE(d.text), CAST(MAX(i.e) AS INT)) AS clean
+        |  FROM segs i JOIN d ON i.doc_id = d.doc_id GROUP BY i.doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(COALESCE(a.removed, 0) AS BIGINT) AS removed_chars,
+        |  COALESCE(a.clean, d.text) AS clean_text
+        |FROM d LEFT JOIN agg a USING (doc_id)
+        |WHERE d.doc_id >= 400
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      graft.streaming.Streams.substringDedupChunked(
+        docs.where(col("doc_id") >= 400),
+        docs.where(col("doc_id") < 400),
+        bounds = Seq(450L))
     }
   )
 }

@@ -302,6 +302,74 @@ object Streams {
     parts.reduce(_.unionAll(_)).orderBy("doc_id")
   }
 
+  /** Run the QS10 stream: delta document files → per-micro-batch
+    * EXACT SUBSTRING dedup against the evolving gram store → parquet
+    * sink. The streaming face of xd12, with qs8's three structural
+    * pieces: durability (each batch's appended gram keys land in
+    * `outDir/store/batch=<id>`, idempotent overwrite; a restart
+    * replays them through [[graft.operators.Dedup.appendGramsToStore]]),
+    * LSM compaction every `compactEvery` batches, and the monotone
+    * doc_id-arrival contract that makes any chunking equal the
+    * one-shot [[graft.operators.Dedup.substringDedup]] over
+    * corpus ∪ deltas restricted to the delta docs.
+    */
+  def runSubstringDedupStream(spark: SparkSession, deltaDir: String,
+      corpus: DataFrame, outDir: String, l: Int = 40,
+      compactEvery: Int = 4): Unit = {
+    import graft.operators.Dedup
+    val sc = spark.sparkContext
+    val pre = sc.getPersistentRDDs.keySet
+    var gs = Dedup.prepareGramStore(corpus, "doc_id", "text", l)
+    val storeDir = new org.apache.hadoop.fs.Path(s"$outDir/store")
+    val fs = storeDir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(storeDir) && fs.listStatus(storeDir).nonEmpty)
+      gs = Dedup.appendGramsToStore(gs,
+        spark.read.parquet(s"$outDir/store/batch=*"))
+    var owned = sc.getPersistentRDDs.keySet -- pre
+    var batches = 0
+    docStream(spark, deltaDir, outDir) { (batch, batchId) =>
+      val before = sc.getPersistentRDDs.keySet
+      val ing = Dedup.substringDedupIngest(batch, gs, "doc_id", "text")
+      ing.appended.write.mode("overwrite")
+        .parquet(s"$outDir/store/batch=$batchId")
+      ing.result.write.mode("overwrite")
+        .parquet(s"$outDir/batch=$batchId")
+      gs = ing.next
+      owned ++= sc.getPersistentRDDs.keySet -- before
+      batches += 1
+      if (batches % compactEvery == 0) {
+        val preCompact = sc.getPersistentRDDs.keySet
+        gs = Dedup.compactGramStore(gs)
+        val kept = sc.getPersistentRDDs.keySet -- preCompact
+        sc.getPersistentRDDs
+          .filter { case (id, _) => owned(id) && !kept(id) }
+          .values.foreach(_.unpersist(blocking = false))
+        owned = kept
+      }
+    }
+  }
+
+  /** Batch-shape QS10 harness (the oracle entry): ingest `newDocs`
+    * through the evolving gram store in doc_id-ordered chunks split
+    * at `bounds`. Monotone arrival makes the union of per-chunk
+    * outputs equal the one-shot xd12 over corpus ∪ newDocs restricted
+    * to newDocs — what the SQL oracle replays on real grams.
+    */
+  def substringDedupChunked(newDocs: DataFrame, corpus: DataFrame,
+      bounds: Seq[Long], l: Int = 40): DataFrame = {
+    import graft.operators.Dedup
+    var gs = Dedup.prepareGramStore(corpus, "doc_id", "text", l)
+    val edges = (Long.MinValue +: bounds.sorted) :+ Long.MaxValue
+    val parts = edges.sliding(2).map { case Seq(lo, hi) =>
+      val ing = Dedup.substringDedupIngest(
+        newDocs.where(col("doc_id") >= lo && col("doc_id") < hi),
+        gs, "doc_id", "text")
+      gs = ing.next
+      ing.result
+    }.toSeq
+    parts.reduce(_.unionAll(_)).orderBy("doc_id")
+  }
+
   /** Streaming token-budget shard packing (QS9): doc_id-ordered
     * batches are packed by [[graft.operators.Scale.packShards]] with
     * each batch's `base` = total tokens of all earlier batches — the

@@ -218,4 +218,55 @@ class MultimodalSpec extends SparkSpec {
     val img = MediaCodecs.decodeBmp(good)
     assert(img.width == 2 && img.height == 2)
   }
+
+  test("aHash: hand-computable half-bright image, exact bit pattern") {
+    import spark.implicits._
+    // 8x8, left half black, right half white: every cell is one
+    // pixel, global mean sits at half, so exactly the right-half
+    // bits set → lo == hi == 0xF0F0F0F0 (unsigned)
+    val px = new Array[Byte](8 * 8 * 3)
+    for (r <- 0 until 8; c <- 4 until 8; ch <- 0 until 3)
+      px((r * 8 + c) * 3 + ch) = 0xFF.toByte
+    val blob = Multimodal.MediaBlob(1L, MediaCodecs.encodeBmp(8, 8, px))
+    val h = Multimodal.aHashTable(Seq(blob).toDS()).collect().head
+    assert(h.ahash_lo == 0xF0F0F0F0L && h.ahash_hi == 0xF0F0F0F0L,
+      s"got lo=${h.ahash_lo.toHexString} hi=${h.ahash_hi.toHexString}")
+  }
+
+  test("imageNearDups: perturbed copies found, random pairs rejected") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val blobs = (0 until 20).flatMap { k =>
+      val w = 16 + (k % 5); val h = 16 + (k % 3)
+      val px = Array.fill[Byte](w * h * 3)(rnd.nextInt(256).toByte)
+      val near = px.clone()
+      // nudge a handful of bytes by 1 — cell sums move marginally,
+      // flipping only boundary-straddling bits
+      for (i <- 0 until 5) near(i * 7 % near.length) =
+        (((near(i * 7 % near.length) & 0xFF) ^ 1)).toByte
+      Seq(Multimodal.MediaBlob(k.toLong,
+          MediaCodecs.encodeBmp(w, h, px)),
+        Multimodal.MediaBlob(1000L + k,
+          MediaCodecs.encodeBmp(w, h, near)))
+    }
+    val hashes = Multimodal.aHashTable(blobs.toDS()).toDF()
+      .localCheckpoint(true)
+    val pairs = Multimodal.imageNearDups(hashes, maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted (base, base+1000) pair must surface...
+    for (k <- 0 until 20)
+      assert(pairs.contains((k.toLong, 1000L + k)),
+        s"planted near-dup pair $k missing: $pairs")
+    // ...and unrelated random images (expected Hamming ≈ 32) must not
+    assert(pairs.size == 20, s"false positives: ${pairs.size - 20}")
+    // banding == brute force at Hamming ≤ 7 (the pigeonhole guarantee)
+    val brute = hashes.as("a").crossJoin(hashes.as("b"))
+      .where(col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id"), col("b.media_id"),
+        (expr("bit_count(a.ahash_hi ^ b.ahash_hi)") +
+          expr("bit_count(a.ahash_lo ^ b.ahash_lo)")).as("hd"))
+      .where(col("hd") <= 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == brute)
+  }
 }

@@ -302,6 +302,62 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == oneShot)
   }
 
+  test("QS10 chunked substring ingest: any chunking == one-shot xd12 " +
+      "over corpus ∪ deltas restricted to deltas") {
+    val docs = graft.queries.T.t(spark, sf0001, "documents")
+    val delta = docs.where(col("doc_id") >= 400)
+    val corpus = docs.where(col("doc_id") < 400)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val one = rows(Streams.substringDedupChunked(delta, corpus,
+      bounds = Seq.empty))
+    val three = rows(Streams.substringDedupChunked(delta, corpus,
+      bounds = Seq(470L, 540L)))
+    val oneShot = rows(graft.operators.Dedup.substringDedup(
+        docs, "doc_id", "text")
+      .where(col("doc_id") >= 400))
+    assert(one.nonEmpty)
+    assert(three == one)
+    assert(one == oneShot)
+    // the delta must contain real dup spans, or this proves nothing
+    assert(one.exists(_._2 > 0), "no dup spans in the delta slice")
+  }
+
+  test("QS10 runner: restart rebuilds the gram store from the durable " +
+      "appends and finishes identically") {
+    val docs = graft.queries.T.t(spark, sf0001, "documents")
+    val delta = docs.where(col("doc_id") >= 400)
+    val corpus = docs.where(col("doc_id") < 400).cache()
+    val base = java.nio.file.Files.createTempDirectory("qs10")
+    val deltaDir = base.resolve("delta").toString
+    val outDir = base.resolve("out").toString
+    delta.where(col("doc_id") < 470).coalesce(1)
+      .write.mode("append").parquet(deltaDir)
+    // first run sees ONLY chunk 1, drains, stops — the "crash"
+    Streams.runSubstringDedupStream(spark, deltaDir, corpus, outDir,
+      compactEvery = 2)
+    Thread.sleep(20) // distinct mtimes for deterministic batch order
+    delta.where(col("doc_id") >= 470 && col("doc_id") < 540).coalesce(1)
+      .write.mode("append").parquet(deltaDir)
+    Thread.sleep(20)
+    delta.where(col("doc_id") >= 540).coalesce(1)
+      .write.mode("append").parquet(deltaDir)
+    // restart: the checkpoint skips batch 0; the store rebuilds from
+    // outDir/store/batch=0 before batches 1-2 process
+    Streams.runSubstringDedupStream(spark, deltaDir, corpus, outDir,
+      compactEvery = 2)
+    corpus.unpersist()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val streamed = rows(spark.read.parquet(s"$outDir/batch=*"))
+    val oneShot = rows(graft.operators.Dedup.substringDedup(
+        docs, "doc_id", "text")
+      .where(col("doc_id") >= 400))
+    assert(streamed == oneShot)
+  }
+
   test("QS9 runner: shard packing across batches == one-shot, with " +
       "restart recovering the token offset from the durable counts") {
     val docs = graft.queries.T.t(spark, sf0001, "documents")
