@@ -243,6 +243,72 @@ object Scale {
       .drop("__ppmd", "__ppg", "__ppcum", "__ppW")
   }
 
+  /** Weighted-fair source interleaving (xk9) — deterministic
+    * training-order mixing: emit the corpus so every prefix holds
+    * each source in proportion to its size (the mixture-scheduling
+    * op: a model reading the output sequentially sees the target
+    * source mix from step one, not source A then source B). Classic
+    * weighted-fair-queuing virtual time: rows get a per-source rank
+    * `rn` in md5 order (the house deterministic shuffle), virtual
+    * time v = rn / w_source — one IEEE double division, identical in
+    * both engines — and the output order is (v, source, key).
+    *
+    * Scale shape: per-source rank windows are partitioned (parallel);
+    * the global position comes from [[runningSum]] over a monotone
+    * v-range bucket — never a partition-less window. `pos` is the
+    * 1-based global position (a permutation of 1..n, spec-asserted).
+    */
+  def interleaveBySource(df: DataFrame, keyCol: String,
+      sourceCol: String, buckets: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets > 0, "interleaveBySource: buckets > 0")
+    require(!df.columns.exists(c =>
+        c.startsWith("__il") || c.startsWith("__rs")),
+      "interleaveBySource: input carries reserved __il*/__rs* columns")
+    require(!df.columns.contains("pos"),
+      "interleaveBySource: input already has a 'pos' column")
+    val rn = row_number().over(Window.partitionBy(sourceCol)
+      .orderBy(md5(col(keyCol).cast(StringType)), col(keyCol)))
+    val wts = df.groupBy(sourceCol).agg(count(lit(1)).as("__ilw"))
+    val src = df.withColumn("__ilrn", rn)
+      .join(broadcast(wts), sourceCol)
+      .withColumn("__ilv",
+        col("__ilrn").cast(DoubleType) / col("__ilw"))
+      .withColumn("__ilone", lit(1L))
+    val bounds = src.agg(min("__ilv").as("__ilmin"),
+      max("__ilv").as("__ilmax"))
+    // monotone coarsening of v (FP multiply by a positive constant
+    // and floor are both monotone, ties share a bucket) — only
+    // monotonicity matters, not uniformity
+    val bucketed = src.crossJoin(broadcast(bounds))
+      .withColumn("__ilg",
+        floor((col("__ilv") - col("__ilmin")) * buckets /
+          (col("__ilmax") - col("__ilmin") + 1e-9)))
+    runningSum(bucketed, "__ilg", Seq("__ilv", sourceCol, keyCol),
+      "__ilone", "pos")
+      .drop("__ilrn", "__ilw", "__ilv", "__ilone", "__ilg",
+        "__ilmin", "__ilmax")
+  }
+
+  /** Per-group cap keeping the k best rows by `ord` — the RefinedWeb/
+    * C4 "at most k documents per domain" balancing op (a hot domain
+    * must not dominate the corpus). One shuffle on the group key;
+    * deterministic for any total `ord` (callers append a key
+    * tiebreak). The group-hygiene twin of [[stratifiedSample]], which
+    * draws uniformly where this keeps the BEST k.
+    */
+  def groupCap(df: DataFrame, groupCols: Seq[String], ord: Seq[Column],
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "groupCap: k > 0")
+    require(!df.columns.contains("__gcrn"),
+      "groupCap: input carries the reserved __gcrn column")
+    df.withColumn("__gcrn", row_number().over(
+        Window.partitionBy(groupCols.map(col): _*).orderBy(ord: _*)))
+      .where(col("__gcrn") <= k)
+      .drop("__gcrn")
+  }
+
   /** Scale-hygienic parquet layout: directory-partitioned on
     * `partitionCols` (readers with partition predicates prune whole
     * directories), rows sorted within each task by `sortCols` (tight

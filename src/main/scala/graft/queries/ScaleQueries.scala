@@ -13,6 +13,11 @@ import T._
   */
 object ScaleQueries {
 
+  /** xt2's "en" stopword list — xk10 reuses the same quality lexicon
+    * so a formula change lands in both entries at once.
+    */
+  private val stopwordList = TextAnalysisQueries.stopwords(1)._2
+
   val all: Seq[Q] = Seq(
     Q("xk1_salted_sum",
       s"""SELECT event_type, ${dsumSql("value")} AS s
@@ -213,6 +218,83 @@ object ScaleQueries {
       Scale.ppsSample(docs, "doc_id", "n_tok", k = 100)
         .select("doc_id", "n_tok", "sel_count")
         .orderBy("doc_id")
+    },
+
+    // Weighted-fair source interleaving (training-order mixing): per-
+    // source md5-rank, WFQ virtual time v = rn/w (one IEEE double
+    // division — identical in both engines), global position by the
+    // distributed prefix sum where the oracle replays the naive
+    // partition-less ROW_NUMBER. Every output prefix carries each
+    // source ~proportionally (spec-gated).
+    Q("xk9_interleave",
+      """WITH r AS (
+        |  SELECT doc_id, source, ROW_NUMBER() OVER (
+        |    PARTITION BY source
+        |    ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents
+        |), w AS (SELECT source, COUNT(*) AS nw FROM documents GROUP BY 1)
+        |SELECT doc_id, source, CAST(ROW_NUMBER() OVER (
+        |    ORDER BY CAST(rn AS DOUBLE) / nw, source, doc_id)
+        |  AS BIGINT) AS pos
+        |FROM r JOIN w USING (source)
+        |ORDER BY pos""".stripMargin) { (s, d) =>
+      Scale.interleaveBySource(
+          t(s, d, "documents").select("doc_id", "source"),
+          "doc_id", "source")
+        .select("doc_id", "source", "pos")
+        .orderBy("pos")
+    },
+
+    // Per-domain cap (RefinedWeb "at most k docs per domain"): keep
+    // the 15 best docs per source by the xt2 quality score (r4-rounded
+    // BEFORE ordering so the sort key is cross-engine identical),
+    // ties to the smaller doc_id.
+    Q("xk10_domain_cap",
+      s"""WITH q0 AS (
+        |  SELECT doc_id, source,
+        |    CAST(LEN(fw) AS INT) AS n_tok,
+        |    ${TextAnalysisQueries.hitsSql(stopwordList)} AS sw,
+        |    LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]')) AS al,
+        |    text
+        |  FROM (SELECT doc_id, source, text,
+        |          LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'),
+        |                      t -> t <> '') AS fw
+        |        FROM documents)
+        |), q1 AS (
+        |  SELECT doc_id, source, ${r4Sql(
+             """0.4 * (CASE WHEN n_tok = 0 THEN 0.0
+               |              ELSE CAST(sw AS DOUBLE) / n_tok END)
+               |  + 0.3 * (CAST(al AS DOUBLE) / LENGTH(text))
+               |  + 0.3 * LEAST(CAST(n_tok AS DOUBLE) / 100.0, 1.0)""")} AS q
+        |  FROM q0
+        |)
+        |SELECT source, doc_id, q FROM (
+        |  SELECT source, doc_id, q, ROW_NUMBER() OVER (
+        |    PARTITION BY source ORDER BY q DESC, doc_id) AS rn
+        |  FROM q1)
+        |WHERE rn <= 15 ORDER BY source, q DESC, doc_id""".stripMargin) {
+      (s, d) =>
+      import org.apache.spark.sql.types.DoubleType
+      val toks = graft.functions.TextFns.tokens(col("text"))
+      val scored = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("text"),
+          size(toks).as("n_tok"),
+          TextAnalysisQueries.hits(toks, stopwordList)
+            .as("sw"),
+          size(regexp_extract_all(lower(col("text")), lit("[a-z]"),
+            lit(0))).as("al"))
+        .select(col("doc_id"), col("source"),
+          r4(
+            lit(0.4) * when(col("n_tok") === 0, 0.0)
+              .otherwise(col("sw").cast(DoubleType) / col("n_tok")) +
+            lit(0.3) * (col("al").cast(DoubleType) / length(col("text"))) +
+            lit(0.3) * least(col("n_tok").cast(DoubleType) / 100.0,
+              lit(1.0))
+          ).as("q"))
+      Scale.groupCap(scored, Seq("source"),
+          Seq(col("q").desc, col("doc_id").asc), k = 15)
+        .select("source", "doc_id", "q")
+        .orderBy(col("source"), col("q").desc, col("doc_id"))
     }
   )
 

@@ -15,16 +15,16 @@ import T._
   */
 object TextAnalysisQueries {
 
-  private val stopwords: Seq[(String, Seq[String])] = Seq(
+  private[queries] val stopwords: Seq[(String, Seq[String])] = Seq(
     "de" -> Seq("der", "die", "und", "das", "von", "zu", "mit", "den"),
     "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "for"),
     "es" -> Seq("el", "la", "de", "y", "en", "que", "los", "por"),
     "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "pour"))
 
-  private def hits(toks: Column, words: Seq[String]): Column =
+  private[queries] def hits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, tk => tk.isInCollection(words)))
 
-  private def hitsSql(words: Seq[String]): String =
+  private[queries] def hitsSql(words: Seq[String]): String =
     s"LEN(LIST_FILTER(fw, t -> LIST_CONTAINS([${
       words.map(w => s"'$w'").mkString(",")}], t)))"
 

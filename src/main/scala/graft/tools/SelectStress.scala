@@ -59,28 +59,48 @@ object SelectStress {
     results += "n_documents" -> nDocs
     results += "n_embeddings" -> nEmb
     results += "gen_sec" -> genSec
+    // the heap drives the gc_sec noise floor on the sort-heavy legs
+    // (8g default thrashes at f20 under local[32]) — record it so
+    // cross-run CPU comparisons carry their memory context
+    results += "heap_gb" ->
+      (Runtime.getRuntime.maxMemory / (1 << 30)).toDouble
 
     val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    val gcMs = new java.util.concurrent.atomic.AtomicLong
+    val runMs = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
             e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-          if (e.taskMetrics != null)
+          if (e.taskMetrics != null) {
             cpuNs.addAndGet(e.taskMetrics.executorCpuTime)
+            gcMs.addAndGet(e.taskMetrics.jvmGCTime)
+            runMs.addAndGet(e.taskMetrics.executorRunTime)
+          }
       })
+    // gc/run published per leg because the same plan on the same data
+    // has measured 12× executor-CPU swings across otherwise-quiet
+    // sessions (SCALE_r7 adjudication): cpu≈run with low gc = real
+    // work; run≫cpu or high gc = scheduling/heap interference — the
+    // artifact should carry its own noise attribution
     def timed[A](name: String)(body: => (Long, Seq[(String, Any)])): Unit = {
       Thread.sleep(50)
-      val cpu0 = cpuNs.get
+      val cpu0 = cpuNs.get; val gc0 = gcMs.get; val run0 = runMs.get
       val t0 = System.nanoTime()
       val (rows, extra) = body
       val sec = (System.nanoTime() - t0) / 1e9
       Thread.sleep(50)
       val cpuSec = (cpuNs.get - cpu0) / 1e9
+      val gcSec = (gcMs.get - gc0) / 1e3
+      val runSec = (runMs.get - run0) / 1e3
       results += s"${name}_sec" -> sec
       results += s"${name}_cpu_sec" -> cpuSec
+      results += s"${name}_gc_sec" -> gcSec
+      results += s"${name}_run_sec" -> runSec
       results += s"${name}_rows" -> rows
       extra.foreach { case (k, v) => results += s"${name}_$k" -> v }
-      println(f"[select] $name%-18s $sec%8.2fs cpu=$cpuSec%8.2fs rows=$rows")
+      println(f"[select] $name%-18s $sec%8.2fs cpu=$cpuSec%8.2fs " +
+        f"gc=$gcSec%6.2fs run=$runSec%8.2fs rows=$rows")
     }
     def dropPersisted(): Unit =
       spark.sparkContext.getPersistentRDDs.values
@@ -179,6 +199,27 @@ object SelectStress {
       require(drawn == k, s"draws must partition the axis: $drawn != $k")
       out.unpersist()
       (n, Seq("k" -> k, "drawn" -> drawn))
+    }
+    dropPersisted()
+
+    // ------------------------------------------------ xk9 interleave
+    timed("xk9_interleave") {
+      val docs = spark.read.parquet(s"$outDir/documents.parquet")
+        .select("doc_id", "source")
+      val out = graft.operators.Scale
+        .interleaveBySource(docs, "doc_id", "source").cache()
+      val n = out.count()
+      plans += "xk9_interleave" -> StressUtil.joinLines(out)
+      val plan = out.queryExecution.executedPlan.toString
+      require("windowspecdefinition\\(__ilv".r.findFirstIn(plan).isEmpty,
+        "partition-less full-corpus window in interleave plan")
+      // pos is a permutation of 1..n — min/max/distinct in one pass
+      val a = out.agg(min("pos"), max("pos"),
+        countDistinct("pos")).head
+      require(a.getLong(0) == 1L && a.getLong(1) == n &&
+        a.getLong(2) == n, s"pos not a permutation: $a over $n")
+      out.unpersist()
+      (n, Seq.empty)
     }
     dropPersisted()
 

@@ -390,4 +390,50 @@ class ScaleSpec extends SparkSpec {
     assert("windowspecdefinition\\(__ppmd".r.findFirstIn(plan).isEmpty,
       s"no window may order the full corpus without partitioning:\n$plan")
   }
+
+  test("interleaveBySource: permutation, bucket invariance, fairness") {
+    import spark.implicits._
+    // sources with 60/30/10 docs — every output prefix must hold each
+    // source near its share (the WFQ bound: per-source deviation from
+    // N·w/W stays O(1), never a source-A-then-source-B corpus)
+    val docs = ((1 to 60).map(i => (i.toLong, "a")) ++
+      (101 to 130).map(i => (i.toLong, "b")) ++
+      (201 to 210).map(i => (i.toLong, "c"))).toDF("doc_id", "source")
+    def byPos(df: org.apache.spark.sql.DataFrame) =
+      df.select("pos", "doc_id", "source").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .sortBy(_._1)
+    val out = byPos(Scale.interleaveBySource(docs, "doc_id", "source"))
+    assert(out.map(_._1).toSeq == (1L to 100L),
+      "pos must be a permutation of 1..n")
+    for (b <- Seq(1, 7, 64))
+      assert(byPos(Scale.interleaveBySource(docs, "doc_id", "source",
+        buckets = b)).toSeq == out.toSeq, s"buckets=$b diverges")
+    val w = Map("a" -> 60.0, "b" -> 30.0, "c" -> 10.0)
+    for (n <- 10 to 100 by 10; s <- w.keys) {
+      val got = out.take(n).count(_._3 == s)
+      val want = n * w(s) / 100.0
+      assert(math.abs(got - want) <= 2.0,
+        f"prefix $n source $s: $got vs $want%.1f")
+    }
+    // the running sum must stay bucket-partitioned (no partition-less
+    // full-corpus window)
+    val plan = Scale.interleaveBySource(docs, "doc_id", "source")
+      .queryExecution.executedPlan.toString
+    assert("windowspecdefinition\\(__ilv".r.findFirstIn(plan).isEmpty,
+      s"global position window must partition on the v bucket:\n$plan")
+  }
+
+  test("groupCap: keeps the k best per group, deterministic ties") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "x", 0.9), (2L, "x", 0.8), (3L, "x", 0.8), (4L, "x", 0.1),
+      (5L, "y", 0.5), (6L, "y", 0.4),
+      (7L, "z", 0.3)).toDF("id", "g", "q")
+    val kept = Scale.groupCap(rows, Seq("g"),
+        Seq(col("q").desc, col("id").asc), k = 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // x: 0.9 then the 0.8-tie broken to the smaller id; y/z under cap
+    assert(kept == Set(1L, 2L, 5L, 6L, 7L))
+  }
 }
