@@ -789,6 +789,82 @@ case class PqAdc(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Johnson–Lindenstrauss random projection of an embedding to `k`
+  * output dimensions (the d→k reduction that feeds cheaper downstream
+  * similarity ops: xd6 hyperplane blocking, xd11 clustering, xs6 PQ).
+  * Achlioptas ±1 sign matrix: s(i,j) = +1 iff the first hex nibble of
+  * md5("i_j") is even — reproducible from the (i, j) indices alone, so
+  * the DuckDB oracle regenerates the identical matrix with its own
+  * MD5() and no matrix ever ships anywhere. out[j] =
+  * (Σ_i dec12(s(i,j)·v[i])) / √k with the Σ an EXACT decimal sum
+  * (order-free — the xt11 add-order discipline, here applied so the
+  * oracle's hash-partitioned SUM over the same decimals is
+  * bit-identical); dec12 reproduces Spark's double→DECIMAL(28,12)
+  * cast (BigDecimal.valueOf, HALF_UP).
+  *
+  * Scale shape: a narrow per-row map, zero shuffle, one expression
+  * call per row; the sign matrix is computed once per (d, k) and
+  * cached per executor.
+  */
+case class RandomProjection(child: Expression, k: Int)
+    extends UnaryExpression with FusedUnary {
+  require(k > 0, "random_projection: k must be positive")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "random_projection"
+
+  @transient private lazy val signCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Int]]]()
+
+  /** signs(i)(j) for a d-dim input — lazily built per dimension. */
+  private def signs(d: Int): Array[Array[Int]] =
+    signCache.computeIfAbsent(d, dim => {
+      val md = MessageDigest.getInstance("MD5")
+      Array.tabulate(dim, k) { (i, j) =>
+        md.reset()
+        val h = md.digest(s"${i}_$j".getBytes("UTF-8"))
+        if (((h(0) >> 4) & 0x1) == 0) 1 else -1
+      }
+    })
+
+  // Divide (not multiply-by-reciprocal): x/√k is the op the oracle
+  // writes, and x·(1/√k) differs by an ulp for non-square k.
+  private val sqrtK = math.sqrt(k.toDouble)
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val et = child.dataType.asInstanceOf[ArrayType].elementType
+    val d = a.numElements()
+    val s = signs(d)
+    val out = new Array[Double](k)
+    var j = 0
+    while (j < k) {
+      var acc = java.math.BigDecimal.ZERO
+      var i = 0
+      while (i < d) {
+        val x = et match {
+          case FloatType => a.getFloat(i).toDouble
+          case DoubleType => a.getDouble(i)
+          case other => throw new IllegalArgumentException(
+            s"random_projection: unsupported element type $other")
+        }
+        val t = if (s(i)(j) > 0) x else -x
+        // Spark's Cast(double -> DecimalType(28,12)) semantics:
+        // canonical-string BigDecimal, then HALF_UP to scale 12.
+        acc = acc.add(java.math.BigDecimal.valueOf(t)
+          .setScale(12, java.math.RoundingMode.HALF_UP))
+        i += 1
+      }
+      out(j) = acc.doubleValue() / sqrtK
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
 /** Column wrappers for the expressions above. */
 object HashFns {
   private def e(c: Column): Expression = Bridge.expression(c)
@@ -809,6 +885,8 @@ object HashFns {
     Bridge.column(PqLut(e(c), books))
   def pqAdc(lut: Column, codes: Column): Column =
     Bridge.column(PqAdc(e(lut), e(codes)))
+  def randomProjection(c: Column, k: Int): Column =
+    Bridge.column(RandomProjection(e(c), k))
   def hyperplaneBands(
       c: Column, bands: Int = 96, bitsPerBand: Int = 12,
       seed: Int = 0x5eed): Column =

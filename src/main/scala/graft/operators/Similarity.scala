@@ -414,6 +414,17 @@ object Similarity {
     * refinement above), corpus assigned to its cell via a narrow map,
     * queries probe `nprobe` cells.
     */
+  /** Johnson–Lindenstrauss random projection d→k over an embedding
+    * column ([[RandomProjection]]): replaces `vecCol` with the k-dim
+    * projection. A narrow per-row map (zero shuffle at any corpus
+    * size); the deterministic md5 sign matrix means two corpora (or a
+    * stream and its store) project identically with no shared state.
+    * Distance preservation (the JL guarantee) is spec-gated; the xs8
+    * oracle replays the exact decimal arithmetic relationally.
+    */
+  def randomProject(df: DataFrame, vecCol: String, k: Int): DataFrame =
+    df.withColumn(vecCol, HashFns.randomProjection(col(vecCol), k))
+
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,

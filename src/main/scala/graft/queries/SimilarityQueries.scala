@@ -271,6 +271,38 @@ object SimilarityQueries {
         .select(col("qid"), col("rank"), col("id"),
           round(col("sim"), 4).as("sim"))
         .orderBy("qid", "rank")
+    },
+
+    // Johnson–Lindenstrauss random projection d→16 (the dimensionality
+    // reduction that feeds cheaper downstream blocking/clustering).
+    // The ±1 Achlioptas sign matrix regenerates from md5(i_j) parity
+    // in BOTH engines — no matrix is stored or shipped — and each
+    // signed term quantizes to DECIMAL(28,12) before an order-free
+    // exact sum (the xt11 discipline), so the fused single-pass
+    // expression and the oracle's exploded relational replay produce
+    // bit-identical doubles. Long format (vec_id, j, p) keeps the
+    // comparison row-shaped. Scale: narrow per-row map, zero shuffle.
+    Q("xs8_random_projection",
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |), term AS (
+         |  SELECT vec_id, j,
+         |    CAST(CASE WHEN SUBSTR(MD5(i || '_' || j), 1, 1) IN
+         |        ('0','2','4','6','8','a','c','e')
+         |      THEN v[i + 1] ELSE -v[i + 1] END AS DECIMAL(28,12)) AS t
+         |  FROM e,
+         |    UNNEST(RANGE(0, LEN(v))) AS ti(i),
+         |    UNNEST(RANGE(0, 16)) AS tj(j)
+         |)
+         |SELECT vec_id, CAST(j AS INT) AS j,
+         |  ${r4Sql("CAST(SUM(t) AS DOUBLE) / SQRT(16.0)")} AS p
+         |FROM term GROUP BY vec_id, j
+         |ORDER BY vec_id, j""".stripMargin) { (s, d) =>
+      Similarity.randomProject(t(s, d, "embeddings"), "embedding", k = 16)
+        .select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("j", "p")))
+        .select(col("vec_id"), col("j"), r4(col("p")).as("p"))
+        .orderBy("vec_id", "j")
     }
   )
 

@@ -802,6 +802,168 @@ object TextAnalysisQueries {
             (length(col("tp.gram")) - 1).cast(DoubleType) / col("wc")))
           .as("top2_char_frac"))
         .orderBy("doc_id")
+    },
+
+    // CCNet/KenLM-shape LM perplexity filter: fit an interpolated
+    // bigram model on a REFERENCE slice (source='src0' — the "clean
+    // wiki" stand-in), score EVERY document by per-bigram NLL and
+    // perplexity. p(w2|w1) = 0.75·c₂(w1,w2)/c₁(w1) +
+    // 0.25·(c_b(w2)+1)/(N+V) — MLE bigram interpolated with an add-1
+    // unigram backoff, every input an exact BIGINT so both engines
+    // feed LN identical doubles (0.75/0.25 are binary-exact). Each
+    // per-bigram LN quantizes to DECIMAL(28,12) before the order-free
+    // exact per-doc sum (the xt11 add-order discipline). Scale shape:
+    // the exploded pair table materializes ONCE (localCheckpoint) and
+    // feeds four count aggregates + the scoring join; the model is a
+    // TABLE (not a driver structure), so a vocab²-sized bigram model
+    // stays a plain equi-join at 100TB — the corpus shuffles only on
+    // the final doc_id rollup. Docs with <2 tokens have no bigrams
+    // and drop out in both engines.
+    Q("xt17_lm_perplexity",
+      s"""WITH tok AS (
+         |  SELECT doc_id, source = 'src0' AS ref, LIST_FILTER(
+         |    STRING_SPLIT_REGEX(LOWER(text), '\\s+'), t -> t <> '') AS fw
+         |  FROM documents
+         |), bg AS (
+         |  SELECT doc_id, ref, fw[i] AS w1, fw[i + 1] AS w2
+         |  FROM tok, UNNEST(RANGE(1, LEN(fw))) AS ti(i)
+         |), c2 AS (
+         |  SELECT w1, w2, COUNT(*) AS cbg FROM bg WHERE ref GROUP BY 1, 2
+         |), c1 AS (SELECT w1, COUNT(*) AS cctx FROM bg WHERE ref GROUP BY 1),
+         |cb AS (SELECT w2, COUNT(*) AS cbo FROM bg WHERE ref GROUP BY 1),
+         |tot AS (SELECT COUNT(*) AS n, COUNT(DISTINCT w2) AS v
+         |        FROM bg WHERE ref),
+         |lp AS (
+         |  SELECT doc_id, CAST(LN(
+         |      CAST(0.75 AS DOUBLE)
+         |        * COALESCE(CAST(cbg AS DOUBLE) / cctx, 0.0)
+         |    + CAST(0.25 AS DOUBLE)
+         |        * (CAST(COALESCE(cbo, 0) + 1 AS DOUBLE) / (n + v))
+         |    ) AS DECIMAL(28,12)) AS l
+         |  FROM bg
+         |  LEFT JOIN c2 USING (w1, w2)
+         |  LEFT JOIN c1 USING (w1)
+         |  LEFT JOIN cb USING (w2)
+         |  CROSS JOIN tot
+         |)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_big,
+         |  ${r4Sql("-(CAST(SUM(l) AS DOUBLE) / COUNT(*))")} AS nll,
+         |  ${r4Sql("EXP(-(CAST(SUM(l) AS DOUBLE) / COUNT(*)))")} AS ppl
+         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toksC = TextFns.tokens(col("text"))
+      val pairs = t(s, d, "documents")
+        .select(col("doc_id"), (col("source") === "src0").as("ref"),
+          explode(TextFns.wordBigrams(toksC)).as("bg"))
+        .select(col("doc_id"), col("ref"),
+          substring_index(col("bg"), " ", 1).as("w1"),
+          substring_index(col("bg"), " ", -1).as("w2"))
+        .localCheckpoint(true)
+      val ref = pairs.where(col("ref"))
+      val c2 = ref.groupBy("w1", "w2").agg(count(lit(1)).as("cbg"))
+      val c1 = ref.groupBy("w1").agg(count(lit(1)).as("cctx"))
+      val cb = ref.groupBy("w2").agg(count(lit(1)).as("cbo"))
+      val tot = ref.agg(count(lit(1)).as("n"),
+        countDistinct(col("w2")).as("v"))
+      val lp = pairs
+        .join(c2, Seq("w1", "w2"), "left")
+        .join(c1, Seq("w1"), "left")
+        .join(cb, Seq("w2"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          log(lit(0.75)
+              * coalesce(col("cbg").cast(DoubleType) / col("cctx"),
+                lit(0.0))
+            + lit(0.25)
+              * ((coalesce(col("cbo"), lit(0L)) + 1).cast(DoubleType)
+                / (col("n") + col("v"))))
+            .cast(DecimalType(28, 12)).as("l"))
+      val nllRaw = -(sum(col("l")).cast(DoubleType)) / count(lit(1))
+      lp.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_big"), nllRaw.as("nr"))
+        .select(col("doc_id"), col("n_big"),
+          r4(col("nr")).as("nll"), r4(exp(col("nr"))).as("ppl"))
+        .orderBy("doc_id")
+    },
+
+    // Quality-classifier scoring (the GPT-3/LLaMA "trained classifier"
+    // filter, with the deterministic stand-in model): multinomial
+    // Naive Bayes fit on two labeled slices (src0 = positive, src1 =
+    // negative), then EVERY document scored by token log-likelihood
+    // ratio plus the doc-count prior; pred = log-odds > 0. Unknown
+    // tokens get the symmetric add-1 floor on both classes (the LEFT
+    // join + COALESCE(·,0), not a dropped term). Same exactness
+    // discipline as xt17: integer counts → LN doubles → DECIMAL(28,12)
+    // → order-free sum; the >0 decision compares the identical double
+    // in both engines. Scale shape: token table materializes once;
+    // model is a per-word count table joined back (broadcast at small
+    // vocab, plain equi-join at 100TB); one doc_id rollup shuffle.
+    Q("xt18_nb_quality",
+      s"""WITH tk AS (
+         |  SELECT doc_id, source, UNNEST(LIST_FILTER(
+         |    STRING_SPLIT_REGEX(LOWER(text), '\\s+'), t -> t <> '')) AS w
+         |  FROM documents
+         |), tr AS (SELECT * FROM tk WHERE source IN ('src0', 'src1')),
+         |cw AS (
+         |  SELECT w, COUNT(*) FILTER (source = 'src0') AS cp,
+         |         COUNT(*) FILTER (source = 'src1') AS cn
+         |  FROM tr GROUP BY w
+         |), tot AS (
+         |  SELECT COUNT(*) FILTER (source = 'src0') AS np,
+         |         COUNT(*) FILTER (source = 'src1') AS nn,
+         |         COUNT(DISTINCT w) AS v
+         |  FROM tr
+         |), dc AS (
+         |  SELECT COUNT(*) FILTER (source = 'src0') AS dp,
+         |         COUNT(*) FILTER (source = 'src1') AS dn
+         |  FROM documents WHERE source IN ('src0', 'src1')
+         |), lp AS (
+         |  SELECT doc_id, CAST(
+         |      LN(CAST(COALESCE(cp, 0) + 1 AS DOUBLE) / (np + v))
+         |    - LN(CAST(COALESCE(cn, 0) + 1 AS DOUBLE) / (nn + v))
+         |    AS DECIMAL(28,12)) AS l
+         |  FROM tk LEFT JOIN cw USING (w) CROSS JOIN tot
+         |), agg AS (
+         |  SELECT doc_id, COUNT(*) AS n_tok, SUM(l) AS sl
+         |  FROM lp GROUP BY doc_id
+         |)
+         |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+         |  ${r4Sql("LN(CAST(dp AS DOUBLE) / dn) + CAST(sl AS DOUBLE)")}
+         |    AS log_odds,
+         |  CAST((LN(CAST(dp AS DOUBLE) / dn) + CAST(sl AS DOUBLE)) > 0
+         |    AS INT) AS pred
+         |FROM agg CROSS JOIN dc ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val tk = docs
+        .select(col("doc_id"), col("source"),
+          explode(TextFns.tokens(col("text"))).as("w"))
+        .localCheckpoint(true)
+      val tr = tk.where(col("source").isin("src0", "src1"))
+      val cw = tr.groupBy("w").agg(
+        count(when(col("source") === "src0", 1)).as("cp"),
+        count(when(col("source") === "src1", 1)).as("cn"))
+      val tot = tr.agg(
+        count(when(col("source") === "src0", 1)).as("np"),
+        count(when(col("source") === "src1", 1)).as("nn"),
+        countDistinct(col("w")).as("v"))
+      val dc = docs.where(col("source").isin("src0", "src1")).agg(
+        count(when(col("source") === "src0", 1)).as("dp"),
+        count(when(col("source") === "src1", 1)).as("dn"))
+      val lp = tk.join(cw, Seq("w"), "left").crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          (log((coalesce(col("cp"), lit(0L)) + 1).cast(DoubleType)
+              / (col("np") + col("v")))
+            - log((coalesce(col("cn"), lit(0L)) + 1).cast(DoubleType)
+              / (col("nn") + col("v"))))
+            .cast(DecimalType(28, 12)).as("l"))
+      val lo = log(col("dp").cast(DoubleType) / col("dn")) +
+        col("sl").cast(DoubleType)
+      lp.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum(col("l")).as("sl"))
+        .crossJoin(broadcast(dc))
+        .select(col("doc_id"), col("n_tok"),
+          r4(lo).as("log_odds"),
+          (lo > 0).cast(IntegerType).as("pred"))
+        .orderBy("doc_id")
     }
   )
 }

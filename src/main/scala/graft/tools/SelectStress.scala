@@ -471,6 +471,70 @@ object SelectStress {
     }
     dropPersisted()
 
+    // ---------------------- xt17 LM perplexity (CCNet filter shape).
+    // The bigram explode + 3 count-model joins + doc_id rollup is the
+    // whole cost; gates: positive perplexity everywhere, no cartesian,
+    // coverage ≈ corpus (only <2-token docs drop out).
+    timed("xt17_lm_perplexity") {
+      val df = graft.SparkEntry.queries("xt17_lm_perplexity")(spark, outDir)
+        .cache()
+      val n = df.count()
+      plans += "xt17_lm_perplexity" -> StressUtil.joinLines(df)
+      require(!plans("xt17_lm_perplexity")
+          .exists(_.startsWith("CartesianProduct")),
+        "xt17 must not cartesian")
+      val agg = df.agg(min("ppl"), sum("nll"), sum("n_big")).head
+      require(agg.getDouble(0) > 0, "perplexity must be positive")
+      require(n >= (nDocs * 95) / 100,
+        s"xt17 coverage $n < 95% of $nDocs docs")
+      df.unpersist()
+      (n, Seq("min_ppl" -> agg.getDouble(0),
+        "total_bigrams" -> agg.getLong(2)))
+    }
+    dropPersisted()
+
+    // -------------------- xt18 NB quality classifier (GPT-3 filter).
+    // Token explode + per-word model join + rollup; gates: decision
+    // consistent with the sign of log_odds away from the r4 rounding
+    // boundary, pred marginals sane, no cartesian.
+    timed("xt18_nb_quality") {
+      val df = graft.SparkEntry.queries("xt18_nb_quality")(spark, outDir)
+        .cache()
+      val n = df.count()
+      plans += "xt18_nb_quality" -> StressUtil.joinLines(df)
+      require(!plans("xt18_nb_quality")
+          .exists(_.startsWith("CartesianProduct")),
+        "xt18 must not cartesian")
+      val bad = df.where(abs(col("log_odds")) > 1e-3 &&
+        ((col("log_odds") > 0).cast("int") =!= col("pred"))).count()
+      require(bad == 0, s"$bad rows with pred != sign(log_odds)")
+      val npos = df.agg(sum("pred")).head.getLong(0)
+      require(npos > 0 && npos < n, s"degenerate classifier: $npos/$n")
+      df.unpersist()
+      (n, Seq("n_pos" -> npos))
+    }
+    dropPersisted()
+
+    // ------------------- xs8 random projection (JL dim reduction).
+    // Must stay a pure narrow map at any corpus size: ZERO join nodes
+    // (the long-format explode is a Generate, not a join), and the
+    // output is exactly 16 rows per vector.
+    timed("xs8_random_projection") {
+      val df = graft.SparkEntry.queries("xs8_random_projection")(
+        spark, outDir)
+      val agg = df.agg(count(lit(1)), sum(abs(col("p")))).head
+      val n = agg.getLong(0)
+      val jl = StressUtil.joinLines(df)
+      plans += "xs8_random_projection" -> jl
+      require(!jl.exists(l => l.startsWith("BroadcastHashJoin") ||
+          l.startsWith("SortMergeJoin") || l.startsWith("ShuffledHashJoin") ||
+          l.startsWith("CartesianProduct")),
+        s"xs8 must be join-free (narrow map): $jl")
+      require(n == nEmb * 16, s"xs8 rows $n != 16·$nEmb")
+      (n, Seq("abs_mass" -> agg.getDouble(1)))
+    }
+    dropPersisted()
+
     val payload = results
       .map { case (k, v) => s""""$k":${StressUtil.jsonScalar(v)}""" }
       .mkString("{", ",", "}")

@@ -958,4 +958,98 @@ class OperatorsSpec extends SparkSpec {
         (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
     assert(got == expected)
   }
+
+  test("random projection: deterministic, JL norm bounds, and planted " +
+      "duplicates survive the projected space") {
+    val emb = T.t(spark, sf0001, "embeddings")
+    val proj = Similarity.randomProject(emb, "embedding", k = 16)
+
+    // determinism: two independent evaluations are value-identical
+    val a = proj.orderBy("vec_id").collect().map(_.toSeq)
+    val b = Similarity.randomProject(emb, "embedding", 16)
+      .orderBy("vec_id").collect().map(_.toSeq)
+    assert(a.sameElements(b))
+
+    // JL norm preservation: E[||p||²] = ||v||² with std ≈ √(2/k)·||v||²
+    // — every vector's ratio must land in a wide-but-meaningful band
+    val ratios = proj.select(col("vec_id"),
+        TextFns.dot(col("embedding"), col("embedding")).as("pn"))
+      .join(emb.select(col("vec_id"),
+        TextFns.dot(col("embedding"), col("embedding")).as("vn")), "vec_id")
+      .select(col("pn") / col("vn")).collect().map(_.getDouble(0))
+    assert(ratios.nonEmpty)
+    assert(ratios.forall(r => r > 0.15 && r < 3.0),
+      s"JL norm ratio out of band: min=${ratios.min} max=${ratios.max}")
+
+    // an exact duplicate vector pair projects to the exact same point,
+    // so projected brute-force top-1 finds the planted twin
+    import spark.implicits._
+    val twin = emb.limit(1).select(lit(100000L).as("vec_id"),
+      col("embedding"), col("label"))
+    val planted = emb.unionByName(twin)
+    val top1 = Similarity.bruteForceTopK(
+        Similarity.randomProject(planted, "embedding", 16),
+        Similarity.randomProject(twin, "embedding", 16),
+        "vec_id", "embedding", k = 1)
+      .select("id", "sim").collect()
+    assert(top1.length == 1)
+    assert(math.abs(top1(0).getDouble(1) - 1.0) < 1e-12,
+      "projected twin must be found at cosine 1")
+  }
+
+  test("xp3 JL near-dup pipeline: projected-space pairs recover most " +
+      "original-space pairs (the JL trade, quantified)") {
+    val corpus = graft.queries.DedupQueries.plantedEmbeddingCorpus(
+      T.t(spark, sf0001, "embeddings")).localCheckpoint(true)
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val orig = pairSet(Dedup.embeddingNearDupsLSHAuto(
+      corpus, "id", "v", threshold = 0.9))
+    val proj = pairSet(Dedup.embeddingNearDupsLSHAuto(
+      Similarity.randomProject(corpus, "v", 16), "id", "v",
+      threshold = 0.9))
+    assert(orig.nonEmpty)
+    val recall = (proj & orig).size.toDouble / orig.size
+    assert(recall >= 0.8,
+      s"JL-projected pair recall $recall < 0.8 (orig=${orig.size}, " +
+        s"proj=${proj.size})")
+  }
+
+  test("bigram LM perplexity: in-model (src0) docs score lower NLL " +
+      "than out-of-model docs") {
+    val out = graft.SparkEntry.queries("xt17_lm_perplexity")(spark, sf001)
+      .join(T.t(spark, sf001, "documents").select("doc_id", "source"),
+        "doc_id")
+    val rows = out.select(col("source") === "src0", col("nll"),
+        col("ppl")).collect()
+    assert(rows.forall(_.getDouble(2) > 0), "perplexity must be positive")
+    val inM = rows.filter(_.getBoolean(0)).map(_.getDouble(1))
+    val outM = rows.filterNot(_.getBoolean(0)).map(_.getDouble(1))
+    assert(inM.nonEmpty && outM.nonEmpty)
+    assert(inM.sum / inM.length < outM.sum / outM.length,
+      "training-slice docs must have lower mean NLL than held-out docs")
+  }
+
+  test("NB quality classifier: separates its own training slices and " +
+      "pred == (log_odds > 0)") {
+    val out = graft.SparkEntry.queries("xt18_nb_quality")(spark, sf001)
+      .join(T.t(spark, sf001, "documents").select("doc_id", "source"),
+        "doc_id")
+    val rows = out.select("source", "log_odds", "pred").collect()
+    // (r4-rounded log_odds can land exactly on 0.0 for |raw| < 5e-5 —
+    // compare the sign only away from the rounding boundary)
+    rows.filter(r => math.abs(r.getDouble(1)) > 1e-3)
+      .foreach(r => assert((r.getDouble(1) > 0) == (r.getInt(2) == 1)))
+    val train = rows.filter(r =>
+      r.getString(0) == "src0" || r.getString(0) == "src1")
+    val correct = train.count(r =>
+      (r.getString(0) == "src0") == (r.getInt(2) == 1))
+    assert(train.nonEmpty)
+    // 0.82 measured on the current word-soup testdata; gate at 0.7 so
+    // a driver testdata regeneration (same distribution, new draw)
+    // can't flip the suite red
+    assert(correct.toDouble / train.length >= 0.7,
+      s"NB train accuracy ${correct.toDouble / train.length} < 0.7")
+  }
 }
