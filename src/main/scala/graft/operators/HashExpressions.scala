@@ -836,29 +836,70 @@ case class RandomProjection(child: Expression, k: Int)
     val et = child.dataType.asInstanceOf[ArrayType].elementType
     val d = a.numElements()
     val s = signs(d)
+    // Two exactness-preserving fast paths over the naive per-(i,j)
+    // BigDecimal loop (measured 331 cpu-s for 20k×64→16 — the
+    // string-building BigDecimal.valueOf dominated):
+    //  1. HALF_UP rounds away from zero symmetrically, so
+    //     dec12(-x) == -dec12(x): quantize each INPUT element once
+    //     (d conversions, not d·k).
+    //  2. A scale-12 decimal whose unscaled value fits a Long sums in
+    //     long arithmetic (decimal addition of equal scales IS
+    //     unscaled-integer addition); reconstructing the final value
+    //     via BigDecimal.valueOf(sum, 12) is the identical decimal.
+    //     Math.addExact guards the sum; any overflow (|x| ≳ 9e6 or
+    //     astronomic dims) falls back to the BigDecimal loop.
+    val q = new Array[java.math.BigDecimal](d)
+    val u = new Array[Long](d)
+    var fits = true
+    var i = 0
+    while (i < d) {
+      val x = et match {
+        case FloatType => a.getFloat(i).toDouble
+        case DoubleType => a.getDouble(i)
+        case other => throw new IllegalArgumentException(
+          s"random_projection: unsupported element type $other")
+      }
+      // Spark's Cast(double -> DecimalType(28,12)) semantics:
+      // canonical-string BigDecimal, then HALF_UP to scale 12.
+      val dec = java.math.BigDecimal.valueOf(x)
+        .setScale(12, java.math.RoundingMode.HALF_UP)
+      q(i) = dec
+      if (fits && dec.precision - dec.scale <= 6) u(i) = dec.unscaledValue
+        .longValueExact() // scale 12, ≤18 digits: always fits
+      else fits = false
+      i += 1
+    }
     val out = new Array[Double](k)
     var j = 0
     while (j < k) {
-      var acc = java.math.BigDecimal.ZERO
-      var i = 0
-      while (i < d) {
-        val x = et match {
-          case FloatType => a.getFloat(i).toDouble
-          case DoubleType => a.getDouble(i)
-          case other => throw new IllegalArgumentException(
-            s"random_projection: unsupported element type $other")
+      if (fits) {
+        var acc = 0L
+        var ok = true
+        i = 0
+        while (ok && i < d) {
+          try acc = Math.addExact(acc, if (s(i)(j) > 0) u(i) else -u(i))
+          catch { case _: ArithmeticException => ok = false }
+          i += 1
         }
-        val t = if (s(i)(j) > 0) x else -x
-        // Spark's Cast(double -> DecimalType(28,12)) semantics:
-        // canonical-string BigDecimal, then HALF_UP to scale 12.
-        acc = acc.add(java.math.BigDecimal.valueOf(t)
-          .setScale(12, java.math.RoundingMode.HALF_UP))
-        i += 1
-      }
-      out(j) = acc.doubleValue() / sqrtK
+        if (ok) out(j) = java.math.BigDecimal.valueOf(acc, 12)
+          .doubleValue() / sqrtK
+        else out(j) = slowDim(q, s, j)
+      } else out(j) = slowDim(q, s, j)
       j += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Exact-BigDecimal fallback for one output dim (overflow path). */
+  private def slowDim(q: Array[java.math.BigDecimal],
+      s: Array[Array[Int]], j: Int): Double = {
+    var acc = java.math.BigDecimal.ZERO
+    var i = 0
+    while (i < q.length) {
+      acc = acc.add(if (s(i)(j) > 0) q(i) else q(i).negate())
+      i += 1
+    }
+    acc.doubleValue() / sqrtK
   }
 
   override protected def withNewChildInternal(newChild: Expression) =

@@ -362,6 +362,59 @@ object StreamBatchQueries {
         docs.where(col("doc_id") >= 400),
         docs.where(col("doc_id") < 400),
         bounds = Seq(450L))
+    },
+
+    // Streaming quality-classifier scoring (QS11, the xt18 stream
+    // face): the NB model is fit ONCE on the <400 static corpus and
+    // FROZEN; docs >= 400 arrive as the stream and are scored against
+    // it — the "score the incoming crawl with yesterday's classifier"
+    // op. Frozen model + stateless scoring ⇒ any chunking equals this
+    // one-shot batch shape (StreamingSpec drives the real file-stream
+    // runner and asserts it). Oracle = xt18's replay with the model
+    // CTEs restricted to the <400 slice and scoring to the delta.
+    Q("qs11_stream_quality",
+      s"""WITH tk AS (
+         |  SELECT doc_id, UNNEST(LIST_FILTER(
+         |    STRING_SPLIT_REGEX(LOWER(text), '\\s+'), t -> t <> '')) AS w
+         |  FROM documents WHERE doc_id >= 400
+         |), tr AS (
+         |  SELECT source, UNNEST(LIST_FILTER(
+         |    STRING_SPLIT_REGEX(LOWER(text), '\\s+'), t -> t <> '')) AS w
+         |  FROM documents
+         |  WHERE doc_id < 400 AND source IN ('src0', 'src1')
+         |), cw AS (
+         |  SELECT w, COUNT(*) FILTER (source = 'src0') AS cp,
+         |         COUNT(*) FILTER (source = 'src1') AS cn
+         |  FROM tr GROUP BY w
+         |), tot AS (
+         |  SELECT COUNT(*) FILTER (source = 'src0') AS np,
+         |         COUNT(*) FILTER (source = 'src1') AS nn,
+         |         COUNT(DISTINCT w) AS v
+         |  FROM tr
+         |), dc AS (
+         |  SELECT COUNT(*) FILTER (source = 'src0') AS dp,
+         |         COUNT(*) FILTER (source = 'src1') AS dn
+         |  FROM documents
+         |  WHERE doc_id < 400 AND source IN ('src0', 'src1')
+         |), lp AS (
+         |  SELECT doc_id, CAST(
+         |      LN(CAST(COALESCE(cp, 0) + 1 AS DOUBLE) / (np + v))
+         |    - LN(CAST(COALESCE(cn, 0) + 1 AS DOUBLE) / (nn + v))
+         |    AS DECIMAL(28,12)) AS l
+         |  FROM tk LEFT JOIN cw USING (w) CROSS JOIN tot
+         |), agg AS (
+         |  SELECT doc_id, COUNT(*) AS n_tok, SUM(l) AS sl
+         |  FROM lp GROUP BY doc_id
+         |)
+         |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+         |  ${T.r4Sql("LN(CAST(dp AS DOUBLE) / dn) + CAST(sl AS DOUBLE)")}
+         |    AS log_odds,
+         |  CAST((LN(CAST(dp AS DOUBLE) / dn) + CAST(sl AS DOUBLE)) > 0
+         |    AS INT) AS pred
+         |FROM agg CROSS JOIN dc ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      graft.operators.Quality.scoreNb(docs.where(col("doc_id") >= 400),
+        graft.operators.Quality.fitNb(docs.where(col("doc_id") < 400)))
     }
   )
 }

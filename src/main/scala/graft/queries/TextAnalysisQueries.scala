@@ -933,37 +933,8 @@ object TextAnalysisQueries {
          |    AS INT) AS pred
          |FROM agg CROSS JOIN dc ORDER BY doc_id""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents")
-      val tk = docs
-        .select(col("doc_id"), col("source"),
-          explode(TextFns.tokens(col("text"))).as("w"))
-        .localCheckpoint(true)
-      val tr = tk.where(col("source").isin("src0", "src1"))
-      val cw = tr.groupBy("w").agg(
-        count(when(col("source") === "src0", 1)).as("cp"),
-        count(when(col("source") === "src1", 1)).as("cn"))
-      val tot = tr.agg(
-        count(when(col("source") === "src0", 1)).as("np"),
-        count(when(col("source") === "src1", 1)).as("nn"),
-        countDistinct(col("w")).as("v"))
-      val dc = docs.where(col("source").isin("src0", "src1")).agg(
-        count(when(col("source") === "src0", 1)).as("dp"),
-        count(when(col("source") === "src1", 1)).as("dn"))
-      val lp = tk.join(cw, Seq("w"), "left").crossJoin(broadcast(tot))
-        .select(col("doc_id"),
-          (log((coalesce(col("cp"), lit(0L)) + 1).cast(DoubleType)
-              / (col("np") + col("v")))
-            - log((coalesce(col("cn"), lit(0L)) + 1).cast(DoubleType)
-              / (col("nn") + col("v"))))
-            .cast(DecimalType(28, 12)).as("l"))
-      val lo = log(col("dp").cast(DoubleType) / col("dn")) +
-        col("sl").cast(DoubleType)
-      lp.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tok"), sum(col("l")).as("sl"))
-        .crossJoin(broadcast(dc))
-        .select(col("doc_id"), col("n_tok"),
-          r4(lo).as("log_odds"),
-          (lo > 0).cast(IntegerType).as("pred"))
-        .orderBy("doc_id")
+      graft.operators.Quality.scoreNb(docs,
+        graft.operators.Quality.fitNb(docs))
     }
   )
 }

@@ -167,6 +167,24 @@ object Streams {
         "doc_id", "text"))
   }
 
+  /** Run the QS11 stream: delta document files scored per micro-batch
+    * against a FROZEN NB quality model — the production "score the
+    * incoming crawl with yesterday's classifier" op. The model frames
+    * are fit ONCE on the static corpus and frozen (localCheckpoint)
+    * before the stream starts, so per-batch work is a stateless
+    * delta-sized scoring join; the training corpus is never
+    * re-aggregated. Frozen model ⇒ a document's score is independent
+    * of arrival time and chunking (StreamingSpec asserts chunked ==
+    * one-shot batch scoring).
+    */
+  def runQualityScoreStream(spark: SparkSession, deltaDir: String,
+      corpus: DataFrame, outDir: String): Unit = {
+    val m = graft.operators.Quality.freeze(
+      graft.operators.Quality.fitNb(corpus))
+    runDocBatchStream(spark, deltaDir, outDir)(
+      graft.operators.Quality.scoreNb(_, m))
+  }
+
   /** Shared QS6/QS7 runner: a file-source of delta document parquet
     * files → `transform(batch)` per micro-batch → parquet sink. The
     * composite transforms (band joins + distinct + verify) are not

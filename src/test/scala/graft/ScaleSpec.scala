@@ -124,9 +124,12 @@ class ScaleSpec extends SparkSpec {
     // the answer must not depend on how many partitions the shuffle
     // lands in (AQE coalescing, different cluster sizes). Covers a
     // plain agg, a broadcast star, a 6-table TPC-H shape, ln-based
-    // TF-IDF scoring, and the banded-LSH dedup path.
+    // TF-IDF scoring, the banded-LSH dedup path, the bigram-LM
+    // perplexity chain (decimal LN sums + EXP), and the JL projection
+    // (per-term decimal quantization).
     val names = Seq("q09_agg_having", "q29_star", "q48_tpch_q9",
-      "xt8_tfidf", "xd1_minhash_lsh")
+      "xt8_tfidf", "xd1_minhash_lsh", "xt17_lm_perplexity",
+      "xs8_random_projection")
     def run(name: String): Seq[String] =
       SparkEntry.queries(name)(spark, sf001)
         .collect().map(_.toString).toSeq

@@ -212,6 +212,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batchPairs)
   }
 
+  test("QS11 chunked quality-score stream == batch frozen-model " +
+      "scoring") {
+    // frozen model + stateless per-batch scoring: four micro-batches
+    // through the real file-stream runner must reproduce the one-shot
+    // batch scoring row-for-row (scores independent of arrival time)
+    val docs = graft.queries.T.t(spark, sf0001, "documents")
+    val base = java.nio.file.Files.createTempDirectory("qs11")
+    val deltaDir = base.resolve("delta").toString
+    val outDir = base.resolve("out").toString
+    docs.where(col("doc_id") >= 400).repartition(4)
+      .write.parquet(deltaDir)
+    Streams.runQualityScoreStream(spark, deltaDir,
+      docs.where(col("doc_id") < 400), outDir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_tok", "log_odds", "pred").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getInt(3))).toSet
+    val streamed = rows(spark.read.parquet(s"$outDir/batch=*"))
+    val batch = rows(graft.operators.Quality.scoreNb(
+      docs.where(col("doc_id") >= 400),
+      graft.operators.Quality.fitNb(docs.where(col("doc_id") < 400))))
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("QS7 chunked paragraph-dedup stream == batch delta-vs-corpus " +
       "result") {
     // same 4-micro-batch shape as QS6; the per-batch transform is the
