@@ -154,6 +154,57 @@ object Scale {
       .drop("__pkg", "__pkmin", "__pkmax", "__pkc")
   }
 
+  /** Fixed-length causal-LM sample packing (the GPT pretraining data
+    * prep shape): concatenate every row's token stream in `orderCol`
+    * order and cut the global stream into consecutive samples of
+    * EXACTLY `seqLen` tokens — rows SPLIT across sample boundaries.
+    * Contrast [[packShards]] (keeps docs whole in budgeted shards) and
+    * `TextFns.chunkDocs` (windows within one doc): this is the op that
+    * turns a deduped corpus into the model's fixed-context training
+    * samples, boundary docs straddling two samples.
+    *
+    * Output: one row per (input row, sample) piece — input columns +
+    * `sample` (0-based global sample id), `piece_from` (1-based token
+    * offset within the row), `piece_len`. Downstream slices the row's
+    * token array with (piece_from, piece_len) and reassembles samples
+    * by `STRING_AGG ... ORDER BY orderCol` — every sample except the
+    * global last has Σ piece_len == seqLen exactly.
+    *
+    * Scale shape: one [[runningSum]] (two-level distributed prefix
+    * sum — never a partition-less window), then a narrow explode of
+    * ≤ 1 + weight/seqLen pieces per row. All boundary arithmetic is
+    * exact Long floor division (a double quotient would misplace
+    * boundary docs past 2^53 total tokens). Zero-weight rows emit no
+    * piece (they contribute no tokens — and sequence(s0, s1) would
+    * otherwise run DESCENDING for them).
+    */
+  def packSequences(df: DataFrame, orderCol: String, weightCol: String,
+      seqLen: Long, buckets: Int = 256): DataFrame = {
+    require(seqLen > 0 && buckets > 0, "packSequences: seqLen/buckets > 0")
+    require(!df.columns.exists(_.startsWith("__pq")),
+      "packSequences: input carries reserved __pq* columns")
+    require(!df.columns.exists(Set("sample", "piece_from", "piece_len")),
+      "packSequences: input already has a sample/piece_* column")
+    val k = col(orderCol)
+    val bounds = df.agg(min(k).cast(DoubleType).as("__pqmin"),
+      max(k).cast(DoubleType).as("__pqmax"))
+    val g = floor((k.cast(DoubleType) - col("__pqmin")) * buckets /
+      (col("__pqmax") - col("__pqmin") + 1d)).as("__pqg")
+    val src = df.where(col(weightCol) > 0)
+      .crossJoin(broadcast(bounds)).withColumn("__pqg", g)
+    val w = col(weightCol)
+    runningSum(src, "__pqg", Seq(orderCol), weightCol, "__pqc")
+      .withColumn("__pqs0", expr(s"(__pqc - $weightCol) div ${seqLen}L"))
+      .withColumn("__pqs1", expr(s"(__pqc - 1) div ${seqLen}L"))
+      .withColumn("sample", explode(sequence(col("__pqs0"), col("__pqs1"))))
+      .withColumn("piece_from",
+        greatest(col("sample") * seqLen - (col("__pqc") - w), lit(0L)) + 1)
+      .withColumn("piece_len",
+        least((col("sample") + 1) * seqLen, col("__pqc")) -
+          greatest(col("sample") * seqLen, col("__pqc") - w))
+      .drop("__pqg", "__pqmin", "__pqmax", "__pqc", "__pqs0", "__pqs1")
+  }
+
   /** The distributed-prefix-sum core shared by [[packShards]] and
     * [[ppsSample]]: the INCLUSIVE running sum of `weightCol` under the
     * total order (`orderCols`), plus `base`, as `outCol`. `bucketCol`

@@ -414,6 +414,31 @@ object Similarity {
     * refinement above), corpus assigned to its cell via a narrow map,
     * queries probe `nprobe` cells.
     */
+  /** Thresholded kNN graph over an embedding corpus: for every vector,
+    * its top-k neighbors among pairs at cosine ≥ `threshold` — the
+    * similarity-graph construction that feeds SNN clustering, graph
+    * dedup, and link-based curation. Edges come from hyperplane-LSH
+    * blocked pairs ([[Dedup.embeddingNearDupsLSHAuto]] — never
+    * corpus², band params from the corpus-size law), symmetrized, then
+    * ranked per vector with the bounded [[TopK.topKPairs]] aggregate:
+    * map-side partials cap the shuffle at k edges per (partition,
+    * vector) where a window formulation would ship every candidate
+    * edge to one reducer per vector. The threshold is load-bearing at
+    * scale AND for exactness: below it LSH recall decays, so the
+    * output contract is "top-k among ≥ t neighbors" (which the oracle
+    * brute-forces exactly).
+    */
+  def knnGraph(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, k: Int): DataFrame = {
+    val pairs = Dedup.embeddingNearDupsLSHAuto(emb, idCol, vecCol,
+      threshold)
+    val sym = pairs.select(col("a").as("qid"), col("b").as("id"),
+        col("c").as("sim"))
+      .unionAll(pairs.select(col("b").as("qid"), col("a").as("id"),
+        col("c").as("sim")))
+    rankTopK(sym, k)
+  }
+
   /** Johnson–Lindenstrauss random projection d→k over an embedding
     * column ([[RandomProjection]]): replaces `vecCol` with the k-dim
     * projection. A narrow per-row map (zero shuffle at any corpus

@@ -295,6 +295,62 @@ object ScaleQueries {
           Seq(col("q").desc, col("doc_id").asc), k = 15)
         .select("source", "doc_id", "q")
         .orderBy(col("source"), col("q").desc, col("doc_id"))
+    },
+
+    // Fixed-length causal-LM sample packing (the GPT pretraining prep
+    // shape): the whole corpus token stream, concatenated in doc_id
+    // order, cut into consecutive 64-token samples — docs SPLIT across
+    // sample boundaries (xk6 keeps docs whole in shards; xt5 windows
+    // within one doc). Spark runs the two-level distributed prefix
+    // sum + a narrow piece explode (Scale.packSequences); the oracle
+    // replays with the naive partition-less window — the same
+    // safe==naive contract xk6 proves. Every sample except the global
+    // last reassembles to exactly 64 tokens; text pieces string_agg
+    // in doc_id order in both engines.
+    Q("xk11_pack_sequences",
+      """WITH tw AS (
+        |  SELECT doc_id, fw, LEN(fw) AS w FROM (
+        |    SELECT doc_id, LIST_FILTER(
+        |      STRING_SPLIT_REGEX(LOWER(text), '\s+'), t -> t <> '') AS fw
+        |    FROM documents)
+        |  WHERE LEN(fw) > 0
+        |), cum AS (
+        |  SELECT doc_id, fw, w,
+        |    SUM(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS ct
+        |  FROM tw
+        |), pieces AS (
+        |  SELECT doc_id, fw, s.sample,
+        |    GREATEST(s.sample * 64 - (ct - w), 0) + 1 AS frm,
+        |    LEAST((s.sample + 1) * 64, ct)
+        |      - GREATEST(s.sample * 64, ct - w) AS len
+        |  FROM cum, LATERAL UNNEST(RANGE(
+        |    CAST((ct - w) // 64 AS BIGINT),
+        |    CAST((ct - 1) // 64 + 1 AS BIGINT))) s(sample)
+        |)
+        |SELECT CAST(sample AS BIGINT) AS sample,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len) AS BIGINT) AS n_tok,
+        |  STRING_AGG(ARRAY_TO_STRING(
+        |    fw[CAST(frm AS INT) : CAST(frm + len - 1 AS INT)], ' '),
+        |    ' ' ORDER BY doc_id) AS text
+        |FROM pieces GROUP BY sample ORDER BY sample""".stripMargin) {
+      (s, d) =>
+      val tok = t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextFns.tokens(col("text")).as("fw"))
+        .withColumn("w", size(col("fw")).cast("long"))
+      val pieces = Scale.packSequences(tok, "doc_id", "w", seqLen = 64)
+        .select(col("sample"), col("doc_id"),
+          array_join(slice(col("fw"), col("piece_from").cast("int"),
+            col("piece_len").cast("int")), " ").as("piece"),
+          col("piece_len"))
+      pieces.groupBy("sample")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("piece_len").as("n_tok"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("doc_id"), col("piece")))),
+            x => x.getField("piece")), " ").as("text"))
+        .orderBy("sample")
     }
   )
 

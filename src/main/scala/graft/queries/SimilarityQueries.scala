@@ -303,6 +303,49 @@ object SimilarityQueries {
           posexplode(col("embedding")).as(Seq("j", "p")))
         .select(col("vec_id"), col("j"), r4(col("p")).as("p"))
         .orderBy("vec_id", "j")
+    },
+
+    // Thresholded kNN graph (xs9): per-vector top-3 neighbors among
+    // cosine ≥0.9 pairs on the planted corpus — the similarity-graph
+    // op feeding SNN clustering / graph dedup. Spark derives edges
+    // from LSH-blocked pairs + the bounded TopKPairs aggregate (k
+    // edges per vector cross the shuffle, never the full edge list
+    // per reducer); the oracle brute-forces all ≥0.9 pairs and ranks
+    // with ROW_NUMBER — the hash match proves blocking+bounded-top-k
+    // == exact. Tie-break: sim DESC then neighbor id, both engines.
+    Q("xs9_knn_graph",
+      """WITH base AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), corpus AS (
+        |  SELECT vec_id AS id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS id,
+        |         LIST_TRANSFORM(v, x -> x + 0.05) AS v FROM base
+        |), pairs AS (
+        |  SELECT a, b, c FROM (
+        |    SELECT x.id AS a, y.id AS b,
+        |      LIST_INNER_PRODUCT(x.v, y.v) /
+        |        (SQRT(LIST_INNER_PRODUCT(x.v, x.v)) *
+        |         SQRT(LIST_INNER_PRODUCT(y.v, y.v))) AS c
+        |    FROM corpus x JOIN corpus y ON x.id < y.id
+        |  ) WHERE c >= 0.9
+        |), sym AS (
+        |  SELECT a AS id, b AS nb, c FROM pairs
+        |  UNION ALL
+        |  SELECT b AS id, a AS nb, c FROM pairs
+        |)
+        |SELECT id, CAST(rnk AS INT) AS rank, nb, ROUND(c, 4) AS sim
+        |FROM (
+        |  SELECT id, nb, c, ROW_NUMBER() OVER (
+        |    PARTITION BY id ORDER BY c DESC, nb) AS rnk
+        |  FROM sym
+        |) WHERE rnk <= 3 ORDER BY id, rank""".stripMargin) { (s, d) =>
+      Similarity.knnGraph(
+          DedupQueries.plantedEmbeddingCorpus(t(s, d, "embeddings")),
+          "id", "v", threshold = 0.9, k = 3)
+        .select(col("qid").as("id"), col("rank"), col("id").as("nb"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("id", "rank")
     }
   )
 

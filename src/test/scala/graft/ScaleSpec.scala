@@ -349,6 +349,55 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("packSequences: exact-length samples, boundary splits, token " +
+      "conservation, bucket invariance") {
+    import spark.implicits._
+    // crafted: docs of 3/2/4 tokens, L=4 → stream |aaa bb|cccc| cut as
+    // sample0 = [d1: 3 tok, d2: 1 tok], sample1 = [d2: 1 tok, d3: 3 tok],
+    // sample2 = [d3: last tok]
+    val crafted = Seq((1L, 3L), (2L, 2L), (3L, 4L)).toDF("doc_id", "w")
+    val got = Scale.packSequences(crafted, "doc_id", "w", seqLen = 4)
+      .select("doc_id", "sample", "piece_from", "piece_len")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, 0L, 1L, 3L), (2L, 0L, 1L, 1L),
+      (2L, 1L, 2L, 1L), (3L, 1L, 1L, 3L),
+      (3L, 2L, 4L, 1L)))
+
+    // corpus level: every sample but the last is exactly L tokens, the
+    // total is conserved, and any bucket count reproduces the naive
+    // partition-less window assignment
+    val docs = T.t(spark, sf0001, "documents")
+      .select(col("doc_id"),
+        size(graft.functions.TextFns.tokens(col("text")))
+          .cast("long").as("w"))
+    val L = 64L
+    def pieces(b: Int) =
+      Scale.packSequences(docs, "doc_id", "w", L, b)
+        .select("doc_id", "sample", "piece_from", "piece_len")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    val base = pieces(256)
+    for (b <- Seq(1, 7)) assert(pieces(b) == base, s"buckets=$b diverges")
+    // (.toSeq before summing: base is a Set, and mapping a Set to the
+    // lens would collapse equal-length pieces before the sum)
+    val perSample = base.groupBy(_._2).view
+      .mapValues(_.toSeq.map(_._4).sum).toMap
+    val last = perSample.keys.max
+    perSample.foreach { case (s, tok) =>
+      if (s != last) assert(tok == L, s"sample $s has $tok != $L tokens")
+      else assert(tok >= 1 && tok <= L)
+    }
+    val totalW = docs.agg(sum("w")).head.getLong(0)
+    assert(perSample.values.sum == totalW, "token conservation")
+    // zero-weight rows contribute nothing (and must not explode a
+    // descending sequence)
+    val withEmpty = crafted.unionByName(Seq((4L, 0L)).toDF("doc_id", "w"))
+    assert(Scale.packSequences(withEmpty, "doc_id", "w", 4)
+      .where(col("doc_id") === 4).count() == 0)
+  }
+
   test("ppsSample: naive-window equality, sum==k, multiplicity, plan") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
