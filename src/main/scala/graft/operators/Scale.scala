@@ -177,10 +177,18 @@ object Scale {
     * boundary docs past 2^53 total tokens). Zero-weight rows emit no
     * piece (they contribute no tokens — and sequence(s0, s1) would
     * otherwise run DESCENDING for them).
+    *
+    * `base` shifts the stream position by tokens packed BEFORE this
+    * frame — the continuous-ingestion hook (qs12), same associativity
+    * as [[packShards]]'s: packing orderCol-monotone batches with each
+    * batch's `base` = total weight of earlier batches reproduces the
+    * one-shot piece assignment exactly (a sample straddling a batch
+    * boundary receives its pieces from both batches).
     */
   def packSequences(df: DataFrame, orderCol: String, weightCol: String,
-      seqLen: Long, buckets: Int = 256): DataFrame = {
+      seqLen: Long, buckets: Int = 256, base: Long = 0L): DataFrame = {
     require(seqLen > 0 && buckets > 0, "packSequences: seqLen/buckets > 0")
+    require(base >= 0, "packSequences: base token offset must be >= 0")
     require(!df.columns.exists(_.startsWith("__pq")),
       "packSequences: input carries reserved __pq* columns")
     require(!df.columns.exists(Set("sample", "piece_from", "piece_len")),
@@ -193,7 +201,7 @@ object Scale {
     val src = df.where(col(weightCol) > 0)
       .crossJoin(broadcast(bounds)).withColumn("__pqg", g)
     val w = col(weightCol)
-    runningSum(src, "__pqg", Seq(orderCol), weightCol, "__pqc")
+    runningSum(src, "__pqg", Seq(orderCol), weightCol, "__pqc", base)
       .withColumn("__pqs0", expr(s"(__pqc - $weightCol) div ${seqLen}L"))
       .withColumn("__pqs1", expr(s"(__pqc - 1) div ${seqLen}L"))
       .withColumn("sample", explode(sequence(col("__pqs0"), col("__pqs1"))))

@@ -415,6 +415,20 @@ object StreamBatchQueries {
       val docs = t(s, d, "documents")
       graft.operators.Quality.scoreNb(docs.where(col("doc_id") >= 400),
         graft.operators.Quality.fitNb(docs.where(col("doc_id") < 400)))
+    },
+
+    // Streaming fixed-length sample packing (QS12, the xk11 stream
+    // face): doc_id-ordered chunks continue the global token prefix
+    // sum via packSequences(base=…) — associativity makes ANY chunking
+    // reproduce the one-shot piece assignment, samples straddling a
+    // chunk boundary reassembling from both chunks' pieces downstream.
+    // The oracle is xk11's chunk-count-blind naive-window replay,
+    // SHARED BY REFERENCE so the two contracts can never drift.
+    Q("qs12_stream_pack_sequences",
+      ScaleQueries.all.find(_.name == "xk11_pack_sequences").get
+        .oracle.get) { (s, d) =>
+      graft.streaming.Streams.packSequencesChunked(
+        t(s, d, "documents"), seqLen = 64, bounds = Seq(150L, 400L))
     }
   )
 }

@@ -414,6 +414,93 @@ object Streams {
     parts.reduce(_.unionAll(_)).orderBy("doc_id")
   }
 
+  /** Streaming fixed-length sample packing (QS12): doc_id-ordered
+    * batches are cut by [[graft.operators.Scale.packSequences]] with
+    * each batch's `base` = total tokens of all earlier batches. The
+    * prefix sum is associative, so any chunking reproduces the
+    * one-shot PIECE assignment exactly — a sample straddling a batch
+    * boundary receives pieces from both batches, and sample-level
+    * reassembly is a downstream groupBy over the unioned piece sink
+    * (the honest streaming contract: pieces are the incremental
+    * emission unit; a sample finalizes when the stream passes its
+    * token range). Chunk-simulation form for the oracle gate; the
+    * file-stream runner is [[runPackSequencesStream]].
+    */
+  def packSequencesChunked(docs: DataFrame, seqLen: Long,
+      bounds: Seq[Long]): DataFrame = {
+    val withTok = docs.select(col("doc_id"),
+      graft.functions.TextFns.tokens(col("text")).as("fw"))
+      .withColumn("w", size(col("fw")).cast("long"))
+    var base = 0L
+    val edges = (Long.MinValue +: bounds.sorted) :+ Long.MaxValue
+    val parts = edges.sliding(2).map { case Seq(lo, hi) =>
+      val chunk = withTok
+        .where(col("doc_id") >= lo && col("doc_id") < hi)
+      val packed = graft.operators.Scale.packSequences(chunk, "doc_id",
+        "w", seqLen, base = base)
+      base += chunk.agg(coalesce(sum("w"), lit(0L))).head.getLong(0)
+      packed
+    }.toSeq
+    val pieces = parts.reduce(_.unionAll(_))
+      .select(col("sample"), col("doc_id"),
+        array_join(slice(col("fw"), col("piece_from").cast("int"),
+          col("piece_len").cast("int")), " ").as("piece"),
+        col("piece_len"))
+    pieces.groupBy("sample")
+      .agg(count(lit(1)).as("n_docs"), sum("piece_len").as("n_tok"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("piece")))),
+          x => x.getField("piece")), " ").as("text"))
+      .orderBy("sample")
+  }
+
+  /** Run the QS12 stream: delta document files → per-micro-batch
+    * fixed-length sample packing continuing the global token prefix
+    * sum → piece-level parquet sink. Same durable-offsets exactly-once
+    * story as [[runShardPackStream]] (base rederived per batch from
+    * committed earlier-batch token counts; idempotent overwrites);
+    * the sink holds (doc_id, sample, piece, piece_len) rows — samples
+    * reassemble downstream with a groupBy, straddling samples
+    * combining pieces from adjacent batches.
+    */
+  def runPackSequencesStream(spark: SparkSession, deltaDir: String,
+      seqLen: Long, outDir: String): Unit = {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val offDir = s"$outDir/offsets"
+    docStream(spark, deltaDir, outDir) { (batch, batchId) =>
+      val before = sc.getPersistentRDDs.keySet
+      val offPath = new org.apache.hadoop.fs.Path(offDir)
+      val fs = offPath.getFileSystem(spark.sessionState.newHadoopConf())
+      val committed =
+        if (!fs.exists(offPath)) Array.empty[String]
+        else fs.listStatus(offPath).filter(_.isDirectory).map(_.getPath)
+          .filter(p => p.getName.startsWith("batch=") &&
+            p.getName.stripPrefix("batch=").toLong < batchId &&
+            fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+          .map(_.toString)
+      val base =
+        if (committed.isEmpty) 0L
+        else spark.read.parquet(committed.toIndexedSeq: _*)
+          .agg(coalesce(sum("tok"), lit(0L))).head.getLong(0)
+      val withTok = batch.select(col("doc_id"),
+        graft.functions.TextFns.tokens(col("text")).as("fw"))
+        .withColumn("w", size(col("fw")).cast("long"))
+      graft.operators.Scale
+        .packSequences(withTok, "doc_id", "w", seqLen, base = base)
+        .select(col("doc_id"), col("sample"),
+          array_join(slice(col("fw"), col("piece_from").cast("int"),
+            col("piece_len").cast("int")), " ").as("piece"),
+          col("piece_len"))
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      val tok = withTok.agg(coalesce(sum("w"), lit(0L))).head.getLong(0)
+      Seq((batchId, tok)).toDF("batch_id", "tok")
+        .write.mode("overwrite").parquet(s"$offDir/batch=$batchId")
+      sc.getPersistentRDDs.filterNot { case (id, _) => before(id) }
+        .values.foreach(_.unpersist(blocking = false))
+    }
+  }
+
   /** Run the QS9 stream: delta document files → per-micro-batch shard
     * packing continuing the global token prefix sum → parquet sink.
     * Exactly-once without ANY in-memory carryover: each batch derives

@@ -413,6 +413,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.values.max > 0)
   }
 
+  test("QS12 runner: sequence packing across batches == one-shot, " +
+      "with restart recovering the token offset and straddling " +
+      "samples reassembling from adjacent batches' pieces") {
+    val docs = graft.queries.T.t(spark, sf0001, "documents")
+    val base = java.nio.file.Files.createTempDirectory("qs12")
+    val deltaDir = base.resolve("delta").toString
+    val outDir = base.resolve("out").toString
+    docs.where(col("doc_id") < 180).coalesce(1)
+      .write.mode("append").parquet(deltaDir)
+    Streams.runPackSequencesStream(spark, deltaDir, 64L, outDir)
+    Thread.sleep(20)
+    docs.where(col("doc_id") >= 180 && col("doc_id") < 330).coalesce(1)
+      .write.mode("append").parquet(deltaDir)
+    Thread.sleep(20)
+    docs.where(col("doc_id") >= 330).coalesce(1)
+      .write.mode("append").parquet(deltaDir)
+    Streams.runPackSequencesStream(spark, deltaDir, 64L, outDir)
+    // reassemble samples from the piece-level sink (straddling
+    // samples combine pieces written by different batches)
+    val streamed = spark.read.parquet(s"$outDir/batch=*")
+      .groupBy("sample")
+      .agg(count(lit(1)).as("n_docs"), sum("piece_len").as("n_tok"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("piece")))),
+          x => x.getField("piece")), " ").as("text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("sample", "n_docs", "n_tok", "text").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSet
+    val oneShot = rows(
+      graft.SparkEntry.queries("xk11_pack_sequences")(spark, sf0001))
+    assert(rows(streamed) == oneShot)
+    assert(oneShot.nonEmpty)
+  }
+
   test("checkpoint restart: stateful dedup recovers state and the " +
       "file sink stays exactly-once") {
     // The 100 TB failure mode: an executor/driver dies mid-stream and
