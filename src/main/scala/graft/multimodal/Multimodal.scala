@@ -117,6 +117,75 @@ object Multimodal {
   /** Deterministic fill bytes: cycle the source text bytes (or a fixed
     * ramp when the text is empty) — content for the encoded payloads.
     */
+  case class AudioHash(media_id: Long, afp: Long, n_frames: Int)
+
+  /** 32-bit energy-delta audio fingerprint over REAL WAV parsing,
+    * integer-exact end to end (the xm7 contract — the audio face of
+    * xm5's integer aHash): mono-mix each frame by SUMMING its channel
+    * samples (no division), pool frames into 33 sequential bins
+    * (bin = f·33/frames — surjective for every planted length since
+    * frames ≥ 50 > 33), per-bin energy = Σ|mono|, and set bit b iff
+    * E[b+1] > E[b] — the classic energy-contour fingerprint bit.
+    * Division-free and float-free, so the DuckDB oracle (which
+    * replays the PLANTED sample formulas, never touching container
+    * bytes) must match bit for bit — a decoder bug (header offset,
+    * channel interleave, 16-bit sign handling) breaks the hash gate.
+    */
+  def audioFingerprintTable(media: Dataset[MediaBlob])
+      : Dataset[AudioHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { blob =>
+        val wav = MediaCodecs.decodeWav(blob.payload)
+        val ch = wav.channels
+        val frames = wav.samples.length / ch
+        val e = new Array[Long](33)
+        var f = 0
+        while (f < frames) {
+          var m = 0L
+          var c = 0
+          while (c < ch) { m += wav.samples(f * ch + c); c += 1 }
+          e((f.toLong * 33 / frames).toInt) += math.abs(m)
+          f += 1
+        }
+        var afp = 0L
+        var b = 0
+        while (b < 32) {
+          if (e(b + 1) > e(b)) afp |= 1L << b
+          b += 1
+        }
+        AudioHash(blob.media_id, afp, frames)
+      }
+    }
+  }
+
+  /** Perceptual near-dup audio pairs (xm8): band the 32-bit
+    * fingerprint into 4 bytes — pigeonhole guarantees every pair with
+    * Hamming ≤ 3 shares at least one identical band — equi-join on
+    * (band, value), then verify exact Hamming with bit_count(xor).
+    * xm6's banding machinery at fingerprint width: candidate volume
+    * is Σ bucket², never clip², and payloads never join — only the
+    * 8-byte fingerprints move.
+    */
+  def audioNearDups(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"audioNearDups: 4-byte banding guarantees recall only to " +
+        s"Hamming 3, got $maxHamming")
+    val banded = hashes.select(col("media_id"), col("afp"),
+        explode(expr("""transform(sequence(0, 3), b ->
+          named_struct('band', b, 'v',
+            shiftright(afp, b * 8) % 256))""")).as("bd"))
+      .select(col("media_id"), col("afp"),
+        col("bd.band").as("band"), col("bd.v").as("v"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("ida"), col("b.media_id").as("idb"),
+        expr("bit_count(a.afp ^ b.afp)").as("hd"))
+      .where(col("hd") <= maxHamming)
+      .distinct()
+  }
+
   def cyclicBytes(src: Array[Byte], n: Int): Array[Byte] = {
     val out = new Array[Byte](n)
     var i = 0

@@ -176,6 +176,107 @@ object MultimodalQueries {
         .agg(count(lit(1)).as("n_pairs"),
           coalesce(sum("hd"), lit(0L)).as("hd_sum"),
           coalesce(sum(col("ida") + col("idb")), lit(0L)).as("id_sum"))
+    },
+
+    // 32-bit energy-delta audio fingerprint (xm7) over the REAL WAV
+    // decode path: planted samples (rate/channels/frames from the id,
+    // 16-bit PCM from the text bytes) → container encode → REAL parse
+    // → frame mono-mix (channel SUM, no division) → 33-bin energy
+    // contour → delta bits. Integer-exact end to end, so the oracle —
+    // which replays the planted sample formulas and never touches
+    // container bytes — must match bit for bit; a decoder bug
+    // (header offset, interleave, 16-bit sign) breaks the gate.
+    Q("xm7_audio_fingerprint",
+      """WITH d AS (
+        |  SELECT doc_id, COALESCE(text, '') AS text,
+        |    CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+        |    CAST(50 + LENGTH(COALESCE(text, '')) % 200 AS BIGINT)
+        |      AS frames
+        |  FROM documents
+        |), smp AS (
+        |  SELECT doc_id, ch, frames, x.i AS i,
+        |    CASE WHEN LENGTH(text) = 0
+        |      THEN (x.i % 251 - 125 + 256) % 256
+        |      ELSE UNICODE(SUBSTR(text,
+        |        CAST(x.i % LENGTH(text) AS INT) + 1, 1)) END AS v
+        |  FROM d CROSS JOIN LATERAL UNNEST(RANGE(0, frames * ch)) x(i)
+        |), mono AS (
+        |  SELECT doc_id, frames, i // ch AS f,
+        |    SUM((v - 128) * 256) AS m
+        |  FROM smp GROUP BY 1, 2, 3
+        |), en AS (
+        |  SELECT doc_id, f * 33 // frames AS bin, SUM(ABS(m)) AS e
+        |  FROM mono GROUP BY 1, 2
+        |), bits AS (
+        |  SELECT a.doc_id, a.bin - 1 AS b
+        |  FROM en a JOIN en p ON p.doc_id = a.doc_id
+        |    AND p.bin = a.bin - 1
+        |  WHERE a.e > p.e
+        |)
+        |SELECT d.doc_id AS media_id,
+        |  CAST(COALESCE(SUM(1::BIGINT << CAST(bits.b AS INT)), 0)
+        |    AS BIGINT) AS afp,
+        |  CAST(ANY_VALUE(d.frames) AS INT) AS n_frames
+        |FROM d LEFT JOIN bits ON bits.doc_id = d.doc_id
+        |GROUP BY d.doc_id ORDER BY media_id""".stripMargin) { (s, d) =>
+      Multimodal.audioFingerprintTable(
+          Multimodal.encodeWavTable(t(s, d, "documents")))
+        .toDF().orderBy("media_id")
+    },
+
+    // Perceptual near-dup audio pairs (xm8): 4-byte banding + exact
+    // Hamming <= 3 verify vs the oracle's brute all-pairs
+    // bit_count(xor) over the REPLAYED fingerprints — the pigeonhole
+    // blocking provably loses nothing. One summary row (row-stable
+    // even when the corpus holds no near-dup clips).
+    Q("xm8_audio_neardup",
+      """WITH d AS (
+        |  SELECT doc_id, COALESCE(text, '') AS text,
+        |    CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+        |    CAST(50 + LENGTH(COALESCE(text, '')) % 200 AS BIGINT)
+        |      AS frames
+        |  FROM documents
+        |), smp AS (
+        |  SELECT doc_id, ch, frames, x.i AS i,
+        |    CASE WHEN LENGTH(text) = 0
+        |      THEN (x.i % 251 - 125 + 256) % 256
+        |      ELSE UNICODE(SUBSTR(text,
+        |        CAST(x.i % LENGTH(text) AS INT) + 1, 1)) END AS v
+        |  FROM d CROSS JOIN LATERAL UNNEST(RANGE(0, frames * ch)) x(i)
+        |), mono AS (
+        |  SELECT doc_id, frames, i // ch AS f,
+        |    SUM((v - 128) * 256) AS m
+        |  FROM smp GROUP BY 1, 2, 3
+        |), en AS (
+        |  SELECT doc_id, f * 33 // frames AS bin, SUM(ABS(m)) AS e
+        |  FROM mono GROUP BY 1, 2
+        |), bits AS (
+        |  SELECT a.doc_id, a.bin - 1 AS b
+        |  FROM en a JOIN en p ON p.doc_id = a.doc_id
+        |    AND p.bin = a.bin - 1
+        |  WHERE a.e > p.e
+        |), hashes AS (
+        |  SELECT d.doc_id AS media_id,
+        |    CAST(COALESCE(SUM(1::BIGINT << CAST(bits.b AS INT)), 0)
+        |      AS BIGINT) AS afp
+        |  FROM d LEFT JOIN bits ON bits.doc_id = d.doc_id
+        |  GROUP BY d.doc_id
+        |), pairs AS (
+        |  SELECT a.media_id AS ida, b.media_id AS idb,
+        |    BIT_COUNT(XOR(a.afp, b.afp)) AS hd
+        |  FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+        |  WHERE BIT_COUNT(XOR(a.afp, b.afp)) <= 3
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(COALESCE(SUM(hd), 0) AS BIGINT) AS hd_sum,
+        |  CAST(COALESCE(SUM(ida + idb), 0) AS BIGINT) AS id_sum
+        |FROM pairs""".stripMargin) { (s, d) =>
+      val hashes = Multimodal.audioFingerprintTable(
+        Multimodal.encodeWavTable(t(s, d, "documents"))).toDF()
+      Multimodal.audioNearDups(hashes, maxHamming = 3)
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(sum("hd"), lit(0L)).as("hd_sum"),
+          coalesce(sum(col("ida") + col("idb")), lit(0L)).as("id_sum"))
     }
   )
 }

@@ -269,4 +269,54 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == brute)
   }
+
+  test("audio fingerprint: hand-computable rising-energy clip sets " +
+      "all 32 delta bits through the real decode path") {
+    import spark.implicits._
+    // 66 mono frames, sample f = f·100: each of the 33 bins holds two
+    // frames with energy 400b+100, strictly increasing → every
+    // E[b+1] > E[b] bit set
+    val samples = Array.tabulate[Short](66)(f => (f * 100).toShort)
+    val blob = Multimodal.MediaBlob(1L,
+      MediaCodecs.encodeWav(8000, 1, samples))
+    val h = Multimodal.audioFingerprintTable(Seq(blob).toDS())
+      .collect().head
+    assert(h.afp == 0xFFFFFFFFL, s"got ${h.afp.toHexString}")
+    assert(h.n_frames == 66)
+  }
+
+  test("audioNearDups: banding equals brute force, perturbed clips " +
+      "stay within the Hamming budget") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val blobs = (0 until 25).flatMap { k =>
+      val n = 80 + k
+      val s = Array.fill[Short](n)((rnd.nextInt(40000) - 20000).toShort)
+      val near = s.clone()
+      // nudge three samples by +50: bin energies move marginally,
+      // flipping only delta bits whose neighbors were near-equal
+      for (i <- 0 until 3) {
+        val p = i * 11 % n
+        near(p) = (near(p) + 50).toShort
+      }
+      Seq(Multimodal.MediaBlob(k.toLong,
+          MediaCodecs.encodeWav(8000, 1, s)),
+        Multimodal.MediaBlob(1000L + k,
+          MediaCodecs.encodeWav(8000, 1, near)))
+    }
+    val hashes = Multimodal.audioFingerprintTable(blobs.toDS()).toDF()
+      .localCheckpoint(true)
+    val blocked = Multimodal.audioNearDups(hashes, maxHamming = 3)
+      .select("ida", "idb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hs = hashes.select("media_id", "afp").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      a <- hs; b <- hs
+      if a._1 < b._1 && java.lang.Long.bitCount(a._2 ^ b._2) <= 3
+    } yield (a._1, b._1)).toSet
+    assert(blocked == brute)
+    val found = blocked.count { case (a, b) => b == a + 1000 }
+    assert(found >= 15, s"only $found/25 perturbed clips within Hamming 3")
+  }
 }

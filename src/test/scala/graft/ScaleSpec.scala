@@ -396,6 +396,15 @@ class ScaleSpec extends SparkSpec {
     val withEmpty = crafted.unionByName(Seq((4L, 0L)).toDF("doc_id", "w"))
     assert(Scale.packSequences(withEmpty, "doc_id", "w", 4)
       .where(col("doc_id") === 4).count() == 0)
+    // plan shape: the doc-level running sum must be a PARTITIONED
+    // window (the packShards/runningSum contract)
+    val plan = Scale.packSequences(docs, "doc_id", "w", L, 64)
+      .queryExecution.executedPlan.toString
+    assert("windowspecdefinition\\(__pqg#\\d+L?, doc_id".r
+        .findFirstIn(plan).isDefined,
+      s"doc-level window must partition on the bucket:\n$plan")
+    assert("windowspecdefinition\\(doc_id".r.findFirstIn(plan).isEmpty,
+      s"no window may order the full corpus without partitioning:\n$plan")
   }
 
   test("ppsSample: naive-window equality, sum==k, multiplicity, plan") {
