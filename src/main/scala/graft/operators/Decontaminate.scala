@@ -31,4 +31,38 @@ object Decontaminate {
       .agg(countDistinct(col("s")).as("n_shingles"),
         countDistinct(col("bench_id")).as("n_bench_docs"))
   }
+
+  /** [[overlapReport]] for the regime where the benchmark/blocklist
+    * shingle set is too large to broadcast raw (a full eval-suite +
+    * blocklist union easily reaches tens of GB of distinct strings):
+    * aggregate it into a fixed-size [[Sketches.bloomAgg]] bitset (the
+    * bench side never shuffles — partition-local bitsets OR together),
+    * broadcast the BITSET, and prefilter train shingles with a narrow
+    * `bloom_might_contain` before any join. Only survivors — true
+    * contamination plus the Bloom false-positive residue — enter the
+    * exact shuffle join that re-verifies them, so the train-side
+    * shuffle volume is proportional to the CONTAMINATION, not the
+    * corpus. No false negatives (Bloom guarantee) + exact verify ⇒
+    * bit-identical output to [[overlapReport]] at any FP rate —
+    * asserted in OperatorsSpec and hash-checked vs the exact-replay
+    * DuckDB oracle (xt19).
+    */
+  def bloomOverlapReport(train: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int = 4,
+      numBits: Int = 1 << 23, numHashes: Int = 5): DataFrame = {
+    def sh(df: DataFrame, as: String): DataFrame =
+      df.select(col(idCol).as(as),
+        explode(HashFns.wordShingles(col(textCol), n)).as("s"))
+    val benchSh = sh(bench, "bench_id")
+    val bloom = benchSh.agg(
+      Sketches.bloomAgg(col("s"), numBits, numHashes).as("bf"))
+    val survivors = sh(train, "train_id")
+      .crossJoin(broadcast(bloom))
+      .where(Sketches.bloomMightContain(col("bf"), col("s"), numHashes))
+      .drop("bf")
+    survivors.join(benchSh, "s") // plain join: bench set assumed un-broadcastable
+      .groupBy("train_id")
+      .agg(countDistinct(col("s")).as("n_shingles"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+  }
 }

@@ -1,0 +1,351 @@
+package graft.operators
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream,
+  DataInputStream, DataOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression,
+  Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Mergeable summary sketches (SURVEY §2.11 scale layer): a Bloom
+  * filter built BY AGGREGATION (each map partition fills a local
+  * bitset, partials OR together — the set being summarized never
+  * shuffles raw), and a Misra-Gries frequent-items summary (the
+  * mergeable-summaries construction of Agarwal et al., PODS'12).
+  *
+  * Both exist for the same 100 TB reason: they turn an
+  * un-broadcastable SET into a broadcastable SUMMARY, so the corpus
+  * side of a membership/frequency question stays a narrow map. Both
+  * are used as PREFILTERS ONLY — every declared query that rides them
+  * re-verifies survivors exactly, so sketch error can add work but
+  * never change an answer (same contract as the LSH band families in
+  * [[Dedup]]).
+  */
+object BloomHash {
+  /** FNV-1a 64 over UTF-8 bytes + the murmur3 finalizer — seeded,
+    * deterministic, dependency-free. Two seeds drive the standard
+    * double-hashing scheme h1 + i·h2 (Kirsch–Mitzenmacher), so k
+    * probe positions cost two hashes, not k.
+    */
+  def hash64(bytes: Array[Byte], seed: Long): Long = {
+    var h = seed ^ 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1
+    }
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+    h *= 0xc4ceb9fe1a85ec53L; h ^= h >>> 33
+    h
+  }
+
+  val Seed1 = 0x9e3779b97f4a7c15L
+  val Seed2 = 0xc2b2ae3d27d4eb4fL
+
+  /** Probe positions for one item: i-th bit index in [0, numBits). */
+  def bit(h1: Long, h2: Long, i: Int, numBits: Int): Int =
+    java.lang.Math.floorMod(h1 + i.toLong * h2, numBits.toLong).toInt
+}
+
+/** Bloom-filter build as a TypedImperativeAggregate over a string
+  * column. Buffer = Array[Long] bitset; update sets k bits per item,
+  * merge is bitwise OR (insertion is idempotent and commutative, so
+  * the result is partitioning-invariant BIT FOR BIT — asserted in
+  * OperatorsSpec). Emits the bitset little-endian as BinaryType, so
+  * bit b of the filter is bit (b & 7) of byte (b >>> 3) — the layout
+  * [[BloomMightContain]] reads without knowing numBits (inferred from
+  * the byte length; hence the %64 requirement).
+  */
+case class BloomBuildAgg(
+    child: Expression, numBits: Int, numHashes: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  require(numBits > 0 && numBits % 64 == 0,
+    "bloom_build: numBits must be a positive multiple of 64")
+  require(numHashes > 0, "bloom_build: numHashes must be positive")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def prettyName: String = "bloom_build"
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](numBits >>> 6)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val b = v.asInstanceOf[UTF8String].getBytes
+      val h1 = BloomHash.hash64(b, BloomHash.Seed1)
+      val h2 = BloomHash.hash64(b, BloomHash.Seed2) | 1L
+      var i = 0
+      while (i < numHashes) {
+        val bit = BloomHash.bit(h1, h2, i, numBits)
+        buf(bit >>> 6) |= 1L << (bit & 63)
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) |= b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = serialize(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.length * 8)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length >>> 3)
+    ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      .asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): BloomBuildAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): BloomBuildAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): BloomBuildAgg = copy(child = c(0))
+}
+
+/** Membership probe against a [[BloomBuildAgg]] bitset. numBits is
+  * inferred from the binary length (the builder pins %64 == 0), so a
+  * build/probe size mismatch is impossible by construction. No false
+  * negatives ever; false positives at the standard (1-e^{-kn/m})^k
+  * rate — callers must re-verify positives exactly.
+  */
+case class BloomMightContain(left: Expression, right: Expression,
+    numHashes: Int)
+  extends BinaryExpression with graft.functions.FusedBinary {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (left.dataType == BinaryType && right.dataType == StringType)
+      TypeCheckSuccess
+    else TypeCheckFailure(s"bloom_might_contain expects (binary, " +
+      s"string), got (${left.dataType}, ${right.dataType})")
+  }
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  override def nullSafeEval(bloom: Any, item: Any): Any = {
+    val bytes = bloom.asInstanceOf[Array[Byte]]
+    val numBits = bytes.length << 3
+    val b = item.asInstanceOf[UTF8String].getBytes
+    val h1 = BloomHash.hash64(b, BloomHash.Seed1)
+    val h2 = BloomHash.hash64(b, BloomHash.Seed2) | 1L
+    var i = 0
+    while (i < numHashes) {
+      val bit = BloomHash.bit(h1, h2, i, numBits)
+      if ((bytes(bit >>> 3) >>> (bit & 7) & 1) == 0) return false
+      i += 1
+    }
+    true
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): BloomMightContain =
+    copy(left = l, right = r)
+}
+
+/** Misra-Gries frequent-items summary as a TypedImperativeAggregate.
+  *
+  * Per-partition update is classic MG(capacity): increment a tracked
+  * key, insert while there's room, otherwise decrement every counter
+  * (dropping zeros) — amortized O(1) per item, ≤ capacity tracked
+  * keys. Merge is the MERGEABLE construction (Agarwal et al. 2012,
+  * thm 1): sum counters pointwise, then subtract the (capacity+1)-th
+  * largest counter from all and drop non-positives. The combined
+  * summary undercounts any item by at most N/(capacity+1) TOTAL —
+  * independent of partitioning or merge tree shape — so every item
+  * with true count > N/(capacity+1) still has a positive counter and
+  * appears in the output. That superset guarantee (proven across
+  * partitionings in OperatorsSpec on a Zipf stream whose vocabulary
+  * dwarfs the capacity) is what [[Sketches.heavyHitters]]' exact
+  * second pass relies on.
+  *
+  * Output: the candidate keys only, sorted (counters are
+  * lower-bound approximations — deliberately not exposed, the exact
+  * pass recounts).
+  */
+case class MisraGriesAgg(
+    child: Expression, capacity: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.HashMap[String, Long]] {
+
+  require(capacity > 0, "misra_gries: capacity must be positive")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def prettyName: String = "misra_gries"
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def createAggregationBuffer(): java.util.HashMap[String, Long] =
+    new java.util.HashMap[String, Long]()
+
+  override def update(buf: java.util.HashMap[String, Long],
+      input: InternalRow): java.util.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.asInstanceOf[UTF8String].toString
+      val cur = buf.get(s)
+      if (cur != 0L || buf.containsKey(s)) buf.put(s, cur + 1L)
+      else if (buf.size < capacity) buf.put(s, 1L)
+      else { // decrement-all round: pays for itself over capacity inserts
+        val it = buf.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue <= 1L) it.remove() else e.setValue(e.getValue - 1L)
+        }
+      }
+    }
+    buf
+  }
+
+  /** Pointwise sum, then subtract the (capacity+1)-th largest counter
+    * and drop non-positives — at most `capacity` keys survive (ties
+    * at the pivot go to exactly zero and are dropped).
+    */
+  override def merge(a: java.util.HashMap[String, Long],
+      b: java.util.HashMap[String, Long]): java.util.HashMap[String, Long] = {
+    val it = b.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val cur = a.get(e.getKey)
+      a.put(e.getKey, cur + e.getValue)
+    }
+    if (a.size > capacity) {
+      val vals = new Array[Long](a.size)
+      val vi = a.values().iterator()
+      var i = 0
+      while (vi.hasNext) { vals(i) = vi.next(); i += 1 }
+      java.util.Arrays.sort(vals)
+      val pivot = vals(vals.length - capacity - 1) // (capacity+1)-th largest
+      val ai = a.entrySet().iterator()
+      while (ai.hasNext) {
+        val e = ai.next()
+        if (e.getValue <= pivot) ai.remove()
+        else e.setValue(e.getValue - pivot)
+      }
+    }
+    a
+  }
+
+  override def eval(buf: java.util.HashMap[String, Long]): Any = {
+    val keys = new Array[String](buf.size)
+    buf.keySet().toArray(keys)
+    java.util.Arrays.sort(keys.asInstanceOf[Array[AnyRef]])
+    new GenericArrayData(
+      keys.map(UTF8String.fromString(_).asInstanceOf[AnyRef]))
+  }
+
+  override def serialize(buf: java.util.HashMap[String, Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val kb = e.getKey.getBytes("UTF-8")
+      out.writeInt(kb.length); out.write(kb); out.writeLong(e.getValue)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) {
+      val kb = new Array[Byte](in.readInt()); in.readFully(kb)
+      buf.put(new String(kb, "UTF-8"), in.readLong())
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): MisraGriesAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): MisraGriesAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): MisraGriesAgg = copy(child = c(0))
+}
+
+object Sketches {
+  private def e(c: Column): Expression = Bridge.expression(c)
+
+  /** Aggregate column: Bloom bitset (BinaryType) over a string column. */
+  def bloomAgg(c: Column, numBits: Int = 1 << 23,
+      numHashes: Int = 5): Column =
+    Bridge.column(BloomBuildAgg(e(c), numBits, numHashes)
+      .toAggregateExpression())
+
+  /** Scalar probe against a [[bloomAgg]] bitset column. */
+  def bloomMightContain(bloom: Column, item: Column,
+      numHashes: Int = 5): Column =
+    Bridge.column(BloomMightContain(e(bloom), e(item), numHashes))
+
+  /** Aggregate column: sorted array of ≤ capacity candidate keys
+    * containing every key with count > N/(capacity+1).
+    */
+  def misraGries(c: Column, capacity: Int): Column =
+    Bridge.column(MisraGriesAgg(e(c), capacity).toAggregateExpression())
+
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+
+  /** Exact heavy hitters over an exploded string domain (tokens,
+    * n-grams, domains, …): every item whose count × `denom` ≥ N,
+    * with its EXACT count — φ = 1/denom of the stream.
+    *
+    * Two passes, both scan+narrow over the corpus: pass 1 aggregates
+    * one MG summary (plus N) — the only thing shuffled is ≤ capacity
+    * counters per partition, never the item domain (a naive
+    * groupBy-count shuffles the full vocabulary, which for n-grams
+    * at 100 TB is the corpus again). Pass 2 broadcast-semi-joins the
+    * ≤ capacity candidates and recounts ONLY them exactly. The MG
+    * superset guarantee (count > N/(capacity+1) ⇒ candidate) plus
+    * `capacity + 1 > denom` makes the thresholded result EXACT and
+    * partitioning-invariant: extra candidates fail the exact
+    * threshold; heavy items can't be missed.
+    */
+  def heavyHitters(items: DataFrame, itemCol: String, denom: Long,
+      capacity: Int): DataFrame = {
+    require(capacity + 1 > denom,
+      s"heavyHitters: capacity $capacity too small for phi=1/$denom " +
+        "(need capacity+1 > denom for the MG no-miss guarantee)")
+    val pass1 = items.agg(
+      misraGries(col(itemCol), capacity).as("cands"),
+      count(lit(1)).as("total"))
+    val cand = pass1.select(explode(col("cands")).as(itemCol),
+      col("total"))
+    items.join(broadcast(cand), itemCol)
+      .groupBy(itemCol)
+      .agg(count(lit(1)).as("n"), min(col("total")).as("total"))
+      .where(col("n") * denom >= col("total"))
+      .select(col(itemCol), col("n"))
+      .orderBy(desc("n"), col(itemCol))
+  }
+}

@@ -351,6 +351,31 @@ object ScaleQueries {
             array_sort(collect_list(struct(col("doc_id"), col("piece")))),
             x => x.getField("piece")), " ").as("text"))
         .orderBy("sample")
+    },
+
+    // Exact heavy hitters (φ = 1/1000 of the token stream) via the
+    // two-pass Misra-Gries plan: pass 1 shuffles ONE ≤4096-counter
+    // summary per partition (never the item domain — a naive
+    // groupBy-count shuffles the full vocabulary, which for n-gram
+    // domains at 100 TB is corpus-sized); pass 2 recounts only the
+    // broadcast candidates exactly. capacity+1 > 1/φ makes the
+    // thresholded output EXACT on any partitioning (MG no-miss
+    // guarantee, proven on a Zipf stream in OperatorsSpec); the
+    // oracle computes the direct count-everything form.
+    Q("xk12_heavy_hitters",
+      """WITH tok AS (
+        |  SELECT LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'),
+        |                     t -> t <> '') AS fw
+        |  FROM documents
+        |), w AS (SELECT UNNEST(fw) AS g FROM tok),
+        |tot AS (SELECT COUNT(*) AS total FROM w),
+        |c AS (SELECT g, COUNT(*) AS n FROM w GROUP BY 1)
+        |SELECT g, n FROM c CROSS JOIN tot WHERE n * 1000 >= total
+        |ORDER BY n DESC, g""".stripMargin) { (s, d) =>
+      val words = t(s, d, "documents").select(
+        explode(graft.functions.TextFns.tokens(col("text"))).as("g"))
+      graft.operators.Sketches.heavyHitters(words, "g",
+        denom = 1000L, capacity = 4096)
     }
   )
 

@@ -935,6 +935,51 @@ object TextAnalysisQueries {
       val docs = t(s, d, "documents")
       graft.operators.Quality.scoreNb(docs,
         graft.operators.Quality.fitNb(docs))
+    },
+
+    // Bloom-prefiltered decontamination: xt7's contract in the regime
+    // where the benchmark shingle set is too large to broadcast raw —
+    // the bench side aggregates into a fixed-size Bloom BITSET
+    // (partition-local bitsets OR together, nothing shuffles), the
+    // broadcast bitset prefilters train shingles in a narrow map, and
+    // only survivors enter the exact verify join. No false negatives
+    // + exact verify ⇒ the sketch is invisible in the answer, so the
+    // oracle replays the EXACT overlap (4-gram shingles) with no
+    // Bloom at all — the hash match proves sketch-transparency
+    // end-to-end.
+    Q("xt19_bloom_decontam",
+      """WITH lab AS (
+        |  SELECT doc_id, text,
+        |    (STRPOS('0123456789abcdef',
+        |            SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |    + STRPOS('0123456789abcdef',
+        |             SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+        |      AS bucket
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, bucket,
+        |    LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'),
+        |                t -> t <> '') AS fw
+        |  FROM lab
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, bucket,
+        |    ARRAY_TO_STRING(fw[i+1 : i+4], ' ') AS s
+        |  FROM tok, UNNEST(RANGE(0, GREATEST(LEN(fw) - 3, 0))) u(i)
+        |)
+        |SELECT tr.doc_id AS train_id,
+        |  COUNT(DISTINCT tr.s) AS n_shingles,
+        |  COUNT(DISTINCT te.doc_id) AS n_bench_docs
+        |FROM (SELECT * FROM sh WHERE bucket < 205) tr
+        |JOIN (SELECT * FROM sh WHERE bucket >= 230) te ON te.s = tr.s
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"),
+        graft.operators.Scale.splitLabel(col("doc_id").cast("string"))
+          .as("split"))
+      graft.operators.Decontaminate.bloomOverlapReport(
+          docs.where(col("split") === "train"),
+          docs.where(col("split") === "test"),
+          "doc_id", "text", n = 4)
+        .orderBy("train_id")
     }
   )
 }

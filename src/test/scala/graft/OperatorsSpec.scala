@@ -1052,4 +1052,94 @@ class OperatorsSpec extends SparkSpec {
     assert(correct.toDouble / train.length >= 0.7,
       s"NB train accuracy ${correct.toDouble / train.length} < 0.7")
   }
+
+  test("bloom filter: no false negatives, partitioning-invariant bitset, " +
+      "low measured FP rate") {
+    import spark.implicits._
+    val members = (0 until 2000).map(i => s"member-$i")
+    val bloom1 = members.toDF("s").repartition(1)
+      .agg(Sketches.bloomAgg(col("s"), 1 << 17, 5).as("bf"))
+    val bloom7 = members.toDF("s").repartition(7)
+      .agg(Sketches.bloomAgg(col("s"), 1 << 17, 5).as("bf"))
+    val b1 = bloom1.collect()(0).getAs[Array[Byte]](0)
+    val b7 = bloom7.collect()(0).getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(b1, b7),
+      "bloom bitset must be bit-identical across partitionings")
+    val probes = members.toDF("s")
+      .unionAll((0 until 20000).map(i => s"absent-$i").toDF("s"))
+      .crossJoin(broadcast(bloom1))
+      .select(col("s"),
+        Sketches.bloomMightContain(col("bf"), col("s"), 5).as("hit"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1)))
+    assert(probes.filter(_._1.startsWith("member")).forall(_._2),
+      "bloom must never miss an inserted member")
+    val fp = probes.filter(_._1.startsWith("absent")).count(_._2)
+    // m/n = 65.5 bits/item, k=5 -> theoretical FP ~ 2e-5; gate loosely
+    assert(fp <= 20, s"bloom FP rate implausibly high: $fp / 20000")
+  }
+
+  test("bloom decontamination == exact decontamination bit for bit") {
+    val split = docs.select(col("doc_id"), col("text"),
+      Scale.splitLabel(col("doc_id").cast("string")).as("split"))
+    val train = split.where(col("split") === "train")
+    val bench = split.where(col("split") === "test")
+    val exact = Decontaminate.overlapReport(train, bench,
+      "doc_id", "text", n = 4).orderBy("train_id").collect()
+    val bloomed = Decontaminate.bloomOverlapReport(train, bench,
+      "doc_id", "text", n = 4).orderBy("train_id").collect()
+    assert(exact.nonEmpty, "testdata is expected to contain contamination")
+    assert(exact.toSeq == bloomed.toSeq)
+    // and with broadcasts disabled the verify join still matches —
+    // the shuffle-join regime the operator is designed for
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val noBc = Decontaminate.bloomOverlapReport(train, bench,
+        "doc_id", "text", n = 4).orderBy("train_id").collect()
+      assert(exact.toSeq == noBc.toSeq)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("misra-gries: no-miss guarantee on a Zipf stream whose vocabulary " +
+      "dwarfs the capacity, across partitionings") {
+    import spark.implicits._
+    // Zipf-ish: item i appears ceil(3000/i) times, i in 1..3000 ->
+    // N ~ 3000*H(3000) ~ 25k, vocab 3000 >> capacity 64
+    val stream = (1 to 3000).flatMap(i =>
+      Seq.fill(math.ceil(3000.0 / i).toInt)(f"item-$i%05d"))
+    val n = stream.size.toLong
+    val capacity = 64
+    val mustKeep = stream.groupBy(identity).view.mapValues(_.size)
+      .filter { case (_, c) => c > n / (capacity + 1) }.keys.toSet
+    assert(mustKeep.size > 5, "test needs a nontrivial heavy set")
+    for (parts <- Seq(1, 4, 13)) {
+      val cands = stream.toDF("g").repartition(parts)
+        .agg(Sketches.misraGries(col("g"), capacity).as("c"))
+        .collect()(0).getSeq[String](0).toSet
+      assert(cands.size <= capacity)
+      assert(mustKeep.subsetOf(cands),
+        s"MG($capacity) on $parts partitions missed heavy items: " +
+          (mustKeep -- cands).take(5))
+    }
+  }
+
+  test("heavyHitters == naive exact count on every partitioning") {
+    import spark.implicits._
+    val stream = (1 to 500).flatMap(i =>
+      Seq.fill(math.ceil(500.0 / i).toInt)(f"w$i%04d"))
+    val naive = {
+      val n = stream.size
+      stream.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter { case (_, c) => c * 50 >= n }.toSeq
+        .sortBy { case (g, c) => (-c, g) }
+    }
+    assert(naive.size > 3)
+    for (parts <- Seq(1, 8)) {
+      val got = Sketches.heavyHitters(
+          stream.toDF("g").repartition(parts), "g",
+          denom = 50L, capacity = 128)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == naive, s"heavyHitters mismatch on $parts partitions")
+    }
+  }
 }
