@@ -49,18 +49,53 @@ object Decontaminate {
     */
   def bloomOverlapReport(train: DataFrame, bench: DataFrame,
       idCol: String, textCol: String, n: Int = 4,
-      numBits: Int = 1 << 23, numHashes: Int = 5): DataFrame = {
-    def sh(df: DataFrame, as: String): DataFrame =
-      df.select(col(idCol).as(as),
-        explode(HashFns.wordShingles(col(textCol), n)).as("s"))
-    val benchSh = sh(bench, "bench_id")
-    val bloom = benchSh.agg(
-      Sketches.bloomAgg(col("s"), numBits, numHashes).as("bf"))
-    val survivors = sh(train, "train_id")
-      .crossJoin(broadcast(bloom))
-      .where(Sketches.bloomMightContain(col("bf"), col("s"), numHashes))
+      numBits: Int = 1 << 23, numHashes: Int = 5): DataFrame =
+    reportAgainst(
+      bloomIndex(bench, idCol, textCol, n, numBits, numHashes),
+      train, idCol, textCol)
+
+  /** The benchmark side of [[bloomOverlapReport]], factored so a
+    * long-lived consumer (the QS13 stream) can build it ONCE: the
+    * bench shingle frame plus its Bloom bitset. [[freeze]] pins both
+    * via localCheckpoint so per-batch reports never re-aggregate the
+    * benchmark (at real scale: a parquet write of `shingles` + the
+    * one-row bitset).
+    */
+  final case class BloomIndex(bloom: DataFrame, shingles: DataFrame,
+      n: Int, numHashes: Int) {
+    def freeze: BloomIndex =
+      copy(bloom = bloom.localCheckpoint(true),
+        shingles = shingles.localCheckpoint(true))
+  }
+
+  private def shingled(df: DataFrame, idCol: String, textCol: String,
+      as: String, n: Int): DataFrame =
+    df.select(col(idCol).as(as),
+      explode(HashFns.wordShingles(col(textCol), n)).as("s"))
+
+  def bloomIndex(bench: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, numBits: Int = 1 << 23,
+      numHashes: Int = 5): BloomIndex = {
+    val benchSh = shingled(bench, idCol, textCol, "bench_id", n)
+    BloomIndex(
+      benchSh.agg(Sketches.bloomAgg(col("s"), numBits, numHashes)
+        .as("bf")),
+      benchSh, n, numHashes)
+  }
+
+  /** Contamination report for `train` against a prepared index: the
+    * broadcast BITSET prefilters train shingles in a narrow map, and
+    * only survivors enter the exact verify join (plain join — the
+    * bench set is assumed un-broadcastable at scale).
+    */
+  def reportAgainst(idx: BloomIndex, train: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val survivors = shingled(train, idCol, textCol, "train_id", idx.n)
+      .crossJoin(broadcast(idx.bloom))
+      .where(Sketches.bloomMightContain(col("bf"), col("s"),
+        idx.numHashes))
       .drop("bf")
-    survivors.join(benchSh, "s") // plain join: bench set assumed un-broadcastable
+    survivors.join(idx.shingles, "s")
       .groupBy("train_id")
       .agg(countDistinct(col("s")).as("n_shingles"),
         countDistinct(col("bench_id")).as("n_bench_docs"))

@@ -429,6 +429,39 @@ object StreamBatchQueries {
         .oracle.get) { (s, d) =>
       graft.streaming.Streams.packSequencesChunked(
         t(s, d, "documents"), seqLen = 64, bounds = Seq(150L, 400L))
+    },
+
+    // Streaming Bloom decontamination (QS13, the xt19 stream face):
+    // the incoming-crawl delta (doc_id >= 400) screened against a
+    // FROZEN benchmark Bloom index built once on the static corpus
+    // (doc_id < 400) — per batch, a narrow bitset prefilter + an
+    // exact verify join sized by the contamination. Stateless per
+    // batch, so the batch contract below IS the stream result for any
+    // chunking (StreamingSpec runs the real file-stream runner);
+    // the oracle replays the exact sketch-free overlap.
+    Q("qs13_stream_bloom_decontam",
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'),
+        |                t -> t <> '') AS fw
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    ARRAY_TO_STRING(fw[i+1 : i+4], ' ') AS s
+        |  FROM tok, UNNEST(RANGE(0, GREATEST(LEN(fw) - 3, 0))) u(i)
+        |)
+        |SELECT tr.doc_id AS train_id,
+        |  COUNT(DISTINCT tr.s) AS n_shingles,
+        |  COUNT(DISTINCT te.doc_id) AS n_bench_docs
+        |FROM (SELECT * FROM sh WHERE doc_id >= 400) tr
+        |JOIN (SELECT * FROM sh WHERE doc_id < 400) te ON te.s = tr.s
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      graft.operators.Decontaminate.reportAgainst(
+          graft.operators.Decontaminate.bloomIndex(
+            docs.where(col("doc_id") < 400), "doc_id", "text", n = 4),
+          docs.where(col("doc_id") >= 400), "doc_id", "text")
+        .orderBy("train_id")
     }
   )
 }

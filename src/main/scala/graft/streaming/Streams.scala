@@ -185,6 +185,26 @@ object Streams {
       graft.operators.Quality.scoreNb(_, m))
   }
 
+  /** Run the QS13 stream: delta document files decontaminated per
+    * micro-batch against a FROZEN benchmark Bloom index — the
+    * "screen the incoming crawl against the eval-suite blocklist"
+    * op. The index (bench shingle frame + its fixed-size bitset) is
+    * built ONCE and frozen before the stream starts; per-batch work
+    * is a narrow bitset prefilter over the delta's shingles plus an
+    * exact verify join sized by the batch's CONTAMINATION, not the
+    * batch — the benchmark is never re-aggregated. Stateless per
+    * batch ⇒ a doc's report is independent of arrival time and
+    * chunking (StreamingSpec asserts chunked == one-shot).
+    */
+  def runBloomDecontamStream(spark: SparkSession, deltaDir: String,
+      bench: DataFrame, outDir: String, n: Int = 4): Unit = {
+    val idx = graft.operators.Decontaminate
+      .bloomIndex(bench, "doc_id", "text", n).freeze
+    runDocBatchStream(spark, deltaDir, outDir)(
+      graft.operators.Decontaminate.reportAgainst(idx, _,
+        "doc_id", "text"))
+  }
+
   /** Shared QS6/QS7 runner: a file-source of delta document parquet
     * files → `transform(batch)` per micro-batch → parquet sink. The
     * composite transforms (band joins + distinct + verify) are not

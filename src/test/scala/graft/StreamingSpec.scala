@@ -237,6 +237,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("QS13 chunked bloom-decontam stream == batch frozen-index " +
+      "report") {
+    // frozen Bloom index + stateless per-batch screening: four
+    // micro-batches through the real file-stream runner must
+    // reproduce the one-shot batch report row-for-row
+    val docs = graft.queries.T.t(spark, sf0001, "documents")
+    val base = java.nio.file.Files.createTempDirectory("qs13")
+    val deltaDir = base.resolve("delta").toString
+    val outDir = base.resolve("out").toString
+    docs.where(col("doc_id") >= 400).repartition(4)
+      .write.parquet(deltaDir)
+    Streams.runBloomDecontamStream(spark, deltaDir,
+      docs.where(col("doc_id") < 400), outDir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("train_id", "n_shingles", "n_bench_docs").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = rows(spark.read.parquet(s"$outDir/batch=*"))
+    val batch = rows(graft.operators.Decontaminate.reportAgainst(
+      graft.operators.Decontaminate.bloomIndex(
+        docs.where(col("doc_id") < 400), "doc_id", "text", n = 4),
+      docs.where(col("doc_id") >= 400), "doc_id", "text"))
+    assert(batch.nonEmpty, "cross-slice contamination expected")
+    assert(streamed == batch)
+  }
+
   test("QS7 chunked paragraph-dedup stream == batch delta-vs-corpus " +
       "result") {
     // same 4-micro-batch shape as QS6; the per-batch transform is the
