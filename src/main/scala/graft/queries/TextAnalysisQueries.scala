@@ -980,6 +980,64 @@ object TextAnalysisQueries {
           docs.where(col("split") === "test"),
           "doc_id", "text", n = 4)
         .orderBy("train_id")
+    },
+
+    // BM25 top-k RETRIEVAL over a query SET (xt10 is one fixed query
+    // ranking the corpus; this is the sparse-retrieval op proper —
+    // per-query posting-list join + bounded top-k, the RAG/nearest-
+    // reference shape). Scale plan: the corpus token stream is
+    // restricted to the BROADCAST query vocabulary BEFORE any
+    // aggregation (posting tf/df build over query terms only — the
+    // full-vocabulary inverted index is never materialized), doc
+    // length rides the explode (no corpus-wide lens join), per-term
+    // scores quantize to DECIMAL(28,12) so the per-(query,doc) sum is
+    // order-free exact, and the final per-query ranking is the
+    // bounded TopKPairs aggregate (≤ k pairs per partition per query
+    // cross the wire — no corpus-volume sort). Queries: doc_id < 5,
+    // terms = first 8 distinct tokens alphabetically (deterministic
+    // in both engines).
+    Q("xt20_bm25_retrieval",
+      s"""WITH tok AS (
+         |  SELECT doc_id, LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text),
+         |    '\\s+'), t -> t <> '') AS fw
+         |  FROM documents
+         |), lens AS (
+         |  SELECT doc_id, LEN(fw) AS len FROM tok WHERE LEN(fw) > 0
+         |), n AS (SELECT COUNT(*) AS n FROM documents),
+         |al AS (SELECT ${davgSql("len")} AS avglen FROM lens),
+         |q AS (
+         |  SELECT doc_id AS qid,
+         |    UNNEST(LIST_SORT(LIST_DISTINCT(fw))[1:8]) AS w
+         |  FROM tok WHERE doc_id < 5
+         |), tf AS (
+         |  SELECT doc_id, w, COUNT(*) AS tf FROM (
+         |    SELECT doc_id, UNNEST(fw) AS w FROM tok)
+         |  WHERE w IN (SELECT DISTINCT w FROM q) GROUP BY 1, 2
+         |), dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+         |contrib AS (
+         |  SELECT q.qid, tf.doc_id, CAST(
+         |    LN((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+         |      * (tf * CAST(2.2 AS DOUBLE))
+         |      / (tf + 1.2 * (0.25 + 0.75 * len / avglen))
+         |    AS DECIMAL(28,12)) AS c
+         |  FROM tf JOIN q USING (w) JOIN dfq USING (w)
+         |  JOIN lens USING (doc_id) CROSS JOIN n CROSS JOIN al
+         |), scored AS (
+         |  SELECT qid, doc_id, CAST(SUM(c) AS DOUBLE) AS raw
+         |  FROM contrib GROUP BY 1, 2
+         |)
+         |SELECT qid, CAST(rnk AS INT) AS rnk, doc_id,
+         |  ${r4Sql("raw")} AS score
+         |FROM (
+         |  SELECT qid, doc_id, raw, ROW_NUMBER() OVER (
+         |    PARTITION BY qid ORDER BY raw DESC, doc_id) AS rnk
+         |  FROM scored)
+         |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      graft.operators.Retrieval.bm25TopK(docs, "doc_id", "text",
+        graft.operators.Retrieval.queriesFromDocs(docs, "doc_id",
+          "text", nQueries = 5),
+        k = 10)
     }
   )
 }

@@ -1123,6 +1123,31 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("BM25 retrieval: rare-term query ranks the unique containing doc " +
+      "first; results partitioning-invariant") {
+    import spark.implicits._
+    // 40 filler docs over a common vocab + one doc carrying a rare
+    // term; a query containing that term must rank it first (IDF of
+    // the rare term dominates every common-term contribution)
+    val filler = (0 until 40).map(i =>
+      (i.toLong, "alpha beta gamma delta " + ("alpha beta " * (i % 3))))
+    val special = Seq((99L, "alpha zzyzx beta gamma"))
+    val corpus = (filler ++ special).toDF("doc_id", "text")
+    val queries = Seq((0L, "zzyzx"), (0L, "alpha"), (1L, "beta"))
+      .toDF("qid", "w")
+    val top = Retrieval.bm25TopK(corpus, "doc_id", "text", queries, 5)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(top.filter(_._1 == 0L).minBy(_._2)._3 == 99L,
+      "rare-term query must retrieve the unique containing doc first")
+    val again = Retrieval.bm25TopK(corpus.repartition(7), "doc_id",
+      "text", queries.repartition(2), 5)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(top.toSeq == again.toSeq,
+      "retrieval must be independent of input partitioning")
+  }
+
   test("heavyHitters == naive exact count on every partitioning") {
     import spark.implicits._
     val stream = (1 to 500).flatMap(i =>
