@@ -165,4 +165,157 @@ object MediaCodecs {
     require(samples != null, "missing data chunk")
     WavAudio(sampleRate, channels, bits, samples)
   }
+
+  // ---------------------------------------------------------------- AVI
+
+  /** Decoded uncompressed AVI: per-frame top-down BGR pixel arrays
+    * (w·h·3 each), like [[BmpImage]] but a sequence.
+    */
+  final case class AviVideo(width: Int, height: Int, fps: Int,
+      frames: Vector[Array[Byte]])
+
+  /** Encode a REAL RIFF/AVI container with uncompressed 24 bpp DIB
+    * frames ('00db' chunks, 'DIB ' handler): RIFF('AVI ') → LIST hdrl
+    * (avih + LIST strl(strh 'vids' + strf BITMAPINFOHEADER)) → LIST
+    * movi → idx1. Frames are stored the DIB way — bottom-up rows,
+    * 4-byte stride padding — so a decoder that forgets either yields
+    * wrong pixels, which the xm9 hash gate catches. `frames`:
+    * top-down BGR, w·h·3 each.
+    */
+  def encodeAvi(width: Int, height: Int, fps: Int,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(width > 0 && height > 0 && fps > 0, "bad AVI params")
+    require(frames.nonEmpty, "AVI needs at least one frame")
+    frames.foreach(f => require(f.length == width * height * 3,
+      s"frame must be w*h*3 = ${width * height * 3}, got ${f.length}"))
+    val stride = rowStride(width)
+    val frameBytes = stride * height // stride is 4-aligned → even
+    val nf = frames.length
+    val hdrlSize = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    val moviSize = 4 + nf * (8 + frameBytes)
+    val idx1Size = nf * 16
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize) + (8 + idx1Size)
+    val buf = ByteBuffer.allocate(8 + riffSize)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    def fcc(s: String): Unit = { var i = 0
+      while (i < 4) { buf.put(s.charAt(i).toByte); i += 1 } }
+    fcc("RIFF"); buf.putInt(riffSize); fcc("AVI ")
+    fcc("LIST"); buf.putInt(hdrlSize); fcc("hdrl")
+    fcc("avih"); buf.putInt(56)
+    buf.putInt(1000000 / fps)         // microseconds per frame
+    buf.putInt(0).putInt(0)           // maxBytesPerSec, padding
+    buf.putInt(0x10)                  // AVIF_HASINDEX
+    buf.putInt(nf).putInt(0).putInt(1) // totalFrames, initial, streams
+    buf.putInt(frameBytes)            // suggested buffer size
+    buf.putInt(width).putInt(height)
+    buf.putInt(0).putInt(0).putInt(0).putInt(0) // reserved
+    fcc("LIST"); buf.putInt(4 + (8 + 56) + (8 + 40)); fcc("strl")
+    fcc("strh"); buf.putInt(56)
+    fcc("vids"); fcc("DIB ")
+    buf.putInt(0).putShort(0).putShort(0) // flags, priority, language
+    buf.putInt(0)                     // initial frames
+    buf.putInt(1).putInt(fps)         // scale, rate → fps = rate/scale
+    buf.putInt(0).putInt(nf)          // start, length
+    buf.putInt(frameBytes).putInt(0).putInt(0) // bufSize, quality, sampleSize
+    buf.putShort(0).putShort(0)       // rcFrame left, top
+    buf.putShort(width.toShort).putShort(height.toShort)
+    fcc("strf"); buf.putInt(40)
+    buf.putInt(40).putInt(width).putInt(height)
+    buf.putShort(1).putShort(24)      // planes, bpp
+    buf.putInt(0).putInt(frameBytes)  // BI_RGB, image size
+    buf.putInt(2835).putInt(2835).putInt(0).putInt(0)
+    fcc("LIST"); buf.putInt(moviSize); fcc("movi")
+    frames.foreach { px =>
+      fcc("00db"); buf.putInt(frameBytes)
+      var row = height - 1
+      while (row >= 0) { // bottom-up + stride padding, like BMP
+        buf.put(px, row * width * 3, width * 3)
+        var pad = stride - width * 3
+        while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+        row -= 1
+      }
+    }
+    fcc("idx1"); buf.putInt(idx1Size)
+    var f = 0
+    var off = 4 // idx1 offsets are relative to the 'movi' fourcc
+    while (f < nf) {
+      fcc("00db"); buf.putInt(0x10) // AVIIF_KEYFRAME
+      buf.putInt(off).putInt(frameBytes)
+      off += 8 + frameBytes
+      f += 1
+    }
+    buf.array()
+  }
+
+  /** Parse an uncompressed 24 bpp AVI back to top-down per-frame
+    * pixels by WALKING the RIFF chunk tree (no fixed offsets): header
+    * geometry from strf, fps from strh scale/rate, frames from the
+    * movi LIST's 00db/00dc chunks. Tolerates unknown chunks and odd
+    * chunk ordering; rejects compressed streams.
+    */
+  def decodeAvi(bytes: Array[Byte]): AviVideo = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def fourcc(at: Int): String =
+      new String(bytes, at, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    require(bytes.length >= 12 && fourcc(0) == "RIFF" &&
+      fourcc(8) == "AVI ", "not an AVI (RIFF magic)")
+    var width = 0; var height = 0; var fps = 0
+    val frames = Vector.newBuilder[Array[Byte]]
+
+    def walk(from: Int, until: Int): Unit = {
+      var pos = from
+      while (pos + 8 <= until) {
+        val id = fourcc(pos)
+        val size = buf.getInt(pos + 4)
+        require(size >= 0 && pos + 8 + size.toLong <= until,
+          s"chunk '$id' overruns its parent")
+        if (id == "LIST") {
+          require(size >= 4, "LIST chunk too small")
+          fourcc(pos + 8) match {
+            case "hdrl" | "strl" | "movi" => walk(pos + 12, pos + 8 + size)
+            case _ => // skip INFO etc.
+          }
+        } else id match {
+          case "strh" =>
+            require(size >= 56, "strh too small")
+            if (fourcc(pos + 8) == "vids") {
+              val scale = buf.getInt(pos + 28)
+              val rate = buf.getInt(pos + 32)
+              require(scale > 0, "bad strh scale")
+              fps = rate / scale
+            }
+          case "strf" if width == 0 =>
+            require(size >= 40, "strf too small")
+            width = buf.getInt(pos + 12)
+            height = buf.getInt(pos + 16)
+            val bpp = buf.getShort(pos + 22).toInt
+            val comp = buf.getInt(pos + 24)
+            require(bpp == 24, s"unsupported bpp $bpp (24 only)")
+            require(comp == 0, s"unsupported compression $comp")
+            require(width > 0 && height > 0 &&
+              width.toLong * height * 3 <= Int.MaxValue,
+              s"unreasonable AVI dimensions ${width}x$height")
+          case c if c.endsWith("db") || c.endsWith("dc") =>
+            require(width > 0, "frame chunk before strf header")
+            val strideL = ((width.toLong * 3) + 3) & ~3L
+            require(size >= strideL * height, "truncated frame chunk")
+            val stride = strideL.toInt
+            val out = new Array[Byte](width * height * 3)
+            var row = 0
+            while (row < height) {
+              System.arraycopy(bytes, pos + 8 + (height - 1 - row) * stride,
+                out, row * width * 3, width * 3)
+              row += 1
+            }
+            frames += out
+          case _ => // skip avih/idx1/unknown
+        }
+        pos += 8 + size + (size & 1)
+      }
+    }
+    walk(12, math.min(bytes.length, 8 + buf.getInt(4)))
+    val fs = frames.result()
+    require(width > 0 && fs.nonEmpty, "missing strf header or frames")
+    AviVideo(width, height, fps, fs)
+  }
 }

@@ -299,43 +299,54 @@ object Multimodal {
     media.mapPartitions { it =>
       it.map { b =>
         val img = MediaCodecs.decodeBmp(b.payload)
-        val w = img.width; val h = img.height
-        val s = Array.ofDim[Long](8, 8)
-        val c = Array.ofDim[Long](8, 8)
-        var r = 0
-        while (r < h) {
-          val i = r * 8 / h
-          var cc = 0
-          while (cc < w) {
-            val j = cc * 8 / w
-            val base = (r * w + cc) * 3
-            s(i)(j) += (img.pixels(base) & 0xFF) +
-              (img.pixels(base + 1) & 0xFF) + (img.pixels(base + 2) & 0xFF)
-            c(i)(j) += 3
-            cc += 1
-          }
-          r += 1
-        }
-        var sTot = 0L
-        var i = 0
-        while (i < 8) { var j = 0; while (j < 8) { sTot += s(i)(j); j += 1 }; i += 1 }
-        val bTot = w.toLong * h * 3
-        var hi = 0L; var lo = 0L
-        i = 0
-        while (i < 8) {
-          var j = 0
-          while (j < 8) {
-            if (s(i)(j) * bTot > sTot * c(i)(j)) {
-              val idx = i * 8 + j
-              if (idx >= 32) hi |= 1L << (idx - 32) else lo |= 1L << idx
-            }
-            j += 1
-          }
-          i += 1
-        }
+        val (hi, lo) = ahash64(img.pixels, img.width, img.height)
         ImageHash(b.media_id, hi, lo)
       }
     }
+  }
+
+  /** The integer-exact 8×8 average-hash core (shared by the BMP xm5
+    * path and the per-AVI-frame xm9 path): top-down BGR pixels →
+    * (hi, lo) 32-bit halves. Pure integer arithmetic (cell-vs-global
+    * comparison by cross-multiplication), so the DuckDB planted-pixel
+    * replay must match bit for bit.
+    */
+  private[multimodal] def ahash64(pixels: Array[Byte], w: Int,
+      h: Int): (Long, Long) = {
+    val s = Array.ofDim[Long](8, 8)
+    val c = Array.ofDim[Long](8, 8)
+    var r = 0
+    while (r < h) {
+      val i = r * 8 / h
+      var cc = 0
+      while (cc < w) {
+        val j = cc * 8 / w
+        val base = (r * w + cc) * 3
+        s(i)(j) += (pixels(base) & 0xFF) +
+          (pixels(base + 1) & 0xFF) + (pixels(base + 2) & 0xFF)
+        c(i)(j) += 3
+        cc += 1
+      }
+      r += 1
+    }
+    var sTot = 0L
+    var i = 0
+    while (i < 8) { var j = 0; while (j < 8) { sTot += s(i)(j); j += 1 }; i += 1 }
+    val bTot = w.toLong * h * 3
+    var hi = 0L; var lo = 0L
+    i = 0
+    while (i < 8) {
+      var j = 0
+      while (j < 8) {
+        if (s(i)(j) * bTot > sTot * c(i)(j)) {
+          val idx = i * 8 + j
+          if (idx >= 32) hi |= 1L << (idx - 32) else lo |= 1L << idx
+        }
+        j += 1
+      }
+      i += 1
+    }
+    (hi, lo)
   }
 
   /** Perceptual near-dup image pairs (xm6): band the 64-bit aHash
@@ -367,6 +378,110 @@ object Multimodal {
           expr("bit_count(a.ahash_lo ^ b.ahash_lo)")).as("hd"))
       .where(col("hd") <= maxHamming)
       .distinct()
+  }
+
+  // ---------------------------------------------------------------- video
+
+  case class AviMeta(media_id: Long, width: Int, height: Int, fps: Int,
+      n_frames: Int, n_bytes: Long)
+
+  /** One decoded-and-hashed video frame: the 64-bit integer aHash of
+    * frame `frame_no`, same (hi, lo) split as [[ImageHash]].
+    */
+  case class FrameHash(media_id: Long, frame_no: Int,
+      ahash_hi: Long, ahash_lo: Long)
+
+  /** Encode each document as a REAL uncompressed AVI (RIFF container,
+    * 24 bpp DIB '00db' frames): dims planted like the BMP table,
+    * 2–5 frames planted from the id, pixels = ONE cyclic byte stream
+    * over the text sliced into consecutive frames (so frame f starts
+    * at stream position f·w·h·3 — SQL-expressible for the oracle).
+    */
+  def encodeAviTable(docs: DataFrame): Dataset[MediaBlob] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val w = (8 + id % 24).toInt
+          val h = (8 + (id * 3) % 16).toInt
+          val nf = (2 + id % 4).toInt
+          val fps = (4 + id % 6).toInt
+          val frameBytes = w * h * 3
+          val stream = cyclicBytes(
+            Option(text).getOrElse("").getBytes("UTF-8"), frameBytes * nf)
+          val frames = (0 until nf).map(f => java.util.Arrays
+            .copyOfRange(stream, f * frameBytes, (f + 1) * frameBytes))
+          MediaBlob(id, MediaCodecs.encodeAvi(w, h, fps, frames))
+        }
+      }
+  }
+
+  /** Parse the AVI container back to metadata (real decode path). */
+  def decodeAviMeta(media: Dataset[MediaBlob]): Dataset[AviMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { b =>
+        val v = MediaCodecs.decodeAvi(b.payload)
+        AviMeta(b.media_id, v.width, v.height, v.fps, v.frames.length,
+          b.payload.length.toLong)
+      }
+    }
+  }
+
+  /** Per-frame integer aHash over the REAL AVI decode (the xm9
+    * contract): one decoder per partition, frames streamed out — the
+    * row-expanding shape of real video feature extraction. A stride /
+    * bottom-up / chunk-walk bug in the container code breaks the
+    * planted-pixel hash gate.
+    */
+  def frameHashTable(media: Dataset[MediaBlob]): Dataset[FrameHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { b =>
+        val v = MediaCodecs.decodeAvi(b.payload)
+        v.frames.iterator.zipWithIndex.map { case (px, f) =>
+          val (hi, lo) = ahash64(px, v.width, v.height)
+          FrameHash(b.media_id, f, hi, lo)
+        }
+      }
+    }
+  }
+
+  /** Perceptual near-dup VIDEO pairs (xm10): two videos match if any
+    * frame of one is within Hamming `maxHamming` of any frame of the
+    * other; output one row per video pair with the matched-frame-pair
+    * count. Same scale skeleton as [[imageNearDups]] lifted to
+    * frames: band each frame hash into 8 bytes (pigeonhole ⇒ every
+    * frame pair with Hamming ≤ 7 shares a band), equi-join on
+    * (band, value), verify exact Hamming, dedup multi-band hits, then
+    * roll frame pairs up to video pairs. Candidate volume is
+    * Σ bucket² over FRAME hashes — never frames², never videos² —
+    * and payloads never join.
+    */
+  def videoNearDups(frameHashes: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"videoNearDups: 8-byte banding guarantees recall only to " +
+        s"Hamming 7, got $maxHamming")
+    val banded = frameHashes.select(col("media_id"), col("frame_no"),
+        col("ahash_hi"), col("ahash_lo"),
+        explode(expr("""transform(sequence(0, 7), b ->
+          named_struct('band', b, 'v',
+            CASE WHEN b < 4 THEN shiftright(ahash_lo, b * 8) % 256
+                 ELSE shiftright(ahash_hi, (b - 4) * 8) % 256 END))"""))
+          .as("bd"))
+      .select(col("media_id"), col("frame_no"), col("ahash_hi"),
+        col("ahash_lo"), col("bd.band").as("band"), col("bd.v").as("v"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col("a.media_id") < col("b.media_id"))
+      .where(expr("bit_count(a.ahash_hi ^ b.ahash_hi)") +
+        expr("bit_count(a.ahash_lo ^ b.ahash_lo)") <= maxHamming)
+      .select(col("a.media_id").as("ida"), col("b.media_id").as("idb"),
+        col("a.frame_no").as("fa"), col("b.frame_no").as("fb"))
+      .distinct() // a frame pair can share several bands
+      .groupBy("ida", "idb")
+      .agg(count(lit(1)).as("n_frame_pairs"))
   }
 
   def sampleFrames(media: Dataset[MediaRecord], frameCount: Int,

@@ -277,6 +277,109 @@ object MultimodalQueries {
         .agg(count(lit(1)).as("n_pairs"),
           coalesce(sum("hd"), lit(0L)).as("hd_sum"),
           coalesce(sum(col("ida") + col("idb")), lit(0L)).as("id_sum"))
+    },
+
+    // Per-frame aHash over a REAL RIFF/AVI decode (the video face of
+    // the integer-exact media story): each doc encodes as an
+    // uncompressed 24bpp AVI whose 2–5 frames slice ONE planted
+    // cyclic pixel stream; the Spark side round-trips through the
+    // real container (chunk walk, bottom-up rows, stride padding) and
+    // hashes each decoded frame with the shared integer aHash core;
+    // the oracle recomputes every frame hash from the PLANTED formula
+    // without touching container bytes — a decoder bug anywhere
+    // breaks the hash gate.
+    Q("xm9_video_frames",
+      """WITH d AS (
+        |  SELECT doc_id, COALESCE(text, '') AS text,
+        |    CAST(8 + doc_id % 24 AS BIGINT) AS w,
+        |    CAST(8 + (doc_id * 3) % 16 AS BIGINT) AS h,
+        |    CAST(2 + doc_id % 4 AS BIGINT) AS nf
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, w, h,
+        |    x.p // (w*h*3) AS f, x.p % (w*h*3) AS q,
+        |    CASE WHEN LENGTH(text) = 0
+        |      THEN (x.p % 251 - 125 + 256) % 256
+        |      ELSE UNICODE(SUBSTR(text,
+        |        CAST(x.p % LENGTH(text) AS INT) + 1, 1)) END AS v
+        |  FROM d CROSS JOIN LATERAL UNNEST(RANGE(0, w*h*3*nf)) x(p)
+        |), cells AS (
+        |  SELECT doc_id, f, ((q//3)//w)*8//h AS i, ((q//3)%w)*8//w AS j,
+        |    SUM(v) AS s, COUNT(*) AS c, ANY_VALUE(w*h*3) AS btot
+        |  FROM b GROUP BY 1, 2, 3, 4
+        |), tot AS (
+        |  SELECT doc_id, f, SUM(s) AS stot FROM cells GROUP BY 1, 2
+        |), bits AS (
+        |  SELECT c.doc_id, c.f, i*8 + j AS idx,
+        |    CASE WHEN c.s * c.btot > t.stot * c.c THEN 1 ELSE 0 END AS bit
+        |  FROM cells c JOIN tot t ON t.doc_id = c.doc_id AND t.f = c.f
+        |)
+        |SELECT doc_id AS media_id, CAST(f AS INT) AS frame_no,
+        |  CAST(SUM(CASE WHEN idx >= 32 AND bit = 1
+        |    THEN 1::BIGINT << (idx - 32) ELSE 0 END) AS BIGINT) AS ahash_hi,
+        |  CAST(SUM(CASE WHEN idx < 32 AND bit = 1
+        |    THEN 1::BIGINT << idx ELSE 0 END) AS BIGINT) AS ahash_lo
+        |FROM bits GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      Multimodal.frameHashTable(
+          Multimodal.encodeAviTable(t(s, d, "documents"))).toDF()
+        .orderBy("media_id", "frame_no")
+    },
+
+    // Video near-dup via frame-hash matching: two videos pair if ANY
+    // frame of one is within Hamming 3 of ANY frame of the other.
+    // Spark runs the banded frame join (pigeonhole-exact to Hamming
+    // 7, so banding == the oracle's brute-force all-frame-pairs scan)
+    // + exact verify + per-video-pair rollup; summary row like xm6.
+    Q("xm10_video_neardup",
+      """WITH d AS (
+        |  SELECT doc_id, COALESCE(text, '') AS text,
+        |    CAST(8 + doc_id % 24 AS BIGINT) AS w,
+        |    CAST(8 + (doc_id * 3) % 16 AS BIGINT) AS h,
+        |    CAST(2 + doc_id % 4 AS BIGINT) AS nf
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, w, h,
+        |    x.p // (w*h*3) AS f, x.p % (w*h*3) AS q,
+        |    CASE WHEN LENGTH(text) = 0
+        |      THEN (x.p % 251 - 125 + 256) % 256
+        |      ELSE UNICODE(SUBSTR(text,
+        |        CAST(x.p % LENGTH(text) AS INT) + 1, 1)) END AS v
+        |  FROM d CROSS JOIN LATERAL UNNEST(RANGE(0, w*h*3*nf)) x(p)
+        |), cells AS (
+        |  SELECT doc_id, f, ((q//3)//w)*8//h AS i, ((q//3)%w)*8//w AS j,
+        |    SUM(v) AS s, COUNT(*) AS c, ANY_VALUE(w*h*3) AS btot
+        |  FROM b GROUP BY 1, 2, 3, 4
+        |), tot AS (
+        |  SELECT doc_id, f, SUM(s) AS stot FROM cells GROUP BY 1, 2
+        |), bits AS (
+        |  SELECT c.doc_id, c.f, i*8 + j AS idx,
+        |    CASE WHEN c.s * c.btot > t.stot * c.c THEN 1 ELSE 0 END AS bit
+        |  FROM cells c JOIN tot t ON t.doc_id = c.doc_id AND t.f = c.f
+        |), hashes AS (
+        |  SELECT doc_id AS media_id, f,
+        |    CAST(SUM(CASE WHEN idx >= 32 AND bit = 1
+        |      THEN 1::BIGINT << (idx - 32) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(SUM(CASE WHEN idx < 32 AND bit = 1
+        |      THEN 1::BIGINT << idx ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY 1, 2
+        |), fp AS (
+        |  SELECT a.media_id AS ida, b.media_id AS idb,
+        |    COUNT(*) AS n_frame_pairs
+        |  FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+        |  WHERE BIT_COUNT(XOR(a.hi, b.hi)) + BIT_COUNT(XOR(a.lo, b.lo))
+        |    <= 3
+        |  GROUP BY 1, 2
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(COALESCE(SUM(n_frame_pairs), 0) AS BIGINT) AS fp_sum,
+        |  CAST(COALESCE(SUM(ida + idb), 0) AS BIGINT) AS id_sum
+        |FROM fp""".stripMargin) { (s, d) =>
+      val fh = Multimodal.frameHashTable(
+        Multimodal.encodeAviTable(t(s, d, "documents"))).toDF()
+      Multimodal.videoNearDups(fh, maxHamming = 3)
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(sum("n_frame_pairs"), lit(0L)).as("fp_sum"),
+          coalesce(sum(col("ida") + col("idb")), lit(0L)).as("id_sum"))
     }
   )
 }

@@ -319,4 +319,61 @@ class MultimodalSpec extends SparkSpec {
     val found = blocked.count { case (a, b) => b == a + 1000 }
     assert(found >= 15, s"only $found/25 perturbed clips within Hamming 3")
   }
+
+  test("AVI container round-trips frames, dims and fps through a real " +
+      "RIFF chunk walk") {
+    val w = 5; val h = 3 // stride 16 pads 15 pixel bytes -> padding real
+    val frames = (0 until 4).map(f =>
+      Array.tabulate(w * h * 3)(i => ((i * 7 + f * 31) % 256).toByte))
+    val enc = MediaCodecs.encodeAvi(w, h, 6, frames)
+    assert(new String(enc, 0, 4, "US-ASCII") == "RIFF")
+    assert(new String(enc, 8, 4, "US-ASCII") == "AVI ")
+    val dec = MediaCodecs.decodeAvi(enc)
+    assert(dec.width == w && dec.height == h && dec.fps == 6)
+    assert(dec.frames.length == 4)
+    frames.zip(dec.frames).foreach { case (in, out) =>
+      assert(java.util.Arrays.equals(in, out),
+        "frame pixels must round-trip through bottom-up + stride")
+    }
+  }
+
+  test("AVI frame hashes == BMP aHash of the same pixels (shared " +
+      "integer core through two different real containers)") {
+    import spark.implicits._
+    val docs = T.t(spark, sf0001, "documents").limit(50)
+    val fh = Multimodal.frameHashTable(Multimodal.encodeAviTable(docs))
+      .toDF().collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    // frame 0 of each video slices the SAME cyclic stream prefix the
+    // BMP table plants, so its hash must equal the xm5 image hash
+    val bmp = Multimodal.aHashTable(Multimodal.encodeBmpTable(docs))
+      .toDF().collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(bmp.nonEmpty && fh.nonEmpty)
+    bmp.foreach { case (id, hash) =>
+      assert(fh((id, 0)) == hash,
+        s"video $id frame 0 hash != BMP hash of the same planted pixels")
+    }
+  }
+
+  test("video near-dup banding == brute force over all frame pairs") {
+    import spark.implicits._
+    val fh = Multimodal.frameHashTable(Multimodal.encodeAviTable(
+      T.t(spark, sf0001, "documents"))).toDF().localCheckpoint(true)
+    val blocked = Multimodal.videoNearDups(fh, maxHamming = 3)
+      .select("ida", "idb", "n_frame_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hs = fh.collect().map(r =>
+      (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val brute = (for {
+      a <- hs; b <- hs
+      if a._1 < b._1 &&
+        java.lang.Long.bitCount(a._2 ^ b._2) +
+        java.lang.Long.bitCount(a._3 ^ b._3) <= 3
+    } yield (a._1, b._1)).groupBy(identity).view
+      .mapValues(_.length.toLong)
+      .map { case ((a, b), n) => (a, b, n) }.toSet
+    assert(blocked == brute)
+  }
 }
