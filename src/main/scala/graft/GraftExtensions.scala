@@ -40,5 +40,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn("winnow_fingerprint", xs => WinnowFingerprint(xs.head))
     fn("word_shingles", xs => WordShingles(xs.head, 3))
     fn("dot_product", xs => DotProduct(xs(0), xs(1)))
+    // the sketch pair: SELECT graft_bloom(col) builds the bitset
+    // (aggregate), bloom_might_contain probes it — defaults match
+    // Sketches.bloomAgg/bloomMightContain
+    fn("graft_bloom", xs =>
+      BloomBuildAgg(xs.head, 1 << 23, 5).toAggregateExpression())
+    fn("bloom_might_contain", xs => BloomMightContain(xs(0), xs(1), 5))
   }
 }

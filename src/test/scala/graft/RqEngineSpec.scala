@@ -224,6 +224,14 @@ class RqEngineSpec extends SparkSpec {
       assert(r.getString(0) == """{"x":7}""")
       assert(r.getDouble(1) == 11.0)
       assert(r.getInt(2) == 2)
+      // aggregate+scalar sketch pair through pure SQL
+      val b = s2.sql(
+        """WITH bf AS (SELECT graft_bloom(s) AS bf FROM (
+          |  SELECT explode(array('x', 'y')) AS s))
+          |SELECT bloom_might_contain(bf, 'x') AS hit,
+          |       bloom_might_contain(bf, 'zebra') AS miss FROM bf"""
+          .stripMargin).collect()(0)
+      assert(b.getBoolean(0) && !b.getBoolean(1))
     } finally { // restore the shared session (same SparkContext)
       org.apache.spark.sql.SparkSession.setDefaultSession(prev)
       org.apache.spark.sql.SparkSession.setActiveSession(prev)
