@@ -56,16 +56,27 @@ object Decontaminate {
 
   /** The benchmark side of [[bloomOverlapReport]], factored so a
     * long-lived consumer (the QS13 stream) can build it ONCE: the
-    * bench shingle frame plus its Bloom bitset. [[freeze]] pins both
-    * via localCheckpoint so per-batch reports never re-aggregate the
-    * benchmark (at real scale: a parquet write of `shingles` + the
-    * one-row bitset).
+    * bench shingle frame plus its Bloom bitset AS PLAN-TIME BYTES.
+    *
+    * The bitset is materialized to the driver deliberately — it is a
+    * FIXED-SIZE summary (1 MB at the default 2²³ bits, regardless of
+    * how large the blocklist grows), the same bounded-collect class
+    * as the capped k-means sample in Similarity and Spark's own
+    * `DataFrameStatFunctions.bloomFilter`. Carrying it as a Column
+    * instead costs a 1 MB `UnsafeRow.getBinary` COPY PER PROBE ROW
+    * (measured: 40 cpu-s at sf0.1, ~1 TB of memcpy — the r7 bench
+    * caught it); as a plan Literal it is one reference object per
+    * task and the prefilter is a pure narrow Filter — no join at all
+    * before the exact verify.
+    *
+    * [[freeze]] pins the shingle frame via localCheckpoint so
+    * per-batch reports never re-aggregate the benchmark (at real
+    * scale: a parquet write).
     */
-  final case class BloomIndex(bloom: DataFrame, shingles: DataFrame,
-      n: Int, numHashes: Int) {
+  final case class BloomIndex(bloomBytes: Array[Byte],
+      shingles: DataFrame, n: Int, numHashes: Int) {
     def freeze: BloomIndex =
-      copy(bloom = bloom.localCheckpoint(true),
-        shingles = shingles.localCheckpoint(true))
+      copy(shingles = shingles.localCheckpoint(true))
   }
 
   private def shingled(df: DataFrame, idCol: String, textCol: String,
@@ -77,24 +88,22 @@ object Decontaminate {
       n: Int = 4, numBits: Int = 1 << 23,
       numHashes: Int = 5): BloomIndex = {
     val benchSh = shingled(bench, idCol, textCol, "bench_id", n)
-    BloomIndex(
-      benchSh.agg(Sketches.bloomAgg(col("s"), numBits, numHashes)
-        .as("bf")),
-      benchSh, n, numHashes)
+    val bytes = benchSh
+      .agg(Sketches.bloomAgg(col("s"), numBits, numHashes).as("bf"))
+      .collect()(0).getAs[Array[Byte]](0) // bounded: numBits/8, see above
+    BloomIndex(bytes, benchSh, n, numHashes)
   }
 
   /** Contamination report for `train` against a prepared index: the
-    * broadcast BITSET prefilters train shingles in a narrow map, and
+    * literal BITSET prefilters train shingles in a narrow Filter, and
     * only survivors enter the exact verify join (plain join — the
     * bench set is assumed un-broadcastable at scale).
     */
   def reportAgainst(idx: BloomIndex, train: DataFrame,
       idCol: String, textCol: String): DataFrame = {
     val survivors = shingled(train, idCol, textCol, "train_id", idx.n)
-      .crossJoin(broadcast(idx.bloom))
-      .where(Sketches.bloomMightContain(col("bf"), col("s"),
+      .where(Sketches.bloomMightContain(lit(idx.bloomBytes), col("s"),
         idx.numHashes))
-      .drop("bf")
     survivors.join(idx.shingles, "s")
       .groupBy("train_id")
       .agg(countDistinct(col("s")).as("n_shingles"),
