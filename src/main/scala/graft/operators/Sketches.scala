@@ -186,8 +186,44 @@ case class BloomMightContain(left: Expression, right: Expression,
   * lower-bound approximations — deliberately not exposed, the exact
   * pass recounts).
   */
+object MisraGries {
+  /** The mergeable-summaries combine (Agarwal et al. 2012): pointwise
+    * sum into `a`, then subtract the (capacity+1)-th largest counter
+    * and drop non-positives — ≤ capacity keys survive, combined
+    * undercount ≤ N/(capacity+1) on ANY merge tree. Exposed so a
+    * STREAM can fold per-batch summaries on the driver (each summary
+    * is ≤ capacity entries — bounded state) with the identical
+    * guarantee the in-plan merge has.
+    */
+  def merge(a: java.util.HashMap[String, Long],
+      b: java.util.HashMap[String, Long],
+      capacity: Int): java.util.HashMap[String, Long] = {
+    val it = b.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val cur = a.get(e.getKey)
+      a.put(e.getKey, cur + e.getValue)
+    }
+    if (a.size > capacity) {
+      val vals = new Array[Long](a.size)
+      val vi = a.values().iterator()
+      var i = 0
+      while (vi.hasNext) { vals(i) = vi.next(); i += 1 }
+      java.util.Arrays.sort(vals)
+      val pivot = vals(vals.length - capacity - 1) // (capacity+1)-th largest
+      val ai = a.entrySet().iterator()
+      while (ai.hasNext) {
+        val e = ai.next()
+        if (e.getValue <= pivot) ai.remove()
+        else e.setValue(e.getValue - pivot)
+      }
+    }
+    a
+  }
+}
+
 case class MisraGriesAgg(
-    child: Expression, capacity: Int,
+    child: Expression, capacity: Int, withCounters: Boolean = false,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.HashMap[String, Long]] {
 
@@ -197,7 +233,10 @@ case class MisraGriesAgg(
   override def nullable: Boolean = false
   override def prettyName: String = "misra_gries"
   override def dataType: DataType =
-    ArrayType(StringType, containsNull = false)
+    if (withCounters)
+      ArrayType(new StructType().add("g", StringType)
+        .add("c", LongType), containsNull = false)
+    else ArrayType(StringType, containsNull = false)
 
   override def createAggregationBuffer(): java.util.HashMap[String, Long] =
     new java.util.HashMap[String, Long]()
@@ -221,41 +260,23 @@ case class MisraGriesAgg(
     buf
   }
 
-  /** Pointwise sum, then subtract the (capacity+1)-th largest counter
-    * and drop non-positives — at most `capacity` keys survive (ties
-    * at the pivot go to exactly zero and are dropped).
-    */
   override def merge(a: java.util.HashMap[String, Long],
-      b: java.util.HashMap[String, Long]): java.util.HashMap[String, Long] = {
-    val it = b.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      val cur = a.get(e.getKey)
-      a.put(e.getKey, cur + e.getValue)
-    }
-    if (a.size > capacity) {
-      val vals = new Array[Long](a.size)
-      val vi = a.values().iterator()
-      var i = 0
-      while (vi.hasNext) { vals(i) = vi.next(); i += 1 }
-      java.util.Arrays.sort(vals)
-      val pivot = vals(vals.length - capacity - 1) // (capacity+1)-th largest
-      val ai = a.entrySet().iterator()
-      while (ai.hasNext) {
-        val e = ai.next()
-        if (e.getValue <= pivot) ai.remove()
-        else e.setValue(e.getValue - pivot)
-      }
-    }
-    a
-  }
+      b: java.util.HashMap[String, Long]): java.util.HashMap[String, Long] =
+    MisraGries.merge(a, b, capacity)
 
   override def eval(buf: java.util.HashMap[String, Long]): Any = {
     val keys = new Array[String](buf.size)
     buf.keySet().toArray(keys)
     java.util.Arrays.sort(keys.asInstanceOf[Array[AnyRef]])
-    new GenericArrayData(
-      keys.map(UTF8String.fromString(_).asInstanceOf[AnyRef]))
+    if (withCounters)
+      new GenericArrayData(keys.map { k =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](UTF8String.fromString(k), buf.get(k): Long))
+          .asInstanceOf[AnyRef]
+      })
+    else
+      new GenericArrayData(
+        keys.map(UTF8String.fromString(_).asInstanceOf[AnyRef]))
   }
 
   override def serialize(buf: java.util.HashMap[String, Long]): Array[Byte] = {
@@ -313,6 +334,15 @@ object Sketches {
   def misraGries(c: Column, capacity: Int): Column =
     Bridge.column(MisraGriesAgg(e(c), capacity).toAggregateExpression())
 
+  /** [[misraGries]] with the (lower-bound) counters attached —
+    * array<struct<g,c>> — for consumers that keep folding summaries
+    * OUTSIDE the plan (the QS14 stream). The counters undercount by
+    * design; never threshold on them directly.
+    */
+  def misraGriesCounters(c: Column, capacity: Int): Column =
+    Bridge.column(MisraGriesAgg(e(c), capacity, withCounters = true)
+      .toAggregateExpression())
+
   import org.apache.spark.sql.DataFrame
   import org.apache.spark.sql.functions._
 
@@ -345,6 +375,26 @@ object Sketches {
       .groupBy(itemCol)
       .agg(count(lit(1)).as("n"), min(col("total")).as("total"))
       .where(col("n") * denom >= col("total"))
+      .select(col(itemCol), col("n"))
+      .orderBy(desc("n"), col(itemCol))
+  }
+
+  /** The exact pass of [[heavyHitters]] against an EXTERNALLY
+    * accumulated candidate set + stream total (the QS14 stream folds
+    * per-batch MG summaries outside the plan): recount candidates
+    * exactly, threshold on the exact counts. Identical output to
+    * [[heavyHitters]] whenever `candidates` honors the no-miss
+    * guarantee for φ = 1/denom — extras die at the exact threshold,
+    * heavy items can't be absent.
+    */
+  def heavyHittersFromCandidates(items: DataFrame, itemCol: String,
+      denom: Long, candidates: Seq[String], total: Long): DataFrame = {
+    import items.sparkSession.implicits._
+    val cand = candidates.toDF(itemCol)
+    items.join(broadcast(cand), itemCol)
+      .groupBy(itemCol)
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") * denom >= lit(total))
       .select(col(itemCol), col("n"))
       .orderBy(desc("n"), col(itemCol))
   }

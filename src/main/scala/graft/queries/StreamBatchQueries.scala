@@ -462,6 +462,22 @@ object StreamBatchQueries {
             docs.where(col("doc_id") < 400), "doc_id", "text", n = 4),
           docs.where(col("doc_id") >= 400), "doc_id", "text")
         .orderBy("train_id")
+    },
+
+    // Streaming heavy hitters (QS14, the xk12 stream face): per
+    // doc_id-ordered chunk ONE bounded MG summary folds into driver
+    // state via the mergeable combine (the sketch IS the state —
+    // fixed-size however long the stream runs), then one exact
+    // recount thresholds the accumulated candidates. The mergeable-
+    // summaries bound holds on any merge tree, so the result equals
+    // one-shot xk12 on any chunking; the oracle is xk12's direct
+    // count-everything replay, SHARED BY REFERENCE so the two
+    // contracts can never drift.
+    Q("qs14_stream_heavy_hitters",
+      ScaleQueries.all.find(_.name == "xk12_heavy_hitters").get
+        .oracle.get) { (s, d) =>
+      graft.streaming.Streams.heavyHittersChunked(
+        t(s, d, "documents"), bounds = Seq(150L, 400L))
     }
   )
 }

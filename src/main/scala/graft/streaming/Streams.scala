@@ -474,6 +474,50 @@ object Streams {
       .orderBy("sample")
   }
 
+  /** QS14: exact heavy hitters over doc_id-ordered chunks — the xk12
+    * stream face. Per chunk, ONE bounded Misra-Gries summary (with
+    * its lower-bound counters) collects to the driver (≤ capacity
+    * entries — the sketch IS the state, fixed-size however large the
+    * stream grows) and folds into the running summary via the SAME
+    * mergeable combine the in-plan merge uses, alongside the running
+    * token total. After the last chunk, one exact recount over the
+    * archived corpus thresholds the accumulated candidates. Equal to
+    * one-shot xk12 on ANY chunking: the mergeable-summaries bound
+    * holds on any merge tree (no heavy item can be missing), and
+    * chunking-dependent extras die at the exact threshold.
+    */
+  def heavyHittersChunked(docs: DataFrame, bounds: Seq[Long],
+      denom: Long = 1000L, capacity: Int = 4096): DataFrame = {
+    require(capacity + 1 > denom,
+      "heavyHittersChunked: need capacity+1 > denom (MG no-miss)")
+    val words = docs.select(
+      explode(graft.functions.TextFns.tokens(col("text"))).as("g"))
+    def chunkWords(lo: Long, hi: Long) = docs
+      .where(col("doc_id") >= lo && col("doc_id") < hi)
+      .select(explode(graft.functions.TextFns.tokens(col("text"))).as("g"))
+    val summary = new java.util.HashMap[String, Long]()
+    var total = 0L
+    val edges = (Long.MinValue +: bounds.sorted) :+ Long.MaxValue
+    edges.sliding(2).foreach { case Seq(lo, hi) =>
+      val row = chunkWords(lo, hi).agg(
+        graft.operators.Sketches.misraGriesCounters(col("g"), capacity)
+          .as("cs"),
+        count(lit(1)).as("n")).collect()(0)
+      val batch = new java.util.HashMap[String, Long]()
+      row.getSeq[org.apache.spark.sql.Row](0)
+        .foreach(r => batch.put(r.getString(0), r.getLong(1)))
+      graft.operators.MisraGries.merge(summary, batch, capacity)
+      total += row.getLong(1)
+    }
+    val cands = {
+      val ks = new Array[String](summary.size)
+      summary.keySet().toArray(ks)
+      ks.toSeq.sorted
+    }
+    graft.operators.Sketches.heavyHittersFromCandidates(
+      words, "g", denom, cands, total)
+  }
+
   /** Run the QS12 stream: delta document files → per-micro-batch
     * fixed-length sample packing continuing the global token prefix
     * sum → piece-level parquet sink. Same durable-offsets exactly-once

@@ -1167,4 +1167,21 @@ class OperatorsSpec extends SparkSpec {
       assert(got == naive, s"heavyHitters mismatch on $parts partitions")
     }
   }
+
+  test("chunked heavy hitters == one-shot on every chunking (QS14: " +
+      "driver-folded MG summaries keep the no-miss bound)") {
+    val oneShot = graft.operators.Sketches.heavyHitters(
+        docs.select(explode(
+          graft.functions.TextFns.tokens(col("text"))).as("g")),
+        "g", denom = 1000L, capacity = 4096)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(oneShot.nonEmpty)
+    for (bounds <- Seq(Seq(250L), Seq(150L, 400L),
+        Seq(100L, 200L, 300L, 400L))) {
+      val chunked = graft.streaming.Streams.heavyHittersChunked(
+          docs, bounds)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(chunked == oneShot, s"chunking $bounds changed the result")
+    }
+  }
 }
