@@ -191,10 +191,19 @@ object MediaCodecs {
     val stride = rowStride(width)
     val frameBytes = stride * height // stride is 4-aligned → even
     val nf = frames.length
+    // size arithmetic in Long: enough frames overflow Int into a
+    // negative ByteBuffer.allocate (or corrupt RIFF sizes just under
+    // the limit) — fail with the real reason instead
     val hdrlSize = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
-    val moviSize = 4 + nf * (8 + frameBytes)
-    val idx1Size = nf * 16
-    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize) + (8 + idx1Size)
+    val moviSizeL = 4L + nf.toLong * (8L + frameBytes)
+    val idx1SizeL = nf.toLong * 16
+    val riffSizeL = 4L + (8 + hdrlSize) + (8 + moviSizeL) + (8 + idx1SizeL)
+    require(8 + riffSizeL <= Int.MaxValue,
+      s"AVI too large for a single RIFF buffer: ${8 + riffSizeL} bytes " +
+        s"($nf frames x $frameBytes); split the frame sequence")
+    val moviSize = moviSizeL.toInt
+    val idx1Size = idx1SizeL.toInt
+    val riffSize = riffSizeL.toInt
     val buf = ByteBuffer.allocate(8 + riffSize)
       .order(ByteOrder.LITTLE_ENDIAN)
     def fcc(s: String): Unit = { var i = 0
@@ -260,6 +269,14 @@ object MediaCodecs {
     require(bytes.length >= 12 && fourcc(0) == "RIFF" &&
       fourcc(8) == "AVI ", "not an AVI (RIFF magic)")
     var width = 0; var height = 0; var fps = 0
+    // multi-stream AVIs: frame chunks are tagged with their stream
+    // index ("00db" = stream 0) — accept only the FIRST 'vids'
+    // stream's chunks and headers, so an audio strl (whose strf is a
+    // WAVEFORMATEX, not a BITMAPINFOHEADER) or a second video stream
+    // can't interleave frames or overwrite geometry/fps
+    var strhSeen = 0      // strh chunks walked so far (= stream index)
+    var vidStream = -1    // index of the first 'vids' stream
+    var curStrh = ""      // handler type of the current strl's strh
     val frames = Vector.newBuilder[Array[Byte]]
 
     def walk(from: Int, until: Int): Unit = {
@@ -278,13 +295,17 @@ object MediaCodecs {
         } else id match {
           case "strh" =>
             require(size >= 56, "strh too small")
-            if (fourcc(pos + 8) == "vids") {
+            curStrh = fourcc(pos + 8)
+            if (curStrh == "vids" && vidStream < 0) {
+              vidStream = strhSeen
               val scale = buf.getInt(pos + 28)
               val rate = buf.getInt(pos + 32)
               require(scale > 0, "bad strh scale")
               fps = rate / scale
             }
-          case "strf" if width == 0 =>
+            strhSeen += 1
+          case "strf" if curStrh == "vids" && vidStream == strhSeen - 1 &&
+              width == 0 =>
             require(size >= 40, "strf too small")
             width = buf.getInt(pos + 12)
             height = buf.getInt(pos + 16)
@@ -295,7 +316,8 @@ object MediaCodecs {
             require(width > 0 && height > 0 &&
               width.toLong * height * 3 <= Int.MaxValue,
               s"unreasonable AVI dimensions ${width}x$height")
-          case c if c.endsWith("db") || c.endsWith("dc") =>
+          case c if (c.endsWith("db") || c.endsWith("dc")) &&
+              vidStream >= 0 && c.take(2) == f"$vidStream%02d" =>
             require(width > 0, "frame chunk before strf header")
             val strideL = ((width.toLong * 3) + 3) & ~3L
             require(size >= strideL * height, "truncated frame chunk")

@@ -17,11 +17,19 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
+  /** One shared shingle-size default for the exact AND Bloom-prefiltered
+    * variants: [[bloomOverlapReport]] is documented as bit-identical to
+    * [[overlapReport]], so a caller relying on defaults must get the
+    * same report when switching implementations.
+    */
+  val DefaultShingle = 5
+
   /** Per-train-doc contamination report: (train_id, distinct shared
     * shingles, distinct benchmark docs hit). Clean docs don't appear.
     */
   def overlapReport(train: DataFrame, bench: DataFrame,
-      idCol: String, textCol: String, n: Int = 5): DataFrame = {
+      idCol: String, textCol: String,
+      n: Int = DefaultShingle): DataFrame = {
     def sh(df: DataFrame, as: String): DataFrame =
       df.select(col(idCol).as(as),
         explode(HashFns.wordShingles(col(textCol), n)).as("s"))
@@ -48,7 +56,7 @@ object Decontaminate {
     * DuckDB oracle (xt19).
     */
   def bloomOverlapReport(train: DataFrame, bench: DataFrame,
-      idCol: String, textCol: String, n: Int = 4,
+      idCol: String, textCol: String, n: Int = DefaultShingle,
       numBits: Int = 1 << 23, numHashes: Int = 5): DataFrame =
     reportAgainst(
       bloomIndex(bench, idCol, textCol, n, numBits, numHashes),
@@ -85,7 +93,7 @@ object Decontaminate {
       explode(HashFns.wordShingles(col(textCol), n)).as("s"))
 
   def bloomIndex(bench: DataFrame, idCol: String, textCol: String,
-      n: Int = 4, numBits: Int = 1 << 23,
+      n: Int = DefaultShingle, numBits: Int = 1 << 23,
       numHashes: Int = 5): BloomIndex = {
     val benchSh = shingled(bench, idCol, textCol, "bench_id", n)
     val bytes = benchSh

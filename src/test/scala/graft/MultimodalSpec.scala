@@ -337,6 +337,93 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("AVI decode binds to the first vids stream only: an audio strl " +
+      "neither supplies geometry nor interleaves frames") {
+    // hand-build a 2-stream AVI: stream 0 = auds (strf is a
+    // WAVEFORMATEX, not a BITMAPINFOHEADER), stream 1 = vids; movi
+    // holds an '00wb' audio chunk between two '01db' frames plus a
+    // decoy '00db' chunk that only stream-index filtering rejects
+    val w = 2; val h = 2
+    val px = Array.tabulate(w * h * 3)(i => (i * 11 % 256).toByte)
+    val single = MediaCodecs.encodeAvi(w, h, 7, Seq(px))
+    val stride = (w * 3 + 3) & ~3
+    val frameBytes = stride * h
+    // pull the encoded DIB frame payload out of the single-stream file
+    val moviAt = {
+      var i = 12
+      while (!(new String(single, i, 4, "US-ASCII") == "LIST" &&
+        new String(single, i + 8, 4, "US-ASCII") == "movi")) i += 1
+      i
+    }
+    val dib = java.util.Arrays.copyOfRange(single,
+      moviAt + 12 + 8, moviAt + 12 + 8 + frameBytes)
+    val bb = java.nio.ByteBuffer.allocate(4096)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fcc(s: String): Unit = s.foreach(c => bb.put(c.toByte))
+    def chunk(id: String, body: Array[Byte]): Unit = {
+      fcc(id); bb.putInt(body.length); bb.put(body)
+      if ((body.length & 1) == 1) bb.put(0.toByte)
+    }
+    val strhVids = java.util.Arrays.copyOfRange(single, {
+      var i = 12
+      while (new String(single, i, 4, "US-ASCII") != "strh") i += 1
+      i + 8
+    }, {
+      var i = 12
+      while (new String(single, i, 4, "US-ASCII") != "strh") i += 1
+      i + 8 + 56
+    })
+    val strfVids = java.util.Arrays.copyOfRange(single, {
+      var i = 12
+      while (new String(single, i, 4, "US-ASCII") != "strf") i += 1
+      i + 8
+    }, {
+      var i = 12
+      while (new String(single, i, 4, "US-ASCII") != "strf") i += 1
+      i + 8 + 40
+    })
+    val strhAuds = new Array[Byte](56)
+    System.arraycopy("auds".getBytes("US-ASCII"), 0, strhAuds, 0, 4)
+    val strfAuds = Array.tabulate[Byte](40)(i => (0xA0 + i).toByte)
+    bb.position(12) // leave room for RIFF header, fill after
+    fcc("LIST")
+    val hdrlSizeAt = bb.position(); bb.putInt(0); fcc("hdrl")
+    chunk("avih", new Array[Byte](56))
+    fcc("LIST"); bb.putInt(4 + 8 + 56 + 8 + 40); fcc("strl")
+    chunk("strh", strhAuds); chunk("strf", strfAuds)
+    fcc("LIST"); bb.putInt(4 + 8 + 56 + 8 + 40); fcc("strl")
+    chunk("strh", strhVids); chunk("strf", strfVids)
+    bb.putInt(hdrlSizeAt, bb.position() - hdrlSizeAt - 4)
+    fcc("LIST")
+    val moviSizeAt = bb.position(); bb.putInt(0); fcc("movi")
+    chunk("01db", dib)
+    chunk("00wb", Array.tabulate[Byte](32)(_.toByte))
+    chunk("00db", Array.fill[Byte](frameBytes)(0x55)) // decoy
+    chunk("01db", dib)
+    bb.putInt(moviSizeAt, bb.position() - moviSizeAt - 4)
+    val total = bb.position()
+    bb.position(0); fcc("RIFF"); bb.putInt(total - 8); fcc("AVI ")
+    val multi = java.util.Arrays.copyOf(bb.array(), total)
+    val dec = MediaCodecs.decodeAvi(multi)
+    assert(dec.width == w && dec.height == h && dec.fps == 7)
+    assert(dec.frames.length == 2,
+      s"must keep only the 2 vids frames, got ${dec.frames.length}")
+    dec.frames.foreach(f => assert(java.util.Arrays.equals(f, px),
+      "decoy stream-0 frame leaked into the vids stream"))
+  }
+
+  test("AVI encode rejects >2 GB totals instead of overflowing Int") {
+    // 1000x1000 frames are ~3 MB each; 800 of them pass the per-frame
+    // checks but total ~2.4 GB — must fail with the named guard, not a
+    // negative-size ByteBuffer.allocate
+    val w = 1000; val h = 1000
+    val one = new Array[Byte](w * h * 3)
+    val err = intercept[IllegalArgumentException] {
+      MediaCodecs.encodeAvi(w, h, 1, Seq.fill(800)(one))
+    }
+    assert(err.getMessage.contains("too large"), err.getMessage)
+  }
+
   test("AVI frame hashes == BMP aHash of the same pixels (shared " +
       "integer core through two different real containers)") {
     import spark.implicits._
