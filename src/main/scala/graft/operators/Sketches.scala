@@ -220,6 +220,34 @@ object MisraGries {
     }
     a
   }
+
+  /** Shared (de)serialization for the MG aggregate buffers. */
+  def toBytes(buf: java.util.HashMap[String, Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val kb = e.getKey.getBytes("UTF-8")
+      out.writeInt(kb.length); out.write(kb); out.writeLong(e.getValue)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  def fromBytes(bytes: Array[Byte]): java.util.HashMap[String, Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new java.util.HashMap[String, Long]()
+    var i = 0
+    while (i < n) {
+      val kb = new Array[Byte](in.readInt()); in.readFully(kb)
+      buf.put(new String(kb, "UTF-8"), in.readLong())
+      i += 1
+    }
+    buf
+  }
 }
 
 case class MisraGriesAgg(
@@ -279,32 +307,10 @@ case class MisraGriesAgg(
         keys.map(UTF8String.fromString(_).asInstanceOf[AnyRef]))
   }
 
-  override def serialize(buf: java.util.HashMap[String, Long]): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    out.writeInt(buf.size)
-    val it = buf.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      val kb = e.getKey.getBytes("UTF-8")
-      out.writeInt(kb.length); out.write(kb); out.writeLong(e.getValue)
-    }
-    out.flush()
-    bos.toByteArray
-  }
-
-  override def deserialize(bytes: Array[Byte]): java.util.HashMap[String, Long] = {
-    val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val n = in.readInt()
-    val buf = createAggregationBuffer()
-    var i = 0
-    while (i < n) {
-      val kb = new Array[Byte](in.readInt()); in.readFully(kb)
-      buf.put(new String(kb, "UTF-8"), in.readLong())
-      i += 1
-    }
-    buf
-  }
+  override def serialize(buf: java.util.HashMap[String, Long]): Array[Byte] =
+    MisraGries.toBytes(buf)
+  override def deserialize(bytes: Array[Byte])
+      : java.util.HashMap[String, Long] = MisraGries.fromBytes(bytes)
 
   override def withNewMutableAggBufferOffset(n: Int): MisraGriesAgg =
     copy(mutableAggBufferOffset = n)
@@ -312,6 +318,92 @@ case class MisraGriesAgg(
     copy(inputAggBufferOffset = n)
   override protected def withNewChildrenInternal(
       c: IndexedSeq[Expression]): MisraGriesAgg = copy(child = c(0))
+}
+
+/** Second-level Misra-Gries fold: merges PRE-BUILT summaries (the
+  * array<struct<g,c>> output of [[MisraGriesAgg]] withCounters) into
+  * one combined summary via the identical mergeable construction —
+  * the same math the in-plan partial/final merge and the (former)
+  * QS14 driver fold apply, but expressed as an aggregate so a
+  * chunk-grouped plan can fold its per-chunk summaries WITHOUT
+  * leaving the engine: per-chunk MG aggregation and the cross-chunk
+  * fold become one job instead of one job per chunk plus driver
+  * state. The combined undercount bound (≤ N/(capacity+1) on any
+  * merge tree) is Agarwal et al. 2012 thm 1 — summary-of-summaries
+  * is exactly the construction the theorem covers.
+  *
+  * Output: the sorted candidate keys ([[MisraGriesAgg]]'s
+  * counter-less shape — consumers recount exactly).
+  */
+case class MisraGriesMergeAgg(
+    child: Expression, capacity: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.HashMap[String, Long]] {
+
+  require(capacity > 0, "misra_gries_merge: capacity must be positive")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def prettyName: String = "misra_gries_merge"
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case ArrayType(s: StructType, _) if s.length == 2 &&
+        s(0).dataType == StringType && s(1).dataType == LongType =>
+        TypeCheckSuccess
+      case other => TypeCheckFailure(
+        s"misra_gries_merge expects array<struct<g string, c bigint>> " +
+          s"(the misra_gries withCounters output), got $other")
+    }
+  }
+
+  override def createAggregationBuffer(): java.util.HashMap[String, Long] =
+    new java.util.HashMap[String, Long]()
+
+  override def update(buf: java.util.HashMap[String, Long],
+      input: InternalRow): java.util.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val incoming = new java.util.HashMap[String, Long]()
+      var i = 0
+      while (i < arr.numElements()) {
+        val row = arr.getStruct(i, 2)
+        incoming.put(row.getUTF8String(0).toString, row.getLong(1))
+        i += 1
+      }
+      MisraGries.merge(buf, incoming, capacity)
+    }
+    buf
+  }
+
+  override def merge(a: java.util.HashMap[String, Long],
+      b: java.util.HashMap[String, Long]): java.util.HashMap[String, Long] =
+    MisraGries.merge(a, b, capacity)
+
+  override def eval(buf: java.util.HashMap[String, Long]): Any = {
+    val keys = new Array[String](buf.size)
+    buf.keySet().toArray(keys)
+    java.util.Arrays.sort(keys.asInstanceOf[Array[AnyRef]])
+    new GenericArrayData(
+      keys.map(UTF8String.fromString(_).asInstanceOf[AnyRef]))
+  }
+
+  override def serialize(buf: java.util.HashMap[String, Long]): Array[Byte] =
+    MisraGries.toBytes(buf)
+  override def deserialize(bytes: Array[Byte])
+      : java.util.HashMap[String, Long] = MisraGries.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(n: Int): MisraGriesMergeAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): MisraGriesMergeAgg =
+    copy(inputAggBufferOffset = n)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): MisraGriesMergeAgg = copy(child = c(0))
 }
 
 object Sketches {
@@ -341,6 +433,14 @@ object Sketches {
     */
   def misraGriesCounters(c: Column, capacity: Int): Column =
     Bridge.column(MisraGriesAgg(e(c), capacity, withCounters = true)
+      .toAggregateExpression())
+
+  /** Aggregate column folding [[misraGriesCounters]] SUMMARIES into
+    * one combined candidate list (sorted keys) — the in-engine
+    * summary-of-summaries fold ([[MisraGriesMergeAgg]]).
+    */
+  def misraGriesMerge(c: Column, capacity: Int): Column =
+    Bridge.column(MisraGriesMergeAgg(e(c), capacity)
       .toAggregateExpression())
 
   import org.apache.spark.sql.DataFrame

@@ -475,47 +475,47 @@ object Streams {
   }
 
   /** QS14: exact heavy hitters over doc_id-ordered chunks — the xk12
-    * stream face. Per chunk, ONE bounded Misra-Gries summary (with
-    * its lower-bound counters) collects to the driver (≤ capacity
-    * entries — the sketch IS the state, fixed-size however large the
-    * stream grows) and folds into the running summary via the SAME
-    * mergeable combine the in-plan merge uses, alongside the running
-    * token total. After the last chunk, one exact recount over the
-    * archived corpus thresholds the accumulated candidates. Equal to
-    * one-shot xk12 on ANY chunking: the mergeable-summaries bound
-    * holds on any merge tree (no heavy item can be missing), and
-    * chunking-dependent extras die at the exact threshold.
+    * stream face. Per chunk, ONE bounded Misra-Gries summary (with its
+    * lower-bound counters); the per-chunk summaries then fold through
+    * [[graft.operators.MisraGriesMergeAgg]] — the summary-of-summaries
+    * aggregate applying the SAME mergeable combine — so the whole
+    * sketch phase is ONE plan (chunk-grouped partials → one combined
+    * candidate list), not one job per chunk plus driver HashMap state
+    * (the round-7 shape; the per-chunk job launches were pure overhead
+    * and the driver fold, while bounded, lived outside the engine).
+    * The exact recount then thresholds the accumulated candidates over
+    * the archived corpus. Equal to one-shot xk12 on ANY chunking: the
+    * mergeable-summaries bound holds on any merge tree (no heavy item
+    * can be missing), and chunking-dependent extras die at the exact
+    * threshold. State stays sketch-sized by construction: each chunk
+    * contributes ≤ capacity counters, the fold buffer holds ≤ capacity.
     */
   def heavyHittersChunked(docs: DataFrame, bounds: Seq[Long],
       denom: Long = 1000L, capacity: Int = 4096): DataFrame = {
     require(capacity + 1 > denom,
       "heavyHittersChunked: need capacity+1 > denom (MG no-miss)")
-    val words = docs.select(
+    val edges = bounds.sorted
+    // doc_id → chunk index: the stream's batch id, as a column
+    val chunk = edges.zipWithIndex.foldLeft(lit(edges.length)) {
+      case (acc, (b, i)) => when(col("doc_id") < b, i).otherwise(acc)
+    }
+    val words = docs.select(chunk.as("__chunk"),
       explode(graft.functions.TextFns.tokens(col("text"))).as("g"))
-    def chunkWords(lo: Long, hi: Long) = docs
-      .where(col("doc_id") >= lo && col("doc_id") < hi)
-      .select(explode(graft.functions.TextFns.tokens(col("text"))).as("g"))
-    val summary = new java.util.HashMap[String, Long]()
-    var total = 0L
-    val edges = (Long.MinValue +: bounds.sorted) :+ Long.MaxValue
-    edges.sliding(2).foreach { case Seq(lo, hi) =>
-      val row = chunkWords(lo, hi).agg(
-        graft.operators.Sketches.misraGriesCounters(col("g"), capacity)
-          .as("cs"),
-        count(lit(1)).as("n")).collect()(0)
-      val batch = new java.util.HashMap[String, Long]()
-      row.getSeq[org.apache.spark.sql.Row](0)
-        .foreach(r => batch.put(r.getString(0), r.getLong(1)))
-      graft.operators.MisraGries.merge(summary, batch, capacity)
-      total += row.getLong(1)
-    }
-    val cands = {
-      val ks = new Array[String](summary.size)
-      summary.keySet().toArray(ks)
-      ks.toSeq.sorted
-    }
-    graft.operators.Sketches.heavyHittersFromCandidates(
-      words, "g", denom, cands, total)
+    val perChunk = words.groupBy("__chunk").agg(
+      graft.operators.Sketches.misraGriesCounters(col("g"), capacity)
+        .as("cs"),
+      count(lit(1)).as("n"))
+    val folded = perChunk.agg(
+      graft.operators.Sketches.misraGriesMerge(col("cs"), capacity)
+        .as("cands"),
+      sum(col("n")).as("total"))
+    val cand = folded.select(explode(col("cands")).as("g"), col("total"))
+    words.select("g").join(broadcast(cand), "g")
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), min(col("total")).as("total"))
+      .where(col("n") * denom >= col("total"))
+      .select(col("g"), col("n"))
+      .orderBy(desc("n"), col("g"))
   }
 
   /** Run the QS12 stream: delta document files → per-micro-batch

@@ -1169,7 +1169,7 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("chunked heavy hitters == one-shot on every chunking (QS14: " +
-      "driver-folded MG summaries keep the no-miss bound)") {
+      "in-plan MG summary-of-summaries fold keeps the no-miss bound)") {
     val oneShot = graft.operators.Sketches.heavyHitters(
         docs.select(explode(
           graft.functions.TextFns.tokens(col("text"))).as("g")),
