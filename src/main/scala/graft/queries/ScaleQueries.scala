@@ -376,8 +376,43 @@ object ScaleQueries {
         explode(graft.functions.TextFns.tokens(col("text"))).as("g"))
       graft.operators.Sketches.heavyHitters(words, "g",
         denom = 1000L, capacity = 4096)
+    },
+
+    // Exact grouped percentiles THROUGH a mergeable quantile sketch
+    // (xk13) — the xk12 two-pass pattern applied to quantiles, giving
+    // q32/q40 a 100 TB path that never full-sorts: pass 1 aggregates
+    // one <=512-mark rank-bounded summary per group (marks cross the
+    // shuffle, never the group's rows); the summary's explicit
+    // [rmin,rmax] bounds give a GUARANTEED bracket around each target
+    // order statistic; pass 2 recounts below the bracket and
+    // rank-orders only the ~4n/s in-bracket candidates. Output is
+    // EXACT — the oracle is q32's full-sort QUANTILE_CONT replay, and
+    // sketch degradation can only widen brackets (more candidate
+    // work), never change a value.
+    Q("xk13_quantile_sketch",
+      """SELECT l_returnflag,
+        |ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS p50,
+        |ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS p90,
+        |ROUND(QUANTILE_CONT(l_extendedprice, 0.99), 4) AS p99
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      quantileWide(graft.operators.Quantiles.exactQuantiles(
+        t(s, d, "lineitem"), Seq("l_returnflag"), "l_extendedprice",
+        Seq(0.5, 0.9, 0.99), s = 512))
     }
   )
+
+  /** Pivot the (group, qidx, p, q) long output of the exact-quantile
+    * pass to q32's wide (l_returnflag, p50, p90, p99) shape — shared
+    * by xk13 and its qs15 stream face.
+    */
+  def quantileWide(long: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    long.groupBy("l_returnflag")
+      .agg(max(when(col("qidx") === 0, col("q"))).as("p50"),
+        max(when(col("qidx") === 1, col("q"))).as("p90"),
+        max(when(col("qidx") === 2, col("q"))).as("p99"))
+      .orderBy("l_returnflag")
 
   /** 16-bit md5 bucket in DuckDB SQL — the 4-nibble STRPOS expansion
     * of [[Scale.hashBucket16]] (DuckDB has no base-conversion

@@ -478,6 +478,29 @@ object StreamBatchQueries {
         .oracle.get) { (s, d) =>
       graft.streaming.Streams.heavyHittersChunked(
         t(s, d, "documents"), bounds = Seq(150L, 400L))
+    },
+
+    // Streaming exact quantiles (QS15, the xk13 stream face): per
+    // l_orderkey-ordered chunk one rank-bounded quantile summary per
+    // group, folded through the in-plan QuantileSketchMergeAgg (the
+    // qs14 summary-of-summaries shape — bounded state, <=512 marks
+    // per group however long the stream runs), then xk13's exact
+    // bracket-recount pass. Equal to one-shot xk13 on ANY chunking:
+    // the merged summary's brackets may differ with the chunking, but
+    // the exact pass's OUTPUT never depends on the brackets — only
+    // its candidate volume does. Oracle shared by reference with xk13
+    // so the two contracts can never drift.
+    Q("qs15_stream_quantiles",
+      ScaleQueries.all.find(_.name == "xk13_quantile_sketch").get
+        .oracle.get) { (s, d) =>
+      val li = t(s, d, "lineitem")
+      ScaleQueries.quantileWide(
+        graft.operators.Quantiles.exactQuantilesChunked(
+          li,
+          when(col("l_orderkey") < 20000L, 0)
+            .when(col("l_orderkey") < 40000L, 1).otherwise(2),
+          Seq("l_returnflag"), "l_extendedprice",
+          Seq(0.5, 0.9, 0.99), s = 512))
     }
   )
 }

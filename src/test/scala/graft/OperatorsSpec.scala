@@ -1184,4 +1184,117 @@ class OperatorsSpec extends SparkSpec {
       assert(chunked == oneShot, s"chunking $bounds changed the result")
     }
   }
+
+  test("quantile sketch invariants: every mark's [rmin,rmax] intersects " +
+      "its value's true rank range on ANY merge tree (xk13 core)") {
+    import graft.operators.QuantileSketch
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 30) {
+      val n = 200 + rnd.nextInt(3000)
+      val s = Seq(16, 64, 256)(trial % 3)
+      // duplicates + skew: values from a small-ish discrete domain
+      val data = Array.fill(n)(
+        math.floor(rnd.nextDouble() * (10 + rnd.nextInt(500))) / 7.0)
+      // random partitioning into 1..12 chunks, random pairwise merges
+      val parts = 1 + rnd.nextInt(12)
+      val bufs = scala.collection.mutable.Buffer.tabulate(parts) { p =>
+        val b = new QuantileSketch.Buf(s)
+        data.zipWithIndex.filter(_._2 % parts == p)
+          .foreach { case (v, _) => b.add(v) }
+        b
+      }
+      while (bufs.length > 1) {
+        val i = rnd.nextInt(bufs.length - 1)
+        bufs(i).absorb(bufs.remove(i + 1))
+      }
+      val sum = bufs.head.summary
+      assert(sum.n == n)
+      assert(sum.marks.length <= s,
+        s"summary exceeded its size bound: ${sum.marks.length} > $s")
+      val sorted = data.sorted
+      def countLt(v: Double) = sorted.count(_ < v).toLong
+      def countLe(v: Double) = sorted.count(_ <= v).toLong
+      sum.marks.foreach { m =>
+        assert(countLe(m.v) >= m.rmin,
+          s"I1 broke: count(<=${m.v})=${countLe(m.v)} < rmin=${m.rmin}")
+        assert(countLt(m.v) + 1 <= m.rmax,
+          s"I2 broke: count(<${m.v})+1=${countLt(m.v) + 1} > ${m.rmax}")
+      }
+      // bracket enclosure for a spread of target ranks
+      for (r <- Seq(1L, n / 4L, n / 2L, 3L * n / 4, n.toLong)) {
+        val target = sorted((r - 1).toInt)
+        val (a, b) = sum.bracket(r)
+        a.foreach(av => assert(av <= target,
+          s"bracket lower $av > ${r}th smallest $target"))
+        b.foreach(bv => assert(bv >= target,
+          s"bracket upper $bv < ${r}th smallest $target"))
+      }
+    }
+  }
+
+  test("exact quantiles via sketch == full-sort QUANTILE_CONT, any " +
+      "summary size / chunking; candidate volume stays ~n/s (xk13/qs15)") {
+    import org.apache.spark.sql.expressions.Window
+    val li = T.t(spark, sf0001, "lineitem")
+    val ps = Seq(0.5, 0.9, 0.99)
+    // ground truth: the q32 full-sort window formulation
+    val price = col("l_extendedprice")
+    val ranked = li.select(col("l_returnflag"), price)
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(col("l_returnflag"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("l_returnflag")).orderBy(price)))
+    def pct(p: Double) = {
+      val pos = lit(p) * (col("n") - 1)
+      val loIdx = floor(pos) + 1
+      val loV = max(when(col("rn") === loIdx, price))
+      val hiV = coalesce(max(when(col("rn") === loIdx + 1, price)), loV)
+      round(loV + min(pos - floor(pos)) * (hiV - loV), 4)
+    }
+    val truth = ranked.groupBy("l_returnflag")
+      .agg(pct(0.5).as("q0"), pct(0.9).as("q1"), pct(0.99).as("q2"))
+      .collect()
+      .flatMap(r => ps.indices.map(i =>
+        (r.getString(0), i) -> r.getDouble(1 + i))).toMap
+    assert(truth.nonEmpty)
+    for (s <- Seq(64, 512)) {
+      val got = graft.operators.Quantiles.exactQuantiles(
+          li, Seq("l_returnflag"), "l_extendedprice", ps, s)
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(3)).toMap
+      assert(got == truth, s"sketch path diverged from full sort at s=$s")
+    }
+    // chunked (qs15) == one-shot on two different chunkings
+    for (mod <- Seq(3, 7)) {
+      val got = graft.operators.Quantiles.exactQuantilesChunked(
+          li, pmod(col("l_orderkey"), lit(mod)),
+          Seq("l_returnflag"), "l_extendedprice", ps, s = 512)
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(3)).toMap
+      assert(got == truth, s"chunking %$mod changed the result")
+    }
+    // the scale claim: brackets enclose ~n/s candidates, not the group
+    val s = 512
+    val sums = li.groupBy("l_returnflag")
+      .agg(graft.operators.Quantiles
+        .quantileSketch(price.cast("double"), s).as("qs"))
+      .collect()
+      .map(r => r.getString(0) ->
+        graft.operators.QuantileSketch.fromRow(r.getStruct(1)))
+    val byFlag = li.select(col("l_returnflag"), price).collect()
+      .groupBy(_.getString(0)).map { case (f, rows) =>
+        f -> rows.map(_.getDouble(1)).sorted }
+    sums.foreach { case (flag, sum) =>
+      val vals = byFlag(flag)
+      for (p <- ps) {
+        val r = math.floor(p * (sum.n - 1)).toLong + 1
+        val (a, b) = sum.bracket(r)
+        val cand = vals.count(v =>
+          a.forall(v >= _) && b.forall(v <= _))
+        assert(cand <= 16 * sum.n / s + 16,
+          s"$flag p=$p bracket holds $cand of ${sum.n} values " +
+            s"(> 16n/s) — pruning degraded")
+      }
+    }
+  }
 }
