@@ -84,6 +84,63 @@ object Dedup {
     docs.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Full-width → ASCII fold: U+FF01–U+FF5E are the width variants of
+    * 0x21–0x7E (offset 0xFEE0), U+3000 is the ideographic space. NFC
+    * does NOT touch these (compatibility, not canonical, equivalence —
+    * NFKC territory), and DuckDB has no NFKC, so both engines fold
+    * them with the SAME `translate` table instead.
+    */
+  val FullwidthFrom: String =
+    (0x21 to 0x7e).map(c => (0xFEE0 + c).toChar).mkString + "　"
+  val FullwidthTo: String = (0x21 to 0x7e).map(_.toChar).mkString + " "
+
+  /** CCNet-style dedup-key normalization (Wenzek et al. 2020 §3.1
+    * shape): NFC canonical composition ([[HashFns.nfcNormalize]] —
+    * composed and decomposed accents become one string) → full-width
+    * fold → casefold → strip ASCII punctuation → collapse whitespace
+    * runs → trim. Every step is a narrow per-row map; feed the result
+    * to [[exactDedup]] / MinHash / paragraph keys so cosmetic variants
+    * (é vs e+◌́, ＡＢＣ vs ABC, spacing/punctuation noise) land in one
+    * dedup bucket. The DuckDB replay is the same chain over
+    * `nfc_normalize`/`translate`/`lower`/`regexp_replace` (xd13's
+    * oracle); `[[:punct:]]` and `\s` denote the identical ASCII sets
+    * in Java regex and RE2. Known edge: Java lowercases U+0130 (İ) to
+    * i+combining-dot where DuckDB folds to plain i — Turkish-İ corpora
+    * would need a pre-fold, documented rather than papered over.
+    */
+  def ccnetNormalize(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        lower(translate(HashFns.nfcNormalize(c),
+          FullwidthFrom, FullwidthTo)),
+        "[\\p{Punct}]+", ""),
+      "\\s+", " "))
+
+  /** The same chain in DuckDB SQL over expression `x`. */
+  def ccnetNormalizeSql(x: String): String =
+    "TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(TRANSLATE(" +
+      s"NFC_NORMALIZE($x), '$FullwidthFrom', " +
+      // ASCII punctuation inside a SQL string: escape the quote
+      s"'${FullwidthTo.replace("'", "''")}')), " +
+      "'[[:punct:]]+', '', 'g'), '\\s+', ' ', 'g'))"
+
+  /** Exact dedup UNDER the CCNet normalization (xd13): keep the lowest
+    * id per normalized key, with the number of collapsed variants.
+    * Same one-hash-shuffle scale shape as [[exactDedup]]; only the key
+    * derivation differs (a longer narrow map). Output: (idCol,
+    * n_forms), survivors only.
+    */
+  def normalizedDedup(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k"))
+    df.withColumn("__k", sha2(ccnetNormalize(col(textCol)), 256))
+      .withColumn("__rn", row_number().over(w.orderBy(col(idCol))))
+      .withColumn("n_forms", count(lit(1)).over(w))
+      .where(col("__rn") === 1)
+      .select(col(idCol), col("n_forms"))
+  }
+
   /** Exact dedup on normalized text: keep the lowest id per normalized
     * sha256 — one hash-shuffle, the 100TB-safe exact dedup.
     */

@@ -5,6 +5,7 @@ import java.security.MessageDigest
 import scala.util.hashing.MurmurHash3
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.graftbridge.Bridge
 
@@ -907,8 +908,42 @@ case class RandomProjection(child: Expression, k: Int)
 }
 
 /** Column wrappers for the expressions above. */
+/** Unicode NFC normalization (canonical composition) as a fused
+  * string expression — the one piece of the CCNet-style dedup-key
+  * normalization chain ([[Dedup.ccnetNormalize]]) Spark has no builtin
+  * for. é as U+00E9 and as e+U+0301 hash differently through every
+  * dedup key; NFC makes them one string, exactly like DuckDB's
+  * `nfc_normalize` (the oracle's side of the contract).
+  * `Normalizer.isNormalized` short-circuits the (overwhelmingly
+  * common) already-NFC case without allocating.
+  */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with FusedUnary {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize expects string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.toString
+    if (java.text.Normalizer.isNormalized(s,
+        java.text.Normalizer.Form.NFC)) input
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
 object HashFns {
   private def e(c: Column): Expression = Bridge.expression(c)
+  def nfcNormalize(c: Column): Column =
+    Bridge.column(NfcNormalize(e(c)))
   def minhashSignature(c: Column, k: Int = HashParams.K): Column =
     Bridge.column(MinHashSignature(e(c), k))
   def simhash60(c: Column): Column = Bridge.column(SimHash60(e(c)))

@@ -459,6 +459,29 @@ object DedupQueries {
         |ORDER BY doc_id""".stripMargin) { (s, d) =>
       Dedup.substringDedup(t(s, d, "documents"), "doc_id", "text", l = 40)
         .orderBy("doc_id")
+    },
+
+    // Exact dedup UNDER the CCNet normalization front-end (xd13): NFC
+    // canonical composition (fused expression) → full-width fold
+    // (shared translate table) → casefold → punctuation strip →
+    // whitespace collapse, then keep-lowest-id per normalized key.
+    // Cosmetic variants — composed vs decomposed accents, ＡＢＣ vs
+    // ABC, spacing/punct noise — collapse to one survivor (the crafted
+    // Unicode fixtures live in OperatorsSpec; the corpus entry proves
+    // the chain is cross-engine identical char for char). Same
+    // one-hash-shuffle scale shape as xd5; the key derivation is a
+    // longer narrow map.
+    Q("xd13_normalized_dedup",
+      s"""WITH n AS (
+        |  SELECT doc_id,
+        |    ${Dedup.ccnetNormalizeSql("text")} AS k
+        |  FROM documents
+        |)
+        |SELECT MIN(doc_id) AS doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_forms
+        |FROM n GROUP BY k ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Dedup.normalizedDedup(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
     }
   )
 }

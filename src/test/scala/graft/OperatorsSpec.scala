@@ -1185,6 +1185,41 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("xd13 normalization chain: composed==decomposed accents, " +
+      "width variants, punct/space noise collapse to one survivor") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "Café au lait"),           // é composed (U+00E9)
+      (2L, "Café au lait"),          // e + combining acute
+      (3L, "Ｃａｆｉ au lait"),  // Ｃａｆｉ — different!
+      (4L, "CAFÉ   au,, lait!!"),     // case + punct + space noise
+      (5L, "café　au　lait"), // ideographic spaces
+      (6L, "ＣＡＦＥ AU LAIT"), // ＣＡＦＥ full-width
+      (7L, "cafe au lait"),                // no accent — distinct key
+      (8L, "unrelated text")
+    ).toDF("doc_id", "text")
+    val norm = fixture
+      .select(col("doc_id"), Dedup.ccnetNormalize(col("text")).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(norm(1L) == "café au lait")
+    assert(norm(2L) == norm(1L), "NFC must merge composed/decomposed")
+    assert(norm(4L) == norm(1L), "casefold+punct+space must collapse")
+    assert(norm(5L) == norm(1L), "ideographic space must fold")
+    assert(norm(6L) == norm(7L), "full-width must fold to ASCII")
+    assert(norm(3L) != norm(1L), "different letters must NOT merge")
+    val surv = Dedup.normalizedDedup(fixture, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(surv == Map(1L -> 4L, 3L -> 1L, 6L -> 2L, 8L -> 1L),
+      s"unexpected survivors: $surv")
+    // the chain FEEDS the existing dedup family: exactDedup over the
+    // normalized column sees the same four groups
+    val viaExact = Dedup.exactDedup(
+        fixture.withColumn("text", Dedup.ccnetNormalize(col("text"))),
+        "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(viaExact == Seq(1L, 3L, 6L, 8L))
+  }
+
   test("quantile sketch invariants: every mark's [rmin,rmax] intersects " +
       "its value's true rank range on ANY merge tree (xk13 core)") {
     import graft.operators.QuantileSketch
