@@ -399,6 +399,49 @@ object ScaleQueries {
       quantileWide(graft.operators.Quantiles.exactQuantiles(
         t(s, d, "lineitem"), Seq("l_returnflag"), "l_extendedprice",
         Seq(0.5, 0.9, 0.99), s = 512))
+    },
+
+    // Domain cap keyed on the CANONICAL host (xk14) — xk10's
+    // RefinedWeb cap run the way a real crawl runs it: the xt21 URL
+    // front-end first (raw crawl URLs scatter one site across WWW./
+    // case/port variants — capping on the raw string under-caps),
+    // then at most 10 docs per canonical host (smallest doc_id), each
+    // kept row carrying the per-host rollup (docs + chars on the FULL
+    // host, pre-cap). One shuffle on the host for the window+rollup;
+    // the URL work is the xt21 narrow map.
+    Q("xk14_host_cap",
+      s"""WITH u AS (
+         |  SELECT doc_id, n_chars,
+         |    ${graft.operators.Urls.syntheticUrlSql("doc_id", "source")}
+         |      AS url
+         |  FROM documents
+         |), h AS (
+         |  SELECT doc_id, n_chars,
+         |    ${graft.operators.Urls.canonicalHostSql("url")} AS host
+         |  FROM u
+         |), r AS (
+         |  SELECT host, doc_id, n_chars,
+         |    COUNT(*) OVER (PARTITION BY host) AS host_docs,
+         |    SUM(n_chars) OVER (PARTITION BY host) AS host_chars,
+         |    ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id) AS rn
+         |  FROM h
+         |)
+         |SELECT host, doc_id, CAST(host_docs AS BIGINT) AS host_docs,
+         |  CAST(host_chars AS BIGINT) AS host_chars
+         |FROM r WHERE rn <= 10 ORDER BY host, doc_id""".stripMargin) {
+      (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.{Scale, Urls}
+      val w = Window.partitionBy("host")
+      val hosts = t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          Urls.canonicalHost(
+            Urls.syntheticUrl(col("doc_id"), col("source"))).as("host"))
+        .withColumn("host_docs", count(lit(1)).over(w))
+        .withColumn("host_chars", sum("n_chars").over(w))
+      Scale.groupCap(hosts, Seq("host"), Seq(col("doc_id").asc), k = 10)
+        .select("host", "doc_id", "host_docs", "host_chars")
+        .orderBy("host", "doc_id")
     }
   )
 

@@ -1038,6 +1038,35 @@ object TextAnalysisQueries {
         graft.operators.Retrieval.queriesFromDocs(docs, "doc_id",
           "text", nQueries = 5),
         k = 10)
+    },
+
+    // URL canonicalization (xt21): a deterministically MESSY synthetic
+    // url per document (mixed-case scheme/host, www., default+explicit
+    // ports, //, /./, one ../ climb, fragments, queries — the driver
+    // testdata has no URL column) canonicalized per the Urls rules.
+    // Spark parses with parse_url (java.net.URI) + builtin string
+    // expressions — a pure narrow map, zero shuffle; the oracle
+    // re-derives every part with ITS OWN regex parser, so the hash
+    // gate compares two independent implementations of the spec.
+    Q("xt21_url_canonicalize",
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |    ${graft.operators.Urls.syntheticUrlSql("doc_id", "source")}
+         |      AS url
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  ${graft.operators.Urls.canonicalUrlSql("url")} AS url,
+         |  ${graft.operators.Urls.canonicalHostSql("url")} AS host
+         |FROM u ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.operators.Urls
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          Urls.syntheticUrl(col("doc_id"), col("source")).as("__raw"))
+        .select(col("doc_id"),
+          Urls.canonicalUrl(col("__raw")).as("url"),
+          Urls.canonicalHost(col("__raw")).as("host"))
+        .orderBy("doc_id")
     }
   )
 }

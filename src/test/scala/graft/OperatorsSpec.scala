@@ -1220,6 +1220,42 @@ class OperatorsSpec extends SparkSpec {
     assert(viaExact == Seq(1L, 3L, 6L, 8L))
   }
 
+  test("xt21 URL canonicalization: targeted rule coverage, and the " +
+      "whole chain is a join-free narrow map") {
+    import spark.implicits._
+    import graft.operators.Urls
+    val cases = Seq(
+      // scheme+host case, www, default http port, fragment
+      ("HTTP://WWW.News.Example.COM:80/a/b#frag",
+        "http://news.example.com/a/b", "news.example.com"),
+      // https default port dropped, explicit non-default kept
+      ("https://Site.ORG:443/x", "https://site.org/x", "site.org"),
+      ("https://site.org:8443/x", "https://site.org:8443/x", "site.org"),
+      // http with https' default port: NOT default for http — kept
+      ("http://a.b:443/x", "http://a.b:443/x", "a.b"),
+      // path: //, /./, one ../ climb, trailing slash; query kept
+      ("http://h.io/a//b/c", "http://h.io/a/b/c", "h.io"),
+      ("http://h.io/a/./b?q=1#f", "http://h.io/a/b?q=1", "h.io"),
+      ("http://h.io/a/skip/../b/", "http://h.io/a/b", "h.io"),
+      ("http://h.io/", "http://h.io/", "h.io"),
+      // www only strips as a PREFIX label
+      ("http://wwwx.io/p", "http://wwwx.io/p", "wwwx.io"))
+    val got = cases.map(_._1).toDF("u")
+      .select(Urls.canonicalUrl(col("u")).as("url"),
+        Urls.canonicalHost(col("u")).as("host"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    cases.zip(got).foreach { case ((raw, wantU, wantH), (gu, gh)) =>
+      assert(gu == wantU, s"$raw canonicalized to $gu, want $wantU")
+      assert(gh == wantH, s"$raw host $gh, want $wantH")
+    }
+    val plan = docs
+      .select(Urls.canonicalUrl(
+        Urls.syntheticUrl(col("doc_id"), col("source"))).as("url"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      s"xt21 must be a join-free narrow map:\n$plan")
+  }
+
   test("quantile sketch invariants: every mark's [rmin,rmax] intersects " +
       "its value's true rank range on ANY merge tree (xk13 core)") {
     import graft.operators.QuantileSketch
