@@ -74,4 +74,39 @@ object Retrieval {
       .select(col(idCol).as("qid"),
         explode(slice(array_sort(array_distinct(
           TextFns.tokens(col(textCol)))), 1, 8)).as("w"))
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher SIGIR'09) of
+    * two per-query ranked lists — the standard hybrid-retrieval merge
+    * of a sparse (BM25) and a dense (ANN) arm in a RAG stack. Inputs:
+    * (qid, id, rnk) each; score = Σ_arms 1/(c + rnk), a missing arm
+    * contributing 0. Deterministic by construction: the ranks are
+    * ints, each reciprocal is one IEEE division, and the sum is two
+    * terms in fixed arm order — exactly replayable in SQL, so unlike
+    * the arms themselves (approximate retrieval) the FUSION is
+    * hash-gated with no rounding risk beyond the displayed r4.
+    *
+    * Scale shape: both inputs are bounded top-k lists (≤ k rows per
+    * query), so the full-outer join and the per-query rank window
+    * touch queries×k rows — nothing corpus-sized. Output: (qid, rnk
+    * 1..k, id, score r4), ties broken by id.
+    */
+  def rrfFuse(sparse: DataFrame, dense: DataFrame, k: Int,
+      c: Int = 60): DataFrame = {
+    import graft.queries.T.r4
+    import org.apache.spark.sql.expressions.Window
+    val s = sparse.select(col("qid"), col("id"), col("rnk").as("__rs"))
+    val dn = dense.select(col("qid"), col("id"), col("rnk").as("__rd"))
+    val fused = s.join(dn, Seq("qid", "id"), "full_outer")
+      .select(col("qid"), col("id"),
+        (coalesce(lit(1.0) / (lit(c) + col("__rs")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("__rd")), lit(0.0)))
+          .as("__score"))
+    fused.withColumn("rnk", row_number().over(
+        Window.partitionBy("qid")
+          .orderBy(col("__score").desc, col("id"))).cast(IntegerType))
+      .where(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("id"),
+        r4(col("__score")).as("score"))
+      .orderBy("qid", "rnk")
+  }
 }

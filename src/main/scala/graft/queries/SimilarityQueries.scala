@@ -210,61 +210,10 @@ object SimilarityQueries {
     // 2 reranks only those with exact cosine. The oracle replays both
     // stages — the shortlist SET depends only on xs6's hash-gated ADC
     // values (ties to smaller id in both engines), and the rerank is
-    // xs1's exact-cosine arithmetic on that set.
-    Q("xs7_pq_rerank",
-      s"""WITH comp AS (
-        |  SELECT vec_id, label, UNNEST(embedding::DOUBLE[]) AS x,
-        |    GENERATE_SUBSCRIPTS(embedding, 1) AS pos
-        |  FROM embeddings
-        |), cm AS (
-        |  SELECT label AS clabel, pos,
-        |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
-        |      AS m
-        |  FROM comp GROUP BY 1, 2
-        |), ed AS (
-        |  SELECT c.vec_id, w.clabel, (c.pos-1)//8 AS j,
-        |    ${pivotSum("(c.pos-1)%8", "(c.x-w.m)*(c.x-w.m)", 8)} AS d2
-        |  FROM comp c JOIN cm w ON w.pos = c.pos
-        |  GROUP BY 1, 2, 3
-        |), enc AS (
-        |  SELECT vec_id, j, clabel AS code FROM (
-        |    SELECT vec_id, j, clabel, ROW_NUMBER() OVER (
-        |      PARTITION BY vec_id, j ORDER BY d2, clabel) AS rn
-        |    FROM ed)
-        |  WHERE rn = 1
-        |), lut AS (
-        |  SELECT vec_id AS qid, j, clabel, d2 FROM ed WHERE vec_id < 10
-        |), adc AS (
-        |  SELECT l.qid, e.vec_id AS id,
-        |    ${pivotSum("e.j", "l.d2", 8)} AS adc
-        |  FROM enc e JOIN lut l ON l.j = e.j AND l.clabel = e.code
-        |  WHERE e.vec_id <> l.qid
-        |  GROUP BY 1, 2
-        |), cand AS (
-        |  SELECT qid, id FROM (
-        |    SELECT qid, id, ROW_NUMBER() OVER (
-        |      PARTITION BY qid ORDER BY adc, id) AS rn
-        |    FROM adc)
-        |  WHERE rn <= 30
-        |)
-        |SELECT qid, rank, id, sim FROM (
-        |  SELECT c.qid, c.id,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY c.qid
-        |      ORDER BY raw DESC, c.id) AS INT) AS rank,
-        |    ROUND(raw, 4) AS sim
-        |  FROM (
-        |    SELECT c0.qid, c0.id,
-        |      LIST_INNER_PRODUCT(x.embedding::DOUBLE[],
-        |                         q.embedding::DOUBLE[]) /
-        |        (SQRT(LIST_INNER_PRODUCT(x.embedding::DOUBLE[],
-        |                                  x.embedding::DOUBLE[])) *
-        |         SQRT(LIST_INNER_PRODUCT(q.embedding::DOUBLE[],
-        |                                  q.embedding::DOUBLE[]))) AS raw
-        |    FROM cand c0
-        |    JOIN embeddings x ON x.vec_id = c0.id
-        |    JOIN embeddings q ON q.vec_id = c0.qid
-        |  ) c
-        |) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin) { (s, d) =>
+    // xs1's exact-cosine arithmetic on that set. The oracle text is
+    // shared with xt22's dense arm via pqRerankOracleSql.
+    Q("xs7_pq_rerank", pqRerankOracleSql(nQ = 10, shortlist = 30, k = 5)) {
+      (s, d) =>
       val emb = t(s, d, "embeddings")
       Similarity.pqRerankTopK(emb, emb.where(col("vec_id") < 10),
           "vec_id", "embedding", "label", k = 5, m = 8, shortlist = 30)
@@ -357,4 +306,65 @@ object SimilarityQueries {
   private def pivotSum(cond: String, term: String, n: Int): String =
     (0 until n).map(k => s"SUM(CASE WHEN $cond = $k THEN $term END)")
       .mkString(" + ")
+
+  /** The full xs7 PQ-rerank replay (decimal codebooks → argmin
+    * encoding → pivoted ADC → shortlist → exact-cosine rerank),
+    * parameterized so xs7 (queries vec_id < 10, top-5) and xt22's
+    * dense arm (vec_id < 5, top-10) share one SQL source.
+    */
+  private[queries] def pqRerankOracleSql(nQ: Int, shortlist: Int,
+      k: Int): String =
+    s"""WITH comp AS (
+      |  SELECT vec_id, label, UNNEST(embedding::DOUBLE[]) AS x,
+      |    GENERATE_SUBSCRIPTS(embedding, 1) AS pos
+      |  FROM embeddings
+      |), cm AS (
+      |  SELECT label AS clabel, pos,
+      |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+      |      AS m
+      |  FROM comp GROUP BY 1, 2
+      |), ed AS (
+      |  SELECT c.vec_id, w.clabel, (c.pos-1)//8 AS j,
+      |    ${pivotSum("(c.pos-1)%8", "(c.x-w.m)*(c.x-w.m)", 8)} AS d2
+      |  FROM comp c JOIN cm w ON w.pos = c.pos
+      |  GROUP BY 1, 2, 3
+      |), enc AS (
+      |  SELECT vec_id, j, clabel AS code FROM (
+      |    SELECT vec_id, j, clabel, ROW_NUMBER() OVER (
+      |      PARTITION BY vec_id, j ORDER BY d2, clabel) AS rn
+      |    FROM ed)
+      |  WHERE rn = 1
+      |), lut AS (
+      |  SELECT vec_id AS qid, j, clabel, d2 FROM ed WHERE vec_id < $nQ
+      |), adc AS (
+      |  SELECT l.qid, e.vec_id AS id,
+      |    ${pivotSum("e.j", "l.d2", 8)} AS adc
+      |  FROM enc e JOIN lut l ON l.j = e.j AND l.clabel = e.code
+      |  WHERE e.vec_id <> l.qid
+      |  GROUP BY 1, 2
+      |), cand AS (
+      |  SELECT qid, id FROM (
+      |    SELECT qid, id, ROW_NUMBER() OVER (
+      |      PARTITION BY qid ORDER BY adc, id) AS rn
+      |    FROM adc)
+      |  WHERE rn <= $shortlist
+      |)
+      |SELECT qid, rank, id, sim FROM (
+      |  SELECT c.qid, c.id,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY c.qid
+      |      ORDER BY raw DESC, c.id) AS INT) AS rank,
+      |    ROUND(raw, 4) AS sim
+      |  FROM (
+      |    SELECT c0.qid, c0.id,
+      |      LIST_INNER_PRODUCT(x.embedding::DOUBLE[],
+      |                         q.embedding::DOUBLE[]) /
+      |        (SQRT(LIST_INNER_PRODUCT(x.embedding::DOUBLE[],
+      |                                  x.embedding::DOUBLE[])) *
+      |         SQRT(LIST_INNER_PRODUCT(q.embedding::DOUBLE[],
+      |                                  q.embedding::DOUBLE[]))) AS raw
+      |    FROM cand c0
+      |    JOIN embeddings x ON x.vec_id = c0.id
+      |    JOIN embeddings q ON q.vec_id = c0.qid
+      |  ) c
+      |) WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 }

@@ -71,7 +71,86 @@ object TextAnalysisQueries {
        |  (__pa, __px) -> (__pa * 257 + __px) % 2147483647) % $buckets"""
       .stripMargin.replace('\n', ' ')
 
-  val all: Seq[Q] = Seq(
+  val all: Seq[Q] = base
+
+  /** The full xt20 BM25 replay, parameterized so xt20 (5 queries,
+    * top-10) and xt22's sparse arm share one SQL source.
+    */
+  private def bm25OracleSql(nQ: Int, k: Int): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text),
+       |    '\\s+'), t -> t <> '') AS fw
+       |  FROM documents
+       |), lens AS (
+       |  SELECT doc_id, LEN(fw) AS len FROM tok WHERE LEN(fw) > 0
+       |), n AS (SELECT COUNT(*) AS n FROM documents),
+       |al AS (SELECT ${davgSql("len")} AS avglen FROM lens),
+       |q AS (
+       |  SELECT doc_id AS qid,
+       |    UNNEST(LIST_SORT(LIST_DISTINCT(fw))[1:8]) AS w
+       |  FROM tok WHERE doc_id < $nQ
+       |), tf AS (
+       |  SELECT doc_id, w, COUNT(*) AS tf FROM (
+       |    SELECT doc_id, UNNEST(fw) AS w FROM tok)
+       |  WHERE w IN (SELECT DISTINCT w FROM q) GROUP BY 1, 2
+       |), dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+       |contrib AS (
+       |  SELECT q.qid, tf.doc_id, CAST(
+       |    LN((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+       |      * (tf * CAST(2.2 AS DOUBLE))
+       |      / (tf + 1.2 * (0.25 + 0.75 * len / avglen))
+       |    AS DECIMAL(28,12)) AS c
+       |  FROM tf JOIN q USING (w) JOIN dfq USING (w)
+       |  JOIN lens USING (doc_id) CROSS JOIN n CROSS JOIN al
+       |), scored AS (
+       |  SELECT qid, doc_id, CAST(SUM(c) AS DOUBLE) AS raw
+       |  FROM contrib GROUP BY 1, 2
+       |)
+       |SELECT qid, CAST(rnk AS INT) AS rnk, doc_id,
+       |  ${r4Sql("raw")} AS score
+       |FROM (
+       |  SELECT qid, doc_id, raw, ROW_NUMBER() OVER (
+       |    PARTITION BY qid ORDER BY raw DESC, doc_id) AS rnk
+       |  FROM scored)
+       |WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
+
+  private lazy val xt22HybridRrf: Q =
+    Q("xt22_hybrid_rrf",
+      s"""WITH sparse AS (
+         |${bm25OracleSql(nQ = 5, k = 10)}
+         |), dense AS (
+         |${SimilarityQueries.pqRerankOracleSql(nQ = 5, shortlist = 30,
+             k = 10)}
+         |), fused AS (
+         |  SELECT COALESCE(s.qid, de.qid) AS qid,
+         |    COALESCE(s.doc_id, de.id) AS id,
+         |    COALESCE(1.0 / (60 + s.rnk), 0)
+         |      + COALESCE(1.0 / (60 + de.rank), 0) AS score
+         |  FROM sparse s FULL OUTER JOIN dense de
+         |    ON de.qid = s.qid AND de.id = s.doc_id
+         |)
+         |SELECT qid, CAST(rn AS INT) AS rnk, id,
+         |  ${r4Sql("score")} AS score
+         |FROM (
+         |  SELECT qid, id, score, ROW_NUMBER() OVER (
+         |    PARTITION BY qid ORDER BY score DESC, id) AS rn
+         |  FROM fused)
+         |WHERE rn <= 10 ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val emb = t(s, d, "embeddings")
+      val sparse = graft.operators.Retrieval.bm25TopK(docs, "doc_id",
+          "text",
+          graft.operators.Retrieval.queriesFromDocs(docs, "doc_id",
+            "text", nQueries = 5), k = 10)
+        .select(col("qid"), col("doc_id").as("id"), col("rnk"))
+      val dense = graft.operators.Similarity.pqRerankTopK(emb,
+          emb.where(col("vec_id") < 5), "vec_id", "embedding", "label",
+          k = 10, m = 8, shortlist = 30)
+        .select(col("qid"), col("id"), col("rank").as("rnk"))
+      graft.operators.Retrieval.rrfFuse(sparse, dense, k = 10)
+    }
+
+  private lazy val base: Seq[Q] = Seq(
     // n-gram/stopword language ID: argmax of per-language stopword hit
     // counts, alphabetical tie-break (ties happen often on this
     // synthetic corpus — the tie-break IS the contract). Output is the
@@ -996,49 +1075,28 @@ object TextAnalysisQueries {
     // cross the wire — no corpus-volume sort). Queries: doc_id < 5,
     // terms = first 8 distinct tokens alphabetically (deterministic
     // in both engines).
-    Q("xt20_bm25_retrieval",
-      s"""WITH tok AS (
-         |  SELECT doc_id, LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text),
-         |    '\\s+'), t -> t <> '') AS fw
-         |  FROM documents
-         |), lens AS (
-         |  SELECT doc_id, LEN(fw) AS len FROM tok WHERE LEN(fw) > 0
-         |), n AS (SELECT COUNT(*) AS n FROM documents),
-         |al AS (SELECT ${davgSql("len")} AS avglen FROM lens),
-         |q AS (
-         |  SELECT doc_id AS qid,
-         |    UNNEST(LIST_SORT(LIST_DISTINCT(fw))[1:8]) AS w
-         |  FROM tok WHERE doc_id < 5
-         |), tf AS (
-         |  SELECT doc_id, w, COUNT(*) AS tf FROM (
-         |    SELECT doc_id, UNNEST(fw) AS w FROM tok)
-         |  WHERE w IN (SELECT DISTINCT w FROM q) GROUP BY 1, 2
-         |), dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
-         |contrib AS (
-         |  SELECT q.qid, tf.doc_id, CAST(
-         |    LN((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
-         |      * (tf * CAST(2.2 AS DOUBLE))
-         |      / (tf + 1.2 * (0.25 + 0.75 * len / avglen))
-         |    AS DECIMAL(28,12)) AS c
-         |  FROM tf JOIN q USING (w) JOIN dfq USING (w)
-         |  JOIN lens USING (doc_id) CROSS JOIN n CROSS JOIN al
-         |), scored AS (
-         |  SELECT qid, doc_id, CAST(SUM(c) AS DOUBLE) AS raw
-         |  FROM contrib GROUP BY 1, 2
-         |)
-         |SELECT qid, CAST(rnk AS INT) AS rnk, doc_id,
-         |  ${r4Sql("raw")} AS score
-         |FROM (
-         |  SELECT qid, doc_id, raw, ROW_NUMBER() OVER (
-         |    PARTITION BY qid ORDER BY raw DESC, doc_id) AS rnk
-         |  FROM scored)
-         |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+    Q("xt20_bm25_retrieval", bm25OracleSql(nQ = 5, k = 10)) { (s, d) =>
       val docs = t(s, d, "documents")
       graft.operators.Retrieval.bm25TopK(docs, "doc_id", "text",
         graft.operators.Retrieval.queriesFromDocs(docs, "doc_id",
           "text", nQueries = 5),
         k = 10)
     },
+
+    // Hybrid retrieval (xt22): reciprocal-rank fusion of the sparse
+    // arm (xt20's BM25 top-10 over documents) and the dense arm
+    // (xs7's PQ shortlist + exact-cosine rerank top-10 over
+    // embeddings, same qid < 5 query set) — the standard RAG
+    // retrieval shape. score = 1/(60+rnk_sparse) + 1/(60+rnk_dense),
+    // a missing arm contributing 0: ranks are ints and the sum is two
+    // IEEE divisions in fixed arm order, so the fusion is exactly
+    // replayable even though both arms are approximate retrieval.
+    // The oracle WRAPS the arms' own oracle texts as CTEs (xt20's
+    // shared by value below via base-lookup, xs7's via the
+    // parameterized pqRerankOracleSql) — one SQL source per arm, no
+    // drift. Scale: both arms are bounded top-k lists, so fusion
+    // touches queries x k rows — nothing corpus-sized.
+    xt22HybridRrf,
 
     // URL canonicalization (xt21): a deterministically MESSY synthetic
     // url per document (mixed-case scheme/host, www., default+explicit

@@ -1220,6 +1220,23 @@ class OperatorsSpec extends SparkSpec {
     assert(viaExact == Seq(1L, 3L, 6L, 8L))
   }
 
+  test("xt22 RRF fusion: agreement outranks either arm alone, missing " +
+      "arms contribute 0, ties break by id") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    // q0: doc 7 is rank 2 in BOTH arms; doc 1 is rank 1 sparse-only,
+    // doc 9 rank 1 dense-only. 2/62 > 1/61, so agreement must win.
+    val sparse = Seq((0L, 1L, 1), (0L, 7L, 2), (0L, 3L, 3)).toDF("qid", "id", "rnk")
+    val dense = Seq((0L, 9L, 1), (0L, 7L, 2), (0L, 4L, 3)).toDF("qid", "id", "rnk")
+    val got = Retrieval.rrfFuse(sparse, dense, k = 5)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.head._2 == 7L, s"agreed doc must rank first: ${got.toSeq}")
+    assert(math.abs(got.head._3 - math.floor(
+      (1.0 / 62 + 1.0 / 62) * 10000 + 0.5) / 10000) < 1e-12)
+    // 1 and 9 both score 1/61 — tie broken by id: 1 before 9
+    assert(got.map(_._2).toSeq == Seq(7L, 1L, 9L, 3L, 4L))
+  }
+
   test("xt21 URL canonicalization: targeted rule coverage, and the " +
       "whole chain is a join-free narrow map") {
     import spark.implicits._
