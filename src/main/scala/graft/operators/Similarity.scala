@@ -258,11 +258,15 @@ object Similarity {
   /** Driver-side centroid matrix (tiny) — avoids a DataFrame
     * round-trip for callers that broadcast it as a plan constant.
     */
-  private def kmeansCentroidsLocal(corpus: DataFrame, idCol: String,
-      vecCol: String, nlist: Int, iters: Int): Seq[(Long, Seq[Double])] = {
+  /** The ONE bounded corpus job behind every driver-side trainer:
+    * hash-of-id-ordered TakeOrdered of at most `cap` clean vectors
+    * (deterministic pseudo-random spread, single pass, no full sort),
+    * id-sorted, ragged rows dropped.
+    */
+  private def boundedSample(corpus: DataFrame, idCol: String,
+      vecCol: String, cap: Int): Array[(Long, Array[Double])] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cap = math.max(128 * nlist, 2048)
     val sample0: Array[(Long, Array[Double])] = corpus
       .select(col(idCol).cast("long").as("id"),
         transform(col(vecCol), x => x.cast(DoubleType)).as("v"))
@@ -272,12 +276,19 @@ object Similarity {
       .as[(Long, scala.Seq[Double])].collect()
       .map { case (id, v) => (id, v.toArray) }
       .sortBy(_._1)
-    if (sample0.isEmpty) return Seq.empty
+    if (sample0.isEmpty) return sample0
     val dim = sample0.head._2.length
     // drop ragged rows instead of corrupting means / crashing the
     // assignment loop (the replaced distributed form tolerated them)
-    val sample = sample0.filter(_._2.length == dim)
-    lloydLocal(sample, dim, nlist, iters)
+    sample0.filter(_._2.length == dim)
+  }
+
+  private def kmeansCentroidsLocal(corpus: DataFrame, idCol: String,
+      vecCol: String, nlist: Int, iters: Int): Seq[(Long, Seq[Double])] = {
+    val sample = boundedSample(corpus, idCol, vecCol,
+      math.max(128 * nlist, 2048))
+    if (sample.isEmpty) return Seq.empty
+    lloydLocal(sample, sample.head._2.length, nlist, iters)
       .map { case (id, v) => (id, v.toSeq) }.toSeq
   }
 
@@ -287,7 +298,8 @@ object Similarity {
     * table — a second-level k-means over k-means cells.
     */
   private def lloydLocal(sample: Array[(Long, Array[Double])], dim: Int,
-      nlist: Int, iters: Int): Array[(Long, Array[Double])] = {
+      nlist: Int, iters: Int,
+      euclid: Boolean = false): Array[(Long, Array[Double])] = {
     // init = lowest-id sample vectors, cell id = position (0..nlist-1)
     var cents: Array[(Long, Array[Double])] =
       sample.take(nlist).zipWithIndex.map { case ((_, v), i) =>
@@ -308,10 +320,21 @@ object Similarity {
         var best = 0; var bestScore = Double.NegativeInfinity
         var ci = 0
         while (ci < cents.length) {
+          // metric: dot/‖c‖ (cosine-order) by default — the query-time
+          // NearestCentroids metric; negated squared distance when
+          // `euclid` (residual PQ codebooks, PqEncode's argmin-d2)
           var d = 0.0; var j = 0
           val cv = cents(ci)._2
-          while (j < dim) { d += v(j) * cv(j); j += 1 }
-          val score = if (cnorms(ci) == 0.0) d else d / cnorms(ci)
+          if (euclid) {
+            while (j < dim) {
+              val t = v(j) - cv(j); d -= t * t; j += 1
+            }
+          } else {
+            while (j < dim) { d += v(j) * cv(j); j += 1 }
+          }
+          val score =
+            if (euclid) d
+            else if (cnorms(ci) == 0.0) d else d / cnorms(ci)
           if (score > bestScore) { bestScore = score; best = ci }
           ci += 1 // strict > keeps ties on the lower centroid id
         }
@@ -449,6 +472,127 @@ object Similarity {
     */
   def randomProject(df: DataFrame, vecCol: String, k: Int): DataFrame =
     df.withColumn(vecCol, HashFns.randomProjection(col(vecCol), k))
+
+  /** Per-subspace residual codebooks for [[ivfPqTopK]], trained on the
+    * SAME bounded sample discipline as the IVF centroids: assign each
+    * sample vector to its cell (the query-time dot/‖c‖ metric, ties to
+    * the lower id), subtract the centroid, and run Euclidean Lloyd
+    * (argmin-d2 — [[PqEncode]]'s own metric) per subspace over the
+    * sample residuals. Driver cost: sample×dim arithmetic, corpus-
+    * independent. books(j)(c) = codeword c of subspace j.
+    */
+  private def residualCodebooks(sample: Array[(Long, Array[Double])],
+      cents: Seq[(Long, Seq[Double])], m: Int, ksub: Int,
+      iters: Int): Seq[Seq[Seq[Double]]] = {
+    require(sample.nonEmpty, "residualCodebooks: empty sample")
+    val cm = cents.sortBy(_._1).map(_._2.toArray).toArray
+    val cn = cm.map { v =>
+      val s = v.map(x => x * x).sum; if (s > 0) math.sqrt(s) else 0.0
+    }
+    val dim = sample.head._2.length
+    require(dim % m == 0, s"residualCodebooks: dim $dim % $m != 0")
+    val sub = dim / m
+    val residuals = sample.map { case (_, v) =>
+      var best = 0; var bestScore = Double.NegativeInfinity
+      var ci = 0
+      while (ci < cm.length) {
+        var d = 0.0; var j = 0
+        while (j < dim) { d += v(j) * cm(ci)(j); j += 1 }
+        val score = if (cn(ci) == 0.0) d else d / cn(ci)
+        if (score > bestScore) { bestScore = score; best = ci }
+        ci += 1
+      }
+      val r = new Array[Double](dim)
+      var j = 0
+      while (j < dim) { r(j) = v(j) - cm(best)(j); j += 1 }
+      r
+    }
+    (0 until m).map { j =>
+      val subSample = residuals.zipWithIndex.map { case (r, i) =>
+        (i.toLong, java.util.Arrays.copyOfRange(r, j * sub, (j + 1) * sub))
+      }
+      lloydLocal(subSample, sub, ksub, iters, euclid = true)
+        .map(_._2.toSeq).toSeq
+    }
+  }
+
+  /** IVF×PQ composed ANN (xs10) — the production billion-vector
+    * layout (Jégou et al. 2011's IVFADC), which neither xs2 (IVF over
+    * full vectors) nor xs6/xs7 (PQ over a full scan of codes) gives
+    * alone: the corpus is partitioned into `nlist` k-means cells, and
+    * within each cell vectors are stored as m-byte PQ codes of the
+    * RESIDUAL v − centroid(cell) (residuals concentrate near 0, so
+    * the same codebook budget quantizes them far tighter than raw
+    * vectors). A query probes its `nprobe` nearest cells with a
+    * PER-CELL ADC table over its own residual, shortlists by ADC, and
+    * reranks the shortlist with exact cosine (the xs7 discipline —
+    * recall is spec-gated ≥0.9 vs brute force).
+    *
+    * Scale shape: training is driver-side over the one bounded
+    * sample; cell assignment + residual + encode are narrow maps (the
+    * centroid matrix and codebooks are plan literals); the candidate
+    * join touches Σ load(probed cells) ≈ (nprobe/nlist)·n rows — the
+    * SelectStress leg asserts candidate volume == that sum exactly —
+    * carrying m ints per row, not dim doubles; ranking is the bounded
+    * top-k aggregate; the exact rerank reads |queries|·shortlist full
+    * vectors through a broadcast join. No corpus-sized shuffle
+    * anywhere. Output == bruteForceTopK schema (qid, id, sim, rank);
+    * approximate by construction → no SQL oracle, recall + exactness
+    * of the rerank arithmetic spec-gated (the rows-only xs2/xs6 class).
+    */
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+      shortlist: Int = 0, kmeansIters: Int = 3): DataFrame = {
+    val r = if (shortlist > 0) shortlist else 6 * k
+    val sample = boundedSample(corpus, idCol, vecCol,
+      math.max(128 * nlist, 2048))
+    require(sample.nonEmpty, "ivfPqTopK: empty corpus")
+    val cents = lloydLocal(sample, sample.head._2.length, nlist,
+      kmeansIters).map { case (id, v) => (id, v.toSeq) }.toSeq
+    val books = residualCodebooks(sample, cents, m, ksub, kmeansIters)
+    val centMap = map(cents.sortBy(_._1).flatMap { case (id, v) =>
+      Seq(lit(id), typedlit(v))
+    }: _*)
+    def residual(v: Column, cell: Column): Column =
+      zip_with(v, element_at(centMap, cell),
+        (x, c) => x.cast(DoubleType) - c)
+
+    val enc = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        TextFns.l2norm(col(vecCol)).as("nv"))
+      .withColumn("cell",
+        element_at(nearestCells(col("v"), cents, 1), 1))
+      .withColumn("codes",
+        HashFns.pqEncode(residual(col("v"), col("cell")), books))
+    val probes = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        TextFns.l2norm(col(vecCol)).as("nq"))
+      .withColumn("cell",
+        explode(nearestCells(col("qv"), cents, nprobe)))
+      .withColumn("lut",
+        HashFns.pqLut(residual(col("qv"), col("cell")), books))
+
+    val cand = rankTopK(
+      enc.select(col("id"), col("cell"), col("codes"))
+        .join(broadcast(probes.select(col("qid"), col("cell"),
+          col("lut"))), "cell")
+        .where(col("id") =!= col("qid"))
+        .select(col("qid"), col("id"),
+          (-HashFns.pqAdc(col("lut"), col("codes"))).as("sim")),
+      r).select(col("qid"), col("id"))
+    rankTopK(
+      broadcast(cand)
+        .join(enc.select(col("id"), col("v"), col("nv")), "id")
+        .join(broadcast(queries.select(col(idCol).as("qid"),
+          col(vecCol).as("qv"),
+          TextFns.l2norm(col(vecCol)).as("nq"))), "qid")
+        .select(col("qid"), col("id"),
+          (TextFns.dot(col("v"), col("qv")) / (col("nv") * col("nq")))
+            .as("sim")),
+      k)
+  }
 
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,

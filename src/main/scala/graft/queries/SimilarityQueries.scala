@@ -295,6 +295,24 @@ object SimilarityQueries {
         .select(col("qid").as("id"), col("rank"), col("id").as("nb"),
           round(col("sim"), 4).as("sim"))
         .orderBy("id", "rank")
+    },
+
+    // IVF×PQ composed ANN (xs10): k-means cells + per-cell residual
+    // PQ codes + per-probe-cell ADC shortlists + exact rerank — the
+    // production billion-vector layout (IVFADC) that xs2 (IVF, full
+    // vectors) and xs6/xs7 (PQ, full code scan) each give only half
+    // of. Approximate by construction (probing + quantization) → no
+    // SQL oracle, rows-only driver check like xs2; recall ≥0.9 vs
+    // brute force and probe-proportional candidate volume are
+    // spec-gated (OperatorsSpec / the SelectStress leg).
+    Q.noOracle("xs10_ivfpq_ann") { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfPqTopK(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 3, nlist = 16, nprobe = 4,
+          m = 8, ksub = 16, shortlist = 30)
+        .select(col("qid"), col("rank"), col("id"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("qid", "rank")
     }
   )
 

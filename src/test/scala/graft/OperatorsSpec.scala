@@ -891,6 +891,35 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.9, f"pq rerank recall $recall%.3f < 0.9")
   }
 
+  test("xs10 IVF×PQ: recall >= 0.9 vs brute force on clustered corpus; " +
+      "more probes never hurt") {
+    import spark.implicits._
+    // same clustered recipe as the PQ-rerank gate: 10 centers × 50
+    // satellites. IVF cells ≈ the planted clusters; residual PQ codes
+    // + per-cell ADC shortlist the home cell's members, exact rerank
+    // restores brute-force order within the shortlist.
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(10, 64)(rnd.nextGaussian())
+    val rows = for (l <- 0 until 10; i <- 0 until 50) yield
+      (l * 50L + i, centers(l).map(_ + 0.25 * rnd.nextGaussian()).toSeq)
+    val corpus = rows.toDF("vec_id", "embedding").localCheckpoint(true)
+    val queries = corpus.where(col("vec_id") % 50 === 0)
+    val k = 10
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = hits(graft.operators.Similarity
+      .bruteForceTopK(corpus, queries, "vec_id", "embedding", k))
+    def ivfpq(nprobe: Int) = hits(graft.operators.Similarity
+      .ivfPqTopK(corpus, queries, "vec_id", "embedding", k,
+        nlist = 10, nprobe = nprobe, m = 8, ksub = 16, shortlist = 60))
+    val r3 = (exact & ivfpq(3)).size.toDouble / exact.size
+    assert(r3 >= 0.9, f"ivfpq recall $r3%.3f < 0.9 at nprobe=3")
+    val rAll = (exact & ivfpq(10)).size.toDouble / exact.size
+    assert(rAll >= r3,
+      f"probing every cell ($rAll%.3f) must not lose vs nprobe=3 ($r3%.3f)")
+  }
+
   test("substring dedup: cross-doc spans, periodic self-dups, islands") {
     import spark.implicits._
     val docs = Seq(
