@@ -1260,6 +1260,58 @@ object Dedup {
     spansToClean(d, dup, l, idCol)
   }
 
+  /** Deterministic work profile of [[substringDedup]] — the counters
+    * the scale gates ratio instead of cpu-seconds (which measured up
+    * to 12× session-to-session swings on the bench host; the WORK a
+    * plan does is a property of the data, not the scheduler):
+    *  - `occRows`: gram occurrences shuffled (the intrinsic corpus-
+    *    scale exchange) — must equal Σ max(len−l+1, 0) computed from
+    *    lengths alone (asserted here: two derivations, one number);
+    *  - `candRows`: occurrences of duplicated grams (df > 1) — the
+    *    rows entering the gram-text verify join;
+    *  - `dupRows`: verified duplicate positions (the span stream).
+    * Counts replay the operator's own intermediates, so the published
+    * work units are exactly what the plan enumerates.
+    */
+  private[graft] def substringDedupWork(docs: DataFrame, idCol: String,
+      textCol: String, l: Int = 40): (Long, Long, Long) = {
+    val d = docs.select(col(idCol).cast(LongType).as("__id"),
+      col(textCol).as("__txt"))
+    val occ = gramOcc(d, l)
+    val occRows = occ.count()
+    val occFromLen = d.agg(sum(greatest(
+      length(col("__txt")) - (l - 1), lit(0)))).head.getLong(0)
+    require(occRows == occFromLen,
+      s"occurrence-count derivations disagree: $occRows != $occFromLen")
+    val firsts = occ.groupBy("__gk")
+      .agg(count(lit(1)).as("__df"), min("__key").as("__mk"))
+    val cand = occ.join(firsts.where(col("__df") > 1L).hint("merge"),
+      "__gk")
+    val candRows = cand.count()
+    val candTxt = cand.join(d.hint("merge"), "__id")
+      .select(col("__id"), col("__pos"), col("__key"),
+        expr(s"substring(__txt, __pos, $l)").as("__gram"))
+    val exact = candTxt.groupBy("__gram").agg(min("__key").as("__mk2"))
+    val dupRows = candTxt.join(exact.hint("merge"), "__gram")
+      .where(col("__key") > col("__mk2")).count()
+    (occRows, candRows, dupRows)
+  }
+
+  /** Deterministic work counter for [[semDedupMultiProbe]]: the exact
+    * candidate-pair volume its probe×primary SMJ enumerates (join on
+    * the cell, self-pairs excluded, BEFORE the cosine filter) — the
+    * quantity the occupancy law Σ probe-load·cell-load predicts and
+    * the scale gates ratio across factors.
+    */
+  private[graft] def semDedupMultiProbeWork(asg: DataFrame,
+      idCol: String, probesCol: String, primaryCol: String): Long = {
+    val pr = asg.select(col(idCol).as("__wp"),
+      explode(col(probesCol)).as("__cell"))
+    val an = asg.select(col(idCol).as("__wa"),
+      col(primaryCol).as("__cell"))
+    pr.join(an, "__cell").where(col("__wp") =!= col("__wa")).count()
+  }
+
   /** Rolling-key gram occurrences of `d` = (__id, __txt): one row per
     * position — (__id, __pos 1-based, __gk 62-bit key, __key global
     * (doc_id, pos) order as one comparable long). 1e9 bounds positions

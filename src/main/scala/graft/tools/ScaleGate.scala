@@ -1,0 +1,133 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+/** Cross-factor scale gate (VERDICT r7 #1): reads two SelectStress
+  * artifacts (factor f and 2f) and grades the heavy dedup legs on
+  * DETERMINISTIC WORK RATIOS — quantities of the data and the plan,
+  * not the scheduler — with cpu-seconds demoted to informational
+  * except on core-pinned runs:
+  *
+  *  - xd12 substring dedup: occurrence rows (the intrinsic shuffle)
+  *    must scale exactly linearly with the corpus — ratio within
+  *    [1.95, 2.05] of the corpus-doubling, because Σ(len−l+1) is a
+  *    function of corpus chars alone;
+  *  - xd11 (both legs): the measured candidate-pair count must track
+  *    the occupancy-law prediction probe·Σ load² — the measured
+  *    work ratio within ±30% of the law-predicted ratio (the constant
+  *    relating count to law cancels across factors);
+  *  - pinned-cpu gate (the one place cpu-s is graded): when BOTH runs
+  *    are core-pinned, the xd11-isotropic cpu ratio must be ≤ 1.5×
+  *    its work ratio — cpu growing no faster than the work the plan
+  *    provably does.
+  *
+  * Writes `SCALE_r8_gate.json` and exits nonzero on any violation.
+  * Usage: runMain graft.tools.ScaleGate <artifactA.json> <artifactB.json>
+  */
+object ScaleGate {
+
+  private def parse(path: String): Map[String, String] = {
+    val txt = Files.readString(Paths.get(path)).trim
+      .stripPrefix("{").stripSuffix("}")
+    // flat object of scalars: split on ," boundaries, then first colon
+    txt.split(""","(?=")""").map { kv =>
+      val i = kv.indexOf(':')
+      val k = kv.take(i).trim.stripPrefix("\"").stripSuffix("\"")
+      val v = kv.drop(i + 1).trim.stripPrefix("\"").stripSuffix("\"")
+      k -> v
+    }.toMap
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2,
+      "usage: ScaleGate <lower-factor.json> <higher-factor.json>")
+    val lo = parse(args(0))
+    val hi = parse(args(1))
+    def num(m: Map[String, String], k: String): Double = m.get(k) match {
+      case Some(v) => v.toDouble
+      case None => sys.error(s"artifact missing $k")
+    }
+    val fLo = num(lo, "factor"); val fHi = num(hi, "factor")
+    require(fHi == 2 * fLo, s"expected a factor doubling, got $fLo -> $fHi")
+
+    val out = scala.collection.mutable.LinkedHashMap[String, Any]()
+    out += "lower" -> args(0)
+    out += "upper" -> args(1)
+    out += "factor_lo" -> fLo.toLong
+    out += "factor_hi" -> fHi.toLong
+    var failures = List.empty[String]
+    def gate(name: String, ok: Boolean, detail: String): Unit = {
+      out += s"${name}_ok" -> ok
+      out += s"${name}_detail" -> detail
+      if (!ok) failures ::= s"$name: $detail"
+      println(s"[gate] ${if (ok) "ok  " else "FAIL"} $name  $detail")
+    }
+
+    // ---- xd12: occurrence stream exactly linear in the corpus
+    val occRatio = num(hi, "xd12_substring_dedup_work_work_units") /
+      num(lo, "xd12_substring_dedup_work_work_units")
+    out += "xd12_occ_ratio" -> occRatio
+    gate("xd12_work_linear", occRatio >= 1.95 && occRatio <= 2.05,
+      f"occurrence-row ratio $occRatio%.4f (must be 2.0 +- 0.05: " +
+        "sum(len-l+1) is a function of corpus chars alone)")
+    val candRatio = num(hi, "xd12_substring_dedup_work_cand_rows") /
+      math.max(1.0, num(lo, "xd12_substring_dedup_work_cand_rows"))
+    out += "xd12_cand_ratio" -> candRatio // informational: dup volume
+    // grows superlinearly by construction (replicas share text)
+
+    // ---- xd11 legs: measured work ratio vs the occupancy-law ratio
+    for (leg <- Seq("xd11_semdedup_kmeans", "xd11_semdedup_clustered")) {
+      val work = num(hi, s"${leg}_work_units") /
+        num(lo, s"${leg}_work_units")
+      val law = num(hi, s"${leg}_law_volume") /
+        num(lo, s"${leg}_law_volume")
+      out += s"${leg}_work_ratio" -> work
+      out += s"${leg}_law_ratio" -> law
+      gate(s"${leg}_work_tracks_law",
+        work >= law * 0.7 && work <= law * 1.3,
+        f"measured candidate-pair ratio $work%.3f vs law-predicted " +
+          f"$law%.3f (probe*sum_load_sq; constant cancels across factors)")
+    }
+
+    // ---- pinned-cpu gate: the ONE graded cpu number
+    val bothPinned = lo.get("pinned").contains("true") &&
+      hi.get("pinned").contains("true")
+    out += "both_pinned" -> bothPinned
+    if (bothPinned) {
+      val cpuRatio = num(hi, "xd11_semdedup_kmeans_cpu_sec") /
+        num(lo, "xd11_semdedup_kmeans_cpu_sec")
+      val workRatio = num(hi, "xd11_semdedup_kmeans_work_units") /
+        num(lo, "xd11_semdedup_kmeans_work_units")
+      out += "xd11_iso_cpu_ratio" -> cpuRatio
+      gate("xd11_iso_cpu_le_work",
+        cpuRatio <= 1.5 * workRatio,
+        f"pinned cpu ratio $cpuRatio%.3f vs work ratio $workRatio%.3f " +
+          "(cpu must grow <= 1.5x the enumerated pair volume)")
+    } else {
+      gate("xd11_iso_cpu_le_work", ok = false,
+        "runs not core-pinned — cpu-s not gradeable (rerun under taskset)")
+    }
+
+    // informational cpu ratios for every timed leg present in both
+    val legs = lo.keys.filter(_.endsWith("_cpu_sec"))
+      .map(_.stripSuffix("_cpu_sec")).toSeq.sorted
+    legs.foreach { l =>
+      (lo.get(s"${l}_cpu_sec"), hi.get(s"${l}_cpu_sec")) match {
+        case (Some(a), Some(b)) if a.toDouble > 0 =>
+          out += s"${l}_cpu_ratio_info" -> (b.toDouble / a.toDouble)
+        case _ =>
+      }
+    }
+
+    val payload = out
+      .map { case (k, v) => s""""$k":${StressUtil.jsonScalar(v)}""" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get("SCALE_r8_gate.json"), payload + "\n")
+    println(payload)
+    if (failures.nonEmpty) {
+      System.err.println(s"${failures.size} gate(s) failed:\n  " +
+        failures.reverse.mkString("\n  "))
+      sys.exit(1)
+    }
+  }
+}
