@@ -29,8 +29,9 @@ object ScaleGate {
   private def parse(path: String): Map[String, String] = {
     val txt = Files.readString(Paths.get(path)).trim
       .stripPrefix("{").stripSuffix("}")
-    // flat object of scalars: split on ," boundaries, then first colon
-    txt.split(""","(?=")""").map { kv =>
+    // flat object of scalars: split on comma-before-quote boundaries,
+    // then first colon
+    txt.split(""",(?=")""").map { kv =>
       val i = kv.indexOf(':')
       val k = kv.take(i).trim.stripPrefix("\"").stripSuffix("\"")
       val v = kv.drop(i + 1).trim.stripPrefix("\"").stripSuffix("\"")
