@@ -465,7 +465,9 @@ object Quantiles {
       .where((col("__a").isNull || col("__v") >= col("__a")) &&
         (col("__b").isNull || col("__v") <= col("__b")))
       .withColumn("__rn", row_number().over(w))
-      .join(below, groupCols :+ "__qidx")
+      // below is provably <= groups x quantiles rows — broadcast, or
+      // Spark sort-merges the candidate stream against it
+      .join(broadcast(below), groupCols :+ "__qidx")
     inB.groupBy(keys: _*)
       .agg(min(col("__p")).as("__pv"), min(col("__frac")).as("__f"),
         max(when(col("__rn") === col("__rlo") - col("__c"), col("__v")))
