@@ -544,7 +544,8 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
-      shortlist: Int = 0, kmeansIters: Int = 3): DataFrame = {
+      shortlist: Int = 0, kmeansIters: Int = 3,
+      twoLevel: Boolean = false, wCoarse: Int = 2): DataFrame = {
     val r = if (shortlist > 0) shortlist else 6 * k
     val sample = boundedSample(corpus, idCol, vecCol,
       math.max(128 * nlist, 2048))
@@ -558,19 +559,27 @@ object Similarity {
     def residual(v: Column, cell: Column): Column =
       zip_with(v, element_at(centMap, cell),
         (x, c) => x.cast(DoubleType) - c)
+    // assignment: flat O(K) argmax for bench-scale cell counts, or
+    // the xd11 two-level coarse quantizer (O(√K·wCoarse) per row)
+    // when nlist grows with the corpus — same fine cell ids either
+    // way, so the residual lookup and codebooks are untouched
+    val cellsOf: (Column, Int) => Column =
+      if (twoLevel) {
+        val (cv, fi, fv) = coarsenCentroids(cents)
+        (v, n) => HashFns.twoLevelNearestCentroids(v, cv, fi, fv,
+          wCoarse, n)
+      } else (v, n) => nearestCells(v, cents, n)
 
     val enc = corpus
       .select(col(idCol).as("id"), col(vecCol).as("v"),
         TextFns.l2norm(col(vecCol)).as("nv"))
-      .withColumn("cell",
-        element_at(nearestCells(col("v"), cents, 1), 1))
+      .withColumn("cell", element_at(cellsOf(col("v"), 1), 1))
       .withColumn("codes",
         HashFns.pqEncode(residual(col("v"), col("cell")), books))
     val probes = queries
       .select(col(idCol).as("qid"), col(vecCol).as("qv"),
         TextFns.l2norm(col(vecCol)).as("nq"))
-      .withColumn("cell",
-        explode(nearestCells(col("qv"), cents, nprobe)))
+      .withColumn("cell", explode(cellsOf(col("qv"), nprobe)))
       .withColumn("lut",
         HashFns.pqLut(residual(col("qv"), col("cell")), books))
 

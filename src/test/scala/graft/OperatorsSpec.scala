@@ -918,6 +918,14 @@ class OperatorsSpec extends SparkSpec {
     val rAll = (exact & ivfpq(10)).size.toDouble / exact.size
     assert(rAll >= r3,
       f"probing every cell ($rAll%.3f) must not lose vs nprobe=3 ($r3%.3f)")
+    // the large-nlist assignment path: two-level coarse quantizer
+    // (O(sqrt(K)) per row) must hold the recall bar too
+    val tl = hits(graft.operators.Similarity
+      .ivfPqTopK(corpus, queries, "vec_id", "embedding", k,
+        nlist = 10, nprobe = 3, m = 8, ksub = 16, shortlist = 60,
+        twoLevel = true))
+    val rTl = (exact & tl).size.toDouble / exact.size
+    assert(rTl >= 0.9, f"two-level ivfpq recall $rTl%.3f < 0.9")
   }
 
   test("substring dedup: cross-doc spans, periodic self-dups, islands") {
