@@ -226,6 +226,21 @@ object QuantileSketch {
     def summary: Summary = { flush(); Summary(n, marks) }
   }
 
+  /** Structural type equality ignoring nullability (parquet state
+    * files read back nullable).
+    */
+  private[operators] def sameShape(a: DataType, b: DataType): Boolean =
+    (a, b) match {
+      case (x: StructType, y: StructType) =>
+        x.length == y.length && x.fields.zip(y.fields).forall {
+          case (f, g) => f.name == g.name && sameShape(f.dataType,
+            g.dataType)
+        }
+      case (x: ArrayType, y: ArrayType) =>
+        sameShape(x.elementType, y.elementType)
+      case _ => a == b
+    }
+
   val outputType: StructType = new StructType()
     .add("n", LongType, nullable = false)
     .add("marks", ArrayType(new StructType()
@@ -357,7 +372,10 @@ case class QuantileSketchMergeAgg(
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
-    if (child.dataType == QuantileSketch.outputType) TypeCheckSuccess
+    // nullability-insensitive: a parquet-persisted summary (the QS15
+    // stream state) reads back with nullable fields
+    if (QuantileSketch.sameShape(child.dataType,
+        QuantileSketch.outputType)) TypeCheckSuccess
     else TypeCheckFailure("quantile_sketch_merge expects the " +
       s"quantile_sketch output struct, got ${child.dataType}")
   }
@@ -494,6 +512,36 @@ object Quantiles {
       groupCols, valueCol, ps, sums.toSeq)
   }
 
+  /** Exact grouped quantiles from PRE-BUILT per-group sketches
+    * (possibly several per group — per chunk, per micro-batch):
+    * fold through [[QuantileSketchMergeAgg]] in one plan, then the
+    * identical exact pass over `df`. The shared tail of
+    * [[exactQuantilesChunked]] and the QS15 file-stream runner.
+    * `sketches`: groupCols ++ one `__qs` struct column.
+    */
+  def exactQuantilesFromSketches(df: DataFrame, sketches: DataFrame,
+      groupCols: Seq[String], valueCol: String, ps: Seq[Double],
+      s: Int = 2048): DataFrame = {
+    require(groupCols.nonEmpty, "exactQuantilesFromSketches: group cols")
+    val sums = sketches
+      .groupBy(groupCols.map(col): _*)
+      .agg(quantileSketchMerge(col("__qs"), s).as("__qs"))
+      .collect()
+      .map(r => (Row.fromSeq(r.toSeq.dropRight(1)),
+        QuantileSketch.fromRow(r.getStruct(r.length - 1))))
+    exactPass(df.withColumn(valueCol, col(valueCol).cast(DoubleType)),
+      groupCols, valueCol, ps, sums.toSeq)
+  }
+
+  /** One per-group sketch frame over `df` — the per-chunk /
+    * per-micro-batch build step feeding
+    * [[exactQuantilesFromSketches]]. Output: groupCols ++ `__qs`.
+    */
+  def sketchByGroup(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, s: Int = 2048): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(quantileSketch(col(valueCol).cast(DoubleType), s).as("__qs"))
+
   /** Exact grouped quantiles over CHUNKS (qs15, the xk13 stream face):
     * per (chunk x group) sketches fold through
     * [[QuantileSketchMergeAgg]] in the same plan — bounded state (one
@@ -510,13 +558,6 @@ object Quantiles {
       .withColumn("__chunk", chunkCol)
       .groupBy((col("__chunk") +: groupCols.map(col)): _*)
       .agg(quantileSketch(col(valueCol).cast(DoubleType), s).as("__qs"))
-    val sums = perChunk
-      .groupBy(groupCols.map(col): _*)
-      .agg(quantileSketchMerge(col("__qs"), s).as("__qs"))
-      .collect()
-      .map(r => (Row.fromSeq(r.toSeq.dropRight(1)),
-        QuantileSketch.fromRow(r.getStruct(r.length - 1))))
-    exactPass(df.withColumn(valueCol, col(valueCol).cast(DoubleType)),
-      groupCols, valueCol, ps, sums.toSeq)
+    exactQuantilesFromSketches(df, perChunk, groupCols, valueCol, ps, s)
   }
 }

@@ -490,6 +490,78 @@ object Streams {
     * threshold. State stays sketch-sized by construction: each chunk
     * contributes ≤ capacity counters, the fold buffer holds ≤ capacity.
     */
+  /** Run the QS14 stream FOR REAL (the chunked form above is the
+    * oracle-gated batch emulation): delta document parquet files →
+    * per micro-batch ONE bounded MG summary (with its lower-bound
+    * counters) plus the batch token count, persisted to
+    * `outDir/state/batch=<id>` — the stream state IS the mergeable
+    * summaries: sketch-sized however long the stream runs, durable
+    * (idempotent per-batch overwrite), and restart-safe WITHOUT
+    * replaying data, because folding committed summaries is valid on
+    * any merge tree (Agarwal et al. 2012). After the stream drains,
+    * one plan folds every batch summary through
+    * [[graft.operators.MisraGriesMergeAgg]] and exactly recounts the
+    * candidates over the archived delta corpus. Equal to one-shot
+    * xk12 over the same corpus on ANY batching — the qs14 contract,
+    * now through a real `readStream` file source.
+    */
+  def runHeavyHittersStream(spark: SparkSession, deltaDir: String,
+      outDir: String, denom: Long = 1000L,
+      capacity: Int = 4096): DataFrame = {
+    require(capacity + 1 > denom,
+      "runHeavyHittersStream: need capacity+1 > denom (MG no-miss)")
+    docStream(spark, deltaDir, outDir) { (batch, batchId) =>
+      batch.select(
+          explode(graft.functions.TextFns.tokens(col("text"))).as("g"))
+        .agg(graft.operators.Sketches
+          .misraGriesCounters(col("g"), capacity).as("cs"),
+          count(lit(1)).as("n"))
+        .write.mode("overwrite")
+        .parquet(s"$outDir/state/batch=$batchId")
+    }
+    val folded = spark.read.parquet(s"$outDir/state/batch=*")
+      .agg(graft.operators.Sketches
+        .misraGriesMerge(col("cs"), capacity).as("cands"),
+        sum(col("n")).as("total"))
+    val cand = folded.select(explode(col("cands")).as("g"), col("total"))
+    spark.read.parquet(deltaDir)
+      .select(explode(graft.functions.TextFns.tokens(col("text"))).as("g"))
+      .join(broadcast(cand), "g")
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), min(col("total")).as("total"))
+      .where(col("n") * denom >= col("total"))
+      .select(col("g"), col("n"))
+      .orderBy(desc("n"), col("g"))
+  }
+
+  /** Run the QS15 stream FOR REAL (the chunked form is the
+    * oracle-gated emulation): per micro-batch one rank-bounded
+    * quantile summary per group persisted to `outDir/state/batch=<id>`
+    * (≤ s marks per group — sketch-sized durable state; folding
+    * committed summaries is merge-tree-free, so a restart re-folds
+    * instead of replaying data), then after the stream drains one
+    * plan folds the summaries per group
+    * ([[graft.operators.QuantileSketchMergeAgg]]) and runs the exact
+    * bracket-recount pass over the archived delta corpus. Equal to
+    * one-shot [[graft.operators.Quantiles.exactQuantiles]] on ANY
+    * batching: brackets may differ, output never does.
+    */
+  def runQuantilesStream(spark: SparkSession, deltaDir: String,
+      outDir: String, groupCol: String = "source",
+      valueCol: String = "n_chars",
+      ps: Seq[Double] = Seq(0.5, 0.9, 0.99), s: Int = 512): DataFrame = {
+    docStream(spark, deltaDir, outDir) { (batch, batchId) =>
+      graft.operators.Quantiles
+        .sketchByGroup(batch, Seq(groupCol), valueCol, s)
+        .write.mode("overwrite")
+        .parquet(s"$outDir/state/batch=$batchId")
+    }
+    graft.operators.Quantiles.exactQuantilesFromSketches(
+      spark.read.parquet(deltaDir),
+      spark.read.parquet(s"$outDir/state/batch=*"),
+      Seq(groupCol), valueCol, ps, s)
+  }
+
   def heavyHittersChunked(docs: DataFrame, bounds: Seq[Long],
       denom: Long = 1000L, capacity: Int = 4096): DataFrame = {
     require(capacity + 1 > denom,

@@ -237,6 +237,53 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("QS14 real file-stream heavy hitters == one-shot xk12 over the " +
+      "archived deltas (durable per-batch MG summaries)") {
+    val docs = graft.queries.T.t(spark, sf0001, "documents")
+    val base = java.nio.file.Files.createTempDirectory("qs14s")
+    val deltaDir = base.resolve("delta").toString
+    val outDir = base.resolve("out").toString
+    docs.repartition(4).write.parquet(deltaDir)
+    val streamed = Streams.runHeavyHittersStream(spark, deltaDir,
+        outDir, denom = 1000L, capacity = 4096)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val oneShot = graft.operators.Sketches.heavyHitters(
+        docs.select(explode(
+          graft.functions.TextFns.tokens(col("text"))).as("g")),
+        "g", denom = 1000L, capacity = 4096)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(oneShot.nonEmpty)
+    assert(streamed == oneShot)
+    // the durable state is sketch-sized: every batch file holds ONE
+    // summary row of <= capacity counters
+    val st = spark.read.parquet(s"$outDir/state/batch=*")
+    assert(st.count() == 4)
+    assert(st.select(size(col("cs"))).collect()
+      .forall(_.getInt(0) <= 4096))
+  }
+
+  test("QS15 real file-stream quantiles == one-shot exactQuantiles " +
+      "over the archived deltas (durable per-batch sketches)") {
+    val docs = graft.queries.T.t(spark, sf0001, "documents")
+    val base = java.nio.file.Files.createTempDirectory("qs15s")
+    val deltaDir = base.resolve("delta").toString
+    val outDir = base.resolve("out").toString
+    docs.repartition(3).write.parquet(deltaDir)
+    val streamed = Streams.runQuantilesStream(spark, deltaDir, outDir)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    val oneShot = graft.operators.Quantiles.exactQuantiles(
+        docs, Seq("source"), "n_chars", Seq(0.5, 0.9, 0.99), s = 512)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    assert(oneShot.nonEmpty)
+    assert(streamed == oneShot)
+    // durable state: one <= s-mark summary per (batch, group)
+    val st = spark.read.parquet(s"$outDir/state/batch=*")
+    assert(st.select(size(col("__qs.marks"))).collect()
+      .forall(_.getInt(0) <= 512))
+  }
+
   test("QS13 chunked bloom-decontam stream == batch frozen-index " +
       "report") {
     // frozen Bloom index + stateless per-batch screening: four
