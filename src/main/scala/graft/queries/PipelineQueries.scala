@@ -190,6 +190,63 @@ object PipelineQueries {
       Dedup.embeddingNearDupsLSHAuto(proj, "id", "v", threshold = 0.9)
         .select(col("a"), col("b"), round(col("c"), 4).as("c"))
         .orderBy("a", "b")
+    },
+
+    // The CCNet dedup chain proper (xp4): Unicode normalization
+    // front-end (xd13) → exact dedup ON the normalized keys → MinHash
+    // near-dup + component closure over the normalized survivors —
+    // the front-end is load-bearing for BOTH downstream stages
+    // (cosmetic variants must land in one exact bucket and shingle
+    // identically), which is exactly what the composed oracle proves:
+    // it replays normalization → min-id grouping → exact all-pairs
+    // Jaccard over the normalized text → recursive closure.
+    Q("xp4_ccnet_pipeline",
+      s"""WITH RECURSIVE nrm AS (
+         |  SELECT doc_id, ${graft.operators.Dedup.ccnetNormalizeSql("text")}
+         |    AS ntext
+         |  FROM documents
+         |), ex AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM nrm GROUP BY ntext
+         |), sv AS (
+         |  SELECT nrm.doc_id, nrm.ntext AS text FROM nrm
+         |  JOIN ex USING (doc_id)
+         |), pairs AS (
+         |  SELECT * FROM (${DedupQueries.jaccardOracleSql(0.5,
+              source = "sv")})
+         |), edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION ALL SELECT b AS src, a AS dst FROM pairs
+         |), reach AS (
+         |  SELECT src AS id, src AS lab FROM edges
+         |  UNION
+         |  SELECT e.dst AS id, r.lab AS lab
+         |  FROM reach r JOIN edges e ON e.src = r.id
+         |), comp AS (
+         |  SELECT id, MIN(lab) AS component FROM reach GROUP BY id
+         |), fin AS (
+         |  SELECT * FROM sv
+         |  WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> component)
+         |)
+         |SELECT (SELECT COUNT(*) FROM nrm) AS n_docs,
+         |  (SELECT COUNT(*) FROM sv) AS n_exact,
+         |  (SELECT COUNT(*) FROM fin) AS n_final,
+         |  (SELECT CAST(SUM(LENGTH(text)) AS BIGINT) FROM fin)
+         |    AS n_chars""".stripMargin) { (s, d) =>
+      val nrm = t(s, d, "documents")
+        .select(col("doc_id"), Dedup.ccnetNormalize(col("text"))
+          .as("text"))
+        .localCheckpoint()
+      // exact survivors feed the pair join, the closure AND a count —
+      // checkpoint once (the xp2 discipline)
+      val exact = Dedup.exactDedup(nrm, "doc_id", "text")
+        .localCheckpoint()
+      val pairs = Dedup.minhashNearDups(exact, "doc_id", "text",
+        threshold = 0.5)
+      val fin = Dedup.dedupByComponents(exact, pairs, "doc_id")
+      nrm.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .crossJoin(fin.agg(count(lit(1)).as("n_final"),
+          sum(length(col("text"))).cast("long").as("n_chars")))
     }
   )
 }
