@@ -89,3 +89,90 @@ object Quality {
       .orderBy("doc_id")
   }
 }
+
+/** Char-n-gram Naive-Bayes language ID (xt23) — the fastText-shaped
+  * upgrade of xt1's stopword argmax: multinomial NB over CHARACTER
+  * trigrams of the lowercased text, trained on the labeled slice.
+  * Character features are the load-bearing choice — word tokenization
+  * breaks on unsegmented scripts (the corpus's zh slice has no
+  * word boundaries to tokenize), while char n-grams work uniformly
+  * across scripts.
+  *
+  * Exactness contract (the xt18 discipline): integer counts → LN
+  * doubles → DECIMAL(28,12) per-gram quantization → order-free exact
+  * sum; unknown grams take the add-1 floor via LEFT join + COALESCE;
+  * argmax ties go to the lexicographically smaller language.
+  *
+  * Scale shape: the model is (langs × gram-vocab) rows — broadcast at
+  * bench scale, a plain equi-join at web-scale vocabularies; scoring
+  * is one trigram explode × |langs| (a constant ≤ dozens), a model
+  * join, one (doc, lang) rollup and a |langs|-wide argmax window.
+  */
+object LangId {
+
+  /** Char trigrams of lower(`textCol`), exploded: (carryCols..., g).
+    * Docs shorter than 3 chars contribute no row (no evidence), same
+    * contract as [[Quality.scoreNb]]'s empty docs.
+    */
+  private def grams(df: DataFrame, textCol: String,
+      carry: Seq[String]): DataFrame =
+    df.withColumn("__lt", lower(col(textCol)))
+      .where(length(col("__lt")) >= 3)
+      .select(carry.map(col) :+ explode(expr(
+        "transform(sequence(1, char_length(__lt) - 2), " +
+          "i -> substring(__lt, i, 3))")).as("g"): _*)
+
+  /** Frozen multiclass model: per-(lang, gram) counts, per-lang token
+    * totals + shared vocab size, per-lang doc priors.
+    */
+  final case class Model(cwl: DataFrame, nl: DataFrame, dl: DataFrame)
+
+  def fit(train: DataFrame, labelCol: String = "lang",
+      textCol: String = "text"): Model = {
+    val tg = grams(train, textCol, Seq(labelCol))
+    val cwl = tg.groupBy(col(labelCol).as("__lang"), col("g"))
+      .agg(count(lit(1)).as("__c"))
+    val nl = tg.groupBy(col(labelCol).as("__lang"))
+      .agg(count(lit(1)).as("__n"))
+      .crossJoin(broadcast(tg.agg(countDistinct(col("g")).as("__v"))))
+    val dl = train.groupBy(col(labelCol).as("__lang"))
+      .agg(count(lit(1)).as("__d"))
+      .crossJoin(broadcast(train.agg(count(lit(1)).as("__dt"))))
+    Model(cwl, nl, dl)
+  }
+
+  def freeze(m: Model): Model =
+    Model(m.cwl.localCheckpoint(true), m.nl.localCheckpoint(true),
+      m.dl.localCheckpoint(true))
+
+  /** Score + classify `docs`: (doc_id, n_grams, lang = predicted,
+    * score r4) — argmax posterior, ties to the smaller language code.
+    * Docs with < 3 chars produce no row.
+    */
+  def classify(docs: DataFrame, m: Model, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = grams(docs, textCol, Seq(idCol))
+    val terms = tk
+      .crossJoin(broadcast(m.nl.select(col("__lang"))))
+      .join(m.cwl, Seq("__lang", "g"), "left")
+      .join(broadcast(m.nl), Seq("__lang"))
+      .select(col(idCol), col("__lang"),
+        log((coalesce(col("__c"), lit(0L)) + 1).cast(DoubleType)
+            / (col("__n") + col("__v")))
+          .cast(DecimalType(28, 12)).as("__l"))
+    val scored = terms.groupBy(col(idCol), col("__lang"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("__l")).as("__sl"))
+      .join(broadcast(m.dl), Seq("__lang"))
+      .select(col(idCol), col("__lang"), col("n_grams"),
+        (log(col("__d").cast(DoubleType) / col("__dt")) +
+          col("__sl").cast(DoubleType)).as("__score"))
+    scored.withColumn("__rn", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("__score").desc, col("__lang"))))
+      .where(col("__rn") === 1)
+      .select(col(idCol), col("n_grams"), col("__lang").as("lang"),
+        (floor(col("__score") * 10000 + 0.5) / 10000.0).as("score"))
+      .orderBy(idCol)
+  }
+}

@@ -1125,6 +1125,70 @@ object TextAnalysisQueries {
           Urls.canonicalUrl(col("__raw")).as("url"),
           Urls.canonicalHost(col("__raw")).as("host"))
         .orderBy("doc_id")
+    },
+
+    // Char-trigram Naive-Bayes language ID (xt23) — the fastText-
+    // shaped upgrade of xt1's stopword argmax, trained on the labeled
+    // slice (doc_id < 400) and classifying the rest. CHARACTER
+    // features are the load-bearing choice for real corpora
+    // (unsegmented scripts have no word boundaries to tokenize).
+    // Honesty note: the driver corpus's lang column is a random label
+    // over one shared vocabulary, so held-out accuracy here is chance
+    // BY CONSTRUCTION — this entry proves the cross-engine EXACTNESS
+    // of the whole chain (grams → counts → smoothed posteriors →
+    // argmax); discriminative power is gated in OperatorsSpec on
+    // planted languages with genuinely distinct character
+    // distributions (accuracy ≥ 0.9 incl. a spaceless CJK-style
+    // script). Exactness: the xt18 discipline (integer counts → LN →
+    // DECIMAL(28,12) per-gram quantization → order-free sums; add-1
+    // floor via LEFT join; argmax ties to the smaller language code).
+    Q("xt23_langid_ngram",
+      """WITH lt AS (
+        |  SELECT doc_id, lang, LOWER(text) AS t FROM documents
+        |  WHERE LENGTH(LOWER(text)) >= 3
+        |), tg AS (
+        |  SELECT lang, SUBSTR(t, CAST(i AS INT), 3) AS g
+        |  FROM (SELECT * FROM lt WHERE doc_id < 400),
+        |    UNNEST(RANGE(1, LENGTH(t) - 1)) u(i)
+        |), cwl AS (
+        |  SELECT lang, g, COUNT(*) AS c FROM tg GROUP BY 1, 2
+        |), nl AS (SELECT lang, COUNT(*) AS n FROM tg GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT g) AS v FROM tg),
+        |dl AS (SELECT lang, COUNT(*) AS d FROM documents
+        |       WHERE doc_id < 400 GROUP BY 1),
+        |dt AS (SELECT COUNT(*) AS dt FROM documents WHERE doc_id < 400),
+        |sg AS (
+        |  SELECT doc_id, SUBSTR(t, CAST(i AS INT), 3) AS g
+        |  FROM (SELECT * FROM lt WHERE doc_id >= 400),
+        |    UNNEST(RANGE(1, LENGTH(t) - 1)) u(i)
+        |), terms AS (
+        |  SELECT s.doc_id, l.lang,
+        |    CAST(LN(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE) / (n.n + v.v))
+        |      AS DECIMAL(28,12)) AS lterm
+        |  FROM sg s
+        |  CROSS JOIN (SELECT lang FROM nl) l
+        |  LEFT JOIN cwl c ON c.lang = l.lang AND c.g = s.g
+        |  JOIN nl n ON n.lang = l.lang CROSS JOIN v
+        |), sc AS (
+        |  SELECT doc_id, lang, COUNT(*) AS n_grams, SUM(lterm) AS sl
+        |  FROM terms GROUP BY 1, 2
+        |), fin AS (
+        |  SELECT sc.doc_id, sc.lang, sc.n_grams,
+        |    LN(CAST(dl.d AS DOUBLE) / dt.dt) + CAST(sc.sl AS DOUBLE)
+        |      AS score
+        |  FROM sc JOIN dl USING (lang) CROSS JOIN dt
+        |)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, lang,
+        |  FLOOR(score * 10000 + 0.5) / 10000.0 AS score
+        |FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+        |  FROM fin)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      graft.operators.LangId.classify(
+        docs.where(col("doc_id") >= 400),
+        graft.operators.LangId.fit(docs.where(col("doc_id") < 400)))
     }
   )
 }

@@ -1257,6 +1257,41 @@ class OperatorsSpec extends SparkSpec {
     assert(viaExact == Seq(1L, 3L, 6L, 8L))
   }
 
+  test("xt23 char-trigram language ID: >=0.9 accuracy on planted " +
+      "languages incl. a spaceless CJK-style script") {
+    import spark.implicits._
+    import graft.operators.LangId
+    // four planted "languages" with genuinely distinct character
+    // distributions; the CJK-style one has NO spaces — the case word
+    // tokenization is blind to
+    val rnd = new scala.util.Random(3)
+    val alphabets = Map(
+      "aa" -> "etaoinshrdlu ",
+      "bb" -> "äöüßqwxyzkjv ",
+      "cc" -> "áéíóúñçàèùâê ",
+      "dd" -> "你好世界语言文字模型数据") // spaceless
+    def doc(lang: String): String = {
+      val a = alphabets(lang)
+      (0 until 120).map(_ => a(rnd.nextInt(a.length))).mkString
+    }
+    val rows = for (l <- alphabets.keys.toSeq.sorted; i <- 0 until 30)
+      yield (alphabets.keys.toSeq.sorted.indexOf(l) * 100L + i, l, doc(l))
+    val df = rows.toDF("doc_id", "lang", "text").localCheckpoint(true)
+    val train = df.where(col("doc_id") % 100 < 20)
+    val test = df.where(col("doc_id") % 100 >= 20)
+    val pred = LangId.classify(test, LangId.fit(train))
+      .select("doc_id", "lang").as[(Long, String)].collect().toMap
+    val truth = test.select("doc_id", "lang").as[(Long, String)]
+      .collect().toMap
+    val acc = truth.count { case (id, l) => pred.get(id).contains(l) }
+      .toDouble / truth.size
+    assert(acc >= 0.9, f"planted-language accuracy $acc%.2f < 0.9")
+    // the spaceless script specifically must classify
+    val ddOk = truth.filter(_._2 == "dd")
+      .count { case (id, l) => pred.get(id).contains(l) }
+    assert(ddOk >= 9, s"spaceless-script docs correct: $ddOk/10")
+  }
+
   test("xt22 RRF fusion: agreement outranks either arm alone, missing " +
       "arms contribute 0, ties break by id") {
     import spark.implicits._
