@@ -380,6 +380,82 @@ object MultimodalQueries {
         .agg(count(lit(1)).as("n_pairs"),
           coalesce(sum("n_frame_pairs"), lit(0L)).as("fp_sum"),
           coalesce(sum(col("ida") + col("idb")), lit(0L)).as("id_sum"))
+    },
+
+    // Multimodal dedup PIPELINE (xp5): perceptual image near-dup
+    // pairs (xm6's banded Hamming machinery) → connected components →
+    // one survivor per visual cluster — the xp1 composition run on
+    // the IMAGE modality, proving the media dedup family composes
+    // with the graph-closure layer exactly like text dedup does. The
+    // oracle replays hash derivation (from the planted pixel
+    // formulas, container bytes never touched), brute all-pairs
+    // Hamming, recursive closure, survivor rollup.
+    Q("xp5_image_dedup_pipeline",
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, COALESCE(text, '') AS text,
+        |    CAST(8 + doc_id % 24 AS BIGINT) AS w,
+        |    CAST(8 + (doc_id * 3) % 16 AS BIGINT) AS h
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, w, h, x.p AS p,
+        |    CASE WHEN LENGTH(text) = 0
+        |      THEN (x.p % 251 - 125 + 256) % 256
+        |      ELSE UNICODE(SUBSTR(text,
+        |        CAST(x.p % LENGTH(text) AS INT) + 1, 1)) END AS v
+        |  FROM d CROSS JOIN LATERAL UNNEST(RANGE(0, w*h*3)) x(p)
+        |), cells AS (
+        |  SELECT doc_id, ((p//3)//w)*8//h AS i, ((p//3)%w)*8//w AS j,
+        |    SUM(v) AS s, COUNT(*) AS c, ANY_VALUE(w*h*3) AS btot
+        |  FROM b GROUP BY 1, 2, 3
+        |), tot AS (SELECT doc_id, SUM(s) AS stot FROM cells GROUP BY 1),
+        |bits AS (
+        |  SELECT c.doc_id, i*8 + j AS idx,
+        |    CASE WHEN c.s * c.btot > t.stot * c.c THEN 1 ELSE 0 END AS bit
+        |  FROM cells c JOIN tot t USING (doc_id)
+        |), hashes AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(SUM(CASE WHEN idx >= 32 AND bit = 1
+        |      THEN 1::BIGINT << (idx - 32) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(SUM(CASE WHEN idx < 32 AND bit = 1
+        |      THEN 1::BIGINT << idx ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.media_id AS ida, b.media_id AS idb
+        |  FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+        |  WHERE BIT_COUNT(XOR(a.hi, b.hi)) + BIT_COUNT(XOR(a.lo, b.lo))
+        |    <= 7
+        |), edges AS (
+        |  SELECT ida AS src, idb AS dst FROM pairs
+        |  UNION ALL SELECT idb AS src, ida AS dst FROM pairs
+        |), reach AS (
+        |  SELECT src AS id, src AS lab FROM edges
+        |  UNION
+        |  SELECT e.dst AS id, r.lab AS lab
+        |  FROM reach r JOIN edges e ON e.src = r.id
+        |), comp AS (
+        |  SELECT id, MIN(lab) AS component FROM reach GROUP BY id
+        |)
+        |SELECT (SELECT COUNT(*) FROM hashes) AS n_media,
+        |  (SELECT COUNT(*) FROM pairs) AS n_pairs,
+        |  (SELECT COUNT(*) FROM hashes WHERE media_id NOT IN
+        |     (SELECT id FROM comp WHERE id <> component))
+        |    AS n_survivors,
+        |  (SELECT CAST(SUM(media_id) AS BIGINT) FROM hashes
+        |   WHERE media_id NOT IN
+        |     (SELECT id FROM comp WHERE id <> component))
+        |    AS survivor_id_sum""".stripMargin) { (s, d) =>
+      val hashes = Multimodal.aHashTable(
+          Multimodal.encodeBmpTable(t(s, d, "documents"))).toDF()
+        .localCheckpoint()
+      val pairs = Multimodal.imageNearDups(hashes, maxHamming = 7)
+        .select(col("ida").as("a"), col("idb").as("b"))
+        .localCheckpoint()
+      val surv = graft.operators.Dedup.dedupByComponents(
+        hashes, pairs, "media_id")
+      hashes.agg(count(lit(1)).as("n_media"))
+        .crossJoin(pairs.agg(count(lit(1)).as("n_pairs")))
+        .crossJoin(surv.agg(count(lit(1)).as("n_survivors"),
+          sum(col("media_id")).as("survivor_id_sum")))
     }
   )
 }
