@@ -309,8 +309,9 @@ class OperatorsSpec extends SparkSpec {
       "(no CodegenFallback poisoning)") {
     val df = docs.select(
       HashFns.minhashSignature(HashFns.wordShingles(col("text"), 3)).as("sig"),
-      HashFns.simhash60(split(lower(col("text")), "\\s+")).as("sh"))
-      .where(size(col("sig")) > 0)
+      HashFns.simhash60(split(lower(col("text")), "\\s+")).as("sh"),
+      HashFns.nfcNormalize(col("text")).as("nt"))
+      .where(size(col("sig")) > 0 && length(col("nt")) >= 0)
     val plan = df.queryExecution.executedPlan.toString
     // `*(n)` prefixes mark operators fused into a WholeStageCodegen
     // span — CodegenFallback would forbid it for the whole stage
