@@ -493,6 +493,59 @@ object Dedup {
       .where(col("c") >= threshold)
   }
 
+  /** Incremental embedding near-dup (the xd8 shape on vectors): new
+    * vectors vs an existing corpus — band BOTH sides with the same
+    * hyperplane keys, join delta bands × corpus bands (cost
+    * delta-bucket × corpus-bucket overlap, never corpus² and never
+    * delta×corpus raw), exact-cosine verify the candidates. The
+    * continuous-ingestion path: at 100 TB you never re-run the full
+    * self-join for a day's crawl — each delta costs its own size times
+    * bucket occupancy. Output: (a = corpus id, b = new id, c),
+    * [[minhashNearDupsAgainst]]'s convention.
+    */
+  def embeddingNearDupsLSHAgainst(
+      newEmb: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, bands: Int = 96,
+      bitsPerBand: Int = 12, seed: Int = 0x5eed): DataFrame = {
+    def prep(df: DataFrame) = df.select(col(idCol).as("__id"),
+      col(vecCol).as("__v"), TextFns.l2norm(col(vecCol)).as("__n"),
+      HashFns.hyperplaneBands(col(vecCol), bands, bitsPerBand, seed)
+        .as("__bk"))
+      .localCheckpoint(true)
+    def banded(e: DataFrame) = e.select(col("__id"),
+      posexplode_outer(col("__bk")).as(Seq("__band", "__key")))
+    val eC = prep(corpus)
+    val eN = prep(newEmb)
+    val cand = banded(eC).as("x").join(banded(eN).as("y"),
+        col("x.__band") === col("y.__band") &&
+          col("x.__key") === col("y.__key"))
+      .select(col("x.__id").as("a"), col("y.__id").as("b"))
+      .distinct()
+    cand
+      .join(eC.select(col("__id").as("a"), col("__v").as("__va"),
+        col("__n").as("__na")), "a")
+      .join(eN.select(col("__id").as("b"), col("__v").as("__vb"),
+        col("__n").as("__nb")), "b")
+      .select(col("a"), col("b"),
+        (TextFns.dot(col("__va"), col("__vb")) /
+          (col("__na") * col("__nb"))).as("c"))
+      .where(col("c") >= threshold)
+  }
+
+  /** [[embeddingNearDupsLSHAgainst]] with band parameters derived
+    * from the COMBINED population (a hot bucket is hot no matter
+    * which side its members arrive on — the capped-xd8 discipline).
+    */
+  def embeddingNearDupsLSHAgainstAuto(
+      newEmb: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, missProb: Double = 1e-6,
+      seed: Int = 0x5eed): DataFrame = {
+    val n = corpus.count() + newEmb.count()
+    val (bands, bits) = lshParams(math.max(1L, n), threshold, missProb)
+    embeddingNearDupsLSHAgainst(newEmb, corpus, idCol, vecCol,
+      threshold, bands, bits, seed)
+  }
+
   /** [[embeddingNearDupsLSH]] with (bands, bitsPerBand) derived from
     * the ACTUAL corpus size via [[lshParams]] — the production default
     * for embedding near-dup at any scale. Fixed-width banding is

@@ -79,8 +79,9 @@ object DedupQueries {
     * formulation (xd6 oracle; also the pair source inside xd9's
     * recursive closure).
     */
-  private val embeddingPairsOracleSql: String =
-    """WITH base AS (
+  private def embeddingPairsOracleSql(
+      pairCond: String = "x.id < y.id"): String =
+    s"""WITH base AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
       |), corpus AS (
       |  SELECT vec_id AS id, v FROM base
@@ -93,7 +94,7 @@ object DedupQueries {
       |    LIST_INNER_PRODUCT(x.v, y.v) /
       |      (SQRT(LIST_INNER_PRODUCT(x.v, x.v)) *
       |       SQRT(LIST_INNER_PRODUCT(y.v, y.v))) AS c
-      |  FROM corpus x JOIN corpus y ON x.id < y.id
+      |  FROM corpus x JOIN corpus y ON $pairCond
       |) WHERE c >= 0.9 ORDER BY a, b""".stripMargin
 
   val all: Seq[Q] = Seq(
@@ -187,7 +188,7 @@ object DedupQueries {
     // parameters are DERIVED from the actual corpus size (lshParams) —
     // fixed-width banding goes quadratic once buckets saturate
     // (SCALE_r4_f20.json: 197s fixed vs 57s auto, identical rows).
-    Q("xd6_embedding_lsh", embeddingPairsOracleSql) { (s, d) =>
+    Q("xd6_embedding_lsh", embeddingPairsOracleSql()) { (s, d) =>
       Dedup.embeddingNearDupsLSHAuto(plantedCorpus(s, d), "id", "v",
           threshold = 0.9)
         .select(col("a"), col("b"), round(col("c"), 4).as("c"))
@@ -201,7 +202,7 @@ object DedupQueries {
     // closure over the same planted corpus.
     Q("xd9_semantic_components",
       s"""WITH RECURSIVE pairs AS (
-         |  SELECT * FROM ($embeddingPairsOracleSql)
+         |  SELECT * FROM (${embeddingPairsOracleSql()})
          |), edges AS (
          |  SELECT a AS src, b AS dst FROM pairs
          |  UNION ALL SELECT b AS src, a AS dst FROM pairs
@@ -327,6 +328,25 @@ object DedupQueries {
           docs.where(col("doc_id") < 250),
           "doc_id", "text", threshold = 0.5)
         .select(col("a"), col("b"), round(col("j"), 4).as("j"))
+        .orderBy("a", "b")
+    },
+
+    // Incremental EMBEDDING near-dup (xd14) — the xd8 shape on
+    // vectors, completing the matrix: batch exact (xd4), batch
+    // LSH-blocked (xd6), incremental delta-vs-corpus (this). The
+    // planted +0.05 copies are the delta, the originals the corpus;
+    // band params from the combined population law. Oracle: exact
+    // cross-slice all-pairs cosine — the hash match proves the
+    // cross-banding loses nothing at the threshold.
+    Q("xd14_embedding_incremental",
+      embeddingPairsOracleSql(
+        pairCond = "x.id < 100000 AND y.id >= 100000")) { (s, d) =>
+      val planted = plantedCorpus(s, d)
+      Dedup.embeddingNearDupsLSHAgainstAuto(
+          planted.where(col("id") >= 100000),
+          planted.where(col("id") < 100000),
+          "id", "v", threshold = 0.9)
+        .select(col("a"), col("b"), round(col("c"), 4).as("c"))
         .orderBy("a", "b")
     },
 
