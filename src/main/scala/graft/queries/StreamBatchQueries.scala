@@ -501,6 +501,28 @@ object StreamBatchQueries {
             .when(col("l_orderkey") < 40000L, 1).otherwise(2),
           Seq("l_returnflag"), "l_extendedprice",
           Seq(0.5, 0.9, 0.99), s = 512))
+    },
+
+    // Streaming incremental embedding near-dup (QS16, the xd14 stream
+    // face): the planted +0.05 copies arrive in id-ordered chunks and
+    // screen against the frozen original-vector corpus through shared
+    // hyperplane bands — stateless per batch, band params pinned once
+    // from the full population, so any chunking == one-shot xd14 BY
+    // CONSTRUCTION. Oracle shared by reference with xd14 (exact
+    // cross-slice all-pairs cosine) so the contracts can never drift;
+    // the real file-stream runner is gated in StreamingSpec.
+    Q("qs16_stream_embedding_neardup",
+      DedupQueries.all.find(_.name == "xd14_embedding_incremental").get
+        .oracle.get) { (s, d) =>
+      val planted = DedupQueries.plantedEmbeddingCorpus(
+        t(s, d, "embeddings"))
+      graft.streaming.Streams.embeddingNearDupsChunked(
+          planted.where(col("id") >= 100000),
+          planted.where(col("id") < 100000),
+          "id", "v", threshold = 0.9,
+          bounds = Seq(100150L, 100400L))
+        .select(col("a"), col("b"), round(col("c"), 4).as("c"))
+        .orderBy("a", "b")
     }
   )
 }

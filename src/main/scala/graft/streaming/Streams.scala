@@ -114,6 +114,66 @@ object Streams {
     graft.operators.Dedup.minhashNearDupsAgainst(
       newDocs, corpus, "doc_id", "text", threshold)
 
+  /** Streaming incremental EMBEDDING near-dup (QS16, the xd14 stream
+    * face): newly-arriving vectors screened against a STATIC vector
+    * corpus through shared hyperplane bands — per batch exactly
+    * [[graft.operators.Dedup.embeddingNearDupsLSHAgainst]], stateless
+    * (the corpus is a static side; each delta vector's pairs depend
+    * on nothing but itself and the corpus), so ANY chunking equals
+    * the one-shot run BY CONSTRUCTION — provided the band parameters
+    * are pinned once from the full population instead of re-derived
+    * per batch (a per-batch Auto would re-size bands as the stream
+    * grows and change which candidate pairs are generated; recall
+    * bounds hold either way, but the chunked==one-shot contract is
+    * exact only at fixed params). Chunk-emulation form for the oracle
+    * gate; the file-stream runner is [[runEmbeddingNearDupStream]].
+    */
+  def embeddingNearDupsChunked(delta: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      bounds: Seq[Long]): DataFrame = {
+    val n = corpus.count() + delta.count()
+    val (bands, bits) = graft.operators.Dedup
+      .lshParams(math.max(1L, n), threshold)
+    val edges = (Long.MinValue +: bounds.sorted) :+ Long.MaxValue
+    edges.sliding(2).map { case Seq(lo, hi) =>
+      graft.operators.Dedup.embeddingNearDupsLSHAgainst(
+        delta.where(col(idCol) >= lo && col(idCol) < hi), corpus,
+        idCol, vecCol, threshold, bands, bits)
+    }.reduce(_.unionAll(_))
+  }
+
+  /** The real QS16 runner: delta vector parquet files → per-batch
+    * frozen-corpus screening → parquet sink. Stateless per batch
+    * (the qs5/qs13 frozen-side pattern); the corpus signature frame
+    * and the band parameters are computed ONCE, not per batch.
+    */
+  def runEmbeddingNearDupStream(spark: SparkSession, deltaDir: String,
+      corpus: DataFrame, outDir: String, threshold: Double,
+      totalHint: Long): Unit = {
+    val (bands, bits) = graft.operators.Dedup
+      .lshParams(math.max(1L, totalHint), threshold)
+    val frozen = corpus.localCheckpoint(true)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", ArrayType(DoubleType))))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(deltaDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val before = spark.sparkContext.getPersistentRDDs.keySet
+        graft.operators.Dedup.embeddingNearDupsLSHAgainst(
+            batch, frozen, "id", "v", threshold, bands, bits)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        spark.sparkContext.getPersistentRDDs
+          .filterNot { case (rid, _) => before(rid) }
+          .values.foreach(_.unpersist(blocking = false))
+        ()
+      }
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+
   /** Streaming paragraph dedup (QS7): newly-arriving documents have
     * their SPANS deduped against a static corpus's span store — the
     * continuous-ingestion form of xd10's boilerplate removal. The

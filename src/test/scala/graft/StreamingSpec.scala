@@ -237,6 +237,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("QS16 real file-stream embedding near-dup == one-shot xd14 " +
+      "(frozen corpus, pinned band params, stateless batches)") {
+    val planted = graft.queries.DedupQueries.plantedEmbeddingCorpus(
+      graft.queries.T.t(spark, sf0001, "embeddings"))
+    val corpus = planted.where(col("id") < 100000)
+    val delta = planted.where(col("id") >= 100000)
+    val base = java.nio.file.Files.createTempDirectory("qs16")
+    val deltaDir = base.resolve("delta").toString
+    val outDir = base.resolve("out").toString
+    delta.repartition(3).write.parquet(deltaDir)
+    val total = planted.count()
+    Streams.runEmbeddingNearDupStream(spark, deltaDir, corpus, outDir,
+      threshold = 0.9, totalHint = total)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("a"), col("b"), round(col("c"), 4).as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2))).toSet
+    val streamed = rows(spark.read.parquet(s"$outDir/batch=*"))
+    val oneShot = rows(graft.operators.Dedup
+      .embeddingNearDupsLSHAgainstAuto(delta, corpus, "id", "v",
+        threshold = 0.9))
+    assert(oneShot.nonEmpty, "planted cross pairs expected")
+    assert(streamed == oneShot)
+  }
+
   test("QS14 real file-stream heavy hitters == one-shot xk12 over the " +
       "archived deltas (durable per-batch MG summaries)") {
     val docs = graft.queries.T.t(spark, sf0001, "documents")
