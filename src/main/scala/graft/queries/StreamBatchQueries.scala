@@ -497,8 +497,12 @@ object StreamBatchQueries {
       ScaleQueries.quantileWide(
         graft.operators.Quantiles.exactQuantilesChunked(
           li,
-          when(col("l_orderkey") < 20000L, 0)
-            .when(col("l_orderkey") < 40000L, 1).otherwise(2),
+          // orderkeys span ~[0, 15k) at sf0.01 and ~[0, 150k) at
+          // sf0.1 — these bounds give three NON-EMPTY chunks at both
+          // gated SFs (a degenerate one-chunk split would gate
+          // nothing beyond xk13)
+          when(col("l_orderkey") < 5000L, 0)
+            .when(col("l_orderkey") < 10000L, 1).otherwise(2),
           Seq("l_returnflag"), "l_extendedprice",
           Seq(0.5, 0.9, 0.99), s = 512))
     },
