@@ -287,6 +287,33 @@ class StreamingSpec extends SparkSpec {
       .forall(_.getInt(0) <= 4096))
   }
 
+  test("QS14 stream resumes from its checkpoint: late files fold into " +
+      "the committed summaries without reprocessing early batches") {
+    val docs = graft.queries.T.t(spark, sf0001, "documents")
+    val base = java.nio.file.Files.createTempDirectory("qs14r")
+    val deltaDir = base.resolve("delta").toString
+    val outDir = base.resolve("out").toString
+    docs.where(col("doc_id") < 250).repartition(2)
+      .write.parquet(deltaDir)
+    Streams.runHeavyHittersStream(spark, deltaDir, outDir).collect()
+    val early = spark.read.parquet(s"$outDir/state/batch=*").count()
+    assert(early == 2, s"first session must commit 2 summaries: $early")
+    docs.where(col("doc_id") >= 250).repartition(2)
+      .write.mode("append").parquet(deltaDir)
+    // second session: the checkpoint resumes at the new files only;
+    // the fold then reads ALL committed summaries (old + new)
+    val resumed = Streams
+      .runHeavyHittersStream(spark, deltaDir, outDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(spark.read.parquet(s"$outDir/state/batch=*").count() == 4)
+    val oneShot = graft.operators.Sketches.heavyHitters(
+        docs.select(explode(
+          graft.functions.TextFns.tokens(col("text"))).as("g")),
+        "g", denom = 1000L, capacity = 4096)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(resumed == oneShot)
+  }
+
   test("QS15 real file-stream quantiles == one-shot exactQuantiles " +
       "over the archived deltas (durable per-batch sketches)") {
     val docs = graft.queries.T.t(spark, sf0001, "documents")
