@@ -336,6 +336,30 @@ class StreamingSpec extends SparkSpec {
       .forall(_.getInt(0) <= 512))
   }
 
+  test("QS15 stream resumes from its checkpoint: late files fold into " +
+      "the committed per-group sketches without reprocessing") {
+    val docs = graft.queries.T.t(spark, sf0001, "documents")
+    val base = java.nio.file.Files.createTempDirectory("qs15r")
+    val deltaDir = base.resolve("delta").toString
+    val outDir = base.resolve("out").toString
+    docs.where(col("doc_id") < 250).repartition(2)
+      .write.parquet(deltaDir)
+    Streams.runQuantilesStream(spark, deltaDir, outDir).collect()
+    docs.where(col("doc_id") >= 250).repartition(2)
+      .write.mode("append").parquet(deltaDir)
+    val resumed = Streams.runQuantilesStream(spark, deltaDir, outDir)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    val oneShot = graft.operators.Quantiles.exactQuantiles(
+        docs, Seq("source"), "n_chars", Seq(0.5, 0.9, 0.99), s = 512)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    assert(resumed == oneShot)
+    // 4 batches' summaries committed across the two sessions
+    assert(new java.io.File(s"$outDir/state").listFiles()
+      .count(_.getName.startsWith("batch=")) == 4)
+  }
+
   test("QS13 chunked bloom-decontam stream == batch frozen-index " +
       "report") {
     // frozen Bloom index + stateless per-batch screening: four
