@@ -135,7 +135,14 @@ object Bench {
         d.take(4).map(b => f"$b%02x").mkString
       } catch { case NonFatal(_) => "error" }
 
-    val names = SparkEntry.declared.map(_.name) // stable contract order
+    // SPARK_GRAFT_BENCH_FILTER: optional name regex for attribution
+    // runs (e.g. a suspected regression benched alone, at several
+    // commits). The driver's per-round run sets no filter and gets
+    // the full contract order.
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
+    def keep(n: String): Boolean =
+      filter.forall(_.findFirstIn(n).isDefined)
+    val names = SparkEntry.declared.map(_.name).filter(keep)
     final case class QResult(name: String, runs: Seq[Double],
         perRun: Seq[Seq[Long]], stages: Seq[Long], fp: String) {
       // per-run executor CPU seconds (snapshot index 6 = cpuNs delta)
@@ -173,7 +180,7 @@ object Bench {
     // r5 cross-round drift adjudication lacked.
     val pass2 = {
       var snap = metrics.snapshot()
-      benchHeadliners.reverse.map { name =>
+      benchHeadliners.filter(keep).reverse.map { name =>
         val fn = SparkEntry.queries(name)
         try {
           val (sec, after, deltas) = timeOnceFrom(fn, snap)
@@ -194,6 +201,7 @@ object Bench {
     // sec/batch via the query's progress log so the number can trend.
     val (streamTotal, streamBatches, streamSecPerBatch) =
       try {
+        if (!keep("qs4_stream_rocksdb")) throw new RuntimeException("filtered")
         val tmp = java.nio.file.Files.createTempDirectory("graft_qs4s")
         try {
           val ev = graft.queries.T.t(spark, sfDir, "events")

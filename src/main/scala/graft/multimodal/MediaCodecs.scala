@@ -277,6 +277,7 @@ object MediaCodecs {
     var strhSeen = 0      // strh chunks walked so far (= stream index)
     var vidStream = -1    // index of the first 'vids' stream
     var curStrh = ""      // handler type of the current strl's strh
+    var preVidsFrames = 0 // frame chunks seen BEFORE any vids strh
     val frames = Vector.newBuilder[Array[Byte]]
 
     def walk(from: Int, until: Int): Unit = {
@@ -330,12 +331,21 @@ object MediaCodecs {
               row += 1
             }
             frames += out
+          case c if (c.endsWith("db") || c.endsWith("dc")) &&
+              c.take(2).forall(_.isDigit) && vidStream < 0 =>
+            // malformed ordering (movi before hdrl's vids strl):
+            // record it so the file fails loudly below instead of
+            // silently decoding to zero frames
+            preVidsFrames += 1
           case _ => // skip avih/idx1/unknown
         }
         pos += 8 + size + (size & 1)
       }
     }
     walk(12, math.min(bytes.length, 8 + buf.getInt(4)))
+    require(preVidsFrames == 0,
+      s"$preVidsFrames frame chunk(s) before the vids stream header " +
+        "(malformed RIFF ordering: movi precedes hdrl)")
     val fs = frames.result()
     require(width > 0 && fs.nonEmpty, "missing strf header or frames")
     AviVideo(width, height, fps, fs)

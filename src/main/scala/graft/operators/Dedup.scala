@@ -506,16 +506,40 @@ object Dedup {
   def embeddingNearDupsLSHAgainst(
       newEmb: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, threshold: Double, bands: Int = 96,
-      bitsPerBand: Int = 12, seed: Int = 0x5eed): DataFrame = {
-    def prep(df: DataFrame) = df.select(col(idCol).as("__id"),
+      bitsPerBand: Int = 12, seed: Int = 0x5eed): DataFrame =
+    embeddingNearDupsLSHAgainstPrepped(newEmb,
+      lshPrep(corpus, idCol, vecCol, bands, bitsPerBand, seed),
+      idCol, vecCol, threshold, bands, bitsPerBand, seed)
+
+  /** Materialize one side's LSH frame (l2 norm + hyperplane band
+    * keys) ONCE, for reuse across many
+    * [[embeddingNearDupsLSHAgainstPrepped]] calls. The streaming
+    * QS16 runner preps its frozen corpus with this before `start()`
+    * so each micro-batch pays only the delta's signatures, not a
+    * full corpus re-materialization per batch.
+    */
+  def lshPrep(df: DataFrame, idCol: String, vecCol: String,
+      bands: Int, bitsPerBand: Int, seed: Int = 0x5eed): DataFrame =
+    df.select(col(idCol).as("__id"),
       col(vecCol).as("__v"), TextFns.l2norm(col(vecCol)).as("__n"),
       HashFns.hyperplaneBands(col(vecCol), bands, bitsPerBand, seed)
         .as("__bk"))
       .localCheckpoint(true)
+
+  /** [[embeddingNearDupsLSHAgainst]] where the corpus side is already
+    * a [[lshPrep]] frame (columns __id/__v/__n/__bk) — the per-batch
+    * streaming face. `bands`/`bitsPerBand`/`seed` MUST match the ones
+    * the corpus was prepped with (same hyperplanes on both sides or
+    * the band join is meaningless).
+    */
+  def embeddingNearDupsLSHAgainstPrepped(
+      newEmb: DataFrame, preppedCorpus: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, bands: Int = 96,
+      bitsPerBand: Int = 12, seed: Int = 0x5eed): DataFrame = {
     def banded(e: DataFrame) = e.select(col("__id"),
       posexplode_outer(col("__bk")).as(Seq("__band", "__key")))
-    val eC = prep(corpus)
-    val eN = prep(newEmb)
+    val eC = preppedCorpus
+    val eN = lshPrep(newEmb, idCol, vecCol, bands, bitsPerBand, seed)
     val cand = banded(eC).as("x").join(banded(eN).as("y"),
         col("x.__band") === col("y.__band") &&
           col("x.__key") === col("y.__key"))

@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
   * Rules (the conservative, semantics-preserving subset): scheme and
   * host lowercase; leading `www.` stripped; default port dropped
   * (http:80 / https:443, others kept); path cleaned of duplicate
-  * slashes, `/./` segments and one-level `/seg/../` climbs, trailing
+  * slashes, `/./` segments and `/seg/../` climbs (multi-level and
+  * adjacent climbs resolved by bounded iteration, leading climbs
+  * clamped at root), trailing
   * slash trimmed (root stays `/`, empty becomes `/`); fragment
   * dropped; query kept verbatim. Everything is a narrow per-row map:
   * Spark's `parse_url` (java.net.URI) splits the URL, builtin string
@@ -23,7 +25,8 @@ import org.apache.spark.sql.functions._
   * The driver testdata carries no URL column, so [[syntheticUrl]]
   * derives a deterministically MESSY url per document (mixed-case
   * scheme/host, www., default and explicit ports, duplicate slashes,
-  * dot-segments, one `../` climb, fragments, query strings) — built
+  * dot-segments, one- and multi-level `../` climbs, fragments,
+  * query strings) — built
   * by the same arithmetic in both engines, then canonicalized
   * independently.
   */
@@ -43,7 +46,8 @@ object Urls {
       .when(pmod(docId, lit(4)) === 2, ":8080").otherwise("")
     val seg1 = when(pmod(docId, lit(5)) === 0, "/a//b")
       .when(pmod(docId, lit(5)) === 1, "/a/./b")
-      .when(pmod(docId, lit(5)) === 2, "/a/skip/../b").otherwise("/a/b")
+      .when(pmod(docId, lit(5)) === 2, "/a/skip/../b")
+      .when(pmod(docId, lit(5)) === 3, "/u/v/../../w").otherwise("/a/b")
     val tail = when(pmod(docId, lit(7)) === 0, "/").otherwise("")
     val frag = when(pmod(docId, lit(2)) === 0,
       concat(lit("#sec"), pmod(docId, lit(9)))).otherwise("")
@@ -62,22 +66,39 @@ object Urls {
        |(CASE $id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
        |  WHEN 2 THEN ':8080' ELSE '' END) ||
        |(CASE $id % 5 WHEN 0 THEN '/a//b' WHEN 1 THEN '/a/./b'
-       |  WHEN 2 THEN '/a/skip/../b' ELSE '/a/b' END) ||
+       |  WHEN 2 THEN '/a/skip/../b' WHEN 3 THEN '/u/v/../../w'
+       |  ELSE '/a/b' END) ||
        |'/doc' || ($id % 100) ||
        |(CASE WHEN $id % 7 = 0 THEN '/' ELSE '' END) ||
        |(CASE WHEN $id % 6 = 0 THEN '?q=' || ($id % 11) ELSE '' END) ||
        |(CASE WHEN $id % 2 = 0 THEN '#sec' || ($id % 9) ELSE '' END)"""
       .stripMargin.replace('\n', ' ')
 
-  /** Canonical path: one-level `..` climb, `/./` removal, duplicate-
-    * slash collapse, trailing-slash trim, empty → `/`. Fixed replace
-    * order; the three patterns are identical in Java regex and RE2.
+  /** Rounds of dot-segment resolution. A single `g` replace never
+    * rescans replaced text, so adjacent/nested occurrences
+    * (`/a/b/../../c`, `/././`) survive one pass; each round strictly
+    * shrinks any still-resolvable path, and 6 rounds cover ≥6
+    * pathological nesting levels (real crawl paths: 1-2). Both
+    * engines run the SAME round count, so oracle parity holds even
+    * on deeper synthetic monsters.
+    */
+  private val CanonRounds = 6
+
+  /** Canonical path: duplicate-slash collapse, `/./` removal, `..`
+    * climbs (multi-level + adjacent via [[CanonRounds]] iterations,
+    * trailing `/..` and root-clamped leading `/../` included),
+    * trailing-slash trim, empty → `/`. Fixed replace order; patterns
+    * are identical in Java regex and RE2.
     */
   private def canonPath(path: Column): Column = {
-    val p1 = regexp_replace(path, "/[^/]+/\\.\\./", "/")
-    val p2 = regexp_replace(p1, "/\\./", "/")
-    val p3 = regexp_replace(p2, "/{2,}", "/")
-    val p4 = regexp_replace(p3, "/$", "")
+    val r = (1 to CanonRounds).foldLeft(path) { (p, _) =>
+      val a = regexp_replace(p, "/{2,}", "/")
+      val b = regexp_replace(a, "/\\./", "/")
+      val c = regexp_replace(b, "/[^/]+/\\.\\./", "/")
+      regexp_replace(c, "/[^/]+/\\.\\.$", "/")
+    }
+    val lead = regexp_replace(r, "^(/\\.\\.)+(/|$)", "/")
+    val p4 = regexp_replace(lead, "/$", "")
     when(p4 === "", "/").otherwise(p4)
   }
 
@@ -114,10 +135,16 @@ object Urls {
     val auth = s"REGEXP_EXTRACT($url, '^[^:]+://([^/?#]+)', 1)"
     val port = s"REGEXP_EXTRACT($auth, ':([0-9]+)$$', 1)"
     val rawPath = s"REGEXP_EXTRACT($url, '^[^:]+://[^/?#]+([^?#]*)', 1)"
-    val p1 = s"REGEXP_REPLACE($rawPath, '/[^/]+/\\.\\./', '/', 'g')"
-    val p2 = s"REGEXP_REPLACE($p1, '/\\./', '/', 'g')"
-    val p3 = s"REGEXP_REPLACE($p2, '/{2,}', '/', 'g')"
-    val p4 = s"REGEXP_REPLACE($p3, '/$$', '')"
+    // Same CanonRounds iteration as canonPath: RE2's global replace
+    // also skips replaced text, so the round structure must match.
+    val rounds = (1 to CanonRounds).foldLeft(rawPath) { (p, _) =>
+      val a = s"REGEXP_REPLACE($p, '/{2,}', '/', 'g')"
+      val b = s"REGEXP_REPLACE($a, '/\\./', '/', 'g')"
+      val c = s"REGEXP_REPLACE($b, '/[^/]+/\\.\\./', '/', 'g')"
+      s"REGEXP_REPLACE($c, '/[^/]+/\\.\\.$$', '/', 'g')"
+    }
+    val lead = s"REGEXP_REPLACE($rounds, '^(/\\.\\.)+(/|$$)', '/')"
+    val p4 = s"REGEXP_REPLACE($lead, '/$$', '')"
     val path = s"(CASE WHEN $p4 = '' THEN '/' ELSE $p4 END)"
     val query = s"REGEXP_EXTRACT($url, '\\?([^#]*)', 1)"
     s"$scheme || '://' || ${canonicalHostSql(url)} || " +

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -152,7 +152,12 @@ object Streams {
       totalHint: Long): Unit = {
     val (bands, bits) = graft.operators.Dedup
       .lshParams(math.max(1L, totalHint), threshold)
-    val frozen = corpus.localCheckpoint(true)
+    // Prep (norms + hyperplane band keys + localCheckpoint) ONCE,
+    // before start(): per batch only the delta pays signatures. The
+    // prepped RDDs predate every batch's `before` snapshot, so the
+    // per-batch cleanup below never touches them.
+    val frozen = graft.operators.Dedup.lshPrep(
+      corpus, "id", "v", bands, bits)
     val schema = StructType(Seq(StructField("id", LongType),
       StructField("v", ArrayType(DoubleType))))
     val q = spark.readStream.schema(schema)
@@ -160,7 +165,7 @@ object Streams {
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val before = spark.sparkContext.getPersistentRDDs.keySet
-        graft.operators.Dedup.embeddingNearDupsLSHAgainst(
+        graft.operators.Dedup.embeddingNearDupsLSHAgainstPrepped(
             batch, frozen, "id", "v", threshold, bands, bits)
           .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         spark.sparkContext.getPersistentRDDs
@@ -622,15 +627,26 @@ object Streams {
       Seq(groupCol), valueCol, ps, s)
   }
 
+  /** id → chunk index for `bounds` ascending upper-exclusive edges:
+    * id < bounds(0) → 0, bounds(0) ≤ id < bounds(1) → 1, …,
+    * id ≥ last → bounds.length. Fold DESCENDING so the smallest
+    * bound ends up the OUTERMOST `when` — a foldLeft over ascending
+    * bounds would test the largest bound first and every id below it
+    * would land in the last chunk (chunk 0 unreachable).
+    */
+  private[graft] def chunkIndexCol(id: Column,
+      bounds: Seq[Long]): Column = {
+    val edges = bounds.sorted
+    edges.zipWithIndex.reverse.foldLeft(lit(edges.length)) {
+      case (acc, (b, i)) => when(id < b, i).otherwise(acc)
+    }
+  }
+
   def heavyHittersChunked(docs: DataFrame, bounds: Seq[Long],
       denom: Long = 1000L, capacity: Int = 4096): DataFrame = {
     require(capacity + 1 > denom,
       "heavyHittersChunked: need capacity+1 > denom (MG no-miss)")
-    val edges = bounds.sorted
-    // doc_id → chunk index: the stream's batch id, as a column
-    val chunk = edges.zipWithIndex.foldLeft(lit(edges.length)) {
-      case (acc, (b, i)) => when(col("doc_id") < b, i).otherwise(acc)
-    }
+    val chunk = chunkIndexCol(col("doc_id"), bounds)
     val words = docs.select(chunk.as("__chunk"),
       explode(graft.functions.TextFns.tokens(col("text"))).as("g"))
     val perChunk = words.groupBy("__chunk").agg(

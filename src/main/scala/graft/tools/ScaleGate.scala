@@ -30,11 +30,19 @@ object ScaleGate {
     val txt = Files.readString(Paths.get(path)).trim
       .stripPrefix("{").stripSuffix("}")
     // flat object of scalars: split on comma-before-quote boundaries,
-    // then first colon
+    // then first colon. The gate is load-bearing (exits the build),
+    // so REFUSE any fragment that isn't a simple `"ident": scalar` —
+    // a future string value containing `,"` or an escaped quote must
+    // fail loudly here, not silently corrupt keys.
     txt.split(""",(?=")""").map { kv =>
+      require(kv.trim.matches("""(?s)^"[A-Za-z0-9_]+"\s*:.*"""),
+        s"$path: unparseable fragment '${kv.take(80)}' — " +
+          "ScaleGate.parse only handles flat objects of simple scalars")
       val i = kv.indexOf(':')
       val k = kv.take(i).trim.stripPrefix("\"").stripSuffix("\"")
       val v = kv.drop(i + 1).trim.stripPrefix("\"").stripSuffix("\"")
+      require(!v.contains("\"") && !v.contains(","),
+        s"$path: value for $k contains quote/comma — not a simple scalar")
       k -> v
     }.toMap
   }

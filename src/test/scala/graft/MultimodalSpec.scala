@@ -412,6 +412,42 @@ class MultimodalSpec extends SparkSpec {
       "decoy stream-0 frame leaked into the vids stream"))
   }
 
+  test("AVI decode fails loudly on malformed ordering (movi before " +
+      "hdrl) instead of decoding to zero frames") {
+    // movi LIST with a '00db' frame chunk FIRST, then the hdrl with
+    // the vids strl — frame chunks arrive while no vids stream is
+    // known. Pre-fix this silently skipped them (ADVICE r8).
+    val w = 2; val h = 2
+    val px = Array.tabulate(w * h * 3)(i => (i * 7 % 256).toByte)
+    val good = MediaCodecs.encodeAvi(w, h, 5, Seq(px))
+    def findList(kind: String): Int = {
+      var i = 12
+      while (!(new String(good, i, 4, "US-ASCII") == "LIST" &&
+        new String(good, i + 8, 4, "US-ASCII") == kind)) i += 1
+      i
+    }
+    def listEnd(at: Int): Int = {
+      val sz = java.nio.ByteBuffer.wrap(good, at + 4, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      at + 8 + sz + (sz & 1)
+    }
+    val hdrlAt = findList("hdrl"); val hdrlEnd = listEnd(hdrlAt)
+    val moviAt = findList("movi"); val moviEnd = listEnd(moviAt)
+    val bb = java.nio.ByteBuffer.allocate(good.length + 64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(good, 0, 12)                      // RIFF header
+    bb.put(good, moviAt, moviEnd - moviAt)   // movi FIRST
+    bb.put(good, hdrlAt, hdrlEnd - hdrlAt)   // hdrl after
+    val total = bb.position()
+    bb.putInt(4, total - 8)
+    val bad = java.util.Arrays.copyOf(bb.array(), total)
+    val err = intercept[IllegalArgumentException] {
+      MediaCodecs.decodeAvi(bad)
+    }
+    assert(err.getMessage.contains("before the vids stream header"),
+      err.getMessage)
+  }
+
   test("AVI encode rejects >2 GB totals instead of overflowing Int") {
     // 1000x1000 frames are ~3 MB each; 800 of them pass the per-frame
     // checks but total ~2.4 GB — must fail with the named guard, not a

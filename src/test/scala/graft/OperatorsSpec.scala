@@ -1327,6 +1327,14 @@ class OperatorsSpec extends SparkSpec {
       ("http://h.io/a//b/c", "http://h.io/a/b/c", "h.io"),
       ("http://h.io/a/./b?q=1#f", "http://h.io/a/b?q=1", "h.io"),
       ("http://h.io/a/skip/../b/", "http://h.io/a/b", "h.io"),
+      // multi-level, adjacent, leading, and trailing climbs (ADVICE
+      // r8: the single-pass replace left these unresolved)
+      ("http://h.io/a/b/../../c", "http://h.io/c", "h.io"),
+      ("http://h.io/x/../y/../z", "http://h.io/z", "h.io"),
+      ("http://h.io/../a", "http://h.io/a", "h.io"),
+      ("http://h.io/a/b/..", "http://h.io/a", "h.io"),
+      ("http://h.io/./././a", "http://h.io/a", "h.io"),
+      ("http://h.io/u/v/../../w/d", "http://h.io/w/d", "h.io"),
       ("http://h.io/", "http://h.io/", "h.io"),
       // www only strips as a PREFIX label
       ("http://wwwx.io/p", "http://wwwx.io/p", "wwwx.io"))

@@ -262,6 +262,17 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == oneShot)
   }
 
+  test("chunkIndexCol assigns every chunk including chunk 0 (ADVICE " +
+      "r8: ascending foldLeft made chunk 0 unreachable)") {
+    import spark.implicits._
+    val got = Seq(0L, 149L, 150L, 399L, 400L, 999L).toDF("doc_id")
+      .select(col("doc_id"), graft.streaming.Streams
+        .chunkIndexCol(col("doc_id"), Seq(150L, 400L)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(0L -> 0, 149L -> 0, 150L -> 1, 399L -> 1,
+      400L -> 2, 999L -> 2), got.toString)
+  }
+
   test("QS14 real file-stream heavy hitters == one-shot xk12 over the " +
       "archived deltas (durable per-batch MG summaries)") {
     val docs = graft.queries.T.t(spark, sf0001, "documents")
