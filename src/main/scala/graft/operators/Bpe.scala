@@ -1,0 +1,377 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.FusedUnary
+
+/** Deterministic byte-pair-encoding tokenizer (VERDICT r8 #1): the
+  * public BPE algorithm (Sennrich et al. 2016, arXiv:1508.07909; the
+  * GPT-2 encoder uses the same greedy rank-min merge loop) as a
+  * corpus-trained merges TABLE plus a fused per-row encode expression
+  * — replacing the "BPE-ish regex" token-count proxy wherever token
+  * counts are load-bearing (packing budgets, xk11b).
+  *
+  * Exactness discipline: every step is replayed independently by the
+  * DuckDB oracle ([[BpeSql]]) —
+  *
+  *  - pre-tokenization: `lower(text)` + the xt3 pre-token regex
+  *    (`[a-z]+|[0-9]+|[^a-z0-9\s]`), identical in java.util.regex and
+  *    RE2 (proven by the xt3 hash gate since round 2);
+  *  - training: word histogram capped at the top `maxWords` words by
+  *    (count DESC, word ASC in UTF-8 byte order), then `numMerges`
+  *    iterations of count-adjacent-pairs → argmax by (count DESC,
+  *    pair ASC) → merge-all-occurrences-left-to-right. The histogram
+  *    cap is what makes training 100 TB-safe: one vocabulary-bounded
+  *    shuffle + a TakeOrdered collect of `maxWords` rows; the driver
+  *    merge loop touches only that bounded table (real tokenizers
+  *    train on a sample for the same reason);
+  *  - encoding: per word, repeatedly find the LOWEST-rank adjacent
+  *    pair present in the merges table and merge all its occurrences
+  *    left-to-right (each rank can fire at most once per word, so the
+  *    loop runs ≤ numMerges steps — the bound the oracle's unrolled
+  *    SQL relies on). Encoding is a narrow per-row map (fused
+  *    expression, per-thread word memo): zero shuffle at any corpus
+  *    size, merges shipped as a plan literal (broadcast-class; a few
+  *    KB for the oracle-gated config, a few MB for a production
+  *    50k-merge vocabulary).
+  *
+  * Left-to-right non-overlap semantics: merging pair (a,a) over
+  * "aaa" yields [aa, a] — the same fold the oracle's LIST_REDUCE
+  * replays. After a full pass no occurrence of the merged pair
+  * remains (symbols never split), which is what guarantees each rank
+  * fires once.
+  */
+object Bpe {
+
+  /** xt3's pre-token pattern, verbatim (letter runs / digit runs /
+    * single non-space symbol over lowercased text).
+    */
+  val PreTokenRegex = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  private val pat = java.util.regex.Pattern.compile(PreTokenRegex)
+
+  /** Pre-tokens of ALREADY-LOWERCASED text, in order. */
+  def preTokens(lowered: String): mutable.ArrayBuffer[String] = {
+    val out = new mutable.ArrayBuffer[String]
+    val m = pat.matcher(lowered)
+    while (m.find()) out += m.group()
+    out
+  }
+
+  /** Initial symbol sequence: one symbol per CODEPOINT (matching the
+    * oracle's codepoint-indexed `w[i]`), not per UTF-16 unit.
+    */
+  def codepointSymbols(word: String): Array[String] = {
+    val n = word.codePointCount(0, word.length)
+    val out = new Array[String](n)
+    var i = 0; var k = 0
+    while (i < word.length) {
+      val c = word.codePointAt(i)
+      val w = Character.charCount(c)
+      out(k) = word.substring(i, i + w)
+      k += 1; i += w
+    }
+    out
+  }
+
+  /** UTF-8 byte order == codepoint order — the comparator DuckDB's
+    * default binary collation sorts strings with. Java's
+    * String.compareTo is UTF-16 code-unit order, which differs for
+    * astral codepoints vs BMP ones ≥ U+E000; compare by codepoint so
+    * training tie-breaks agree on any corpus.
+    */
+  def cpCompare(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** Merge all occurrences of (p1, p2), left to right, non-overlap. */
+  def mergeApply(syms: Array[String], p1: String,
+      p2: String): Array[String] = {
+    val out = new mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == p1 && syms(i + 1) == p2) {
+        out += p1 + p2; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** The BPE training loop over a (word, freq) histogram. Stops early
+    * when no adjacent pair remains (the oracle's extra iterations are
+    * then no-ops on empty best-pair tables — same merges list).
+    */
+  def train(hist: Seq[(String, Long)],
+      numMerges: Int): List[(String, String)] = {
+    var words = hist.map { case (w, c) => (codepointSymbols(w), c) }
+    val merges = mutable.ListBuffer.empty[(String, String)]
+    var k = 0
+    while (k < numMerges) {
+      val counts = mutable.HashMap.empty[(String, String), Long]
+      for ((syms, c) <- words) {
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + c)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) return merges.toList
+      // argmax by (count DESC, p1 ASC, p2 ASC) in UTF-8 byte order —
+      // exactly the oracle's ORDER BY c DESC, a, b LIMIT 1
+      var best: (String, String) = null
+      var bestC = -1L
+      for ((p, c) <- counts) {
+        val better = c > bestC || (c == bestC && {
+          val c1 = cpCompare(p._1, best._1)
+          c1 < 0 || (c1 == 0 && cpCompare(p._2, best._2) < 0)
+        })
+        if (better) { best = p; bestC = c }
+      }
+      merges += best
+      words = words.map { case (s, c) =>
+        (mergeApply(s, best._1, best._2), c)
+      }
+      k += 1
+    }
+    merges.toList
+  }
+
+  /** Rank table for encoding; serializable plan literal. */
+  final class Ranks(val merges: IndexedSeq[(String, String)])
+      extends Serializable {
+    @transient private var rankMap: java.util.HashMap[String, Integer] = _
+    def rank: java.util.HashMap[String, Integer] = {
+      if (rankMap == null) {
+        val m = new java.util.HashMap[String, Integer](merges.size * 2)
+        merges.zipWithIndex.foreach { case ((a, b), i) =>
+          m.put(a + " " + b, i)
+        }
+        rankMap = m
+      }
+      rankMap
+    }
+  }
+
+  /** Greedy rank-min encode of one pre-token. ≤ merges.size rounds. */
+  def encodeWord(word: String, ranks: Ranks): Array[String] = {
+    var syms = codepointSymbols(word)
+    while (syms.length >= 2) {
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.rank.get(syms(i) + " " + syms(i + 1))
+        if (r != null && r < bestRank) bestRank = r
+        i += 1
+      }
+      if (bestRank == Int.MaxValue) return syms
+      val (p1, p2) = ranks.merges(bestRank)
+      syms = mergeApply(syms, p1, p2)
+    }
+    syms
+  }
+
+  /** Corpus word histogram: top `maxWords` pre-tokens by (count DESC,
+    * word ASC). One vocabulary-bounded shuffle + a TakeOrdered —
+    * the collect is `maxWords` rows, never corpus-sized.
+    */
+  def wordHistogram(docs: DataFrame, textCol: String,
+      maxWords: Int): Seq[(String, Long)] =
+    docs.where(col(textCol).isNotNull)
+      .select(explode(regexp_extract_all(lower(col(textCol)),
+        lit(PreTokenRegex), lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w"))
+      .limit(maxWords)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  /** Train merges from a corpus: bounded histogram + driver loop. */
+  def trainOn(docs: DataFrame, textCol: String, maxWords: Int = 256,
+      numMerges: Int = 16): List[(String, String)] =
+    train(wordHistogram(docs, textCol, maxWords), numMerges)
+
+  // ---- column API ----
+
+  def bpeCount(text: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(BpeCount(Bridge.expression(text), merges))
+
+  def bpeTokens(text: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(BpeTokens(Bridge.expression(text), merges))
+}
+
+/** Shared eval body for the two BPE expressions: lowercase via
+  * UTF8String (identical to Spark's `lower`), pre-tokenize, encode
+  * each word with a per-thread memo (words repeat heavily; the memo
+  * is capped so a pathological vocabulary can't grow it unbounded).
+  */
+sealed trait BpeExpr extends UnaryExpression with FusedUnary {
+  def merges: Seq[(String, String)]
+
+  @transient protected lazy val ranks =
+    new Bpe.Ranks(merges.toIndexedSeq)
+  @transient private lazy val memo =
+    ThreadLocal.withInitial[java.util.HashMap[String, Array[String]]](
+      () => new java.util.HashMap[String, Array[String]])
+
+  protected def encodeMemo(word: String): Array[String] = {
+    val m = memo.get()
+    var r = m.get(word)
+    if (r == null) {
+      r = Bpe.encodeWord(word, ranks)
+      if (m.size >= 65536) m.clear()
+      m.put(word, r)
+    }
+    r
+  }
+
+  protected def loweredWords(input: Any): mutable.ArrayBuffer[String] =
+    Bpe.preTokens(
+      input.asInstanceOf[UTF8String].toLowerCase.toString)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${child.dataType}")
+}
+
+/** Total BPE token count of a document (sum over pre-tokens). */
+case class BpeCount(child: Expression,
+    merges: Seq[(String, String)]) extends BpeExpr {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "bpe_count"
+
+  override def nullSafeEval(input: Any): Any = {
+    val ws = loweredWords(input)
+    var n = 0; var i = 0
+    while (i < ws.length) { n += encodeMemo(ws(i)).length; i += 1 }
+    n
+  }
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
+/** Ordered BPE token sequence of a document. */
+case class BpeTokens(child: Expression,
+    merges: Seq[(String, String)]) extends BpeExpr {
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_tokens"
+
+  override def nullSafeEval(input: Any): Any = {
+    val ws = loweredWords(input)
+    val out = new mutable.ArrayBuffer[AnyRef]
+    var i = 0
+    while (i < ws.length) {
+      val toks = encodeMemo(ws(i))
+      var j = 0
+      while (j < toks.length) {
+        out += UTF8String.fromString(toks(j)); j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
+/** DuckDB replay of [[Bpe]]: training and encoding as UNROLLED CTE
+  * chains (the xs6 "model re-derived in SQL" discipline). A `g`
+  * regexp/list pass never rescans replaced text, and recursive CTEs
+  * cannot aggregate over their own working table, so each training
+  * iteration and each encode step is its own generated CTE — K of
+  * each for a K-merge table (an encode needs ≤ K steps because each
+  * rank fires at most once per word; see [[Bpe]] docs).
+  */
+object BpeSql {
+
+  /** Pre-token regex as a DuckDB string literal (RE2 semantics are
+    * identical for this pattern — the xt3 gate).
+    */
+  val ReLit = """'[a-z]+|[0-9]+|[^a-z0-9\s]'"""
+
+  /** Codepoint symbols of a string expression. */
+  def chars(e: String): String =
+    s"LIST_TRANSFORM(RANGE(1, LENGTH($e)+1), __i -> $e[__i])"
+
+  /** Left-to-right non-overlap merge of pair (aE, bE) over a symbol
+    * list, null pair → unchanged. Exactly [[Bpe.mergeApply]].
+    */
+  def mergeFold(symsE: String, aE: String, bE: String): String =
+    s"""CASE WHEN $aE IS NULL THEN $symsE ELSE
+       |  LIST_REDUCE(LIST_TRANSFORM($symsE, __s -> [__s]),
+       |    (__acc, __x) -> CASE
+       |      WHEN __acc[-1] = $aE AND __x[1] = $bE
+       |      THEN __acc[1:LEN(__acc)-1] || [$aE || $bE]
+       |      ELSE __acc || __x END) END""".stripMargin
+
+  /** Training CTEs over `table`(text): emits __w0..__wK, one
+    * __pK/__bK pair per iteration, and the ranked merges table
+    * __m(r, a, b).
+    */
+  def trainCtes(table: String, maxWords: Int, k: Int): String = {
+    val b = new StringBuilder
+    b ++=
+      s"""__w0 AS MATERIALIZED (
+         |  SELECT w, cnt, ${chars("w")} AS syms FROM (
+         |    SELECT w, COUNT(*) AS cnt FROM (
+         |      SELECT UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), $ReLit)) AS w
+         |      FROM $table WHERE text IS NOT NULL)
+         |    GROUP BY w ORDER BY cnt DESC, w LIMIT $maxWords))""".stripMargin
+    for (i <- 0 until k) {
+      b ++=
+        s""",
+           |__p$i AS MATERIALIZED (SELECT a, b, SUM(cnt) AS c FROM (
+           |    SELECT cnt, syms[__t.i] AS a, syms[__t.i+1] AS b
+           |    FROM __w$i, LATERAL UNNEST(RANGE(1, LEN(syms))) __t(i))
+           |  GROUP BY a, b),
+           |__b$i AS MATERIALIZED (SELECT a, b FROM __p$i ORDER BY c DESC, a, b LIMIT 1),
+           |__w${i + 1} AS MATERIALIZED (SELECT w, cnt,
+           |    ${mergeFold("syms", "__bb.a", "__bb.b")} AS syms
+           |  FROM __w$i LEFT JOIN __b$i __bb ON TRUE)""".stripMargin
+    }
+    b ++= ",\n__m AS MATERIALIZED (" + (0 until k)
+      .map(i => s"SELECT $i AS r, a, b FROM __b$i")
+      .mkString(" UNION ALL ") + ")"
+    b.toString
+  }
+
+  /** Encode CTEs over `wtab`(word): __e0..__eK; final symbols in
+    * __e<k>.syms. Requires __m from [[trainCtes]] in scope.
+    */
+  def encodeCtes(wtab: String, k: Int): String = {
+    val b = new StringBuilder
+    b ++= s"__e0 AS MATERIALIZED (SELECT word, ${chars("word")} AS syms FROM $wtab)"
+    for (i <- 0 until k) {
+      b ++=
+        s""",
+           |__r$i AS MATERIALIZED (SELECT pp.word, MIN(__m.r) AS r FROM (
+           |    SELECT word, syms[__t.i] AS a, syms[__t.i+1] AS b
+           |    FROM __e$i, LATERAL UNNEST(RANGE(1, LEN(syms))) __t(i)) pp
+           |  JOIN __m ON __m.a = pp.a AND __m.b = pp.b GROUP BY pp.word),
+           |__e${i + 1} AS MATERIALIZED (SELECT __ee.word,
+           |    ${mergeFold("__ee.syms", "__mm.a", "__mm.b")} AS syms
+           |  FROM __e$i __ee LEFT JOIN __r$i __rr ON __rr.word = __ee.word
+           |  LEFT JOIN __m __mm ON __mm.r = __rr.r)""".stripMargin
+    }
+    b.toString
+  }
+}

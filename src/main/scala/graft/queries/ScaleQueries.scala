@@ -353,6 +353,73 @@ object ScaleQueries {
         .orderBy("sample")
     },
 
+    // xk11 on REAL tokenizer output (VERDICT r8 #1 "wire real token
+    // counts into packing"): identical fixed-length packing, but the
+    // per-doc token stream is the corpus-trained BPE segmentation
+    // (graft.operators.Bpe) instead of whitespace words — the counts
+    // a trainer's data loader would actually see. Same two-level
+    // prefix-sum plan; the oracle replays BPE training + encoding
+    // with unrolled CTEs and then the xk11 packing SQL verbatim.
+    Q("xk11b_pack_sequences_bpe",
+      s"""WITH ${graft.operators.BpeSql.trainCtes("documents", 256, 16)},
+        |__dtok AS (SELECT doc_id, __t.i AS wpos, ws[__t.i] AS word FROM (
+        |    SELECT doc_id, REGEXP_EXTRACT_ALL(LOWER(text),
+        |      ${graft.operators.BpeSql.ReLit}) AS ws
+        |    FROM documents WHERE text IS NOT NULL),
+        |  LATERAL UNNEST(RANGE(1, LEN(ws)+1)) __t(i)),
+        |__dwords AS (SELECT DISTINCT word FROM __dtok),
+        |${graft.operators.BpeSql.encodeCtes("__dwords", 16)},
+        |__flat AS (SELECT dd.doc_id, dd.wpos, __t.i AS ti,
+        |    ee.syms[__t.i] AS tok
+        |  FROM __dtok dd JOIN __e16 ee ON ee.word = dd.word,
+        |  LATERAL UNNEST(RANGE(1, LEN(ee.syms)+1)) __t(i)),
+        |tw AS (
+        |  SELECT doc_id, LIST(tok ORDER BY wpos, ti) AS fw,
+        |    COUNT(*) AS w
+        |  FROM __flat GROUP BY doc_id
+        |), cum AS (
+        |  SELECT doc_id, fw, w,
+        |    SUM(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS ct
+        |  FROM tw
+        |), pieces AS (
+        |  SELECT doc_id, fw, s.sample,
+        |    GREATEST(s.sample * 64 - (ct - w), 0) + 1 AS frm,
+        |    LEAST((s.sample + 1) * 64, ct)
+        |      - GREATEST(s.sample * 64, ct - w) AS len
+        |  FROM cum, LATERAL UNNEST(RANGE(
+        |    CAST((ct - w) // 64 AS BIGINT),
+        |    CAST((ct - 1) // 64 + 1 AS BIGINT))) s(sample)
+        |)
+        |SELECT CAST(sample AS BIGINT) AS sample,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len) AS BIGINT) AS n_tok,
+        |  STRING_AGG(ARRAY_TO_STRING(
+        |    fw[CAST(frm AS INT) : CAST(frm + len - 1 AS INT)], ' '),
+        |    ' ' ORDER BY doc_id) AS text
+        |FROM pieces GROUP BY sample ORDER BY sample""".stripMargin) {
+      (s, d) =>
+      val docs = t(s, d, "documents")
+      val merges = graft.operators.Bpe.trainOn(docs, "text",
+        maxWords = 256, numMerges = 16)
+      val tok = docs
+        .select(col("doc_id"),
+          graft.operators.Bpe.bpeTokens(col("text"), merges).as("fw"))
+        .where(size(col("fw")) > 0)
+        .withColumn("w", size(col("fw")).cast("long"))
+      val pieces = Scale.packSequences(tok, "doc_id", "w", seqLen = 64)
+        .select(col("sample"), col("doc_id"),
+          array_join(slice(col("fw"), col("piece_from").cast("int"),
+            col("piece_len").cast("int")), " ").as("piece"),
+          col("piece_len"))
+      pieces.groupBy("sample")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("piece_len").as("n_tok"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("doc_id"), col("piece")))),
+            x => x.getField("piece")), " ").as("text"))
+        .orderBy("sample")
+    },
+
     // Exact heavy hitters (φ = 1/1000 of the token stream) via the
     // two-pass Misra-Gries plan: pass 1 shuffles ONE ≤4096-counter
     // summary per partition (never the item domain — a naive

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.TextFns
-import graft.operators.HashFns
+import graft.operators.{Bpe, BpeSql, HashFns}
 import T._
 
 /** Text-analysis layer for training-data pipelines (SURVEY §2.11):
@@ -1189,6 +1189,55 @@ object TextAnalysisQueries {
       graft.operators.LangId.classify(
         docs.where(col("doc_id") >= 400),
         graft.operators.LangId.fit(docs.where(col("doc_id") < 400)))
+    },
+
+    // Real BPE tokenization (xt24, VERDICT r8 #1): merges trained
+    // from the corpus word histogram (top 256 words, 16 merges),
+    // greedy rank-min encode as a fused expression. Output: per-doc
+    // total BPE token count + the '|'-joined segmentation of the
+    // 48-char prefix (so the hash gate checks the actual merge
+    // SEQUENCE, not just counts). The oracle re-derives the merges
+    // table AND the encode loop with unrolled CTEs (BpeSql) — two
+    // independent implementations of both training and encoding.
+    Q("xt24_bpe_tokenize",
+      s"""WITH ${BpeSql.trainCtes("documents", 256, 16)},
+         |__dw AS (SELECT doc_id,
+         |    UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), ${BpeSql.ReLit}))
+         |      AS word
+         |  FROM documents WHERE text IS NOT NULL),
+         |__pw AS (SELECT doc_id, __t.i AS wpos, ws[__t.i] AS word FROM (
+         |    SELECT doc_id, REGEXP_EXTRACT_ALL(
+         |        LOWER(SUBSTRING(text, 1, 48)), ${BpeSql.ReLit}) AS ws
+         |    FROM documents WHERE text IS NOT NULL),
+         |  LATERAL UNNEST(RANGE(1, LEN(ws)+1)) __t(i)),
+         |__dwords AS (SELECT word FROM __dw UNION SELECT word FROM __pw),
+         |${BpeSql.encodeCtes("__dwords", 16)},
+         |__wl AS (SELECT word, LEN(syms) AS l FROM __e16),
+         |__cnt AS (SELECT __dw.doc_id, SUM(__wl.l) AS n
+         |  FROM __dw JOIN __wl USING (word) GROUP BY __dw.doc_id),
+         |__seg AS (SELECT p.doc_id,
+         |    STRING_AGG(e.syms[__t.i], '|' ORDER BY p.wpos, __t.i) AS s
+         |  FROM __pw p JOIN __e16 e ON e.word = p.word,
+         |  LATERAL UNNEST(RANGE(1, LEN(e.syms)+1)) __t(i)
+         |  GROUP BY p.doc_id)
+         |SELECT d.doc_id,
+         |  CASE WHEN d.text IS NULL THEN NULL
+         |    ELSE CAST(COALESCE(c.n, 0) AS INT) END AS n_bpe,
+         |  CASE WHEN d.text IS NULL THEN NULL
+         |    ELSE COALESCE(s.s, '') END AS seg
+         |FROM documents d
+         |LEFT JOIN __cnt c ON c.doc_id = d.doc_id
+         |LEFT JOIN __seg s ON s.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val merges = Bpe.trainOn(docs, "text", maxWords = 256,
+        numMerges = 16)
+      docs.select(col("doc_id"),
+        Bpe.bpeCount(col("text"), merges).as("n_bpe"),
+        array_join(
+          Bpe.bpeTokens(substring(col("text"), 1, 48), merges), "|")
+          .as("seg"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bpe
+
+/** Unit contract for the BPE tokenizer (xt24/xk11b): training
+  * argmax + tie-breaks, multi-level merge composition, left-to-right
+  * non-overlap, encode rank-min loop, and expression/driver parity.
+  * The cross-engine guarantee (Scala vs DuckDB-unrolled training AND
+  * encoding) is the xt24/xk11b hash gate; these tests pin the
+  * algorithm itself to hand-computed cases.
+  */
+class BpeSpec extends SparkSpec {
+
+  test("training learns multi-level merges with weighted counts") {
+    val merges = Bpe.train(Seq("aaab" -> 10L, "ab" -> 5L), 8)
+    // iter0: (a,a)=20 beats (a,b)=15; iter1: (a,b)=15 beats (aa,a)=10;
+    // iter2: only (aa,ab)=10 remains; then no pairs -> early stop
+    assert(merges == List(("a", "a"), ("a", "b"), ("aa", "ab")))
+  }
+
+  test("training tie-break is (count DESC, pair ASC)") {
+    val merges = Bpe.train(Seq("ba" -> 1L, "ab" -> 1L), 1)
+    assert(merges == List(("a", "b")))
+  }
+
+  test("merge applies left-to-right without overlap: aaaaa -> aa aa a") {
+    val ranks = new Bpe.Ranks(Vector(("a", "a")))
+    assert(Bpe.encodeWord("aaaaa", ranks).toSeq == Seq("aa", "aa", "a"))
+    assert(Bpe.encodeWord("aaa", ranks).toSeq == Seq("aa", "a"))
+  }
+
+  test("encode follows rank order, composing merged symbols") {
+    val ranks = new Bpe.Ranks(
+      Vector(("a", "a"), ("a", "b"), ("aa", "ab")))
+    assert(Bpe.encodeWord("aaab", ranks).toSeq == Seq("aaab"))
+    assert(Bpe.encodeWord("abab", ranks).toSeq == Seq("ab", "ab"))
+    assert(Bpe.encodeWord("ba", ranks).toSeq == Seq("b", "a"))
+    assert(Bpe.encodeWord("x", ranks).toSeq == Seq("x"))
+  }
+
+  test("cpCompare orders astral codepoints like UTF-8 bytes, not " +
+      "UTF-16 units") {
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(emoji.compareTo("�") < 0)       // UTF-16 unit order
+    assert(Bpe.cpCompare(emoji, "�") > 0)  // codepoint order
+    assert(Bpe.cpCompare("a", "aa") < 0)
+    assert(Bpe.cpCompare("aa", "aa") == 0)
+  }
+
+  test("bpeCount / bpeTokens expressions match the driver loop, " +
+      "propagate null, and count empty as 0") {
+    import spark.implicits._
+    val merges = List(("t", "h"), ("th", "e"), ("1", "2"))
+    val ranks = new Bpe.Ranks(merges.toIndexedSeq)
+    val texts = Seq("The theme: 123 theses!", "  ", "", "the TH th",
+      "no merges here at all xyz")
+    val df = texts.toDF("text")
+      .select(Bpe.bpeCount(col("text"), merges).as("n"),
+        Bpe.bpeTokens(col("text"), merges).as("tk"))
+      .collect()
+    texts.zip(df).foreach { case (txt, row) =>
+      val expected = Bpe.preTokens(txt.toLowerCase(java.util.Locale.ROOT))
+        .flatMap(w => Bpe.encodeWord(w, ranks))
+      assert(row.getInt(0) == expected.length, s"count for '$txt'")
+      assert(row.getSeq[String](1) == expected.toSeq, s"tokens for '$txt'")
+    }
+    val nulls = Seq[String](null).toDF("text")
+      .select(Bpe.bpeCount(col("text"), merges).as("n")).collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
+  test("expression plan is a narrow join-free map (no shuffle at any " +
+      "corpus size)") {
+    val docs = graft.queries.T.t(spark, sf0001, "documents")
+    val plan = docs.select(Bpe.bpeCount(col("text"), List(("e", "s"))))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+  }
+
+  test("trained encode on real corpus: count == tokens length and " +
+      "tokens concatenate back to the pre-token stream") {
+    val docs = graft.queries.T.t(spark, sf0001, "documents").limit(50)
+    val merges = Bpe.trainOn(docs, "text", maxWords = 128, numMerges = 12)
+    assert(merges.nonEmpty && merges.size <= 12)
+    val rows = docs.where(col("text").isNotNull)
+      .select(col("text"), Bpe.bpeCount(col("text"), merges).as("n"),
+        Bpe.bpeTokens(col("text"), merges).as("tk"))
+      .collect()
+    rows.foreach { r =>
+      val toks = r.getSeq[String](2)
+      assert(r.getInt(1) == toks.length)
+      // merges only concatenate: joined tokens == joined pre-tokens
+      val pre = Bpe.preTokens(
+        r.getString(0).toLowerCase(java.util.Locale.ROOT))
+      assert(toks.mkString == pre.mkString)
+    }
+  }
+}
