@@ -350,4 +350,207 @@ object MediaCodecs {
     require(width > 0 && fs.nonEmpty, "missing strf header or frames")
     AviVideo(width, height, fps, fs)
   }
+
+  // ---------------------------------------------------------------- PNG
+
+  /** Decoded PNG: pixels converted to top-down BGR triples (w*h*3),
+    * the SAME layout [[decodeBmp]] yields — so one ahash64 core hashes
+    * both containers identically (the xm5/xm9 cross-container
+    * contract extends to xm11).
+    */
+  final case class PngImage(width: Int, height: Int,
+      bitDepth: Int, colorType: Int, pixels: Array[Byte])
+
+  private val PngSig =
+    Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  /** PNG Paeth predictor (spec §9, Filter type 4). */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Encode an 8-bit RGB (color type 2) PNG from top-down BGR pixels.
+    * `filterOf(row)` picks the scanline filter type (0-4) — the
+    * encoder table rotates through all five so the decoder's
+    * unfilters are exercised by real data, not just the trivial None
+    * path. Single zlib IDAT; CRCs per the spec.
+    */
+  def encodePng(width: Int, height: Int, pixels: Array[Byte],
+      filterOf: Int => Int = _ => 0): Array[Byte] = {
+    require(width > 0 && height > 0, "PNG dims must be positive")
+    require(pixels.length == width * height * 3,
+      s"pixels must be w*h*3 = ${width * height * 3}, got ${pixels.length}")
+    val stride = width * 3
+    val raw = new Array[Byte](height * (stride + 1))
+    var row = 0
+    while (row < height) {
+      val f = filterOf(row)
+      require(f >= 0 && f <= 4, s"bad filter type $f")
+      val o = row * (stride + 1)
+      raw(o) = f.toByte
+      var x = 0
+      while (x < stride) {
+        // BGR -> RGB: channel 0<->2 within each triple
+        val ch = x % 3
+        val src = row * stride + (x - ch) + (2 - ch)
+        val cur = pixels(src) & 0xFF
+        val left = if (x >= 3) {
+          val ls = row * stride + (x - 3) - ((x - 3) % 3) + (2 - (x - 3) % 3)
+          pixels(ls) & 0xFF
+        } else 0
+        val up = if (row > 0) {
+          val us = (row - 1) * stride + (x - ch) + (2 - ch)
+          pixels(us) & 0xFF
+        } else 0
+        val ul = if (row > 0 && x >= 3) {
+          val s2 = (row - 1) * stride + (x - 3) - ((x - 3) % 3) +
+            (2 - (x - 3) % 3)
+          pixels(s2) & 0xFF
+        } else 0
+        val enc = f match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - (left + up) / 2
+          case 4 => cur - paeth(left, up, ul)
+        }
+        raw(o + 1 + x) = (enc & 0xFF).toByte
+        x += 1
+      }
+      row += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) comp.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val idat = comp.toByteArray
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig, 0, 8)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val len = ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN)
+        .putInt(data.length).array()
+      out.write(len, 0, 4)
+      val tb = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      out.write(tb, 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN)
+        .putInt(crc.getValue.toInt).array(), 0, 4)
+    }
+    val ihdr = ByteBuffer.allocate(13).order(ByteOrder.BIG_ENDIAN)
+      .putInt(width).putInt(height)
+      .put(8.toByte)  // bit depth
+      .put(2.toByte)  // color type: truecolor RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/no-interlace
+      .array()
+    chunk("IHDR", ihdr)
+    chunk("IDAT", idat)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Parse an 8-bit truecolor PNG back to top-down BGR pixels by
+    * WALKING the chunk stream: signature, IHDR geometry, IDAT concat
+    * → zlib inflate → the five scanline unfilters. Every chunk CRC is
+    * verified; unknown ancillary chunks are skipped; size math is
+    * Long-safe (the AVI discipline).
+    */
+  def decodePng(bytes: Array[Byte]): PngImage = {
+    require(bytes.length >= 8 + 25 + 12, "truncated PNG")
+    require(java.util.Arrays.equals(
+      java.util.Arrays.copyOf(bytes, 8), PngSig), "not a PNG (signature)")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    var pos = 8
+    var width = 0; var height = 0; var depth = 0; var color = 0
+    var seenIhdr = false; var seenIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (pos + 12 <= bytes.length && !seenIend) {
+      val len = buf.getInt(pos)
+      require(len >= 0 && pos + 12L + len <= bytes.length,
+        s"chunk at $pos overruns the file")
+      val typ = new String(bytes, pos + 4, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, pos + 4, 4 + len)
+      require(crc.getValue.toInt == buf.getInt(pos + 8 + len),
+        s"bad CRC on chunk '$typ'")
+      typ match {
+        case "IHDR" =>
+          require(!seenIhdr && len == 13, "bad IHDR")
+          width = buf.getInt(pos + 8)
+          height = buf.getInt(pos + 12)
+          depth = bytes(pos + 16) & 0xFF
+          color = bytes(pos + 17) & 0xFF
+          require(bytes(pos + 18) == 0 && bytes(pos + 19) == 0,
+            "unsupported compression/filter method")
+          require(bytes(pos + 20) == 0, "interlaced PNG unsupported")
+          require(depth == 8 && color == 2,
+            s"unsupported depth/color $depth/$color (8-bit RGB only)")
+          require(width > 0 && height > 0 &&
+            width.toLong * height * 3 <= Int.MaxValue,
+            s"unreasonable PNG dimensions ${width}x$height")
+          seenIhdr = true
+        case "IDAT" =>
+          require(seenIhdr, "IDAT before IHDR")
+          idat.write(bytes, pos + 8, len)
+        case "IEND" => seenIend = true
+        case _ => // ancillary (tEXt, pHYs, ...) — skip
+      }
+      pos += 12 + len
+    }
+    require(seenIhdr && seenIend, "missing IHDR or IEND")
+    val stride = width * 3
+    val raw = new Array[Byte](height * (stride + 1))
+    val infl = new java.util.zip.Inflater()
+    infl.setInput(idat.toByteArray)
+    var got = 0
+    while (got < raw.length && !infl.finished()) {
+      val n = infl.inflate(raw, got, raw.length - got)
+      require(n > 0 || !infl.needsInput, "truncated IDAT stream")
+      got += n
+    }
+    infl.end()
+    require(got == raw.length,
+      s"IDAT inflated to $got bytes, need ${raw.length}")
+    // unfilter into RGB rows, then store as BGR
+    val rgb = new Array[Byte](height * stride)
+    var row = 0
+    while (row < height) {
+      val f = raw(row * (stride + 1)) & 0xFF
+      require(f <= 4, s"bad filter type $f on row $row")
+      var x = 0
+      while (x < stride) {
+        val cur = raw(row * (stride + 1) + 1 + x) & 0xFF
+        val left = if (x >= 3) rgb(row * stride + x - 3) & 0xFF else 0
+        val up = if (row > 0) rgb((row - 1) * stride + x) & 0xFF else 0
+        val ul = if (row > 0 && x >= 3)
+          rgb((row - 1) * stride + x - 3) & 0xFF else 0
+        val v = f match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + (left + up) / 2
+          case 4 => cur + paeth(left, up, ul)
+        }
+        rgb(row * stride + x) = (v & 0xFF).toByte
+        x += 1
+      }
+      row += 1
+    }
+    val out = new Array[Byte](height * stride)
+    var i = 0
+    while (i < out.length) {
+      val ch = i % 3
+      out(i) = rgb((i - ch) + (2 - ch)) // RGB -> BGR
+      i += 1
+    }
+    PngImage(width, height, depth, color, out)
+  }
 }

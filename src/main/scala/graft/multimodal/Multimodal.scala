@@ -114,6 +114,16 @@ object Multimodal {
   case class WavMeta(media_id: Long, sample_rate: Int, channels: Int,
       bits: Int, n_frames: Int, dur_ms: Int)
 
+  /** Metadata + positional pixel checksum recovered by FULLY decoding
+    * a PNG payload (xm11): inflate + unfilter, so `pxsum` (a
+    * position-weighted sum over every decoded byte) proves the
+    * scanline filters reconstructed bit-exactly — an aggregate alone
+    * could mask compensating errors; position weights cannot.
+    */
+  case class PngMeta(media_id: Long, width: Int, height: Int,
+      bit_depth: Int, color_type: Int, npx: Int, pxsum: Long,
+      ahash_hi: Long, ahash_lo: Long)
+
   /** Deterministic fill bytes: cycle the source text bytes (or a fixed
     * ramp when the text is empty) — content for the encoded payloads.
     */
@@ -222,6 +232,49 @@ object Multimodal {
         val img = MediaCodecs.decodeBmp(b.payload)
         BmpMeta(b.media_id, img.width, img.height, img.bpp,
           img.pixels.length)
+      }
+    }
+  }
+
+  /** Encode each document as a REAL PNG (8-bit RGB, zlib IDAT): the
+    * same planted dims/pixels as [[encodeBmpTable]], with the
+    * scanline filter type rotating (doc_id + row) % 5 — every decode
+    * exercises all five PNG unfilters on real data.
+    */
+  def encodePngTable(docs: DataFrame): Dataset[MediaBlob] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val w = (8 + id % 24).toInt
+          val h = (8 + (id * 3) % 16).toInt
+          val px = cyclicBytes(
+            Option(text).getOrElse("").getBytes("UTF-8"), w * h * 3)
+          MediaBlob(id,
+            MediaCodecs.encodePng(w, h, px, r => ((id + r) % 5).toInt))
+        }
+      }
+  }
+
+  /** Full PNG decode (xm11): geometry + position-weighted pixel
+    * checksum + the SAME [[ahash64]] the BMP/AVI paths use — the
+    * cross-container hash-equality contract. `pxsum` weights byte p
+    * (of the top-down BGR stream, the planted order) by (p % 97 + 1).
+    */
+  def decodePngFull(media: Dataset[MediaBlob]): Dataset[PngMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { b =>
+        val img = MediaCodecs.decodePng(b.payload)
+        var sum = 0L
+        var p = 0
+        while (p < img.pixels.length) {
+          sum += (img.pixels(p) & 0xFF).toLong * (p % 97 + 1)
+          p += 1
+        }
+        val (hi, lo) = ahash64(img.pixels, img.width, img.height)
+        PngMeta(b.media_id, img.width, img.height, img.bitDepth,
+          img.colorType, img.pixels.length, sum, hi, lo)
       }
     }
   }

@@ -448,6 +448,85 @@ class MultimodalSpec extends SparkSpec {
       err.getMessage)
   }
 
+  test("PNG round-trip reconstructs pixels exactly under every filter " +
+      "type, including 1-px-wide and 1-px-tall edges") {
+    val rnd = new scala.util.Random(7)
+    for (f <- 0 to 4; (w, h) <- Seq((5, 4), (1, 6), (7, 1), (16, 16))) {
+      val px = Array.fill[Byte](w * h * 3)(rnd.nextInt(256).toByte)
+      val enc = MediaCodecs.encodePng(w, h, px, _ => f)
+      val dec = MediaCodecs.decodePng(enc)
+      assert(dec.width == w && dec.height == h && dec.bitDepth == 8 &&
+        dec.colorType == 2)
+      assert(java.util.Arrays.equals(dec.pixels, px),
+        s"filter $f ${w}x$h pixel mismatch")
+    }
+    // rotating filters (the xm11 shape)
+    val px = Array.tabulate[Byte](24 * 13 * 3)(i => (i * 31 % 256).toByte)
+    val enc = MediaCodecs.encodePng(24, 13, px, r => r % 5)
+    assert(java.util.Arrays.equals(MediaCodecs.decodePng(enc).pixels, px))
+  }
+
+  test("PNG decode handles an INDEPENDENT encoder's output (JDK " +
+      "ImageIO), not just our own writer") {
+    val w = 19; val h = 11
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rnd = new scala.util.Random(11)
+    val bgr = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = (rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256))
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      val base = (y * w + x) * 3
+      bgr(base) = b.toByte; bgr(base + 1) = g.toByte; bgr(base + 2) = r.toByte
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val dec = MediaCodecs.decodePng(bos.toByteArray)
+    assert(dec.width == w && dec.height == h)
+    assert(java.util.Arrays.equals(dec.pixels, bgr),
+      "ImageIO-encoded PNG decoded to different pixels")
+  }
+
+  test("PNG aHash == BMP aHash of the same pixels (cross-container " +
+      "equality through the shared integer core)") {
+    import spark.implicits._
+    val docs = T.t(spark, sf0001, "documents").limit(60)
+    val png = Multimodal.decodePngFull(Multimodal.encodePngTable(docs))
+      .toDF().select($"media_id", $"ahash_hi", $"ahash_lo")
+    val bmp = Multimodal.aHashTable(Multimodal.encodeBmpTable(docs))
+      .toDF().select($"media_id", $"ahash_hi".as("bhi"), $"ahash_lo".as("blo"))
+    val joined = png.join(bmp, "media_id").collect()
+    assert(joined.length == 60)
+    joined.foreach { r =>
+      assert(r.getLong(1) == r.getLong(3) && r.getLong(2) == r.getLong(4),
+        s"hash mismatch for media ${r.getLong(0)}")
+    }
+  }
+
+  test("PNG decode rejects corrupted CRC, truncation, and interlace") {
+    val px = Array.tabulate[Byte](6 * 4 * 3)(_.toByte)
+    val good = MediaCodecs.encodePng(6, 4, px)
+    val badCrc = good.clone()
+    badCrc(badCrc.length - 5) = (badCrc(badCrc.length - 5) ^ 0x01).toByte
+    assert(intercept[IllegalArgumentException] {
+      MediaCodecs.decodePng(badCrc)
+    }.getMessage.contains("CRC"))
+    assert(intercept[IllegalArgumentException] {
+      MediaCodecs.decodePng(java.util.Arrays.copyOf(good, good.length - 12))
+    }.getMessage.contains("IEND"))
+    val interlaced = good.clone()
+    interlaced(8 + 8 + 12) = 1.toByte // IHDR interlace flag
+    // CRC now mismatches; fix it so the interlace guard itself fires
+    val crc = new java.util.zip.CRC32()
+    crc.update(interlaced, 12, 4 + 13)
+    val cb = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.BIG_ENDIAN).putInt(crc.getValue.toInt).array()
+    System.arraycopy(cb, 0, interlaced, 8 + 8 + 13, 4)
+    assert(intercept[IllegalArgumentException] {
+      MediaCodecs.decodePng(interlaced)
+    }.getMessage.contains("interlaced"))
+  }
+
   test("AVI encode rejects >2 GB totals instead of overflowing Int") {
     // 1000x1000 frames are ~3 MB each; 800 of them pass the per-frame
     // checks but total ~2.4 GB — must fail with the named guard, not a
