@@ -658,6 +658,46 @@ object Dedup {
         col("__dup").isNull.as("kept"))
   }
 
+  /** Frozen-side prep for streaming SemDedup (qs17): assign the
+    * corpus to the given centroids ONCE, norms precomputed,
+    * materialized — per micro-batch only the delta pays assignment
+    * (the [[lshPrep]] discipline on the cluster-blocked path).
+    */
+  def semDedupPrep(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame): DataFrame =
+    Similarity.assignNearestCentroid(corpus, Seq(idCol), vecCol, cents)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        col("assigned").as("__cl"))
+      .withColumn("__n", TextFns.l2norm(col("__v")))
+      .localCheckpoint(true)
+
+  /** Delta-vs-frozen-corpus SemDedup (the xd14 shape on the
+    * cluster-blocked path): delta rows are assigned to the SAME
+    * frozen centroids, then a delta row is kept iff NO corpus row in
+    * its assigned cluster reaches cosine ≥ threshold. Each delta
+    * row's fate depends only on the frozen corpus — stateless per
+    * batch, so any chunking equals the one-shot BY CONSTRUCTION
+    * (the qs16 frozen-params discipline). Join cost: Σ over clusters
+    * of delta-load × corpus-load — never delta × corpus raw. Output:
+    * (idCol, assigned, kept) for delta rows.
+    */
+  def semDedupAgainstPrepped(delta: DataFrame, prepped: DataFrame,
+      cents: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val d = Similarity
+      .assignNearestCentroid(delta, Seq(idCol), vecCol, cents)
+      .select(col(idCol).as("__did"), col(vecCol).as("__dv"),
+        col("assigned").as("__dcl"))
+      .withColumn("__dn", TextFns.l2norm(col("__dv")))
+    val dropped = d.join(prepped, col("__dcl") === col("__cl"))
+      .where((TextFns.dot(col("__dv"), col("__v")) /
+        (col("__dn") * col("__n"))) >= threshold)
+      .select(col("__did")).distinct()
+    d.join(dropped.withColumn("__dup", lit(true)), Seq("__did"), "left")
+      .select(col("__did").as(idCol), col("__dcl").as("assigned"),
+        col("__dup").isNull.as("kept"))
+  }
+
   /** Multi-probe SemDedup: [[semDedupAssigned]] finds a near-dup pair
     * only when both rows share a PRIMARY cell, which at k-means-cell
     * granularity misses boundary-straddling pairs — SCALE_r6 measured

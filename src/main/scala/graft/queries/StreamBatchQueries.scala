@@ -527,6 +527,85 @@ object StreamBatchQueries {
           bounds = Seq(100150L, 100400L))
         .select(col("a"), col("b"), round(col("c"), 4).as("c"))
         .orderBy("a", "b")
+    },
+
+    // Streaming SemDedup (QS17, the xd11 stream face — VERDICT r8
+    // #6): the planted +0.05 copies arrive in id-ordered chunks; each
+    // is assigned to FROZEN label centroids (trained on the original
+    // corpus once) and screened against the frozen pre-assigned
+    // corpus within its cluster — keep iff no corpus row in the
+    // cluster reaches cosine >= 0.9. Stateless per chunk, so chunked
+    // == one-shot by construction; the real file-stream runner is
+    // gated in StreamingSpec. The oracle replays centroid training,
+    // both assignments, and the cross-slice within-cluster screen.
+    Q("qs17_stream_semdedup",
+      """WITH base AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |  FROM embeddings
+        |), corpus AS (
+        |  SELECT vec_id AS id, label, v FROM base
+        |), delta AS (
+        |  SELECT vec_id + 100000 AS id,
+        |    LIST_TRANSFORM(v, x -> x + 0.05) AS v FROM base
+        |), comp AS (
+        |  SELECT label, UNNEST(v) AS x, GENERATE_SUBSCRIPTS(v, 1) AS pos
+        |  FROM corpus
+        |), cm AS (
+        |  SELECT label AS clabel, pos,
+        |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+        |      AS m
+        |  FROM comp GROUP BY 1, 2
+        |), cent AS (
+        |  SELECT clabel, LIST(m ORDER BY pos) AS centroid
+        |  FROM cm GROUP BY 1
+        |), scc AS (
+        |  SELECT c.id, c.v, t.clabel,
+        |    LIST_INNER_PRODUCT(c.v, t.centroid) /
+        |      (SQRT(LIST_INNER_PRODUCT(c.v, c.v)) *
+        |       SQRT(LIST_INNER_PRODUCT(t.centroid, t.centroid)))
+        |      AS cos
+        |  FROM corpus c CROSS JOIN cent t
+        |), ac AS (
+        |  SELECT id, v, clabel AS assigned FROM (
+        |    SELECT id, v, clabel, ROW_NUMBER() OVER (
+        |      PARTITION BY id ORDER BY cos DESC, clabel) AS rn
+        |    FROM scc) WHERE rn = 1
+        |), scd AS (
+        |  SELECT d.id, d.v, t.clabel,
+        |    LIST_INNER_PRODUCT(d.v, t.centroid) /
+        |      (SQRT(LIST_INNER_PRODUCT(d.v, d.v)) *
+        |       SQRT(LIST_INNER_PRODUCT(t.centroid, t.centroid)))
+        |      AS cos
+        |  FROM delta d CROSS JOIN cent t
+        |), ad AS (
+        |  SELECT id, v, clabel AS assigned FROM (
+        |    SELECT id, v, clabel, ROW_NUMBER() OVER (
+        |      PARTITION BY id ORDER BY cos DESC, clabel) AS rn
+        |    FROM scd) WHERE rn = 1
+        |), dropped AS (
+        |  SELECT DISTINCT y.id FROM ac x JOIN ad y
+        |    ON x.assigned = y.assigned
+        |  WHERE LIST_INNER_PRODUCT(x.v, y.v) /
+        |    (SQRT(LIST_INNER_PRODUCT(x.v, x.v)) *
+        |     SQRT(LIST_INNER_PRODUCT(y.v, y.v))) >= 0.9
+        |)
+        |SELECT g.id, g.assigned,
+        |  CAST(d.id IS NULL AS INT) AS kept
+        |FROM ad g LEFT JOIN dropped d ON g.id = d.id
+        |ORDER BY g.id""".stripMargin) { (s, d) =>
+      val base = t(s, d, "embeddings").select(col("vec_id"),
+        col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      val corpus = base.select(col("vec_id").as("id"), col("label"),
+        col("v"))
+      val delta = base.select((col("vec_id") + 100000).as("id"),
+        transform(col("v"), x => x + lit(0.05d)).as("v"))
+      graft.streaming.Streams.semDedupChunked(delta, corpus,
+          "id", "label", "v", threshold = 0.9,
+          bounds = Seq(100150L, 100400L))
+        .select(col("id"), col("assigned"),
+          col("kept").cast("int").as("kept"))
+        .orderBy("id")
     }
   )
 }

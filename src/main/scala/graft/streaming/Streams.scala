@@ -179,6 +179,61 @@ object Streams {
     finally q.stop()
   }
 
+  /** Chunked batch face of streaming SemDedup (QS17): id-sliced delta
+    * chunks each dedup against the frozen corpus through centroids
+    * and corpus assignment computed ONCE. Stateless per chunk (each
+    * delta row's fate depends only on the frozen side), so any
+    * chunking == one-shot by construction.
+    */
+  def semDedupChunked(delta: DataFrame, corpus: DataFrame,
+      idCol: String, labelCol: String, vecCol: String,
+      threshold: Double, bounds: Seq[Long]): DataFrame = {
+    val cents = graft.operators.Similarity
+      .labelCentroids(corpus, labelCol, vecCol).localCheckpoint(true)
+    val frozen = graft.operators.Dedup
+      .semDedupPrep(corpus, idCol, vecCol, cents)
+    val edges = (Long.MinValue +: bounds.sorted) :+ Long.MaxValue
+    edges.sliding(2).map { case Seq(lo, hi) =>
+      graft.operators.Dedup.semDedupAgainstPrepped(
+        delta.where(col(idCol) >= lo && col(idCol) < hi), frozen,
+        cents, idCol, vecCol, threshold)
+    }.reduce(_.unionAll(_))
+  }
+
+  /** The real QS17 runner: delta vector parquet files → per-batch
+    * assignment to FROZEN label centroids → within-cluster screen
+    * against the frozen pre-assigned corpus → parquet sink. Corpus
+    * centroids + assignment + norms materialized once before
+    * start(); per batch only the delta pays assignment (the qs16
+    * once-not-per-batch discipline).
+    */
+  def runSemDedupStream(spark: SparkSession, deltaDir: String,
+      corpus: DataFrame, outDir: String, threshold: Double): Unit = {
+    val cents = graft.operators.Similarity
+      .labelCentroids(corpus, "label", "v").localCheckpoint(true)
+    val frozen = graft.operators.Dedup
+      .semDedupPrep(corpus, "id", "v", cents)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("v", ArrayType(DoubleType))))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(deltaDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val before = spark.sparkContext.getPersistentRDDs.keySet
+        graft.operators.Dedup.semDedupAgainstPrepped(
+            batch, frozen, cents, "id", "v", threshold)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        spark.sparkContext.getPersistentRDDs
+          .filterNot { case (rid, _) => before(rid) }
+          .values.foreach(_.unpersist(blocking = false))
+        ()
+      }
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+
   /** Streaming paragraph dedup (QS7): newly-arriving documents have
     * their SPANS deduped against a static corpus's span store — the
     * continuous-ingestion form of xd10's boilerplate removal. The

@@ -262,6 +262,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == oneShot)
   }
 
+  test("QS17 real file-stream SemDedup == one-shot (frozen centroids " +
+      "+ frozen corpus assignment, stateless batches)") {
+    val base0 = graft.queries.T.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val corpus = base0.select(col("vec_id").as("id"), col("label"),
+      col("v"))
+    val delta = base0.select((col("vec_id") + 100000).as("id"),
+      transform(col("v"), x => x + lit(0.05d)).as("v"))
+    val base = java.nio.file.Files.createTempDirectory("qs17")
+    val deltaDir = base.resolve("delta").toString
+    val outDir = base.resolve("out").toString
+    delta.repartition(3).write.parquet(deltaDir)
+    Streams.runSemDedupStream(spark, deltaDir, corpus, outDir,
+      threshold = 0.9)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("assigned"), col("kept"))
+        .collect().map(r => (r.getLong(0), r.getInt(1),
+          r.getBoolean(2))).toSet
+    val streamed = rows(spark.read.parquet(s"$outDir/batch=*"))
+    val cents = graft.operators.Similarity
+      .labelCentroids(corpus, "label", "v")
+    val oneShot = rows(graft.operators.Dedup.semDedupAgainstPrepped(
+      delta, graft.operators.Dedup.semDedupPrep(corpus, "id", "v",
+        cents), cents, "id", "v", threshold = 0.9))
+    assert(oneShot.nonEmpty && oneShot.exists(!_._3),
+      "planted copies must produce drops")
+    assert(streamed == oneShot)
+  }
+
   test("chunkIndexCol assigns every chunk including chunk 0 (ADVICE " +
       "r8: ascending foldLeft made chunk 0 unreachable)") {
     import spark.implicits._
