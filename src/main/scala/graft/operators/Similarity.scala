@@ -546,13 +546,58 @@ object Similarity {
       nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
       shortlist: Int = 0, kmeansIters: Int = 3,
       twoLevel: Boolean = false, wCoarse: Int = 2): DataFrame = {
-    val r = if (shortlist > 0) shortlist else 6 * k
     val sample = boundedSample(corpus, idCol, vecCol,
       math.max(128 * nlist, 2048))
     require(sample.nonEmpty, "ivfPqTopK: empty corpus")
     val cents = lloydLocal(sample, sample.head._2.length, nlist,
       kmeansIters).map { case (id, v) => (id, v.toSeq) }.toSeq
     val books = residualCodebooks(sample, cents, m, ksub, kmeansIters)
+    ivfPqTopKWith(corpus, queries, idCol, vecCol, k, cents, books,
+      nprobe, shortlist, twoLevel, wCoarse)
+  }
+
+  /** Per-label residual codebooks (the SQL-replayable twin of the
+    * Lloyd-trained [[residualCodebooks]], built the way
+    * [[pqCodebooksByLabel]] twins the sample k-means books): assign
+    * every corpus vector to its nearest cell (the query-time
+    * dot·(1/‖c‖) metric), subtract the centroid, and take the
+    * decimal-exact per-(OWN label, position) mean of the residual
+    * components — one aggregate, labels×dim rows, corpus-size-
+    * independent, every step an exact DuckDB replay. Codeword index
+    * of subspace j = label rank (labels ascending).
+    */
+  def residualCodebooksByLabel(corpus: DataFrame, idCol: String,
+      labelCol: String, vecCol: String,
+      cents: Seq[(Long, Seq[Double])], m: Int): Seq[Seq[Seq[Double]]] = {
+    val centMap0 = map(cents.sortBy(_._1).flatMap { case (id, v) =>
+      Seq(lit(id), typedlit(v))
+    }: _*)
+    val res = corpus
+      .select(col(labelCol).as("__lab"),
+        transform(col(vecCol), x => x.cast(DoubleType)).as("__v"))
+      .withColumn("__cell",
+        element_at(nearestCells(col("__v"), cents, 1), 1))
+      .select(col("__lab"), zip_with(col("__v"),
+        element_at(centMap0, col("__cell")),
+        (x, c) => x - c).as("__rv"))
+    pqCodebooksByLabel(res, "__lab", "__rv", m)
+  }
+
+  /** [[ivfPqTopK]] with externally supplied cells + residual
+    * codebooks — the full IVFADC machinery (assignment, residual,
+    * encode, per-probe-cell LUT, ADC shortlist, exact rerank)
+    * unchanged. The xd11 oracle pattern: the hash-gated xs10 entry
+    * feeds label centroids + [[residualCodebooksByLabel]] so DuckDB
+    * re-derives the entire chain; production feeds Lloyd-trained
+    * cells/books through the same body.
+    */
+  def ivfPqTopKWith(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      cents: Seq[(Long, Seq[Double])], books: Seq[Seq[Seq[Double]]],
+      nprobe: Int, shortlist: Int = 0,
+      twoLevel: Boolean = false, wCoarse: Int = 2): DataFrame = {
+    val r = if (shortlist > 0) shortlist else 6 * k
     val centMap = map(cents.sortBy(_._1).flatMap { case (id, v) =>
       Seq(lit(id), typedlit(v))
     }: _*)

@@ -297,24 +297,143 @@ object SimilarityQueries {
         .orderBy("id", "rank")
     },
 
-    // IVF×PQ composed ANN (xs10): k-means cells + per-cell residual
-    // PQ codes + per-probe-cell ADC shortlists + exact rerank — the
-    // production billion-vector layout (IVFADC) that xs2 (IVF, full
-    // vectors) and xs6/xs7 (PQ, full code scan) each give only half
-    // of. Approximate by construction (probing + quantization) → no
-    // SQL oracle, rows-only driver check like xs2; recall ≥0.9 vs
-    // brute force and probe-proportional candidate volume are
-    // spec-gated (OperatorsSpec / the SelectStress leg).
-    Q.noOracle("xs10_ivfpq_ann") { (s, d) =>
+    // IVF×PQ composed ANN (xs10): cells + per-cell residual PQ codes
+    // + per-probe-cell ADC shortlists + exact rerank — the production
+    // billion-vector layout (IVFADC) that xs2 (IVF, full vectors) and
+    // xs6/xs7 (PQ, full code scan) each give only half of. HASH-GATED
+    // since r9 (VERDICT r8 #7) via the xd11 precedent: the gated
+    // entry feeds SQL-derivable label-centroid cells + per-label
+    // residual codebooks through the UNCHANGED IVFADC machinery
+    // (ivfPqTopKWith), and the oracle re-derives the entire chain —
+    // centroids, dot·(1/‖c‖) assignment with its exact IEEE order,
+    // residuals, decimal-mean codebooks, argmin encode, per-probed-
+    // cell LUTs, fixed-order ADC, shortlist, exact-cosine rerank.
+    // The Lloyd-trained production config stays recall-gated ≥0.9 in
+    // OperatorsSpec and probe-proportional in the SelectStress leg.
+    Q("xs10_ivfpq_ann", ivfPqOracleSql(nQ = 10, nprobe = 3,
+      shortlist = 30, k = 3)) { (s, d) =>
       val emb = t(s, d, "embeddings")
-      Similarity.ivfPqTopK(emb, emb.where(col("vec_id") < 10),
-          "vec_id", "embedding", k = 3, nlist = 16, nprobe = 4,
-          m = 8, ksub = 16, shortlist = 30)
+      val cents = Similarity.labelCentroids(emb, "label", "embedding")
+        .select(col("clabel").cast("long"), col("centroid"))
+        .collect()
+        .map(row => (row.getLong(0), row.getSeq[Double](1).toSeq))
+        .sortBy(_._1).toSeq
+      val books = Similarity.residualCodebooksByLabel(emb, "vec_id",
+        "label", "embedding", cents, m = 8)
+      Similarity.ivfPqTopKWith(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 3, cents, books,
+          nprobe = 3, shortlist = 30)
         .select(col("qid"), col("rank"), col("id"),
           round(col("sim"), 4).as("sim"))
         .orderBy("qid", "rank")
     }
   )
+
+  /** The full xs10 IVFADC replay: label-centroid cells → assignment
+    * (dot·(1/‖c‖), ties to smaller label — NearestCentroids' exact
+    * IEEE sequence) → residuals → per-label decimal-mean residual
+    * codebooks → argmin encode → top-nprobe probes with per-cell
+    * query-residual LUTs → fixed-order ADC → shortlist → exact
+    * rerank.
+    */
+  private[queries] def ivfPqOracleSql(nQ: Int, nprobe: Int,
+      shortlist: Int, k: Int): String =
+    s"""WITH comp AS (
+      |  SELECT vec_id, label, UNNEST(embedding::DOUBLE[]) AS x,
+      |    GENERATE_SUBSCRIPTS(embedding, 1) AS pos
+      |  FROM embeddings
+      |), cm AS (
+      |  SELECT label AS clabel, pos,
+      |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+      |      AS m
+      |  FROM comp GROUP BY 1, 2
+      |), cent AS (
+      |  SELECT clabel, LIST(m ORDER BY pos) AS centroid
+      |  FROM cm GROUP BY 1
+      |), vv AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+      |), sc AS (
+      |  SELECT vv.vec_id, vv.label, vv.v, t.clabel,
+      |    LIST_INNER_PRODUCT(vv.v, t.centroid) *
+      |      (1.0 / SQRT(LIST_INNER_PRODUCT(t.centroid, t.centroid)))
+      |      AS s
+      |  FROM vv CROSS JOIN cent t
+      |), asg AS (
+      |  SELECT vec_id, label, v, clabel AS cell FROM (
+      |    SELECT *, ROW_NUMBER() OVER (
+      |      PARTITION BY vec_id ORDER BY s DESC, clabel) AS rn
+      |    FROM sc) WHERE rn = 1
+      |), rescomp AS (
+      |  SELECT a.vec_id, a.label, a.cell, g.pos,
+      |    a.v[g.pos] - t.centroid[g.pos] AS rx
+      |  FROM asg a JOIN cent t ON t.clabel = a.cell,
+      |  LATERAL UNNEST(RANGE(1, LEN(a.v)+1)) g(pos)
+      |), rbm AS (
+      |  SELECT label AS clabel, pos,
+      |    CAST(SUM(CAST(rx AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+      |      AS bm
+      |  FROM rescomp GROUP BY 1, 2
+      |), ed AS (
+      |  SELECT rc.vec_id, w.clabel, (rc.pos-1)//8 AS j,
+      |    ${pivotSum("(rc.pos-1)%8", "(rc.rx-w.bm)*(rc.rx-w.bm)", 8)}
+      |      AS d2
+      |  FROM rescomp rc JOIN rbm w ON w.pos = rc.pos
+      |  GROUP BY 1, 2, 3
+      |), enc AS (
+      |  SELECT e0.vec_id, a.cell, e0.j, e0.clabel AS code FROM (
+      |    SELECT vec_id, j, clabel, ROW_NUMBER() OVER (
+      |      PARTITION BY vec_id, j ORDER BY d2, clabel) AS rn
+      |    FROM ed) e0 JOIN asg a USING (vec_id)
+      |  WHERE e0.rn = 1
+      |), probes AS (
+      |  SELECT vec_id AS qid, clabel AS cell FROM (
+      |    SELECT vec_id, clabel, ROW_NUMBER() OVER (
+      |      PARTITION BY vec_id ORDER BY s DESC, clabel) AS rn
+      |    FROM sc WHERE vec_id < $nQ) WHERE rn <= $nprobe
+      |), qres AS (
+      |  SELECT p.qid, p.cell, g.pos, q.v[g.pos] - t.centroid[g.pos]
+      |    AS rx
+      |  FROM probes p JOIN vv q ON q.vec_id = p.qid
+      |  JOIN cent t ON t.clabel = p.cell,
+      |  LATERAL UNNEST(RANGE(1, LEN(q.v)+1)) g(pos)
+      |), lut AS (
+      |  SELECT qr.qid, qr.cell, w.clabel, (qr.pos-1)//8 AS j,
+      |    ${pivotSum("(qr.pos-1)%8", "(qr.rx-w.bm)*(qr.rx-w.bm)", 8)}
+      |      AS d2
+      |  FROM qres qr JOIN rbm w ON w.pos = qr.pos
+      |  GROUP BY 1, 2, 3, 4
+      |), adc AS (
+      |  SELECT l.qid, e.vec_id AS id,
+      |    ${pivotSum("e.j", "l.d2", 8)} AS adc
+      |  FROM enc e JOIN lut l ON l.cell = e.cell AND l.j = e.j
+      |    AND l.clabel = e.code
+      |  WHERE e.vec_id <> l.qid
+      |  GROUP BY 1, 2
+      |), cand AS (
+      |  SELECT qid, id FROM (
+      |    SELECT qid, id, ROW_NUMBER() OVER (
+      |      PARTITION BY qid ORDER BY adc, id) AS rn
+      |    FROM adc)
+      |  WHERE rn <= $shortlist
+      |)
+      |SELECT qid, rank, id, sim FROM (
+      |  SELECT c.qid, c.id,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY c.qid
+      |      ORDER BY raw DESC, c.id) AS INT) AS rank,
+      |    ROUND(raw, 4) AS sim
+      |  FROM (
+      |    SELECT c0.qid, c0.id,
+      |      LIST_INNER_PRODUCT(x.embedding::DOUBLE[],
+      |                         q.embedding::DOUBLE[]) /
+      |        (SQRT(LIST_INNER_PRODUCT(x.embedding::DOUBLE[],
+      |                                  x.embedding::DOUBLE[])) *
+      |         SQRT(LIST_INNER_PRODUCT(q.embedding::DOUBLE[],
+      |                                  q.embedding::DOUBLE[]))) AS raw
+      |    FROM cand c0
+      |    JOIN embeddings x ON x.vec_id = c0.id
+      |    JOIN embeddings q ON q.vec_id = c0.qid
+      |  ) c
+      |) WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 
   /** Fixed-order pivoted sum: n CASE-SUM terms added left-to-right —
     * the same IEEE addition sequence as a sequential Scala fold, so
