@@ -1317,6 +1317,99 @@ object Dedup {
       shingled = ps.shingled.localCheckpoint(true),
       banded = ps.banded.localCheckpoint(true))
 
+  /** Deterministic work counters for the xd10 paragraph-dedup plan
+    * (VERDICT r8 #2 — the xd12/xd11 r8 discipline: quantities the
+    * plan ENUMERATES, replayed from the operator's own
+    * intermediates, graded by [[graft.tools.ScaleGate]] across
+    * factors instead of cpu-seconds). Returns (spanRows, survivors,
+    * bandedRows, candPairs, cap):
+    *
+    *  - spanRows: the explode volume — asserted INSIDE equal to the
+    *    narrow closed form Σ ceil(words/paraWords) (two derivations,
+    *    one number — xd12's occ discipline); linear in corpus words
+    *    by construction;
+    *  - survivors: exact-stage output (the near-stage population);
+    *  - bandedRows: signature rows surviving the auto hot-bucket cap;
+    *  - candPairs: Σ over (band, key) buckets of m·(m−1)/2 — the
+    *    pre-verify candidate volume the capped band self-join
+    *    enumerates, the quantity the cap bounds (each surviving row
+    *    pairs with ≤ cap−1 bucket-mates, also asserted inside).
+    */
+  private[graft] def paragraphDedupWork(docs: DataFrame, idCol: String,
+      textCol: String, paraWords: Int = 6, threshold: Double = 0.8,
+      shingleN: Int = 2, maxBucket: Int = AutoBucket)
+      : (Long, Long, Long, Long, Int) = {
+    val splitter = ParagraphSplitter.FixedWindow(paraWords)
+    val spanRows = explodeSpans(docs, idCol, textCol, splitter).count()
+    val closed = paraCounts(docs, idCol, textCol, splitter)
+      .agg(sum(col("n_para"))).head.getLong(0)
+    require(spanRows == closed,
+      s"span explode $spanRows != closed form $closed")
+    val s1 = paragraphSpanStore(docs, idCol, textCol, splitter)
+    val nearInput = s1.where(col("nw") >= shingleN)
+      .select(col("pid").as("__id"),
+        TextFns.wordShingles(col("ptext"), shingleN).as("__sh"))
+      .localCheckpoint(true)
+    val n = math.max(1L, nearInput.count())
+    val cap = if (maxBucket == AutoBucket) autoMaxBucket(n) else maxBucket
+    val (bands, rows) = minhashParams(n, recallAt = threshold)
+    val banded = capBuckets(
+      minhashBanded(nearInput, "__id", "__sh", bands, rows), cap)
+      .localCheckpoint(true)
+    val bandedRows = banded.count()
+    val candPairs = banded.groupBy("__band", "__key")
+      .agg(count(lit(1)).as("__m"))
+      .agg(sum(col("__m") * (col("__m") - 1))).head.getLong(0) / 2
+    require(cap == Int.MaxValue ||
+      candPairs <= bandedRows * (cap - 1L) / 2,
+      s"cand pairs $candPairs exceed the cap bound " +
+        s"$bandedRows*(${cap}-1)/2")
+    (spanRows, n, bandedRows, candPairs, cap)
+  }
+
+  /** Deterministic work counters for one qs8 evolving-store ingest
+    * step, with the evolved store for the next step. Returns
+    * (storeProbePairs, lawProbePairs, intraBatchPairs, next):
+    * storeProbePairs counts the store-vs-delta band join's enumerated
+    * rows; lawProbePairs derives the SAME number independently from
+    * the two sides' (band, key) occupancy aggregates
+    * (Σ storeCount × deltaCount over matched keys) — two derivations,
+    * one number, asserted equal by the caller. The construction
+    * mirrors [[paragraphDedupIngest]] exactly (same exact stage, same
+    * frozen params, same append), minus the reassembly.
+    */
+  private[graft] def paragraphIngestWork(batch: DataFrame,
+      ps: ParagraphStore, idCol: String, textCol: String)
+      : (Long, Long, Long, ParagraphStore) = {
+    val spans = explodeSpans(batch, idCol, textCol, ps.splitter)
+      .withColumn("pid", struct(col("doc_id"), col("idx")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("ptext")
+    val e1 = spans.withColumn("__fp", min(col("pid")).over(w))
+      .where(col("pid") === col("__fp")).drop("__fp")
+      .join(ps.store.select("ptext"), Seq("ptext"), "left_anti")
+      .localCheckpoint(true)
+    val shD = e1.where(col("nw") >= ps.shingleN)
+      .select(col("pid").as("__id"),
+        TextFns.wordShingles(col("ptext"), ps.shingleN).as("__sh"))
+      .localCheckpoint(true)
+    val bandedD = minhashBanded(shD, "__id", "__sh", ps.bands,
+      ps.rowsPerBand).localCheckpoint(true)
+    val probe = ps.banded.as("x").join(bandedD.as("y"),
+        col("x.__band") === col("y.__band") &&
+          col("x.__key") === col("y.__key")).count()
+    val law = ps.banded.groupBy("__band", "__key")
+      .agg(count(lit(1)).as("__cs"))
+      .join(bandedD.groupBy("__band", "__key")
+        .agg(count(lit(1)).as("__cd")), Seq("__band", "__key"))
+      .agg(coalesce(sum(col("__cs") * col("__cd")), lit(0L))).head
+      .getLong(0)
+    val intra = bandedD.as("x").join(bandedD.as("y"),
+        col("x.__band") === col("y.__band") &&
+          col("x.__key") === col("y.__key") &&
+          col("x.__id") < col("y.__id")).count()
+    (probe, law, intra, appendFrames(ps, e1, shD, bandedD))
+  }
+
   /** EXACT substring dedup — the span-level "no L-gram occurs twice in
     * the training set" operator (the suffix-array dedup of the
     * deduplicating-training-data literature, re-expressed relationally;

@@ -122,6 +122,11 @@ object RqFormat {
   trait RecordEncoder {
     def write(v: Value): Unit
     def finish(): Unit = ()
+    /** Push any encoder-internal buffer down to the sink — called at
+      * frame-index mark points so the counted byte offset is a true
+      * record boundary. Default no-op (unbuffered encoders).
+      */
+    def flush(): Unit = ()
   }
 
   def encoder(format: String, out: OutputStream,
@@ -153,6 +158,7 @@ object RqFormat {
         new RecordEncoder {
           def write(v: Value): Unit = MsgPackCodec.encodeTo(v, dos)
           override def finish(): Unit = dos.flush()
+          override def flush(): Unit = dos.flush()
         }
       case "cbor" =>
         val dos = new java.io.DataOutputStream(
@@ -160,6 +166,7 @@ object RqFormat {
         new RecordEncoder {
           def write(v: Value): Unit = CborCodec.encodeTo(v, dos)
           override def finish(): Unit = dos.flush()
+          override def flush(): Unit = dos.flush()
         }
       case "toml" =>
         v => {

@@ -45,6 +45,83 @@ class RqTableProvider extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
 }
 
+/** Record-boundary frame index for splittable binary rq inputs
+  * (VERDICT r8 #4): concatenated varlen streams (msgpack/cbor — and
+  * equally NDJSON/csv/raw) carry no sync markers, so a single huge
+  * file is otherwise one InputPartition. The WRITER (which is the one
+  * party that knows record boundaries for free) emits a hidden
+  * sidecar `.<shard>.rqx` of byte offsets at record boundaries every
+  * `frameEvery` bytes; the reader splits the file into one
+  * InputPartition per frame when the sidecar is present and the file
+  * is uncompressed, and falls back to per-file otherwise — reference
+  * semantics and old files untouched. A crash between data commit and
+  * sidecar write just loses the split hints, never correctness.
+  *
+  * Sidecar format: line 1 `rqx1`, then one decimal offset per line
+  * (strictly increasing, each the byte position of a record start).
+  */
+object RqFrameIndex {
+  val Magic = "rqx1"
+
+  /** Formats whose encoded output is a plain record concatenation —
+    * the ones a byte-offset split is valid for. toml/yaml are
+    * whole-document, avro is its own container.
+    */
+  val Splittable: Set[String] = Set("json", "csv", "raw", "msgpack", "cbor")
+
+  def sidecarPath(file: Path): Path =
+    new Path(file.getParent, "." + file.getName + ".rqx")
+
+  def write(fs: org.apache.hadoop.fs.FileSystem, file: Path,
+      offsets: Seq[Long]): Unit = {
+    val out = fs.create(sidecarPath(file), true)
+    try {
+      val sb = new StringBuilder(Magic).append('\n')
+      offsets.foreach(o => sb.append(o).append('\n'))
+      out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally out.close()
+  }
+
+  /** Offsets from a sidecar, or None (absent/unreadable/foreign —
+    * every failure mode degrades to the unsplit read).
+    */
+  def read(fs: org.apache.hadoop.fs.FileSystem,
+      file: Path): Option[Array[Long]] = {
+    val sc = sidecarPath(file)
+    try {
+      if (!fs.exists(sc)) return None
+      val in = fs.open(sc)
+      try {
+        val lines = scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().toArray
+        if (lines.isEmpty || lines.head != Magic) return None
+        val offs = lines.tail.filter(_.nonEmpty).map(_.toLong)
+        if (offs.sorted.sameElements(offs)) Some(offs) else None
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+}
+
+/** Reads at most `limit` bytes from `in` — the per-split window of a
+  * frame-indexed file; record boundaries align with window edges by
+  * sidecar construction, so the decoder's clean-EOF contract ends the
+  * split exactly.
+  */
+private[sources] final class BoundedInputStream(in: java.io.InputStream,
+    private var remaining: Long) extends java.io.InputStream {
+  override def read(): Int =
+    if (remaining <= 0) -1
+    else { val b = in.read(); if (b >= 0) remaining -= 1; b }
+  override def read(b: Array[Byte], off: Int, len: Int): Int =
+    if (remaining <= 0) -1
+    else {
+      val n = in.read(b, off, math.min(len.toLong, remaining).toInt)
+      if (n > 0) remaining -= n
+      n
+    }
+  override def close(): Unit = in.close()
+}
+
 object RqTableProvider {
   val schema: StructType =
     StructType(Seq(StructField("value", StringType, nullable = false)))
@@ -114,9 +191,31 @@ final class RqTable(properties: Map[String, String])
               .sortBy(_.toString)
           else Array(p)
         }
-        files.map(f =>
-          RqInputPartition(f.toString, fmt, o, pushedLimit): InputPartition)
-          .toArray
+        files.flatMap { f =>
+          // frame-indexed split: only uncompressed record-stream
+          // files with a valid sidecar; everything else keeps the
+          // proven one-partition-per-file path. A pushed LIMIT keeps
+          // its per-partition meaning (each split stops after n).
+          val splits =
+            if (RqFrameIndex.Splittable(fmt) &&
+                RqTableProvider.codecFactory.getCodec(f) == null)
+              RqFrameIndex.read(fs, f)
+            else None
+          splits match {
+            case Some(offs) if offs.nonEmpty =>
+              val len = fs.getFileStatus(f).getLen
+              val bounds = (0L +: offs.filter(x => x > 0 && x < len)
+                .distinct.toSeq) :+ len
+              bounds.sliding(2).collect {
+                case Seq(s, e) if e > s =>
+                  RqInputPartition(f.toString, fmt, o, pushedLimit,
+                    s, e): InputPartition
+              }.toSeq
+            case _ =>
+              Seq(RqInputPartition(f.toString, fmt, o, pushedLimit)
+                : InputPartition)
+          }
+        }.toArray
       }
 
       override def createReaderFactory(): PartitionReaderFactory =
@@ -166,8 +265,12 @@ final case class RqStreamingWriterFactory(options: Map[String, String])
     new RqDataWriter(options, f"part-$epochId%05d-$partitionId%05d", taskId)
 }
 
+/** `start`/`end` bound a frame-indexed byte range; end = -1 means
+  * the whole file (the unsplit path).
+  */
 final case class RqInputPartition(file: String, format: String,
-    options: Map[String, String], limit: Option[Int] = None)
+    options: Map[String, String], limit: Option[Int] = None,
+    start: Long = 0L, end: Long = -1L)
     extends InputPartition
 
 final case class RqReaderFactory() extends PartitionReaderFactory {
@@ -180,11 +283,19 @@ final class RqPartitionReader(part: RqInputPartition)
   private val stream: java.io.InputStream = {
     val p = new Path(part.file)
     val raw = p.getFileSystem(new Configuration()).open(p)
-    // transparent decompression by extension (.gz/.bz2/...), exactly
-    // like Hadoop text inputs — crawl dumps arrive compressed;
-    // decompression composes with the incremental decode below
-    val codec = RqTableProvider.codecFactory.getCodec(p)
-    if (codec != null) codec.createInputStream(raw) else raw
+    if (part.end >= 0) {
+      // frame-indexed split: seek to the record boundary and read
+      // the window only (splits are never compressed — the planner
+      // gates on codec == null)
+      raw.seek(part.start)
+      new BoundedInputStream(raw, part.end - part.start)
+    } else {
+      // transparent decompression by extension (.gz/.bz2/...), exactly
+      // like Hadoop text inputs — crawl dumps arrive compressed;
+      // decompression composes with the incremental decode below
+      val codec = RqTableProvider.codecFactory.getCodec(p)
+      if (codec != null) codec.createInputStream(raw) else raw
+    }
   }
   // incremental decode straight off the open FS stream: one record in
   // flight, constant memory per task regardless of file size (only
@@ -269,16 +380,48 @@ final class RqDataWriter(options: Map[String, String], baseName: String,
   private val tmpPath = new Path(dir, s".$baseName-attempt-$taskId.$ext.tmp")
   private var out: java.io.OutputStream = _
   private var enc: RqFormat.RecordEncoder = _
+  // frame index (option "frameEvery", bytes): record a boundary
+  // offset roughly every frameEvery bytes so the committed shard
+  // splits into N InputPartitions on read. Writer-side framing is
+  // free — the encoder IS the party that knows where records end;
+  // only uncompressed record-stream formats qualify.
+  private val frameEvery: Long =
+    options.get("frameevery").map(_.toLong).getOrElse(0L)
+  private val framing =
+    frameEvery > 0 && !gzip && RqFrameIndex.Splittable(fmt)
+  private var counted: CountingOutputStream = _
+  private var lastMark = 0L
+  private val marks = scala.collection.mutable.ArrayBuffer.empty[Long]
+
+  private final class CountingOutputStream(sink: java.io.OutputStream)
+      extends java.io.FilterOutputStream(sink) {
+    var count = 0L
+    override def write(b: Int): Unit = { sink.write(b); count += 1 }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      sink.write(b, off, len); count += len
+    }
+  }
 
   override def write(record: InternalRow): Unit = {
     if (enc == null) {
       val raw = tmpPath.getFileSystem(new Configuration())
         .create(tmpPath, true)
       out = if (gzip) new java.util.zip.GZIPOutputStream(raw, 1 << 16)
+        else if (framing) { counted = new CountingOutputStream(raw); counted }
         else raw
       enc = RqFormat.encoder(fmt, out, options)
     }
     enc.write(JsonCodec.parse(record.getUTF8String(0).toString))
+    if (framing) {
+      // cheap check first; flush (real boundary) only at mark points
+      if (counted.count - lastMark >= frameEvery) {
+        enc.flush()
+        if (counted.count - lastMark >= frameEvery) {
+          marks += counted.count
+          lastMark = counted.count
+        }
+      }
+    }
   }
 
   override def commit(): WriterCommitMessage = {
@@ -291,6 +434,8 @@ final class RqDataWriter(options: Map[String, String], baseName: String,
       if (!fs.rename(tmpPath, finalPath))
         throw new java.io.IOException(
           s"rq sink: failed to commit $tmpPath -> $finalPath")
+      if (framing && marks.nonEmpty)
+        RqFrameIndex.write(fs, finalPath, marks.toSeq)
     }
     new WriterCommitMessage {}
   }

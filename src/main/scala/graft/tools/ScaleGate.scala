@@ -97,6 +97,40 @@ object ScaleGate {
     out += "xd12_cand_ratio" -> candRatio // informational: dup volume
     // grows superlinearly by construction (replicas share text)
 
+    // ---- xd10 paragraph dedup (r9, VERDICT r8 #2): span explode
+    // volume linear in corpus words (the closed-form identity is
+    // asserted inside the counter); capped candidate volume must stay
+    // sub-quadratic — an uncapped quadratic blowup doubles to 4×, the
+    // r5-measured pathology the auto cap exists to prevent.
+    if (lo.contains("xd10_paragraph_work_work_units")) {
+      val spanRatio = num(hi, "xd10_paragraph_work_work_units") /
+        num(lo, "xd10_paragraph_work_work_units")
+      out += "xd10_span_ratio" -> spanRatio
+      gate("xd10_work_linear", spanRatio >= 1.95 && spanRatio <= 2.05,
+        f"span-explode ratio $spanRatio%.4f (must be 2.0 +- 0.05: " +
+          "sum(ceil(words/6)) is a function of corpus words alone)")
+      val xd10Cand = num(hi, "xd10_paragraph_work_cand_pairs") /
+        math.max(1.0, num(lo, "xd10_paragraph_work_cand_pairs"))
+      out += "xd10_cand_ratio" -> xd10Cand
+      gate("xd10_cand_subquadratic", xd10Cand <= 3.0,
+        f"capped candidate-pair ratio $xd10Cand%.3f (must stay <= " +
+          "3.0x for a 2x corpus; quadratic = 4x)")
+    }
+
+    // ---- qs8 evolving-store ingest (r9): Σ per-batch store-probe
+    // pairs (each batch's count asserted equal to the occupancy law
+    // in-run). Buckets are boilerplate-bounded by the frozen cap +
+    // shuffled-replica uniqueness, so doubling both store and delta
+    // must stay well under the 4x a quadratic bucket would show.
+    if (lo.contains("qs8_evolving_work_work_units")) {
+      val qs8Ratio = num(hi, "qs8_evolving_work_work_units") /
+        math.max(1.0, num(lo, "qs8_evolving_work_work_units"))
+      out += "qs8_probe_ratio" -> qs8Ratio
+      gate("qs8_probe_subquadratic", qs8Ratio <= 3.0,
+        f"store-probe pair ratio $qs8Ratio%.3f (must stay <= 3.0x " +
+          "for a 2x corpus; per-batch counts law-asserted in-run)")
+    }
+
     // ---- xd11 legs: measured work ratio vs the occupancy-law ratio
     for (leg <- Seq("xd11_semdedup_kmeans", "xd11_semdedup_clustered")) {
       val work = num(hi, s"${leg}_work_units") /
@@ -160,7 +194,9 @@ object ScaleGate {
     val payload = out
       .map { case (k, v) => s""""$k":${StressUtil.jsonScalar(v)}""" }
       .mkString("{", ",", "}")
-    Files.writeString(Paths.get("SCALE_r8_gate.json"), payload + "\n")
+    val outName =
+      sys.env.getOrElse("SCALE_GATE_OUT", "SCALE_r9_gate.json")
+    Files.writeString(Paths.get(outName), payload + "\n")
     println(payload)
     if (failures.nonEmpty) {
       System.err.println(s"${failures.size} gate(s) failed:\n  " +

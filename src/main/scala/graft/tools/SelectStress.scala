@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
   * the line/bigram repetition signals (xt16), and token-budget shard
   * packing (xk6) at `factor`× bench scale over the SHARED document
   * replication recipe (StressUtil — same corpus law as every other
-  * SCALE artifact). Writes `SCALE_r8_select{_suffix}.json` with
+  * SCALE artifact). Writes `SCALE_r9_select{_suffix}.json` with
   * wall+CPU per leg, structural invariants, and join-skeleton
   * snapshots:
   *  - xt14: exactly 100 selected docs at any corpus size (the top-k
@@ -279,6 +279,61 @@ object SelectStress {
         .substringDedupWork(docs, "doc_id", "text", l = 40)
       (occ, Seq("work_units" -> occ, "cand_rows" -> cand,
         "dup_rows" -> dup))
+    }
+    dropPersisted()
+
+    // --------------------- xd10 paragraph-dedup work counters (r9,
+    // VERDICT r8 #2): the heavy batch leg graded on deterministic
+    // counts instead of r6-era cpu curves. span explode volume is
+    // asserted equal to the Σ ceil(words/6) closed form INSIDE the
+    // counter (two derivations, one number); cand pairs respect the
+    // cap bound. ScaleGate ratios work_units (linear in corpus
+    // words) and cand_pairs (must stay sub-quadratic under the auto
+    // cap) across factors.
+    timed("xd10_paragraph_work") {
+      val docs = spark.read.parquet(s"$outDir/documents.parquet")
+      val (spanRows, survivors, bandedRows, candPairs, cap) =
+        graft.operators.Dedup.paragraphDedupWork(docs, "doc_id", "text")
+      (spanRows, Seq("work_units" -> spanRows,
+        "survivor_spans" -> survivors, "banded_rows" -> bandedRows,
+        "cand_pairs" -> candPairs, "bucket_cap" -> cap))
+    }
+    dropPersisted()
+
+    // --------------------- qs8 evolving-store work counters (r9):
+    // the top streaming cost center graded on store-probe volume.
+    // Store = the k=0 replica slice; the remaining replicas arrive in
+    // 4 doc_id-ordered chunks; per chunk the store-vs-delta band
+    // join's enumerated rows are counted AND re-derived from the two
+    // sides' occupancy aggregates (Σ store×delta per matched (band,
+    // key)) — asserted equal per batch. work_units = Σ probe pairs.
+    timed("qs8_evolving_work") {
+      val OFF = 1000000L
+      val docs = spark.read.parquet(s"$outDir/documents.parquet")
+      val corpus = docs.where(col("doc_id") < OFF)
+      var ps = graft.operators.Dedup.prepareParagraphStore(corpus,
+        "doc_id", "text",
+        graft.operators.ParagraphSplitter.FixedWindow(6),
+        threshold = 0.8, shingleN = 2,
+        maxBucket = graft.operators.Dedup.AutoBucket)
+      val edges = (1 to 4).map(i =>
+        1L + (factor - 1).toLong * i / 4).map(_ * OFF)
+      var lo = OFF
+      var probeSum = 0L; var intraSum = 0L
+      for (hi <- edges if hi > lo) {
+        val chunk = docs.where(col("doc_id") >= lo &&
+          col("doc_id") < hi)
+        val (probe, law, intra, next) = graft.operators.Dedup
+          .paragraphIngestWork(chunk, ps, "doc_id", "text")
+        require(probe == law,
+          s"store-probe count $probe != occupancy law $law for " +
+            s"chunk [$lo, $hi)")
+        probeSum += probe; intraSum += intra
+        ps = next
+        lo = hi
+      }
+      (probeSum, Seq("work_units" -> probeSum,
+        "intra_pairs" -> intraSum, "n_chunks" -> 4))
     }
     dropPersisted()
 
@@ -722,7 +777,7 @@ object SelectStress {
     val payload = results
       .map { case (k, v) => s""""$k":${StressUtil.jsonScalar(v)}""" }
       .mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"SCALE_r8_select$suffix.json"),
+    Files.writeString(Paths.get(s"SCALE_r9_select$suffix.json"),
       payload + "\n")
     val rep = new StringBuilder
     rep ++= s"# Selection-operator plan snapshots at ${factor}x bench " +
@@ -736,7 +791,7 @@ object SelectStress {
     rep ++= "\nAssertions: xt14 selected==100 and broadcast-hash " +
       "model joins; xt15/xt16 join-free; xk6 == naive window with no " +
       "partition-less full-corpus window, token totals conserved.\n"
-    Files.writeString(Paths.get(s"SCALE_r8_select_plans$suffix.txt"),
+    Files.writeString(Paths.get(s"SCALE_r9_select_plans$suffix.txt"),
       rep.toString)
     println(payload)
     spark.stop()

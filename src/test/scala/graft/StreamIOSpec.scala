@@ -150,6 +150,64 @@ class StreamIOSpec extends AnyFunSuite {
     assert(back == got)
   }
 
+  test("frame-indexed binary shard splits into many partitions and " +
+      "reads identically to the whole-file read") {
+    import java.nio.file.Files
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").getOrCreate()
+    val engine = new graft.RqEngine(spark)
+    val dir = Files.createTempDirectory("rq_frames").toString
+    // ONE big msgpack shard (coalesce(1)) with a small frame period
+    val df = spark.range(0, 20000).selectExpr(
+      """concat('{"k":', id, ',"s":"', repeat('x', CAST(id % 37 AS INT)),
+        |'"}') AS value""".stripMargin.replace("\n", ""))
+      .coalesce(1)
+    engine.write("msgpack", df, dir, Map("frameEvery" -> "16384"))
+    val files = new java.io.File(dir).listFiles()
+    assert(files.count(f => f.getName.endsWith(".mp") &&
+      !f.getName.startsWith(".")) == 1, files.map(_.getName).toSeq)
+    assert(files.exists(_.getName.endsWith(".rqx")),
+      "sidecar frame index missing")
+    val split = engine.read("msgpack", dir)
+    val nParts = split.rdd.getNumPartitions
+    assert(nParts > 4, s"one big file must split (got $nParts partitions)")
+    val got = split.collect().map(_.getString(0)).sorted.toSeq
+    assert(got.size == 20000)
+    // same file WITHOUT the sidecar = the proven one-partition path;
+    // the split read must be record-identical to it
+    files.filter(_.getName.endsWith(".rqx")).foreach(f =>
+      assert(f.delete()))
+    val whole = engine.read("msgpack", dir)
+    assert(whole.rdd.getNumPartitions == 1)
+    assert(whole.collect().map(_.getString(0)).sorted.toSeq == got,
+      "split read diverged from the unsplit read")
+  }
+
+  test("frame index is not written for gzip or whole-doc formats, " +
+      "and a corrupt sidecar degrades to the unsplit read") {
+    import java.nio.file.Files
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").getOrCreate()
+    val engine = new graft.RqEngine(spark)
+    val df = spark.range(0, 2000)
+      .selectExpr("""concat('{"k":', id, '}') AS value""").coalesce(1)
+    val gzDir = Files.createTempDirectory("rq_fr_gz").toString
+    engine.write("json", df, gzDir,
+      Map("frameEvery" -> "1024", "compression" -> "gzip"))
+    assert(!new java.io.File(gzDir).listFiles()
+      .exists(_.getName.endsWith(".rqx")),
+      "gzip shards must not carry a frame index")
+    val dir = Files.createTempDirectory("rq_fr_bad").toString
+    engine.write("json", df, dir, Map("frameEvery" -> "1024"))
+    val sc = new java.io.File(dir).listFiles()
+      .find(_.getName.endsWith(".rqx")).get
+    Files.writeString(sc.toPath, "rqx1\n999999999\n5\n") // non-monotone
+    val read = engine.read("json", dir)
+    assert(read.rdd.getNumPartitions == 1,
+      "corrupt sidecar must fall back to the whole-file read")
+    assert(read.count() == 2000)
+  }
+
   test("overwrite truncates stale shards even when extensions change") {
     import java.nio.file.Files
     val spark = org.apache.spark.sql.SparkSession.builder()
