@@ -27,10 +27,15 @@ import graft.formats.{JsonCodec, Value}
   * JSON back into the target format, one output file per partition.
   *
   * Scale notes: concatenated varlen binary streams (msgpack/cbor) and
-  * whole-document formats (toml/yaml) are inherently non-splittable, so
-  * parallelism is per-FILE (one InputPartition each) — exactly how
-  * Spark's own multiLine JSON behaves. Many files → full parallelism;
-  * decoding is per-partition streaming with no driver involvement.
+  * whole-document formats (toml/yaml) carry no sync markers, so the
+  * BASE parallelism is per-FILE (one InputPartition each) — exactly
+  * how Spark's own multiLine JSON behaves. Record-stream shards
+  * written with the `frameEvery` option additionally carry an
+  * [[RqFrameIndex]] sidecar and split into one InputPartition per
+  * frame, so a few huge files no longer serialize the read; files
+  * without a sidecar (and all compressed/whole-doc inputs) keep the
+  * per-file path. Decoding is per-partition streaming with no driver
+  * involvement.
   */
 class RqTableProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "rq"
