@@ -1,7 +1,14 @@
 package graft.operators
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.FusedUnary
 
 /** URL canonicalization (SURVEY §2.11 extension): the front-end a real
   * crawl pipeline runs before any per-domain operator — RefinedWeb's
@@ -82,25 +89,24 @@ object Urls {
     * engines run the SAME round count, so oracle parity holds even
     * on deeper synthetic monsters.
     */
-  private val CanonRounds = 6
+  private[operators] val CanonRounds = 6
 
   /** Canonical path: duplicate-slash collapse, `/./` removal, `..`
     * climbs (multi-level + adjacent via [[CanonRounds]] iterations,
     * trailing `/..` and root-clamped leading `/../` included),
-    * trailing-slash trim, empty → `/`. Fixed replace order; patterns
-    * are identical in Java regex and RE2.
+    * trailing-slash trim, empty → `/`. One fused expression
+    * ([[CanonPathExpr]]): a JVM loop to the FIXED POINT, capped at
+    * [[CanonRounds]] — a clean path exits after one round, and the
+    * cap makes the result identical to the oracle's [[CanonRounds]]
+    * unrolled rounds in every case (extra rounds past the fixed
+    * point are no-ops; a deeper-than-cap monster stops at the same
+    * round in both engines). Two rejected column formulations: the
+    * plain 6-round chain ran 24 regex passes on EVERY row (bench:
+    * 4× cpu), and a CASE-guarded chain triples the subtree per round
+    * — Catalyst paid seconds planning the ~4^6-node tree.
     */
-  private def canonPath(path: Column): Column = {
-    val r = (1 to CanonRounds).foldLeft(path) { (p, _) =>
-      val a = regexp_replace(p, "/{2,}", "/")
-      val b = regexp_replace(a, "/\\./", "/")
-      val c = regexp_replace(b, "/[^/]+/\\.\\./", "/")
-      regexp_replace(c, "/[^/]+/\\.\\.$", "/")
-    }
-    val lead = regexp_replace(r, "^(/\\.\\.)+(/|$)", "/")
-    val p4 = regexp_replace(lead, "/$", "")
-    when(p4 === "", "/").otherwise(p4)
-  }
+  private def canonPath(path: Column): Column =
+    Bridge.column(CanonPathExpr(Bridge.expression(path)))
 
   /** Canonical host of a raw url column (lowercase, www-stripped). */
   def canonicalHost(url: Column): Column =
@@ -153,4 +159,56 @@ object Urls {
       s"ELSE ':' || $port END) || $path || " +
       s"(CASE WHEN $query = '' THEN '' ELSE '?' || $query END)"
   }
+}
+
+/** Fixed-point dot-segment resolution of a URL path (see
+  * [[Urls.canonPath]]): per round — duplicate-slash collapse, `/./`
+  * removal, `/seg/../` climbs, trailing `/..` — looped until
+  * unchanged or [[Urls.CanonRounds]] rounds, then the root-clamped
+  * leading-climb fix, trailing-slash trim, empty → `/`. Java
+  * `replaceAll` and RE2's `g` replace share the no-rescan contract,
+  * so each round equals the oracle's round exactly; the cap makes
+  * the round COUNT equal too.
+  */
+case class CanonPathExpr(child: Expression)
+    extends UnaryExpression with FusedUnary {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "canon_path"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"canon_path expects string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any = {
+    import CanonPathExpr._
+    var p = input.toString
+    var i = 0
+    while (i < Urls.CanonRounds) {
+      val next = Climb2.matcher(
+        Climb.matcher(
+          Dot.matcher(
+            Dup.matcher(p).replaceAll("/")).replaceAll("/"))
+          .replaceAll("/")).replaceAll("/")
+      if (next == p) i = Urls.CanonRounds
+      else { p = next; i += 1 }
+    }
+    p = Lead.matcher(p).replaceAll("/")
+    p = Trail.matcher(p).replaceAll("")
+    UTF8String.fromString(if (p.isEmpty) "/" else p)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
+object CanonPathExpr {
+  import java.util.regex.Pattern
+  private val Dup = Pattern.compile("/{2,}")
+  private val Dot = Pattern.compile("/\\./")
+  private val Climb = Pattern.compile("/[^/]+/\\.\\./")
+  private val Climb2 = Pattern.compile("/[^/]+/\\.\\.$")
+  private val Lead = Pattern.compile("^(/\\.\\.)+(/|$)")
+  private val Trail = Pattern.compile("/$")
 }
