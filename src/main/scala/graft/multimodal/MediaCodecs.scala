@@ -513,7 +513,14 @@ object MediaCodecs {
     var got = 0
     while (got < raw.length && !infl.finished()) {
       val n = infl.inflate(raw, got, raw.length - got)
+      // n==0 without progress must be an ERROR, not a retry: a crafted
+      // zlib header with FDICT set makes inflate() return 0 with
+      // needsDictionary=true (and needsInput=false) forever — an
+      // executor hang, not a decode failure, unless we bail here
+      require(!infl.needsDictionary,
+        "preset-dictionary zlib (FDICT) unsupported in IDAT")
       require(n > 0 || !infl.needsInput, "truncated IDAT stream")
+      require(n > 0 || infl.finished(), "stalled IDAT inflate")
       got += n
     }
     infl.end()

@@ -152,26 +152,42 @@ object Bpe {
     merges.toList
   }
 
-  /** Rank table for encoding; serializable plan literal. */
+  /** Rank table for encoding; serializable plan literal.
+    * `rankMap` is a lazily-rebuilt executor-side cache: @volatile so a
+    * thread never observes another thread's partially constructed map
+    * (built into a local, published by a single assignment; a benign
+    * race rebuilds the identical map at worst).
+    */
   final class Ranks(val merges: IndexedSeq[(String, String)])
       extends Serializable {
-    @transient private var rankMap: java.util.HashMap[String, Integer] = _
+    @transient @volatile private var rankMap: java.util.HashMap[String, Integer] = _
     def rank: java.util.HashMap[String, Integer] = {
-      if (rankMap == null) {
+      var r = rankMap
+      if (r == null) {
         val m = new java.util.HashMap[String, Integer](merges.size * 2)
         merges.zipWithIndex.foreach { case ((a, b), i) =>
           m.put(a + " " + b, i)
         }
         rankMap = m
+        r = m
       }
-      rankMap
+      r
     }
   }
 
-  /** Greedy rank-min encode of one pre-token. ≤ merges.size rounds. */
+  /** Greedy rank-min encode of one pre-token. Hard-capped at
+    * merges.size rounds — the same K steps the oracle's unrolled
+    * encode CTEs run. On merge tables [[train]] produces, each rank
+    * fires at most once per word so the cap never binds; on an
+    * adversarial hand-built table
+    * where a later merge recreates a constituent of an earlier-rank
+    * pair, the cap keeps JVM and SQL in exact lockstep instead of
+    * letting the JVM loop run extra rounds the oracle never sees.
+    */
   def encodeWord(word: String, ranks: Ranks): Array[String] = {
     var syms = codepointSymbols(word)
-    while (syms.length >= 2) {
+    var round = 0
+    while (syms.length >= 2 && round < ranks.merges.length) {
       var bestRank = Int.MaxValue
       var i = 0
       while (i < syms.length - 1) {
@@ -182,6 +198,7 @@ object Bpe {
       if (bestRank == Int.MaxValue) return syms
       val (p1, p2) = ranks.merges(bestRank)
       syms = mergeApply(syms, p1, p2)
+      round += 1
     }
     syms
   }

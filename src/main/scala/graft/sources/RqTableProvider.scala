@@ -334,9 +334,14 @@ final class RqBatchWrite(options: Map[String, String],
       val (dir, _, _) = RqTableProvider.opts(options)
       val d = new Path(dir)
       val fs = d.getFileSystem(new Configuration())
+      // sweep data shards AND .rqx frame sidecars: a stale sidecar
+      // surviving a truncate would split the NEXT run's same-named
+      // shard at the OLD file's byte offsets (silent mid-record
+      // corruption). Other dot/underscore files (in-flight attempt
+      // temps, markers) stay untouched.
       if (fs.exists(d)) fs.listStatus(d).filter(_.isFile).map(_.getPath)
-        .filterNot(p => p.getName.startsWith("_") ||
-          p.getName.startsWith("."))
+        .filterNot(p => (p.getName.startsWith("_") ||
+          p.getName.startsWith(".")) && !p.getName.endsWith(".rqx"))
         .foreach(fs.delete(_, false))
     }
     RqWriterFactory(options)
@@ -441,6 +446,11 @@ final class RqDataWriter(options: Map[String, String], baseName: String,
           s"rq sink: failed to commit $tmpPath -> $finalPath")
       if (framing && marks.nonEmpty)
         RqFrameIndex.write(fs, finalPath, marks.toSeq)
+      else
+        // overwrite of a previously-framed shard with an unframed one
+        // (no frameEvery / gzip / no marks): a surviving stale sidecar
+        // would split the new bytes at the old offsets — remove it
+        fs.delete(RqFrameIndex.sidecarPath(finalPath), false)
     }
     new WriterCommitMessage {}
   }

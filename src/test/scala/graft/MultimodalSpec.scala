@@ -527,6 +527,33 @@ class MultimodalSpec extends SparkSpec {
     }.getMessage.contains("interlaced"))
   }
 
+  test("PNG decode rejects FDICT zlib instead of spinning forever") {
+    // a crafted IDAT whose zlib header sets FDICT: Inflater.inflate()
+    // then returns 0 with needsDictionary=true indefinitely — the
+    // decoder must error out, not hang the executor
+    def chunk(typ: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + body.length)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      bb.putInt(body.length).put(typ.getBytes("US-ASCII")).put(body)
+      val crc = new java.util.zip.CRC32()
+      crc.update(bb.array(), 4, 4 + body.length)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+      .putInt(2).putInt(2).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    // zlib: CMF=0x78, FLG=0x20 (FDICT set; 0x7820 % 31 == 0) + DICTID
+    val fdictIdat = Array[Byte](0x78, 0x20, 0, 0, 0, 1)
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+    val png = sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", fdictIdat) ++
+      chunk("IEND", Array.empty[Byte])
+    assert(intercept[IllegalArgumentException] {
+      MediaCodecs.decodePng(png)
+    }.getMessage.contains("FDICT"))
+  }
+
   test("AVI encode rejects >2 GB totals instead of overflowing Int") {
     // 1000x1000 frames are ~3 MB each; 800 of them pass the per-frame
     // checks but total ~2.4 GB — must fail with the named guard, not a

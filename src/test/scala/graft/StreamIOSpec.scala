@@ -227,6 +227,33 @@ class StreamIOSpec extends AnyFunSuite {
       "stale uncompressed shards must not survive an overwrite")
   }
 
+  test("stale frame sidecars do not survive an unframed overwrite") {
+    import java.nio.file.Files
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").getOrCreate()
+    val engine = new graft.RqEngine(spark)
+    val dir = Files.createTempDirectory("rq_fr_stale").toString
+    val big = spark.range(0, 5000)
+      .selectExpr("""concat('{"k":', id, '}') AS value""").coalesce(1)
+    // run 1: framed — sidecar written for part-00000.json
+    engine.write("json", big, dir, Map("frameEvery" -> "1024"))
+    assert(new java.io.File(dir).listFiles()
+      .exists(_.getName.endsWith(".rqx")))
+    // run 2: same shard name, NO framing, different (shorter) bytes.
+    // A surviving run-1 sidecar would split the new file at the old
+    // offsets — mid-record for json — silently corrupting the read.
+    val small = spark.range(0, 7)
+      .selectExpr("""concat('{"j":', id, '}') AS value""").coalesce(1)
+    engine.write("json", small, dir)
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.endsWith(".rqx")),
+      "stale .rqx sidecar survived the unframed overwrite")
+    val read = engine.read("json", dir)
+    assert(read.rdd.getNumPartitions == 1)
+    assert(read.collect().map(_.getString(0)).sorted.toSeq ==
+      (0 until 7).map(i => s"""{"j":$i}""").sorted)
+  }
+
   test("limit pushdown stops decoding: head of a file with a poisoned tail") {
     import java.nio.file.Files
     val spark = org.apache.spark.sql.SparkSession.builder()
