@@ -57,13 +57,71 @@ object Bpe {
     */
   val PreTokenRegex = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
+  /** GPT-2-STYLE pre-token pattern for the byte-level tokenizer
+    * (VERDICT r9 #2): contraction suffixes, space-prefixed letter /
+    * digit / symbol runs (the leading space belongs to the following
+    * word — the GPT-2 signature), and whitespace runs. The reference
+    * GPT-2 pattern ends `\s+(?!\S)|\s+`; RE2 (DuckDB's engine) has no
+    * lookahead, so this is the documented lookahead-free variant: a
+    * whitespace run NOT directly followed by a word keeps ALL its
+    * spaces (GPT-2 would donate the last one to the next token).
+    * Ordered alternation + leftmost match are identical in
+    * java.util.regex and RE2 (the xt3 discipline). Case is preserved —
+    * byte-level BPE has no OOV symbol, so no lowercasing.
+    */
+  val GptPreRegex =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
   private val pat = java.util.regex.Pattern.compile(PreTokenRegex)
+  private val gptPat = java.util.regex.Pattern.compile(GptPreRegex)
 
   /** Pre-tokens of ALREADY-LOWERCASED text, in order. */
   def preTokens(lowered: String): mutable.ArrayBuffer[String] = {
     val out = new mutable.ArrayBuffer[String]
     val m = pat.matcher(lowered)
     while (m.find()) out += m.group()
+    out
+  }
+
+  /** GPT-2-style pre-tokens of RAW (case-preserved) text, in order. */
+  def preTokensGpt(text: String): mutable.ArrayBuffer[String] = {
+    val out = new mutable.ArrayBuffer[String]
+    val m = gptPat.matcher(text)
+    while (m.find()) out += m.group()
+    out
+  }
+
+  /** GPT-2 byte→unicode visible-symbol map (the published
+    * `bytes_to_unicode` construction, gpt-2/src/encoder.py): the 188
+    * "printable" bytes (33..126, 161..172, 174..255) map to their own
+    * codepoint; the other 68 map to 256+k in byte order. Bijective, so
+    * byte sequences concatenate as plain strings — [[mergeApply]] and
+    * the oracle's mergeFold work unchanged — and string comparison of
+    * mapped symbols equals byte-sequence order wherever tie-breaks
+    * matter (printable bytes keep their codepoint; the remapped 68
+    * sort above all of them at 256+, consistently in both engines).
+    */
+  val ByteChar: Array[String] = {
+    val out = new Array[String](256)
+    var k = 0
+    for (b <- 0 until 256) {
+      val printable = (b >= 33 && b <= 126) || (b >= 161 && b <= 172) ||
+        (b >= 174 && b <= 255)
+      if (printable) out(b) = new String(Character.toChars(b))
+      else { out(b) = new String(Character.toChars(256 + k)); k += 1 }
+    }
+    out
+  }
+
+  /** Initial symbol sequence for byte-level BPE: one mapped symbol per
+    * UTF-8 BYTE of the word. Every string tokenizes — there is no OOV
+    * symbol (a multi-byte codepoint just starts as 2-4 byte symbols).
+    */
+  def byteSymbols(word: String): Array[String] = {
+    val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[String](bytes.length)
+    var i = 0
+    while (i < bytes.length) { out(i) = ByteChar(bytes(i) & 0xff); i += 1 }
     out
   }
 
@@ -116,9 +174,10 @@ object Bpe {
     * when no adjacent pair remains (the oracle's extra iterations are
     * then no-ops on empty best-pair tables — same merges list).
     */
-  def train(hist: Seq[(String, Long)],
-      numMerges: Int): List[(String, String)] = {
-    var words = hist.map { case (w, c) => (codepointSymbols(w), c) }
+  def train(hist: Seq[(String, Long)], numMerges: Int,
+      symsOf: String => Array[String] = codepointSymbols _)
+      : List[(String, String)] = {
+    var words = hist.map { case (w, c) => (symsOf(w), c) }
     val merges = mutable.ListBuffer.empty[(String, String)]
     var k = 0
     while (k < numMerges) {
@@ -184,8 +243,14 @@ object Bpe {
     * pair, the cap keeps JVM and SQL in exact lockstep instead of
     * letting the JVM loop run extra rounds the oracle never sees.
     */
-  def encodeWord(word: String, ranks: Ranks): Array[String] = {
-    var syms = codepointSymbols(word)
+  def encodeWord(word: String, ranks: Ranks): Array[String] =
+    encodeSyms(codepointSymbols(word), ranks)
+
+  /** [[encodeWord]] body over a pre-built initial symbol sequence
+    * (codepoint- or byte-level — the merge loop is alphabet-blind).
+    */
+  def encodeSyms(syms0: Array[String], ranks: Ranks): Array[String] = {
+    var syms = syms0
     var round = 0
     while (syms.length >= 2 && round < ranks.merges.length) {
       var bestRank = Int.MaxValue
@@ -218,10 +283,33 @@ object Bpe {
       .collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
 
+  /** Byte-level corpus word histogram: GPT-2-style pre-tokens of RAW
+    * text (no lowercasing), same bounded shuffle + TakeOrdered shape.
+    */
+  def wordHistogramBytes(docs: DataFrame, textCol: String,
+      maxWords: Int): Seq[(String, Long)] =
+    docs.where(col(textCol).isNotNull)
+      .select(explode(regexp_extract_all(col(textCol),
+        lit(GptPreRegex), lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w"))
+      .limit(maxWords)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+
   /** Train merges from a corpus: bounded histogram + driver loop. */
   def trainOn(docs: DataFrame, textCol: String, maxWords: Int = 256,
       numMerges: Int = 16): List[(String, String)] =
     train(wordHistogram(docs, textCol, maxWords), numMerges)
+
+  /** Byte-level training: GPT-2-style pre-tokens, byte-symbol
+    * alphabet. Tie-breaks compare MAPPED symbol strings (codepoint
+    * order), same as the oracle's string sort over the mapped chars.
+    */
+  def trainBytesOn(docs: DataFrame, textCol: String, maxWords: Int = 256,
+      numMerges: Int = 16): List[(String, String)] =
+    train(wordHistogramBytes(docs, textCol, maxWords), numMerges,
+      byteSymbols _)
 
   // ---- column API ----
 
@@ -230,6 +318,15 @@ object Bpe {
 
   def bpeTokens(text: Column, merges: Seq[(String, String)]): Column =
     Bridge.column(BpeTokens(Bridge.expression(text), merges))
+
+  def bpeCountBytes(text: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(BpeCount(Bridge.expression(text), merges,
+      byteLevel = true))
+
+  def bpeTokensBytes(text: Column,
+      merges: Seq[(String, String)]): Column =
+    Bridge.column(BpeTokens(Bridge.expression(text), merges,
+      byteLevel = true))
 }
 
 /** Shared eval body for the two BPE expressions: lowercase via
@@ -239,6 +336,12 @@ object Bpe {
   */
 sealed trait BpeExpr extends UnaryExpression with FusedUnary {
   def merges: Seq[(String, String)]
+
+  /** Byte-level mode: GPT-2-style pre-tokens over raw case-preserved
+    * text, UTF-8-byte initial symbols (no OOV). Default (false) is the
+    * codepoint-level xt24 tokenizer over lowercased text.
+    */
+  def byteLevel: Boolean
 
   @transient protected lazy val ranks =
     new Bpe.Ranks(merges.toIndexedSeq)
@@ -250,7 +353,9 @@ sealed trait BpeExpr extends UnaryExpression with FusedUnary {
     val m = memo.get()
     var r = m.get(word)
     if (r == null) {
-      r = Bpe.encodeWord(word, ranks)
+      r = Bpe.encodeSyms(
+        if (byteLevel) Bpe.byteSymbols(word)
+        else Bpe.codepointSymbols(word), ranks)
       if (m.size >= 65536) m.clear()
       m.put(word, r)
     }
@@ -258,7 +363,9 @@ sealed trait BpeExpr extends UnaryExpression with FusedUnary {
   }
 
   protected def loweredWords(input: Any): mutable.ArrayBuffer[String] =
-    Bpe.preTokens(
+    if (byteLevel)
+      Bpe.preTokensGpt(input.asInstanceOf[UTF8String].toString)
+    else Bpe.preTokens(
       input.asInstanceOf[UTF8String].toLowerCase.toString)
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -269,7 +376,8 @@ sealed trait BpeExpr extends UnaryExpression with FusedUnary {
 
 /** Total BPE token count of a document (sum over pre-tokens). */
 case class BpeCount(child: Expression,
-    merges: Seq[(String, String)]) extends BpeExpr {
+    merges: Seq[(String, String)],
+    byteLevel: Boolean = false) extends BpeExpr {
   override def dataType: DataType = IntegerType
   override def prettyName: String = "bpe_count"
 
@@ -286,7 +394,8 @@ case class BpeCount(child: Expression,
 
 /** Ordered BPE token sequence of a document. */
 case class BpeTokens(child: Expression,
-    merges: Seq[(String, String)]) extends BpeExpr {
+    merges: Seq[(String, String)],
+    byteLevel: Boolean = false) extends BpeExpr {
   override def dataType: DataType =
     ArrayType(StringType, containsNull = false)
   override def prettyName: String = "bpe_tokens"
@@ -325,9 +434,49 @@ object BpeSql {
     */
   val ReLit = """'[a-z]+|[0-9]+|[^a-z0-9\s]'"""
 
+  /** [[Bpe.GptPreRegex]] as a DuckDB literal (single quotes doubled).
+    * RE2 and java.util.regex agree on every construct used: ordered
+    * alternation, `\p{L}`/`\p{N}` Unicode categories, greedy `+`.
+    */
+  val GptReLit =
+    """'''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'"""
+
   /** Codepoint symbols of a string expression. */
   def chars(e: String): String =
     s"LIST_TRANSFORM(RANGE(1, LENGTH($e)+1), __i -> $e[__i])"
+
+  /** UTF-8 bytes of a codepoint expression, as an INT list — the
+    * standard 1-4 byte encoding arithmetic (RFC 3629), integer-exact.
+    */
+  private def utf8Bytes(cp: String): String =
+    s"""CASE WHEN $cp < 128 THEN [$cp]
+       |  WHEN $cp < 2048 THEN [192 + $cp // 64, 128 + $cp % 64]
+       |  WHEN $cp < 65536 THEN [224 + $cp // 4096,
+       |    128 + ($cp // 64) % 64, 128 + $cp % 64]
+       |  ELSE [240 + $cp // 262144, 128 + ($cp // 4096) % 64,
+       |    128 + ($cp // 64) % 64, 128 + $cp % 64] END""".stripMargin
+
+  /** GPT-2 byte→unicode map of an INT byte expression (the closed-form
+    * version of [[Bpe.ByteChar]]): printable bytes keep their
+    * codepoint; bytes 0..32 shift to 256+b, 127..160 to 256+33+(b-127),
+    * 173 to 256+67 — the k-th non-printable byte in order.
+    */
+  private def mapByte(b: String): String =
+    s"""CHR(CASE
+       |  WHEN ($b BETWEEN 33 AND 126) OR ($b BETWEEN 161 AND 172)
+       |    OR $b >= 174 THEN $b
+       |  WHEN $b <= 32 THEN 256 + $b
+       |  WHEN $b BETWEEN 127 AND 160 THEN 289 + ($b - 127)
+       |  ELSE 323 END)""".stripMargin
+
+  /** Byte-level symbols of a string expression: per codepoint, expand
+    * to UTF-8 bytes, map each through the GPT-2 byte table, flatten.
+    * Exactly [[Bpe.byteSymbols]].
+    */
+  def byteChars(e: String): String =
+    s"""FLATTEN(LIST_TRANSFORM(${chars(e)}, __c ->
+       |  LIST_TRANSFORM(${utf8Bytes("UNICODE(__c)")},
+       |    __b -> ${mapByte("__b")})))""".stripMargin
 
   /** Left-to-right non-overlap merge of pair (aE, bE) over a symbol
     * list, null pair → unchanged. Exactly [[Bpe.mergeApply]].
@@ -344,15 +493,32 @@ object BpeSql {
     * __pK/__bK pair per iteration, and the ranked merges table
     * __m(r, a, b).
     */
-  def trainCtes(table: String, maxWords: Int, k: Int): String = {
-    val b = new StringBuilder
-    b ++=
+  def trainCtes(table: String, maxWords: Int, k: Int): String =
+    trainCtesFrom(
       s"""__w0 AS MATERIALIZED (
          |  SELECT w, cnt, ${chars("w")} AS syms FROM (
          |    SELECT w, COUNT(*) AS cnt FROM (
          |      SELECT UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), $ReLit)) AS w
          |      FROM $table WHERE text IS NOT NULL)
-         |    GROUP BY w ORDER BY cnt DESC, w LIMIT $maxWords))""".stripMargin
+         |    GROUP BY w ORDER BY cnt DESC, w LIMIT $maxWords))""".stripMargin,
+      k)
+
+  /** Byte-level training CTEs: GPT-2-style pre-tokens of RAW text,
+    * byte-symbol alphabet; same iteration chain as [[trainCtes]].
+    */
+  def trainCtesBytes(table: String, maxWords: Int, k: Int): String =
+    trainCtesFrom(
+      s"""__w0 AS MATERIALIZED (
+         |  SELECT w, cnt, ${byteChars("w")} AS syms FROM (
+         |    SELECT w, COUNT(*) AS cnt FROM (
+         |      SELECT UNNEST(REGEXP_EXTRACT_ALL(text, $GptReLit)) AS w
+         |      FROM $table WHERE text IS NOT NULL)
+         |    GROUP BY w ORDER BY cnt DESC, w LIMIT $maxWords))""".stripMargin,
+      k)
+
+  private def trainCtesFrom(w0: String, k: Int): String = {
+    val b = new StringBuilder
+    b ++= w0
     for (i <- 0 until k) {
       b ++=
         s""",
@@ -374,9 +540,11 @@ object BpeSql {
   /** Encode CTEs over `wtab`(word): __e0..__eK; final symbols in
     * __e<k>.syms. Requires __m from [[trainCtes]] in scope.
     */
-  def encodeCtes(wtab: String, k: Int): String = {
+  def encodeCtes(wtab: String, k: Int,
+      byteLevel: Boolean = false): String = {
+    val syms0 = if (byteLevel) byteChars("word") else chars("word")
     val b = new StringBuilder
-    b ++= s"__e0 AS MATERIALIZED (SELECT word, ${chars("word")} AS syms FROM $wtab)"
+    b ++= s"__e0 AS MATERIALIZED (SELECT word, $syms0 AS syms FROM $wtab)"
     for (i <- 0 until k) {
       b ++=
         s""",

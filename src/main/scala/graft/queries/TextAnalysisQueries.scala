@@ -1238,6 +1238,55 @@ object TextAnalysisQueries {
           Bpe.bpeTokens(substring(col("text"), 1, 48), merges), "|")
           .as("seg"))
         .orderBy("doc_id")
+    },
+
+    // Byte-level BPE, GPT-2 encoder shape (xt24b, VERDICT r9 #2):
+    // GPT-2-style pre-tokens over RAW case-preserved text (leading
+    // space attaches to the word; contraction suffixes split), initial
+    // symbols = UTF-8 bytes through the published bytes_to_unicode map
+    // — every string tokenizes, no OOV. Same two-independent-
+    // implementations discipline: the oracle re-derives the byte map,
+    // the UTF-8 expansion arithmetic, training, and encoding in
+    // unrolled CTEs (BpeSql.trainCtesBytes / encodeCtes byteLevel).
+    Q("xt24b_bpe_bytes",
+      s"""WITH ${BpeSql.trainCtesBytes("documents", 256, 16)},
+         |__dw AS (SELECT doc_id,
+         |    UNNEST(REGEXP_EXTRACT_ALL(text, ${BpeSql.GptReLit}))
+         |      AS word
+         |  FROM documents WHERE text IS NOT NULL),
+         |__pw AS (SELECT doc_id, __t.i AS wpos, ws[__t.i] AS word FROM (
+         |    SELECT doc_id, REGEXP_EXTRACT_ALL(
+         |        SUBSTRING(text, 1, 48), ${BpeSql.GptReLit}) AS ws
+         |    FROM documents WHERE text IS NOT NULL),
+         |  LATERAL UNNEST(RANGE(1, LEN(ws)+1)) __t(i)),
+         |__dwords AS (SELECT word FROM __dw UNION SELECT word FROM __pw),
+         |${BpeSql.encodeCtes("__dwords", 16, byteLevel = true)},
+         |__wl AS (SELECT word, LEN(syms) AS l FROM __e16),
+         |__cnt AS (SELECT __dw.doc_id, SUM(__wl.l) AS n
+         |  FROM __dw JOIN __wl USING (word) GROUP BY __dw.doc_id),
+         |__seg AS (SELECT p.doc_id,
+         |    STRING_AGG(e.syms[__t.i], '|' ORDER BY p.wpos, __t.i) AS s
+         |  FROM __pw p JOIN __e16 e ON e.word = p.word,
+         |  LATERAL UNNEST(RANGE(1, LEN(e.syms)+1)) __t(i)
+         |  GROUP BY p.doc_id)
+         |SELECT d.doc_id,
+         |  CASE WHEN d.text IS NULL THEN NULL
+         |    ELSE CAST(COALESCE(c.n, 0) AS INT) END AS n_bpe,
+         |  CASE WHEN d.text IS NULL THEN NULL
+         |    ELSE COALESCE(s.s, '') END AS seg
+         |FROM documents d
+         |LEFT JOIN __cnt c ON c.doc_id = d.doc_id
+         |LEFT JOIN __seg s ON s.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val merges = Bpe.trainBytesOn(docs, "text", maxWords = 256,
+        numMerges = 16)
+      docs.select(col("doc_id"),
+        Bpe.bpeCountBytes(col("text"), merges).as("n_bpe"),
+        array_join(
+          Bpe.bpeTokensBytes(substring(col("text"), 1, 48), merges),
+          "|").as("seg"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -102,6 +102,74 @@ class BpeSpec extends SparkSpec {
     assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
   }
 
+  test("byte map is the GPT-2 bytes_to_unicode bijection") {
+    assert(Bpe.ByteChar.length == 256)
+    assert(Bpe.ByteChar.distinct.length == 256)
+    // printable bytes map to themselves
+    assert(Bpe.ByteChar('A'.toInt) == "A")
+    assert(Bpe.ByteChar(0xE9) == "é")
+    // non-printables shift to 256+k in byte order: space (0x20, the
+    // 33rd non-printable, k=32) -> U+0120 'Ġ' — the GPT-2 hallmark
+    assert(Bpe.ByteChar(0) == "Ā")
+    assert(Bpe.ByteChar(' '.toInt) == "Ġ")
+    assert(Bpe.ByteChar(127) == "ġ")
+    assert(Bpe.ByteChar(160) == "ł")
+    assert(Bpe.ByteChar(173) == "Ń")
+  }
+
+  test("byteSymbols splits multi-byte UTF-8 into per-byte symbols") {
+    // é = C3 A9 (both printable bytes: map to themselves)
+    assert(Bpe.byteSymbols("é").toSeq == Seq("Ã", "©"))
+    // 😀 U+1F600 = F0 9F 98 80: F0/9F printable-range? F0=240 yes,
+    // 9F=159 -> non-printable (127..160, k=33+32=65 -> U+0141),
+    // 98=152 -> k=33+25=58 -> U+013A, 80=128 -> k=34 -> U+0122
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(Bpe.byteSymbols(emoji).toSeq ==
+      Seq("ð", "Ł", "ĺ", "Ģ"))
+    assert(Bpe.byteSymbols("ab ").toSeq == Seq("a", "b", "Ġ"))
+  }
+
+  test("GPT-2-style pre-tokenizer: leading space attaches, " +
+      "contractions split, case preserved, whitespace runs kept") {
+    assert(Bpe.preTokensGpt("I can't do 2 things").toSeq ==
+      Seq("I", " can", "'t", " do", " 2", " things"))
+    assert(Bpe.preTokensGpt("Hello,  World!").toSeq ==
+      Seq("Hello", ",", "  ", "World", "!"))
+    assert(Bpe.preTokensGpt("a\n\nb").toSeq == Seq("a", "\n\n", "b"))
+    // lookahead-free variant: a whitespace run before a word is eaten
+    // by ' ?\p{L}+' only when it is a SINGLE space; longer runs
+    // tokenize whole (GPT-2 proper would donate the last space)
+    assert(Bpe.preTokensGpt(" x").toSeq == Seq(" x"))
+    assert(Bpe.preTokensGpt("  x").toSeq == Seq("  ", "x"))
+  }
+
+  test("byte-level expressions: multi-byte text tokenizes with no " +
+      "OOV and matches the driver loop") {
+    import spark.implicits._
+    val texts = Seq("Café society", "I can't", "ééé",
+      new String(Character.toChars(0x1F600)) + " hi")
+    val hist = texts.map(t => (t, 1L))
+      .flatMap { case (t, c) => Bpe.preTokensGpt(t).map((_, c)) }
+      .groupBy(_._1).map { case (w, l) => (w, l.map(_._2).sum) }.toSeq
+      .sortBy { case (w, c) => (-c, w) }
+    val merges = Bpe.train(hist, 8, Bpe.byteSymbols _)
+    assert(merges.nonEmpty)
+    val ranks = new Bpe.Ranks(merges.toIndexedSeq)
+    val rows = texts.toDF("text")
+      .select(Bpe.bpeCountBytes(col("text"), merges).as("n"),
+        Bpe.bpeTokensBytes(col("text"), merges).as("tk"))
+      .collect()
+    texts.zip(rows).foreach { case (txt, row) =>
+      val expected = Bpe.preTokensGpt(txt)
+        .flatMap(w => Bpe.encodeSyms(Bpe.byteSymbols(w), ranks))
+      assert(row.getInt(0) == expected.length, s"count for '$txt'")
+      assert(row.getSeq[String](1) == expected.toSeq, s"tokens '$txt'")
+      // tokens concatenate back to the byte-mapped pre-token stream
+      assert(row.getSeq[String](1).mkString ==
+        Bpe.preTokensGpt(txt).flatMap(Bpe.byteSymbols(_)).mkString)
+    }
+  }
+
   test("trained encode on real corpus: count == tokens length and " +
       "tokens concatenate back to the pre-token stream") {
     val docs = graft.queries.T.t(spark, sf0001, "documents").limit(50)
