@@ -311,6 +311,19 @@ object Bpe {
     train(wordHistogramBytes(docs, textCol, maxWords), numMerges,
       byteSymbols _)
 
+  /** Per-doc byte-level tokenization frame shared by the xt24b query
+    * shape and the qs18 stream runner: total token count + '|'-joined
+    * segmentation of the 48-char prefix. Narrow join-free map — the
+    * merges ship as a plan literal, zero shuffle at any corpus size.
+    */
+  def tokenizeDocsBytes(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame =
+    docs.select(col("doc_id"),
+      bpeCountBytes(col("text"), merges).as("n_bpe"),
+      array_join(
+        bpeTokensBytes(substring(col("text"), 1, 48), merges), "|")
+        .as("seg"))
+
   // ---- column API ----
 
   def bpeCount(text: Column, merges: Seq[(String, String)]): Column =

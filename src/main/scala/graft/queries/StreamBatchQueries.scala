@@ -606,6 +606,58 @@ object StreamBatchQueries {
         .select(col("id"), col("assigned"),
           col("kept").cast("int").as("kept"))
         .orderBy("id")
+    },
+
+    // Streaming byte-level BPE tokenization (QS18, the xt24b stream
+    // face — VERDICT r9 #6): the incoming crawl (doc_id >= 400) is
+    // tokenized per micro-batch with a FROZEN tokenizer — merges
+    // trained ONCE on the static corpus (doc_id < 400), shipped as a
+    // plan literal. Per-batch work is a narrow join-free encode map:
+    // stateless, so a doc's tokenization is independent of arrival
+    // time and chunking == one-shot by construction (StreamingSpec
+    // drives the real file-stream runner). Oracle = xt24b's unrolled
+    // training/encode CTE replay with training restricted to the
+    // static slice and encoding to the delta.
+    Q("qs18_stream_bpe_tokenize",
+      s"""WITH ${graft.operators.BpeSql.trainCtesBytes(
+             "(SELECT text FROM documents WHERE doc_id < 400)", 256, 16)},
+         |__dw AS (SELECT doc_id,
+         |    UNNEST(REGEXP_EXTRACT_ALL(text,
+         |      ${graft.operators.BpeSql.GptReLit})) AS word
+         |  FROM documents WHERE doc_id >= 400 AND text IS NOT NULL),
+         |__pw AS (SELECT doc_id, __t.i AS wpos, ws[__t.i] AS word FROM (
+         |    SELECT doc_id, REGEXP_EXTRACT_ALL(
+         |        SUBSTRING(text, 1, 48),
+         |        ${graft.operators.BpeSql.GptReLit}) AS ws
+         |    FROM documents WHERE doc_id >= 400 AND text IS NOT NULL),
+         |  LATERAL UNNEST(RANGE(1, LEN(ws)+1)) __t(i)),
+         |__dwords AS (SELECT word FROM __dw UNION SELECT word FROM __pw),
+         |${graft.operators.BpeSql.encodeCtes("__dwords", 16,
+             byteLevel = true)},
+         |__wl AS (SELECT word, LEN(syms) AS l FROM __e16),
+         |__cnt AS (SELECT __dw.doc_id, SUM(__wl.l) AS n
+         |  FROM __dw JOIN __wl USING (word) GROUP BY __dw.doc_id),
+         |__seg AS (SELECT p.doc_id,
+         |    STRING_AGG(e.syms[__t.i], '|' ORDER BY p.wpos, __t.i) AS s
+         |  FROM __pw p JOIN __e16 e ON e.word = p.word,
+         |  LATERAL UNNEST(RANGE(1, LEN(e.syms)+1)) __t(i)
+         |  GROUP BY p.doc_id)
+         |SELECT d.doc_id,
+         |  CASE WHEN d.text IS NULL THEN NULL
+         |    ELSE CAST(COALESCE(c.n, 0) AS INT) END AS n_bpe,
+         |  CASE WHEN d.text IS NULL THEN NULL
+         |    ELSE COALESCE(s.s, '') END AS seg
+         |FROM (SELECT * FROM documents WHERE doc_id >= 400) d
+         |LEFT JOIN __cnt c ON c.doc_id = d.doc_id
+         |LEFT JOIN __seg s ON s.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val merges = graft.operators.Bpe.trainBytesOn(
+        docs.where(col("doc_id") < 400), "text",
+        maxWords = 256, numMerges = 16)
+      graft.operators.Bpe.tokenizeDocsBytes(
+          docs.where(col("doc_id") >= 400), merges)
+        .orderBy("doc_id")
     }
   )
 }

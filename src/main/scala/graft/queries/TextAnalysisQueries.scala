@@ -1281,12 +1281,7 @@ object TextAnalysisQueries {
       val docs = t(s, d, "documents")
       val merges = Bpe.trainBytesOn(docs, "text", maxWords = 256,
         numMerges = 16)
-      docs.select(col("doc_id"),
-        Bpe.bpeCountBytes(col("text"), merges).as("n_bpe"),
-        array_join(
-          Bpe.bpeTokensBytes(substring(col("text"), 1, 48), merges),
-          "|").as("seg"))
-        .orderBy("doc_id")
+      Bpe.tokenizeDocsBytes(docs, merges).orderBy("doc_id")
     }
   )
 }

@@ -325,6 +325,23 @@ object Streams {
         "doc_id", "text"))
   }
 
+  /** Run the QS18 stream: delta document files tokenized per
+    * micro-batch with a FROZEN byte-level BPE tokenizer — merges
+    * trained once on the static corpus before the stream starts
+    * ("tokenize the incoming crawl with yesterday's tokenizer", the
+    * qs11 frozen-model pattern). The merges table ships as a plan
+    * literal; per-batch work is a narrow join-free encode map, so a
+    * document's tokenization is independent of arrival time and
+    * chunking (StreamingSpec asserts chunked == one-shot).
+    */
+  def runBpeTokenizeStream(spark: SparkSession, deltaDir: String,
+      corpus: DataFrame, outDir: String): Unit = {
+    val merges = graft.operators.Bpe.trainBytesOn(corpus, "text",
+      maxWords = 256, numMerges = 16)
+    runDocBatchStream(spark, deltaDir, outDir)(
+      graft.operators.Bpe.tokenizeDocsBytes(_, merges))
+  }
+
   /** Shared QS6/QS7 runner: a file-source of delta document parquet
     * files → `transform(batch)` per micro-batch → parquet sink. The
     * composite transforms (band joins + distinct + verify) are not

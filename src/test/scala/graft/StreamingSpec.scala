@@ -237,6 +237,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("QS18 chunked byte-BPE tokenize stream == batch frozen-" +
+      "tokenizer encode") {
+    // frozen merges + stateless narrow encode: four micro-batches
+    // through the real file-stream runner must reproduce the one-shot
+    // batch tokenization row-for-row (a doc's tokens independent of
+    // arrival time and chunking)
+    val docs = graft.queries.T.t(spark, sf0001, "documents")
+    val base = java.nio.file.Files.createTempDirectory("qs18")
+    val deltaDir = base.resolve("delta").toString
+    val outDir = base.resolve("out").toString
+    docs.where(col("doc_id") >= 400).repartition(4)
+      .write.parquet(deltaDir)
+    Streams.runBpeTokenizeStream(spark, deltaDir,
+      docs.where(col("doc_id") < 400), outDir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_bpe", "seg").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val streamed = rows(spark.read.parquet(s"$outDir/batch=*"))
+    val merges = graft.operators.Bpe.trainBytesOn(
+      docs.where(col("doc_id") < 400), "text",
+      maxWords = 256, numMerges = 16)
+    val batch = rows(graft.operators.Bpe.tokenizeDocsBytes(
+      docs.where(col("doc_id") >= 400), merges))
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("QS16 real file-stream embedding near-dup == one-shot xd14 " +
       "(frozen corpus, pinned band params, stateless batches)") {
     val planted = graft.queries.DedupQueries.plantedEmbeddingCorpus(
