@@ -651,10 +651,23 @@ object Similarity {
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 3): DataFrame = {
-    val cents =
-      kmeansCentroidsLocal(corpus, idCol, vecCol, nlist, kmeansIters)
+      nlist: Int = 16, nprobe: Int = 4, kmeansIters: Int = 3): DataFrame =
+    ivfTopKWith(corpus, queries, idCol, vecCol, k,
+      kmeansCentroidsLocal(corpus, idCol, vecCol, nlist, kmeansIters),
+      nprobe)
 
+  /** [[ivfTopK]] with INJECTED centroids (the xs10/xd11 pinned-cells
+    * discipline): given cells as plan literals, the whole assignment →
+    * probe → within-cell exact cosine → top-k chain is deterministic
+    * SQL-replayable arithmetic — the xs2b hash gate — while the Lloyd-
+    * trained production config above stays recall-gated. Shuffle is
+    * probe-proportional: corpus rows hash by cell once, each query
+    * meets only its nprobe cells, never the corpus.
+    */
+  def ivfTopKWith(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      cents: Seq[(Long, Seq[Double])], nprobe: Int): DataFrame = {
     val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
         TextFns.l2norm(col(vecCol)).as("nv"))
       .withColumn("cell", element_at(nearestCells(col("v"), cents, 1), 1))

@@ -51,6 +51,31 @@ object SimilarityQueries {
         .orderBy("qid", "rank")
     },
 
+    // Hash-gated IVF ANN twin (xs2b, VERDICT r9 #5 — the xs10
+    // precedent transferred): same assignment → probe → within-cell
+    // exact-cosine → top-k machinery as xs2 (ivfTopKWith is the
+    // shared body), but with cells PINNED to the SQL-derivable
+    // label centroids instead of Lloyd-trained ones, so the oracle
+    // re-derives the entire chain — decimal-mean centroids, the
+    // dot·(1/‖c‖) assignment with its exact IEEE order and
+    // ties-to-smaller-label, top-nprobe probes, exact cosine within
+    // probed cells, (sim DESC, id) ranking. xs2's Lloyd production
+    // config stays recall-gated ≥0.9 in OperatorsSpec.
+    Q("xs2b_ann_ivf_pinned", ivfOracleSql(nQ = 10, nprobe = 3, k = 3)) {
+      (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val cents = Similarity.labelCentroids(emb, "label", "embedding")
+        .select(col("clabel").cast("long"), col("centroid"))
+        .collect()
+        .map(row => (row.getLong(0), row.getSeq[Double](1).toSeq))
+        .sortBy(_._1).toSeq
+      Similarity.ivfTopKWith(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 3, cents, nprobe = 3)
+        .select(col("qid"), col("rank"), col("id"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("qid", "rank")
+    },
+
     // Symmetric int8 quantization of the embedding column (the
     // storage-side op for embedding corpora: 4× smaller than f32,
     // 8× smaller than f64). Entirely per-row higher-order functions —
@@ -328,6 +353,64 @@ object SimilarityQueries {
         .orderBy("qid", "rank")
     }
   )
+
+  /** The xs2b pinned-cell IVF replay: decimal-mean label centroids →
+    * dot·(1/‖c‖) assignment (exact IEEE order, ties to smaller label
+    * — NearestCentroids' sequence) → top-nprobe probes per query →
+    * exact cosine within probed cells → (sim DESC, id) top-k. The
+    * front half (cent/sc/asg/probes) is the same chain
+    * [[ivfPqOracleSql]] replays; here the probed cells rerank with
+    * FULL vectors instead of ADC codes.
+    */
+  private[queries] def ivfOracleSql(nQ: Int, nprobe: Int,
+      k: Int): String =
+    s"""WITH comp AS (
+      |  SELECT vec_id, label, UNNEST(embedding::DOUBLE[]) AS x,
+      |    GENERATE_SUBSCRIPTS(embedding, 1) AS pos
+      |  FROM embeddings
+      |), cm AS (
+      |  SELECT label AS clabel, pos,
+      |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+      |      AS m
+      |  FROM comp GROUP BY 1, 2
+      |), cent AS (
+      |  SELECT clabel, LIST(m ORDER BY pos) AS centroid
+      |  FROM cm GROUP BY 1
+      |), vv AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+      |), sc AS (
+      |  SELECT vv.vec_id, vv.v, t.clabel,
+      |    LIST_INNER_PRODUCT(vv.v, t.centroid) *
+      |      (1.0 / SQRT(LIST_INNER_PRODUCT(t.centroid, t.centroid)))
+      |      AS s
+      |  FROM vv CROSS JOIN cent t
+      |), asg AS (
+      |  SELECT vec_id, v, clabel AS cell FROM (
+      |    SELECT *, ROW_NUMBER() OVER (
+      |      PARTITION BY vec_id ORDER BY s DESC, clabel) AS rn
+      |    FROM sc) WHERE rn = 1
+      |), probes AS (
+      |  SELECT vec_id AS qid, clabel AS cell FROM (
+      |    SELECT vec_id, clabel, ROW_NUMBER() OVER (
+      |      PARTITION BY vec_id ORDER BY s DESC, clabel) AS rn
+      |    FROM sc WHERE vec_id < $nQ) WHERE rn <= $nprobe
+      |)
+      |SELECT qid, rank, id, sim FROM (
+      |  SELECT c.qid, c.id,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY c.qid
+      |      ORDER BY raw DESC, c.id) AS INT) AS rank,
+      |    ROUND(raw, 4) AS sim
+      |  FROM (
+      |    SELECT p.qid, a.vec_id AS id,
+      |      LIST_INNER_PRODUCT(a.v, q.v) /
+      |        (SQRT(LIST_INNER_PRODUCT(a.v, a.v)) *
+      |         SQRT(LIST_INNER_PRODUCT(q.v, q.v))) AS raw
+      |    FROM probes p
+      |    JOIN asg a ON a.cell = p.cell
+      |    JOIN vv q ON q.vec_id = p.qid
+      |    WHERE a.vec_id <> p.qid
+      |  ) c
+      |) WHERE rank <= $k ORDER BY qid, rank""".stripMargin
 
   /** The full xs10 IVFADC replay: label-centroid cells → assignment
     * (dot·(1/‖c‖), ties to smaller label — NearestCentroids' exact
