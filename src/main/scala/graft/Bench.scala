@@ -23,6 +23,26 @@ import org.apache.spark.sql.SparkSession
   *    the physical plan is unchanged
   *  - `qs4`: streaming bench split into startup vs steady-state
   *    sec/batch (a single opaque total cannot trend)
+  *
+  * Self-gating (VERDICT r9 #1/#8 — the r9 artifact shipped a 32×
+  * same-plan CPU anomaly with no in-session second opinion):
+  *
+  *  - `pass2` covers the headliners PLUS the 20 most expensive
+  *    entries; any entry whose pass1 median and pass2 run diverge >2×
+  *    (slower side ≥0.5s) is auto-rerun once and listed under
+  *    `anomalies` with all three observations
+  *  - `trusted`: per-entry min over every in-session observation —
+  *    the additive-noise-sound estimator; `trusted_total` is the
+  *    headline a single contaminated window can't inflate
+  *  - `min_sessions`: per-entry min folded across committed previous
+  *    quiet-session records (`bench_sessions/*.json`), so one bad
+  *    SESSION can't move the round-over-round signal either
+  *  - `phases`: xs10's training prep vs probe-chain query timed
+  *    separately (the gated entry folds both; r9's "regression" was
+  *    the entry definition absorbing training)
+  *  - `BENCH_DELTA.json` is written as the LAST bench step from the
+  *    artifact just produced vs the committed `bench_ref.json`, so
+  *    its `new_sec` always equals the shipped medians
   */
 object Bench {
 
@@ -173,14 +193,27 @@ object Bench {
         case NonFatal(_) => QResult(name, Seq(-1.0), Nil, Nil, "error")
       }
     }
-    // Interleaved second pass over the headline queries in REVERSE
-    // order: a query that is slow in the main pass but fast here (a
-    // different session position, long after its neighbors) was a
-    // host-noise victim, not a regression — the in-session control the
-    // r5 cross-round drift adjudication lacked.
+    def median(runs: Seq[Double]): Double =
+      if (runs.head < 0) -1.0 else runs.tail.sorted.apply(1)
+
+    // Interleaved second pass in REVERSE order: a query that is slow
+    // in the main pass but fast here (a different session position,
+    // long after its neighbors) was a host-noise victim, not a
+    // regression — the in-session control the r5 cross-round drift
+    // adjudication lacked. Coverage (VERDICT r9 #1): the headliners
+    // PLUS the 20 most expensive entries by main-pass median, so the
+    // entries that dominate the total always get a second opinion
+    // (r9's 42.9s xt17 anomaly had none — it wasn't a headliner).
+    val pass2Names = {
+      val top = results.filter(_.runs.head >= 0)
+        .sortBy(r => -median(r.runs)).take(20).map(_.name)
+      val inOrder = results.map(_.name)
+        .filter(n => benchHeadliners.contains(n) || top.contains(n))
+      inOrder.reverse
+    }
     val pass2 = {
       var snap = metrics.snapshot()
-      benchHeadliners.filter(keep).reverse.map { name =>
+      pass2Names.map { name =>
         val fn = SparkEntry.queries(name)
         try {
           val (sec, after, deltas) = timeOnceFrom(fn, snap)
@@ -193,6 +226,58 @@ object Bench {
         }
       }
     }
+    // Self-gating (VERDICT r9 #1): any entry whose pass1 median and
+    // pass2 single run diverge >2× (and whose slower side is ≥0.5s —
+    // sub-half-second entries flip on scheduler jitter alone) is
+    // flagged as session-contaminated and re-run ONCE more for a
+    // tiebreak. Its published trusted value is the MIN across all
+    // observations — the sound estimator under additive noise (the
+    // ScaleGate argument): noise only ever ADDS time, so the fastest
+    // observation is the closest to the true cost.
+    val anomalies = {
+      var snap = metrics.snapshot()
+      results.flatMap { r =>
+        val m = median(r.runs)
+        pass2.find(_._1 == r.name).map(_._2) match {
+          case Some(p2) if m > 0 && p2 > 0 &&
+              math.max(m, p2) >= 0.5 &&
+              (m / p2 > 2.0 || p2 / m > 2.0) =>
+            val rerun = try {
+              val (sec, after, _) = timeOnceFrom(
+                SparkEntry.queries(r.name), snap)
+              snap = after
+              sec
+            } catch { case NonFatal(_) => -1.0 }
+            Some((r.name, m, p2, rerun))
+          case _ => None
+        }
+      }
+    }
+    // xs10 phase attribution (VERDICT r9 #4): the gated entry folds
+    // model training into the timed unit; time prep (label centroids +
+    // residual codebooks — corpus aggregations, amortized once per
+    // model) and query (the IVFADC probe chain on the frozen model)
+    // separately so a drift can be attributed to the right phase.
+    val xs10Phases: Seq[(String, Double)] =
+      if (!keep("xs10_ivfpq_ann")) Nil
+      else try {
+        val t0 = System.nanoTime()
+        val (cents, books) =
+          graft.queries.SimilarityQueries.xs10PrepModel(spark, sfDir)
+        val prepSec = (System.nanoTime() - t0) / 1e9
+        dropPersisted()
+        var snap = metrics.snapshot()
+        val qRuns = Seq.fill(3) {
+          val (sec, after, _) = timeOnceFrom((s, d) =>
+            graft.queries.SimilarityQueries
+              .xs10QueryWith(s, d, cents, books), snap)
+          snap = after
+          sec
+        }
+        Seq("xs10_prep_sec" -> prepSec,
+          "xs10_query_sec" -> qRuns.sorted.apply(1))
+      } catch { case NonFatal(_) =>
+        Seq("xs10_prep_sec" -> -1.0, "xs10_query_sec" -> -1.0) }
     // Streaming bench: the qs4 stream-stream interval join re-run as a
     // REAL multi-batch stream (time-ordered file splits, 2 files per
     // trigger) under the RocksDB state store — the off-heap state
@@ -257,15 +342,68 @@ object Bench {
     def jmap(kv: Seq[(String, String)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-    def median(runs: Seq[Double]): Double =
-      if (runs.head < 0) -1.0 else runs.tail.sorted.apply(1)
     def minOf(runs: Seq[Double]): Double =
       if (runs.head < 0) -1.0 else runs.tail.min
+    // Minimal flat-object reader for bench_full-format artifacts: the
+    // "mins"/"queries"/"cpu_sec" objects are flat {"name":num,...} by
+    // construction (this file writes them), so scan to the first '}'.
+    def flatObj(json: String, key: String): Map[String, Double] = {
+      val tag = "\"" + key + "\":{"
+      val i = json.indexOf(tag)
+      if (i < 0) Map.empty
+      else {
+        val start = i + tag.length
+        val end = json.indexOf("}", start)
+        if (end < 0) Map.empty
+        else json.substring(start, end).split(",")
+          .filter(_.contains(":")).flatMap { kv =>
+            val Array(k, v) = kv.split(":", 2)
+            try Some(k.trim.stripPrefix("\"").stripSuffix("\"") ->
+              v.trim.toDouble)
+            catch { case NonFatal(_) => None }
+          }.toMap
+      }
+    }
 
     val medians = results.map(r => r.name -> median(r.runs)) :+
       ("qs4_stream_rocksdb" -> streamTotal)
     val mins = results.map(r => r.name -> minOf(r.runs)) :+
       ("qs4_stream_rocksdb" -> streamTotal)
+    // trusted = min over ALL in-session observations of an entry
+    // (3 timed main-pass runs, its pass2 run if any, its anomaly
+    // rerun if any). Under additive noise the min is the sound
+    // estimator; this is the number a single contaminated window
+    // can't inflate.
+    val extraObs: Map[String, Seq[Double]] = {
+      val p2 = pass2.collect { case (n, s, _) if s >= 0 => (n, s) }
+      val rr = anomalies.collect { case (n, _, _, r) if r >= 0 => (n, r) }
+      (p2 ++ rr).groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    }
+    val trusted = results.map { r =>
+      val obs = (if (r.runs.head < 0) Nil else r.runs.tail) ++
+        extraObs.getOrElse(r.name, Nil)
+      r.name -> (if (obs.isEmpty) -1.0 else obs.min)
+    } :+ ("qs4_stream_rocksdb" -> streamTotal)
+    // min-of-sessions (VERDICT r9 #8): fold in committed per-entry
+    // mins from previous quiet sessions (bench_sessions/*.json, the
+    // bench_full format) so one bad session can't move the headline.
+    val sessionMins: Seq[Map[String, Double]] = try {
+      val dir = java.nio.file.Paths.get("bench_sessions")
+      if (!java.nio.file.Files.isDirectory(dir)) Nil
+      else {
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.list(dir)
+        try s.iterator().asScala.toSeq
+          .filter(_.toString.endsWith(".json")).sortBy(_.toString)
+          .map(p => flatObj(java.nio.file.Files.readString(p), "mins"))
+          .filter(_.nonEmpty)
+        finally s.close()
+      }
+    } catch { case NonFatal(_) => Nil }
+    val minSessions = trusted.map { case (n, v) =>
+      val all = (v +: sessionMins.flatMap(_.get(n))).filter(_ >= 0)
+      n -> (if (all.isEmpty) -1.0 else all.min)
+    }
     // per-query executor CPU seconds (median of the 3 timed runs):
     // the contention-immune trend metric
     val cpuSec = results.map(r => r.name ->
@@ -273,6 +411,8 @@ object Bench {
     val total = medians.map(_._2).filter(_ >= 0).sum
     val minTotal = mins.map(_._2).filter(_ >= 0).sum
     val cpuTotal = cpuSec.map(_._2).filter(_ >= 0).sum
+    val trustedTotal = trusted.map(_._2).filter(_ >= 0).sum
+    val minSessionsTotal = minSessions.map(_._2).filter(_ >= 0).sum
     // The driver captures only the last 2000 chars of stdout; the full
     // evidence record (runs/stages/fingerprints for 120+ entries)
     // cannot fit, so stdout carries a headline subset and the complete
@@ -282,6 +422,11 @@ object Bench {
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
       s""""queries":${jmap(head)},"n_queries":${medians.size},""" +
       s""""min_total":${r3(minTotal)},"cpu_sec_total":${r3(cpuTotal)},""" +
+      s""""trusted_total":${r3(trustedTotal)},""" +
+      s""""min_sessions_total":${r3(minSessionsTotal)},""" +
+      s""""n_bench_sessions":${sessionMins.size + 1},""" +
+      s""""anomaly_count":${anomalies.size},""" +
+      xs10Phases.map { case (k, v) => s""""$k":${r3(v)},""" }.mkString +
       s""""qs4_sec_per_batch":${r3(streamSecPerBatch)},""" +
       s""""full":"bench_full.json","sf":"$sfDir"}"""
 
@@ -300,14 +445,62 @@ object Bench {
           r.name -> jmap(stageKeys.zip(r.stages.map(_.toString)))))},""" +
       s""""plan_fp":${jmap(results.map(r =>
           r.name -> ("\"" + r.fp + "\"")))},""" +
-      s""""pass2":{"order":"reverse_headliners",""" +
+      s""""trusted":${jmap(trusted.map { case (k, v) => k -> r3(v) })},""" +
+      s""""min_sessions":${jmap(
+          minSessions.map { case (k, v) => k -> r3(v) })},""" +
+      s""""n_bench_sessions":${sessionMins.size + 1},""" +
+      s""""pass2":{"order":"reverse_headliners_plus_top20",""" +
       s""""queries":${jmap(pass2.map(p => p._1 -> r3(p._2)))},""" +
       s""""cpu_sec":${jmap(pass2.map(p => p._1 -> r3(p._3)))}},""" +
+      s""""anomalies":${jmap(anomalies.map { case (n, m, p2, rr) =>
+          n -> (s"""{"pass1_median":${r3(m)},"pass2":${r3(p2)},""" +
+            s""""rerun":${r3(rr)}}""") })},""" +
+      s""""phases":${jmap(
+          xs10Phases.map { case (k, v) => k -> r3(v) })},""" +
       s""""qs4":{"total_sec":${r3(streamTotal)},"n_batches":$streamBatches,""" +
       s""""sec_per_batch_steady":${r3(streamSecPerBatch)}},""" +
       s""""sf":"$sfDir"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"), full + "\n")
+    // BENCH_DELTA as the LAST bench step (VERDICT r9 #1): generated
+    // from the artifact just written, against the committed previous-
+    // round reference — by construction its new_sec IS the shipped
+    // median (the r9 artifact described a different session).
+    try {
+      val refPath = java.nio.file.Paths.get("bench_ref.json")
+      if (java.nio.file.Files.isRegularFile(refPath)) {
+        val ref = java.nio.file.Files.readString(refPath)
+        val oq = flatObj(ref, "queries")
+        val ocpu = flatObj(ref, "cpu_sec")
+        val thresh = 1.3
+        val entries = medians.sortBy(_._1).map { case (n, nv) =>
+          val ov = oq.getOrElse(n, -1.0)
+          val ratio = if (ov > 0 && nv > 0) nv / ov else -1.0
+          val nc = cpuSec.toMap.getOrElse(n, -1.0)
+          val oc = ocpu.getOrElse(n, -1.0)
+          val cpuR = if (oc > 0 && nc > 0) nc / oc else -1.0
+          // sub-100ms entries flip >1.3x on scheduler jitter alone
+          val flag = ratio > thresh && nv >= 0.1
+          (n, ov, nv, ratio, cpuR, flag)
+        }
+        val flagged = entries.filter(_._6).map(_._1)
+        val delta =
+          s"""{"old":"bench_ref.json","new":"bench_full.json",""" +
+          s""""threshold":$thresh,"n_entries":${entries.size},""" +
+          s""""flagged":[${flagged.map("\"" + _ + "\"").mkString(",")}],""" +
+          s""""new_entries":[${medians.map(_._1).filterNot(oq.contains)
+              .sorted.map("\"" + _ + "\"").mkString(",")}],""" +
+          s""""removed_entries":[${oq.keys.toSeq
+              .filterNot(medians.map(_._1).toSet).sorted
+              .map("\"" + _ + "\"").mkString(",")}],""" +
+          s""""entries":${jmap(entries.map { case (n, ov, nv, ra, cr, fl) =>
+            n -> (s"""{"old_sec":${r3(ov)},"new_sec":${r3(nv)},""" +
+              s""""ratio":${r3(ra)},"cpu_ratio":${r3(cr)},""" +
+              s""""flag":$fl}""") })}}"""
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("BENCH_DELTA.json"), delta + "\n")
+      }
+    } catch { case NonFatal(_) => () }
     println(line)
     spark.stop()
   }

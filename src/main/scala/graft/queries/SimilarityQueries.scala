@@ -337,22 +337,49 @@ object SimilarityQueries {
     // OperatorsSpec and probe-proportional in the SelectStress leg.
     Q("xs10_ivfpq_ann", ivfPqOracleSql(nQ = 10, nprobe = 3,
       shortlist = 30, k = 3)) { (s, d) =>
-      val emb = t(s, d, "embeddings")
-      val cents = Similarity.labelCentroids(emb, "label", "embedding")
-        .select(col("clabel").cast("long"), col("centroid"))
-        .collect()
-        .map(row => (row.getLong(0), row.getSeq[Double](1).toSeq))
-        .sortBy(_._1).toSeq
-      val books = Similarity.residualCodebooksByLabel(emb, "vec_id",
-        "label", "embedding", cents, m = 8)
-      Similarity.ivfPqTopKWith(emb, emb.where(col("vec_id") < 10),
-          "vec_id", "embedding", k = 3, cents, books,
-          nprobe = 3, shortlist = 30)
-        .select(col("qid"), col("rank"), col("id"),
-          round(col("sim"), 4).as("sim"))
-        .orderBy("qid", "rank")
+      val (cents, books) = xs10PrepModel(s, d)
+      xs10QueryWith(s, d, cents, books)
     }
   )
+
+  /** xs10 bench attribution split (VERDICT r9 #4): the GATED entry
+    * above folds model training (two corpus aggregations: decimal-mean
+    * label centroids + per-label residual codebooks) and the IVFADC
+    * probe chain into one timed unit — correct for the oracle, opaque
+    * for benchmarking (the r9 2.8×/6.5× "regression" was the entry
+    * definition absorbing training, not the operator). These two
+    * expose the same computation split at the training/query boundary
+    * so Bench can time `prep` (corpus-scale, amortized once per model
+    * in production) and `query` (probe-proportional, the recurring
+    * cost) separately. The gated entry composes exactly these —
+    * oracle unchanged.
+    */
+  private[graft] def xs10PrepModel(s: org.apache.spark.sql.SparkSession,
+      d: String)
+      : (Seq[(Long, Seq[Double])], Seq[Seq[Seq[Double]]]) = {
+    val emb = t(s, d, "embeddings")
+    val cents = Similarity.labelCentroids(emb, "label", "embedding")
+      .select(col("clabel").cast("long"), col("centroid"))
+      .collect()
+      .map(row => (row.getLong(0), row.getSeq[Double](1).toSeq))
+      .sortBy(_._1).toSeq
+    val books = Similarity.residualCodebooksByLabel(emb, "vec_id",
+      "label", "embedding", cents, m = 8)
+    (cents, books)
+  }
+
+  private[graft] def xs10QueryWith(s: org.apache.spark.sql.SparkSession,
+      d: String, cents: Seq[(Long, Seq[Double])],
+      books: Seq[Seq[Seq[Double]]])
+      : org.apache.spark.sql.DataFrame = {
+    val emb = t(s, d, "embeddings")
+    Similarity.ivfPqTopKWith(emb, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 3, cents, books,
+        nprobe = 3, shortlist = 30)
+      .select(col("qid"), col("rank"), col("id"),
+        round(col("sim"), 4).as("sim"))
+      .orderBy("qid", "rank")
+  }
 
   /** The xs2b pinned-cell IVF replay: decimal-mean label centroids →
     * dot·(1/‖c‖) assignment (exact IEEE order, ties to smaller label
