@@ -35,8 +35,8 @@ import org.apache.spark.sql.SparkSession
   *    the additive-noise-sound estimator; `trusted_total` is the
   *    headline a single contaminated window can't inflate
   *  - `min_sessions`: per-entry min folded across committed previous
-  *    quiet-session records (`bench_sessions/*.json`), so one bad
-  *    SESSION can't move the round-over-round signal either
+  *    quiet-session records (JSON files under `bench_sessions/`), so
+  *    one bad SESSION can't move the round-over-round signal either
   *  - `phases`: xs10's training prep vs probe-chain query timed
   *    separately (the gated entry folds both; r9's "regression" was
   *    the entry definition absorbing training)
