@@ -100,10 +100,13 @@ object TextFns {
   }
 
   /** Count of BPE-ish tokens: letter runs, digit runs, single other
-    * non-space chars. Same regex semantics in java.util.regex and RE2.
+    * non-space chars. Same regex semantics in java.util.regex and RE2
+    * — the whitespace class is pinned explicitly (Java's `\s` includes
+    * U+000B, RE2's does not; see [[graft.operators.Bpe.PreTokenRegex]]).
     */
   def tokenCount(text: Column): Column =
-    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+    size(regexp_extract_all(lower(text),
+      lit(graft.operators.Bpe.PreTokenRegex), lit(0)))
 
   /** Fraction of word n-grams that are duplicates of an earlier one in
     * the same doc (Gopher-style repetition signal). Entirely per-row —

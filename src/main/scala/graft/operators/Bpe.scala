@@ -24,8 +24,9 @@ import graft.functions.FusedUnary
   * DuckDB oracle ([[BpeSql]]) —
   *
   *  - pre-tokenization: `lower(text)` + the xt3 pre-token regex
-  *    (`[a-z]+|[0-9]+|[^a-z0-9\s]`), identical in java.util.regex and
-  *    RE2 (proven by the xt3 hash gate since round 2);
+  *    (`[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0B\f\r]`, whitespace pinned —
+  *    identical in java.util.regex and RE2, proven by the xt3 hash
+  *    gate since round 2);
   *  - training: word histogram capped at the top `maxWords` words by
   *    (count DESC, word ASC in UTF-8 byte order), then `numMerges`
   *    iterations of count-adjacent-pairs → argmax by (count DESC,
@@ -52,10 +53,15 @@ import graft.functions.FusedUnary
   */
 object Bpe {
 
-  /** xt3's pre-token pattern, verbatim (letter runs / digit runs /
-    * single non-space symbol over lowercased text).
+  /** xt3's pre-token pattern (letter runs / digit runs / single
+    * non-space symbol over lowercased text). The whitespace class is
+    * PINNED explicitly (ADVICE r10): Java's `\s` includes U+000B
+    * (vertical tab) while RE2's does not, so `\s` would pre-tokenize a
+    * \x0B-bearing document differently on the two engines. The
+    * explicit class `[ \t\n\x0B\f\r]` is identical in java.util.regex
+    * and RE2 ([[BpeSql.ReLit]] carries the same class).
     */
-  val PreTokenRegex = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  val PreTokenRegex = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]"
 
   /** GPT-2-STYLE pre-token pattern for the byte-level tokenizer
     * (VERDICT r9 #2): contraction suffixes, space-prefixed letter /
@@ -68,9 +74,16 @@ object Bpe {
     * Ordered alternation + leftmost match are identical in
     * java.util.regex and RE2 (the xt3 discipline). Case is preserved —
     * byte-level BPE has no OOV symbol, so no lowercasing.
+    *
+    * The whitespace class is PINNED explicitly (ADVICE r10): Java's
+    * `\s` includes U+000B, RE2's does not, so a \x0B would join a
+    * whitespace run on the JVM but a symbol run under RE2 and diverge
+    * the xt24b/qs18 hash gate. `[ \t\n\x0B\f\r]` means the same set
+    * on both engines ([[BpeSql.GptReLit]] carries the same class).
     */
   val GptPreRegex =
-    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+|" +
+      " ?[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\x0B\\f\\r]+"
 
   private val pat = java.util.regex.Pattern.compile(PreTokenRegex)
   private val gptPat = java.util.regex.Pattern.compile(GptPreRegex)
@@ -443,16 +456,20 @@ case class BpeTokens(child: Expression,
 object BpeSql {
 
   /** Pre-token regex as a DuckDB string literal (RE2 semantics are
-    * identical for this pattern — the xt3 gate).
+    * identical for this pattern — the xt3 gate; whitespace class
+    * pinned explicitly, see [[Bpe.PreTokenRegex]]).
     */
-  val ReLit = """'[a-z]+|[0-9]+|[^a-z0-9\s]'"""
+  val ReLit = """'[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0B\f\r]'"""
 
   /** [[Bpe.GptPreRegex]] as a DuckDB literal (single quotes doubled).
     * RE2 and java.util.regex agree on every construct used: ordered
-    * alternation, `\p{L}`/`\p{N}` Unicode categories, greedy `+`.
+    * alternation, `\p{L}`/`\p{N}` Unicode categories, greedy `+`, and
+    * the explicitly pinned whitespace class `[ \t\n\x0B\f\r]` (RE2's
+    * `\s` excludes \x0B, Java's includes it — pinned on both sides).
     */
   val GptReLit =
-    """'''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'"""
+    """'''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+|""" +
+      """ ?[^ \t\n\x0B\f\r\p{L}\p{N}]+|[ \t\n\x0B\f\r]+'"""
 
   /** Codepoint symbols of a string expression. */
   def chars(e: String): String =

@@ -230,7 +230,7 @@ object TextAnalysisQueries {
     Q("xt3_token_count",
       """SELECT doc_id,
         |CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text),
-        |  '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS tc,
+        |  '[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0B\f\r]')) AS INT) AS tc,
         |CAST(LENGTH(text) AS INT) AS nc
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       t(s, d, "documents")
