@@ -142,18 +142,62 @@ object Bench {
     /** Physical-plan fingerprint, stable across JVMs/rounds iff the
       * plan shape is unchanged: expression ids, codegen/exchange ids,
       * and file-listing specifics are normalized away before hashing.
+      * With SPARK_GRAFT_DUMP_PLANS=<dir> set, the normalized text is
+      * also written to <dir>/<name>.plan.txt so an fp drift can be
+      * adjudicated by diff instead of re-deriving (VERDICT r11 #6).
       */
+    var dumpPlanName: String = ""
     def planFingerprint(df: org.apache.spark.sql.DataFrame): String =
       try {
         val p = df.queryExecution.executedPlan.toString
           .replaceAll("#\\d+", "#x")
+          // lambda variable names in higher-order functions carry a
+          // SESSION-GLOBAL fresh counter (x_25, y_27, ...) — the id
+          // depends on how many lambdas earlier entries resolved, so
+          // without this an entry's fp changes with its position in
+          // the session (the r10/r11 "fp drift with untouched source";
+          // VERDICT r11 #6). Strip the numeric suffix; a real column
+          // named like_9 coarsens to like#x, which stays deterministic.
+          .replaceAll("([A-Za-z])_\\d+#x", "$1#x")
           .replaceAll("\\[plan_id=\\d+\\]", "")
           .replaceAll("\\[id=#?\\d+\\]", "")
           .replaceAll("(?m)^.*(Location|InMemoryFileIndex).*$", "")
+        sys.env.get("SPARK_GRAFT_DUMP_PLANS").foreach { dir =>
+          val d = java.nio.file.Paths.get(dir)
+          java.nio.file.Files.createDirectories(d)
+          java.nio.file.Files.writeString(
+            d.resolve(dumpPlanName + ".plan.txt"), p)
+        }
         val d = java.security.MessageDigest.getInstance("MD5")
           .digest(p.getBytes("UTF-8"))
         d.take(4).map(b => f"$b%02x").mkString
       } catch { case NonFatal(_) => "error" }
+
+    // Per-entry host-load snapshot (VERDICT r11 #10): r9–r11 all
+    // shipped sessions contaminated by concurrent host activity that
+    // had to be adjudicated by a judge rerun. Capturing CPU pressure
+    // (PSI avg10: % of the last 10s some runnable task stalled on
+    // CPU) and the 1-min loadavg PER ENTRY lets a contaminated entry
+    // self-identify in the artifact — a >1.3× delta flag with
+    // psi_avg10 ≈ 0 at measure time is a real regression; one with
+    // high pressure is the host.
+    def hostLoad(): String = {
+      def read(p: String): String =
+        try new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(p)), "UTF-8")
+        catch { case NonFatal(_) => "" }
+      val psi = read("/proc/pressure/cpu")
+      val avg10 = psi.linesIterator.find(_.startsWith("some"))
+        .flatMap(_.split("\\s+").find(_.startsWith("avg10="))
+          .map(_.stripPrefix("avg10=")))
+        .getOrElse("-1")
+      val la = read("/proc/loadavg").split("\\s+")
+      val load1 = if (la.nonEmpty && la(0).nonEmpty) la(0) else "-1"
+      val running = // "R/T" field, e.g. "2/323" → 2 runnable
+        if (la.length > 3 && la(3).contains("/")) la(3).split("/")(0)
+        else "-1"
+      s"""{"psi_cpu_avg10":$avg10,"load1":$load1,"running":$running}"""
+    }
 
     // SPARK_GRAFT_BENCH_FILTER: optional name regex for attribution
     // runs (e.g. a suspected regression benched alone, at several
@@ -164,7 +208,8 @@ object Bench {
       filter.forall(_.findFirstIn(n).isDefined)
     val names = SparkEntry.declared.map(_.name).filter(keep)
     final case class QResult(name: String, runs: Seq[Double],
-        perRun: Seq[Seq[Long]], stages: Seq[Long], fp: String) {
+        perRun: Seq[Seq[Long]], stages: Seq[Long], fp: String,
+        host: String = "{}") {
       // per-run executor CPU seconds (snapshot index 6 = cpuNs delta)
       def cpuSecs: Seq[Double] = perRun.map(_(6) / 1e9)
     }
@@ -176,6 +221,7 @@ object Bench {
       // would pay a 5th full side-effect per bench run
       try {
         val df0 = fn(spark, sfDir)
+        dumpPlanName = name
         val fp = planFingerprint(df0)
         val t0 = System.nanoTime()
         df0.queryExecution.toRdd.count() // warm-up (pre-built plan)
@@ -187,8 +233,10 @@ object Bench {
           snap = after
           (sec, deltas)
         }
+        // host snapshot AFTER the timed runs: PSI avg10 is a trailing
+        // 10s average, so this reading covers the measurement window
         QResult(name, w +: timed.map(_._1), timed.map(_._2),
-          timed.map(_._2).transpose.map(_.sum), fp)
+          timed.map(_._2).transpose.map(_.sum), fp, hostLoad())
       } catch {
         case NonFatal(_) => QResult(name, Seq(-1.0), Nil, Nil, "error")
       }
@@ -344,24 +392,67 @@ object Bench {
         .mkString("{", ",", "}")
     def minOf(runs: Seq[Double]): Double =
       if (runs.head < 0) -1.0 else runs.tail.min
-    // Minimal flat-object reader for bench_full-format artifacts: the
-    // "mins"/"queries"/"cpu_sec" objects are flat {"name":num,...} by
-    // construction (this file writes them), so scan to the first '}'.
+    // Minimal object reader for bench_full-format artifacts. Depth-
+    // aware (ADVICE r10 #3): the value is scanned to the MATCHING
+    // close brace (tracking string/escape state), not the first '}',
+    // so a nested object inside the target — or a headline-format ref
+    // file whose "queries" values are strings — degrades to "entries
+    // that parse as numbers" instead of silently truncating the map
+    // at the first nested '}'. Non-numeric entries are skipped.
     def flatObj(json: String, key: String): Map[String, Double] = {
       val tag = "\"" + key + "\":{"
       val i = json.indexOf(tag)
       if (i < 0) Map.empty
       else {
         val start = i + tag.length
-        val end = json.indexOf("}", start)
-        if (end < 0) Map.empty
-        else json.substring(start, end).split(",")
-          .filter(_.contains(":")).flatMap { kv =>
+        var j = start
+        var depth = 1
+        var inStr = false
+        var esc = false
+        while (j < json.length && depth > 0) {
+          val c = json.charAt(j)
+          if (esc) esc = false
+          else if (inStr) {
+            if (c == '\\') esc = true
+            else if (c == '"') inStr = false
+          } else c match {
+            case '"' => inStr = true
+            case '{' => depth += 1
+            case '}' => depth -= 1
+            case _ => ()
+          }
+          j += 1
+        }
+        if (depth > 0) Map.empty
+        else {
+          // top-level "k":v pairs only — split at depth-0 commas
+          val body = json.substring(start, j - 1)
+          val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+          var d = 0; var s = false; var e = false; var p0 = 0
+          var p = 0
+          while (p < body.length) {
+            val c = body.charAt(p)
+            if (e) e = false
+            else if (s) {
+              if (c == '\\') e = true else if (c == '"') s = false
+            } else c match {
+              case '"' => s = true
+              case '{' | '[' => d += 1
+              case '}' | ']' => d -= 1
+              case ',' if d == 0 =>
+                parts += body.substring(p0, p); p0 = p + 1
+              case _ => ()
+            }
+            p += 1
+          }
+          parts += body.substring(p0)
+          parts.filter(_.contains(":")).flatMap { kv =>
             val Array(k, v) = kv.split(":", 2)
             try Some(k.trim.stripPrefix("\"").stripSuffix("\"") ->
               v.trim.toDouble)
             catch { case NonFatal(_) => None }
           }.toMap
+        }
       }
     }
 
@@ -443,6 +534,7 @@ object Bench {
           r.name -> r.cpuSecs.map(r3).mkString("[", ",", "]")))},""" +
       s""""stages":${jmap(results.filter(_.stages.nonEmpty).map(r =>
           r.name -> jmap(stageKeys.zip(r.stages.map(_.toString)))))},""" +
+      s""""host":${jmap(results.map(r => r.name -> r.host))},""" +
       s""""plan_fp":${jmap(results.map(r =>
           r.name -> ("\"" + r.fp + "\"")))},""" +
       s""""trusted":${jmap(trusted.map { case (k, v) => k -> r3(v) })},""" +

@@ -109,10 +109,14 @@ object Bpe {
     * "printable" bytes (33..126, 161..172, 174..255) map to their own
     * codepoint; the other 68 map to 256+k in byte order. Bijective, so
     * byte sequences concatenate as plain strings — [[mergeApply]] and
-    * the oracle's mergeFold work unchanged — and string comparison of
-    * mapped symbols equals byte-sequence order wherever tie-breaks
-    * matter (printable bytes keep their codepoint; the remapped 68
-    * sort above all of them at 256+, consistently in both engines).
+    * the oracle's mergeFold work unchanged. NOTE the mapped-symbol
+    * codepoint order is NOT byte order (byte 0x20 maps to U+0120,
+    * which sorts above 0x61→'a'); the invariant tie-breaks actually
+    * rely on is weaker and sufficient: BOTH engines compare the SAME
+    * mapped strings ([[cpCompare]] here, binary collation in DuckDB —
+    * identical orderings of identical symbols), so training argmax
+    * tie-breaks agree even where mapped order diverges from byte
+    * order.
     */
   val ByteChar: Array[String] = {
     val out = new Array[String](256)
@@ -225,13 +229,24 @@ object Bpe {
   }
 
   /** Rank table for encoding; serializable plan literal.
+    * `numMerges` is the K the ORACLE's encode chain was unrolled to —
+    * the [[encodeSyms]] round cap. It defaults to `merges.length`
+    * (the common case: training ran all K rounds), but when training
+    * terminated early (pair table ran dry) the caller must pass the
+    * requested K so the JVM still runs the same number of encode
+    * rounds as the oracle's K CTE steps (on an adversarial merge
+    * table a rank can re-fire after a later merge recreates one of
+    * its constituents, so extra rounds are not always no-ops).
     * `rankMap` is a lazily-rebuilt executor-side cache: @volatile so a
     * thread never observes another thread's partially constructed map
     * (built into a local, published by a single assignment; a benign
     * race rebuilds the identical map at worst).
     */
-  final class Ranks(val merges: IndexedSeq[(String, String)])
+  final class Ranks(val merges: IndexedSeq[(String, String)],
+      numMergesOpt: Int = -1)
       extends Serializable {
+    val numMerges: Int =
+      if (numMergesOpt < 0) merges.length else numMergesOpt
     @transient @volatile private var rankMap: java.util.HashMap[String, Integer] = _
     def rank: java.util.HashMap[String, Integer] = {
       var r = rankMap
@@ -248,13 +263,15 @@ object Bpe {
   }
 
   /** Greedy rank-min encode of one pre-token. Hard-capped at
-    * merges.size rounds — the same K steps the oracle's unrolled
-    * encode CTEs run. On merge tables [[train]] produces, each rank
-    * fires at most once per word so the cap never binds; on an
-    * adversarial hand-built table
-    * where a later merge recreates a constituent of an earlier-rank
-    * pair, the cap keeps JVM and SQL in exact lockstep instead of
-    * letting the JVM loop run extra rounds the oracle never sees.
+    * [[Ranks.numMerges]] rounds — the same K steps the oracle's
+    * unrolled encode CTEs run (K = the requested merge count, which
+    * exceeds `merges.length` when training terminated early). On
+    * merge tables [[train]] produces, each rank fires at most once
+    * per word so the cap never binds; on an adversarial hand-built
+    * table where a later merge recreates a constituent of an
+    * earlier-rank pair, the cap keeps JVM and SQL in exact lockstep —
+    * neither fewer rounds (early-stopped training) nor extra rounds
+    * the oracle never sees.
     */
   def encodeWord(word: String, ranks: Ranks): Array[String] =
     encodeSyms(codepointSymbols(word), ranks)
@@ -265,7 +282,7 @@ object Bpe {
   def encodeSyms(syms0: Array[String], ranks: Ranks): Array[String] = {
     var syms = syms0
     var round = 0
-    while (syms.length >= 2 && round < ranks.merges.length) {
+    while (syms.length >= 2 && round < ranks.numMerges) {
       var bestRank = Int.MaxValue
       var i = 0
       while (i < syms.length - 1) {
@@ -330,29 +347,35 @@ object Bpe {
     * merges ship as a plan literal, zero shuffle at any corpus size.
     */
   def tokenizeDocsBytes(docs: DataFrame,
-      merges: Seq[(String, String)]): DataFrame =
+      merges: Seq[(String, String)], numMerges: Int = -1): DataFrame =
     docs.select(col("doc_id"),
-      bpeCountBytes(col("text"), merges).as("n_bpe"),
+      bpeCountBytes(col("text"), merges, numMerges).as("n_bpe"),
       array_join(
-        bpeTokensBytes(substring(col("text"), 1, 48), merges), "|")
+        bpeTokensBytes(substring(col("text"), 1, 48), merges,
+          numMerges), "|")
         .as("seg"))
 
   // ---- column API ----
 
-  def bpeCount(text: Column, merges: Seq[(String, String)]): Column =
-    Bridge.column(BpeCount(Bridge.expression(text), merges))
-
-  def bpeTokens(text: Column, merges: Seq[(String, String)]): Column =
-    Bridge.column(BpeTokens(Bridge.expression(text), merges))
-
-  def bpeCountBytes(text: Column, merges: Seq[(String, String)]): Column =
+  def bpeCount(text: Column, merges: Seq[(String, String)],
+      numMerges: Int = -1): Column =
     Bridge.column(BpeCount(Bridge.expression(text), merges,
-      byteLevel = true))
+      numMerges = numMerges))
+
+  def bpeTokens(text: Column, merges: Seq[(String, String)],
+      numMerges: Int = -1): Column =
+    Bridge.column(BpeTokens(Bridge.expression(text), merges,
+      numMerges = numMerges))
+
+  def bpeCountBytes(text: Column, merges: Seq[(String, String)],
+      numMerges: Int = -1): Column =
+    Bridge.column(BpeCount(Bridge.expression(text), merges,
+      byteLevel = true, numMerges = numMerges))
 
   def bpeTokensBytes(text: Column,
-      merges: Seq[(String, String)]): Column =
+      merges: Seq[(String, String)], numMerges: Int = -1): Column =
     Bridge.column(BpeTokens(Bridge.expression(text), merges,
-      byteLevel = true))
+      byteLevel = true, numMerges = numMerges))
 }
 
 /** Shared eval body for the two BPE expressions: lowercase via
@@ -369,8 +392,14 @@ sealed trait BpeExpr extends UnaryExpression with FusedUnary {
     */
   def byteLevel: Boolean
 
+  /** Encode-round cap K matching the oracle's unrolled CTE count;
+    * -1 (default) = merges.length. Pass the trained-for K explicitly
+    * when training may terminate early (see [[Bpe.Ranks]]).
+    */
+  def numMerges: Int
+
   @transient protected lazy val ranks =
-    new Bpe.Ranks(merges.toIndexedSeq)
+    new Bpe.Ranks(merges.toIndexedSeq, numMerges)
   @transient private lazy val memo =
     ThreadLocal.withInitial[java.util.HashMap[String, Array[String]]](
       () => new java.util.HashMap[String, Array[String]])
@@ -403,7 +432,8 @@ sealed trait BpeExpr extends UnaryExpression with FusedUnary {
 /** Total BPE token count of a document (sum over pre-tokens). */
 case class BpeCount(child: Expression,
     merges: Seq[(String, String)],
-    byteLevel: Boolean = false) extends BpeExpr {
+    byteLevel: Boolean = false,
+    numMerges: Int = -1) extends BpeExpr {
   override def dataType: DataType = IntegerType
   override def prettyName: String = "bpe_count"
 
@@ -421,7 +451,8 @@ case class BpeCount(child: Expression,
 /** Ordered BPE token sequence of a document. */
 case class BpeTokens(child: Expression,
     merges: Seq[(String, String)],
-    byteLevel: Boolean = false) extends BpeExpr {
+    byteLevel: Boolean = false,
+    numMerges: Int = -1) extends BpeExpr {
   override def dataType: DataType =
     ArrayType(StringType, containsNull = false)
   override def prettyName: String = "bpe_tokens"

@@ -403,7 +403,8 @@ object ScaleQueries {
         maxWords = 256, numMerges = 16)
       val tok = docs
         .select(col("doc_id"),
-          graft.operators.Bpe.bpeTokens(col("text"), merges).as("fw"))
+          graft.operators.Bpe.bpeTokens(col("text"), merges,
+            numMerges = 16).as("fw"))
         .where(size(col("fw")) > 0)
         .withColumn("w", size(col("fw")).cast("long"))
       val pieces = Scale.packSequences(tok, "doc_id", "w", seqLen = 64)

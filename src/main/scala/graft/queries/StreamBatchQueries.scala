@@ -656,7 +656,7 @@ object StreamBatchQueries {
         docs.where(col("doc_id") < 400), "text",
         maxWords = 256, numMerges = 16)
       graft.operators.Bpe.tokenizeDocsBytes(
-          docs.where(col("doc_id") >= 400), merges)
+          docs.where(col("doc_id") >= 400), merges, numMerges = 16)
         .orderBy("doc_id")
     }
   )

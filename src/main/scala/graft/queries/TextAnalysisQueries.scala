@@ -228,9 +228,9 @@ object TextAnalysisQueries {
 
     // BPE-ish token counting (letter runs / digit runs / single symbol).
     Q("xt3_token_count",
-      """SELECT doc_id,
+      s"""SELECT doc_id,
         |CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text),
-        |  '[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0B\f\r]')) AS INT) AS tc,
+        |  ${graft.operators.BpeSql.ReLit})) AS INT) AS tc,
         |CAST(LENGTH(text) AS INT) AS nc
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
       t(s, d, "documents")
@@ -1233,9 +1233,10 @@ object TextAnalysisQueries {
       val merges = Bpe.trainOn(docs, "text", maxWords = 256,
         numMerges = 16)
       docs.select(col("doc_id"),
-        Bpe.bpeCount(col("text"), merges).as("n_bpe"),
+        Bpe.bpeCount(col("text"), merges, numMerges = 16).as("n_bpe"),
         array_join(
-          Bpe.bpeTokens(substring(col("text"), 1, 48), merges), "|")
+          Bpe.bpeTokens(substring(col("text"), 1, 48), merges,
+            numMerges = 16), "|")
           .as("seg"))
         .orderBy("doc_id")
     },
@@ -1281,7 +1282,8 @@ object TextAnalysisQueries {
       val docs = t(s, d, "documents")
       val merges = Bpe.trainBytesOn(docs, "text", maxWords = 256,
         numMerges = 16)
-      Bpe.tokenizeDocsBytes(docs, merges).orderBy("doc_id")
+      Bpe.tokenizeDocsBytes(docs, merges, numMerges = 16)
+        .orderBy("doc_id")
     }
   )
 }

@@ -339,7 +339,7 @@ object Streams {
     val merges = graft.operators.Bpe.trainBytesOn(corpus, "text",
       maxWords = 256, numMerges = 16)
     runDocBatchStream(spark, deltaDir, outDir)(
-      graft.operators.Bpe.tokenizeDocsBytes(_, merges))
+      graft.operators.Bpe.tokenizeDocsBytes(_, merges, numMerges = 16))
   }
 
   /** Shared QS6/QS7 runner: a file-source of delta document parquet

@@ -63,6 +63,55 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.encodeWord("xyab", adv).toSeq == Seq("xy", "ab"))
   }
 
+  test("\\x0B segments as whitespace in BOTH pre-tokenizers, and the " +
+      "DuckDB literals are the JVM patterns verbatim") {
+    // ADVICE r11 #1: the r10 fix pinned the whitespace class to
+    // [ \t\n\x0B\f\r] because Java's \s includes U+000B and RE2's
+    // does not; this is the regression witness. \x0B must act as a
+    // SEPARATOR (never matched into a symbol run) under PreTokenRegex,
+    // and as a WHITESPACE RUN under GptPreRegex.
+    assert(Bpe.preTokens("ab").toSeq == Seq("a", "b"))
+    assert(Bpe.preTokens("x..y").toSeq == Seq("x", ".", ".", "y"))
+    assert(Bpe.preTokensGpt("ab").toSeq ==
+      Seq("a", "", "b"))
+    assert(Bpe.preTokensGpt("a \tb").toSeq ==
+      Seq("a", " \t", "b"))
+    // a regression to \s (or any one-sided edit) breaks these ties:
+    // the oracle literals ARE the JVM patterns, single-quoted (with
+    // DuckDB '' escaping), so the two engines cannot drift apart
+    // without failing this spec (ADVICE r10 #1 / r11 #2).
+    import graft.operators.BpeSql
+    assert(BpeSql.ReLit == "'" + Bpe.PreTokenRegex + "'")
+    assert(BpeSql.GptReLit ==
+      "'" + Bpe.GptPreRegex.replace("'", "''") + "'")
+  }
+
+  test("numMerges threads the oracle's unrolled K through encode: " +
+      "early-stopped training still runs K rounds") {
+    // ADVICE r10: encodeSyms used to cap at merges.length; when
+    // training terminates early (pair table dry) the oracle's encode
+    // chain still runs K CTE steps, and on a merge table where a
+    // later merge recreates an earlier-rank pair the extra rounds
+    // are NOT no-ops. Witness: m0=(ab,cd), m1=(c,d) over symbols
+    // [ab, cd, ab, c, d] — R1 fires r0, R2 fires r1 (recreating an
+    // (ab,cd) adjacency), R3 fires r0 AGAIN. 3 rounds from a 2-entry
+    // merge table: the K=2 cap stops one round short of the K=3
+    // oracle.
+    val merges = Vector(("ab", "cd"), ("c", "d"))
+    val syms0 = Array("ab", "cd", "ab", "c", "d")
+    val k2 = new Bpe.Ranks(merges) // numMerges defaults to 2
+    assert(k2.numMerges == 2)
+    assert(Bpe.encodeSyms(syms0, k2).toSeq == Seq("abcd", "ab", "cd"))
+    val k3 = new Bpe.Ranks(merges, 3)
+    assert(Bpe.encodeSyms(syms0, k3).toSeq == Seq("abcd", "abcd"))
+    // training CAN terminate early: requesting 5 merges of a corpus
+    // that exhausts after 1 returns a short list — the case where the
+    // query sites' explicit numMerges keeps JVM and oracle in lockstep
+    val trained = Bpe.train(Seq("ab" -> 1L), 5)
+    assert(trained == List(("a", "b")))
+    assert(new Bpe.Ranks(trained.toIndexedSeq, 5).numMerges == 5)
+  }
+
   test("cpCompare orders astral codepoints like UTF-8 bytes, not " +
       "UTF-16 units") {
     val emoji = new String(Character.toChars(0x1F600))
