@@ -206,7 +206,16 @@ object Bench {
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
     def keep(n: String): Boolean =
       filter.forall(_.findFirstIn(n).isDefined)
-    val names = SparkEntry.declared.map(_.name).filter(keep)
+    // qs4b is the ORACLE face of the streaming RocksDB interval join —
+    // the same multi-batch pipeline the dedicated qs4_stream_rocksdb
+    // harness below already times once per session with a startup /
+    // steady-state split. Running a full stream (slice write + state
+    // store open + N triggers) 4 more times in the main pass would add
+    // ~a minute of pure harness overhead per session with no signal
+    // the qs4 leg doesn't already publish.
+    val benchExclude = Set("qs4b_stream_rocksdb_join")
+    val names = SparkEntry.declared.map(_.name)
+      .filterNot(benchExclude).filter(keep)
     final case class QResult(name: String, runs: Seq[Double],
         perRun: Seq[Seq[Long]], stages: Seq[Long], fp: String,
         host: String = "{}") {
@@ -340,6 +349,16 @@ object Bench {
           val ev = graft.queries.T.t(spark, sfDir, "events")
           ev.repartitionByRange(8, org.apache.spark.sql.functions.col("ts"))
             .write.mode("overwrite").parquet(tmp.toString)
+          // FileStreamSource replays in modification-time order and the
+          // writer tasks finish in arbitrary order; stamp mod-times
+          // ascending in part-file (= ts-range) order so every session
+          // streams the same in-order batch composition (and matches
+          // the qs4b oracle entry's replay)
+          tmp.toFile.listFiles
+            .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+            .zipWithIndex.foreach { case (f, i) =>
+              f.setLastModified(1700000000000L + i * 60000L)
+            }
           val t0 = System.nanoTime()
           var progress: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = Nil
           // recentProgress is a ring buffer (default 100 entries); a
