@@ -279,6 +279,71 @@ object Multimodal {
     }
   }
 
+  /** Metadata + positional pixel checksum recovered by FULLY decoding
+    * a baseline JPEG payload (xm12): segment walk, Huffman decode,
+    * dequant, IDCT, YCbCr→RGB. `comment` comes from the COM segment
+    * (planted, SQL-expressible); `pxsum` position-weights every
+    * decoded BGR byte like xm11's PNG checksum. The planted images
+    * are BLOCK-SOLID at even gray levels, for which the lossy
+    * pipeline is integer-exact end to end (see [[JpegCodec]]'s
+    * stated contract) — so the DuckDB oracle replays the planted
+    * levels and the hash gate catches any Huffman/DC-prediction/
+    * dequant/IDCT/color-transform bug. AC-coefficient content is
+    * cross-validated against the JDK's independent ImageIO codec in
+    * MultimodalSpec.
+    */
+  case class JpegMeta(media_id: Long, width: Int, height: Int,
+      ncomp: Int, comment: String, npx: Int, pxsum: Long)
+
+  /** Encode each document as a REAL baseline JPEG: dims planted from
+    * the id as 8-multiples (8/16/24 × 8/16 — whole MCUs at 4:4:4),
+    * each 8×8 block solid at even gray level 2·((id·7 + bi·13) % 128)
+    * where bi = (y/8)·(w/8) + (x/8) — the block-solid lattice whose
+    * decode is bit-exact (DC-only blocks; DC diffs across blocks
+    * exercise the Huffman category coder and the DC prediction
+    * chain). COM segment carries 'graft:<id>'.
+    */
+  def encodeJpegTable(docs: DataFrame): Dataset[MediaBlob] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (8 * (1 + id % 3)).toInt
+          val h = (8 * (1 + id % 2)).toInt
+          val px = new Array[Byte](w * h * 3)
+          var p = 0
+          while (p < px.length) {
+            val pi = p / 3
+            val bi = (pi / w / 8) * (w / 8) + (pi % w) / 8
+            px(p) = (2 * ((id * 7 + bi * 13) % 128)).toByte
+            p += 1
+          }
+          MediaBlob(id, JpegCodec.encodeJpeg(w, h, px, s"graft:$id"))
+        }
+      }
+  }
+
+  /** Full JPEG decode (xm12): geometry + COM recovery + position-
+    * weighted checksum over the decoded top-down BGR stream (byte p
+    * weighted by p % 97 + 1, the xm11 weighting).
+    */
+  def decodeJpegMeta(media: Dataset[MediaBlob]): Dataset[JpegMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { b =>
+        val img = JpegCodec.decodeJpeg(b.payload)
+        var sum = 0L
+        var p = 0
+        while (p < img.pixels.length) {
+          sum += (img.pixels(p) & 0xFF).toLong * (p % 97 + 1)
+          p += 1
+        }
+        JpegMeta(b.media_id, img.width, img.height, img.nComp,
+          img.comment, img.pixels.length, sum)
+      }
+    }
+  }
+
   /** Encode each document as a real 16-bit PCM WAV: rate/channels
     * planted from the id, frame count from the text byte length,
     * samples from the text bytes.

@@ -605,4 +605,163 @@ class MultimodalSpec extends SparkSpec {
       .map { case ((a, b), n) => (a, b, n) }.toSet
     assert(blocked == brute)
   }
+
+  // ------------------------------------------------------------- JPEG
+
+  import graft.multimodal.JpegCodec
+
+  test("JPEG block-solid round-trip is BIT-EXACT for every even gray " +
+      "level (the xm12 oracle contract)") {
+    // solid 8x8 at even g: F(0,0) = 8(g-128), quantized DC = (g-128)/2
+    // exactly (q00 = 16, no rounding tie at even g), AC = 0; DC-only
+    // IDCT reconstructs g bit-for-bit
+    for (g <- 0 until 256 by 2) {
+      val px = Array.fill[Byte](8 * 8 * 3)(g.toByte)
+      val dec = JpegCodec.decodeJpeg(JpegCodec.encodeJpeg(8, 8, px))
+      assert(dec.width == 8 && dec.height == 8 && dec.nComp == 3)
+      assert(java.util.Arrays.equals(dec.pixels, px),
+        s"level $g not exact: got ${dec.pixels(0) & 0xFF}")
+    }
+  }
+
+  test("JPEG block-solid lattice round-trip exercises the DC " +
+      "prediction chain across blocks, bit-exact") {
+    // 24x16 = 3x2 blocks with distinct even levels — DC diffs of both
+    // signs and several Huffman magnitude categories
+    val w = 24; val h = 16
+    val px = new Array[Byte](w * h * 3)
+    for (p <- 0 until px.length) {
+      val pi = p / 3
+      val bi = (pi / w / 8) * (w / 8) + (pi % w) / 8
+      px(p) = (2 * ((bi * 89 + 7) % 128)).toByte
+    }
+    val enc = JpegCodec.encodeJpeg(w, h, px, "lattice")
+    val dec = JpegCodec.decodeJpeg(enc)
+    assert(dec.width == w && dec.height == h && dec.comment == "lattice")
+    assert(java.util.Arrays.equals(dec.pixels, px))
+  }
+
+  test("JDK ImageIO decodes our encoder's output (independent decoder " +
+      "agrees within the stated lossy tolerance)") {
+    // smooth gradient (lossy-friendly content): our 4:4:4 Annex-K-q50
+    // encode decoded by the JDK must land near the source — IDCT /
+    // rounding differences are per-pixel small on smooth content
+    val w = 37; val h = 21 // non-multiples of 8: edge-replicated blocks
+    val bgr = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val base = (y * w + x) * 3
+      bgr(base) = (40 + 4 * x).toByte            // B
+      bgr(base + 1) = (200 - 3 * y).toByte       // G
+      bgr(base + 2) = (30 + 2 * x + 3 * y).toByte // R
+    }
+    val enc = JpegCodec.encodeJpeg(w, h, bgr, "interop")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(enc))
+    assert(img != null, "ImageIO could not parse our JPEG")
+    assert(img.getWidth == w && img.getHeight == h)
+    var maxErr = 0
+    var sumErr = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y)
+      val base = (y * w + x) * 3
+      val eb = math.abs((rgb & 0xFF) - (bgr(base) & 0xFF))
+      val eg = math.abs(((rgb >> 8) & 0xFF) - (bgr(base + 1) & 0xFF))
+      val er = math.abs(((rgb >> 16) & 0xFF) - (bgr(base + 2) & 0xFF))
+      maxErr = math.max(maxErr, math.max(eb, math.max(eg, er)))
+      sumErr += eb + eg + er
+    }
+    val meanErr = sumErr.toDouble / (w * h * 3)
+    assert(maxErr <= 16, s"max per-channel error $maxErr > 16")
+    assert(meanErr <= 3.0, s"mean error $meanErr > 3.0")
+  }
+
+  test("our decoder handles JDK ImageIO's encoder output (independent " +
+      "encoder, incl. its default chroma subsampling)") {
+    val w = 40; val h = 24
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = 30 + 2 * x + 3 * y
+      val g = 200 - 3 * y
+      val b = 40 + 4 * x
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val dec = JpegCodec.decodeJpeg(bos.toByteArray)
+    assert(dec.width == w && dec.height == h && dec.nComp == 3)
+    var maxErr = 0
+    var sumErr = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y)
+      val base = (y * w + x) * 3
+      val eb = math.abs((rgb & 0xFF) - (dec.pixels(base) & 0xFF))
+      val eg = math.abs(((rgb >> 8) & 0xFF) - (dec.pixels(base + 1) & 0xFF))
+      val er = math.abs(((rgb >> 16) & 0xFF) - (dec.pixels(base + 2) & 0xFF))
+      maxErr = math.max(maxErr, math.max(eb, math.max(eg, er)))
+      sumErr += eb + eg + er
+    }
+    val meanErr = sumErr.toDouble / (w * h * 3)
+    // JDK default quality 0.75 with (typically) 4:2:0 subsampling and
+    // its own IDCT — replication upsampling vs its encoder still lands
+    // close on smooth content; chroma edges bound the max
+    assert(maxErr <= 24, s"max per-channel error $maxErr > 24")
+    assert(meanErr <= 4.0, s"mean error $meanErr > 4.0")
+  }
+
+  test("our decoder decodes a JDK-encoded SOLID image near-exactly " +
+      "(subsampling harmless on constant chroma)") {
+    val w = 16; val h = 16
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (120 << 16) | (120 << 8) | 120)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val dec = JpegCodec.decodeJpeg(bos.toByteArray)
+    for (p <- 0 until dec.pixels.length)
+      assert(math.abs((dec.pixels(p) & 0xFF) - 120) <= 2,
+        s"solid decode off by >2 at $p: ${dec.pixels(p) & 0xFF}")
+  }
+
+  test("JPEG xm12 pipeline: decoded metadata equals planted formulas") {
+    import spark.implicits._
+    val docs = T.t(spark, sf0001, "documents").limit(50)
+    val rows = Multimodal.decodeJpegMeta(
+      Multimodal.encodeJpegTable(docs)).collect()
+    assert(rows.length == 50)
+    rows.foreach { m =>
+      val id = m.media_id
+      assert(m.width == 8 * (1 + id % 3) && m.height == 8 * (1 + id % 2))
+      assert(m.ncomp == 3 && m.comment == s"graft:$id")
+      assert(m.npx == m.width * m.height * 3)
+      // replay the planted block lattice
+      var expected = 0L
+      var p = 0
+      while (p < m.npx) {
+        val pi = p / 3
+        val bi = (pi / m.width / 8) * (m.width / 8) + (pi % m.width) / 8
+        expected += (2 * ((id * 7 + bi * 13) % 128)) * (p % 97 + 1)
+        p += 1
+      }
+      assert(m.pxsum == expected, s"pxsum mismatch for media $id")
+    }
+  }
+
+  test("JPEG decode fails loudly on progressive, truncation, and " +
+      "non-JPEG bytes") {
+    val px = Array.fill[Byte](8 * 8 * 3)(100.toByte)
+    val enc = JpegCodec.encodeJpeg(8, 8, px)
+    // progressive: flip SOF0 (FFC0) to SOF2 (FFC2)
+    val prog = enc.clone()
+    val sof = (0 until prog.length - 1).find(i =>
+      (prog(i) & 0xFF) == 0xFF && (prog(i + 1) & 0xFF) == 0xC0).get
+    prog(sof + 1) = 0xC2.toByte
+    val e1 = intercept[IllegalArgumentException](JpegCodec.decodeJpeg(prog))
+    assert(e1.getMessage.contains("progressive"))
+    intercept[IllegalArgumentException](
+      JpegCodec.decodeJpeg(java.util.Arrays.copyOf(enc, enc.length / 3)))
+    intercept[IllegalArgumentException](
+      JpegCodec.decodeJpeg("definitely not a jpeg".getBytes))
+  }
 }
