@@ -292,6 +292,36 @@ object Similarity {
       .map { case (id, v) => (id, v.toSeq) }.toSeq
   }
 
+  /** Convergence/work record of one [[lloydLocal]] run (VERDICT r11
+    * #9 — the xs10 published-counters discipline applied to xs2's
+    * production trainer): `shifts(i)` = Σ‖c_new − c_old‖₂ over
+    * centroids surviving iteration i, `nonEmpty(i)` = cells with ≥1
+    * assigned sample vector. `sampleSize` is the BOUNDED work unit —
+    * capped at max(128·nlist, 2048) regardless of corpus size, which
+    * is the whole 100 TB story: training cost is a constant, not a
+    * corpus scan (the one corpus job is the TakeOrdered sample).
+    */
+  final case class LloydDiag(sampleSize: Int, dim: Int, nlist: Int,
+      itersRun: Int, converged: Boolean, shifts: Seq[Double],
+      nonEmpty: Seq[Int])
+
+  /** [[kmeansCentroidsSeq]] with the convergence record published. */
+  def kmeansCentroidsDiag(corpus: DataFrame, idCol: String,
+      vecCol: String, nlist: Int, iters: Int = 3)
+      : (Seq[(Long, Seq[Double])], LloydDiag) = {
+    val sample = boundedSample(corpus, idCol, vecCol,
+      math.max(128 * nlist, 2048))
+    if (sample.isEmpty)
+      return (Seq.empty, LloydDiag(0, 0, nlist, 0, true, Nil, Nil))
+    val diag = new scala.collection.mutable.ArrayBuffer[(Double, Int)]
+    val cents = lloydLocal(sample, sample.head._2.length, nlist, iters,
+      diagOut = diag)
+    (cents.map { case (id, v) => (id, v.toSeq) }.toSeq,
+      LloydDiag(sample.length, sample.head._2.length, nlist,
+        diag.length, diag.length < iters || diag.lastOption.exists(_._1 == 0.0),
+        diag.map(_._1).toSeq, diag.map(_._2).toSeq))
+  }
+
   /** The deterministic Lloyd refinement itself, over an in-memory
     * sample (see [[kmeansCentroids]] for the contract). Also reused by
     * [[coarsenCentroids]], where the "sample" is the fine centroid
@@ -299,7 +329,9 @@ object Similarity {
     */
   private def lloydLocal(sample: Array[(Long, Array[Double])], dim: Int,
       nlist: Int, iters: Int,
-      euclid: Boolean = false): Array[(Long, Array[Double])] = {
+      euclid: Boolean = false,
+      diagOut: scala.collection.mutable.ArrayBuffer[(Double, Int)] = null)
+      : Array[(Long, Array[Double])] = {
     // init = lowest-id sample vectors, cell id = position (0..nlist-1)
     var cents: Array[(Long, Array[Double])] =
       sample.take(nlist).zipWithIndex.map { case ((_, v), i) =>
@@ -349,6 +381,20 @@ object Similarity {
           while (j < dim) { m(j) = sums(ci)(j) / counts(ci); j += 1 }
           (cents(ci)._1, m)
         }.toArray
+      if (diagOut != null) {
+        // Σ L2 shift over centroids surviving this iteration + the
+        // non-empty cell count — the published convergence curve
+        val oldById = cents.toMap
+        var shift = 0.0
+        next.foreach { case (id, nv) =>
+          oldById.get(id).foreach { ov =>
+            var s = 0.0; var j = 0
+            while (j < dim) { val t = nv(j) - ov(j); s += t * t; j += 1 }
+            shift += math.sqrt(s)
+          }
+        }
+        diagOut += ((shift, next.length))
+      }
       moved = !(next.length == cents.length &&
         next.indices.forall(i => next(i)._1 == cents(i)._1 &&
           java.util.Arrays.equals(next(i)._2, cents(i)._2)))

@@ -490,7 +490,7 @@ object Streams {
     */
   def runSubstringDedupStream(spark: SparkSession, deltaDir: String,
       corpus: DataFrame, outDir: String, l: Int = 40,
-      compactEvery: Int = 4): Unit = {
+      compactEvery: Int = 4, tierEvery: Int = 0): Unit = {
     import graft.operators.Dedup
     val sc = spark.sparkContext
     val pre = sc.getPersistentRDDs.keySet
@@ -512,7 +512,26 @@ object Streams {
       gs = ing.next
       owned ++= sc.getPersistentRDDs.keySet -- before
       batches += 1
-      if (batches % compactEvery == 0) {
+      if (tierEvery > 0 && batches % tierEvery == 0) {
+        // spill the whole store to the parquet cold tier and release
+        // EVERY in-memory store block: memory residency drops to
+        // O(per-batch delta) while cold lookups stream from disk
+        // (Dedup.tierGramStore doc — the store-size retention story).
+        // The tier dir is VERSIONED per tiering: the current store
+        // lazily reads the previous cold tier, and Spark (correctly)
+        // refuses to overwrite a path it is reading from — write the
+        // new tier beside it, then drop the superseded one. Crash
+        // recovery is unchanged: the batch=<id> delta frames remain
+        // the durable record, the cold tier is a cache.
+        gs = Dedup.tierGramStore(gs, s"$outDir/store/cold_$batches")
+        val prev = new org.apache.hadoop.fs.Path(
+          s"$outDir/store/cold_${batches - tierEvery}")
+        if (fs.exists(prev)) fs.delete(prev, true)
+        sc.getPersistentRDDs
+          .filter { case (id, _) => owned(id) }
+          .values.foreach(_.unpersist(blocking = false))
+        owned = Set.empty
+      } else if (batches % compactEvery == 0) {
         val preCompact = sc.getPersistentRDDs.keySet
         gs = Dedup.compactGramStore(gs)
         val kept = sc.getPersistentRDDs.keySet -- preCompact

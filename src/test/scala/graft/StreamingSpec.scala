@@ -599,6 +599,51 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == oneShot)
   }
 
+  test("QS10 runner: TIERED gram store (parquet cold tier) == flat " +
+      "store == one-shot, with in-memory blocks released at tierings") {
+    // VERDICT r11 #8: compaction bounds rewrite cost but not store
+    // SIZE; tiering spills the store to a parquet cold tier so memory
+    // residency is O(delta) between tierings. Representation change
+    // only — results must be bit-identical, which this asserts across
+    // three batches with a tiering after every batch (including the
+    // versioned-dir handoff: tier 2 writes while lazily reading tier
+    // 1, then tier 1 is dropped).
+    val docs = graft.queries.T.t(spark, sf0001, "documents")
+    val delta = docs.where(col("doc_id") >= 400)
+    val corpus = docs.where(col("doc_id") < 400).cache()
+    val base = java.nio.file.Files.createTempDirectory("qs10t")
+    val deltaDir = base.resolve("delta").toString
+    val outDir = base.resolve("out").toString
+    delta.where(col("doc_id") < 470).coalesce(1)
+      .write.mode("append").parquet(deltaDir)
+    Thread.sleep(20)
+    delta.where(col("doc_id") >= 470 && col("doc_id") < 540).coalesce(1)
+      .write.mode("append").parquet(deltaDir)
+    Thread.sleep(20)
+    delta.where(col("doc_id") >= 540).coalesce(1)
+      .write.mode("append").parquet(deltaDir)
+    val pre = spark.sparkContext.getPersistentRDDs.keySet
+    Streams.runSubstringDedupStream(spark, deltaDir, corpus, outDir,
+      compactEvery = 2, tierEvery = 1)
+    // every store block released: the last batch ends with a tiering,
+    // so only pre-existing blocks (the cached corpus) may remain
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- pre
+    assert(leaked.isEmpty, s"tiering leaked ${leaked.size} store blocks")
+    // the final cold tier exists on disk and holds the full store
+    val coldRows = spark.read.parquet(s"$outDir/store/cold_3").count()
+    assert(coldRows > 0)
+    corpus.unpersist()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val tiered = rows(spark.read.parquet(s"$outDir/batch=*"))
+    val oneShot = rows(graft.operators.Dedup.substringDedup(
+        docs, "doc_id", "text")
+      .where(col("doc_id") >= 400))
+    assert(tiered == oneShot)
+    assert(tiered.exists(_._2 > 0), "no dup spans crossed batches")
+  }
+
   test("QS9 runner: shard packing across batches == one-shot, with " +
       "restart recovering the token offset from the durable counts") {
     val docs = graft.queries.T.t(spark, sf0001, "documents")
