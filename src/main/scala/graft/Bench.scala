@@ -159,6 +159,16 @@ object Bench {
           // VERDICT r11 #6). Strip the numeric suffix; a real column
           // named like_9 coarsens to like#x, which stays deterministic.
           .replaceAll("([A-Za-z])_\\d+#x", "$1#x")
+          // typed-API nodes (MapPartitions/MapGroups/AppendColumns)
+          // print the closure OBJECT: JVM-global lambda index, hidden-
+          // class address, and identity hashCode — all per-JVM noise
+          // (the 14-entry fp drift between the two r12 quiet sessions)
+          .replaceAll("\\$\\$Lambda\\$\\d+/0x[0-9a-f]+@[0-9a-f]+",
+            "\\$\\$Lambda")
+          .replaceAll("\\$\\$Lambda/0x[0-9a-f]+@[0-9a-f]+", "\\$\\$Lambda")
+          // codec entries construct per-run temp inputs; the BatchScan
+          // node prints the random temp path (qc3/qc7 fp drift)
+          .replaceAll("/tmp/[^\\s)\\],]*", "/tmp/X")
           .replaceAll("\\[plan_id=\\d+\\]", "")
           .replaceAll("\\[id=#?\\d+\\]", "")
           .replaceAll("(?m)^.*(Location|InMemoryFileIndex).*$", "")
@@ -584,19 +594,40 @@ object Bench {
         val oq = flatObj(ref, "queries")
         val ocpu = flatObj(ref, "cpu_sec")
         val thresh = 1.3
+        // baseline per entry = min over (bench_ref median, committed
+        // quiet-session per-entry mins) — the min-of-sessions fold
+        // (VERDICT r11 #2): one contaminated historical window cannot
+        // inflate the baseline. The NEW side of the ratio is this
+        // session's TRUSTED value (min over all in-session
+        // observations), not the median: comparing a median against a
+        // min-of-history baseline is structurally biased ~1.1-1.3x on
+        // small entries (median > min under any jitter), which floods
+        // the flag list with noise. Min-vs-min is estimator-
+        // consistent; a flag means "even this session's BEST
+        // observation is >1.3x the best the quiet history has shown".
+        // The 0.5s floor matches the anomaly gate: sub-half-second
+        // entries flip >1.3x on scheduler jitter alone.
+        val sessBase: Map[String, Double] = sessionMins
+          .flatMap(_.toSeq).filter(_._2 > 0)
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).min }
+        val trustedMap = trusted.toMap
         val entries = medians.sortBy(_._1).map { case (n, nv) =>
-          val ov = oq.getOrElse(n, -1.0)
-          val ratio = if (ov > 0 && nv > 0) nv / ov else -1.0
+          val obs = (oq.get(n).toSeq ++ sessBase.get(n).toSeq)
+            .filter(_ > 0)
+          val ov = if (obs.isEmpty) -1.0 else obs.min
+          val tv = trustedMap.getOrElse(n, nv)
+          val ratio = if (ov > 0 && tv > 0) tv / ov else -1.0
           val nc = cpuSec.toMap.getOrElse(n, -1.0)
           val oc = ocpu.getOrElse(n, -1.0)
           val cpuR = if (oc > 0 && nc > 0) nc / oc else -1.0
-          // sub-100ms entries flip >1.3x on scheduler jitter alone
-          val flag = ratio > thresh && nv >= 0.1
+          val flag = ratio > thresh && tv >= 0.5
           (n, ov, nv, ratio, cpuR, flag)
         }
         val flagged = entries.filter(_._6).map(_._1)
         val delta =
-          s"""{"old":"bench_ref.json","new":"bench_full.json",""" +
+          s"""{"old":"min(bench_ref.json, bench_sessions mins)",""" +
+          s""""n_baseline_sessions":${sessionMins.size},""" +
+          s""""new":"bench_full.json",""" +
           s""""threshold":$thresh,"n_entries":${entries.size},""" +
           s""""flagged":[${flagged.map("\"" + _ + "\"").mkString(",")}],""" +
           s""""new_entries":[${medians.map(_._1).filterNot(oq.contains)
@@ -606,6 +637,7 @@ object Bench {
               .map("\"" + _ + "\"").mkString(",")}],""" +
           s""""entries":${jmap(entries.map { case (n, ov, nv, ra, cr, fl) =>
             n -> (s"""{"old_sec":${r3(ov)},"new_sec":${r3(nv)},""" +
+              s""""trusted_sec":${r3(trustedMap.getOrElse(n, nv))},""" +
               s""""ratio":${r3(ra)},"cpu_ratio":${r3(cr)},""" +
               s""""flag":$fl}""") })}}"""
         java.nio.file.Files.writeString(
