@@ -344,6 +344,25 @@ object Multimodal {
     }
   }
 
+  /** aHash over the REAL JPEG decode path (xm13): the cross-container
+    * integer-hash contract ([[ahash64]] shared by BMP/PNG/AVI)
+    * extended to the LOSSY codec — possible only because the planted
+    * block-solid lattices decode bit-exactly ([[JpegCodec]]'s stated
+    * contract), so the DuckDB oracle replays the planted levels
+    * through the same integer aHash arithmetic and must match bit
+    * for bit; any Huffman/DC-chain/IDCT/color slip flips hash bits.
+    */
+  def jpegAHashTable(media: Dataset[MediaBlob]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { b =>
+        val img = JpegCodec.decodeJpeg(b.payload)
+        val (hi, lo) = ahash64(img.pixels, img.width, img.height)
+        ImageHash(b.media_id, hi, lo)
+      }
+    }
+  }
+
   /** Encode each document as a real 16-bit PCM WAV: rate/channels
     * planted from the id, frame count from the text byte length,
     * samples from the text bytes.

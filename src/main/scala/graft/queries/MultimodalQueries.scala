@@ -480,6 +480,47 @@ object MultimodalQueries {
         .toDF().orderBy("media_id")
     },
 
+    // JPEG aHash (xm13): the xm5/xm11 cross-container integer-hash
+    // contract extended to the LOSSY codec — sound because the
+    // planted block-solid lattices decode bit-exactly, so the oracle
+    // replays the planted levels through the same integer aHash
+    // arithmetic (cell-vs-global cross-multiplication) and the gate
+    // catches any Huffman/DC-chain/dequant/IDCT/color slip as
+    // flipped hash bits. MultimodalSpec additionally asserts
+    // JPEG-aHash == BMP-aHash of the same pixels.
+    Q("xm13_jpeg_ahash",
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(8 * (1 + doc_id % 3) AS BIGINT) AS w,
+        |    CAST(8 * (1 + doc_id % 2) AS BIGINT) AS h
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, w, h, x.p AS p,
+        |    2 * ((doc_id * 7 +
+        |      ((((x.p // 3) // w) // 8) * (w // 8)
+        |        + ((x.p // 3) % w) // 8) * 13) % 128) AS v
+        |  FROM d CROSS JOIN LATERAL UNNEST(RANGE(0, w*h*3)) x(p)
+        |), cells AS (
+        |  SELECT doc_id, ((p//3)//w)*8//h AS i, ((p//3)%w)*8//w AS j,
+        |    SUM(v) AS s, COUNT(*) AS c, ANY_VALUE(w*h*3) AS btot
+        |  FROM b GROUP BY 1, 2, 3
+        |), tot AS (SELECT doc_id, SUM(s) AS stot FROM cells GROUP BY 1),
+        |bits AS (
+        |  SELECT c.doc_id, i*8 + j AS idx,
+        |    CASE WHEN c.s * c.btot > t.stot * c.c THEN 1 ELSE 0 END AS bit
+        |  FROM cells c JOIN tot t USING (doc_id)
+        |)
+        |SELECT doc_id AS media_id,
+        |  CAST(SUM(CASE WHEN idx >= 32 AND bit = 1
+        |    THEN 1::BIGINT << (idx - 32) ELSE 0 END) AS BIGINT) AS ahash_hi,
+        |  CAST(SUM(CASE WHEN idx < 32 AND bit = 1
+        |    THEN 1::BIGINT << idx ELSE 0 END) AS BIGINT) AS ahash_lo
+        |FROM bits GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Multimodal.jpegAHashTable(
+          Multimodal.encodeJpegTable(t(s, d, "documents")))
+        .toDF().orderBy("media_id")
+    },
+
     // Multimodal dedup PIPELINE (xp5): perceptual image near-dup
     // pairs (xm6's banded Hamming machinery) → connected components →
     // one survivor per visual cluster — the xp1 composition run on

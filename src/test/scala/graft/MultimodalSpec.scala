@@ -748,6 +748,39 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("JPEG aHash == BMP aHash of the same planted pixels (the " +
+      "cross-container contract extends to the lossy codec)") {
+    import spark.implicits._
+    val docs = T.t(spark, sf0001, "documents").limit(60)
+    // the BMP side must carry the SAME pixels the JPEG table plants
+    // (block-solid lattice), not the generic cyclic-text fill
+    val bmp = docs.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = (8 * (1 + id % 3)).toInt
+          val h = (8 * (1 + id % 2)).toInt
+          val px = new Array[Byte](w * h * 3)
+          for (p <- 0 until px.length) {
+            val pi = p / 3
+            val bi = (pi / w / 8) * (w / 8) + (pi % w) / 8
+            px(p) = (2 * ((id * 7 + bi * 13) % 128)).toByte
+          }
+          Multimodal.MediaBlob(id, MediaCodecs.encodeBmp(w, h, px))
+        }
+      }
+    val jh = Multimodal.jpegAHashTable(Multimodal.encodeJpegTable(docs))
+      .toDF().select($"media_id", $"ahash_hi", $"ahash_lo")
+    val bh = Multimodal.aHashTable(bmp)
+      .toDF().select($"media_id", $"ahash_hi".as("bhi"),
+        $"ahash_lo".as("blo"))
+    val joined = jh.join(bh, "media_id").collect()
+    assert(joined.length == 60)
+    joined.foreach { r =>
+      assert(r.getLong(1) == r.getLong(3) && r.getLong(2) == r.getLong(4),
+        s"hash mismatch for media ${r.getLong(0)}")
+    }
+  }
+
   test("JPEG decode fails loudly on progressive, truncation, and " +
       "non-JPEG bytes") {
     val px = Array.fill[Byte](8 * 8 * 3)(100.toByte)
