@@ -363,6 +363,70 @@ object Multimodal {
     }
   }
 
+  /** Full GIF decode result (xm14): geometry + recovered comment +
+    * position-weighted pixel checksum + the shared [[ahash64]]. GIF
+    * is LOSSLESS over its palette, so — unlike JPEG's block-solid
+    * contract — arbitrary planted index streams round-trip bit-exactly
+    * and the oracle hash-gates data-dependent content directly.
+    */
+  case class GifMeta(media_id: Long, width: Int, height: Int,
+      comment: String, npx: Int, pxsum: Long, ahash_hi: Long,
+      ahash_lo: Long)
+
+  /** Encode each document as a REAL GIF89a: the xm5/xm11 planted dims
+    * (w = 8 + id%24, h = 8 + 3·id%16), a 256-entry grayscale palette
+    * (entry i = (i,i,i)), per-PIXEL indices cycling the text bytes
+    * (ramp fallback for empty text — [[cyclicBytes]] per pixel, not
+    * per channel: GIF is indexed), comment extension 'graft:<id>'.
+    * Text-dependent index streams give LZW real data: repeated
+    * substrings in the document become real dictionary hits, and the
+    * ramp exercises the literal path.
+    */
+  def encodeGifTable(docs: DataFrame): Dataset[MediaBlob] = {
+    import docs.sparkSession.implicits._
+    val palette = new Array[Byte](768)
+    var i = 0
+    while (i < 256) {
+      palette(3 * i) = i.toByte; palette(3 * i + 1) = i.toByte
+      palette(3 * i + 2) = i.toByte; i += 1
+    }
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val w = (8 + id % 24).toInt
+          val h = (8 + (id * 3) % 16).toInt
+          val idx = cyclicBytes(
+            Option(text).getOrElse("").getBytes("UTF-8"), w * h)
+          MediaBlob(id, GifCodec.encodeGif(w, h, idx, palette, s"graft:$id"))
+        }
+      }
+  }
+
+  /** Full GIF decode (xm14): LZW decompress + palette mapping back to
+    * the top-down BGR stream, then the xm11 position-weighted
+    * checksum and the shared integer [[ahash64]]. With the grayscale
+    * palette, decoded byte p equals the planted per-pixel index at
+    * p/3 — SQL-replayable, so any LZW/palette/block-walk bug breaks
+    * the hash gate.
+    */
+  def decodeGifFull(media: Dataset[MediaBlob]): Dataset[GifMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { b =>
+        val img = GifCodec.decodeGif(b.payload)
+        var sum = 0L
+        var p = 0
+        while (p < img.pixels.length) {
+          sum += (img.pixels(p) & 0xFF).toLong * (p % 97 + 1)
+          p += 1
+        }
+        val (hi, lo) = ahash64(img.pixels, img.width, img.height)
+        GifMeta(b.media_id, img.width, img.height, img.comment,
+          img.pixels.length, sum, hi, lo)
+      }
+    }
+  }
+
   /** Encode each document as a real 16-bit PCM WAV: rate/channels
     * planted from the id, frame count from the text byte length,
     * samples from the text bytes.

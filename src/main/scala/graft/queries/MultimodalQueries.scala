@@ -521,6 +521,62 @@ object MultimodalQueries {
         .toDF().orderBy("media_id")
     },
 
+    // REAL GIF89a decode (xm14): each doc becomes a genuine GIF —
+    // 256-entry grayscale palette, per-pixel indices cycling the text
+    // bytes, comment extension, real LZW (variable 9→12-bit codes,
+    // clear-code resets) — then FULLY decoded (block walk, LZW
+    // decompress, palette mapping). GIF is LOSSLESS over its palette,
+    // so the oracle replays the planted per-pixel formula directly
+    // (the PNG discipline, no JPEG-style exactness contract): the
+    // position-weighted pxsum catches any LZW/palette/stride slip at
+    // any byte position, and the aHash rides the same shared integer
+    // core as BMP/PNG/JPEG/AVI. Text-dependent index streams make
+    // the LZW dictionary do real work (repeated substrings hit).
+    Q("xm14_gif_decode",
+      """WITH d AS (
+        |  SELECT doc_id, COALESCE(text, '') AS text,
+        |    CAST(8 + doc_id % 24 AS BIGINT) AS w,
+        |    CAST(8 + (doc_id * 3) % 16 AS BIGINT) AS h
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, w, h, x.p AS p,
+        |    CASE WHEN LENGTH(text) = 0
+        |      THEN ((x.p // 3) % 251 - 125 + 256) % 256
+        |      ELSE UNICODE(SUBSTR(text,
+        |        CAST((x.p // 3) % LENGTH(text) AS INT) + 1, 1)) END AS v
+        |  FROM d CROSS JOIN LATERAL UNNEST(RANGE(0, w*h*3)) x(p)
+        |), cells AS (
+        |  SELECT doc_id, ((p//3)//w)*8//h AS i, ((p//3)%w)*8//w AS j,
+        |    SUM(v) AS s, COUNT(*) AS c, ANY_VALUE(w*h*3) AS btot
+        |  FROM b GROUP BY 1, 2, 3
+        |), tot AS (SELECT doc_id, SUM(s) AS stot FROM cells GROUP BY 1),
+        |bits AS (
+        |  SELECT c.doc_id, i*8 + j AS idx,
+        |    CASE WHEN c.s * c.btot > t.stot * c.c THEN 1 ELSE 0 END AS bit
+        |  FROM cells c JOIN tot t USING (doc_id)
+        |), ah AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN idx >= 32 AND bit = 1
+        |      THEN 1::BIGINT << (idx - 32) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(SUM(CASE WHEN idx < 32 AND bit = 1
+        |      THEN 1::BIGINT << idx ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY 1
+        |), ps AS (
+        |  SELECT doc_id, SUM(v * (p % 97 + 1)) AS pxsum FROM b GROUP BY 1
+        |)
+        |SELECT d.doc_id AS media_id,
+        |  CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+        |  'graft:' || d.doc_id AS comment,
+        |  CAST(d.w * d.h * 3 AS INT) AS npx,
+        |  CAST(ps.pxsum AS BIGINT) AS pxsum,
+        |  ah.hi AS ahash_hi, ah.lo AS ahash_lo
+        |FROM d JOIN ps USING (doc_id) JOIN ah USING (doc_id)
+        |ORDER BY media_id""".stripMargin) { (s, d) =>
+      Multimodal.decodeGifFull(
+          Multimodal.encodeGifTable(t(s, d, "documents")))
+        .toDF().orderBy("media_id")
+    },
+
     // Multimodal dedup PIPELINE (xp5): perceptual image near-dup
     // pairs (xm6's banded Hamming machinery) → connected components →
     // one survivor per visual cluster — the xp1 composition run on

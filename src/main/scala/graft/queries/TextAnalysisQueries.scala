@@ -1083,6 +1083,24 @@ object TextAnalysisQueries {
         k = 10)
     },
 
+    // MaxScore dynamic pruning (xt25): EXACT top-k BM25 — identical
+    // ranking to xt20's brute scorer, so the oracle IS the brute
+    // replay (the LSH/Bloom "pruned == exact" discipline, here gated
+    // bit-for-bit by hash rather than by recall). The pruning story
+    // is the 100 TB one: common terms have low impact bounds, fall
+    // below the per-query θ (the k-th exact score under the rarest
+    // term), and their LONG posting lists are only ever touched via
+    // the bounded candidate semi-join — never scanned per query. The
+    // work-counter gate (OperatorsSpec) asserts candidate volume <
+    // brute volume on a skew corpus while outputs stay equal.
+    Q("xt25_bm25_maxscore", bm25OracleSql(nQ = 5, k = 10)) { (s, d) =>
+      val docs = t(s, d, "documents")
+      graft.operators.Retrieval.maxScoreTopK(docs, "doc_id", "text",
+        graft.operators.Retrieval.queriesFromDocs(docs, "doc_id",
+          "text", nQueries = 5),
+        k = 10)
+    },
+
     // Hybrid retrieval (xt22): reciprocal-rank fusion of the sparse
     // arm (xt20's BM25 top-10 over documents) and the dense arm
     // (xs7's PQ shortlist + exact-cosine rerank top-10 over

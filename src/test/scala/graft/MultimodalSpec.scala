@@ -797,4 +797,173 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       JpegCodec.decodeJpeg("definitely not a jpeg".getBytes))
   }
+
+  // ------------------------------------------------------------- GIF
+
+  import graft.multimodal.GifCodec
+
+  private val grayPalette: Array[Byte] = {
+    val p = new Array[Byte](768)
+    var i = 0
+    while (i < 256) {
+      p(3 * i) = i.toByte; p(3 * i + 1) = i.toByte; p(3 * i + 2) = i.toByte
+      i += 1
+    }
+    p
+  }
+
+  test("GIF LZW round-trip is bit-exact: random, repetitive (KwKwK), " +
+      "edge-shaped, and dictionary-overflowing streams") {
+    val rnd = new scala.util.Random(13)
+    for ((w, h) <- Seq((5, 4), (1, 9), (9, 1), (24, 16))) {
+      val idx = Array.fill[Byte](w * h)(rnd.nextInt(256).toByte)
+      val dec = GifCodec.decodeGif(
+        GifCodec.encodeGif(w, h, idx, grayPalette, "c"))
+      assert(dec.width == w && dec.height == h && dec.comment == "c")
+      val expected = idx.flatMap(b => Array(b, b, b))
+      assert(java.util.Arrays.equals(dec.pixels, expected),
+        s"${w}x$h random mismatch")
+    }
+    // all-same-value stream: the encoder emits code == next-to-define
+    // immediately — the decoder's KwKwK branch must reconstruct it
+    val flat = Array.fill[Byte](10 * 10)(42.toByte)
+    val decFlat = GifCodec.decodeGif(
+      GifCodec.encodeGif(10, 10, flat, grayPalette))
+    assert(decFlat.pixels.forall(_ == 42.toByte) &&
+      decFlat.pixels.length == 300)
+    // 128x128 random fills the 12-bit dictionary past 4096 entries →
+    // mid-stream clear-code reset on the encoder side, matching reset
+    // on the decoder side
+    val big = Array.fill[Byte](128 * 128)(rnd.nextInt(256).toByte)
+    val decBig = GifCodec.decodeGif(
+      GifCodec.encodeGif(128, 128, big, grayPalette))
+    assert(java.util.Arrays.equals(decBig.pixels,
+      big.flatMap(b => Array(b, b, b))), "dictionary-reset mismatch")
+    // single pixel: clear, one literal, EOI
+    val one = GifCodec.decodeGif(
+      GifCodec.encodeGif(1, 1, Array(7.toByte), grayPalette))
+    assert(one.pixels.toSeq == Seq[Byte](7, 7, 7))
+  }
+
+  test("JDK ImageIO decodes our GIF encoder's output (independent " +
+      "decoder agrees, lossless)") {
+    val rnd = new scala.util.Random(17)
+    val w = 21; val h = 9
+    val idx = Array.fill[Byte](w * h)(rnd.nextInt(256).toByte)
+    val enc = GifCodec.encodeGif(w, h, idx, grayPalette, "graft:io")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(enc))
+    assert(img != null, "ImageIO could not parse our GIF")
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = idx(y * w + x) & 0xFF
+      val expect = 0xFF000000 | (g << 16) | (g << 8) | g
+      assert(img.getRGB(x, y) == expect,
+        f"ImageIO pixel ($x,$y): got 0x${img.getRGB(x, y)}%08X " +
+          f"want 0x$expect%08X")
+    }
+  }
+
+  test("our GIF decoder handles JDK ImageIO's encoder output " +
+      "(independent encoder, incl. its own LZW and palette layout)") {
+    val w = 18; val h = 13
+    val rnd = new scala.util.Random(19)
+    // indexed image over an explicit 256-gray palette → the JDK GIF
+    // writer emits it losslessly
+    val grays = Array.tabulate[Byte](256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    val idx = new Array[Byte](w * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = rnd.nextInt(256)
+      idx(y * w + x) = g.toByte
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", bos))
+    val dec = GifCodec.decodeGif(bos.toByteArray)
+    assert(dec.width == w && dec.height == h)
+    assert(java.util.Arrays.equals(dec.pixels,
+      idx.flatMap(b => Array(b, b, b))),
+      "ImageIO-encoded GIF decoded to different pixels")
+  }
+
+  test("GIF aHash == BMP aHash of the same pixels (cross-container " +
+      "equality through the shared integer core)") {
+    import spark.implicits._
+    val docs = T.t(spark, sf0001, "documents").limit(60)
+    val gif = Multimodal.decodeGifFull(Multimodal.encodeGifTable(docs))
+      .toDF().select($"media_id", $"ahash_hi", $"ahash_lo")
+    // same planted per-pixel grays expanded to 3 channel bytes,
+    // packaged as a BMP instead
+    val bmp = {
+      val blobs = docs.select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            val w = (8 + id % 24).toInt
+            val h = (8 + (id * 3) % 16).toInt
+            val idx = Multimodal.cyclicBytes(
+              Option(text).getOrElse("").getBytes("UTF-8"), w * h)
+            Multimodal.MediaBlob(id,
+              MediaCodecs.encodeBmp(w, h, idx.flatMap(b => Array(b, b, b))))
+          }
+        }
+      Multimodal.aHashTable(blobs).toDF()
+        .select($"media_id", $"ahash_hi".as("bhi"), $"ahash_lo".as("blo"))
+    }
+    val joined = gif.join(bmp, "media_id").collect()
+    assert(joined.length == 60)
+    joined.foreach { r =>
+      assert(r.getLong(1) == r.getLong(3) && r.getLong(2) == r.getLong(4),
+        s"hash mismatch for media ${r.getLong(0)}")
+    }
+  }
+
+  test("GIF xm14 pipeline: decoded metadata equals planted formulas") {
+    import spark.implicits._
+    val docs = T.t(spark, sf0001, "documents").limit(40)
+    val rows = Multimodal.decodeGifFull(Multimodal.encodeGifTable(docs))
+      .collect().map(m => m.media_id -> m).toMap
+    val planted = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    assert(rows.size == planted.length)
+    planted.foreach { case (id, text) =>
+      val m = rows(id)
+      val w = (8 + id % 24).toInt
+      val h = (8 + (id * 3) % 16).toInt
+      val idx = Multimodal.cyclicBytes(
+        Option(text).getOrElse("").getBytes("UTF-8"), w * h)
+      var pxsum = 0L
+      var p = 0
+      while (p < w * h * 3) {
+        pxsum += (idx(p / 3) & 0xFF).toLong * (p % 97 + 1)
+        p += 1
+      }
+      assert(m.width == w && m.height == h && m.comment == s"graft:$id" &&
+        m.npx == w * h * 3 && m.pxsum == pxsum,
+        s"planted mismatch for media $id")
+    }
+  }
+
+  test("GIF deinterlace follows the spec's four-pass row schedule") {
+    // 1-px-wide, 10 rows: interlaced stream order is rows
+    // 0,8 | 4 | 2,6 | 1,3,5,7,9 — deinterlace must invert it
+    val w = 1; val h = 10
+    val passOrder = Array(0, 8, 4, 2, 6, 1, 3, 5, 7, 9)
+    val raw = passOrder.map(_.toByte)
+    val out = GifCodec.deinterlace(raw, w, h)
+    assert(out.toSeq == (0 until 10).map(_.toByte),
+      out.toSeq.toString)
+  }
+
+  test("GIF decode fails loudly on bad signature and truncation") {
+    val idx = Array.tabulate[Byte](6 * 4)(_.toByte)
+    val good = GifCodec.encodeGif(6, 4, idx, grayPalette)
+    intercept[IllegalArgumentException](
+      GifCodec.decodeGif("definitely not a gif".getBytes))
+    intercept[IllegalArgumentException](
+      GifCodec.decodeGif(java.util.Arrays.copyOf(good, good.length / 2)))
+  }
 }

@@ -1186,6 +1186,64 @@ class OperatorsSpec extends SparkSpec {
       "retrieval must be independent of input partitioning")
   }
 
+  test("MaxScore BM25 == brute BM25 bit-for-bit, and prunes: candidate " +
+      "volume strictly below brute scored volume on a skew corpus") {
+    import spark.implicits._
+    // Skew corpus: every doc carries the common filler vocab (df =
+    // corpus size ⇒ near-zero idf ⇒ tiny impact bounds); each doc
+    // also carries one group term shared by 8 docs (df = 8 > k, so
+    // the θ seed pool fills from the rare list alone). Queries mix
+    // one group term with common ones → θ ≈ a group-doc score dwarfs
+    // the common terms' SUMMED bounds → the common lists become
+    // non-essential and their docs never reach exact scoring.
+    val corpus = (0 until 120).map { i =>
+      (i.toLong, s"alpha beta gamma delta grp${i / 8} " +
+        ("alpha beta gamma " * (i % 4)))
+    }.toDF("doc_id", "text")
+    val queries = Seq(
+      (0L, "grp1"), (0L, "alpha"), (0L, "beta"),
+      (1L, "grp5"), (1L, "gamma"), (1L, "delta"),
+      (2L, "alpha"), (2L, "beta")  // all-common query: no pruning,
+                                   // still must equal brute
+    ).toDF("qid", "w")
+    val k = 3
+    val brute = Retrieval.bm25TopK(corpus, "doc_id", "text", queries, k)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val parts = Retrieval.maxScoreParts(corpus, "doc_id", "text",
+      queries, k)
+    val pruned = parts.result.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(pruned == brute,
+      "MaxScore must reproduce the brute ranking exactly")
+    // work counter: brute scores every (qid, doc) with any query-term
+    // posting; MaxScore scores only docs holding an essential-term
+    // posting. On this corpus the rare-term queries must shed the
+    // common lists entirely.
+    val bruteVol = parts.impacts
+      .join(broadcast(queries.select("qid", "w")), "w")
+      .select("qid", "doc_id").distinct().count()
+    val candVol = parts.candDocs.count()
+    assert(candVol < bruteVol,
+      s"pruning must cut scored volume: cand=$candVol brute=$bruteVol")
+    // rare-term queries keep only the rare posting's doc as candidate
+    // work beyond the θ seed; the all-common query stays brute
+    val candQ0 = parts.candDocs.where(col("qid") === 0L).count()
+    val bruteQ0 = parts.impacts
+      .join(broadcast(queries.where(col("qid") === 0L)
+        .select("qid", "w")), "w")
+      .select("qid", "doc_id").distinct().count()
+    assert(candQ0 < bruteQ0,
+      s"rare-term query must prune: cand=$candQ0 brute=$bruteQ0")
+    // partitioning invariance (the bm25TopK contract, inherited)
+    val again = Retrieval.maxScoreTopK(corpus.repartition(7), "doc_id",
+      "text", queries.repartition(2), k)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(pruned == again,
+      "MaxScore must be independent of input partitioning")
+  }
+
   test("heavyHitters == naive exact count on every partitioning") {
     import spark.implicits._
     val stream = (1 to 500).flatMap(i =>
