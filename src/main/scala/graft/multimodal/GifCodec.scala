@@ -82,6 +82,100 @@ object GifCodec {
     out.toByteArray
   }
 
+  /** One decoded animation frame: `delayCs` from its graphic control
+    * extension (centiseconds, 0 when absent); `pixels` the FULL
+    * logical-screen top-down BGR canvas AFTER compositing this frame
+    * (sub-rect frames draw over what disposal left behind — what a
+    * viewer shows at this point of the animation).
+    */
+  final case class GifFrame(delayCs: Int, pixels: Array[Byte])
+
+  /** Decoded animated GIF: logical screen dims, first comment, and
+    * every frame composited to the full canvas.
+    */
+  final case class GifAnim(width: Int, height: Int, comment: String,
+      frames: Vector[GifFrame])
+
+  /** Encode a multi-frame GIF89a animation: NETSCAPE2.0 infinite
+    * loop extension, optional comment, then per frame a graphic
+    * control extension (delay in centiseconds, disposal
+    * "do not dispose") and a full-logical-screen image block. Each
+    * frame is an index stream like [[encodeGif]]'s.
+    */
+  def encodeAnimGif(width: Int, height: Int,
+      frames: Seq[Array[Byte]], delaysCs: Seq[Int],
+      palette: Array[Byte], comment: String = ""): Array[Byte] = {
+    require(frames.nonEmpty, "animation needs at least one frame")
+    require(frames.length == delaysCs.length,
+      "one delay per frame required")
+    encodeAnimFrames(width, height,
+      frames.zip(delaysCs).map { case (f, d) =>
+        AnimFrame(0, 0, width, height, f, d, disposal = 1,
+          transparentIdx = -1)
+      }, palette, comment)
+  }
+
+  /** Full-control frame for [[encodeAnimFrames]]: sub-rect placement,
+    * disposal method (0..3), transparency (`transparentIdx` ≥ 0 sets
+    * the GCE transparent-color flag).
+    */
+  private[graft] final case class AnimFrame(x: Int, y: Int,
+      w: Int, h: Int, indices: Array[Byte], delayCs: Int,
+      disposal: Int, transparentIdx: Int)
+
+  private[graft] def encodeAnimFrames(width: Int, height: Int,
+      frames: Seq[AnimFrame], palette: Array[Byte],
+      comment: String): Array[Byte] = {
+    require(width > 0 && width <= 0xFFFF && height > 0 && height <= 0xFFFF,
+      s"GIF dims out of range: ${width}x$height")
+    require(palette.length == 768, "palette must be 256*3 bytes")
+    val out = new ByteArrayOutputStream(1024 +
+      frames.iterator.map(_.indices.length / 2).sum)
+    out.write("GIF89a".getBytes("ISO-8859-1"))
+    writeU16(out, width); writeU16(out, height)
+    out.write(0xF7); out.write(0); out.write(0)
+    out.write(palette, 0, 768)
+    // NETSCAPE2.0 application extension: loop forever (the block
+    // every real-world animated GIF carries)
+    out.write(0x21); out.write(0xFF); out.write(11)
+    out.write("NETSCAPE2.0".getBytes("ISO-8859-1"))
+    out.write(3); out.write(1); writeU16(out, 0); out.write(0)
+    if (comment.nonEmpty) {
+      out.write(0x21); out.write(0xFE)
+      val cb = comment.getBytes("ISO-8859-1")
+      var off = 0
+      while (off < cb.length) {
+        val n = math.min(255, cb.length - off)
+        out.write(n); out.write(cb, off, n); off += n
+      }
+      out.write(0)
+    }
+    frames.foreach { f =>
+      require(f.x >= 0 && f.y >= 0 && f.w > 0 && f.h > 0 &&
+        f.x + f.w <= width && f.y + f.h <= height,
+        s"frame rect ${f.w}x${f.h}@${f.x},${f.y} outside " +
+          s"${width}x$height")
+      require(f.indices.length == f.w * f.h,
+        s"frame indices must be w*h = ${f.w * f.h}")
+      require(f.disposal >= 0 && f.disposal <= 3, "bad disposal")
+      // graphic control extension
+      out.write(0x21); out.write(0xF9); out.write(4)
+      out.write((f.disposal << 2) |
+        (if (f.transparentIdx >= 0) 1 else 0))
+      writeU16(out, f.delayCs)
+      out.write(math.max(0, f.transparentIdx)); out.write(0)
+      // image descriptor + LZW data
+      out.write(0x2C)
+      writeU16(out, f.x); writeU16(out, f.y)
+      writeU16(out, f.w); writeU16(out, f.h)
+      out.write(0)
+      out.write(8)
+      writeSubBlocks(out, lzwCompress(f.indices))
+    }
+    out.write(0x3B)
+    out.toByteArray
+  }
+
   private def writeU16(out: ByteArrayOutputStream, v: Int): Unit = {
     out.write(v & 0xFF); out.write((v >>> 8) & 0xFF)
   }
@@ -235,6 +329,120 @@ object GifCodec {
       }
     }
     sys.error("unreachable")
+  }
+
+  /** Decode EVERY frame of a (possibly animated) GIF, compositing
+    * each image block onto the logical-screen canvas the way a
+    * viewer renders it: sub-rect placement, GCE transparency (the
+    * transparent index leaves the underlying canvas visible),
+    * disposal 2 (restore rect to background = zeros) and 3 (restore
+    * the pre-frame canvas) applied between frames. Unknown
+    * extensions (NETSCAPE loop, plain text, application) are
+    * block-walked and skipped; the first comment is recovered.
+    */
+  def decodeAnimGif(bytes: Array[Byte]): GifAnim = {
+    val in = new Cursor(bytes)
+    val sig = new String(in.take(6), "ISO-8859-1")
+    require(sig == "GIF89a" || sig == "GIF87a", s"not a GIF: '$sig'")
+    val sw = in.u16(); val sh = in.u16()
+    require(sw > 0 && sh > 0, s"GIF screen dims out of range: ${sw}x$sh")
+    require(sw.toLong * sh * 3 <= Int.MaxValue, "GIF canvas overflow")
+    val packed = in.u8()
+    in.u8(); in.u8()
+    var gct: Array[Byte] = null
+    if ((packed & 0x80) != 0) gct = in.take(3 * (2 << (packed & 7)))
+    val canvas = new Array[Byte](sw * sh * 3)
+    var comment = ""
+    var delayCs = 0
+    var disposal = 0
+    var transIdx = -1
+    val frames = Vector.newBuilder[GifFrame]
+    var done = false
+    while (!done) {
+      in.u8() match {
+        case 0x21 =>
+          val label = in.u8()
+          if (label == 0xF9) { // graphic control: applies to NEXT image
+            val sz = in.u8()
+            require(sz == 4, s"bad GCE size $sz")
+            val gp = in.u8()
+            delayCs = in.u16()
+            val t = in.u8()
+            require(in.u8() == 0, "GCE missing terminator")
+            disposal = (gp >> 2) & 7
+            transIdx = if ((gp & 1) != 0) t else -1
+          } else if (label == 0xFE && comment.isEmpty) {
+            val sb = new StringBuilder
+            var n = in.u8()
+            while (n != 0) {
+              sb.append(new String(in.take(n), "ISO-8859-1")); n = in.u8()
+            }
+            comment = sb.toString
+          } else {
+            var n = in.u8()
+            while (n != 0) { in.skip(n); n = in.u8() }
+          }
+        case 0x2C =>
+          val fx = in.u16(); val fy = in.u16()
+          val fw = in.u16(); val fh = in.u16()
+          require(fw > 0 && fh > 0 && fx + fw <= sw && fy + fh <= sh,
+            s"GIF frame rect ${fw}x$fh@$fx,$fy outside ${sw}x$sh")
+          val ipacked = in.u8()
+          val interlaced = (ipacked & 0x40) != 0
+          val lct =
+            if ((ipacked & 0x80) != 0) in.take(3 * (2 << (ipacked & 7)))
+            else gct
+          require(lct != null, "GIF image has no color table")
+          val minCode = in.u8()
+          require(minCode >= 2 && minCode <= 8,
+            s"bad LZW minimum code size $minCode")
+          val comp = new ByteArrayOutputStream(fw * fh / 2 + 64)
+          var n = in.u8()
+          while (n != 0) { comp.write(in.take(n), 0, n); n = in.u8() }
+          val raw = lzwDecompress(comp.toByteArray, minCode, fw * fh)
+          val indices = if (interlaced) deinterlace(raw, fw, fh) else raw
+          val saved =
+            if (disposal == 3) canvas.clone() else null
+          val nColors = lct.length / 3
+          var yy = 0
+          while (yy < fh) {
+            var xx = 0
+            while (xx < fw) {
+              val idx = indices(yy * fw + xx) & 0xFF
+              if (idx != transIdx) {
+                require(idx < nColors, s"palette index $idx >= $nColors")
+                val o = ((fy + yy) * sw + (fx + xx)) * 3
+                canvas(o) = lct(3 * idx + 2)
+                canvas(o + 1) = lct(3 * idx + 1)
+                canvas(o + 2) = lct(3 * idx)
+              }
+              xx += 1
+            }
+            yy += 1
+          }
+          frames += GifFrame(delayCs, canvas.clone())
+          // disposal for the NEXT frame's backdrop
+          if (disposal == 2) {
+            var y2 = 0
+            while (y2 < fh) {
+              java.util.Arrays.fill(canvas,
+                ((fy + y2) * sw + fx) * 3,
+                ((fy + y2) * sw + fx + fw) * 3, 0.toByte)
+              y2 += 1
+            }
+          } else if (disposal == 3) {
+            System.arraycopy(saved, 0, canvas, 0, canvas.length)
+          }
+          delayCs = 0; disposal = 0; transIdx = -1
+        case 0x3B => done = true
+        case b =>
+          throw new IllegalArgumentException(
+            f"unexpected GIF block 0x$b%02X at ${in.pos - 1}")
+      }
+    }
+    val fs = frames.result()
+    require(fs.nonEmpty, "GIF has no image block")
+    GifAnim(sw, sh, comment, fs)
   }
 
   /** Reorder interlaced row data (spec Appendix E): the stream holds

@@ -427,6 +427,68 @@ object Multimodal {
     }
   }
 
+  /** One decoded + sampled animation frame (xm15): per-frame GCE
+    * delay, whole-animation duration, and the shared [[ahash64]] of
+    * the composited canvas.
+    */
+  case class GifAnimFrameMeta(media_id: Long, frame_no: Int,
+      delay_cs: Int, duration_cs: Int, ahash_hi: Long, ahash_lo: Long)
+
+  /** Encode each document as a REAL animated GIF89a: the xm9 planted
+    * geometry (w = 8 + id%24, h = 8 + 3·id%16, nf = 2 + id%4 frames),
+    * one planted per-pixel index stream sliced across the frames
+    * (frame f gets pixels [f·w·h, (f+1)·w·h)), per-frame GCE delay
+    * 4 + (id+f)%6 centiseconds, NETSCAPE loop block, comment
+    * 'graft:<id>'.
+    */
+  def encodeAnimGifTable(docs: DataFrame): Dataset[MediaBlob] = {
+    import docs.sparkSession.implicits._
+    val palette = new Array[Byte](768)
+    var i = 0
+    while (i < 256) {
+      palette(3 * i) = i.toByte; palette(3 * i + 1) = i.toByte
+      palette(3 * i + 2) = i.toByte; i += 1
+    }
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val w = (8 + id % 24).toInt
+          val h = (8 + (id * 3) % 16).toInt
+          val nf = (2 + id % 4).toInt
+          val all = cyclicBytes(
+            Option(text).getOrElse("").getBytes("UTF-8"), w * h * nf)
+          val frames = (0 until nf).map(f =>
+            java.util.Arrays.copyOfRange(all, f * w * h, (f + 1) * w * h))
+          val delays = (0 until nf).map(f => (4 + (id + f) % 6).toInt)
+          MediaBlob(id, GifCodec.encodeAnimGif(w, h, frames, delays,
+            palette, s"graft:$id"))
+        }
+      }
+  }
+
+  /** Decode every frame of each animated GIF and SAMPLE the even
+    * frames (the video-pipeline frame-sample shape, as xm9 hashes
+    * all AVI frames): per sampled frame the GCE delay, the full
+    * animation duration (Σ ALL frames' delays — gating the decode of
+    * the frames the sample drops), and the composited canvas's
+    * [[ahash64]].
+    */
+  def sampleAnimGifFrames(media: Dataset[MediaBlob],
+      every: Int): Dataset[GifAnimFrameMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { b =>
+        val anim = GifCodec.decodeAnimGif(b.payload)
+        val duration = anim.frames.iterator.map(_.delayCs).sum
+        anim.frames.iterator.zipWithIndex.collect {
+          case (f, fi) if fi % every == 0 =>
+            val (hi, lo) = ahash64(f.pixels, anim.width, anim.height)
+            GifAnimFrameMeta(b.media_id, fi, f.delayCs, duration, hi, lo)
+        }
+      }
+    }
+  }
+
   /** Encode each document as a real 16-bit PCM WAV: rate/channels
     * planted from the id, frame count from the text byte length,
     * samples from the text bytes.

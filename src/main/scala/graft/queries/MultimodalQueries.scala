@@ -577,6 +577,65 @@ object MultimodalQueries {
         .toDF().orderBy("media_id")
     },
 
+    // ANIMATED GIF frame-sampling (xm15): each doc becomes a real
+    // multi-frame GIF89a — NETSCAPE loop block, per-frame graphic
+    // control extension carrying a planted delay, nf = 2 + id%4
+    // full-screen frames slicing ONE planted per-pixel index stream —
+    // then every frame is decoded (block walk, per-frame LZW, GCE
+    // parse, canvas compositing) and the EVEN frames are sampled:
+    // the video-pipeline frame-sample shape on the GIF container.
+    // duration_cs sums ALL frames' GCE delays, so the decode of the
+    // frames the sample drops is still hash-gated; per-frame aHash
+    // rides the shared integer core.
+    Q("xm15_gif_anim_sample",
+      """WITH d AS (
+        |  SELECT doc_id, COALESCE(text, '') AS text,
+        |    CAST(8 + doc_id % 24 AS BIGINT) AS w,
+        |    CAST(8 + (doc_id * 3) % 16 AS BIGINT) AS h,
+        |    CAST(2 + doc_id % 4 AS BIGINT) AS nf
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, w, h,
+        |    x.p // (w*h*3) AS f, x.p % (w*h*3) AS q,
+        |    CASE WHEN LENGTH(text) = 0
+        |      THEN ((x.p // 3) % 251 - 125 + 256) % 256
+        |      ELSE UNICODE(SUBSTR(text,
+        |        CAST((x.p // 3) % LENGTH(text) AS INT) + 1, 1)) END AS v
+        |  FROM d CROSS JOIN LATERAL UNNEST(RANGE(0, w*h*3*nf)) x(p)
+        |), cells AS (
+        |  SELECT doc_id, f, ((q//3)//w)*8//h AS i, ((q//3)%w)*8//w AS j,
+        |    SUM(v) AS s, COUNT(*) AS c, ANY_VALUE(w*h*3) AS btot
+        |  FROM b GROUP BY 1, 2, 3, 4
+        |), tot AS (
+        |  SELECT doc_id, f, SUM(s) AS stot FROM cells GROUP BY 1, 2
+        |), bits AS (
+        |  SELECT c.doc_id, c.f, i*8 + j AS idx,
+        |    CASE WHEN c.s * c.btot > t.stot * c.c THEN 1 ELSE 0 END AS bit
+        |  FROM cells c JOIN tot t ON t.doc_id = c.doc_id AND t.f = c.f
+        |), ah AS (
+        |  SELECT doc_id, f,
+        |    CAST(SUM(CASE WHEN idx >= 32 AND bit = 1
+        |      THEN 1::BIGINT << (idx - 32) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(SUM(CASE WHEN idx < 32 AND bit = 1
+        |      THEN 1::BIGINT << idx ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY 1, 2
+        |), dur AS (
+        |  SELECT doc_id, CAST(SUM(4 + (doc_id + x.f) % 6) AS INT)
+        |    AS duration_cs
+        |  FROM d CROSS JOIN LATERAL UNNEST(RANGE(0, nf)) x(f)
+        |  GROUP BY 1
+        |)
+        |SELECT ah.doc_id AS media_id, CAST(ah.f AS INT) AS frame_no,
+        |  CAST(4 + (ah.doc_id + ah.f) % 6 AS INT) AS delay_cs,
+        |  dur.duration_cs, ah.hi AS ahash_hi, ah.lo AS ahash_lo
+        |FROM ah JOIN dur USING (doc_id)
+        |WHERE ah.f % 2 = 0
+        |ORDER BY media_id, frame_no""".stripMargin) { (s, d) =>
+      Multimodal.sampleAnimGifFrames(
+          Multimodal.encodeAnimGifTable(t(s, d, "documents")), every = 2)
+        .toDF().orderBy("media_id", "frame_no")
+    },
+
     // Multimodal dedup PIPELINE (xp5): perceptual image near-dup
     // pairs (xm6's banded Hamming machinery) → connected components →
     // one survivor per visual cluster — the xp1 composition run on

@@ -921,6 +921,104 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("animated GIF round-trip: frame count, GCE delays, comment, " +
+      "per-frame composited pixels all recovered; single-frame " +
+      "decodeGif still reads the first frame through the anim blocks") {
+    val rnd = new scala.util.Random(23)
+    val w = 11; val h = 7
+    val frames = (0 until 4).map(_ =>
+      Array.fill[Byte](w * h)(rnd.nextInt(256).toByte))
+    val delays = Seq(4, 9, 2, 7)
+    val enc = GifCodec.encodeAnimGif(w, h, frames, delays, grayPalette,
+      "graft:anim")
+    val anim = GifCodec.decodeAnimGif(enc)
+    assert(anim.width == w && anim.height == h)
+    assert(anim.comment == "graft:anim")
+    assert(anim.frames.length == 4)
+    assert(anim.frames.map(_.delayCs) == delays.toVector)
+    for ((f, i) <- anim.frames.zipWithIndex) {
+      val expected = frames(i).flatMap(b => Array(b, b, b))
+      assert(java.util.Arrays.equals(f.pixels, expected),
+        s"frame $i composited pixels mismatch")
+    }
+    // the single-frame decoder must walk past NETSCAPE + GCE blocks
+    val first = GifCodec.decodeGif(enc)
+    assert(java.util.Arrays.equals(first.pixels,
+      frames(0).flatMap(b => Array(b, b, b))))
+  }
+
+  test("animated GIF compositing: sub-rect frames, transparency, " +
+      "disposal restore-to-background and restore-previous") {
+    import graft.multimodal.GifCodec.AnimFrame
+    val w = 6; val h = 4
+    val base = Array.fill[Byte](w * h)(10.toByte)
+    // frame 2: 2x2 patch at (1,1), value 200, one transparent texel
+    // (index 10 declared transparent so base shows through at (2,2)),
+    // disposal 3 = restore the pre-frame canvas for frame 3's backdrop
+    val patch = Array[Byte](200.toByte, 200.toByte, 200.toByte, 10.toByte)
+    // frame 3: 1x1 patch at (0,0) value 99, disposal 2 over base
+    val dot = Array[Byte](99.toByte)
+    val enc = GifCodec.encodeAnimFrames(w, h, Seq(
+      AnimFrame(0, 0, w, h, base, 5, disposal = 1, transparentIdx = -1),
+      AnimFrame(1, 1, 2, 2, patch, 6, disposal = 3, transparentIdx = 10),
+      AnimFrame(0, 0, 1, 1, dot, 7, disposal = 2, transparentIdx = -1)
+    ), grayPalette, "")
+    val anim = GifCodec.decodeAnimGif(enc)
+    assert(anim.frames.length == 3)
+    def px(canvas: Array[Byte], x: Int, y: Int): Int =
+      canvas((y * w + x) * 3) & 0xFF
+    val f1 = anim.frames(1).pixels
+    assert(px(f1, 1, 1) == 200 && px(f1, 2, 1) == 200 &&
+      px(f1, 1, 2) == 200, "opaque patch texels must draw")
+    assert(px(f1, 2, 2) == 10,
+      "transparent texel must leave the base canvas visible")
+    assert(px(f1, 0, 0) == 10 && px(f1, 5, 3) == 10,
+      "outside the rect the base canvas persists")
+    // frame 2 drew over the RESTORED base (disposal 3 undid frame 1's
+    // patch), so everything except (0,0) is base again
+    val f2 = anim.frames(2).pixels
+    assert(px(f2, 0, 0) == 99)
+    assert(px(f2, 1, 1) == 10 && px(f2, 2, 2) == 10,
+      "disposal 3 must restore the pre-frame canvas")
+    assert(anim.frames.map(_.delayCs) == Vector(5, 6, 7))
+  }
+
+  test("JDK ImageIO agrees on our animated GIF: frame count, " +
+      "per-frame pixels, and GCE delay metadata") {
+    val rnd = new scala.util.Random(29)
+    val w = 9; val h = 6
+    val frames = (0 until 3).map(_ =>
+      Array.fill[Byte](w * h)(rnd.nextInt(256).toByte))
+    val delays = Seq(4, 8, 5)
+    val enc = GifCodec.encodeAnimGif(w, h, frames, delays, grayPalette)
+    val rit = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+    assert(rit.hasNext, "JDK GIF reader missing")
+    val reader = rit.next()
+    reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(enc)))
+    assert(reader.getNumImages(true) == 3)
+    for (i <- 0 until 3) {
+      val img = reader.read(i)
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = frames(i)(y * w + x) & 0xFF
+        val expect = 0xFF000000 | (g << 16) | (g << 8) | g
+        assert(img.getRGB(x, y) == expect,
+          f"ImageIO frame $i pixel ($x,$y)")
+      }
+      // GCE delay through the JDK's native metadata tree
+      val md = reader.getImageMetadata(i)
+      val tree = md.getAsTree("javax_imageio_gif_image_1.0")
+        .asInstanceOf[org.w3c.dom.Element]
+      val gces = tree.getElementsByTagName("GraphicControlExtension")
+      assert(gces.getLength == 1, s"frame $i lacks a GCE")
+      val dt = gces.item(0).asInstanceOf[org.w3c.dom.Element]
+        .getAttribute("delayTime").toInt
+      assert(dt == delays(i), s"frame $i delay: got $dt")
+    }
+    reader.dispose()
+  }
+
   test("GIF xm14 pipeline: decoded metadata equals planted formulas") {
     import spark.implicits._
     val docs = T.t(spark, sf0001, "documents").limit(40)
