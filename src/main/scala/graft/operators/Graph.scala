@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Iterative graph-ranking operators (SURVEY §2.11 extension family).
+  *
+  * The crawl-pipeline motivation: large-scale corpus curation ranks
+  * hosts/domains by link centrality (Common Crawl publishes harmonic
+  * centrality and PageRank host rankings; quality pipelines weight or
+  * threshold sources by them). The reference engine has no graph ops
+  * (single-stream architecture — /root/reference/src/bin/rq.rs:157-159,
+  * binary operators impossible), so like the dedup/ANN families this is
+  * a declared extension over the same record model.
+  *
+  * Scale shape (the [[Dedup.connectedComponents]] discipline):
+  *
+  *  - each iteration is ONE equi-join (ranks ⋈ edges on src) + ONE
+  *    aggregation shuffle (contributions groupBy dst) + one broadcast
+  *    of a single-row dangling-mass aggregate — no driver-side graph,
+  *    no adjacency matrix;
+  *  - `localCheckpoint` cuts lineage every iteration so iteration N's
+  *    plan does not replay iterations 1..N-1 (without it the plan
+  *    doubles per round);
+  *  - the only driver-side values are the node count and the loop
+  *    counter — both O(1).
+  *
+  * Exactness — FIXED-POINT, not decimal: rank mass is carried as a
+  * 64-bit integer in units of 1e-12 (`pr_e12`). Every damped/divided
+  * term is one short pinned IEEE double sequence immediately
+  * re-quantized by `FLOOR(x + 0.5)` (the T.r4 half-up trick at scale
+  * 12 — immune to the engine-specific double→DECIMAL cast semantics:
+  * Spark rounds the shortest decimal string via BigDecimal.valueOf +
+  * HALF_UP while DuckDB rounds the scaled binary, and over 10
+  * iterations × n nodes the last-digit disagreements compound — the
+  * first decimal draft of this operator diverged by 6e-12 exactly this
+  * way). All sums are then Long adds: exact, add-order-free,
+  * partitioning-independent, no overflow (total mass ≈ 1e12 ≪ 2^63,
+  * per-node inputs ≪ 2^53 so the Long→Double casts are exact too).
+  */
+object Graph {
+
+  /** Damped PageRank with uniform dangling-mass redistribution.
+    *
+    * @param nodes    one column `id` (the vertex set; vertices with no
+    *                 edges at all still receive (1−d)/n + dangling share)
+    * @param edges    columns `src`, `dst` — a SIMPLE directed graph
+    *                 (callers dedup multi-edges; self-loops are legal
+    *                 but conventionally removed upstream)
+    * @param iters    fixed iteration count (declared queries pin 10 —
+    *                 a fixed count, not a convergence test, keeps the
+    *                 oracle's unrolled CTE chain finite)
+    * @param damping  d, the follow-probability (0.85 classic)
+    * @param residual 1−d as an EXPLICIT literal: `1.0 - 0.85` in IEEE
+    *                 is not the same double as the literal `0.15`, and
+    *                 both engines must feed the identical double into
+    *                 the quantizer — so the caller pins it
+    *
+    * Update rule per node v, in 1e-12 fixed point (q = FLOOR(· + 0.5),
+    * toD = CAST(· AS DOUBLE); each line is one pinned IEEE sequence):
+    * {{{
+    *   contrib(u→v) = q(toD(pr(u)) / deg(u))
+    *   pr'(v) = q(residual / n * 1.0e12)
+    *          + q(d * toD(Σ_{u→v} contrib))
+    *          + q(d * toD(Σ_{dangling u} pr(u)) / n)
+    * }}}
+    *
+    * Output: (id, pr_e12 BIGINT) — rank mass in 1e-12 units; callers
+    * divide by 1e12 for display, but the declared queries gate on the
+    * integers themselves.
+    */
+  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 10,
+      damping: Double = 0.85, residual: Double = 0.15): DataFrame = {
+    val nodeList = nodes.select(col("id")).localCheckpoint(true)
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // edges carry their source's degree through all iterations; built
+    // once, checkpointed once. At cluster scale this is the frame to
+    // pre-partition by src so every iteration's ranks⋈edges join
+    // reuses the exchange.
+    val edgeDeg = edges.select(col("src"), col("dst"))
+      .join(outdeg, "src").localCheckpoint(true)
+    val dangling = nodeList
+      .join(outdeg.select(col("src").as("id")), Seq("id"), "left_anti")
+      .localCheckpoint(true)
+    val n = nodeList.count() // O(1) driver scalar
+    val nD = n.toDouble
+
+    var p = nodeList.select(col("id"),
+        lit(math.floor(1.0 / nD * 1.0e12 + 0.5).toLong).as("pr_e12"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = edgeDeg
+        .join(p.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"),
+          floor(col("pr_e12").cast(DoubleType) / col("deg") + lit(0.5))
+            .cast(LongType).as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("s")) // exact Long sum
+      val dang = p.join(dangling, "id")
+        .agg(coalesce(sum(col("pr_e12")), lit(0L)).as("dm"))
+      p = nodeList
+        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("id"),
+          (lit(math.floor(residual / nD * 1.0e12 + 0.5).toLong)
+            + floor(lit(damping)
+                * coalesce(col("s"), lit(0L)).cast(DoubleType) + lit(0.5))
+              .cast(LongType)
+            + floor(lit(damping) * col("dm").cast(DoubleType) / lit(nD)
+                + lit(0.5)).cast(LongType))
+            .as("pr_e12"))
+        .localCheckpoint(true)
+    }
+    p
+  }
+}

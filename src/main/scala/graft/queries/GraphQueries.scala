@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{Graph, Scale}
+import T._
+
+/** Graph-ranking suite (SURVEY §2.11 extension family): link-centrality
+  * operators a crawl-curation pipeline runs over the host/document link
+  * graph. The driver testdata has no link column, so the declared
+  * queries derive a DETERMINISTIC synthetic link graph from `documents`
+  * with md5 arithmetic replayed identically in both engines (the xt21
+  * synthetic-URL discipline): the oracle hash gate then proves the
+  * ITERATIVE Spark computation — joins, dangling redistribution, decimal
+  * quantization — equals a from-scratch relational re-derivation.
+  */
+object GraphQueries {
+
+  /** Deterministic synthetic link graph over n docs, identical in both
+    * engines:
+    *  - doc d emits 1 + (d mod 3) candidate links (j = 1..);
+    *  - target(d, j) = md5_16bit("d:j") mod n (the xk3 nibble bucket);
+    *  - docs with d mod 97 == 0 emit NOTHING (planted dangling/sink
+    *    pages so the dangling-mass path is exercised, not vacuous);
+    *  - self-loops dropped, multi-edges deduped.
+    */
+  private def edgesSql: String =
+    s"""links AS (
+       |  SELECT d.doc_id AS src,
+       |    CAST(${hb16Sql("CAST(d.doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)")}
+       |      % (SELECT COUNT(*) FROM documents) AS BIGINT) AS dst
+       |  FROM documents d,
+       |    UNNEST(GENERATE_SERIES(1, 1 + CAST(d.doc_id % 3 AS INT))) AS u(j)
+       |  WHERE d.doc_id % 97 <> 0
+       |), edges AS (
+       |  SELECT DISTINCT src, dst FROM links WHERE dst <> src
+       |)""".stripMargin
+
+  /** 16-bit md5 bucket in DuckDB SQL (the ScaleQueries.hb16Sql pattern —
+    * DuckDB has no base-conversion builtin, so the 4 nibbles expand via
+    * STRPOS).
+    */
+  private def hb16Sql(x: String): String = {
+    def nib(i: Int) =
+      s"(STRPOS('0123456789abcdef', SUBSTR(MD5($x), $i, 1)) - 1)"
+    s"(((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16 + ${nib(4)})"
+  }
+
+  /** One unrolled PageRank iteration as oracle CTEs (see
+    * [[Graph.pageRank]] for the update rule and the decimal-quantization
+    * exactness contract; every CAST here mirrors one Spark-side cast).
+    * Each p_k is MATERIALIZED — c_k and d_k both reference p_{k-1}, so
+    * an inlined chain re-evaluates 2^k times (the BpeSql lesson).
+    */
+  private def iterSql(k: Int): String = {
+    val prev = s"p${k - 1}"
+    s"""c$k AS MATERIALIZED (
+       |  SELECT e.dst,
+       |    CAST(SUM(CAST(FLOOR(CAST(p.pr_e12 AS DOUBLE) / e.deg + 0.5)
+       |      AS BIGINT)) AS BIGINT) AS s
+       |  FROM edgedeg e JOIN $prev p ON p.id = e.src GROUP BY e.dst
+       |), d$k AS MATERIALIZED (
+       |  SELECT CAST(COALESCE(SUM(pr_e12), 0) AS BIGINT) AS dm
+       |  FROM $prev WHERE id NOT IN (SELECT src FROM outdeg)
+       |), p$k AS MATERIALIZED (
+       |  SELECT nd.id,
+       |      CAST(FLOOR(0.15 / nn.n * 1.0e12 + 0.5) AS BIGINT)
+       |    + CAST(FLOOR(0.85 * CAST(COALESCE(c.s, 0) AS DOUBLE) + 0.5)
+       |        AS BIGINT)
+       |    + CAST(FLOOR(0.85 * CAST(dd.dm AS DOUBLE) / nn.n + 0.5)
+       |        AS BIGINT) AS pr_e12
+       |  FROM nodes nd CROSS JOIN n nn CROSS JOIN d$k dd
+       |  LEFT JOIN c$k c ON c.dst = nd.id
+       |)""".stripMargin
+  }
+
+  private val Iters = 10
+
+  val all: Seq[Q] = Seq(
+
+    // xg1: damped PageRank, 10 iterations, over the deterministic
+    // synthetic link graph — the host-centrality ranking op (Common
+    // Crawl publishes exactly this over its host graph; curation
+    // pipelines weight sources by it). The oracle re-derives the graph
+    // AND all 10 iterations in unrolled CTEs (a recursive CTE cannot
+    // aggregate over its working table — the BpeSql lesson), so the
+    // hash match proves the iterative join/checkpoint loop, the
+    // dangling-mass redistribution and the 1e-12 fixed-point
+    // requantization chain are all cross-engine exact (see
+    // Graph.pageRank's Scaladoc for why fixed point, not DECIMAL).
+    Q("xg1_pagerank",
+      s"""WITH nodes AS (SELECT doc_id AS id FROM documents),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         |$edgesSql,
+         |outdeg AS (
+         |  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+         |  FROM edges GROUP BY src
+         |), edgedeg AS (
+         |  SELECT e.src, e.dst, o.deg FROM edges e
+         |  JOIN outdeg o ON o.src = e.src
+         |), p0 AS (
+         |  SELECT id, CAST(FLOOR(1.0 / nn.n * 1.0e12 + 0.5) AS BIGINT)
+         |    AS pr_e12
+         |  FROM nodes CROSS JOIN n nn
+         |),
+         |${(1 to Iters).map(iterSql).mkString(",\n")}
+         |SELECT id AS doc_id, pr_e12 FROM p$Iters ORDER BY doc_id"""
+        .stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val n = docs.count()
+      val nodes = docs.select(col("doc_id").as("id"))
+      val links = docs
+        .where(pmod(col("doc_id"), lit(97L)) =!= 0L)
+        .select(col("doc_id").as("src"),
+          explode(sequence(lit(1),
+            lit(1) + pmod(col("doc_id"), lit(3L)).cast(IntegerType)))
+            .as("j"))
+        .select(col("src"),
+          pmod(Scale.hashBucket16(
+              concat(col("src").cast(StringType), lit(":"),
+                col("j").cast(StringType))).cast(LongType),
+            lit(n)).as("dst"))
+      val edges = links.where(col("dst") =!= col("src")).distinct()
+      Graph.pageRank(nodes, edges, iters = Iters)
+        .select(col("id").as("doc_id"), col("pr_e12"))
+        .orderBy("doc_id")
+    }
+  )
+}

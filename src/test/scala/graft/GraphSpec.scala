@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/** [[Graph.pageRank]] invariants the oracle can't see: hand-computed
+  * fixed-point values on the classic toy graph, mass conservation,
+  * dangling handling, and partitioning invariance (the exact-Long-sum
+  * claim as a test).
+  */
+class GraphSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Classic 4-node graph: 1→{2,3}, 2→3, 3→1, node 4 dangling. */
+  private def toyNodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+  private def toyEdges =
+    Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+
+  test("one iteration matches the hand-computed fixed-point values") {
+    // n=4, p0 = 2.5e11 each. Contribs: 1→{2,3} at 1.25e11, 2→3 at
+    // 2.5e11, 3→1 at 2.5e11; dangling mass dm = 2.5e11 (node 4).
+    // base = floor(0.15/4·1e12+0.5) = 37_500_000_000
+    // dang = floor(0.85·2.5e11/4+0.5)  = 53_125_000_000
+    // link(1)=floor(.85·2.5e11+.5)=212.5e9, link(2)=106.25e9,
+    // link(3)=floor(.85·3.75e11+.5)=318.75e9, link(4)=0.
+    val got = Graph.pageRank(toyNodes, toyEdges, iters = 1)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq(
+      1L -> 303125000000L,
+      2L -> 196875000000L,
+      3L -> 409375000000L,
+      4L -> 90625000000L))
+  }
+
+  test("rank mass is conserved to the fixed-point grain over 10 iters") {
+    val p = Graph.pageRank(toyNodes, toyEdges, iters = 10)
+    val total = p.agg(sum("pr_e12")).collect()(0).getLong(0)
+    // each node's update loses/gains ≤1 unit per quantized term (3
+    // terms) per iteration: |total − 1e12| ≤ 3·n·iters conservatively
+    assert(math.abs(total - 1000000000000L) <= 3L * 4 * 10,
+      s"mass drifted: $total")
+    // and ranking is sane: node 3 (two in-links incl. the strong 2→3
+    // chain) outranks everyone; the dangling node 4 ranks last
+    val byRank = p.orderBy(col("pr_e12").desc).collect().map(_.getLong(0))
+    assert(byRank.head == 3L && byRank.last == 4L)
+  }
+
+  test("all-dangling graph: every node converges to uniform") {
+    // no edges at all: pr = base + d·(Σpr)/n stays exactly uniform
+    val p = Graph.pageRank(toyNodes, Seq.empty[(Long, Long)]
+        .toDF("src", "dst"), iters = 5)
+      .collect().map(_.getLong(1)).distinct
+    assert(p.length == 1, s"non-uniform: ${p.toSeq}")
+  }
+
+  test("output is partitioning-invariant (exact Long sums)") {
+    val base = Graph.pageRank(toyNodes, toyEdges, iters = 10)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    for (parts <- Seq(1, 7)) {
+      val got = Graph.pageRank(toyNodes.repartition(parts),
+          toyEdges.repartition(parts), iters = 10)
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == base, s"diverged at $parts partitions")
+    }
+  }
+}
