@@ -1676,6 +1676,46 @@ object Dedup {
     store.copy(
       grams = store.grams.sparkSession.read.parquet(dir))
   }
+
+  /** Content-defined-chunking dedup statistics (the storage-style
+    * block-dedup primitive — see [[CdcChunks]] for the boundary
+    * definition and why content-defined beats fixed-size blocks).
+    * Each doc splits into CDC chunks; a chunk INSTANCE is a duplicate
+    * iff the identical chunk text occurs at a globally earlier
+    * (doc_id, pos) (xd12's first-kept discipline, at chunk rather
+    * than gram granularity). Output per doc: total chunks, duplicate
+    * chunks, duplicate chars.
+    *
+    * Scale shape: chunking is a join-free narrow map (one fused
+    * expression pass per doc); the corpus-wide work is ONE shuffle on
+    * sha256(chunk) — ~1/64th the key count of xd12's per-position
+    * gram keys (that is CDC's point: boundaries re-sync, so chunk
+    * keys suffice) — followed by a same-key first-occurrence join
+    * (AQE reuses the exchange). sha256 stands in for the chunk text
+    * on the wire (the qx1 contract: 2^-128 collisions; the oracle
+    * groups on the REAL text, so the gate also proves the hash
+    * stand-in loses nothing).
+    */
+  def cdcDedupStats(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val occ = docs
+      .select(col(idCol).as("doc_id"),
+        explode(HashFns.cdcChunks(col(textCol))).as("ck"))
+      .select(col("doc_id"), col("ck.pos").as("pos"),
+        sha2(col("ck.chunk"), 256).as("k"),
+        length(col("ck.chunk")).cast(LongType).as("clen"))
+      .localCheckpoint(true) // feeds both sides of the firsts join
+    val firsts = occ.groupBy("k")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    occ.join(firsts, "k")
+      .select(col("doc_id"), col("clen"),
+        (col("first.doc_id") =!= col("doc_id") ||
+          col("first.pos") =!= col("pos")).as("dup"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("dup_chunks"),
+        sum(when(col("dup"), col("clen")).otherwise(0L)).as("dup_chars"))
+  }
 }
 
 /** Paragraph-splitting strategies for [[Dedup.paragraphDedup]] /

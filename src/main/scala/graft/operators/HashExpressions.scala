@@ -602,6 +602,97 @@ case class GramKeys(child: Expression, l: Int)
     copy(child = newChild)
 }
 
+/** Content-defined chunking (the FastCDC/LBFS family — Muthitacharoen
+  * et al. SOSP'01; Xia et al. ATC'16): split text at positions where a
+  * rolling hash of the trailing window hits a magic pattern, so chunk
+  * boundaries are a function of CONTENT, not offsets — insert a byte at
+  * the front of a file and fixed-size blocks all shift (0% dedup), CDC
+  * boundaries re-synchronize at the next cut and everything downstream
+  * still dedups. The storage/dataset-curation block-dedup primitive.
+  *
+  * Definition (all arithmetic replayed by the xd15 oracle):
+  *  - gear table: `G[b]` = the 44-bit integer of the first 11 md5 hex
+  *    digits of the DECIMAL STRING of b, b = codepoint & 255 (the xk3
+  *    md5-derivation house style — engine-independent);
+  *  - hash at 1-based codepoint position i (window W=16):
+  *    `h_i = Σ_{j=0..15} G[b_{i-j}]·2^j  mod 2^48`
+  *    (computed here as the O(1) rolling update
+  *    `h ← 2h + G_i − G_{i−16}·2^16` in wrapping Long arithmetic —
+  *    identical mod 2^48 because 2^48 | 2^64);
+  *  - position i is a cut iff i ≥ 16 and the top 6 of the 48 bits are
+  *    zero (`h_i >> 42 == 0`, P = 1/64 → expected chunk ≈ 64 cps);
+  *    the final position is always a cut.
+  *
+  * Output: array of (pos, chunk) structs, pos = 0-based chunk start;
+  * concatenating the chunks in order reproduces the input exactly.
+  * No min/max chunk bound: a min bound suppresses cuts depending on
+  * the previous cut (sequential state the relational oracle can't
+  * replay), and the declared corpus has no pathological runs; at 100TB
+  * a max-size split at fixed multiples of the last cut would bound the
+  * tail deterministically.
+  *
+  * Codepoint-indexed so positions agree with Spark/DuckDB `substr`.
+  */
+case class CdcChunks(child: Expression)
+    extends UnaryExpression with FusedUnary {
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("chunk", StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "cdc_chunks"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.toString
+    val cps = s.codePoints().toArray
+    val n = cps.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val G = CdcChunks.Gear
+    val Mask48 = (1L << 48) - 1
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    // cut positions in codepoint space; charIdx tracks the UTF-16
+    // offset of each codepoint so substring extraction stays O(1)
+    var h = 0L
+    var prevCutCp = 0
+    var prevCutCh = 0
+    var chIdx = 0
+    var i = 0
+    while (i < n) {
+      val g = G(cps(i) & 255)
+      h = (h << 1) + g
+      if (i >= 16) h -= G(cps(i - 16) & 255) << 16
+      val cp1 = i + 1 // 1-based position
+      chIdx += Character.charCount(cps(i))
+      if ((cp1 >= 16 && ((h & Mask48) >>> 42) == 0) || cp1 == n) {
+        out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](prevCutCp,
+            org.apache.spark.unsafe.types.UTF8String
+              .fromString(s.substring(prevCutCh, chIdx))))
+        prevCutCp = cp1
+        prevCutCh = chIdx
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
+object CdcChunks {
+  /** G[b], b=0..255: 44 bits from md5(b.toString) — see class doc. */
+  private[operators] val Gear: Array[Long] = {
+    val md = MessageDigest.getInstance("MD5")
+    (0 until 256).map { b =>
+      md.reset()
+      val hex = md.digest(b.toString.getBytes("UTF-8"))
+        .map(x => f"$x%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 11), 16)
+    }.toArray
+  }
+}
+
 case class DotProduct(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
     with FusedBinary {
@@ -1006,6 +1097,8 @@ object HashFns {
     Bridge.column(DotProduct(e(a), e(b)))
   def gramKeys(c: Column, l: Int): Column =
     Bridge.column(GramKeys(e(c), l))
+  def cdcChunks(c: Column): Column =
+    Bridge.column(CdcChunks(e(c)))
   def pqEncode(c: Column, books: Seq[Seq[Seq[Double]]]): Column =
     Bridge.column(PqEncode(e(c), books))
   def pqLut(c: Column, books: Seq[Seq[Seq[Double]]]): Column =

@@ -502,6 +502,79 @@ object DedupQueries {
         |FROM n GROUP BY k ORDER BY doc_id""".stripMargin) { (s, d) =>
       Dedup.normalizedDedup(t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")
+    },
+
+    // xd15: content-defined-chunking dedup (the FastCDC/LBFS
+    // storage-style block dedup — see operators.CdcChunks for the
+    // boundary definition and Dedup.cdcDedupStats for the plan). The
+    // oracle re-derives EVERYTHING relationally: the 44-bit md5 gear
+    // table, the 16-codepoint windowed gear-sum hash (a 16-term
+    // positional self-join standing in for the Spark side's O(1)
+    // rolling update — identical mod 2^48), the cut positions, the
+    // chunk substrings, and the global first-occurrence flags —
+    // grouped on the REAL chunk text where Spark ships sha256, so the
+    // hash gate also proves the hash stand-in loses nothing.
+    Q("xd15_cdc_dedup",
+      s"""WITH gear AS (
+         |  SELECT b, ${gear44Sql("CAST(b AS VARCHAR)")} AS g
+         |  FROM RANGE(256) t(b)
+         |), chars AS (
+         |  SELECT doc_id, i,
+         |    UNICODE(SUBSTR(text, CAST(i AS INT), 1)) % 256 AS b
+         |  FROM documents,
+         |    UNNEST(GENERATE_SERIES(1, LENGTH(text))) AS u(i)
+         |), gch AS MATERIALIZED (
+         |  SELECT c.doc_id, c.i, gear.g FROM chars c
+         |  JOIN gear ON gear.b = c.b
+         |), h AS (
+         |  SELECT a.doc_id, a.i,
+         |    CAST(SUM(CAST(b.g AS HUGEINT)
+         |        * CAST(1::BIGINT << CAST(a.i - b.i AS INT) AS HUGEINT))
+         |      % (CAST(1::BIGINT << 48 AS HUGEINT)) AS BIGINT) AS h
+         |  FROM gch a JOIN gch b
+         |    ON b.doc_id = a.doc_id AND b.i BETWEEN a.i - 15 AND a.i
+         |  WHERE a.i >= 16 GROUP BY a.doc_id, a.i
+         |), cuts AS (
+         |  SELECT doc_id, i FROM h WHERE (h >> 42) = 0
+         |  UNION
+         |  SELECT doc_id, LENGTH(text) FROM documents WHERE LENGTH(text) > 0
+         |), spans AS (
+         |  SELECT doc_id,
+         |    COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS s,
+         |    i AS e
+         |  FROM cuts
+         |), occ AS (
+         |  SELECT sp.doc_id, sp.s AS pos,
+         |    SUBSTR(d.text, CAST(sp.s + 1 AS INT), CAST(sp.e - sp.s AS INT))
+         |      AS chunk
+         |  FROM spans sp JOIN documents d USING (doc_id)
+         |  WHERE sp.e > sp.s
+         |), flag AS (
+         |  SELECT doc_id, CAST(LENGTH(chunk) AS BIGINT) AS clen,
+         |    ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, pos) > 1
+         |      AS dup
+         |  FROM occ
+         |)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |  CAST(COALESCE(SUM(CASE WHEN dup THEN 1 END), 0) AS BIGINT)
+         |    AS dup_chunks,
+         |  CAST(COALESCE(SUM(CASE WHEN dup THEN clen END), 0) AS BIGINT)
+         |    AS dup_chars
+         |FROM flag GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+      Dedup.cdcDedupStats(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
     }
   )
+
+  /** 44-bit md5-prefix integer in DuckDB SQL — the hb16Sql nibble
+    * expansion widened to 11 nibbles (= CdcChunks.Gear's
+    * parseLong(md5hex.take(11), 16)).
+    */
+  private def gear44Sql(x: String): String = {
+    def nib(i: Int) =
+      s"(STRPOS('0123456789abcdef', SUBSTR(MD5($x), $i, 1)) - 1)"
+    (2 to 11).foldLeft(s"CAST(${nib(1)} AS BIGINT)")((acc, i) =>
+      s"($acc * 16 + ${nib(i)})")
+  }
 }

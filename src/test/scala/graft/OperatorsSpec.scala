@@ -1524,4 +1524,63 @@ class OperatorsSpec extends SparkSpec {
       }
     }
   }
+
+  test("cdc chunks: lossless reassembly + the boundary re-sync property") {
+    import spark.implicits._
+    // a text long enough to carry several content-defined cuts
+    val base = (1 to 60).map(i => s"sentence number $i with payload")
+      .mkString(" ")
+    def chunksOf(s: String): Seq[(Int, String)] =
+      Seq(s).toDF("text")
+        .select(explode(HashFns.cdcChunks(col("text"))).as("c"))
+        .select(col("c.pos"), col("c.chunk")).collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSeq
+    val cs = chunksOf(base)
+    // lossless: chunks concatenate back to the input, positions chain
+    assert(cs.map(_._2).mkString == base)
+    assert(cs.scanLeft(0)((acc, c) => acc + c._2.length).init ==
+      cs.map(_._1))
+    assert(cs.length >= 5, s"expected several cuts, got ${cs.length}")
+
+    // THE content-defined property (why CDC beats fixed-size blocks):
+    // prepend a prefix and the cut positions re-synchronize — every
+    // boundary of the original ≥ one window past the edit is still a
+    // boundary of the shifted text, so downstream chunk dedup still
+    // matches the unshifted copy's chunks.
+    val prefix = "EDIT AT FRONT: "
+    val shifted = chunksOf(prefix + base)
+    val origCuts = cs.map(_._1).drop(1) // interior cut positions
+    val shiftedCuts = shifted.map(_._1).drop(1).map(_ - prefix.length).toSet
+    val resync = origCuts.filter(_ >= 16 + prefix.length)
+    assert(resync.nonEmpty && resync.forall(shiftedCuts.contains),
+      s"boundaries did not re-sync: $resync vs $shiftedCuts")
+    // and the shared suffix chunks are literally identical text
+    val shared = cs.map(_._2).toSet.intersect(shifted.map(_._2).toSet)
+    assert(shared.size >= cs.length - 2, "shifted copy shares no chunks")
+  }
+
+  test("cdc dedup stats: planted duplicate block is charged to the copy") {
+    import spark.implicits._
+    val block = (1 to 40).map(i => s"shared block word $i").mkString(" ")
+    val docs = Seq(
+      (1L, s"unique head one $block"),
+      (2L, s"a different and much longer preamble text here $block"),
+      (3L, "entirely unrelated content with no repeats at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.cdcDedupStats(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // doc 1 owns the block's first occurrence: zero dups there
+    assert(got(0)._2 == 0L, s"doc1 charged: ${got(0)}")
+    // doc 2's copy of the block dedups against doc 1 despite the
+    // different-length preamble (fixed-size blocks would miss this)
+    assert(got(1)._2 > 0L && got(1)._3 > block.length / 2,
+      s"copy not detected: ${got(1)}")
+    assert(got(2)._2 == 0L && got(2)._3 == 0L)
+    // partitioning invariance (one shuffle on the chunk key)
+    val rep = Dedup.cdcDedupStats(docs.repartition(5), "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(rep.toSeq == got.toSeq)
+  }
 }
