@@ -964,6 +964,100 @@ object TextAnalysisQueries {
         .orderBy("doc_id")
     },
 
+    // Interpolated Kneser-Ney bigram LM (the smoothing KenLM actually
+    // implements and CCNet's filter actually runs — xt17's absolute-
+    // discount+add-1 mix is the simpler cousin): discount D=0.75 off
+    // every seen bigram, the freed mass backs off to the CONTINUATION
+    // distribution p_cont(w2) = how many distinct contexts w2 follows
+    // (÷ total bigram types) — "Francisco" is frequent but follows
+    // only "San", so KN correctly refuses to predict it after novel
+    // contexts; a raw-frequency backoff (xt17's) overpredicts it.
+    //   p(w2|w1) = (c(w1w2)−D)/c(w1·)
+    //            + [D·N1+(w1·)/c(w1·)] · (N1+(·w2)+1)/(T+V)
+    // with the unseen-context rule λ=1 (full weight on continuation)
+    // and the add-1 floor on p_cont so every token scores finite.
+    // Same exactness discipline as xt17: every model input is an
+    // exact BIGINT (counts, distinct counts, T, V), every per-bigram
+    // probability one pinned IEEE sequence → LN → DECIMAL(28,12) →
+    // order-free per-doc sum. Scale shape identical to xt17: the
+    // model is a TABLE (three count aggs off the materialized-once
+    // pair frame, one of them fused cctx+N1+ in a single shuffle),
+    // scoring is plain equi-joins, the corpus shuffles only on the
+    // doc_id rollup.
+    Q("xt27_kneser_ney",
+      s"""WITH tok AS (
+         |  SELECT doc_id, source = 'src0' AS ref, LIST_FILTER(
+         |    STRING_SPLIT_REGEX(LOWER(text), '\\s+'), t -> t <> '') AS fw
+         |  FROM documents
+         |), bg AS (
+         |  SELECT doc_id, ref, fw[i] AS w1, fw[i + 1] AS w2
+         |  FROM tok, UNNEST(RANGE(1, LEN(fw))) AS ti(i)
+         |), c2 AS (
+         |  SELECT w1, w2, COUNT(*) AS cbg FROM bg WHERE ref GROUP BY 1, 2
+         |), ctx AS (
+         |  SELECT w1, COUNT(*) AS cctx, COUNT(DISTINCT w2) AS nfol
+         |  FROM bg WHERE ref GROUP BY 1
+         |), pre AS (
+         |  SELECT w2, COUNT(DISTINCT w1) AS npre FROM bg WHERE ref GROUP BY 1
+         |), tot AS (
+         |  SELECT COUNT(DISTINCT (w1, w2)) AS t, COUNT(DISTINCT w2) AS v
+         |  FROM bg WHERE ref
+         |), lp AS (
+         |  SELECT doc_id, CAST(LN(
+         |      COALESCE((CAST(cbg AS DOUBLE) - 0.75) / cctx, 0.0)
+         |    + COALESCE(0.75 * CAST(nfol AS DOUBLE) / cctx, 1.0)
+         |      * (CAST(COALESCE(npre, 0) + 1 AS DOUBLE) / (t + v))
+         |    ) AS DECIMAL(28,12)) AS l
+         |  FROM bg
+         |  LEFT JOIN c2 USING (w1, w2)
+         |  LEFT JOIN ctx USING (w1)
+         |  LEFT JOIN pre USING (w2)
+         |  CROSS JOIN tot
+         |)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_big,
+         |  ${r4Sql("-(CAST(SUM(l) AS DOUBLE) / COUNT(*))")} AS nll,
+         |  ${r4Sql("EXP(-(CAST(SUM(l) AS DOUBLE) / COUNT(*)))")} AS ppl
+         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val toksC = TextFns.tokens(col("text"))
+      val pairs = t(s, d, "documents")
+        .select(col("doc_id"), (col("source") === "src0").as("ref"),
+          explode(TextFns.wordBigrams(toksC)).as("bg"))
+        .select(col("doc_id"), col("ref"),
+          substring_index(col("bg"), " ", 1).as("w1"),
+          substring_index(col("bg"), " ", -1).as("w2"))
+        .localCheckpoint(true)
+      val ref = pairs.where(col("ref"))
+      val c2 = ref.groupBy("w1", "w2").agg(count(lit(1)).as("cbg"))
+      val ctx = ref.groupBy("w1").agg(count(lit(1)).as("cctx"),
+        countDistinct(col("w2")).as("nfol"))
+      val pre = ref.groupBy("w2")
+        .agg(countDistinct(col("w1")).as("npre"))
+      val tot = ref.agg(
+        countDistinct(col("w1"), col("w2")).as("t"),
+        countDistinct(col("w2")).as("v"))
+      val lp = pairs
+        .join(c2, Seq("w1", "w2"), "left")
+        .join(ctx, Seq("w1"), "left")
+        .join(pre, Seq("w2"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          log(coalesce(
+              (col("cbg").cast(DoubleType) - lit(0.75)) / col("cctx"),
+              lit(0.0))
+            + coalesce(
+                lit(0.75) * col("nfol").cast(DoubleType) / col("cctx"),
+                lit(1.0))
+              * ((coalesce(col("npre"), lit(0L)) + 1).cast(DoubleType)
+                / (col("t") + col("v"))))
+            .cast(DecimalType(28, 12)).as("l"))
+      val nllRaw = -(sum(col("l")).cast(DoubleType)) / count(lit(1))
+      lp.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_big"), nllRaw.as("nr"))
+        .select(col("doc_id"), col("n_big"),
+          r4(col("nr")).as("nll"), r4(exp(col("nr"))).as("ppl"))
+        .orderBy("doc_id")
+    },
+
     // Quality-classifier scoring (the GPT-3/LLaMA "trained classifier"
     // filter, with the deterministic stand-in model): multinomial
     // Naive Bayes fit on two labeled slices (src0 = positive, src1 =

@@ -1525,6 +1525,39 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("kneser-ney backs off to CONTINUATION counts (the Francisco " +
+      "property), opposite to xt17's raw-frequency backoff") {
+    import spark.implicits._
+    // ref corpus: "francisco" is FREQUENT (4 occurrences) but follows
+    // only one context ("san"); "cat" is rarer (3) but follows three
+    // distinct contexts. After a novel context, KN must prefer cat.
+    val docs = Seq(
+      (0L, "san francisco san francisco san francisco san francisco",
+        "en", "src0"),
+      (1L, "the cat sat", "en", "src0"),
+      (2L, "a cat ran", "en", "src0"),
+      (3L, "my cat is", "en", "src0"),
+      (10L, "qq francisco", "en", "src1"), // unseen context qq
+      (11L, "qq cat", "en", "src1")
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("kn").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def nll(q: String): Map[Long, Double] =
+      SparkEntry.queries(q)(spark, dir)
+        .where(col("doc_id") >= 10L).collect()
+        .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val kn = nll("xt27_kneser_ney")
+    assert(kn(10L) > kn(11L),
+      s"KN must penalize low-continuation francisco: $kn")
+    // and the absolute-discount/add-1 model (raw backoff counts:
+    // francisco 4 > cat 3) orders the same pair the other way —
+    // proving xt27 is a genuinely different smoothing, not a rename
+    val ad = nll("xt17_lm_perplexity")
+    assert(ad(10L) < ad(11L),
+      s"xt17 raw-frequency backoff should favor francisco: $ad")
+  }
+
   test("cdc chunks: lossless reassembly + the boundary re-sync property") {
     import spark.implicits._
     // a text long enough to carry several content-defined cuts
