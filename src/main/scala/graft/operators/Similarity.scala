@@ -729,4 +729,42 @@ object Similarity {
             .as("sim")),
       k)
   }
+
+  /** Per-query ATTRIBUTE-FILTERED IVF ANN (the "filtered vector
+    * search" every vector store ships: top-k among vectors satisfying
+    * a per-query metadata predicate — here attribute equality, the
+    * same-category-search shape). Same assignment → probe → exact
+    * cosine → bounded top-k chain as [[ivfTopKWith]], with the
+    * predicate evaluated as a join-residual EQUALITY BEFORE any vector
+    * arithmetic: candidates shrink from Σload(probed cells) to the
+    * predicate's selectivity share of it before a single dim-length
+    * dot product runs. This is IN-SEARCH filtering, not
+    * post-filtering — post-filtering ranks the unfiltered top-k and
+    * then drops rows, silently returning fewer (or zero) matches when
+    * the predicate is selective; here every returned rank is a true
+    * within-predicate neighbor. (Queries whose probed cells hold
+    * fewer than k qualifying vectors return fewer rows — determinate
+    * in both engines, so the oracle gates it.) At 100TB the attribute
+    * would also be a [[Scale.writeLayout]] partition column, turning
+    * the residual into partition pruning on the corpus scan itself.
+    */
+  def ivfTopKFilteredWith(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, attrCol: String, k: Int,
+      cents: Seq[(Long, Seq[Double])], nprobe: Int): DataFrame = {
+    val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+        col(attrCol).as("attr"), TextFns.l2norm(col(vecCol)).as("nv"))
+      .withColumn("cell", element_at(nearestCells(col("v"), cents, 1), 1))
+    val probes = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        col(attrCol).as("qattr"), TextFns.l2norm(col(vecCol)).as("nq"))
+      .withColumn("cell", explode(nearestCells(col("qv"), cents, nprobe)))
+
+    rankTopK(
+      assigned.join(probes, "cell")
+        .where(col("id") =!= col("qid") && col("attr") === col("qattr"))
+        .select(col("qid"), col("id"),
+          (TextFns.dot(col("v"), col("qv")) / (col("nv") * col("nq")))
+            .as("sim")),
+      k)
+  }
 }

@@ -76,6 +76,31 @@ object SimilarityQueries {
         .orderBy("qid", "rank")
     },
 
+    // xs11: per-query ATTRIBUTE-FILTERED ANN (the filtered vector
+    // search every vector store ships): each query retrieves top-3
+    // among probed-cell vectors sharing ITS label — in-search
+    // filtering as a join-residual equality evaluated before any
+    // dim-length dot product, not post-filtering (which silently
+    // under-returns under selective predicates). Pinned label-centroid
+    // cells (the xs2b discipline) make the whole chain SQL-replayable;
+    // the oracle is ivfOracleSql with the same-label condition in the
+    // candidate join.
+    Q("xs11_ann_filtered",
+      ivfOracleSql(nQ = 10, nprobe = 3, k = 3, sameLabel = true)) {
+      (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val cents = Similarity.labelCentroids(emb, "label", "embedding")
+        .select(col("clabel").cast("long"), col("centroid"))
+        .collect()
+        .map(row => (row.getLong(0), row.getSeq[Double](1).toSeq))
+        .sortBy(_._1).toSeq
+      Similarity.ivfTopKFilteredWith(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", "label", k = 3, cents, nprobe = 3)
+        .select(col("qid"), col("rank"), col("id"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("qid", "rank")
+    },
+
     // Symmetric int8 quantization of the embedding column (the
     // storage-side op for embedding corpora: 4× smaller than f32,
     // 8× smaller than f64). Entirely per-row higher-order functions —
@@ -390,7 +415,7 @@ object SimilarityQueries {
     * FULL vectors instead of ADC codes.
     */
   private[queries] def ivfOracleSql(nQ: Int, nprobe: Int,
-      k: Int): String =
+      k: Int, sameLabel: Boolean = false): String =
     s"""WITH comp AS (
       |  SELECT vec_id, label, UNNEST(embedding::DOUBLE[]) AS x,
       |    GENERATE_SUBSCRIPTS(embedding, 1) AS pos
@@ -406,19 +431,19 @@ object SimilarityQueries {
       |), vv AS (
       |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
       |), sc AS (
-      |  SELECT vv.vec_id, vv.v, t.clabel,
+      |  SELECT vv.vec_id, vv.label, vv.v, t.clabel,
       |    LIST_INNER_PRODUCT(vv.v, t.centroid) *
       |      (1.0 / SQRT(LIST_INNER_PRODUCT(t.centroid, t.centroid)))
       |      AS s
       |  FROM vv CROSS JOIN cent t
       |), asg AS (
-      |  SELECT vec_id, v, clabel AS cell FROM (
+      |  SELECT vec_id, label, v, clabel AS cell FROM (
       |    SELECT *, ROW_NUMBER() OVER (
       |      PARTITION BY vec_id ORDER BY s DESC, clabel) AS rn
       |    FROM sc) WHERE rn = 1
       |), probes AS (
-      |  SELECT vec_id AS qid, clabel AS cell FROM (
-      |    SELECT vec_id, clabel, ROW_NUMBER() OVER (
+      |  SELECT vec_id AS qid, label AS qlabel, clabel AS cell FROM (
+      |    SELECT vec_id, label, clabel, ROW_NUMBER() OVER (
       |      PARTITION BY vec_id ORDER BY s DESC, clabel) AS rn
       |    FROM sc WHERE vec_id < $nQ) WHERE rn <= $nprobe
       |)
@@ -433,7 +458,8 @@ object SimilarityQueries {
       |        (SQRT(LIST_INNER_PRODUCT(a.v, a.v)) *
       |         SQRT(LIST_INNER_PRODUCT(q.v, q.v))) AS raw
       |    FROM probes p
-      |    JOIN asg a ON a.cell = p.cell
+      |    JOIN asg a ON a.cell = p.cell${
+        if (sameLabel) " AND a.label = p.qlabel" else ""}
       |    JOIN vv q ON q.vec_id = p.qid
       |    WHERE a.vec_id <> p.qid
       |  ) c

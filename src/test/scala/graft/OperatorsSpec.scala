@@ -1525,6 +1525,45 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("filtered ANN returns k true within-predicate neighbors where " +
+      "post-filtering under-returns") {
+    import spark.implicits._
+    // two tight clusters; labels CROSS the cluster structure: the
+    // query (id 0, label 1) sits in cluster A, whose occupants are
+    // almost all label 0 — so the unfiltered top-3 is all label 0 and
+    // post-filtering it returns NOTHING, while in-search filtering
+    // finds the label-1 vectors (3 nearby in A, plus cluster B's).
+    def v(x: Double, y: Double) = Seq(x, y)
+    val rows =
+      Seq((0L, v(1.00, 0.02), 1)) ++ // the query
+      (1L to 6L).map(i => (i, v(1.0, 0.01 * i), 0)) ++ // A, label 0
+      Seq((7L, v(0.98, 0.10), 1), (8L, v(0.97, 0.12), 1),
+        (9L, v(0.96, 0.14), 1)) ++ // A, label 1 (further out)
+      (10L to 14L).map(i => (i, v(0.05, 1.0 + 0.01 * i), 1)) // B
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val cents = Seq(0L -> Seq(1.0, 0.05), 1L -> Seq(0.05, 1.0))
+    val q = emb.where(col("vec_id") === 0L)
+    val filtered = Similarity.ivfTopKFilteredWith(emb, q,
+        "vec_id", "embedding", "label", k = 3, cents, nprobe = 2)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("rank")))
+    assert(filtered.length == 3, s"under-returned: ${filtered.toSeq}")
+    val labelOf = rows.map(r => r._1 -> r._3).toMap
+    assert(filtered.forall(p => labelOf(p._1) == 1),
+      s"predicate violated: ${filtered.toSeq}")
+    // post-filtering baseline: unfiltered top-3 ∩ label==1 is empty
+    val unfiltered = Similarity.ivfTopKWith(emb, q,
+        "vec_id", "embedding", k = 3, cents, nprobe = 2)
+      .collect().map(_.getAs[Long]("id"))
+    assert(unfiltered.forall(labelOf(_) == 0),
+      s"planting broken: ${unfiltered.toSeq}")
+    // and with all cells probed, filtered IVF == brute force over the
+    // predicate subset (in-search filtering loses nothing)
+    val brute = Similarity.bruteForceTopK(
+        emb.where(col("label") === 1), q, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("rank"))).toSet
+    assert(filtered.toSet == brute)
+  }
+
   test("kneser-ney backs off to CONTINUATION counts (the Francisco " +
       "property), opposite to xt17's raw-frequency backoff") {
     import spark.implicits._
