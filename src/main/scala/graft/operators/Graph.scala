@@ -113,4 +113,65 @@ object Graph {
     }
     p
   }
+
+  /** HITS hubs & authorities (Kleinberg JACM'99) in the same 1e-12
+    * fixed point as [[pageRank]]. Per iteration:
+    * {{{
+    *   rawA(v) = Σ_{u→v} hub(u)          (exact Long sum)
+    *   auth(v) = q(toD(rawA(v)) / √toD(Σ rawA²) · 1e12)
+    *   rawH(v) = Σ_{v→w} auth(w)
+    *   hub(v)  = q(toD(rawH(v)) / √toD(Σ rawH²) · 1e12)
+    * }}}
+    * SQRT is IEEE-correctly-rounded (unlike LN/EXP), so the normalize
+    * step is exact cross-engine by construction: the squared sum is an
+    * exact integer (Long scores ≤ n·1e12 < 2^53 cast exactly to
+    * double; squares summed in DECIMAL(38,0)), its double image and
+    * square root are unique, and the final requantization is the
+    * pinned floor(x+0.5). A zero norm (graph with no edges, or a side
+    * with no mass) yields all-zero scores by explicit guard rather
+    * than NaN.
+    *
+    * Scale shape: two join+agg shuffles per iteration (one per
+    * direction) + two single-row norm broadcasts; lineage cut per
+    * iteration. Output: (id, auth_e12, hub_e12).
+    */
+  def hits(nodes: DataFrame, edges: DataFrame, iters: Int = 10)
+      : DataFrame = {
+    val nodeList = nodes.select(col("id")).localCheckpoint(true)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+
+    // one direction of the update: raw = Σ score over edges grouped by
+    // `outKey`, then L2-normalize back to 1e12 scale
+    def half(score: DataFrame, scoreCol: String, joinKey: String,
+        outKey: String, outCol: String): DataFrame = {
+      val raw = e.join(score.withColumnRenamed("id", joinKey), joinKey)
+        .groupBy(col(outKey).as("id"))
+        .agg(sum(col(scoreCol)).as("raw"))
+      val withRaw = nodeList.join(raw, Seq("id"), "left")
+        .select(col("id"), coalesce(col("raw"), lit(0L)).as("raw"))
+      val ss = withRaw.agg(coalesce(sum(
+        col("raw").cast(DecimalType(38, 0))
+          * col("raw").cast(DecimalType(38, 0))),
+        lit(BigDecimal(0)).cast(DecimalType(38, 0))).as("ss"))
+      withRaw.crossJoin(broadcast(ss))
+        .select(col("id"),
+          when(col("ss") === lit(BigDecimal(0)).cast(DecimalType(38, 0)),
+            lit(0L))
+            .otherwise(floor(col("raw").cast(DoubleType)
+              / sqrt(col("ss").cast(DoubleType)) * lit(1.0e12) + lit(0.5))
+              .cast(LongType))
+            .as(outCol))
+    }
+
+    var hub = nodeList.select(col("id"), lit(1000000000000L).as("hub_e12"))
+      .localCheckpoint(true)
+    var auth = hub.select(col("id"), col("hub_e12").as("auth_e12"))
+    for (_ <- 1 to iters) {
+      auth = half(hub.withColumnRenamed("hub_e12", "sc"), "sc",
+        "src", "dst", "auth_e12").localCheckpoint(true)
+      hub = half(auth.withColumnRenamed("auth_e12", "sc"), "sc",
+        "dst", "src", "hub_e12").localCheckpoint(true)
+    }
+    auth.join(hub, "id")
+  }
 }

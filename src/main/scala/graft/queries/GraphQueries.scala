@@ -75,6 +75,53 @@ object GraphQueries {
        |)""".stripMargin
   }
 
+  /** One unrolled HITS iteration (see [[Graph.hits]]): per direction,
+    * an edge join + Long-sum, the exact integer Σraw² (HUGEINT here,
+    * DECIMAL(38,0) in Spark — same integers), and the
+    * floor(raw/√ss·1e12+0.5) requantization. SQRT is IEEE-correctly-
+    * rounded, so the normalize step carries no cross-engine risk.
+    */
+  private def hitsIterSql(k: Int): String = {
+    def half(tag: String, prev: String, joinKey: String,
+        outKey: String): String =
+      s"""r$tag$k AS MATERIALIZED (
+         |  SELECT nd.id, COALESCE(r.raw, 0) AS raw
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.$outKey AS id, SUM(p.s) AS raw
+         |    FROM edges e JOIN $prev p ON p.id = e.$joinKey
+         |    GROUP BY e.$outKey) r USING (id)
+         |), n$tag$k AS MATERIALIZED (
+         |  SELECT COALESCE(SUM(CAST(raw AS HUGEINT) * raw), 0) AS ss
+         |  FROM r$tag$k
+         |), $tag$k AS MATERIALIZED (
+         |  SELECT id, CASE WHEN nn.ss = 0 THEN CAST(0 AS BIGINT) ELSE
+         |    CAST(FLOOR(CAST(raw AS DOUBLE) / SQRT(CAST(nn.ss AS DOUBLE))
+         |      * 1.0e12 + 0.5) AS BIGINT) END AS s
+         |  FROM r$tag$k CROSS JOIN n$tag$k nn
+         |)""".stripMargin
+    half("a", s"h${k - 1}", "src", "dst") + ",\n" +
+      half("h", s"a$k", "dst", "src")
+  }
+
+  /** The Spark-side twin of [[edgesSql]] — THE single definition of
+    * the synthetic link graph (xg1 and xg2 share it; drift between
+    * this and the SQL breaks both hash gates).
+    */
+  private def sparkEdges(docs: org.apache.spark.sql.DataFrame, n: Long)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .where(pmod(col("doc_id"), lit(97L)) =!= 0L)
+      .select(col("doc_id").as("src"),
+        explode(sequence(lit(1),
+          lit(1) + pmod(col("doc_id"), lit(3L)).cast(IntegerType)))
+          .as("j"))
+      .select(col("src"),
+        pmod(Scale.hashBucket16(
+            concat(col("src").cast(StringType), lit(":"),
+              col("j").cast(StringType))).cast(LongType),
+          lit(n)).as("dst"))
+      .where(col("dst") =!= col("src")).distinct()
+
   private val Iters = 10
 
   val all: Seq[Q] = Seq(
@@ -108,22 +155,35 @@ object GraphQueries {
          |SELECT id AS doc_id, pr_e12 FROM p$Iters ORDER BY doc_id"""
         .stripMargin) { (s, d) =>
       val docs = t(s, d, "documents")
-      val n = docs.count()
       val nodes = docs.select(col("doc_id").as("id"))
-      val links = docs
-        .where(pmod(col("doc_id"), lit(97L)) =!= 0L)
-        .select(col("doc_id").as("src"),
-          explode(sequence(lit(1),
-            lit(1) + pmod(col("doc_id"), lit(3L)).cast(IntegerType)))
-            .as("j"))
-        .select(col("src"),
-          pmod(Scale.hashBucket16(
-              concat(col("src").cast(StringType), lit(":"),
-                col("j").cast(StringType))).cast(LongType),
-            lit(n)).as("dst"))
-      val edges = links.where(col("dst") =!= col("src")).distinct()
-      Graph.pageRank(nodes, edges, iters = Iters)
+      Graph.pageRank(nodes, sparkEdges(docs, docs.count()),
+          iters = Iters)
         .select(col("id").as("doc_id"), col("pr_e12"))
+        .orderBy("doc_id")
+    },
+
+    // xg2: HITS hubs & authorities over the same link graph — the
+    // other classic link-centrality pair (hubs = pages whose OUTLINKS
+    // select good content; authorities = pages good hubs point AT —
+    // a crawl seed-list / source-weighting signal PageRank's single
+    // score conflates). Ten unrolled iterations, each direction an
+    // edge join + exact Long sum + the IEEE-exact √Σraw² normalize.
+    Q("xg2_hits",
+      s"""WITH nodes AS (SELECT doc_id AS id FROM documents),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         |$edgesSql,
+         |h0 AS (SELECT id, CAST(1000000000000 AS BIGINT) AS s FROM nodes),
+         |${(1 to Iters).map(hitsIterSql).mkString(",\n")}
+         |SELECT nd.id AS doc_id, a$Iters.s AS auth_e12,
+         |  h$Iters.s AS hub_e12
+         |FROM nodes nd
+         |JOIN a$Iters ON a$Iters.id = nd.id
+         |JOIN h$Iters ON h$Iters.id = nd.id
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val nodes = docs.select(col("doc_id").as("id"))
+      Graph.hits(nodes, sparkEdges(docs, docs.count()), iters = Iters)
+        .select(col("id").as("doc_id"), col("auth_e12"), col("hub_e12"))
         .orderBy("doc_id")
     }
   )

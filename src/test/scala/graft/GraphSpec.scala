@@ -55,6 +55,38 @@ class GraphSpec extends SparkSpec {
     assert(p.length == 1, s"non-uniform: ${p.toSeq}")
   }
 
+  test("hits: classic roles on the toy graph + unit norm + guards") {
+    // 1→{2,3}, 2→3, 3→1, 4 isolated: 3 is the strongest authority
+    // (in-links from both hubs), 1 the strongest hub (links to both
+    // authorities); node 4 scores zero on both sides.
+    val got = Graph.hits(toyNodes, toyEdges, iters = 10)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val auth = got.map(x => x._1 -> x._2).toMap
+    val hub = got.map(x => x._1 -> x._3).toMap
+    assert(auth(3L) == auth.values.max && auth(4L) == 0L,
+      s"authorities wrong: $auth")
+    assert(hub(1L) == hub.values.max && hub(4L) == 0L,
+      s"hubs wrong: $hub")
+    // normalized: Σ(s/1e12)² == 1 to the quantization grain
+    def norm2(m: Map[Long, Long]): Double =
+      m.values.map(v => (v / 1.0e12) * (v / 1.0e12)).sum
+    assert(math.abs(norm2(auth) - 1.0) < 1e-9, s"auth norm ${norm2(auth)}")
+    assert(math.abs(norm2(hub) - 1.0) < 1e-9, s"hub norm ${norm2(hub)}")
+    // no edges: all-zero scores by guard, not NaN
+    import spark.implicits._
+    val z = Graph.hits(toyNodes,
+        Seq.empty[(Long, Long)].toDF("src", "dst"), iters = 3)
+      .collect().flatMap(r => Seq(r.getLong(1), r.getLong(2)))
+    assert(z.forall(_ == 0L))
+    // partitioning invariance
+    val rep = Graph.hits(toyNodes.repartition(7),
+        toyEdges.repartition(5), iters = 10)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rep.toSeq == got.toSeq)
+  }
+
   test("output is partitioning-invariant (exact Long sums)") {
     val base = Graph.pageRank(toyNodes, toyEdges, iters = 10)
       .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
