@@ -182,6 +182,83 @@ object ScaleQueries {
         .orderBy("lang")
     },
 
+    // xk15: TEMPERATURE-based mixture resampling (the mT5/UniMax
+    // multilingual reweighting): target language share ∝ W_l^α with
+    // α = 0.5 — between proportional (α=1, no resampling) and xk7's
+    // uniform target (α=0), so low-resource languages are boosted
+    // WITHOUT the flat-target distortion that lets a tiny language
+    // dominate repeats. α=0.5 makes the exponent a SQRT, the one
+    // "transcendental" that is IEEE-correctly-rounded — so unlike an
+    // exp(α·ln W) formulation the target shares carry zero
+    // cross-engine risk (per-lang √W quantizes to DECIMAL(28,12) for
+    // the order-free denominator sum; the xt11 one-shot-quantize
+    // pattern, safe here because nothing iterates). factor_l =
+    // (√W_l / Σ√W) · W / W_l; per-doc repeats reuse xk7's exact
+    // 16-bit md5 fractional draw. Same scale shape as xk7: two tiny
+    // aggs broadcast back + a narrow map; the corpus shuffles only on
+    // the final rollup.
+    Q("xk15_temperature_resample",
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, LEN(LIST_FILTER(
+         |    STRING_SPLIT_REGEX(LOWER(text), '\\s+'), t -> t <> ''))
+         |    AS n_tok
+         |  FROM documents
+         |), bl AS (
+         |  SELECT lang, SUM(n_tok) AS tokl,
+         |    CAST(SQRT(CAST(SUM(n_tok) AS DOUBLE)) AS DECIMAL(28,12))
+         |      AS sq
+         |  FROM d GROUP BY lang
+         |), t AS (
+         |  SELECT SUM(tokl) AS tot, SUM(sq) AS ssq FROM bl
+         |), f AS (
+         |  SELECT lang,
+         |    CAST(sq AS DOUBLE) / CAST(ssq AS DOUBLE)
+         |      * CAST(tot AS DOUBLE) / tokl AS factor,
+         |    CAST(sq AS DOUBLE) / CAST(ssq AS DOUBLE) AS share
+         |  FROM bl CROSS JOIN t
+         |), r AS (
+         |  SELECT d.doc_id, d.lang, d.n_tok, f.factor, f.share,
+         |    CAST(FLOOR(f.factor) AS BIGINT) +
+         |    CASE WHEN ${hb16Sql("CAST(doc_id AS VARCHAR)")} <
+         |      CAST(FLOOR((f.factor - FLOOR(f.factor)) * 65536) AS INT)
+         |    THEN 1 ELSE 0 END AS reps
+         |  FROM d JOIN f USING (lang)
+         |)
+         |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT)
+         |    AS tok,
+         |  ${r4Sql("MAX(factor)")} AS factor,
+         |  ${r4Sql("MAX(share)")} AS tgt_share,
+         |  CAST(SUM(reps) AS BIGINT) AS reps_docs,
+         |  CAST(SUM(reps * n_tok) AS BIGINT) AS reps_tok
+         |FROM r GROUP BY lang ORDER BY lang""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.{DecimalType, DoubleType,
+        IntegerType, LongType, StringType}
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"),
+        size(graft.functions.TextFns.tokens(col("text"))).as("n_tok"))
+      val byLang = docs.groupBy("lang").agg(sum("n_tok").as("tokl"),
+        sqrt(sum("n_tok").cast(DoubleType))
+          .cast(DecimalType(28, 12)).as("sq"))
+      val tot = byLang.agg(sum("tokl").as("tot"), sum("sq").as("ssq"))
+      val f = byLang.crossJoin(broadcast(tot))
+        .select(col("lang"),
+          (col("sq").cast(DoubleType) / col("ssq").cast(DoubleType)
+            * col("tot").cast(DoubleType) / col("tokl")).as("factor"),
+          (col("sq").cast(DoubleType) / col("ssq").cast(DoubleType))
+            .as("share"))
+      val cut = floor((col("factor") - floor(col("factor"))) * 65536)
+        .cast(IntegerType)
+      val r = docs.join(broadcast(f), "lang")
+        .withColumn("reps", floor(col("factor")).cast(LongType) +
+          when(Scale.hashBucket16(col("doc_id").cast(StringType)) < cut,
+            1L).otherwise(0L))
+      r.groupBy("lang").agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("tok"), r4(max(col("factor"))).as("factor"),
+        r4(max(col("share"))).as("tgt_share"),
+        sum("reps").as("reps_docs"),
+        sum(col("reps") * col("n_tok")).as("reps_tok"))
+        .orderBy("lang")
+    },
+
     // PPS systematic sampling (draw k=100 docs with probability ∝
     // token count): corpus on a [0, W) token axis in md5-of-id order,
     // k evenly spaced points, one draw per point inside each doc's

@@ -497,4 +497,28 @@ class ScaleSpec extends SparkSpec {
     // x: 0.9 then the 0.8-tie broken to the smaller id; y/z under cap
     assert(kept == Set(1L, 2L, 5L, 6L, 7L))
   }
+
+  test("xk15 temperature factors interpolate between proportional and " +
+      "xk7's uniform target, per language") {
+    // α=0.5 sits strictly between α=1 (factor 1 everywhere — no
+    // resampling) and α=0 (xk7's flat target): minority languages are
+    // boosted, but LESS than under the uniform target; the majority
+    // language is damped, but less aggressively. If this ever fails,
+    // one of the two factor formulas drifted.
+    def factors(q: String): Map[String, Double] =
+      SparkEntry.queries(q)(spark, sf0001).collect()
+        .map(r => r.getAs[String]("lang") -> r.getAs[Double]("factor"))
+        .toMap
+    val temp = factors("xk15_temperature_resample")
+    val unif = factors("xk7_mixture_resample")
+    assert(temp.keySet == unif.keySet && temp.size >= 3)
+    for ((lang, ft) <- temp) {
+      val fu = unif(lang)
+      val between =
+        (fu < ft && ft < 1.0) || (1.0 < ft && ft < fu)
+      assert(between,
+        s"$lang: temperature factor $ft not strictly between " +
+          s"proportional 1.0 and uniform-target $fu")
+    }
+  }
 }
