@@ -135,6 +135,73 @@ object Graph {
     * direction) + two single-row norm broadcasts; lineage cut per
     * iteration. Output: (id, auth_e12, hub_e12).
     */
+  /** Exact triangle count + global clustering coefficient via the
+    * DEGREE-ORDERED orientation (the Schank–Wagner "forward"
+    * algorithm, the standard distributed formulation): orient each
+    * undirected edge from the (degree, id)-smaller endpoint to the
+    * larger, enumerate wedges only from OUT-edges, and close each
+    * wedge against the oriented edge set. Every triangle is counted
+    * exactly once (its unique (deg,id)-minimal vertex owns it), and
+    * the wedge join volume is Σ outdeg² where the orientation bounds
+    * every outdeg by O(√m) REGARDLESS of skew — a raw a<b wedge join
+    * on a power-law graph explodes on the hub's deg², this one
+    * cannot. That bound is the whole 100 TB story: two self-joins on
+    * vertex keys, no driver state.
+    *
+    * Input `edges` is interpreted as an undirected simple graph
+    * (direction and duplicates normalized away; self-loops dropped;
+    * isolated vertices carry no wedges or triangles, so the node
+    * frame is not needed). Output (one row): n_nodes (non-isolated),
+    * n_edges (undirected), wedges (open 2-paths from the UNDIRECTED
+    * degrees: Σ d(d−1)/2 — the clustering-coefficient denominator),
+    * triangles, and gcc_e4 = floor(3·triangles/wedges·10⁴+0.5) (the
+    * house fixed-point output; one double division + multiply).
+    */
+  def triangles(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = und.select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    // orient by (deg, id): u→v iff (deg(u), u) < (deg(v), v)
+    val oriented = und
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v")))
+          .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .localCheckpoint(true)
+    // wedges u→v, u→w (v < w by id — each unordered out-pair once),
+    // closed by the oriented edge between v and w (either direction)
+    val w1 = oriented.select(col("u"), col("v").as("x"))
+    val w2 = oriented.select(col("u"), col("v").as("y"))
+    val tri = w1.join(w2, "u").where(col("x") < col("y"))
+      .join(oriented.select(col("u").as("cu"), col("v").as("cv")),
+        (col("cu") === col("x") && col("cv") === col("y")) ||
+          (col("cu") === col("y") && col("cv") === col("x")))
+      .agg(count(lit(1)).as("triangles"))
+    val stats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      (sum(col("deg")) / 2).cast(LongType).as("n_edges"),
+      // d(d−1) is even, so /2 is exact — but Spark's `/` is double
+      // division; keep the column integral (the oracle emits BIGINT)
+      sum(((col("deg") * (col("deg") - 1)) / 2).cast(LongType))
+        .as("wedges"))
+    stats.crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("wedges"),
+        col("triangles"),
+        floor(lit(3.0) * col("triangles") / col("wedges") * 10000
+          + lit(0.5)).cast(LongType).as("gcc_e4"))
+  }
+
   def hits(nodes: DataFrame, edges: DataFrame, iters: Int = 10)
       : DataFrame = {
     val nodeList = nodes.select(col("id")).localCheckpoint(true)

@@ -87,6 +87,29 @@ class GraphSpec extends SparkSpec {
     assert(rep.toSeq == got.toSeq)
   }
 
+  test("triangles: K4, pendant dilution, input normalization, star") {
+    import spark.implicits._
+    def run(es: Seq[(Long, Long)]) =
+      Graph.triangles(es.toDF("src", "dst")).collect()(0)
+    // K4: 4 triangles, 12 wedges, gcc = 1
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val r1 = run(k4)
+    assert((r1.getLong(2), r1.getLong(3), r1.getLong(4)) ==
+      ((12L, 4L, 10000L)), s"K4: $r1")
+    // K4 + pendant: triangles unchanged, wedges 15, gcc 0.8
+    val r2 = run(k4 :+ (1L -> 5L))
+    assert((r2.getLong(2), r2.getLong(3), r2.getLong(4)) ==
+      ((15L, 4L, 8000L)), s"K4+pendant: $r2")
+    // normalization: duplicated + reversed edges change nothing
+    val r3 = run(k4 ++ k4.map(_.swap) ++ k4)
+    assert(r3.toSeq == r1.toSeq, s"normalization: $r3 vs $r1")
+    // star: the hub's degree never enters a wedge join (orientation
+    // points leaves→hub), zero triangles
+    val star = (2L to 11L).map(l => (1L, l))
+    val r4 = run(star)
+    assert(r4.getLong(2) == 45L && r4.getLong(3) == 0L, s"star: $r4")
+  }
+
   test("output is partitioning-invariant (exact Long sums)") {
     val base = Graph.pageRank(toyNodes, toyEdges, iters = 10)
       .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
