@@ -231,6 +231,56 @@ object GraphQueries {
          |FROM stats CROSS JOIN tri""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents")
       Graph.triangles(sparkEdges(docs, docs.count()))
+    },
+
+    // xp6: link-aware quality cap — the graph family composed with
+    // the selection family (the real curation move: RefinedWeb-style
+    // per-source caps ordered by link centrality instead of a text
+    // heuristic). xg1's PageRank scores every doc; Scale.groupCap
+    // keeps the 5 highest-centrality docs per source (ties to the
+    // smaller doc_id — pr_e12 is an exact integer, so ties are real
+    // and the order is total). Oracle replays the ENTIRE chain: the
+    // shared graph CTEs, all 10 fixed-point iterations, and the
+    // per-source ROW_NUMBER.
+    Q("xp6_pagerank_cap",
+      s"""WITH nodes AS (SELECT doc_id AS id FROM documents),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         |$edgesSql,
+         |outdeg AS (
+         |  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+         |  FROM edges GROUP BY src
+         |), edgedeg AS (
+         |  SELECT e.src, e.dst, o.deg FROM edges e
+         |  JOIN outdeg o ON o.src = e.src
+         |), p0 AS (
+         |  SELECT id, CAST(FLOOR(1.0 / nn.n * 1.0e12 + 0.5) AS BIGINT)
+         |    AS pr_e12
+         |  FROM nodes CROSS JOIN n nn
+         |),
+         |${(1 to Iters).map(iterSql).mkString(",\n")},
+         |ranked AS (
+         |  SELECT d.source, d.doc_id, p.pr_e12,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY d.source
+         |      ORDER BY p.pr_e12 DESC, d.doc_id) AS INT) AS rnk
+         |  FROM documents d JOIN p$Iters p ON p.id = d.doc_id
+         |)
+         |SELECT source, rnk, doc_id, pr_e12 FROM ranked
+         |WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val nodes = docs.select(col("doc_id").as("id"))
+      val pr = Graph.pageRank(nodes, sparkEdges(docs, docs.count()),
+          iters = Iters)
+        .join(docs.select(col("doc_id").as("id"), col("source")), "id")
+        .select(col("id").as("doc_id"), col("source"), col("pr_e12"))
+      // Scale.groupCap's exact semantics, rank kept for the output
+      // (groupCap drops its row number; the oracle needs it)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source")
+        .orderBy(col("pr_e12").desc, col("doc_id").asc)
+      pr.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 5)
+        .select(col("source"), col("rnk"), col("doc_id"), col("pr_e12"))
+        .orderBy("source", "rnk")
     }
   )
 }
