@@ -1698,24 +1698,95 @@ object Dedup {
     */
   def cdcDedupStats(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val occ = docs
-      .select(col(idCol).as("doc_id"),
+    val occ = cdcOcc(docs, idCol, textCol)
+      .localCheckpoint(true) // feeds both sides of the firsts join
+    val firsts = occ.groupBy("k")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    cdcRollup(occ.join(firsts, "k")
+      .select(col("doc_id"), col("clen"),
+        (col("first.doc_id") =!= col("doc_id") ||
+          col("first.pos") =!= col("pos")).as("dup")))
+  }
+
+  /** Chunk occurrences of a corpus: (doc_id, pos, k=sha256(chunk),
+    * clen) — the shared derivation of [[cdcDedupStats]] and the
+    * streaming ingest.
+    */
+  private def cdcOcc(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs
+      .select(col(idCol).cast(LongType).as("doc_id"),
         explode(HashFns.cdcChunks(col(textCol))).as("ck"))
       .select(col("doc_id"), col("ck.pos").as("pos"),
         sha2(col("ck.chunk"), 256).as("k"),
         length(col("ck.chunk")).cast(LongType).as("clen"))
-      .localCheckpoint(true) // feeds both sides of the firsts join
-    val firsts = occ.groupBy("k")
-      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
-    occ.join(firsts, "k")
-      .select(col("doc_id"), col("clen"),
-        (col("first.doc_id") =!= col("doc_id") ||
-          col("first.pos") =!= col("pos")).as("dup"))
-      .groupBy("doc_id")
+
+  private def cdcRollup(flagged: DataFrame): DataFrame =
+    flagged.groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("dup"), 1L).otherwise(0L)).as("dup_chunks"),
         sum(when(col("dup"), col("clen")).otherwise(0L)).as("dup_chars"))
+
+  /** Evolving first-occurrence chunk store for STREAMING CDC dedup
+    * (qs19): sha256(chunk) → min (doc_id, pos). Unlike [[GramStore]]
+    * this keys on a 256-bit hash (the qx1/xd15 collision contract),
+    * and the batch twin + oracle group on REAL chunk text, so a
+    * collision that ever mattered fails the gate.
+    */
+  final case class ChunkStore private[operators] (chunks: DataFrame)
+
+  def prepareChunkStore(corpus: DataFrame, idCol: String,
+      textCol: String): ChunkStore =
+    ChunkStore(cdcOcc(corpus, idCol, textCol)
+      .groupBy("k")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("__mk"))
+      .localCheckpoint(true))
+
+  final case class CdcIngest(result: DataFrame, appended: DataFrame,
+      next: ChunkStore)
+
+  /** One ingested batch of the CDC stream: per-doc dedup stats for
+    * the batch (identical to the one-shot [[cdcDedupStats]] row for
+    * those docs over corpus ∪ deltas-so-far), the store delta (chunk
+    * keys first seen in THIS batch), and the evolved store. Same
+    * monotone doc_id-arrival contract as [[substringDedupIngest]]:
+    * store firsts are all smaller than batch positions, min-merge is
+    * associative, so ANY chunking equals the one-shot run restricted
+    * to the delta docs.
+    */
+  def cdcDedupIngest(batch: DataFrame, store: ChunkStore,
+      idCol: String, textCol: String): CdcIngest = {
+    val occ = cdcOcc(batch, idCol, textCol).localCheckpoint(true)
+    val bmin = occ.groupBy("k")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("__bmk"))
+    // store is corpus-scale: keep it out of broadcasts (merge hint,
+    // the substringDedupIngest rationale)
+    val eff = bmin.join(store.chunks.hint("merge"), Seq("k"), "left")
+      .select(col("k"),
+        coalesce(least(col("__mk"), col("__bmk")), col("__bmk"))
+          .as("__emk"))
+    val result = cdcRollup(occ.join(eff.hint("merge"), "k")
+      .select(col("doc_id"), col("clen"),
+        (struct(col("doc_id"), col("pos")) > col("__emk")).as("dup")))
+    val appended = bmin.join(store.chunks.hint("merge"),
+        Seq("k"), "left_anti")
+      .select(col("k"), col("__bmk").as("__mk"))
+      .localCheckpoint(true)
+    CdcIngest(result, appended,
+      ChunkStore(store.chunks.unionByName(appended)))
   }
+
+  /** Replay durable store deltas (crash recovery) — chunk keys are
+    * deterministic, so a rebuilt store equals the crashed run's.
+    */
+  def appendChunksToStore(store: ChunkStore,
+      appended: DataFrame): ChunkStore =
+    ChunkStore(store.chunks.unionByName(
+      appended.select(col("k"), col("__mk"))))
+
+  /** LSM-style rewrite — the [[compactGramStore]] contract. */
+  def compactChunkStore(store: ChunkStore): ChunkStore =
+    store.copy(chunks = store.chunks.localCheckpoint(true))
 }
 
 /** Paragraph-splitting strategies for [[Dedup.paragraphDedup]] /

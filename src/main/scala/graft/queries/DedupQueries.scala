@@ -514,8 +514,19 @@ object DedupQueries {
     // chunk substrings, and the global first-occurrence flags —
     // grouped on the REAL chunk text where Spark ships sha256, so the
     // hash gate also proves the hash stand-in loses nothing.
-    Q("xd15_cdc_dedup",
-      s"""WITH gear AS (
+    Q("xd15_cdc_dedup", cdcOracleSql()) { (s, d) =>
+      Dedup.cdcDedupStats(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }
+  )
+
+  /** The xd15 replay, parameterized by a final-rollup restriction so
+    * the qs19 stream face shares the ORACLE TEXT VERBATIM (contracts
+    * cannot drift): flags are computed globally, the rollup is
+    * restricted to the delta slice.
+    */
+  private[queries] def cdcOracleSql(finalWhere: String = ""): String =
+    s"""WITH gear AS (
          |  SELECT b, ${gear44Sql("CAST(b AS VARCHAR)")} AS g
          |  FROM RANGE(256) t(b)
          |), chars AS (
@@ -560,12 +571,8 @@ object DedupQueries {
          |    AS dup_chunks,
          |  CAST(COALESCE(SUM(CASE WHEN dup THEN clen END), 0) AS BIGINT)
          |    AS dup_chars
-         |FROM flag GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
-      (s, d) =>
-      Dedup.cdcDedupStats(t(s, d, "documents"), "doc_id", "text")
-        .orderBy("doc_id")
-    }
-  )
+         |FROM flag $finalWhere GROUP BY doc_id ORDER BY doc_id"""
+      .stripMargin
 
   /** 44-bit md5-prefix integer in DuckDB SQL — the hb16Sql nibble
     * expansion widened to 11 nibbles (= CdcChunks.Gear's

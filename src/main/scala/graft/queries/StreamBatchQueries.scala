@@ -432,6 +432,24 @@ object StreamBatchQueries {
         bounds = Seq(450L))
     },
 
+    // qs19: streaming CDC block dedup (the xd15 stream face): the
+    // <400 corpus seeds the first-occurrence chunk store, docs >= 400
+    // ingest in doc_id-ordered chunks; monotone arrival + associative
+    // min-merge make the chunked union equal one-shot xd15 over the
+    // whole corpus restricted to the delta — the oracle IS xd15's
+    // replay text (shared verbatim via cdcOracleSql, contracts cannot
+    // drift) with the rollup restricted to the delta slice. The real
+    // file-stream runner (Streams.runCdcDedupStream: durable store
+    // deltas, LSM compaction) is StreamingSpec-gated against this.
+    Q("qs19_stream_cdc_dedup",
+      DedupQueries.cdcOracleSql("WHERE doc_id >= 400")) { (s, d) =>
+      val docs = t(s, d, "documents")
+      graft.streaming.Streams.cdcDedupChunked(
+        docs.where(col("doc_id") >= 400),
+        docs.where(col("doc_id") < 400),
+        bounds = Seq(450L))
+    },
+
     // Streaming quality-classifier scoring (QS11, the xt18 stream
     // face): the NB model is fit ONCE on the <400 static corpus and
     // FROZEN; docs >= 400 arrive as the stream and are scored against

@@ -564,6 +564,74 @@ object Streams {
     parts.reduce(_.unionAll(_)).orderBy("doc_id")
   }
 
+  /** Run the QS19 stream: delta document files → per-micro-batch CDC
+    * block dedup against the evolving chunk store → parquet sink. The
+    * streaming face of xd15 with qs10's structural pieces: durable
+    * per-batch store deltas (`outDir/store/batch=<id>`, idempotent
+    * overwrite; restart replays them through
+    * [[graft.operators.Dedup.appendChunksToStore]]), LSM compaction
+    * every `compactEvery` batches, and the monotone doc_id-arrival
+    * contract that makes any chunking equal the one-shot
+    * [[graft.operators.Dedup.cdcDedupStats]] over corpus ∪ deltas
+    * restricted to the delta docs. The store is ~one row per 64 input
+    * chars (the CDC compression), so state stays far below qs10's
+    * per-position gram store for the same stream.
+    */
+  def runCdcDedupStream(spark: SparkSession, deltaDir: String,
+      corpus: DataFrame, outDir: String, compactEvery: Int = 4): Unit = {
+    import graft.operators.Dedup
+    val sc = spark.sparkContext
+    val pre = sc.getPersistentRDDs.keySet
+    var cs = Dedup.prepareChunkStore(corpus, "doc_id", "text")
+    val storeDir = new org.apache.hadoop.fs.Path(s"$outDir/store")
+    val fs = storeDir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(storeDir) && fs.listStatus(storeDir).nonEmpty)
+      cs = Dedup.appendChunksToStore(cs,
+        spark.read.parquet(s"$outDir/store/batch=*"))
+    var owned = sc.getPersistentRDDs.keySet -- pre
+    var batches = 0
+    docStream(spark, deltaDir, outDir) { (batch, batchId) =>
+      val before = sc.getPersistentRDDs.keySet
+      val ing = Dedup.cdcDedupIngest(batch, cs, "doc_id", "text")
+      ing.appended.write.mode("overwrite")
+        .parquet(s"$outDir/store/batch=$batchId")
+      ing.result.write.mode("overwrite")
+        .parquet(s"$outDir/batch=$batchId")
+      cs = ing.next
+      owned ++= sc.getPersistentRDDs.keySet -- before
+      batches += 1
+      if (batches % compactEvery == 0) {
+        val preCompact = sc.getPersistentRDDs.keySet
+        cs = Dedup.compactChunkStore(cs)
+        val kept = sc.getPersistentRDDs.keySet -- preCompact
+        sc.getPersistentRDDs
+          .filter { case (id, _) => owned(id) && !kept(id) }
+          .values.foreach(_.unpersist(blocking = false))
+        owned = kept
+      }
+    }
+  }
+
+  /** Batch-shape QS19 harness (the oracle entry): ingest `newDocs`
+    * through the evolving chunk store in doc_id-ordered chunks split
+    * at `bounds` — union of per-chunk outputs == one-shot xd15 over
+    * corpus ∪ newDocs restricted to newDocs.
+    */
+  def cdcDedupChunked(newDocs: DataFrame, corpus: DataFrame,
+      bounds: Seq[Long]): DataFrame = {
+    import graft.operators.Dedup
+    var cs = Dedup.prepareChunkStore(corpus, "doc_id", "text")
+    val edges = (Long.MinValue +: bounds.sorted) :+ Long.MaxValue
+    val parts = edges.sliding(2).map { case Seq(lo, hi) =>
+      val ing = Dedup.cdcDedupIngest(
+        newDocs.where(col("doc_id") >= lo && col("doc_id") < hi),
+        cs, "doc_id", "text")
+      cs = ing.next
+      ing.result
+    }.toSeq
+    parts.reduce(_.unionAll(_)).orderBy("doc_id")
+  }
+
   /** Streaming token-budget shard packing (QS9): doc_id-ordered
     * batches are packed by [[graft.operators.Scale.packShards]] with
     * each batch's `base` = total tokens of all earlier batches — the

@@ -565,6 +565,45 @@ class StreamingSpec extends SparkSpec {
     assert(one.exists(_._2 > 0), "no dup spans in the delta slice")
   }
 
+  test("QS19 CDC stream face: any chunking == one-shot xd15, and the " +
+      "real runner restarts from the durable chunk-store appends") {
+    val docs = graft.queries.T.t(spark, sf0001, "documents")
+    val delta = docs.where(col("doc_id") >= 400)
+    val corpus = docs.where(col("doc_id") < 400).cache()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val oneShot = rows(graft.operators.Dedup.cdcDedupStats(
+        docs, "doc_id", "text")
+      .where(col("doc_id") >= 400))
+    // chunk-invariance of the batch harness
+    val one = rows(Streams.cdcDedupChunked(delta, corpus, Seq.empty))
+    val three = rows(Streams.cdcDedupChunked(delta, corpus,
+      Seq(470L, 540L)))
+    assert(one == oneShot && three == oneShot)
+    assert(one.exists(_._3 > 0), "no dup chunks in the delta slice")
+    // real file-stream runner across a mid-stream "crash": run 1 sees
+    // only slice 1; the restart rebuilds the store from
+    // outDir/store/batch=0 and must finish identically
+    val base = java.nio.file.Files.createTempDirectory("qs19")
+    val deltaDir = base.resolve("delta").toString
+    val outDir = base.resolve("out").toString
+    delta.where(col("doc_id") < 470).coalesce(1)
+      .write.mode("append").parquet(deltaDir)
+    Streams.runCdcDedupStream(spark, deltaDir, corpus, outDir,
+      compactEvery = 2)
+    Thread.sleep(20)
+    delta.where(col("doc_id") >= 470 && col("doc_id") < 540).coalesce(1)
+      .write.mode("append").parquet(deltaDir)
+    Thread.sleep(20)
+    delta.where(col("doc_id") >= 540).coalesce(1)
+      .write.mode("append").parquet(deltaDir)
+    Streams.runCdcDedupStream(spark, deltaDir, corpus, outDir,
+      compactEvery = 2)
+    corpus.unpersist()
+    assert(rows(spark.read.parquet(s"$outDir/batch=*")) == oneShot)
+  }
+
   test("QS10 runner: restart rebuilds the gram store from the durable " +
       "appends and finishes identically") {
     val docs = graft.queries.T.t(spark, sf0001, "documents")
