@@ -180,13 +180,16 @@ object Graph {
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .localCheckpoint(true)
     // wedges u→v, u→w (v < w by id — each unordered out-pair once),
-    // closed by the oriented edge between v and w (either direction)
+    // closed against the ID-ordered undirected edge set — an EQUI
+    // join on (x, y). (Closing against `oriented` needs an OR of the
+    // two directions, which Spark cannot hash-join: the planner falls
+    // back to BroadcastNestedLoopJoin and the leg goes wedges×edges —
+    // the first draft hung exactly there at 200k nodes.)
     val w1 = oriented.select(col("u"), col("v").as("x"))
     val w2 = oriented.select(col("u"), col("v").as("y"))
     val tri = w1.join(w2, "u").where(col("x") < col("y"))
-      .join(oriented.select(col("u").as("cu"), col("v").as("cv")),
-        (col("cu") === col("x") && col("cv") === col("y")) ||
-          (col("cu") === col("y") && col("cv") === col("x")))
+      .join(und.select(col("a").as("x"), col("b").as("y")),
+        Seq("x", "y"))
       .agg(count(lit(1)).as("triangles"))
     val stats = deg.agg(
       count(lit(1)).as("n_nodes"),

@@ -217,8 +217,7 @@ object GraphQueries {
          |  SELECT CAST(COUNT(*) AS BIGINT) AS triangles
          |  FROM oriented w1
          |  JOIN oriented w2 ON w2.u = w1.u AND w1.v < w2.v
-         |  JOIN oriented c ON (c.u = w1.v AND c.v = w2.v)
-         |                  OR (c.u = w2.v AND c.v = w1.v)
+         |  JOIN und c ON c.a = w1.v AND c.b = w2.v
          |), stats AS (
          |  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
          |    CAST(SUM(deg) / 2 AS BIGINT) AS n_edges,

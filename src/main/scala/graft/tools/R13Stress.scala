@@ -181,6 +181,69 @@ object R13Stress {
       "planted/natural dup chunks missing at scale")
     results += "xd15_cpu_ratio_info" -> (c2.cpu / c1.cpu)
 
+    // ---------- xg3 orientation-vs-raw wedge volume (skew gate) ----
+    // A hub-heavy graph is where triangle counting dies without the
+    // degree-ordered orientation: raw wedge volume Σ deg·(deg−1)/2 is
+    // dominated by the hub's deg², oriented volume Σ outdeg·(outdeg−1)/2
+    // stays bounded (hub outdeg ≈ 0 — everything orients INTO it).
+    // Both volumes are deterministic counters computed from the same
+    // edge set; the gate is their ratio.
+    locally {
+      val hubN = 20000L * f
+      val nodes = spark.range(hubN)
+      // hub 0 touches every node; plus a sparse md5 ring for texture
+      val hubEdges = nodes.where(col("id") > 0)
+        .select(lit(0L).as("src"), col("id").as("dst"))
+      val ring = nodes
+        .select(col("id").as("src"),
+          pmod(col("id") + 1, lit(hubN)).as("dst"))
+      val edges = hubEdges.unionAll(ring)
+      val und = edges
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .where(col("a") =!= col("b")).distinct().localCheckpoint(true)
+      val deg = und.select(col("a").as("id"))
+        .unionAll(und.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val rawWedges = deg
+        .agg(sum(((col("deg") * (col("deg") - 1)) / 2).cast(LongType)))
+        .head.getLong(0)
+      val oriented = und
+        .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+        .select(
+          when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+            col("a")).otherwise(col("b")).as("u"))
+      val orientedWedges = oriented.groupBy("u")
+        .agg(count(lit(1)).as("od"))
+        .agg(sum(((col("od") * (col("od") - 1)) / 2).cast(LongType)))
+        .head.getLong(0)
+      val (tri, sec, cpu) = timed {
+        graft.operators.Graph.triangles(edges).head.getLong(3)
+      }
+      println(f"[xg3] n=$hubN raw_wedges=$rawWedges " +
+        f"oriented_wedges=$orientedWedges triangles=$tri " +
+        f"wall=$sec%.2fs cpu=$cpu%.2fs")
+      results += "xg3_n" -> hubN
+      results += "xg3_raw_wedge_work" -> rawWedges
+      results += "xg3_oriented_wedge_work" -> orientedWedges
+      results += "xg3_triangles" -> tri
+      results += "xg3_sec" -> sec
+      results += "xg3_cpu_sec" -> cpu
+      // the hub alone contributes (n-1)(n-2)/2 raw wedges; oriented
+      // volume must be at least 1000× smaller on this shape
+      require(orientedWedges * 1000 < rawWedges,
+        s"orientation is not suppressing the hub: $orientedWedges vs " +
+          s"$rawWedges")
+      // every interior ring edge (i, i+1), 1 ≤ i ≤ n−2, closes a
+      // triangle with the hub; the two ring edges touching the hub
+      // are duplicates of hub edges → exactly n−2 triangles
+      require(tri == hubN - 2,
+        s"hub+ring triangle count $tri != ${hubN - 2}")
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+
     val payload = results
       .map { case (k, v) => s""""$k":${StressUtil.jsonScalar(v)}""" }
       .mkString("{", ",", "}")
