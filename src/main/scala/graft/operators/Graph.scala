@@ -135,6 +135,69 @@ object Graph {
     * direction) + two single-row norm broadcasts; lineage cut per
     * iteration. Output: (id, auth_e12, hub_e12).
     */
+  /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB'04): PageRank
+    * with the teleport restricted to a TRUSTED SEED SET — the
+    * quality-propagation op crawl curation actually runs (score
+    * flows outward from vetted seed domains; unlinked spam islands
+    * receive nothing, unlike classic PageRank's (1−d)/n floor).
+    * Identical fixed-point machinery to [[pageRank]]; the base term
+    * and the dangling redistribution go ONLY to seeds:
+    * {{{
+    *   pr'(v) = [v∈S]·q(residual / nS)
+    *          + q(d · toD(Σ_{u→v} q(pr(u)/deg(u))))
+    *          + [v∈S]·q(d · toD(Σ_{dangling} pr(u)) / nS)
+    * }}}
+    * `seedPred` marks the seed set (a deterministic predicate — at
+    * cluster scale seeds are a small curated list, broadcastable or
+    * literal). Initial mass 1/nS on each seed, 0 elsewhere.
+    */
+  def trustRank(nodes: DataFrame, edges: DataFrame,
+      seedPred: org.apache.spark.sql.Column, iters: Int = 10,
+      damping: Double = 0.85, residual: Double = 0.15): DataFrame = {
+    val nodeList = nodes.select(col("id"), seedPred.as("seed"))
+      .localCheckpoint(true)
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val edgeDeg = edges.select(col("src"), col("dst"))
+      .join(outdeg, "src").localCheckpoint(true)
+    val dangling = nodeList.select(col("id"))
+      .join(outdeg.select(col("src").as("id")), Seq("id"), "left_anti")
+      .localCheckpoint(true)
+    val nS = nodeList.where(col("seed")).count()
+    require(nS > 0, "trustRank: empty seed set")
+    val nSD = nS.toDouble
+
+    var p = nodeList.select(col("id"),
+        when(col("seed"),
+          lit(math.floor(1.0 / nSD * 1.0e12 + 0.5).toLong))
+          .otherwise(lit(0L)).as("pr_e12"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = edgeDeg
+        .join(p.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"),
+          floor(col("pr_e12").cast(DoubleType) / col("deg") + lit(0.5))
+            .cast(LongType).as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("s"))
+      val dang = p.join(dangling, "id")
+        .agg(coalesce(sum(col("pr_e12")), lit(0L)).as("dm"))
+      p = nodeList
+        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("id"),
+          (when(col("seed"),
+              lit(math.floor(residual / nSD * 1.0e12 + 0.5).toLong)
+                + floor(lit(damping) * col("dm").cast(DoubleType)
+                    / lit(nSD) + lit(0.5)).cast(LongType))
+            .otherwise(lit(0L))
+            + floor(lit(damping)
+                * coalesce(col("s"), lit(0L)).cast(DoubleType)
+                + lit(0.5)).cast(LongType))
+            .as("pr_e12"))
+        .localCheckpoint(true)
+    }
+    p
+  }
+
   /** Exact triangle count + global clustering coefficient via the
     * DEGREE-ORDERED orientation (the Schank–Wagner "forward"
     * algorithm, the standard distributed formulation): orient each

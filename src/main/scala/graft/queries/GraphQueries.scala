@@ -103,6 +103,33 @@ object GraphQueries {
       half("h", s"a$k", "dst", "src")
   }
 
+  /** One unrolled TrustRank iteration (see [[Graph.trustRank]]): the
+    * xg1 update with base + dangling terms gated on the seed flag.
+    */
+  private def trustIterSql(k: Int): String = {
+    val prev = s"p${k - 1}"
+    s"""c$k AS MATERIALIZED (
+       |  SELECT e.dst,
+       |    CAST(SUM(CAST(FLOOR(CAST(p.pr_e12 AS DOUBLE) / e.deg + 0.5)
+       |      AS BIGINT)) AS BIGINT) AS s
+       |  FROM edgedeg e JOIN $prev p ON p.id = e.src GROUP BY e.dst
+       |), d$k AS MATERIALIZED (
+       |  SELECT CAST(COALESCE(SUM(pr_e12), 0) AS BIGINT) AS dm
+       |  FROM $prev WHERE id NOT IN (SELECT src FROM outdeg)
+       |), p$k AS MATERIALIZED (
+       |  SELECT nd.id,
+       |      CASE WHEN nd.seed THEN
+       |        CAST(FLOOR(0.15 / nn.ns * 1.0e12 + 0.5) AS BIGINT)
+       |      + CAST(FLOOR(0.85 * CAST(dd.dm AS DOUBLE) / nn.ns + 0.5)
+       |          AS BIGINT)
+       |      ELSE CAST(0 AS BIGINT) END
+       |    + CAST(FLOOR(0.85 * CAST(COALESCE(c.s, 0) AS DOUBLE) + 0.5)
+       |        AS BIGINT) AS pr_e12
+       |  FROM nodes nd CROSS JOIN ns nn CROSS JOIN d$k dd
+       |  LEFT JOIN c$k c ON c.dst = nd.id
+       |)""".stripMargin
+  }
+
   /** The Spark-side twin of [[edgesSql]] — THE single definition of
     * the synthetic link graph (xg1 and xg2 share it; drift between
     * this and the SQL breaks both hash gates).
@@ -230,6 +257,43 @@ object GraphQueries {
          |FROM stats CROSS JOIN tri""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents")
       Graph.triangles(sparkEdges(docs, docs.count()))
+    },
+
+    // xg4: TrustRank — PageRank's teleport restricted to a trusted
+    // seed set (doc_id % 50 == 0, the deterministic stand-in for a
+    // vetted domain list): quality flows OUTWARD from seeds, and
+    // pages unreachable from them score exactly 0 (no (1-d)/n floor
+    // — the spam-island property classic PageRank lacks). Same
+    // fixed-point discipline and unrolled-CTE oracle as xg1.
+    Q("xg4_trustrank",
+      s"""WITH nodes AS (
+         |  SELECT doc_id AS id, doc_id % 50 = 0 AS seed FROM documents
+         |),
+         |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM nodes
+         |       WHERE seed),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         |$edgesSql,
+         |outdeg AS (
+         |  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+         |  FROM edges GROUP BY src
+         |), edgedeg AS (
+         |  SELECT e.src, e.dst, o.deg FROM edges e
+         |  JOIN outdeg o ON o.src = e.src
+         |), p0 AS (
+         |  SELECT id, CASE WHEN seed
+         |    THEN CAST(FLOOR(1.0 / nn.ns * 1.0e12 + 0.5) AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS pr_e12
+         |  FROM nodes CROSS JOIN ns nn
+         |),
+         |${(1 to Iters).map(trustIterSql).mkString(",\n")}
+         |SELECT id AS doc_id, pr_e12 FROM p$Iters ORDER BY doc_id"""
+        .stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val nodes = docs.select(col("doc_id").as("id"))
+      Graph.trustRank(nodes, sparkEdges(docs, docs.count()),
+          pmod(col("id"), lit(50L)) === 0L, iters = Iters)
+        .select(col("id").as("doc_id"), col("pr_e12"))
+        .orderBy("doc_id")
     },
 
     // xp6: link-aware quality cap — the graph family composed with

@@ -87,6 +87,28 @@ class GraphSpec extends SparkSpec {
     assert(rep.toSeq == got.toSeq)
   }
 
+  test("trustrank: score flows only from seeds — spam islands get 0") {
+    import spark.implicits._
+    // toy graph + a disconnected 2-node island (5→6); seed = node 1
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (5L, 6L))
+      .toDF("src", "dst")
+    val tr = Graph.trustRank(nodes, edges, col("id") === 1L, iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reachable from the seed: 1, 2, 3 score > 0
+    assert(Seq(1L, 2L, 3L).forall(tr(_) > 0L), s"$tr")
+    // the island and the isolated node score EXACTLY 0 — the property
+    // classic PageRank lacks (its (1−d)/n floor funds every node)
+    assert(Seq(4L, 5L, 6L).forall(tr(_) == 0L), s"$tr")
+    val pr = Graph.pageRank(nodes, edges, iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(4L, 5L, 6L).forall(pr(_) > 0L), s"$pr")
+    // mass conservation in trust space (island receives nothing, the
+    // dangling/leak terms all route back to the seed set)
+    assert(math.abs(tr.values.sum - 1000000000000L) <= 3L * 6 * 10,
+      s"trust mass drifted: ${tr.values.sum}")
+  }
+
   test("triangles: K4, pendant dilution, input normalization, star") {
     import spark.implicits._
     def run(es: Seq[(Long, Long)]) =
