@@ -88,7 +88,84 @@ object Quality {
         (lo > 0).cast(IntegerType).as("pred"))
       .orderBy("doc_id")
   }
-}
+
+  /** C4-style cleaning composite (Raffel et al. JMLR'20 §2.2,
+    * adapted to the corpus's line-free text the way xd10 adapts
+    * paragraphs — `window`-word fixed windows stand in for lines):
+    *
+    *  1. LINE rules: ≥ `minWords` words (real C4: ≥3 words; fires on
+    *     tail windows here); no line containing "javascript" (real
+    *     C4 rule; the synthetic corpus never triggers it — the
+    *     crafted-fixture spec does, the xt15 vacuous-rule precedent);
+    *  2. CORPUS-level line dedup: any rule-surviving line text
+    *     occurring more than once corpus-wide keeps only its first
+    *     (doc_id·100000+idx) occurrence — C4's across-corpus span
+    *     dedup at window granularity (xd10's exact stage, composed
+    *     here under the rule filter);
+    *  3. PAGE rules: drop docs containing "lorem ipsum" or "{"
+    *     anywhere (real C4), and docs with fewer than `minKept`
+    *     surviving lines (C4's ≥N-sentence floor).
+    *
+    * Pinned evaluation order: line rules, then dedup among the
+    * survivors, then page rules — the oracle replays the same order.
+    * Scale shape: window explosion is a narrow map; the single
+    * corpus-wide shuffle is the dedup groupBy on line text (the qx1
+    * one-hash-shuffle class); page rules and reassembly ride the
+    * per-doc rollup.
+    *
+    * Output per input doc: (doc_id, n_lines, dropped_rule,
+    * dropped_dup, n_kept, kept, clean_text) — clean_text is the
+    * surviving lowercased windows rejoined in idx order ('' when
+    * nothing survives).
+    */
+  def c4Clean(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 12, minWords: Int = 3, minKept: Int = 3)
+      : DataFrame = {
+    val d0 = docs.select(col(idCol).cast(LongType).as("doc_id"),
+      lower(col(textCol)).as("__lt"),
+      TextFns.tokens(col(textCol)).as("__fw"))
+    val lines = d0
+      .select(col("doc_id"),
+        explode(sequence(lit(0L),
+          ceil(size(col("__fw")) / lit(window.toDouble)) - 1))
+          .as("idx"),
+        col("__fw"))
+      .select(col("doc_id"), col("idx"),
+        (col("doc_id") * 100000L + col("idx")).as("pid"),
+        array_join(slice(col("__fw"),
+          (col("idx") * window + 1).cast(IntegerType), lit(window)), " ")
+          .as("ptext"),
+        size(slice(col("__fw"),
+          (col("idx") * window + 1).cast(IntegerType), lit(window)))
+          .as("nw"))
+      .withColumn("pass",
+        col("nw") >= minWords && !col("ptext").contains("javascript"))
+      .localCheckpoint(true) // feeds the dedup groupBy AND the rollup
+    val firsts = lines.where(col("pass"))
+      .groupBy("ptext").agg(min(col("pid")).as("__fp"))
+    val flagged = lines
+      .join(firsts, Seq("ptext"), "left")
+      .select(col("doc_id"), col("idx"), col("ptext"),
+        (!col("pass")).as("dropr"),
+        (col("pass") && col("pid") =!= col("__fp")).as("dropd"),
+        (col("pass") && col("pid") === col("__fp")).as("keep"))
+    flagged.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("dropr"), 1L).otherwise(0L)).as("dropped_rule"),
+        sum(when(col("dropd"), 1L).otherwise(0L)).as("dropped_dup"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("idx"), col("ptext"))))),
+          x => x.getField("ptext")), " ").as("clean_text"))
+      .join(d0.select(col("doc_id"), col("__lt")), "doc_id")
+      .select(col("doc_id"), col("n_lines"), col("dropped_rule"),
+        col("dropped_dup"), col("n_kept"),
+        (col("n_kept") >= minKept &&
+          !col("__lt").contains("lorem ipsum") &&
+          !col("__lt").contains("{")).as("kept"),
+        col("clean_text"))
+  }}
 
 /** Char-n-gram Naive-Bayes language ID (xt23) — the fastText-shaped
   * upgrade of xt1's stopword argmax: multinomial NB over CHARACTER
@@ -205,4 +282,6 @@ object LangId {
         (floor(col("__score") * 10000 + 0.5) / 10000.0).as("score"))
       .orderBy(idCol)
   }
+
+
 }

@@ -964,6 +964,67 @@ object TextAnalysisQueries {
         .orderBy("doc_id")
     },
 
+    // xt26: the C4 cleaning composite (Raffel et al. JMLR'20 §2.2),
+    // adapted to line-free text via 12-word fixed windows (the xd10
+    // splitter discipline): line rules (≥3 words; no "javascript"
+    // line) → corpus-wide line dedup (first pid wins) → page rules
+    // ("lorem ipsum"/"{" anywhere, ≥3 surviving lines) → reassembly.
+    // The punctuation-dependent C4 rules are exercised by crafted
+    // fixtures in QualitySpec-style tests (the xt15 vacuous-rule
+    // precedent); the min-words rule, the corpus dedup, and the
+    // page floor all fire on this corpus. See Quality.c4Clean for
+    // the pinned evaluation order and the scale shape.
+    Q("xt26_c4_clean",
+      raw"""WITH d0 AS (
+        |  SELECT doc_id, LOWER(text) AS lt, LIST_FILTER(
+        |    STRING_SPLIT_REGEX(LOWER(text), '\s+'), t -> t <> '') AS fw
+        |  FROM documents
+        |), lines AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS idx,
+        |    doc_id * 100000 + i AS pid,
+        |    ARRAY_TO_STRING(
+        |      fw[(CAST(i AS INT)*12+1):(CAST(i AS INT)*12+12)], ' ')
+        |      AS ptext,
+        |    LEN(fw[(CAST(i AS INT)*12+1):(CAST(i AS INT)*12+12)]) AS nw
+        |  FROM d0, UNNEST(RANGE(0,
+        |    CAST(CEIL(LEN(fw)/12.0) AS BIGINT))) AS t(i)
+        |), ruled AS (
+        |  SELECT *, nw >= 3 AND POSITION('javascript' IN ptext) = 0
+        |    AS pass
+        |  FROM lines
+        |), firsts AS (
+        |  SELECT ptext, MIN(pid) AS fp FROM ruled WHERE pass
+        |  GROUP BY ptext
+        |), flagged AS (
+        |  SELECT r.doc_id, r.idx, r.ptext,
+        |    NOT r.pass AS dropr,
+        |    r.pass AND r.pid <> f.fp AS dropd,
+        |    r.pass AND r.pid = f.fp AS keep
+        |  FROM ruled r LEFT JOIN firsts f USING (ptext)
+        |), agg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |    CAST(COALESCE(SUM(CASE WHEN dropr THEN 1 END), 0) AS BIGINT)
+        |      AS dropped_rule,
+        |    CAST(COALESCE(SUM(CASE WHEN dropd THEN 1 END), 0) AS BIGINT)
+        |      AS dropped_dup,
+        |    CAST(COALESCE(SUM(CASE WHEN keep THEN 1 END), 0) AS BIGINT)
+        |      AS n_kept,
+        |    COALESCE(ARRAY_TO_STRING(
+        |      LIST(ptext ORDER BY idx) FILTER (WHERE keep), ' '), '')
+        |      AS clean_text
+        |  FROM flagged GROUP BY doc_id
+        |)
+        |SELECT a.doc_id, n_lines, dropped_rule, dropped_dup, n_kept,
+        |  n_kept >= 3 AND POSITION('lorem ipsum' IN d.lt) = 0
+        |    AND POSITION('{' IN d.lt) = 0 AS kept,
+        |  clean_text
+        |FROM agg a JOIN d0 d USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.operators.Quality
+        .c4Clean(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // Interpolated Kneser-Ney bigram LM (the smoothing KenLM actually
     // implements and CCNet's filter actually runs — xt17's absolute-
     // discount+add-1 mix is the simpler cousin): discount D=0.75 off

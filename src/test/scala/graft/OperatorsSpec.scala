@@ -1525,6 +1525,44 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("c4 cleaning: every rule fires on crafted fixtures") {
+    import spark.implicits._
+    def words(n: Int, tag: String) =
+      (1 to n).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      // 4 clean 12-word lines → kept
+      (1L, (1 to 4).map(i => words(12, s"a$i")).mkString(" ")),
+      // line 2 carries "javascript" → that LINE drops, doc keeps 3
+      (2L, words(12, "b1") + " javascript " + words(11, "b2") + " " +
+        words(12, "b3") + " " + words(12, "b4")),
+      // "lorem ipsum" anywhere kills the PAGE despite 4 clean lines
+      (3L, "lorem ipsum " + (1 to 4).map(i => words(12, s"c$i"))
+        .mkString(" ")),
+      // "{" anywhere kills the page
+      (4L, (1 to 4).map(i => words(12, s"d$i")).mkString(" ") + " {x"),
+      // short doc: 1 full line + 2-word tail (min-words drops the
+      // tail) → below the 3-surviving-lines floor
+      (5L, words(14, "e")),
+      // exact duplicate of doc 1's first line → dropped_dup here
+      (6L, words(12, "a1") + " " + (1 to 3).map(i => words(12, s"f$i"))
+        .mkString(" "))
+    ).toDF("doc_id", "text")
+    val r = Quality.c4Clean(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getBoolean(5), "clean doc must be kept")
+    assert(r(2L).getLong(2) >= 1 && r(2L).getBoolean(5) &&
+      !r(2L).getString(6).contains("javascript"),
+      s"javascript line must drop, doc keeps: ${r(2L)}")
+    assert(!r(3L).getBoolean(5), "lorem ipsum page must drop")
+    assert(!r(4L).getBoolean(5), "curly-brace page must drop")
+    assert(!r(5L).getBoolean(5) && r(5L).getLong(2) == 1,
+      s"short doc: tail line rule-dropped, page below floor: ${r(5L)}")
+    assert(r(6L).getLong(3) == 1 &&
+      !r(6L).getString(6).contains("a11 a12"),
+      s"corpus-dup line must drop from the later doc: ${r(6L)}")
+  }
+
   test("filtered ANN returns k true within-predicate neighbors where " +
       "post-filtering under-returns") {
     import spark.implicits._
