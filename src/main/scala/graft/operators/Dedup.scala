@@ -1727,6 +1727,49 @@ object Dedup {
         sum(when(col("dup"), 1L).otherwise(0L)).as("dup_chunks"),
         sum(when(col("dup"), col("clen")).otherwise(0L)).as("dup_chars"))
 
+  /** Broder CONTAINMENT pairs over CDC chunk sets (Broder SEQUENCES
+    * '97 §2): c(A,B) = |S(A) ∩ S(B)| / |S(A)| — the asymmetric
+    * overlap measure that catches a document EMBEDDED in a larger
+    * one, which symmetric Jaccard under-scores as sizes diverge
+    * (|A∩B|/|A∪B| → |A|/|B| → 0 while containment stays 1). Chunk
+    * sets come from [[CdcChunks]] (distinct chunk texts per doc), so
+    * an edit anywhere shifts at most the two adjacent chunks and the
+    * rest still match — the property word-shingles lack at block
+    * granularity.
+    *
+    * Emits pairs (a < b) whose MAX one-sided containment ≥
+    * `threshold`, with both direction values. Scale shape: one
+    * distinct-chunk shuffle, a per-key pair join capped by
+    * `maxDocFreq` (boilerplate chunks shared by thousands of docs
+    * would otherwise square — the xd3 df-cap discipline, applied in
+    * the oracle in lockstep), one pair rollup.
+    */
+  def cdcContainmentPairs(docs: DataFrame, idCol: String,
+      textCol: String, threshold: Double = 0.5,
+      maxDocFreq: Int = 100): DataFrame = {
+    val sets = docs
+      .select(col(idCol).cast(LongType).as("doc_id"),
+        explode(HashFns.cdcChunks(col(textCol))).as("ck"))
+      .select(col("doc_id"), sha2(col("ck.chunk"), 256).as("k"))
+      .distinct()
+      .localCheckpoint(true)
+    val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val ok = sets.groupBy("k").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDocFreq).select("k")
+    val capped = sets.join(ok, "k")
+    val inter = capped.select(col("k"), col("doc_id").as("a"))
+      .join(capped.select(col("k"), col("doc_id").as("b")), "k")
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("ix"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .where(greatest(
+        col("ix").cast(DoubleType) / col("na"),
+        col("ix").cast(DoubleType) / col("nb")) >= threshold)
+      .select(col("a"), col("b"), col("ix"), col("na"), col("nb"))
+  }
+
   /** Evolving first-occurrence chunk store for STREAMING CDC dedup
     * (qs19): sha256(chunk) → min (doc_id, pos). Unlike [[GramStore]]
     * this keys on a 256-bit hash (the qx1/xd15 collision contract),

@@ -517,6 +517,42 @@ object DedupQueries {
     Q("xd15_cdc_dedup", cdcOracleSql()) { (s, d) =>
       Dedup.cdcDedupStats(t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")
+    },
+
+    // xd16: Broder containment over CDC chunk sets — the asymmetric
+    // overlap measure (|A∩B|/|A|) that catches a doc EMBEDDED in a
+    // larger one where symmetric Jaccard decays with the size gap.
+    // df-capped pair join (the xd3 discipline, cap in both engines);
+    // the oracle re-derives chunk sets on REAL text and brute-counts
+    // intersections.
+    Q("xd16_cdc_containment",
+      s"""WITH $cdcChunkCtes, sets AS (
+         |  SELECT DISTINCT doc_id, chunk FROM occ
+         |), sizes AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM sets GROUP BY doc_id
+         |), ok AS (
+         |  SELECT chunk FROM sets GROUP BY chunk
+         |  HAVING COUNT(*) <= 100
+         |), capped AS (
+         |  SELECT s.doc_id, s.chunk FROM sets s JOIN ok USING (chunk)
+         |), inter AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b,
+         |    CAST(COUNT(*) AS BIGINT) AS ix
+         |  FROM capped x JOIN capped y
+         |    ON y.chunk = x.chunk AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT a, b, ix, sa.n AS na, sb.n AS nb
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = a
+         |JOIN sizes sb ON sb.doc_id = b
+         |WHERE GREATEST(CAST(ix AS DOUBLE) / sa.n,
+         |               CAST(ix AS DOUBLE) / sb.n) >= 0.5
+         |ORDER BY a, b""".stripMargin) { (s, d) =>
+      Dedup.cdcContainmentPairs(t(s, d, "documents"), "doc_id", "text",
+          threshold = 0.5, maxDocFreq = 100)
+        .orderBy("a", "b")
     }
   )
 
@@ -525,8 +561,12 @@ object DedupQueries {
     * cannot drift): flags are computed globally, the rollup is
     * restricted to the delta slice.
     */
-  private[queries] def cdcOracleSql(finalWhere: String = ""): String =
-    s"""WITH gear AS (
+  /** The shared gear→chars→hash→cuts→spans→occ CTE chain (chunk
+    * derivation) — used by the xd15/qs19 replay and xd16's
+    * containment oracle.
+    */
+  private def cdcChunkCtes: String =
+    s"""gear AS (
          |  SELECT b, ${gear44Sql("CAST(b AS VARCHAR)")} AS g
          |  FROM RANGE(256) t(b)
          |), chars AS (
@@ -560,7 +600,10 @@ object DedupQueries {
          |      AS chunk
          |  FROM spans sp JOIN documents d USING (doc_id)
          |  WHERE sp.e > sp.s
-         |), flag AS (
+         |)""".stripMargin
+
+  private[queries] def cdcOracleSql(finalWhere: String = ""): String =
+    s"""WITH $cdcChunkCtes, flag AS (
          |  SELECT doc_id, CAST(LENGTH(chunk) AS BIGINT) AS clen,
          |    ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, pos) > 1
          |      AS dup

@@ -1525,6 +1525,33 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("cdc containment catches an embedded doc that Jaccard misses") {
+    import spark.implicits._
+    val small = (1 to 60).map(i => s"embedded$i token$i").mkString(" ")
+    val filler = (1 to 400).map(i => s"host$i word$i").mkString(" ")
+    val docs = Seq(
+      (1L, small),              // the embedded document
+      (2L, small + " " + filler), // host: small at the front + bulk
+      (3L, "unrelated " + (1 to 50).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.cdcContainmentPairs(docs, "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val hit = pairs.get((1L, 2L))
+    assert(hit.isDefined, s"embedded pair missed: $pairs")
+    val (ix, na, _) = hit.get
+    // CDC boundary re-sync: nearly all of doc 1's chunks recur in 2
+    assert(ix.toDouble / na >= 0.8, s"containment too low: $hit")
+    // symmetric word-3-gram Jaccard at the same 0.5 threshold does
+    // NOT surface the pair — the size gap drowns it
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)),
+      "Jaccard unexpectedly caught the embedded pair — weaken the test")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
   test("c4 cleaning: every rule fires on crafted fixtures") {
     import spark.implicits._
     def words(n: Int, tag: String) =
