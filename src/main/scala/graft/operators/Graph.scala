@@ -123,10 +123,13 @@ object Graph {
     *   hub(v)  = q(toD(rawH(v)) / √toD(Σ rawH²) · 1e12)
     * }}}
     * SQRT is IEEE-correctly-rounded (unlike LN/EXP), so the normalize
-    * step is exact cross-engine by construction: the squared sum is an
-    * exact integer (Long scores ≤ n·1e12 < 2^53 cast exactly to
-    * double; squares summed in DECIMAL(38,0)), its double image and
-    * square root are unique, and the final requantization is the
+    * step is exact cross-engine by construction: Σ raw² is decomposed
+    * as 1e12·Σq² + 2e6·Σqr + Σr² with raw = q·1e6 + r (integer
+    * div/mod) — each partial an exact integer inside DECIMAL(38,0) up
+    * to n·maxdeg² ≤ 1e26 (a direct Σ raw² overflows at n·maxdeg² >
+    * 1e14 and non-ANSI decimal semantics would null it into a silent
+    * all-zero norm) — assembled in one pinned IEEE double sequence
+    * whose square root is unique, and the final requantization is the
     * pinned floor(x+0.5). A zero norm (graph with no edges, or a side
     * with no mass) yields all-zero scores by explicit guard rather
     * than NaN.
@@ -274,7 +277,21 @@ object Graph {
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
 
     // one direction of the update: raw = Σ score over edges grouped by
-    // `outKey`, then L2-normalize back to 1e12 scale
+    // `outKey`, then L2-normalize back to 1e12 scale.
+    //
+    // The norm Σ raw² would overflow DECIMAL(38,0) once n·maxdeg² >
+    // 1e14 (raw ≤ deg·1e12 — reachable on large hub-heavy graphs), and
+    // under non-ANSI decimal semantics the overflow returns NULL, which
+    // the zero-guard would silently convert to ALL-ZERO scores while
+    // the oracle's HUGEINT twin errored loudly. Decompose instead:
+    // raw = q·1e6 + r (exact integer div/mod, raw ≥ 0 always), so
+    //   Σ raw² = 1e12·Σq² + 2e6·Σqr + Σr²
+    // with each partial an exact integer safely inside DECIMAL(38,0)
+    // up to n·maxdeg² ≤ 1e26 (q ≤ deg·1e6 ⇒ Σq² ≤ n·deg²·1e12). The
+    // three partials assemble in ONE pinned IEEE double sequence —
+    // sa·1e12 + sb·2e6 + sc, left-associated — replayed verbatim by
+    // the oracle, and SQRT of that double is correctly rounded, so the
+    // normalize stays exact cross-engine.
     def half(score: DataFrame, scoreCol: String, joinKey: String,
         outKey: String, outCol: String): DataFrame = {
       val raw = e.join(score.withColumnRenamed("id", joinKey), joinKey)
@@ -282,16 +299,23 @@ object Graph {
         .agg(sum(col(scoreCol)).as("raw"))
       val withRaw = nodeList.join(raw, Seq("id"), "left")
         .select(col("id"), coalesce(col("raw"), lit(0L)).as("raw"))
-      val ss = withRaw.agg(coalesce(sum(
-        col("raw").cast(DecimalType(38, 0))
-          * col("raw").cast(DecimalType(38, 0))),
-        lit(BigDecimal(0)).cast(DecimalType(38, 0))).as("ss"))
+      val dec0 = lit(BigDecimal(0)).cast(DecimalType(38, 0))
+      val q = expr("raw DIV 1000000")
+      val r = col("raw") % 1000000L
+      val ss = withRaw.agg(
+        coalesce(sum(q.cast(DecimalType(38, 0)) * q), dec0).as("sa"),
+        coalesce(sum(q.cast(DecimalType(38, 0)) * r), dec0).as("sb"),
+        coalesce(sum(r.cast(DecimalType(38, 0)) * r), dec0).as("sc"))
       withRaw.crossJoin(broadcast(ss))
         .select(col("id"),
-          when(col("ss") === lit(BigDecimal(0)).cast(DecimalType(38, 0)),
+          when(col("sa") === dec0 && col("sb") === dec0
+              && col("sc") === dec0,
             lit(0L))
             .otherwise(floor(col("raw").cast(DoubleType)
-              / sqrt(col("ss").cast(DoubleType)) * lit(1.0e12) + lit(0.5))
+              / sqrt(col("sa").cast(DoubleType) * lit(1.0e12)
+                + col("sb").cast(DoubleType) * lit(2.0e6)
+                + col("sc").cast(DoubleType))
+              * lit(1.0e12) + lit(0.5))
               .cast(LongType))
             .as(outCol))
     }

@@ -99,7 +99,9 @@ object Quality {
     *     crafted-fixture spec does, the xt15 vacuous-rule precedent);
     *  2. CORPUS-level line dedup: any rule-surviving line text
     *     occurring more than once corpus-wide keeps only its first
-    *     (doc_id·100000+idx) occurrence — C4's across-corpus span
+    *     occurrence in lexicographic (doc_id, idx) order (a STRUCT
+    *     min — an arithmetic doc_id·K+idx key would collide across
+    *     docs once one doc has ≥K windows) — C4's across-corpus span
     *     dedup at window granularity (xd10's exact stage, composed
     *     here under the rule filter);
     *  3. PAGE rules: drop docs containing "lorem ipsum" or "{"
@@ -124,14 +126,18 @@ object Quality {
     val d0 = docs.select(col(idCol).cast(LongType).as("doc_id"),
       lower(col(textCol)).as("__lt"),
       TextFns.tokens(col(textCol)).as("__fw"))
+    // Empty/whitespace-only docs emit ZERO windows (and, via the inner
+    // agg-join below, drop from the output entirely — matching the
+    // oracle's empty RANGE). Without the guard, ceil(0/w)-1 = -1 and
+    // sequence(0,-1) runs DESCENDING, fabricating two phantom rows.
     val lines = d0
+      .where(size(col("__fw")) > 0)
       .select(col("doc_id"),
         explode(sequence(lit(0L),
           ceil(size(col("__fw")) / lit(window.toDouble)) - 1))
           .as("idx"),
         col("__fw"))
       .select(col("doc_id"), col("idx"),
-        (col("doc_id") * 100000L + col("idx")).as("pid"),
         array_join(slice(col("__fw"),
           (col("idx") * window + 1).cast(IntegerType), lit(window)), " ")
           .as("ptext"),
@@ -141,14 +147,20 @@ object Quality {
       .withColumn("pass",
         col("nw") >= minWords && !col("ptext").contains("javascript"))
       .localCheckpoint(true) // feeds the dedup groupBy AND the rollup
+    // First occurrence by the lexicographic (doc_id, idx) STRUCT —
+    // an arithmetic doc_id·K+idx encoding collides once a doc has ≥K
+    // windows, silently corrupting "first occurrence wins" at scale.
     val firsts = lines.where(col("pass"))
-      .groupBy("ptext").agg(min(col("pid")).as("__fp"))
+      .groupBy("ptext")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("__fp"))
     val flagged = lines
       .join(firsts, Seq("ptext"), "left")
       .select(col("doc_id"), col("idx"), col("ptext"),
         (!col("pass")).as("dropr"),
-        (col("pass") && col("pid") =!= col("__fp")).as("dropd"),
-        (col("pass") && col("pid") === col("__fp")).as("keep"))
+        (col("pass") &&
+          struct(col("doc_id"), col("idx")) =!= col("__fp")).as("dropd"),
+        (col("pass") &&
+          struct(col("doc_id"), col("idx")) === col("__fp")).as("keep"))
     flagged.groupBy("doc_id")
       .agg(count(lit(1)).as("n_lines"),
         sum(when(col("dropr"), 1L).otherwise(0L)).as("dropped_rule"),

@@ -76,8 +76,10 @@ object GraphQueries {
   }
 
   /** One unrolled HITS iteration (see [[Graph.hits]]): per direction,
-    * an edge join + Long-sum, the exact integer Σraw² (HUGEINT here,
-    * DECIMAL(38,0) in Spark — same integers), and the
+    * an edge join + Long-sum, the exact-integer norm partials Σq²/
+    * Σqr/Σr² with raw = q·1e6 + r (HUGEINT here, DECIMAL(38,0) in
+    * Spark — same integers, overflow-safe to n·maxdeg² ≤ 1e26), the
+    * pinned sa·1e12 + sb·2e6 + sc double assembly, and the
     * floor(raw/√ss·1e12+0.5) requantization. SQRT is IEEE-correctly-
     * rounded, so the normalize step carries no cross-engine risk.
     */
@@ -91,11 +93,21 @@ object GraphQueries {
          |    FROM edges e JOIN $prev p ON p.id = e.$joinKey
          |    GROUP BY e.$outKey) r USING (id)
          |), n$tag$k AS MATERIALIZED (
-         |  SELECT COALESCE(SUM(CAST(raw AS HUGEINT) * raw), 0) AS ss
+         |  SELECT
+         |    COALESCE(SUM(CAST(raw // 1000000 AS HUGEINT)
+         |      * (raw // 1000000)), 0) AS sa,
+         |    COALESCE(SUM(CAST(raw // 1000000 AS HUGEINT)
+         |      * (raw % 1000000)), 0) AS sb,
+         |    COALESCE(SUM(CAST(raw % 1000000 AS HUGEINT)
+         |      * (raw % 1000000)), 0) AS sc
          |  FROM r$tag$k
          |), $tag$k AS MATERIALIZED (
-         |  SELECT id, CASE WHEN nn.ss = 0 THEN CAST(0 AS BIGINT) ELSE
-         |    CAST(FLOOR(CAST(raw AS DOUBLE) / SQRT(CAST(nn.ss AS DOUBLE))
+         |  SELECT id, CASE WHEN nn.sa = 0 AND nn.sb = 0 AND nn.sc = 0
+         |    THEN CAST(0 AS BIGINT) ELSE
+         |    CAST(FLOOR(CAST(raw AS DOUBLE) / SQRT(
+         |        CAST(nn.sa AS DOUBLE) * 1.0e12
+         |        + CAST(nn.sb AS DOUBLE) * 2.0e6
+         |        + CAST(nn.sc AS DOUBLE))
          |      * 1.0e12 + 0.5) AS BIGINT) END AS s
          |  FROM r$tag$k CROSS JOIN n$tag$k nn
          |)""".stripMargin

@@ -190,9 +190,10 @@ object ScaleQueries {
     // dominate repeats. α=0.5 makes the exponent a SQRT, the one
     // "transcendental" that is IEEE-correctly-rounded — so unlike an
     // exp(α·ln W) formulation the target shares carry zero
-    // cross-engine risk (per-lang √W quantizes to DECIMAL(28,12) for
-    // the order-free denominator sum; the xt11 one-shot-quantize
-    // pattern, safe here because nothing iterates). factor_l =
+    // cross-engine risk (per-lang √W quantizes by the house
+    // FLOOR(x·1e12+0.5) BIGINT idiom — not a double→DECIMAL cast,
+    // whose tie rounding is engine-specific — for the order-free
+    // exact-integer denominator sum). factor_l =
     // (√W_l / Σ√W) · W / W_l; per-doc repeats reuse xk7's exact
     // 16-bit md5 fractional draw. Same scale shape as xk7: two tiny
     // aggs broadcast back + a narrow map; the corpus shuffles only on
@@ -205,11 +206,12 @@ object ScaleQueries {
          |  FROM documents
          |), bl AS (
          |  SELECT lang, SUM(n_tok) AS tokl,
-         |    CAST(SQRT(CAST(SUM(n_tok) AS DOUBLE)) AS DECIMAL(28,12))
-         |      AS sq
+         |    CAST(FLOOR(SQRT(CAST(SUM(n_tok) AS DOUBLE)) * 1.0e12
+         |      + 0.5) AS BIGINT) AS sq
          |  FROM d GROUP BY lang
          |), t AS (
-         |  SELECT SUM(tokl) AS tot, SUM(sq) AS ssq FROM bl
+         |  SELECT SUM(tokl) AS tot, SUM(CAST(sq AS HUGEINT)) AS ssq
+         |  FROM bl
          |), f AS (
          |  SELECT lang,
          |    CAST(sq AS DOUBLE) / CAST(ssq AS DOUBLE)
@@ -235,10 +237,18 @@ object ScaleQueries {
         IntegerType, LongType, StringType}
       val docs = t(s, d, "documents").select(col("doc_id"), col("lang"),
         size(graft.functions.TextFns.tokens(col("text"))).as("n_tok"))
+      // √W quantized by the house FLOOR(x·1e12 + 0.5) BIGINT idiom —
+      // a raw double→DECIMAL cast rounds ties via BigDecimal.valueOf
+      // (shortest decimal string, HALF_UP) in Spark but scaled-binary
+      // in DuckDB, an engine-specific last-digit hazard; FLOOR of the
+      // identical IEEE product is the same integer in both. Fits Long
+      // up to √W ≤ 9.2e6 tokens² (W ≤ 8.5e13 — beyond 100 TB of text);
+      // the Σ√W accumulates in DECIMAL(38,0) (HUGEINT in the oracle).
       val byLang = docs.groupBy("lang").agg(sum("n_tok").as("tokl"),
-        sqrt(sum("n_tok").cast(DoubleType))
-          .cast(DecimalType(28, 12)).as("sq"))
-      val tot = byLang.agg(sum("tokl").as("tot"), sum("sq").as("ssq"))
+        floor(sqrt(sum("n_tok").cast(DoubleType)) * lit(1.0e12)
+          + lit(0.5)).as("sq"))
+      val tot = byLang.agg(sum("tokl").as("tot"),
+        sum(col("sq").cast(DecimalType(38, 0))).as("ssq"))
       val f = byLang.crossJoin(broadcast(tot))
         .select(col("lang"),
           (col("sq").cast(DoubleType) / col("ssq").cast(DoubleType)

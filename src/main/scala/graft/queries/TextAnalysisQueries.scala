@@ -967,7 +967,8 @@ object TextAnalysisQueries {
     // xt26: the C4 cleaning composite (Raffel et al. JMLR'20 §2.2),
     // adapted to line-free text via 12-word fixed windows (the xd10
     // splitter discipline): line rules (≥3 words; no "javascript"
-    // line) → corpus-wide line dedup (first pid wins) → page rules
+    // line) → corpus-wide line dedup (first (doc_id, idx) wins,
+    // struct min — no arithmetic-key collisions) → page rules
     // ("lorem ipsum"/"{" anywhere, ≥3 surviving lines) → reassembly.
     // The punctuation-dependent C4 rules are exercised by crafted
     // fixtures in QualitySpec-style tests (the xt15 vacuous-rule
@@ -981,7 +982,6 @@ object TextAnalysisQueries {
         |  FROM documents
         |), lines AS (
         |  SELECT doc_id, CAST(i AS BIGINT) AS idx,
-        |    doc_id * 100000 + i AS pid,
         |    ARRAY_TO_STRING(
         |      fw[(CAST(i AS INT)*12+1):(CAST(i AS INT)*12+12)], ' ')
         |      AS ptext,
@@ -993,13 +993,13 @@ object TextAnalysisQueries {
         |    AS pass
         |  FROM lines
         |), firsts AS (
-        |  SELECT ptext, MIN(pid) AS fp FROM ruled WHERE pass
+        |  SELECT ptext, MIN((doc_id, idx)) AS fp FROM ruled WHERE pass
         |  GROUP BY ptext
         |), flagged AS (
         |  SELECT r.doc_id, r.idx, r.ptext,
         |    NOT r.pass AS dropr,
-        |    r.pass AND r.pid <> f.fp AS dropd,
-        |    r.pass AND r.pid = f.fp AS keep
+        |    r.pass AND (r.doc_id, r.idx) <> f.fp AS dropd,
+        |    r.pass AND (r.doc_id, r.idx) = f.fp AS keep
         |  FROM ruled r LEFT JOIN firsts f USING (ptext)
         |), agg AS (
         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
@@ -1039,8 +1039,10 @@ object TextAnalysisQueries {
     // and the add-1 floor on p_cont so every token scores finite.
     // Same exactness discipline as xt17: every model input is an
     // exact BIGINT (counts, distinct counts, T, V), every per-bigram
-    // probability one pinned IEEE sequence → LN → DECIMAL(28,12) →
-    // order-free per-doc sum. Scale shape identical to xt17: the
+    // probability one pinned IEEE sequence → LN → FLOOR(x·1e12+0.5)
+    // BIGINT (the house quantizer — tie-free, unlike a double→DECIMAL
+    // cast) → order-free exact-integer per-doc sum. Scale shape
+    // identical to xt17: the
     // model is a TABLE (three count aggs off the materialized-once
     // pair frame, one of them fused cctx+N1+ in a single shuffle),
     // scoring is plain equi-joins, the corpus shuffles only on the
@@ -1064,11 +1066,11 @@ object TextAnalysisQueries {
          |  SELECT COUNT(DISTINCT (w1, w2)) AS t, COUNT(DISTINCT w2) AS v
          |  FROM bg WHERE ref
          |), lp AS (
-         |  SELECT doc_id, CAST(LN(
+         |  SELECT doc_id, CAST(FLOOR(LN(
          |      COALESCE((CAST(cbg AS DOUBLE) - 0.75) / cctx, 0.0)
          |    + COALESCE(0.75 * CAST(nfol AS DOUBLE) / cctx, 1.0)
          |      * (CAST(COALESCE(npre, 0) + 1 AS DOUBLE) / (t + v))
-         |    ) AS DECIMAL(28,12)) AS l
+         |    ) * 1.0e12 + 0.5) AS BIGINT) AS l
          |  FROM bg
          |  LEFT JOIN c2 USING (w1, w2)
          |  LEFT JOIN ctx USING (w1)
@@ -1076,8 +1078,12 @@ object TextAnalysisQueries {
          |  CROSS JOIN tot
          |)
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_big,
-         |  ${r4Sql("-(CAST(SUM(l) AS DOUBLE) / COUNT(*))")} AS nll,
-         |  ${r4Sql("EXP(-(CAST(SUM(l) AS DOUBLE) / COUNT(*)))")} AS ppl
+         |  ${r4Sql(
+             "-(CAST(SUM(CAST(l AS HUGEINT)) AS DOUBLE) / 1.0e12" +
+               " / COUNT(*))")} AS nll,
+         |  ${r4Sql(
+             "EXP(-(CAST(SUM(CAST(l AS HUGEINT)) AS DOUBLE) / 1.0e12" +
+               " / COUNT(*)))")} AS ppl
          |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
       val toksC = TextFns.tokens(col("text"))
       val pairs = t(s, d, "documents")
@@ -1096,13 +1102,19 @@ object TextAnalysisQueries {
       val tot = ref.agg(
         countDistinct(col("w1"), col("w2")).as("t"),
         countDistinct(col("w2")).as("v"))
+      // per-bigram LN quantized by the house FLOOR(x·1e12+0.5) BIGINT
+      // idiom (a raw double→DECIMAL(28,12) cast rounds ties
+      // engine-specifically: BigDecimal.valueOf/HALF_UP in Spark vs
+      // scaled binary in DuckDB); the per-doc sum accumulates the
+      // exact integers in DECIMAL(38,0) (HUGEINT in the oracle), so
+      // it stays order-free exact.
       val lp = pairs
         .join(c2, Seq("w1", "w2"), "left")
         .join(ctx, Seq("w1"), "left")
         .join(pre, Seq("w2"), "left")
         .crossJoin(broadcast(tot))
         .select(col("doc_id"),
-          log(coalesce(
+          floor(log(coalesce(
               (col("cbg").cast(DoubleType) - lit(0.75)) / col("cctx"),
               lit(0.0))
             + coalesce(
@@ -1110,8 +1122,9 @@ object TextAnalysisQueries {
                 lit(1.0))
               * ((coalesce(col("npre"), lit(0L)) + 1).cast(DoubleType)
                 / (col("t") + col("v"))))
-            .cast(DecimalType(28, 12)).as("l"))
-      val nllRaw = -(sum(col("l")).cast(DoubleType)) / count(lit(1))
+            * lit(1.0e12) + lit(0.5)).as("l"))
+      val nllRaw = -(sum(col("l").cast(DecimalType(38, 0)))
+        .cast(DoubleType) / lit(1.0e12)) / count(lit(1))
       lp.groupBy("doc_id")
         .agg(count(lit(1)).as("n_big"), nllRaw.as("nr"))
         .select(col("doc_id"), col("n_big"),

@@ -1572,11 +1572,18 @@ class OperatorsSpec extends SparkSpec {
       (5L, words(14, "e")),
       // exact duplicate of doc 1's first line → dropped_dup here
       (6L, words(12, "a1") + " " + (1 to 3).map(i => words(12, s"f$i"))
-        .mkString(" "))
+        .mkString(" ")),
+      // whitespace-only and empty docs: ZERO windows → absent from
+      // the output entirely (matches the oracle's empty RANGE; the
+      // unguarded sequence(0, -1) used to fabricate 2 phantom rows)
+      (7L, "   \t  \n "),
+      (8L, "")
     ).toDF("doc_id", "text")
     val r = Quality.c4Clean(docs, "doc_id", "text")
       .orderBy("doc_id").collect()
       .map(x => x.getLong(0) -> x).toMap
+    assert(!r.contains(7L) && !r.contains(8L),
+      s"whitespace-only/empty docs must drop entirely: ${r.keySet}")
     assert(r(1L).getBoolean(5), "clean doc must be kept")
     assert(r(2L).getLong(2) >= 1 && r(2L).getBoolean(5) &&
       !r(2L).getString(6).contains("javascript"),
