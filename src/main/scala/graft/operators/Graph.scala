@@ -331,4 +331,61 @@ object Graph {
     }
     auth.join(hub, "id")
   }
+
+  /** Synchronous label-propagation community detection (Raghavan,
+    * Albert & Kumara, Phys. Rev. E 76, 2007) — the near-linear-time
+    * community finder crawl curation uses to group mirror/template
+    * site clusters (the graph twin of [[Dedup.connectedComponents]]:
+    * components find REACHABILITY clusters, LPA finds DENSITY
+    * clusters inside one giant component).
+    *
+    * Determinism contract (classic LPA is randomized — random update
+    * order, random tie-break — which can never be hash-gated): updates
+    * are SYNCHRONOUS (all nodes step together from the previous
+    * labeling — no order dependence), ties break to the SMALLEST label
+    * among the most frequent neighbor labels (one total order, engine-
+    * independent: argmax by (count DESC, label ASC)), and the
+    * iteration count is fixed (an oscillation on bipartite structure —
+    * the known synchronous-LPA behavior — is still deterministic, so
+    * the gate holds regardless). Labels start as own ids; isolated
+    * nodes keep their own label forever (LEFT join + COALESCE, never
+    * dropped).
+    *
+    * Scale shape: neighbors materialize ONCE (both directions of each
+    * undirected edge, deduped, checkpointed); each iteration is one
+    * labels⋈neighbors equi-join + a (node, label) count aggregate + a
+    * per-node argmax via min(struct(-count, label)) — map-side partial
+    * aggregation bounds both shuffles, nothing is ever corpus²;
+    * lineage cut per round. Output: (id, label, csize) with csize the
+    * final community's member count (one extra label rollup).
+    */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame,
+      iters: Int = 10): DataFrame = {
+    val nodeList = nodes.select(col("id")).localCheckpoint(true)
+    val und = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+    // neighbor relation, both directions, deduped once
+    val nb = und.select(col("src").as("v"), col("dst").as("u"))
+      .unionAll(und.select(col("dst").as("v"), col("src").as("u")))
+      .distinct()
+      .localCheckpoint(true)
+    var lab = nodeList.select(col("id"), col("id").as("lbl"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val cnt = nb
+        .join(lab.select(col("id").as("u"), col("lbl")), "u")
+        .groupBy(col("v"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      val best = cnt.groupBy(col("v"))
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l")))
+          .as("m"))
+        .select(col("v").as("id"), col("m.l").as("nl"))
+      lab = lab.join(best, Seq("id"), "left")
+        .select(col("id"), coalesce(col("nl"), col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    val sizes = lab.groupBy("lbl").agg(count(lit(1)).as("csize"))
+    lab.join(sizes, "lbl").select(col("id"), col("lbl").as("label"),
+      col("csize"))
+  }
 }

@@ -142,6 +142,31 @@ object GraphQueries {
        |)""".stripMargin
   }
 
+  /** One unrolled synchronous-LPA iteration (see
+    * [[Graph.labelPropagation]]): count neighbor labels, argmax by
+    * (count DESC, label ASC) via ROW_NUMBER (the exact semantics of
+    * Spark's min(struct(-count, label))), isolated nodes carried by
+    * LEFT JOIN + COALESCE. Everything is integer arithmetic — the
+    * whole gate is float-free.
+    */
+  private def lpaIterSql(k: Int): String = {
+    val prev = s"l${k - 1}"
+    s"""c$k AS MATERIALIZED (
+       |  SELECT nb.v, l.lbl, COUNT(*) AS c
+       |  FROM nb JOIN $prev l ON l.id = nb.u
+       |  GROUP BY nb.v, l.lbl
+       |), b$k AS MATERIALIZED (
+       |  SELECT v, lbl FROM (
+       |    SELECT v, lbl,
+       |      ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, lbl)
+       |        AS rn
+       |    FROM c$k) WHERE rn = 1
+       |), l$k AS MATERIALIZED (
+       |  SELECT p.id, COALESCE(b.lbl, p.lbl) AS lbl
+       |  FROM $prev p LEFT JOIN b$k b ON b.v = p.id
+       |)""".stripMargin
+  }
+
   /** The Spark-side twin of [[edgesSql]] — THE single definition of
     * the synthetic link graph (xg1 and xg2 share it; drift between
     * this and the SQL breaks both hash gates).
@@ -305,6 +330,38 @@ object GraphQueries {
       Graph.trustRank(nodes, sparkEdges(docs, docs.count()),
           pmod(col("id"), lit(50L)) === 0L, iters = Iters)
         .select(col("id").as("doc_id"), col("pr_e12"))
+        .orderBy("doc_id")
+    },
+
+    // xg5: synchronous label-propagation communities (Raghavan et al.
+    // 2007) over the same link graph — the density-cluster finder
+    // (mirror/template site grouping) where connectedComponents only
+    // finds reachability. Classic LPA is randomized and ungateable;
+    // this variant pins synchronous updates, (count DESC, label ASC)
+    // tie-break and a fixed iteration count, making the whole chain
+    // integer-exact — the only graph entry with a float-free gate.
+    Q("xg5_label_propagation",
+      s"""WITH nodes AS (SELECT doc_id AS id FROM documents),
+         |$edgesSql,
+         |nb AS (
+         |  SELECT DISTINCT v, u FROM (
+         |    SELECT src AS v, dst AS u FROM edges WHERE src <> dst
+         |    UNION ALL
+         |    SELECT dst AS v, src AS u FROM edges WHERE src <> dst)
+         |), l0 AS (SELECT id, id AS lbl FROM nodes),
+         |${(1 to Iters).map(lpaIterSql).mkString(",\n")},
+         |sizes AS (
+         |  SELECT lbl, CAST(COUNT(*) AS BIGINT) AS csize
+         |  FROM l$Iters GROUP BY lbl
+         |)
+         |SELECT l.id AS doc_id, l.lbl AS label, s.csize
+         |FROM l$Iters l JOIN sizes s USING (lbl)
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val nodes = docs.select(col("doc_id").as("id"))
+      Graph.labelPropagation(nodes, sparkEdges(docs, docs.count()),
+          iters = Iters)
+        .select(col("id").as("doc_id"), col("label"), col("csize"))
         .orderBy("doc_id")
     },
 

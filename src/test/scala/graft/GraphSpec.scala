@@ -142,4 +142,50 @@ class GraphSpec extends SparkSpec {
       assert(got == base, s"diverged at $parts partitions")
     }
   }
+
+  test("label propagation: two planted cliques split into two " +
+      "communities; isolated node keeps its own label") {
+    import spark.implicits._
+    // clique A = {1,2,3,4}, clique B = {11,12,13,14}, one bridge
+    // 4—11, plus isolated node 99
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(11L, 12L, 13L, 14L)) :+ (4L -> 11L))
+      .toDF("src", "dst")
+    val nodes = (Seq(1L, 2L, 3L, 4L, 11L, 12L, 13L, 14L, 99L)).toDF("id")
+    val got = Graph.labelPropagation(nodes, edges, iters = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val lbl = got.map(x => x._1 -> x._2).toMap
+    // each clique agrees on ONE label; the two cliques differ
+    assert(Seq(1L, 2L, 3L).map(lbl).distinct.length == 1,
+      s"clique A not converged: $lbl")
+    assert(Seq(12L, 13L, 14L).map(lbl).distinct.length == 1,
+      s"clique B not converged: $lbl")
+    assert(lbl(1L) != lbl(12L), s"cliques merged: $lbl")
+    // isolated node: own label, community of size 1
+    assert(lbl(99L) == 99L)
+    assert(got.find(_._1 == 99L).get._3 == 1L)
+    // csize is consistent with the label map
+    val sizes = got.groupBy(_._2).map { case (l, xs) => l -> xs.length }
+    assert(got.forall(x => sizes(x._2) == x._3.toInt))
+  }
+
+  test("label propagation is deterministic and partitioning-invariant") {
+    import spark.implicits._
+    val nodes = (1L to 30L).toDF("id")
+    // ring + chords: one big component with internal structure
+    val edges = ((1L to 30L).map(i => (i, i % 30 + 1)) ++
+      (1L to 10L).map(i => (i, i + 15))).toDF("src", "dst")
+    val base = Graph.labelPropagation(nodes, edges, iters = 10)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    for (parts <- Seq(1, 7)) {
+      val got = Graph.labelPropagation(nodes.repartition(parts),
+          edges.repartition(parts), iters = 10)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == base, s"diverged at $parts partitions")
+    }
+  }
 }
