@@ -365,6 +365,81 @@ object GraphQueries {
         .orderBy("doc_id")
     },
 
+    // xp7: TextRank keyword extraction (Mihalcea & Tarau, EMNLP'04) —
+    // the OTHER direction of graph×text composition: instead of
+    // ranking documents by links (xp6), rank WORDS by co-occurrence.
+    // The word graph (nodes = corpus vocabulary, undirected edges =
+    // adjacent-token pairs, the w=2 window of the original paper)
+    // feeds the UNCHANGED Graph.pageRank fixed-point machinery —
+    // pageRank is id-type-agnostic, so word strings are vertex ids
+    // directly and the oracle reuses iterSql verbatim. Scale shape:
+    // one corpus-wide DISTINCT over bigrams builds the vocab-sized
+    // graph (vocabulary ≪ corpus — the Heaps'-law bound); the
+    // 10-iteration loop then runs on vocab-sized frames only, and the
+    // top-20 never sorts the vocabulary (TakeOrdered + a 20-row rank
+    // window). Dangling words (single-token docs) exercise the
+    // dangling-mass path.
+    Q("xp7_textrank",
+      s"""WITH tok AS (
+         |  SELECT doc_id, LIST_FILTER(
+         |    STRING_SPLIT_REGEX(LOWER(text), '\\s+'), t -> t <> '') AS fw
+         |  FROM documents
+         |), bgp AS (
+         |  SELECT fw[i] AS w1, fw[i + 1] AS w2
+         |  FROM tok, UNNEST(RANGE(1, LEN(fw))) AS ti(i)
+         |), edges AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT w1 AS src, w2 AS dst FROM bgp WHERE w1 <> w2
+         |    UNION ALL
+         |    SELECT w2 AS src, w1 AS dst FROM bgp WHERE w1 <> w2)
+         |), nodes AS (
+         |  SELECT DISTINCT w AS id FROM (SELECT UNNEST(fw) AS w FROM tok)
+         |), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+         |outdeg AS (
+         |  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+         |  FROM edges GROUP BY src
+         |), edgedeg AS (
+         |  SELECT e.src, e.dst, o.deg FROM edges e
+         |  JOIN outdeg o ON o.src = e.src
+         |), p0 AS (
+         |  SELECT id, CAST(FLOOR(1.0 / nn.n * 1.0e12 + 0.5) AS BIGINT)
+         |    AS pr_e12
+         |  FROM nodes CROSS JOIN n nn
+         |),
+         |${(1 to Iters).map(iterSql).mkString(",\n")},
+         |ranked AS (
+         |  SELECT id AS word, pr_e12,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY pr_e12 DESC, id) AS INT)
+         |      AS rnk
+         |  FROM p$Iters
+         |)
+         |SELECT rnk, word, pr_e12 FROM ranked WHERE rnk <= 20
+         |ORDER BY rnk""".stripMargin) { (s, d) =>
+      import graft.functions.TextFns
+      val docs = t(s, d, "documents")
+      val pairs = docs
+        .select(explode(TextFns.wordBigrams(TextFns.tokens(col("text"))))
+          .as("bg"))
+        .select(substring_index(col("bg"), " ", 1).as("w1"),
+          substring_index(col("bg"), " ", -1).as("w2"))
+        .where(col("w1") =!= col("w2"))
+      val edges = pairs
+        .select(col("w1").as("src"), col("w2").as("dst"))
+        .unionAll(pairs.select(col("w2").as("src"), col("w1").as("dst")))
+        .distinct()
+      val nodes = docs
+        .select(explode(TextFns.tokens(col("text"))).as("id"))
+        .distinct()
+      val pr = Graph.pageRank(nodes, edges, iters = Iters)
+      val top = pr.orderBy(col("pr_e12").desc, col("id")).limit(20)
+      top.withColumn("rnk",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("pr_e12").desc, col("id")))
+            .cast(IntegerType))
+        .select(col("rnk"), col("id").as("word"), col("pr_e12"))
+        .orderBy("rnk")
+    },
+
     // xp6: link-aware quality cap — the graph family composed with
     // the selection family (the real curation move: RefinedWeb-style
     // per-source caps ordered by link centrality instead of a text

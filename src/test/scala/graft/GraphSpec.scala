@@ -171,6 +171,21 @@ class GraphSpec extends SparkSpec {
     assert(got.forall(x => sizes(x._2) == x._3.toInt))
   }
 
+  test("textrank shape: a hub word co-occurring with everything " +
+      "outranks peripheral words (pageRank over string vertex ids)") {
+    import spark.implicits._
+    // star word graph: "hub" adjacent to 8 distinct rare words —
+    // pageRank must work unchanged over STRING ids (the xp7 premise)
+    val words = ("hub" +: (1 to 8).map(i => s"w$i")).toDF("id")
+    val edges = (1 to 8).flatMap(i =>
+      Seq(("hub", s"w$i"), (s"w$i", "hub"))).toDF("src", "dst")
+    val pr = Graph.pageRank(words, edges, iters = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pr("hub") == pr.values.max, s"hub not top: $pr")
+    assert((1 to 8).map(i => pr(s"w$i")).distinct.length == 1,
+      "leaves must score identically")
+  }
+
   test("label propagation is deterministic and partitioning-invariant") {
     import spark.implicits._
     val nodes = (1L to 30L).toDF("id")
