@@ -1830,6 +1830,87 @@ object Dedup {
   /** LSM-style rewrite — the [[compactGramStore]] contract. */
   def compactChunkStore(store: ChunkStore): ChunkStore =
     store.copy(chunks = store.chunks.localCheckpoint(true))
+
+  /** Bloom-filter paragraph dedup (the Dolma "BFF" shape — Soldaini
+    * et al. 2024; Allen AI runs exactly this at trillion-token scale):
+    * paragraphs stream through a FIXED m-bit Bloom filter in global
+    * (doc_id, idx) order; a paragraph whose k bits are all already set
+    * is dropped. The state is m BITS — constant, however large the
+    * corpus — which is the entire point: exact paragraph dedup (xd10)
+    * carries an unbounded text/hash store, BFF trades a quantified
+    * false-positive rate for O(1) memory.
+    *
+    * EXACT relational model (what makes this batch-gateable): bits are
+    * monotone — "bit b is set when paragraph p is processed" ⟺ some
+    * paragraph q with (q.doc_id, q.idx) < (p.doc_id, p.idx) has b
+    * among its k bits (a dropped paragraph's bits were already set, so
+    * insert-after-check changes nothing). Hence
+    * {{{
+    *   dropped(p) ⟺ max over p's k bits of
+    *                  (first (doc_id, idx) to carry that bit) < p
+    * }}}
+    * — false positives INCLUDED, exactly as the sequential filter
+    * would produce them. Exact duplicates are never missed (an
+    * earlier identical paragraph set exactly p's bits), spec-gated.
+    * The n_fp column counts dropped-but-not-exact-dup paragraphs —
+    * the honesty metric a production run sizes m against (Dolma sizes
+    * for fp ≈ 1e-6; the declared query pins a small m so the fp path
+    * is EXERCISED, not vacuous).
+    *
+    * Scale shape: window split is a narrow map; one shuffle of k·n
+    * (bit, para) tuples groups by bit — the bit domain is m, bounded,
+    * so `bitFirst` is an m-row frame joined back BROADCAST; the exact
+    * first-occurrence join (diagnostic only — production BFF does not
+    * need it) is the one ptext-keyed shuffle; one doc_id rollup.
+    * Output per doc: (doc_id, n_para, n_dropped, n_exact_dup, n_fp).
+    */
+  def bloomParaDedup(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 12, mBits: Int = 1 << 18, k: Int = 3): DataFrame = {
+    val paras = docs
+      .select(col(idCol).cast(LongType).as("doc_id"),
+        TextFns.tokens(col(textCol)).as("__fw"))
+      .where(size(col("__fw")) > 0) // the c4Clean empty-doc guard
+      .select(col("doc_id"),
+        explode(sequence(lit(0L),
+          ceil(size(col("__fw")) / lit(window.toDouble)) - 1)).as("idx"),
+        col("__fw"))
+      .select(col("doc_id"), col("idx"),
+        array_join(slice(col("__fw"),
+          (col("idx") * window + 1).cast(IntegerType), lit(window)), " ")
+          .as("ptext"))
+      .localCheckpoint(true) // feeds bits AND the exact/rollup joins
+    // k md5-derived bit positions per paragraph (32-bit prefix mod m —
+    // the hashBucket16 idiom widened; both engines parse the same 8
+    // hex nibbles)
+    val bits = paras
+      .select(col("doc_id"), col("idx"), col("ptext"),
+        explode(sequence(lit(0), lit(k - 1))).as("i"))
+      .select(col("doc_id"), col("idx"),
+        pmod(conv(substring(md5(concat(col("i").cast(StringType),
+            lit(":"), col("ptext"))), 1, 8), 16, 10).cast(LongType),
+          lit(mBits.toLong)).as("bit"))
+    val bitFirst = bits.groupBy("bit")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("bf"))
+    val dropped = bits
+      .join(broadcast(bitFirst), "bit") // ≤ m rows, fixed
+      .groupBy("doc_id", "idx")
+      .agg(max(col("bf")).as("mf"))
+      .select(col("doc_id"), col("idx"),
+        (col("mf") < struct(col("doc_id"), col("idx"))).as("dropped"))
+    val exactFirst = paras.groupBy("ptext")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("ef"))
+    paras
+      .join(exactFirst, "ptext")
+      .select(col("doc_id"), col("idx"),
+        (col("ef") < struct(col("doc_id"), col("idx"))).as("exdup"))
+      .join(dropped, Seq("doc_id", "idx"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_para"),
+        sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("exdup"), 1L).otherwise(0L)).as("n_exact_dup"),
+        sum(when(col("dropped") && !col("exdup"), 1L).otherwise(0L))
+          .as("n_fp"))
+  }
 }
 
 /** Paragraph-splitting strategies for [[Dedup.paragraphDedup]] /

@@ -553,6 +553,63 @@ object DedupQueries {
       Dedup.cdcContainmentPairs(t(s, d, "documents"), "doc_id", "text",
           threshold = 0.5, maxDocFreq = 100)
         .orderBy("a", "b")
+    },
+
+    // xd17: Bloom-filter paragraph dedup — the Dolma "BFF" pass
+    // (fixed m-bit filter, k=3 md5-derived bit positions, global
+    // (doc_id, idx) processing order). The relational model is EXACT
+    // including false positives: a paragraph drops iff every one of
+    // its bits was first carried by a STRICTLY earlier paragraph, the
+    // precise behavior of the sequential check-then-insert filter
+    // (bits are monotone, so insertion order beyond (doc_id, idx)
+    // rank is irrelevant). m is pinned SMALL (2^18) so the fp path
+    // actually fires on this corpus — n_fp counts it honestly; the
+    // n_exact_dup column shows what a no-fp dedup would drop. See
+    // Dedup.bloomParaDedup for the O(1)-state scale story.
+    Q("xd17_bloom_dedup",
+      raw"""WITH d0 AS (
+        |  SELECT doc_id, LIST_FILTER(
+        |    STRING_SPLIT_REGEX(LOWER(text), '\s+'), t -> t <> '') AS fw
+        |  FROM documents
+        |), paras AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS idx,
+        |    ARRAY_TO_STRING(
+        |      fw[(CAST(i AS INT)*12+1):(CAST(i AS INT)*12+12)], ' ')
+        |      AS ptext
+        |  FROM d0, UNNEST(RANGE(0,
+        |    CAST(CEIL(LEN(fw)/12.0) AS BIGINT))) AS t(i)
+        |), bits AS (
+        |  SELECT doc_id, idx,
+        |    ${hex32Sql("CAST(i AS VARCHAR) || ':' || ptext")} % 262144
+        |      AS bit
+        |  FROM paras, UNNEST(GENERATE_SERIES(0, 2)) AS u(i)
+        |), bf AS (
+        |  SELECT bit, MIN((doc_id, idx)) AS f FROM bits GROUP BY bit
+        |), pb AS (
+        |  SELECT b.doc_id, b.idx, MAX(f.f) AS mf
+        |  FROM bits b JOIN bf f USING (bit) GROUP BY b.doc_id, b.idx
+        |), ef AS (
+        |  SELECT ptext, MIN((doc_id, idx)) AS f FROM paras
+        |  GROUP BY ptext
+        |), fl AS (
+        |  SELECT p.doc_id, p.idx,
+        |    pb.mf < (p.doc_id, p.idx) AS dropped,
+        |    e.f < (p.doc_id, p.idx) AS exdup
+        |  FROM paras p
+        |  JOIN pb ON pb.doc_id = p.doc_id AND pb.idx = p.idx
+        |  JOIN ef e USING (ptext)
+        |)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_para,
+        |  CAST(COALESCE(SUM(CASE WHEN dropped THEN 1 END), 0)
+        |    AS BIGINT) AS n_dropped,
+        |  CAST(COALESCE(SUM(CASE WHEN exdup THEN 1 END), 0)
+        |    AS BIGINT) AS n_exact_dup,
+        |  CAST(COALESCE(SUM(CASE WHEN dropped AND NOT exdup THEN 1 END),
+        |    0) AS BIGINT) AS n_fp
+        |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
+      (s, d) =>
+        Dedup.bloomParaDedup(t(s, d, "documents"), "doc_id", "text")
+          .orderBy("doc_id")
     }
   )
 
@@ -625,6 +682,17 @@ object DedupQueries {
     def nib(i: Int) =
       s"(STRPOS('0123456789abcdef', SUBSTR(MD5($x), $i, 1)) - 1)"
     (2 to 11).foldLeft(s"CAST(${nib(1)} AS BIGINT)")((acc, i) =>
+      s"($acc * 16 + ${nib(i)})")
+  }
+
+  /** 32-bit md5-prefix integer in DuckDB SQL (8 nibbles) — the Spark
+    * side's `conv(substring(md5(x), 1, 8), 16, 10)` (xd17 Bloom bit
+    * derivation).
+    */
+  private def hex32Sql(x: String): String = {
+    def nib(i: Int) =
+      s"(STRPOS('0123456789abcdef', SUBSTR(MD5($x), $i, 1)) - 1)"
+    (2 to 8).foldLeft(s"CAST(${nib(1)} AS BIGINT)")((acc, i) =>
       s"($acc * 16 + ${nib(i)})")
   }
 }

@@ -1597,6 +1597,40 @@ class OperatorsSpec extends SparkSpec {
       s"corpus-dup line must drop from the later doc: ${r(6L)}")
   }
 
+  test("bloom paragraph dedup: exact dups never missed, first " +
+      "occurrence survives, and a tiny filter yields counted false " +
+      "positives") {
+    import spark.implicits._
+    def words(n: Int, tag: String) =
+      (1 to n).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      (1L, words(12, "a") + " " + words(12, "b")),
+      // first window = exact copy of doc 1's first window
+      (2L, words(12, "a") + " " + words(12, "c")),
+      (3L, words(12, "d") + " " + words(12, "e"))
+    ).toDF("doc_id", "text")
+    // production-sized filter: zero false positives on 6 paragraphs
+    val big = Dedup.bloomParaDedup(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(big.toSeq == Seq((1L, 2L, 0L, 0L, 0L),
+      (2L, 2L, 1L, 1L, 0L), (3L, 2L, 0L, 0L, 0L)), s"${big.toSeq}")
+    // 8-bit filter: distinct paragraphs collide — false positives
+    // fire and are counted as n_fp, never as n_exact_dup; the Bloom
+    // no-false-negative law (dropped ⊇ exact dups) still holds, and
+    // the globally first paragraph can never drop
+    val tiny = Dedup.bloomParaDedup(docs, "doc_id", "text",
+        mBits = 8, k = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(tiny.map(_._4).sum > 0, s"no fp at m=8: ${tiny.toSeq}")
+    assert(tiny.forall(x => x._2 >= x._3),
+      s"missed an exact dup: ${tiny.toSeq}")
+    assert(tiny.head._2 < 2L, "doc 1's first paragraph dropped")
+  }
+
   test("filtered ANN returns k true within-predicate neighbors where " +
       "post-filtering under-returns") {
     import spark.implicits._
