@@ -498,4 +498,70 @@ object Sketches {
       .select(col(itemCol), col("n"))
       .orderBy(desc("n"), col(itemCol))
   }
+
+  /** Deterministic HyperLogLog per-group distinct estimate (Flajolet
+    * et al. 2007; the +Bias-free classic estimator with the standard
+    * linear-counting small-range branch) — the 100 TB approximate
+    * COUNT(DISTINCT) whose whole register arithmetic is
+    * SQL-replayable, unlike `approx_count_distinct`'s opaque binary
+    * sketch (q10b, rows-only gated). This is the Sketches-family
+    * pattern again (MG heavy hitters, GK quantiles): a mergeable
+    * bounded summary — m registers per group, max-merged, so the
+    * shuffle carries ≤ m rows per (group, partition) however large
+    * the group — but here the ESTIMATE itself is the product, so the
+    * gate pins the estimator arithmetic instead of an exact recount.
+    *
+    * Determinism/exactness contract: the "random" hash is the 48-bit
+    * md5 prefix (12 hex nibbles, the gear44 idiom) — register index
+    * j = top p bits, rho = leading-zero count of the remaining 40
+    * bits + 1 derived from LENGTH(BIN(rem)) (exact integer string
+    * length, no FP log); registers fold by MAX (associative, any
+    * merge tree); the harmonic denominator Σ 2^−M_j scales by 2^41
+    * into an EXACT integer sum of powers of two (a raw double sum of
+    * 2^−M_j terms spanning 41 binary orders is add-order-dependent —
+    * the scaled-integer trick removes it); the estimator is then ONE
+    * pinned IEEE sequence (α_m·m²·2^41/S, the LC branch m·ln(m/V)
+    * when E ≤ 2.5m ∧ V>0) rounded FLOOR(x+0.5) — both engines
+    * replay it bit for bit. 48-bit hashing bounds the no-collision
+    * regime to n ≪ 2^24 per register-stream; the standard 2^32-range
+    * correction is deliberately out of scope (documented, not
+    * silently wrong — at larger n widen the hash).
+    *
+    * Output: (group, v_zero, s_sum, est) — v_zero/s_sum are the exact
+    * register integers (they gate the whole register pipeline), est
+    * the rounded estimate.
+    */
+  def hllDistinct(df: DataFrame, groupCol: String, value: Column,
+      p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 12, s"hllDistinct: p=$p out of range")
+    val m = 1L << p
+    val valueBits = 48 - p
+    val rhoMax = valueBits + 1
+    val pow2 = 1L << valueBits
+    // α_m for m ≥ 128 (the published constant); pinned literal order
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val base = df.select(col(groupCol).as("g"),
+      conv(substring(md5(value), 1, 12), 16, 10).cast(LongType).as("h"))
+    val reg = base.select(col("g"),
+      expr(s"h DIV $pow2").as("j"),
+      (col("h") % lit(pow2)).as("rem"))
+      .select(col("g"), col("j"),
+        when(col("rem") === 0L, lit(rhoMax))
+          .otherwise(lit(rhoMax) - length(bin(col("rem")))).as("rho"))
+    val regs = reg.groupBy("g", "j").agg(max(col("rho")).as("mj"))
+    val stats = regs.groupBy("g").agg(
+      count(lit(1)).as("np"),
+      sum(expr(s"shiftleft(CAST(1 AS BIGINT), " +
+        s"CAST($rhoMax - mj AS INT))")).as("sp"))
+      .select(col("g"), (lit(m) - col("np")).as("v_zero"),
+        (col("sp") + (lit(m) - col("np")) * lit(1L << rhoMax))
+          .as("s_sum"))
+    val eRaw = (alpha * lit((m * m).toDouble)
+      * lit(math.pow(2.0, rhoMax))) / col("s_sum").cast(DoubleType)
+    stats.select(col("g"), col("v_zero"), col("s_sum"),
+      floor(when(eRaw <= lit(2.5 * m) && col("v_zero") > 0L,
+          lit(m.toDouble) * log(lit(m.toDouble)
+            / col("v_zero").cast(DoubleType)))
+        .otherwise(eRaw) + lit(0.5)).cast(LongType).as("est"))
+  }
 }

@@ -597,6 +597,60 @@ object ScaleQueries {
       Scale.groupCap(hosts, Seq("host"), Seq(col("doc_id").asc), k = 10)
         .select("host", "doc_id", "host_docs", "host_chars")
         .orderBy("host", "doc_id")
+    },
+
+    // xk16: deterministic HyperLogLog distinct estimate, HASH-GATED —
+    // unlike approx_count_distinct's opaque binary sketch (q10b,
+    // rows-only), every register and the estimator arithmetic are
+    // SQL-replayable: md5-prefix hash, rho from LENGTH(BIN(rem)) (no
+    // FP log), MAX-merged registers, the harmonic denominator as an
+    // EXACT scaled-integer sum of powers of two (a raw double Σ2^-Mj
+    // spans 41 binary orders and is add-order-dependent), one pinned
+    // IEEE estimator with the linear-counting branch. n_exact rides
+    // along so the sketch error is visible, not hidden. See
+    // Sketches.hllDistinct for the mergeable-summary scale shape.
+    Q("xk16_hll_distinct",
+      s"""WITH h AS (
+         |  SELECT source, ${hex48Sql("text")} AS h FROM documents
+         |), reg AS (
+         |  SELECT source, h // 1099511627776 AS j,
+         |    h % 1099511627776 AS rem
+         |  FROM h
+         |), rho AS (
+         |  SELECT source, j, CASE WHEN rem = 0 THEN 41
+         |    ELSE 41 - LENGTH(BIN(rem)) END AS rho
+         |  FROM reg
+         |), regs AS (
+         |  SELECT source, j, MAX(rho) AS mj FROM rho GROUP BY source, j
+         |), st AS (
+         |  SELECT source, CAST(256 - COUNT(*) AS BIGINT) AS v_zero,
+         |    CAST(SUM(CAST(1 AS BIGINT) << CAST(41 - mj AS INT))
+         |      + (256 - COUNT(*)) * 2199023255552 AS BIGINT) AS s_sum
+         |  FROM regs GROUP BY source
+         |), ex AS (
+         |  SELECT source, CAST(COUNT(DISTINCT text) AS BIGINT) AS n_exact
+         |  FROM documents GROUP BY source
+         |)
+         |SELECT st.source, v_zero, s_sum,
+         |  CAST(FLOOR(CASE WHEN
+         |      (CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE)
+         |        / 256.0) * 65536.0 * 2199023255552.0)
+         |        / CAST(s_sum AS DOUBLE) <= 640.0 AND v_zero > 0
+         |    THEN 256.0 * LN(256.0 / CAST(v_zero AS DOUBLE))
+         |    ELSE (CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE)
+         |        / 256.0) * 65536.0 * 2199023255552.0)
+         |        / CAST(s_sum AS DOUBLE) END + 0.5) AS BIGINT) AS est,
+         |  n_exact
+         |FROM st JOIN ex USING (source) ORDER BY source"""
+        .stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val exact = docs.groupBy(col("source").as("g"))
+        .agg(countDistinct(col("text")).as("n_exact"))
+      graft.operators.Sketches.hllDistinct(docs, "source", col("text"))
+        .join(exact, "g")
+        .select(col("g").as("source"), col("v_zero"), col("s_sum"),
+          col("est"), col("n_exact"))
+        .orderBy("source")
     }
   )
 
@@ -620,5 +674,16 @@ object ScaleQueries {
     def nib(i: Int) =
       s"(STRPOS('0123456789abcdef', SUBSTR(MD5($x), $i, 1)) - 1)"
     s"(((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16 + ${nib(4)})"
+  }
+
+  /** 48-bit md5-prefix integer in DuckDB SQL (12 nibbles) — the Spark
+    * side's `conv(substring(md5(x), 1, 12), 16, 10)` (xk16's HLL
+    * hash; the DedupQueries gear44Sql fold at one more nibble).
+    */
+  private def hex48Sql(x: String): String = {
+    def nib(i: Int) =
+      s"(STRPOS('0123456789abcdef', SUBSTR(MD5($x), $i, 1)) - 1)"
+    (2 to 12).foldLeft(s"CAST(${nib(1)} AS BIGINT)")((acc, i) =>
+      s"($acc * 16 + ${nib(i)})")
   }
 }

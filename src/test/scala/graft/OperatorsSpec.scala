@@ -1597,6 +1597,34 @@ class OperatorsSpec extends SparkSpec {
       s"corpus-dup line must drop from the later doc: ${r(6L)}")
   }
 
+  test("hll distinct: estimate within the published error band, " +
+      "duplicate-insensitive, partitioning-invariant, LC branch on " +
+      "small groups") {
+    import spark.implicits._
+    val big = (1 to 5000).map(i => ("big", s"val$i"))
+    val dups = big ++ big ++ big // registers are MAX-folded: no change
+    val small = (1 to 10).map(i => ("small", s"s$i"))
+    val df = (dups ++ small).toDF("g", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Sketches.hllDistinct(d, "g", col("v"))
+        .orderBy("g").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+    val got = run(df)
+    val bigEst = got.find(_._1 == "big").get._4
+    // HLL σ ≈ 1.04/√m ≈ 6.5% at m=256; 4σ band
+    assert(math.abs(bigEst - 5000) < 5000 * 0.26,
+      s"estimate off: $bigEst vs 5000")
+    // small group: linear counting is near-exact at n ≪ m
+    val smallEst = got.find(_._1 == "small").get._4
+    assert(math.abs(smallEst - 10) <= 1, s"LC branch off: $smallEst")
+    // duplicates cannot move any register
+    val once = run(big.toDF("g", "v"))
+    assert(once.head._4 == bigEst)
+    // partitioning invariance (MAX merge on any tree)
+    assert(run(df.repartition(13)).toSeq == got.toSeq)
+  }
+
   test("bloom paragraph dedup: exact dups never missed, first " +
       "occurrence survives, and a tiny filter yields counted false " +
       "positives") {
