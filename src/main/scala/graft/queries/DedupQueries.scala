@@ -367,9 +367,10 @@ object DedupQueries {
     // full pipeline in SQL: span explosion → window-min exact stage →
     // inverted-index bigram join (shared-shingle candidates are a
     // superset of J≥0.8 pairs, so the SQL answer is EXACT) → drop
-    // later members → reassemble. The oracle's pid = doc_id·100000+i
-    // is order-equivalent to the engine's struct(doc_id, idx) key at
-    // oracle scale (pid never appears in the output). The Spark side's
+    // later members → reassemble. The oracle's pid is the same
+    // (doc_id, idx) ROW the engine keys on — lexicographic order, no
+    // per-doc span bound (r14: replaced the doc_id·100000+i arithmetic
+    // encoding, which collided past 100k spans). The Spark side's
     // banded-LSH candidates equal the exact answer because
     // minhashParams anchors recall AT the verify threshold (miss ≤
     // 1e-6 per pair), and the autoMaxBucket cap never engages at
@@ -382,7 +383,7 @@ object DedupQueries {
         |  FROM documents
         |), p AS (
         |  SELECT doc_id, CAST(i AS BIGINT) AS idx,
-        |    doc_id * 100000 + i AS pid,
+        |    (doc_id, CAST(i AS BIGINT)) AS pid,
         |    ARRAY_TO_STRING(
         |      fw[(CAST(i AS INT)*6+1):(CAST(i AS INT)*6+6)], ' ') AS ptext,
         |    LEN(fw[(CAST(i AS INT)*6+1):(CAST(i AS INT)*6+6)]) AS nw
