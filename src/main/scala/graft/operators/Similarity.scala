@@ -767,4 +767,85 @@ object Similarity {
             .as("sim")),
       k)
   }
+
+  /** Maximal-marginal-relevance diversified rerank (Carbonell &
+    * Goldstein, SIGIR'98) — the result-diversification pass every
+    * retrieval stack runs AFTER its shortlist stage: a plain top-k
+    * returns k near-copies of the best hit (a deduped corpus still
+    * has topical clusters); MMR greedily selects
+    * {{{
+    *   argmax_d  λ·sim(q,d) − μ·max_{s∈selected} sim(d,s)
+    * }}}
+    * so each pick is relevant AND far from everything already picked.
+    *
+    * `cands` is any (qid, id, sim) shortlist — brute top-N, xs2 IVF,
+    * xs7 PQ-rerank: the greedy runs ONLY on the shortlist (the
+    * two-stage discipline of xs7), so all per-step work is bounded by
+    * queries × shortlist², never corpus-sized. Per step: one anti-join
+    * (remaining), one bounded max-aggregate (diversity penalty against
+    * the selected set), one per-qid argmax window over ≤ shortlist
+    * rows.
+    *
+    * Determinism/exactness: candidate-pair cosines come from the same
+    * pinned dot/(na·nb) IEEE sequence as every cosine in this module;
+    * the score is one pinned multiply-subtract (μ is an EXPLICIT
+    * parameter, the pageRank-residual trick — computing 1−λ in Scala
+    * yields 0.30000000000000004, not the SQL literal 0.3); MAX and the
+    * (score DESC, id) argmax are exact selections; the empty-selection
+    * penalty is COALESCE(·, 0) in both engines. Step 1 therefore
+    * reduces to pure relevance, as the paper defines.
+    *
+    * Output: (qid, step, id, sim, score) — selection order per query.
+    */
+  def mmrRerank(cands: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int = 5, lambda: Double = 0.7,
+      mu: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = cands.select(col("qid"), col("id"), col("sim"))
+      .localCheckpoint(true)
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      TextFns.l2norm(col(vecCol)).as("nv"))
+    val withVec = cand.join(vecs, "id")
+    val pairs = withVec
+      .select(col("qid"), col("id").as("a"), col("v").as("va"),
+        col("nv").as("na"))
+      .join(withVec.select(col("qid"), col("id").as("b"),
+        col("v").as("vb"), col("nv").as("nb")), "qid")
+      .where(col("a") =!= col("b"))
+      .select(col("qid"), col("a"), col("b"),
+        (TextFns.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+          .as("psim"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy("qid")
+      .orderBy(col("score").desc, col("id"))
+    var sel: DataFrame = null
+    for (j <- 1 to k) {
+      val rem =
+        if (j == 1) cand
+        else cand.join(sel.select(col("qid"), col("id")),
+          Seq("qid", "id"), "left_anti")
+      val scored0 =
+        if (j == 1) rem.withColumn("mx", lit(null).cast(DoubleType))
+        else {
+          val pen = pairs
+            .join(sel.select(col("qid"), col("id").as("b")),
+              Seq("qid", "b"))
+            .groupBy(col("qid"), col("a").as("id"))
+            .agg(max(col("psim")).as("mx"))
+          rem.join(pen, Seq("qid", "id"), "left")
+        }
+      val pick = scored0
+        .select(col("qid"), col("id"), col("sim"),
+          (lit(lambda) * col("sim")
+            - lit(mu) * coalesce(col("mx"), lit(0.0))).as("score"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("qid"), col("id"), col("sim"), col("score"),
+          lit(j).as("step"))
+      sel = (if (j == 1) pick else sel.unionByName(pick))
+        .localCheckpoint(true)
+    }
+    sel.select(col("qid"), col("step"), col("id"), col("sim"),
+      col("score"))
+  }
 }

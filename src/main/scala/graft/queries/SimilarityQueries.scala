@@ -364,8 +364,86 @@ object SimilarityQueries {
       shortlist = 30, k = 3)) { (s, d) =>
       val (cents, books) = xs10PrepModel(s, d)
       xs10QueryWith(s, d, cents, books)
+    },
+
+    // xs12: MMR diversified rerank (Carbonell & Goldstein SIGIR'98)
+    // over the brute top-20 shortlist of 3 queries — the result-
+    // diversification pass after any shortlist stage (plain top-k
+    // returns k near-copies of the best hit). Greedy, but every pick
+    // is a deterministic argmax over pinned IEEE scores (λ·sim −
+    // μ·max-pair-sim, explicit μ — 1−λ in Scala is NOT the literal
+    // 0.3), so the whole selection ORDER is hash-gated: the oracle
+    // replays shortlist, pairwise cosines, and all 5 unrolled greedy
+    // steps. All post-shortlist work is queries×shortlist²-bounded.
+    Q("xs12_mmr_rerank",
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+         |  FROM embeddings WHERE vec_id IN (1, 2, 3)
+         |), e AS (
+         |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+         |), sims AS (
+         |  SELECT q.qid, e.id,
+         |    LIST_INNER_PRODUCT(e.v, q.qv)
+         |      / (SQRT(LIST_INNER_PRODUCT(e.v, e.v))
+         |         * SQRT(LIST_INNER_PRODUCT(q.qv, q.qv))) AS sim
+         |  FROM e CROSS JOIN q WHERE e.id <> q.qid
+         |), cand AS MATERIALIZED (
+         |  SELECT qid, id, sim FROM (
+         |    SELECT qid, id, sim, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, id) AS rn
+         |    FROM sims) WHERE rn <= 20
+         |), pairs AS MATERIALIZED (
+         |  SELECT x.qid, x.id AS a, y.id AS b,
+         |    LIST_INNER_PRODUCT(ea.v, eb.v)
+         |      / (SQRT(LIST_INNER_PRODUCT(ea.v, ea.v))
+         |         * SQRT(LIST_INNER_PRODUCT(eb.v, eb.v))) AS psim
+         |  FROM cand x JOIN cand y ON y.qid = x.qid AND y.id <> x.id
+         |  JOIN e ea ON ea.id = x.id
+         |  JOIN e eb ON eb.id = y.id
+         |), sel0 AS (
+         |  SELECT qid, id, sim, 0.0 AS score, 0 AS step
+         |  FROM cand WHERE FALSE
+         |),
+         |${(1 to 5).map(mmrStepSql).mkString(",\n")}
+         |SELECT qid, CAST(step AS INT) AS step, id,
+         |  ${r4Sql("sim")} AS sim, ${r4Sql("score")} AS score
+         |FROM sel5 ORDER BY qid, step""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val q = emb.where(col("vec_id").isin(1L, 2L, 3L))
+      val cand = Similarity
+        .bruteForceTopK(emb, q, "vec_id", "embedding", 20)
+        .select(col("qid"), col("id"), col("sim"))
+      Similarity.mmrRerank(cand, emb, "vec_id", "embedding", k = 5)
+        .select(col("qid"), col("step"), col("id"),
+          r4(col("sim")).as("sim"), r4(col("score")).as("score"))
+        .orderBy("qid", "step")
     }
   )
+
+  /** One unrolled MMR greedy step (see [[Similarity.mmrRerank]]):
+    * remaining candidates score λ·sim − μ·max(pair-sim to selected)
+    * with the empty-selection penalty COALESCE'd to 0 (step 1 is pure
+    * relevance), argmax by (score DESC, id) per query.
+    */
+  private def mmrStepSql(j: Int): String = {
+    val prev = s"sel${j - 1}"
+    s"""m$j AS MATERIALIZED (
+       |  SELECT c.qid, c.id, c.sim,
+       |    0.7 * c.sim - 0.3 * COALESCE(px.mx, 0.0) AS score
+       |  FROM cand c
+       |  LEFT JOIN (
+       |    SELECT p.qid, p.a AS id, MAX(p.psim) AS mx
+       |    FROM pairs p JOIN $prev s ON s.qid = p.qid AND s.id = p.b
+       |    GROUP BY p.qid, p.a) px ON px.qid = c.qid AND px.id = c.id
+       |  WHERE (c.qid, c.id) NOT IN (SELECT (qid, id) FROM $prev)
+       |), pick$j AS MATERIALIZED (
+       |  SELECT qid, id, sim, score, $j AS step FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY score DESC, id) AS rn FROM m$j) WHERE rn = 1
+       |), sel$j AS MATERIALIZED (
+       |  SELECT * FROM $prev UNION ALL SELECT * FROM pick$j
+       |)""".stripMargin
+  }
 
   /** xs10 bench attribution split (VERDICT r9 #4): the GATED entry
     * above folds model training (two corpus aggregations: decimal-mean

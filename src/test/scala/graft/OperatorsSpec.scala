@@ -1597,6 +1597,33 @@ class OperatorsSpec extends SparkSpec {
       s"corpus-dup line must drop from the later doc: ${r(6L)}")
   }
 
+  test("mmr rerank: the second pick escapes the near-duplicate " +
+      "cluster a plain top-k returns") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // query at 0°, near-dup cluster A at ~25°, diverse B at ~-25°:
+    // all three candidates tie on relevance (~0.906), A1/A2 are
+    // mutual near-copies (pair sim ~1), B is far from A (~0.64).
+    val rows = Seq(
+      (0L, Seq(1.0, 0.0)),
+      (1L, Seq(0.906, 0.423)),
+      (2L, Seq(0.907, 0.422)),
+      (3L, Seq(0.906, -0.423)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val q = emb.where(col("vec_id") === 0L)
+    val cand = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 3)
+      .select(col("qid"), col("id"), col("sim"))
+    // plain top-2 = the two near-copies
+    val plain = cand.orderBy(col("sim").desc, col("id")).limit(2)
+      .collect().map(_.getLong(1)).toSet
+    assert(plain == Set(1L, 2L), s"fixture broken: $plain")
+    val mmr = Similarity.mmrRerank(cand, emb, "vec_id", "embedding",
+        k = 2)
+      .orderBy("step").collect().map(_.getLong(2))
+    assert(mmr.toSeq == Seq(2L, 3L),
+      s"MMR must pick the diverse item second: ${mmr.toSeq}")
+  }
+
   test("hll distinct: estimate within the published error band, " +
       "duplicate-insensitive, partitioning-invariant, LC branch on " +
       "small groups") {
