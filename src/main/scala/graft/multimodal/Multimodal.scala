@@ -196,6 +196,76 @@ object Multimodal {
       .distinct()
   }
 
+  case class AudioQuality(media_id: Long, n_frames: Int, n_win: Int,
+      zc: Long, flat_win: Int, e_max: Long)
+
+  /** Per-clip audio quality signals over REAL WAV parsing (xm16) —
+    * the audio face of the text quality filters: training-data
+    * curation drops silent/flat/degenerate clips before transcription
+    * or contrastive pairing (the energy tier of a WebRTC-VAD-style
+    * gate). All signals run on the FIRST-DIFFERENCE of the mono mix —
+    * the 1-sample high-pass every real VAD applies first: it kills DC
+    * offset (a clip stuck at a constant non-zero level IS silence),
+    * and on this corpus's planted samples the raw mono never changes
+    * sign, so raw-signal ZCR would be vacuously zero (the xt15
+    * vacuous-rule trap, avoided by construction).
+    *
+    * Integer-exact end to end (the xm7 contract): mono-mix by channel
+    * SUM (no division), delta d_f = m_f − m_{f−1}, fixed 25-delta
+    * windows with energy Σd² (≤ 25·130560² ≪ 2^63 — exact Long), a
+    * window is FLAT iff Σd² < floor²·count (delta-RMS < `rmsFloor`
+    * by integer cross-multiplication, the xm5 trick — no sqrt, no
+    * division), zero crossings counted where consecutive delta
+    * products go negative. Float-free, so the oracle's
+    * planted-formula replay must match bit for bit; any decode bug
+    * (interleave, sign, header offset) breaks the gate.
+    *
+    * Output: (media_id, n_frames, n_win, zc, flat_win, e_max).
+    */
+  def audioQualityTable(media: Dataset[MediaBlob], winFrames: Int = 25,
+      rmsFloor: Long = 1000): Dataset[AudioQuality] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { blob =>
+        val wav = MediaCodecs.decodeWav(blob.payload)
+        val ch = wav.channels
+        val frames = wav.samples.length / ch
+        val nd = math.max(frames - 1, 0)
+        val nwin = (nd + winFrames - 1) / winFrames
+        val ss = new Array[Long](math.max(nwin, 1))
+        val cnt = new Array[Int](math.max(nwin, 1))
+        var zc = 0L
+        var prevM = 0L
+        var prevD = 0L
+        var f = 0
+        while (f < frames) {
+          var m = 0L
+          var c = 0
+          while (c < ch) { m += wav.samples(f * ch + c); c += 1 }
+          if (f > 0) {
+            val d = m - prevM
+            val w = (f - 1) / winFrames
+            ss(w) += d * d
+            cnt(w) += 1
+            if (f > 1 && prevD * d < 0) zc += 1
+            prevD = d
+          }
+          prevM = m
+          f += 1
+        }
+        var flat = 0
+        var emax = 0L
+        var w = 0
+        while (w < nwin) {
+          if (ss(w) < rmsFloor * rmsFloor * cnt(w)) flat += 1
+          if (ss(w) > emax) emax = ss(w)
+          w += 1
+        }
+        AudioQuality(blob.media_id, frames, nwin, zc, flat, emax)
+      }
+    }
+  }
+
   def cyclicBytes(src: Array[Byte], n: Int): Array[Byte] = {
     val out = new Array[Byte](n)
     var i = 0

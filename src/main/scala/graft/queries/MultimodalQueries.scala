@@ -710,6 +710,67 @@ object MultimodalQueries {
         .crossJoin(pairs.agg(count(lit(1)).as("n_pairs")))
         .crossJoin(surv.agg(count(lit(1)).as("n_survivors"),
           sum(col("media_id")).as("survivor_id_sum")))
+    },
+
+    // xm16: audio quality/silence signals over the REAL WAV decode
+    // path — the audio face of the text quality filters (curation
+    // drops silent/flat clips before transcription). All signals run
+    // on the mono FIRST DIFFERENCE (the 1-sample high-pass every VAD
+    // applies: DC-stuck clips ARE silence, and raw planted mono never
+    // changes sign, so raw ZCR would be vacuous — the xt15 trap):
+    // 25-delta windows, flat iff sum(d^2) < floor^2*count (integer
+    // cross-multiply, no sqrt), zero crossings on consecutive delta
+    // sign flips. Integer-exact end to end, so the oracle's
+    // planted-formula replay (never touching container bytes) must
+    // match bit for bit — a decode bug breaks the gate.
+    Q("xm16_audio_quality",
+      """WITH d AS (
+        |  SELECT doc_id, COALESCE(text, '') AS text,
+        |    CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+        |    CAST(50 + LENGTH(COALESCE(text, '')) % 200 AS BIGINT)
+        |      AS frames
+        |  FROM documents
+        |), smp AS (
+        |  SELECT doc_id, ch, frames, x.i AS i,
+        |    CASE WHEN LENGTH(text) = 0
+        |      THEN (x.i % 251 - 125 + 256) % 256
+        |      ELSE UNICODE(SUBSTR(text,
+        |        CAST(x.i % LENGTH(text) AS INT) + 1, 1)) END AS v
+        |  FROM d CROSS JOIN LATERAL UNNEST(RANGE(0, frames * ch)) x(i)
+        |), mono AS (
+        |  SELECT doc_id, frames, i // ch AS f,
+        |    SUM((v - 128) * 256) AS m
+        |  FROM smp GROUP BY 1, 2, 3
+        |), delta AS (
+        |  SELECT a.doc_id, a.f - 1 AS di, a.m - p.m AS dm
+        |  FROM mono a JOIN mono p ON p.doc_id = a.doc_id
+        |    AND p.f = a.f - 1
+        |), win AS (
+        |  SELECT doc_id, di // 25 AS w, SUM(dm * dm) AS ss,
+        |    COUNT(*) AS c
+        |  FROM delta GROUP BY 1, 2
+        |), zc AS (
+        |  SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS z
+        |  FROM delta a JOIN delta p ON p.doc_id = a.doc_id
+        |    AND p.di = a.di - 1
+        |  WHERE a.dm * p.dm < 0 GROUP BY 1
+        |), agg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_win,
+        |    CAST(COALESCE(SUM(CASE WHEN ss < 1000000 * c THEN 1 END), 0)
+        |      AS INT) AS flat_win,
+        |    CAST(MAX(ss) AS BIGINT) AS e_max
+        |  FROM win GROUP BY 1
+        |)
+        |SELECT d.doc_id AS media_id, CAST(d.frames AS INT) AS n_frames,
+        |  a.n_win, COALESCE(z.z, CAST(0 AS BIGINT)) AS zc,
+        |  a.flat_win, a.e_max
+        |FROM d
+        |JOIN agg a ON a.doc_id = d.doc_id
+        |LEFT JOIN zc z ON z.doc_id = d.doc_id
+        |ORDER BY media_id""".stripMargin) { (s, d) =>
+      Multimodal.audioQualityTable(
+          Multimodal.encodeWavTable(t(s, d, "documents")))
+        .toDF().orderBy("media_id")
     }
   )
 }

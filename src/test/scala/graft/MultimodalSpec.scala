@@ -1064,4 +1064,32 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       GifCodec.decodeGif(java.util.Arrays.copyOf(good, good.length / 2)))
   }
+
+  test("audio quality: DC-stuck clip is all-flat with zero crossings; " +
+      "oscillating clip is loud with max crossings (xm16)") {
+    import spark.implicits._
+    // clip 1: constant non-zero level — a raw-energy gate would call
+    // it loud, the delta gate calls every window flat, zc = 0
+    val stuck = Array.fill[Short](100)(5000)
+    // clip 2: ±8000 alternation — deltas alternate ±16000, so every
+    // consecutive delta pair crosses zero and no window is flat
+    val osc = Array.tabulate[Short](100)(i =>
+      if (i % 2 == 0) 8000 else -8000)
+    val media = Seq(
+      Multimodal.MediaBlob(1L, MediaCodecs.encodeWav(8000, 1, stuck)),
+      Multimodal.MediaBlob(2L, MediaCodecs.encodeWav(8000, 1, osc)))
+      .toDS()
+    val got = Multimodal.audioQualityTable(media)
+      .collect().map(q => q.media_id -> q).toMap
+    val s = got(1L)
+    // 99 deltas → 4 windows (25+25+25+24), all flat, zc 0, e_max 0
+    assert((s.n_frames, s.n_win, s.zc, s.flat_win, s.e_max) ==
+      ((100, 4, 0L, 4, 0L)), s"stuck: $s")
+    val o = got(2L)
+    // 99 deltas of ±16000: zc = 98 consecutive sign flips, no window
+    // flat, every window energy = 16000² · count
+    assert((o.n_frames, o.n_win, o.zc, o.flat_win) ==
+      ((100, 4, 98L, 0)), s"osc: $o")
+    assert(o.e_max == 16000L * 16000L * 25, s"osc energy: ${o.e_max}")
+  }
 }
