@@ -123,30 +123,8 @@ object Quality {
   def c4Clean(docs: DataFrame, idCol: String, textCol: String,
       window: Int = 12, minWords: Int = 3, minKept: Int = 3)
       : DataFrame = {
-    val d0 = docs.select(col(idCol).cast(LongType).as("doc_id"),
-      lower(col(textCol)).as("__lt"),
-      TextFns.tokens(col(textCol)).as("__fw"))
-    // Empty/whitespace-only docs emit ZERO windows (and, via the inner
-    // agg-join below, drop from the output entirely — matching the
-    // oracle's empty RANGE). Without the guard, ceil(0/w)-1 = -1 and
-    // sequence(0,-1) runs DESCENDING, fabricating two phantom rows.
-    val lines = d0
-      .where(size(col("__fw")) > 0)
-      .select(col("doc_id"),
-        explode(sequence(lit(0L),
-          ceil(size(col("__fw")) / lit(window.toDouble)) - 1))
-          .as("idx"),
-        col("__fw"))
-      .select(col("doc_id"), col("idx"),
-        array_join(slice(col("__fw"),
-          (col("idx") * window + 1).cast(IntegerType), lit(window)), " ")
-          .as("ptext"),
-        size(slice(col("__fw"),
-          (col("idx") * window + 1).cast(IntegerType), lit(window)))
-          .as("nw"))
-      .withColumn("pass",
-        col("nw") >= minWords && !col("ptext").contains("javascript"))
-      .localCheckpoint(true) // feeds the dedup groupBy AND the rollup
+    val d0 = c4D0(docs, idCol, textCol)
+    val lines = c4Lines(d0, window, minWords)
     // First occurrence by the lexicographic (doc_id, idx) STRUCT —
     // an arithmetic doc_id·K+idx encoding collides once a doc has ≥K
     // windows, silently corrupting "first occurrence wins" at scale.
@@ -161,6 +139,43 @@ object Quality {
           struct(col("doc_id"), col("idx")) =!= col("__fp")).as("dropd"),
         (col("pass") &&
           struct(col("doc_id"), col("idx")) === col("__fp")).as("keep"))
+    c4Rollup(flagged, d0, minKept)
+  }
+
+  private def c4D0(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).cast(LongType).as("doc_id"),
+      lower(col(textCol)).as("__lt"),
+      TextFns.tokens(col(textCol)).as("__fw"))
+
+  /** Rule-flagged line windows of `d0` — checkpointed (feeds the
+    * dedup groupBy AND the rollup). Empty/whitespace-only docs emit
+    * ZERO windows (and drop from the output via the inner rollup
+    * join, matching the oracle's empty RANGE); without the guard,
+    * ceil(0/w)-1 = -1 and sequence(0,-1) runs DESCENDING, fabricating
+    * two phantom rows.
+    */
+  private def c4Lines(d0: DataFrame, window: Int,
+      minWords: Int): DataFrame =
+    d0.where(size(col("__fw")) > 0)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L),
+          ceil(size(col("__fw")) / lit(window.toDouble)) - 1))
+          .as("idx"),
+        col("__fw"))
+      .select(col("doc_id"), col("idx"),
+        array_join(slice(col("__fw"),
+          (col("idx") * window + 1).cast(IntegerType), lit(window)), " ")
+          .as("ptext"),
+        size(slice(col("__fw"),
+          (col("idx") * window + 1).cast(IntegerType), lit(window)))
+          .as("nw"))
+      .withColumn("pass",
+        col("nw") >= minWords && !col("ptext").contains("javascript"))
+      .localCheckpoint(true)
+
+  private def c4Rollup(flagged: DataFrame, d0: DataFrame,
+      minKept: Int): DataFrame =
     flagged.groupBy("doc_id")
       .agg(count(lit(1)).as("n_lines"),
         sum(when(col("dropr"), 1L).otherwise(0L)).as("dropped_rule"),
@@ -177,7 +192,75 @@ object Quality {
           !col("__lt").contains("lorem ipsum") &&
           !col("__lt").contains("{")).as("kept"),
         col("clean_text"))
-  }}
+
+  /** Evolving first-occurrence LINE store for STREAMING C4 cleaning
+    * (qs20): rule-passing line text → min (doc_id, idx) among
+    * passing occurrences — the qs19 ChunkStore shape at line
+    * granularity. Monotone doc_id arrival + associative min-merge ⇒
+    * ANY chunking equals one-shot [[c4Clean]] restricted to the
+    * delta (page rules and counts are per-doc local; only the dedup
+    * stage is global, and it reduces to this store).
+    */
+  final case class LineStore private[operators] (lines: DataFrame)
+
+  final case class C4Ingest(result: DataFrame, appended: DataFrame,
+      next: LineStore)
+
+  def prepareLineStore(corpus: DataFrame, idCol: String,
+      textCol: String, window: Int = 12, minWords: Int = 3): LineStore =
+    LineStore(c4Lines(c4D0(corpus, idCol, textCol), window, minWords)
+      .where(col("pass"))
+      .groupBy("ptext")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("__mk"))
+      .localCheckpoint(true))
+
+  /** One streaming ingest step: clean `batch` against the evolving
+    * store (store ∪ batch minima decide first occurrence — the
+    * cdcDedupIngest discipline), emit the per-doc result for the
+    * batch, the store delta for durability, and the advanced store.
+    */
+  def c4CleanIngest(batch: DataFrame, store: LineStore, idCol: String,
+      textCol: String, window: Int = 12, minWords: Int = 3,
+      minKept: Int = 3): C4Ingest = {
+    val d0 = c4D0(batch, idCol, textCol)
+    val lines = c4Lines(d0, window, minWords)
+    val bmin = lines.where(col("pass"))
+      .groupBy("ptext")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("__bmk"))
+    // store is corpus-scale: keep it out of broadcasts (merge hint)
+    val eff = bmin.join(store.lines.hint("merge"), Seq("ptext"), "left")
+      .select(col("ptext"),
+        coalesce(least(col("__mk"), col("__bmk")), col("__bmk"))
+          .as("__emk"))
+    val flagged = lines
+      .join(eff.hint("merge"), Seq("ptext"), "left")
+      .select(col("doc_id"), col("idx"), col("ptext"),
+        (!col("pass")).as("dropr"),
+        (col("pass") &&
+          struct(col("doc_id"), col("idx")) =!= col("__emk")).as("dropd"),
+        (col("pass") &&
+          struct(col("doc_id"), col("idx")) === col("__emk")).as("keep"))
+    val result = c4Rollup(flagged, d0, minKept)
+    val appended = bmin.join(store.lines.hint("merge"),
+        Seq("ptext"), "left_anti")
+      .select(col("ptext"), col("__bmk").as("__mk"))
+      .localCheckpoint(true)
+    C4Ingest(result, appended,
+      LineStore(store.lines.unionByName(appended)))
+  }
+
+  /** Replay durable store deltas (crash recovery) — line keys are
+    * deterministic, so a rebuilt store equals the crashed run's.
+    */
+  def appendLinesToStore(store: LineStore, appended: DataFrame)
+      : LineStore =
+    LineStore(store.lines.unionByName(
+      appended.select(col("ptext"), col("__mk"))))
+
+  /** LSM-style rewrite — the compactChunkStore contract. */
+  def compactLineStore(store: LineStore): LineStore =
+    store.copy(lines = store.lines.localCheckpoint(true))
+}
 
 /** Char-n-gram Naive-Bayes language ID (xt23) — the fastText-shaped
   * upgrade of xt1's stopword argmax: multinomial NB over CHARACTER

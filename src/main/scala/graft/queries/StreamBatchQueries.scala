@@ -450,6 +450,26 @@ object StreamBatchQueries {
         bounds = Seq(450L))
     },
 
+    // qs20: streaming C4 cleaning (the xt26 stream face, on the qs19
+    // skeleton): the <400 corpus seeds the first-occurrence LINE
+    // store, docs >= 400 clean in doc_id-ordered chunks; page rules
+    // and counts are per-doc local, the corpus-wide line dedup
+    // reduces to the store's associative min-merge, so any chunking
+    // == one-shot xt26 over the whole corpus restricted to the delta
+    // — the oracle IS xt26's replay text (shared verbatim via
+    // c4OracleSql) with the rollup restricted. The real file-stream
+    // runner (Streams.runC4CleanStream: durable store deltas, LSM
+    // compaction) is StreamingSpec-gated against this.
+    Q("qs20_stream_c4_clean",
+      TextAnalysisQueries.c4OracleSql("WHERE doc_id >= 400")) {
+      (s, d) =>
+        val docs = t(s, d, "documents")
+        graft.streaming.Streams.c4CleanChunked(
+          docs.where(col("doc_id") >= 400),
+          docs.where(col("doc_id") < 400),
+          bounds = Seq(450L))
+    },
+
     // Streaming quality-classifier scoring (QS11, the xt18 stream
     // face): the NB model is fit ONCE on the <400 static corpus and
     // FROZEN; docs >= 400 arrive as the stream and are scored against

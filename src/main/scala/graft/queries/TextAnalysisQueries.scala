@@ -975,51 +975,7 @@ object TextAnalysisQueries {
     // precedent); the min-words rule, the corpus dedup, and the
     // page floor all fire on this corpus. See Quality.c4Clean for
     // the pinned evaluation order and the scale shape.
-    Q("xt26_c4_clean",
-      raw"""WITH d0 AS (
-        |  SELECT doc_id, LOWER(text) AS lt, LIST_FILTER(
-        |    STRING_SPLIT_REGEX(LOWER(text), '\s+'), t -> t <> '') AS fw
-        |  FROM documents
-        |), lines AS (
-        |  SELECT doc_id, CAST(i AS BIGINT) AS idx,
-        |    ARRAY_TO_STRING(
-        |      fw[(CAST(i AS INT)*12+1):(CAST(i AS INT)*12+12)], ' ')
-        |      AS ptext,
-        |    LEN(fw[(CAST(i AS INT)*12+1):(CAST(i AS INT)*12+12)]) AS nw
-        |  FROM d0, UNNEST(RANGE(0,
-        |    CAST(CEIL(LEN(fw)/12.0) AS BIGINT))) AS t(i)
-        |), ruled AS (
-        |  SELECT *, nw >= 3 AND POSITION('javascript' IN ptext) = 0
-        |    AS pass
-        |  FROM lines
-        |), firsts AS (
-        |  SELECT ptext, MIN((doc_id, idx)) AS fp FROM ruled WHERE pass
-        |  GROUP BY ptext
-        |), flagged AS (
-        |  SELECT r.doc_id, r.idx, r.ptext,
-        |    NOT r.pass AS dropr,
-        |    r.pass AND (r.doc_id, r.idx) <> f.fp AS dropd,
-        |    r.pass AND (r.doc_id, r.idx) = f.fp AS keep
-        |  FROM ruled r LEFT JOIN firsts f USING (ptext)
-        |), agg AS (
-        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
-        |    CAST(COALESCE(SUM(CASE WHEN dropr THEN 1 END), 0) AS BIGINT)
-        |      AS dropped_rule,
-        |    CAST(COALESCE(SUM(CASE WHEN dropd THEN 1 END), 0) AS BIGINT)
-        |      AS dropped_dup,
-        |    CAST(COALESCE(SUM(CASE WHEN keep THEN 1 END), 0) AS BIGINT)
-        |      AS n_kept,
-        |    COALESCE(ARRAY_TO_STRING(
-        |      LIST(ptext ORDER BY idx) FILTER (WHERE keep), ' '), '')
-        |      AS clean_text
-        |  FROM flagged GROUP BY doc_id
-        |)
-        |SELECT a.doc_id, n_lines, dropped_rule, dropped_dup, n_kept,
-        |  n_kept >= 3 AND POSITION('lorem ipsum' IN d.lt) = 0
-        |    AND POSITION('{' IN d.lt) = 0 AS kept,
-        |  clean_text
-        |FROM agg a JOIN d0 d USING (doc_id)
-        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Q("xt26_c4_clean", c4OracleSql()) { (s, d) =>
       graft.operators.Quality
         .c4Clean(t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")
@@ -1472,4 +1428,58 @@ object TextAnalysisQueries {
         .orderBy("doc_id")
     }
   )
+
+  /** The xt26 C4-cleaning replay, parameterized by a final-rollup
+    * restriction so the qs20 stream face shares the ORACLE TEXT
+    * VERBATIM (the cdcOracleSql discipline — contracts cannot drift):
+    * line rules, the corpus-wide first-(doc_id, idx) dedup and page
+    * rules are computed globally; `finalWhere` restricts only the
+    * emitted rows (e.g. "WHERE doc_id >= 400" for the delta slice).
+    */
+  def c4OracleSql(finalWhere: String = ""): String =
+    raw"""WITH d0 AS (
+      |  SELECT doc_id, LOWER(text) AS lt, LIST_FILTER(
+      |    STRING_SPLIT_REGEX(LOWER(text), '\s+'), t -> t <> '') AS fw
+      |  FROM documents
+      |), lines AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS idx,
+      |    ARRAY_TO_STRING(
+      |      fw[(CAST(i AS INT)*12+1):(CAST(i AS INT)*12+12)], ' ')
+      |      AS ptext,
+      |    LEN(fw[(CAST(i AS INT)*12+1):(CAST(i AS INT)*12+12)]) AS nw
+      |  FROM d0, UNNEST(RANGE(0,
+      |    CAST(CEIL(LEN(fw)/12.0) AS BIGINT))) AS t(i)
+      |), ruled AS (
+      |  SELECT *, nw >= 3 AND POSITION('javascript' IN ptext) = 0
+      |    AS pass
+      |  FROM lines
+      |), firsts AS (
+      |  SELECT ptext, MIN((doc_id, idx)) AS fp FROM ruled WHERE pass
+      |  GROUP BY ptext
+      |), flagged AS (
+      |  SELECT r.doc_id, r.idx, r.ptext,
+      |    NOT r.pass AS dropr,
+      |    r.pass AND (r.doc_id, r.idx) <> f.fp AS dropd,
+      |    r.pass AND (r.doc_id, r.idx) = f.fp AS keep
+      |  FROM ruled r LEFT JOIN firsts f USING (ptext)
+      |), agg AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |    CAST(COALESCE(SUM(CASE WHEN dropr THEN 1 END), 0) AS BIGINT)
+      |      AS dropped_rule,
+      |    CAST(COALESCE(SUM(CASE WHEN dropd THEN 1 END), 0) AS BIGINT)
+      |      AS dropped_dup,
+      |    CAST(COALESCE(SUM(CASE WHEN keep THEN 1 END), 0) AS BIGINT)
+      |      AS n_kept,
+      |    COALESCE(ARRAY_TO_STRING(
+      |      LIST(ptext ORDER BY idx) FILTER (WHERE keep), ' '), '')
+      |      AS clean_text
+      |  FROM flagged GROUP BY doc_id
+      |)
+      |SELECT a.doc_id, n_lines, dropped_rule, dropped_dup, n_kept,
+      |  n_kept >= 3 AND POSITION('lorem ipsum' IN d.lt) = 0
+      |    AND POSITION('{' IN d.lt) = 0 AS kept,
+      |  clean_text
+      |FROM agg a JOIN d0 d USING (doc_id)
+      |$finalWhere
+      |ORDER BY doc_id""".stripMargin
 }

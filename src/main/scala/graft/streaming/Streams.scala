@@ -632,6 +632,72 @@ object Streams {
     parts.reduce(_.unionAll(_)).orderBy("doc_id")
   }
 
+  /** Batch-shape QS20 harness (the oracle entry): C4-clean `newDocs`
+    * through the evolving first-occurrence line store in
+    * doc_id-ordered chunks — union of per-chunk outputs == one-shot
+    * xt26 over corpus ∪ newDocs restricted to newDocs (page rules
+    * and counts are per-doc local; the global dedup stage reduces to
+    * the store's associative min-merge).
+    */
+  def c4CleanChunked(newDocs: DataFrame, corpus: DataFrame,
+      bounds: Seq[Long]): DataFrame = {
+    import graft.operators.Quality
+    var ls = Quality.prepareLineStore(corpus, "doc_id", "text")
+    val edges = (Long.MinValue +: bounds.sorted) :+ Long.MaxValue
+    val parts = edges.sliding(2).map { case Seq(lo, hi) =>
+      val ing = Quality.c4CleanIngest(
+        newDocs.where(col("doc_id") >= lo && col("doc_id") < hi),
+        ls, "doc_id", "text")
+      ls = ing.next
+      ing.result
+    }.toSeq
+    parts.reduce(_.unionAll(_)).orderBy("doc_id")
+  }
+
+  /** Run the QS20 stream: delta document files → per-micro-batch
+    * evolving-line-store C4 cleaning → parquet sink, durable store
+    * deltas under `outDir/store/batch=<id>` (restart re-folds the
+    * committed appends instead of replaying data — the
+    * [[runCdcDedupStream]] recovery contract), LSM compaction every
+    * `compactEvery` batches. State is one row per DISTINCT
+    * rule-passing line text — the C4 dedup state a trillion-token
+    * crawl cleaner actually carries.
+    */
+  def runC4CleanStream(spark: SparkSession, deltaDir: String,
+      corpus: DataFrame, outDir: String, compactEvery: Int = 4): Unit = {
+    import graft.operators.Quality
+    val sc = spark.sparkContext
+    val pre = sc.getPersistentRDDs.keySet
+    var ls = Quality.prepareLineStore(corpus, "doc_id", "text")
+    val storeDir = new org.apache.hadoop.fs.Path(s"$outDir/store")
+    val fs = storeDir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(storeDir) && fs.listStatus(storeDir).nonEmpty)
+      ls = Quality.appendLinesToStore(ls,
+        spark.read.parquet(s"$outDir/store/batch=*"))
+    var owned = sc.getPersistentRDDs.keySet -- pre
+    var batches = 0
+    docStream(spark, deltaDir, outDir) { (batch, batchId) =>
+      val before = sc.getPersistentRDDs.keySet
+      val ing = Quality.c4CleanIngest(batch, ls, "doc_id", "text")
+      ing.appended.write.mode("overwrite")
+        .parquet(s"$outDir/store/batch=$batchId")
+      ing.result.write.mode("overwrite")
+        .parquet(s"$outDir/batch=$batchId")
+      ls = ing.next
+      owned ++= sc.getPersistentRDDs.keySet -- before
+      batches += 1
+      if (batches % compactEvery == 0) {
+        val preCompact = sc.getPersistentRDDs.keySet
+        ls = Quality.compactLineStore(ls)
+        val kept = sc.getPersistentRDDs.keySet -- preCompact
+        sc.getPersistentRDDs
+          .filter { case (id, _) => owned(id) && !kept(id) }
+          .values.foreach(_.unpersist(blocking = false))
+        owned = kept
+      }
+    }
+  }
+
   /** Streaming token-budget shard packing (QS9): doc_id-ordered
     * batches are packed by [[graft.operators.Scale.packShards]] with
     * each batch's `base` = total tokens of all earlier batches — the

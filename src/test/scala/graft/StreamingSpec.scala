@@ -604,6 +604,45 @@ class StreamingSpec extends SparkSpec {
     assert(rows(spark.read.parquet(s"$outDir/batch=*")) == oneShot)
   }
 
+  test("QS20 C4 stream face: any chunking == one-shot xt26, and the " +
+      "real runner restarts from the durable line-store appends") {
+    val docs = graft.queries.T.t(spark, sf0001, "documents")
+    val delta = docs.where(col("doc_id") >= 400)
+    val corpus = docs.where(col("doc_id") < 400).cache()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getBoolean(5), r.getString(6))).toSet
+    val oneShot = rows(graft.operators.Quality.c4Clean(
+        docs, "doc_id", "text")
+      .where(col("doc_id") >= 400))
+    val one = rows(Streams.c4CleanChunked(delta, corpus, Seq.empty))
+    val three = rows(Streams.c4CleanChunked(delta, corpus,
+      Seq(470L, 540L)))
+    assert(one == oneShot && three == oneShot)
+    // the dedup stage must fire ACROSS the corpus/delta boundary, or
+    // the evolving store proves nothing
+    assert(one.exists(_._4 > 0), "no cross-boundary dup lines")
+    // real file-stream runner across a mid-stream "crash"
+    val base = java.nio.file.Files.createTempDirectory("qs20")
+    val deltaDir = base.resolve("delta").toString
+    val outDir = base.resolve("out").toString
+    delta.where(col("doc_id") < 470).coalesce(1)
+      .write.mode("append").parquet(deltaDir)
+    Streams.runC4CleanStream(spark, deltaDir, corpus, outDir,
+      compactEvery = 2)
+    Thread.sleep(20)
+    delta.where(col("doc_id") >= 470 && col("doc_id") < 540).coalesce(1)
+      .write.mode("append").parquet(deltaDir)
+    Thread.sleep(20)
+    delta.where(col("doc_id") >= 540).coalesce(1)
+      .write.mode("append").parquet(deltaDir)
+    Streams.runC4CleanStream(spark, deltaDir, corpus, outDir,
+      compactEvery = 2)
+    corpus.unpersist()
+    assert(rows(spark.read.parquet(s"$outDir/batch=*")) == oneShot)
+  }
+
   test("QS10 runner: restart rebuilds the gram store from the durable " +
       "appends and finishes identically") {
     val docs = graft.queries.T.t(spark, sf0001, "documents")
