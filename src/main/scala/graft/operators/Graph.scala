@@ -388,4 +388,61 @@ object Graph {
     lab.join(sizes, "lbl").select(col("id"), col("lbl").as("label"),
       col("csize"))
   }
+
+  /** k-core coreness via the iterated H-index (Lü, Zhou, Zhang &
+    * Stanley, PNAS 2016): c₀ = degree; c_{t+1}(v) = H-index of v's
+    * neighbors' current values (the largest h such that ≥ h neighbors
+    * have value ≥ h). The sequence is monotone non-increasing and
+    * converges to the CORENESS — the classic k-core peeling number —
+    * without ever running the inherently sequential global peel:
+    * every iteration is a local neighborhood aggregate, which is what
+    * makes coreness computable at cluster scale (the peel is a chain
+    * of n dependent deletions; this is O(diameter-ish) rounds of
+    * joins). Coreness is the standard "how embedded is this page in a
+    * dense region" signal — link-farm cores light up, pendant chains
+    * score 1.
+    *
+    * Exactness: degrees, ranks and H-indices are all integers — the
+    * whole operator is float-free (the xg5 class). The per-node
+    * H-index is MAX(LEAST(rank, c)) over neighbors ranked by
+    * (c DESC, u) — invariant to tie order, but the rank order is
+    * pinned anyway so both engines replay identically. Isolated
+    * nodes: H of an empty multiset is 0 (LEFT join + COALESCE).
+    *
+    * A FIXED iteration count keeps the oracle's unrolled chain finite
+    * (the xg1 discipline); convergence to true peeling coreness on
+    * graphs whose diameter allows it inside the budget is spec-gated.
+    *
+    * Output: (id, deg, core).
+    */
+  def coreness(nodes: DataFrame, edges: DataFrame,
+      iters: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nodeList = nodes.select(col("id")).localCheckpoint(true)
+    val und = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+    val nb = und.select(col("src").as("v"), col("dst").as("u"))
+      .unionAll(und.select(col("dst").as("v"), col("src").as("u")))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = nb.groupBy(col("v").as("id")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    var h = nodeList.join(deg, Seq("id"), "left")
+      .select(col("id"), coalesce(col("d"), lit(0L)).as("c"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy("v").orderBy(col("c").desc, col("u"))
+    for (_ <- 1 to iters) {
+      val hh = nb
+        .join(h.select(col("id").as("u"), col("c")), "u")
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .groupBy(col("v").as("id"))
+        .agg(max(least(col("rn"), col("c"))).as("h"))
+      h = nodeList.join(hh, Seq("id"), "left")
+        .select(col("id"), coalesce(col("h"), lit(0L)).as("c"))
+        .localCheckpoint(true)
+    }
+    nodeList.join(deg, Seq("id"), "left")
+      .select(col("id"), coalesce(col("d"), lit(0L)).as("deg"))
+      .join(h.select(col("id"), col("c").as("core")), "id")
+  }
 }

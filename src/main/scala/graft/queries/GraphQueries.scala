@@ -167,6 +167,24 @@ object GraphQueries {
        |)""".stripMargin
   }
 
+  /** One unrolled iterated-H-index step (see [[Graph.coreness]]):
+    * neighbors ranked by (c DESC, u), H = MAX(LEAST(rank, c)),
+    * isolated nodes COALESCE to 0. All integers — float-free.
+    */
+  private def coreIterSql(k: Int): String = {
+    val prev = s"h${k - 1}"
+    s"""h$k AS MATERIALIZED (
+       |  SELECT nd.id, COALESCE(hh.h, 0) AS c
+       |  FROM nodes nd LEFT JOIN (
+       |    SELECT v AS id, MAX(LEAST(rn, c)) AS h FROM (
+       |      SELECT nb.v, l.c,
+       |        ROW_NUMBER() OVER (PARTITION BY nb.v
+       |          ORDER BY l.c DESC, nb.u) AS rn
+       |      FROM nb JOIN $prev l ON l.id = nb.u)
+       |    GROUP BY v) hh USING (id)
+       |)""".stripMargin
+  }
+
   /** The Spark-side twin of [[edgesSql]] — THE single definition of
     * the synthetic link graph (xg1 and xg2 share it; drift between
     * this and the SQL breaks both hash gates).
@@ -362,6 +380,44 @@ object GraphQueries {
       Graph.labelPropagation(nodes, sparkEdges(docs, docs.count()),
           iters = Iters)
         .select(col("id").as("doc_id"), col("label"), col("csize"))
+        .orderBy("doc_id")
+    },
+
+    // xg6: k-core coreness via the iterated H-index (Lü et al., PNAS
+    // 2016) — "how embedded is this page in a dense region": link-farm
+    // cores light up where pendant crawl chains score 1. The classic
+    // peel is a chain of n dependent deletions (unrunnable
+    // distributed); the H-index iteration is per-neighborhood local,
+    // O(~diameter) rounds of joins, and provably converges to the
+    // same coreness. Integer-exact end to end (the xg5 float-free
+    // class); 10 unrolled iterations in the oracle.
+    Q("xg6_coreness",
+      s"""WITH nodes AS (SELECT doc_id AS id FROM documents),
+         |$edgesSql,
+         |nb AS (
+         |  SELECT DISTINCT v, u FROM (
+         |    SELECT src AS v, dst AS u FROM edges WHERE src <> dst
+         |    UNION ALL
+         |    SELECT dst AS v, src AS u FROM edges WHERE src <> dst)
+         |), dg AS (
+         |  SELECT v AS id, CAST(COUNT(*) AS BIGINT) AS d
+         |  FROM nb GROUP BY v
+         |), h0 AS (
+         |  SELECT nd.id, COALESCE(dg.d, 0) AS c
+         |  FROM nodes nd LEFT JOIN dg USING (id)
+         |),
+         |${(1 to Iters).map(coreIterSql).mkString(",\n")}
+         |SELECT nd.id AS doc_id, COALESCE(dg.d, 0) AS deg,
+         |  h$Iters.c AS core
+         |FROM nodes nd
+         |LEFT JOIN dg USING (id)
+         |JOIN h$Iters ON h$Iters.id = nd.id
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val nodes = docs.select(col("doc_id").as("id"))
+      Graph.coreness(nodes, sparkEdges(docs, docs.count()),
+          iters = Iters)
+        .select(col("id").as("doc_id"), col("deg"), col("core"))
         .orderBy("doc_id")
     },
 

@@ -171,6 +171,52 @@ class GraphSpec extends SparkSpec {
     assert(got.forall(x => sizes(x._2) == x._3.toInt))
   }
 
+  test("coreness: iterated H-index equals classic k-core peeling") {
+    import spark.implicits._
+    // K4 (core 3) + a pendant chain 4-5-6 (core 1) + a C4 ring
+    // 7-8-9-10 (core 2) + isolated 99 (core 0)
+    val edges = (for (a <- 1L to 4L; b <- 1L to 4L if a < b)
+        yield (a, b)) ++
+      Seq((4L, 5L), (5L, 6L)) ++
+      Seq((7L, 8L), (8L, 9L), (9L, 10L), (10L, 7L))
+    val nodes = ((1L to 10L) :+ 99L).toDF("id")
+    val got = Graph.coreness(nodes, edges.toDF("src", "dst"), iters = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // classic peeling reference, computed directly
+    def peel(es: Seq[(Long, Long)], ns: Seq[Long]): Map[Long, Long] = {
+      val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+        .withDefaultValue(Set.empty)
+      es.foreach { case (a, b) =>
+        adj(a) = adj(a) + b; adj(b) = adj(b) + a }
+      val core = scala.collection.mutable.Map[Long, Long]()
+      val alive = scala.collection.mutable.Set(ns: _*)
+      var k = 0L
+      while (alive.nonEmpty) {
+        var changed = true
+        while (changed) {
+          changed = false
+          for (v <- alive.toSeq
+              if adj(v).count(alive) <= k) {
+            core(v) = k; alive -= v; changed = true
+          }
+        }
+        k += 1
+      }
+      core.toMap
+    }
+    val want = peel(edges, (1L to 10L) :+ 99L)
+    assert(got.view.mapValues(_._2).toMap == want,
+      s"coreness != peeling: $got vs $want")
+    assert(got(1L) == ((3L, 3L)) && got(5L)._2 == 1L &&
+      got(8L)._2 == 2L && got(99L) == ((0L, 0L)), s"$got")
+    // partitioning invariance (integer ops only)
+    val rep = Graph.coreness(nodes.repartition(7),
+        edges.toDF("src", "dst").repartition(5), iters = 10)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(rep.toSeq == got.toSeq.sortBy(_._1).map(x => (x._1, x._2._2)))
+  }
+
   test("textrank shape: a hub word co-occurring with everything " +
       "outranks peripheral words (pageRank over string vertex ids)") {
     import spark.implicits._
