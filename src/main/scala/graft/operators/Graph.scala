@@ -445,4 +445,97 @@ object Graph {
       .select(col("id"), coalesce(col("d"), lit(0L)).as("deg"))
       .join(h.select(col("id"), col("c").as("core")), "id")
   }
+
+  /** HyperBall harmonic centrality (Boldi & Vigna, 2013) — the
+    * algorithm that computes centrality on 100-billion-edge graphs
+    * (Common Crawl publishes exactly this harmonic ranking over its
+    * host graph): exact harmonic centrality needs all-pairs shortest
+    * paths; HyperBall replaces each node's reachability ball with a
+    * HYPERLOGLOG COUNTER (the xk16 register machinery — m = 256,
+    * 48-bit md5 hash, LENGTH(BIN(·)) rho), grows all balls one hop
+    * per round with an elementwise register MAX along edges, and
+    * accumulates H(v) = Σ_t (|B_t(v)| − |B_{t−1}(v)|) / t from the
+    * estimated ball sizes. Ball direction: INCOMING (who reaches v —
+    * the quality-signal direction; u→v edges push u's ball into v).
+    *
+    * Determinism/exactness: the register state is pure integers under
+    * associative MAX-merge — partitioning- and merge-tree-invariant —
+    * and each ball estimate is xk16's single pinned IEEE sequence
+    * (α·m²·2^41/S with the LC branch); the harmonic sum accumulates
+    * in pinned t-ascending order (((d₁/1 + d₂/2) + d₃/3) + d₄/4), so
+    * both engines replay the float chain verbatim. The estimator can
+    * be locally non-monotone across the LC/raw branch boundary —
+    * HyperBall's published behavior, deterministic here.
+    *
+    * Scale shape: per round, the register table (n·m rows, m fixed)
+    * joins edges once and MAX-groups on (node, register) — map-side
+    * combinable, never corpus²; ball estimates are one n·m → n
+    * aggregate; lineage cut per round. This is what makes centrality
+    * tractable where exact BFS-from-every-node is Θ(n·m_edges).
+    *
+    * Output: (id, ball1, ball`iters`, harm_e4) — 1-hop and final
+    * ball-size estimates (rounded) and the harmonic score in 1e-4
+    * fixed point.
+    */
+  def hyperBall(nodes: DataFrame, edges: DataFrame,
+      iters: Int = 4): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    var regs = nodes
+      .select(col("id"),
+        conv(substring(md5(concat(lit("v:"),
+          col("id").cast(StringType))), 1, 12), 16, 10)
+          .cast(LongType).as("h"))
+      .select(col("id"), expr("h DIV 1099511627776").as("j"),
+        (col("h") % 1099511627776L).as("rem"))
+      .select(col("id"), col("j"),
+        when(col("rem") === 0L, lit(41))
+          .otherwise(lit(41) - length(bin(col("rem")))).as("mj"))
+      .localCheckpoint(true)
+    // xk16's pinned estimator, pre-rounding (the raw double feeds the
+    // harmonic accumulation)
+    def est(r: DataFrame): DataFrame = {
+      val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
+      val stats = r.groupBy("id").agg(
+        count(lit(1)).as("np"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(41 - mj AS INT))"))
+          .as("sp"))
+        .select(col("id"), (lit(256L) - col("np")).as("vz"),
+          (col("sp") + (lit(256L) - col("np")) * lit(2199023255552L))
+            .as("s"))
+      val eRaw = (alpha * lit(65536.0) * lit(2199023255552.0)) /
+        col("s").cast(DoubleType)
+      stats.select(col("id"),
+        when(eRaw <= lit(640.0) && col("vz") > 0L,
+          lit(256.0) * log(lit(256.0) / col("vz").cast(DoubleType)))
+          .otherwise(eRaw).as("e"))
+    }
+    var prev = est(regs).localCheckpoint(true)
+    var harm = prev.select(col("id"), lit(0.0).as("hsum"))
+    var ball1: DataFrame = null
+    for (t <- 1 to iters) {
+      regs = regs.unionAll(
+          e.join(regs.withColumnRenamed("id", "src"), "src")
+            .select(col("dst").as("id"), col("j"), col("mj")))
+        .groupBy("id", "j").agg(max(col("mj")).as("mj"))
+        .localCheckpoint(true)
+      val cur = est(regs).localCheckpoint(true)
+      harm = harm
+        .join(prev.select(col("id"), col("e").as("pe")), "id")
+        .join(cur.select(col("id"), col("e").as("ce")), "id")
+        .select(col("id"),
+          (col("hsum") + (col("ce") - col("pe")) / lit(t.toDouble))
+            .as("hsum"))
+        .localCheckpoint(true)
+      if (t == 1) ball1 = cur
+      prev = cur
+    }
+    ball1.select(col("id"),
+        floor(col("e") + lit(0.5)).cast(LongType).as("ball1"))
+      .join(prev.select(col("id"),
+        floor(col("e") + lit(0.5)).cast(LongType).as(s"ball$iters")),
+        "id")
+      .join(harm.select(col("id"),
+        floor(col("hsum") * lit(1.0e4) + lit(0.5)).cast(LongType)
+          .as("harm_e4")), "id")
+  }
 }

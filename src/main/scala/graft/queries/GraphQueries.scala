@@ -185,6 +185,51 @@ object GraphQueries {
        |)""".stripMargin
   }
 
+  /** 48-bit md5-prefix integer (12 nibbles; the ScaleQueries hex48Sql
+    * fold) — xg7's HLL register hash.
+    */
+  private def hex48GSql(x: String): String = {
+    def nib(i: Int) =
+      s"(STRPOS('0123456789abcdef', SUBSTR(MD5($x), $i, 1)) - 1)"
+    (2 to 12).foldLeft(s"CAST(${nib(1)} AS BIGINT)")((acc, i) =>
+      s"($acc * 16 + ${nib(i)})")
+  }
+
+  /** One HyperBall register-propagation round (see [[Graph.hyperBall]]):
+    * every node's counter absorbs its in-neighbors' counters by
+    * elementwise MAX — associative, any merge tree.
+    */
+  private def hbRegsIterSql(t: Int): String =
+    s"""regs$t AS MATERIALIZED (
+       |  SELECT id, j, MAX(mj) AS mj FROM (
+       |    SELECT id, j, mj FROM regs${t - 1}
+       |    UNION ALL
+       |    SELECT e.dst AS id, r.j, r.mj
+       |    FROM edges e JOIN regs${t - 1} r ON r.id = e.src
+       |  ) GROUP BY id, j
+       |)""".stripMargin
+
+  /** Per-node ball-size estimate at round `t` — xk16's pinned HLL
+    * estimator (exact-integer register sums, one IEEE sequence, LC
+    * branch), kept as a raw DOUBLE for the harmonic accumulation.
+    */
+  private def hbEstSql(t: Int): String =
+    s"""est$t AS MATERIALIZED (
+       |  SELECT id, CASE WHEN
+       |      (CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE)
+       |        / 256.0) * 65536.0 * 2199023255552.0)
+       |        / CAST(s AS DOUBLE) <= 640.0 AND vz > 0
+       |    THEN 256.0 * LN(256.0 / CAST(vz AS DOUBLE))
+       |    ELSE (CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE)
+       |        / 256.0) * 65536.0 * 2199023255552.0)
+       |        / CAST(s AS DOUBLE) END AS e
+       |  FROM (
+       |    SELECT id, CAST(256 - COUNT(*) AS BIGINT) AS vz,
+       |      CAST(SUM(CAST(1 AS BIGINT) << CAST(41 - mj AS INT))
+       |        + (256 - COUNT(*)) * 2199023255552 AS BIGINT) AS s
+       |    FROM regs$t GROUP BY id)
+       |)""".stripMargin
+
   /** The Spark-side twin of [[edgesSql]] — THE single definition of
     * the synthetic link graph (xg1 and xg2 share it; drift between
     * this and the SQL breaks both hash gates).
@@ -418,6 +463,49 @@ object GraphQueries {
       Graph.coreness(nodes, sparkEdges(docs, docs.count()),
           iters = Iters)
         .select(col("id").as("doc_id"), col("deg"), col("core"))
+        .orderBy("doc_id")
+    },
+
+    // xg7: HyperBall harmonic centrality (Boldi & Vigna 2013) — the
+    // centrality Common Crawl actually publishes over its host graph,
+    // computed the way it actually computes it: HLL counters per node
+    // (the xk16 register machinery), one elementwise-MAX propagation
+    // round per hop, harmonic accumulation from the estimated ball
+    // sizes. Exact harmonic needs all-pairs BFS (Θ(n·m) — dead at
+    // scale); this is 4 rounds of register joins. The register state
+    // is pure max-merged integers and every estimate one pinned IEEE
+    // sequence, so the whole approximate chain is hash-gated.
+    Q("xg7_hyperball",
+      s"""WITH nodes AS (SELECT doc_id AS id FROM documents),
+         |$edgesSql,
+         |regs0 AS MATERIALIZED (
+         |  SELECT id, h // 1099511627776 AS j,
+         |    CASE WHEN h % 1099511627776 = 0 THEN 41
+         |      ELSE 41 - LENGTH(BIN(h % 1099511627776)) END AS mj
+         |  FROM (SELECT id,
+         |    ${hex48GSql("'v:' || CAST(id AS VARCHAR)")} AS h
+         |    FROM nodes)
+         |),
+         |${hbEstSql(0)},
+         |${(1 to 4).flatMap(t =>
+             Seq(hbRegsIterSql(t), hbEstSql(t))).mkString(",\n")}
+         |SELECT e0.id AS doc_id,
+         |  CAST(FLOOR(e1.e + 0.5) AS BIGINT) AS ball1,
+         |  CAST(FLOOR(e4.e + 0.5) AS BIGINT) AS ball4,
+         |  CAST(FLOOR(((((e1.e - e0.e) / 1.0 + (e2.e - e1.e) / 2.0)
+         |    + (e3.e - e2.e) / 3.0) + (e4.e - e3.e) / 4.0) * 1.0e4
+         |    + 0.5) AS BIGINT) AS harm_e4
+         |FROM est0 e0
+         |JOIN est1 e1 ON e1.id = e0.id
+         |JOIN est2 e2 ON e2.id = e0.id
+         |JOIN est3 e3 ON e3.id = e0.id
+         |JOIN est4 e4 ON e4.id = e0.id
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val nodes = docs.select(col("doc_id").as("id"))
+      Graph.hyperBall(nodes, sparkEdges(docs, docs.count()), iters = 4)
+        .select(col("id").as("doc_id"), col("ball1"), col("ball4"),
+          col("harm_e4"))
         .orderBy("doc_id")
     },
 

@@ -217,6 +217,40 @@ class GraphSpec extends SparkSpec {
     assert(rep.toSeq == got.toSeq.sortBy(_._1).map(x => (x._1, x._2._2)))
   }
 
+  test("hyperball: ball estimates track exact reachability in the " +
+      "linear-counting regime, and the state is partitioning-invariant") {
+    import spark.implicits._
+    // directed chain 1→2→…→8: the incoming ball of v at radius t
+    // holds min(v−1, t)+1 nodes; at counts ≤ 8 the LC branch is
+    // accurate to ±0.16, so the ROUNDED estimates are exact
+    val nodes = (1L to 8L).toDF("id")
+    val edges = (1L to 7L).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = Graph.hyperBall(nodes, edges, iters = 4)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    for (v <- 1L to 8L) {
+      val b1 = math.min(v - 1, 1L) + 1
+      val b4 = math.min(v - 1, 4L) + 1
+      assert(got(v)._1 == b1 && got(v)._2 == b4,
+        s"node $v balls ${got(v)} != ($b1, $b4)")
+    }
+    // harmonic: H(v) = Σ_{d=1..min(v−1,4)} 1/d, within LC tolerance
+    for (v <- 1L to 8L) {
+      val truth = (1L to math.min(v - 1, 4L))
+        .map(d => 1.0 / d).sum
+      assert(math.abs(got(v)._3 / 1.0e4 - truth) < 0.1,
+        s"node $v harm ${got(v)._3 / 1.0e4} != $truth")
+    }
+    val rep = Graph.hyperBall(nodes.repartition(5),
+        edges.repartition(3), iters = 4)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(rep == got.toSeq.sortBy(_._1)
+      .map(x => (x._1, x._2._1, x._2._2, x._2._3)))
+  }
+
   test("textrank shape: a hub word co-occurring with everything " +
       "outranks peripheral words (pageRank over string vertex ids)") {
     import spark.implicits._
