@@ -142,56 +142,6 @@ object Quality {
     c4Rollup(flagged, d0, minKept)
   }
 
-  /** The Gopher quality rule set (Rae et al. 2021, §A1.1) — the
-    * published heuristic pre-filter most open corpora still run:
-    *
-    *  - word count ∈ [50, 100000];
-    *  - mean word length ∈ [3, 10];
-    *  - symbol-to-word ratio ≤ 0.1 ('#' or '...' tokens);
-    *  - ≥ 80% of words contain an alphabetic character;
-    *  - ≥ 2 distinct stopwords from the paper's 8-word list.
-    *
-    * Exactness: every ratio threshold is an integer
-    * CROSS-MULTIPLICATION (3·n ≤ chars ≤ 10·n; 10·sym ≤ n;
-    * 10·alpha ≥ 8·n — the xm5 trick), so the entire operator is
-    * float-free. Scale shape: every metric is a per-row higher-order
-    * function over the token array — a narrow map, ZERO shuffle at
-    * any corpus size; the document never leaves its partition.
-    *
-    * Output: (doc_id, n_words, n_chars, n_sym, n_alpha, n_stop,
-    * r_wc, r_mwl, r_sym, r_alpha, r_stop, keep).
-    */
-  def gopherRules(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val stops = Seq("the", "be", "to", "of", "and", "that", "have",
-      "with")
-    val m = docs
-      .select(col(idCol).cast(LongType).as("doc_id"),
-        TextFns.tokens(col(textCol)).as("__t"))
-      .select(col("doc_id"),
-        size(col("__t")).cast(LongType).as("n_words"),
-        expr("aggregate(transform(__t, w -> CAST(length(w) AS BIGINT))," +
-          " 0L, (a, x) -> a + x)").as("n_chars"),
-        size(filter(col("__t"),
-          w => w.contains("#") || w.contains("...")))
-          .cast(LongType).as("n_sym"),
-        size(filter(col("__t"), w => w.rlike("[a-z]")))
-          .cast(LongType).as("n_alpha"),
-        size(array_intersect(col("__t"), array(stops.map(lit): _*)))
-          .cast(LongType).as("n_stop"))
-    val rWc = col("n_words") >= 50L && col("n_words") <= 100000L
-    val rMwl = lit(3L) * col("n_words") <= col("n_chars") &&
-      col("n_chars") <= lit(10L) * col("n_words")
-    val rSym = col("n_sym") * 10L <= col("n_words")
-    val rAlpha = col("n_alpha") * 10L >= col("n_words") * 8L
-    val rStop = col("n_stop") >= 2L
-    m.select(col("doc_id"), col("n_words"), col("n_chars"),
-      col("n_sym"), col("n_alpha"), col("n_stop"),
-      rWc.as("r_wc"), rMwl.as("r_mwl"), rSym.as("r_sym"),
-      rAlpha.as("r_alpha"), rStop.as("r_stop"),
-      (rWc && rMwl && rSym && rAlpha && rStop).as("keep"))
-  }
-
   private def c4D0(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
     docs.select(col(idCol).cast(LongType).as("doc_id"),

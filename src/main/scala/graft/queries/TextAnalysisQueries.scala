@@ -975,52 +975,6 @@ object TextAnalysisQueries {
     // precedent); the min-words rule, the corpus dedup, and the
     // page floor all fire on this corpus. See Quality.c4Clean for
     // the pinned evaluation order and the scale shape.
-    // xt29: the Gopher quality rule set (Rae et al. 2021, §A1.1) —
-    // the published heuristic filter most open corpora still run
-    // (word-count bounds, mean-word-length band, symbol-to-word
-    // ratio, alphabetic-word fraction, stopword floor). Every ratio
-    // threshold is an integer CROSS-MULTIPLICATION (3·n ≤ chars,
-    // 10·sym ≤ n, 10·alpha ≥ 8·n) — the xm5 trick — so the whole
-    // entry is float-free, and every metric is a narrow per-row HOF
-    // (zero shuffle at any corpus size; the doc never leaves its
-    // partition). The stopword floor uses the paper's 8-word list
-    // via distinct intersection. Per-rule booleans ride along so the
-    // gate pins each rule, not just the conjunction.
-    Q("xt29_gopher_rules",
-      raw"""WITH d AS (
-        |  SELECT doc_id, LIST_FILTER(
-        |    STRING_SPLIT_REGEX(LOWER(text), '\s+'), t -> t <> '') AS tk
-        |  FROM documents
-        |), m AS (
-        |  SELECT doc_id,
-        |    CAST(LEN(tk) AS BIGINT) AS n_words,
-        |    CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(tk,
-        |      w -> LENGTH(w))), 0) AS BIGINT) AS n_chars,
-        |    CAST(LEN(LIST_FILTER(tk, w -> POSITION('#' IN w) > 0
-        |      OR POSITION('...' IN w) > 0)) AS BIGINT) AS n_sym,
-        |    CAST(LEN(LIST_FILTER(tk,
-        |      w -> REGEXP_MATCHES(w, '[a-z]'))) AS BIGINT) AS n_alpha,
-        |    CAST(LEN(LIST_INTERSECT(tk, ['the', 'be', 'to', 'of',
-        |      'and', 'that', 'have', 'with'])) AS BIGINT) AS n_stop
-        |  FROM d
-        |)
-        |SELECT doc_id, n_words, n_chars, n_sym, n_alpha, n_stop,
-        |  n_words >= 50 AND n_words <= 100000 AS r_wc,
-        |  3 * n_words <= n_chars AND n_chars <= 10 * n_words AS r_mwl,
-        |  n_sym * 10 <= n_words AS r_sym,
-        |  n_alpha * 10 >= n_words * 8 AS r_alpha,
-        |  n_stop >= 2 AS r_stop,
-        |  n_words >= 50 AND n_words <= 100000
-        |    AND 3 * n_words <= n_chars AND n_chars <= 10 * n_words
-        |    AND n_sym * 10 <= n_words
-        |    AND n_alpha * 10 >= n_words * 8
-        |    AND n_stop >= 2 AS keep
-        |FROM m ORDER BY doc_id""".stripMargin) { (s, d) =>
-      graft.operators.Quality.gopherRules(t(s, d, "documents"),
-          "doc_id", "text")
-        .orderBy("doc_id")
-    },
-
     Q("xt26_c4_clean", c4OracleSql()) { (s, d) =>
       graft.operators.Quality
         .c4Clean(t(s, d, "documents"), "doc_id", "text")

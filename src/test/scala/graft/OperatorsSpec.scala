@@ -1597,40 +1597,6 @@ class OperatorsSpec extends SparkSpec {
       s"corpus-dup line must drop from the later doc: ${r(6L)}")
   }
 
-  test("gopher rules: each rule fires on its crafted fixture and the " +
-      "clean doc keeps") {
-    import spark.implicits._
-    import graft.operators.Quality
-    val stop = "the of and that" // 4 distinct stopwords
-    def w(n: Int, tag: String) =
-      (1 to n).map(i => s"$tag$i").mkString(" ")
-    val docs = Seq(
-      (1L, stop + " " + w(56, "ok")),                 // keep
-      (2L, stop + " " + w(6, "ok")),                  // r_wc: 10 words
-      (3L, stop + " " + w(56, "verylongtokenx")),     // r_mwl: mean>10
-      (4L, stop + " " + w(46, "ok") + " " +
-        (1 to 10).map(i => s"#t$i").mkString(" ")),   // r_sym: 10/60
-      (5L, stop + " " + w(26, "ok") + " " +
-        (1 to 30).map(i => s"$i$i$i").mkString(" ")), // r_alpha: 30 num
-      (6L, w(60, "ok"))                               // r_stop: none
-    ).toDF("doc_id", "text")
-    val r = Quality.gopherRules(docs, "doc_id", "text")
-      .orderBy("doc_id").collect()
-      .map(x => x.getLong(0) -> x).toMap
-    assert(r(1L).getBoolean(11), s"clean doc must keep: ${r(1L)}")
-    assert(!r(2L).getBoolean(6) && !r(2L).getBoolean(11), "word count")
-    assert(!r(3L).getBoolean(7) && !r(3L).getBoolean(11), "mean wl")
-    assert(!r(4L).getBoolean(8) && !r(4L).getBoolean(11), "symbols")
-    assert(!r(5L).getBoolean(9) && !r(5L).getBoolean(11), "alpha frac")
-    assert(!r(6L).getBoolean(10) && !r(6L).getBoolean(11), "stopwords")
-    // and every fixture fails ONLY its targeted rule (fixtures are
-    // otherwise clean, so rule attribution is unambiguous)
-    for ((id, failIdx) <- Seq(2L -> 6, 3L -> 7, 4L -> 8, 5L -> 9,
-        6L -> 10); idx <- 6 to 10 if idx != failIdx)
-      assert(r(id).getBoolean(idx),
-        s"doc $id unexpectedly fails rule col $idx: ${r(id)}")
-  }
-
   test("mmr rerank: the second pick escapes the near-duplicate " +
       "cluster a plain top-k returns") {
     import spark.implicits._
