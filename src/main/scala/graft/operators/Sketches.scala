@@ -534,21 +534,19 @@ object Sketches {
   def hllDistinct(df: DataFrame, groupCol: String, value: Column,
       p: Int = 8): DataFrame = {
     require(p >= 4 && p <= 12, s"hllDistinct: p=$p out of range")
+    hllEstimate(hllRegs(df, groupCol, value, p), p)
+  }
+
+  /** The pinned estimator over a MAX-folded register table (g, j, mj):
+    * exact-integer v_zero/s_sum, one IEEE sequence with the LC branch,
+    * FLOOR(x+0.5). Shared by [[hllDistinct]] and the qs21 stream face.
+    */
+  private[operators] def hllEstimate(regs: DataFrame, p: Int)
+      : DataFrame = {
     val m = 1L << p
-    val valueBits = 48 - p
-    val rhoMax = valueBits + 1
-    val pow2 = 1L << valueBits
+    val rhoMax = 48 - p + 1
     // α_m for m ≥ 128 (the published constant); pinned literal order
     val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
-    val base = df.select(col(groupCol).as("g"),
-      conv(substring(md5(value), 1, 12), 16, 10).cast(LongType).as("h"))
-    val reg = base.select(col("g"),
-      expr(s"h DIV $pow2").as("j"),
-      (col("h") % lit(pow2)).as("rem"))
-      .select(col("g"), col("j"),
-        when(col("rem") === 0L, lit(rhoMax))
-          .otherwise(lit(rhoMax) - length(bin(col("rem")))).as("rho"))
-    val regs = reg.groupBy("g", "j").agg(max(col("rho")).as("mj"))
     val stats = regs.groupBy("g").agg(
       count(lit(1)).as("np"),
       sum(expr(s"shiftleft(CAST(1 AS BIGINT), " +
@@ -564,4 +562,53 @@ object Sketches {
             / col("v_zero").cast(DoubleType)))
         .otherwise(eRaw) + lit(0.5)).cast(LongType).as("est"))
   }
+
+  /** MAX-folded register table (g, j, mj) of one input slice — the
+    * mergeable-summary state behind [[hllDistinct]] (associative AND
+    * commutative, any merge tree in any order).
+    */
+  private[operators] def hllRegs(df: DataFrame, groupCol: String,
+      value: Column, p: Int): DataFrame = {
+    val valueBits = 48 - p
+    val rhoMax = valueBits + 1
+    val pow2 = 1L << valueBits
+    df.select(col(groupCol).as("g"),
+        conv(substring(md5(value), 1, 12), 16, 10).cast(LongType)
+          .as("h"))
+      .select(col("g"),
+        expr(s"h DIV $pow2").as("j"),
+        (col("h") % lit(pow2)).as("rem"))
+      .select(col("g"), col("j"),
+        when(col("rem") === 0L, lit(rhoMax))
+          .otherwise(lit(rhoMax) - length(bin(col("rem")))).as("rho"))
+      .groupBy("g", "j").agg(max(col("rho")).as("mj"))
+  }
+
+  /** Evolving HLL register store for STREAMING distinct estimation
+    * (qs21): the xk16 registers as the entire state — ≤ groups·m rows
+    * forever, however long the stream runs (exact streaming distinct
+    * carries the whole value set; the sketch is why this op exists).
+    * Register MAX-merge is associative AND commutative, so — stronger
+    * than the qs19/qs20 monotone-arrival contracts — ANY chunking in
+    * ANY ORDER folds to the one-shot sketch, spec-gated including a
+    * reversed-order replay.
+    */
+  final case class RegStore private[operators] (regs: DataFrame)
+
+  def prepareRegStore(corpus: DataFrame, groupCol: String,
+      value: Column, p: Int = 8): RegStore =
+    RegStore(hllRegs(corpus, groupCol, value, p).localCheckpoint(true))
+
+  /** Fold one batch into the store; the current per-group estimates
+    * at any point are [[hllEstimates]] of the advanced store.
+    */
+  def hllIngest(batch: DataFrame, store: RegStore, groupCol: String,
+      value: Column, p: Int = 8): RegStore =
+    RegStore(store.regs
+      .unionByName(hllRegs(batch, groupCol, value, p))
+      .groupBy("g", "j").agg(max(col("mj")).as("mj"))
+      .localCheckpoint(true))
+
+  def hllEstimates(store: RegStore, p: Int = 8): DataFrame =
+    hllEstimate(store.regs, p)
 }

@@ -609,40 +609,7 @@ object ScaleQueries {
     // IEEE estimator with the linear-counting branch. n_exact rides
     // along so the sketch error is visible, not hidden. See
     // Sketches.hllDistinct for the mergeable-summary scale shape.
-    Q("xk16_hll_distinct",
-      s"""WITH h AS (
-         |  SELECT source, ${hex48Sql("text")} AS h FROM documents
-         |), reg AS (
-         |  SELECT source, h // 1099511627776 AS j,
-         |    h % 1099511627776 AS rem
-         |  FROM h
-         |), rho AS (
-         |  SELECT source, j, CASE WHEN rem = 0 THEN 41
-         |    ELSE 41 - LENGTH(BIN(rem)) END AS rho
-         |  FROM reg
-         |), regs AS (
-         |  SELECT source, j, MAX(rho) AS mj FROM rho GROUP BY source, j
-         |), st AS (
-         |  SELECT source, CAST(256 - COUNT(*) AS BIGINT) AS v_zero,
-         |    CAST(SUM(CAST(1 AS BIGINT) << CAST(41 - mj AS INT))
-         |      + (256 - COUNT(*)) * 2199023255552 AS BIGINT) AS s_sum
-         |  FROM regs GROUP BY source
-         |), ex AS (
-         |  SELECT source, CAST(COUNT(DISTINCT text) AS BIGINT) AS n_exact
-         |  FROM documents GROUP BY source
-         |)
-         |SELECT st.source, v_zero, s_sum,
-         |  CAST(FLOOR(CASE WHEN
-         |      (CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE)
-         |        / 256.0) * 65536.0 * 2199023255552.0)
-         |        / CAST(s_sum AS DOUBLE) <= 640.0 AND v_zero > 0
-         |    THEN 256.0 * LN(256.0 / CAST(v_zero AS DOUBLE))
-         |    ELSE (CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE)
-         |        / 256.0) * 65536.0 * 2199023255552.0)
-         |        / CAST(s_sum AS DOUBLE) END + 0.5) AS BIGINT) AS est,
-         |  n_exact
-         |FROM st JOIN ex USING (source) ORDER BY source"""
-        .stripMargin) { (s, d) =>
+    Q("xk16_hll_distinct", hllOracleSql(withExact = true)) { (s, d) =>
       val docs = t(s, d, "documents")
       val exact = docs.groupBy(col("source").as("g"))
         .agg(countDistinct(col("text")).as("n_exact"))
@@ -674,6 +641,53 @@ object ScaleQueries {
     def nib(i: Int) =
       s"(STRPOS('0123456789abcdef', SUBSTR(MD5($x), $i, 1)) - 1)"
     s"(((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16 + ${nib(4)})"
+  }
+
+  /** The xk16 HLL replay — registers, exact-integer harmonic sums,
+    * the pinned estimator with its LC branch — optionally with the
+    * exact-distinct rider column. Shared verbatim by the qs21 stream
+    * face WITHOUT the rider (exact streaming distinct would carry the
+    * whole value set — the sketch is the point), the
+    * contracts-cannot-drift discipline.
+    */
+  def hllOracleSql(withExact: Boolean): String = {
+    val exCte = if (withExact)
+      """, ex AS (
+        |  SELECT source, CAST(COUNT(DISTINCT text) AS BIGINT)
+        |    AS n_exact
+        |  FROM documents GROUP BY source
+        |)""".stripMargin
+    else ""
+    val exCol = if (withExact) ",\n  n_exact" else ""
+    val exJoin = if (withExact) " JOIN ex USING (source)" else ""
+    s"""WITH h AS (
+       |  SELECT source, ${hex48Sql("text")} AS h FROM documents
+       |), reg AS (
+       |  SELECT source, h // 1099511627776 AS j,
+       |    h % 1099511627776 AS rem
+       |  FROM h
+       |), rho AS (
+       |  SELECT source, j, CASE WHEN rem = 0 THEN 41
+       |    ELSE 41 - LENGTH(BIN(rem)) END AS rho
+       |  FROM reg
+       |), regs AS (
+       |  SELECT source, j, MAX(rho) AS mj FROM rho GROUP BY source, j
+       |), st AS (
+       |  SELECT source, CAST(256 - COUNT(*) AS BIGINT) AS v_zero,
+       |    CAST(SUM(CAST(1 AS BIGINT) << CAST(41 - mj AS INT))
+       |      + (256 - COUNT(*)) * 2199023255552 AS BIGINT) AS s_sum
+       |  FROM regs GROUP BY source
+       |)$exCte
+       |SELECT st.source, v_zero, s_sum,
+       |  CAST(FLOOR(CASE WHEN
+       |      (CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE)
+       |        / 256.0) * 65536.0 * 2199023255552.0)
+       |        / CAST(s_sum AS DOUBLE) <= 640.0 AND v_zero > 0
+       |    THEN 256.0 * LN(256.0 / CAST(v_zero AS DOUBLE))
+       |    ELSE (CAST(0.7213 AS DOUBLE) / (1.0 + CAST(1.079 AS DOUBLE)
+       |        / 256.0) * 65536.0 * 2199023255552.0)
+       |        / CAST(s_sum AS DOUBLE) END + 0.5) AS BIGINT) AS est$exCol
+       |FROM st$exJoin ORDER BY source""".stripMargin
   }
 
   /** 48-bit md5-prefix integer in DuckDB SQL (12 nibbles) — the Spark

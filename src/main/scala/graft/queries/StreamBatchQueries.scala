@@ -470,6 +470,24 @@ object StreamBatchQueries {
           bounds = Seq(450L))
     },
 
+    // qs21: streaming approximate distinct (the xk16 stream face):
+    // the <400 corpus seeds the HLL register store, docs >= 400 fold
+    // in chunks. Register MAX-merge is associative AND commutative —
+    // STRONGER than qs19/qs20's monotone-arrival contracts: any
+    // chunking in ANY ORDER equals the one-shot sketch (spec-gated
+    // incl. a reversed-order replay). State is <= groups x 256 rows
+    // forever; the oracle is xk16's replay verbatim minus the
+    // exact-distinct rider (exact streaming distinct would carry the
+    // whole value set — the sketch is the point).
+    Q("qs21_stream_hll_distinct",
+      ScaleQueries.hllOracleSql(withExact = false)) { (s, d) =>
+      val docs = t(s, d, "documents")
+      graft.streaming.Streams.hllDistinctChunked(
+        docs.where(col("doc_id") >= 400),
+        docs.where(col("doc_id") < 400),
+        bounds = Seq(450L))
+    },
+
     // Streaming quality-classifier scoring (QS11, the xt18 stream
     // face): the NB model is fit ONCE on the <400 static corpus and
     // FROZEN; docs >= 400 arrive as the stream and are scored against

@@ -654,6 +654,29 @@ object Streams {
     parts.reduce(_.unionAll(_)).orderBy("doc_id")
   }
 
+  /** Batch-shape QS21 harness (the oracle entry): fold `newDocs` into
+    * the evolving HLL register store in doc_id-ordered chunks, then
+    * emit the final per-group estimates — register MAX-merge is
+    * associative AND commutative, so any chunking in any order folds
+    * to one-shot xk16 over corpus ∪ newDocs (the whole corpus, not a
+    * delta slice: distinct estimates are global by nature).
+    */
+  def hllDistinctChunked(newDocs: DataFrame, corpus: DataFrame,
+      bounds: Seq[Long]): DataFrame = {
+    import graft.operators.Sketches
+    var rs = Sketches.prepareRegStore(corpus, "source", col("text"))
+    val edges = (Long.MinValue +: bounds.sorted) :+ Long.MaxValue
+    edges.sliding(2).foreach { case Seq(lo, hi) =>
+      rs = Sketches.hllIngest(
+        newDocs.where(col("doc_id") >= lo && col("doc_id") < hi),
+        rs, "source", col("text"))
+    }
+    Sketches.hllEstimates(rs)
+      .select(col("g").as("source"), col("v_zero"), col("s_sum"),
+        col("est"))
+      .orderBy("source")
+  }
+
   /** Run the QS20 stream: delta document files → per-micro-batch
     * evolving-line-store C4 cleaning → parquet sink, durable store
     * deltas under `outDir/store/batch=<id>` (restart re-folds the

@@ -643,6 +643,36 @@ class StreamingSpec extends SparkSpec {
     assert(rows(spark.read.parquet(s"$outDir/batch=*")) == oneShot)
   }
 
+  test("QS21 HLL stream face: any chunking in ANY ORDER == one-shot " +
+      "xk16 (register max-merge is commutative)") {
+    import graft.operators.Sketches
+    val docs = graft.queries.T.t(spark, sf0001, "documents")
+    val delta = docs.where(col("doc_id") >= 400)
+    val corpus = docs.where(col("doc_id") < 400).cache()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+    val oneShot = rows(Sketches.hllDistinct(docs, "source", col("text"))
+      .select(col("g"), col("v_zero"), col("s_sum"), col("est")))
+    val one = rows(Streams.hllDistinctChunked(delta, corpus, Seq.empty))
+    val three = rows(Streams.hllDistinctChunked(delta, corpus,
+      Seq(470L, 540L)))
+    assert(one == oneShot && three == oneShot)
+    // REVERSED arrival order — qs19/qs20's monotone contract is not
+    // even needed here: fold the high slice first
+    var rs = Sketches.prepareRegStore(corpus, "source", col("text"))
+    for ((lo, hi) <- Seq((540L, Long.MaxValue), (470L, 540L),
+        (Long.MinValue, 470L)))
+      rs = Sketches.hllIngest(
+        delta.where(col("doc_id") >= lo && col("doc_id") < hi),
+        rs, "source", col("text"))
+    val reversed = rows(Sketches.hllEstimates(rs)
+      .select(col("g"), col("v_zero"), col("s_sum"), col("est")))
+    corpus.unpersist()
+    assert(reversed == oneShot, "reversed-order fold diverged")
+  }
+
   test("QS10 runner: restart rebuilds the gram store from the durable " +
       "appends and finishes identically") {
     val docs = graft.queries.T.t(spark, sf0001, "documents")
