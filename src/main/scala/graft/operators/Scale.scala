@@ -103,6 +103,34 @@ object Scale {
   def fixedSample(df: DataFrame, keyCol: Column, k: Int): DataFrame =
     df.orderBy(md5(keyCol.cast(StringType)), keyCol).limit(k)
 
+  /** Evolving fixed-k sample store for STREAMING reservoir sampling
+    * (qs22): the current sample IS the whole state — k rows forever,
+    * however long the stream runs. The md5-priority formulation makes
+    * the classic reservoir MERGEABLE and deterministic: the sample of
+    * any row set is its k smallest (md5(key), key) rows, and
+    * top-k(top-k(A) ∪ top-k(B)) = top-k(A ∪ B) — associative AND
+    * commutative, so any chunking in any order folds to the one-shot
+    * [[fixedSample]] (the qs21 order-free contract class; a classic
+    * counter-based reservoir is order-DEPENDENT and could never be
+    * hash-gated).
+    */
+  final case class SampleStore private[operators] (sample: DataFrame,
+      k: Int)
+
+  def prepareSampleStore(corpus: DataFrame, keyCol: Column,
+      k: Int): SampleStore =
+    SampleStore(fixedSample(corpus, keyCol, k).localCheckpoint(true), k)
+
+  /** Fold one batch into the store (batch schema must match the
+    * store's). The current sample at any point is `store.sample`.
+    */
+  def sampleIngest(batch: DataFrame, store: SampleStore,
+      keyCol: Column): SampleStore =
+    SampleStore(
+      fixedSample(store.sample.unionByName(batch), keyCol, store.k)
+        .localCheckpoint(true),
+      store.k)
+
   /** Token-budget shard packing as a DISTRIBUTED prefix sum: assign
     * each row the shard `floor(tokens_before_it / budget)` under a
     * total order — the "pack documents into ~budget-token training

@@ -85,10 +85,7 @@ object ScaleQueries {
     // Fixed-size global sample (deterministic reservoir): the 100
     // smallest docs in md5-of-id order. Plans as TakeOrderedAndProject
     // — per-partition top-k, k-row driver merge, no global sort.
-    Q("xk5_reservoir_sample",
-      """SELECT doc_id, lang FROM documents
-        |ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id
-        |LIMIT 100""".stripMargin) { (s, d) =>
+    Q("xk5_reservoir_sample", reservoirOracleSql) { (s, d) =>
       Scale.fixedSample(t(s, d, "documents"), col("doc_id"), 100)
         .select("doc_id", "lang")
     },
@@ -642,6 +639,15 @@ object ScaleQueries {
       s"(STRPOS('0123456789abcdef', SUBSTR(MD5($x), $i, 1)) - 1)"
     s"(((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16 + ${nib(4)})"
   }
+
+  /** The xk5 fixed-sample replay — k smallest (md5(doc_id), doc_id)
+    * rows. Shared verbatim by the qs22 stream face (the sample of a
+    * row set is independent of how the set arrived).
+    */
+  def reservoirOracleSql: String =
+    """SELECT doc_id, lang FROM documents
+      |ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id
+      |LIMIT 100""".stripMargin
 
   /** The xk16 HLL replay — registers, exact-integer harmonic sums,
     * the pinned estimator with its LC branch — optionally with the

@@ -488,6 +488,24 @@ object StreamBatchQueries {
         bounds = Seq(450L))
     },
 
+    // qs22: streaming fixed-k reservoir sample (the xk5 stream face):
+    // the <400 corpus seeds the k-row sample store, docs >= 400 fold
+    // in chunks. The md5-priority formulation makes the reservoir
+    // MERGEABLE — top-k(top-k(A) ∪ top-k(B)) == top-k(A ∪ B),
+    // associative and commutative (the qs21 order-free class; a
+    // counter-based reservoir is order-dependent and ungateable) — so
+    // any chunking in any order equals one-shot xk5 over the whole
+    // corpus, and the state is k rows forever. Oracle = xk5's replay
+    // verbatim (shared via reservoirOracleSql).
+    Q("qs22_stream_reservoir", ScaleQueries.reservoirOracleSql) {
+      (s, d) =>
+        val docs = t(s, d, "documents")
+        graft.streaming.Streams.reservoirChunked(
+          docs.where(col("doc_id") >= 400),
+          docs.where(col("doc_id") < 400),
+          bounds = Seq(450L))
+    },
+
     // Streaming quality-classifier scoring (QS11, the xt18 stream
     // face): the NB model is fit ONCE on the <400 static corpus and
     // FROZEN; docs >= 400 arrive as the stream and are scored against

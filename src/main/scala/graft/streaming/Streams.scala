@@ -677,6 +677,32 @@ object Streams {
       .orderBy("source")
   }
 
+  /** Batch-shape QS22 harness (the oracle entry): fold `newDocs` into
+    * the evolving fixed-k sample store in doc_id-ordered chunks, then
+    * emit the final sample — md5-priority top-k merge is associative
+    * AND commutative (the qs21 order-free class), so any chunking in
+    * any order equals one-shot xk5 over corpus ∪ newDocs. State is k
+    * rows forever — THE streaming-sample story (a counter-based
+    * reservoir is order-dependent and ungateable).
+    */
+  def reservoirChunked(newDocs: DataFrame, corpus: DataFrame,
+      bounds: Seq[Long], k: Int = 100): DataFrame = {
+    import graft.operators.Scale
+    val proj = (df: DataFrame) => df.select(col("doc_id"), col("lang"))
+    var ss = Scale.prepareSampleStore(proj(corpus), col("doc_id"), k)
+    val edges = (Long.MinValue +: bounds.sorted) :+ Long.MaxValue
+    edges.sliding(2).foreach { case Seq(lo, hi) =>
+      ss = Scale.sampleIngest(
+        proj(newDocs.where(col("doc_id") >= lo && col("doc_id") < hi)),
+        ss, col("doc_id"))
+    }
+    // orderBy + limit = TakeOrderedAndProject (single ordered
+    // partition — the xk5 plan shape, so the parquet dump preserves
+    // the oracle's row order)
+    ss.sample.orderBy(md5(col("doc_id").cast(StringType)),
+      col("doc_id")).limit(k)
+  }
+
   /** Run the QS20 stream: delta document files → per-micro-batch
     * evolving-line-store C4 cleaning → parquet sink, durable store
     * deltas under `outDir/store/batch=<id>` (restart re-folds the

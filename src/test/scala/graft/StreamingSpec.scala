@@ -673,6 +673,41 @@ class StreamingSpec extends SparkSpec {
     assert(reversed == oneShot, "reversed-order fold diverged")
   }
 
+  test("QS22 reservoir stream face: any chunking in ANY ORDER == " +
+      "one-shot xk5 (md5-priority top-k merge is commutative), state " +
+      "is k rows") {
+    import graft.operators.Scale
+    val docs = graft.queries.T.t(spark, sf0001, "documents")
+    val delta = docs.where(col("doc_id") >= 400)
+    val corpus = docs.where(col("doc_id") < 400).cache()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val oneShot = rows(Scale.fixedSample(docs, col("doc_id"), 100)
+      .select(col("doc_id"), col("lang")))
+    val one = rows(Streams.reservoirChunked(delta, corpus, Seq.empty))
+    val three = rows(Streams.reservoirChunked(delta, corpus,
+      Seq(470L, 540L)))
+    assert(one == oneShot && three == oneShot)
+    // reversed arrival order
+    def proj(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("lang"))
+    var ss = Scale.prepareSampleStore(proj(corpus), col("doc_id"), 100)
+    for ((lo, hi) <- Seq((540L, Long.MaxValue), (470L, 540L),
+        (Long.MinValue, 470L)))
+      ss = Scale.sampleIngest(
+        proj(delta.where(col("doc_id") >= lo && col("doc_id") < hi)),
+        ss, col("doc_id"))
+    assert(ss.sample.count() == 100, "state exceeded k rows")
+    val reversed = rows(ss.sample.orderBy(
+      md5(col("doc_id").cast(org.apache.spark.sql.types.StringType)),
+      col("doc_id")))
+    corpus.unpersist()
+    assert(reversed == oneShot, "reversed-order fold diverged")
+    // the sample must actually straddle the corpus/delta boundary
+    assert(oneShot.exists(_._1 >= 400L) && oneShot.exists(_._1 < 400L),
+      "sample does not cross the boundary — fixture too weak")
+  }
+
   test("QS10 runner: restart rebuilds the gram store from the durable " +
       "appends and finishes identically") {
     val docs = graft.queries.T.t(spark, sf0001, "documents")
