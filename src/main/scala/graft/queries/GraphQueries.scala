@@ -248,6 +248,11 @@ object GraphQueries {
               col("j").cast(StringType))).cast(LongType),
           lit(n)).as("dst"))
       .where(col("dst") =!= col("src")).distinct()
+      // every Graph operator references its edge frame 2–3× (outdeg
+      // agg + join, or both directions of the neighbor union) —
+      // materialize the md5 derivation + distinct ONCE (r14; the
+      // materialize-once sweep discipline from r5)
+      .localCheckpoint(true)
 
   private val Iters = 10
 
@@ -561,16 +566,21 @@ object GraphQueries {
          |ORDER BY rnk""".stripMargin) { (s, d) =>
       import graft.functions.TextFns
       val docs = t(s, d, "documents")
+      // the bigram explode is referenced by BOTH edge directions, and
+      // pageRank reads the edge frame twice (outdeg + join):
+      // materialize each stage once (the r5 sweep discipline)
       val pairs = docs
         .select(explode(TextFns.wordBigrams(TextFns.tokens(col("text"))))
           .as("bg"))
         .select(substring_index(col("bg"), " ", 1).as("w1"),
           substring_index(col("bg"), " ", -1).as("w2"))
         .where(col("w1") =!= col("w2"))
+        .localCheckpoint(true)
       val edges = pairs
         .select(col("w1").as("src"), col("w2").as("dst"))
         .unionAll(pairs.select(col("w2").as("src"), col("w1").as("dst")))
         .distinct()
+        .localCheckpoint(true)
       val nodes = docs
         .select(explode(TextFns.tokens(col("text"))).as("id"))
         .distinct()
