@@ -768,6 +768,78 @@ object Similarity {
       k)
   }
 
+  /** Sign bits of dims [from, until) packed into a non-negative Long
+    * (xs13). Strict `> 0` — zeros and −0.0 are 0-bits in both
+    * engines. 32-bit halves, the xm5/xm6 hi/lo discipline: a 64-bit
+    * pack would put dim 63 at the sign bit and make the two engines'
+    * overflow behavior load-bearing.
+    */
+  private def signBits(vec: String, from: Int, until: Int): Column =
+    expr(s"aggregate(transform(sequence($from, ${until - 1}), " +
+      s"i -> IF(element_at($vec, CAST(i AS INT) + 1) " +
+      s"> CAST(0.0 AS DOUBLE), " +
+      s"shiftleft(CAST(1 AS BIGINT), CAST(i - $from AS INT)), " +
+      s"CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a + x)")
+
+  /** Binary-quantization ANN (xs13) — the "BQ" fast path modern
+    * vector stores ship beside PQ: each vector compresses to its
+    * per-dimension SIGN BITS (64 dims → 8 bytes, a 32× cut over f64;
+    * scale-invariant, so cosine neighbors tend to share signs), the
+    * shortlist stage ranks by HAMMING distance over the packed bits
+    * (pure integer — bit_count(xor), the xm6 arithmetic), and only
+    * |queries|·shortlist survivors pay an exact-cosine rerank (the
+    * xs7 two-stage discipline with a far cheaper stage 1: one Long
+    * xor+popcount per pair instead of m ADC lookups).
+    *
+    * Exactness: signatures are deterministic integers; Hamming ties
+    * break (hd ASC, id ASC) via the bounded TopKPairs aggregate
+    * (sim = −hd — ≤ shortlist rows per query per partition cross the
+    * shuffle, never a corpus sort); the rerank is the module's pinned
+    * dot/(na·nb) cosine with (sim DESC, id) ranking — every stage
+    * SQL-replayable, so the approximate operator is hash-gated (the
+    * xs6/xs7 contract).
+    *
+    * Output: (qid, rank, id, hd, sim).
+    */
+  def binaryQuantTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      shortlist: Int): DataFrame = {
+    val c = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("__v"),
+        TextFns.l2norm(col(vecCol)).as("nv"))
+      .withColumn("lo", signBits("__v", 0, 32))
+      .withColumn("hi", signBits("__v", 32, 64))
+      .localCheckpoint(true)
+    val q = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("__qv"),
+        TextFns.l2norm(col(vecCol)).as("nq"))
+      .withColumn("qlo", signBits("__qv", 0, 32))
+      .withColumn("qhi", signBits("__qv", 32, 64))
+    val hd = c.select(col("id"), col("lo"), col("hi"))
+      .crossJoin(broadcast(q.select(col("qid"), col("qlo"), col("qhi"))))
+      .where(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        (expr("bit_count(lo ^ qlo)") + expr("bit_count(hi ^ qhi)"))
+          .cast(LongType).as("hd"))
+    val short = rankTopK(
+      hd.select(col("qid"), col("id"),
+        (-col("hd")).cast(DoubleType).as("sim")), shortlist)
+      .select(col("qid"), col("id"), (-col("sim")).cast(LongType)
+        .as("hd"))
+    val rr = short
+      .join(c.select(col("id"), col("__v"), col("nv")), "id")
+      .join(broadcast(q.select(col("qid"), col("__qv"), col("nq"))),
+        "qid")
+      .select(col("qid"), col("id"), col("hd"),
+        (TextFns.dot(col("__v"), col("__qv"))
+          / (col("nv") * col("nq"))).as("sim"))
+    rankTopK(rr.select(col("qid"), col("id"), col("sim")), k)
+      .join(rr.select(col("qid"), col("id"), col("hd")),
+        Seq("qid", "id"))
+      .select(col("qid"), col("rank"), col("id"), col("hd"),
+        col("sim"))
+  }
+
   /** Maximal-marginal-relevance diversified rerank (Carbonell &
     * Goldstein, SIGIR'98) — the result-diversification pass every
     * retrieval stack runs AFTER its shortlist stage: a plain top-k

@@ -366,6 +366,64 @@ object SimilarityQueries {
       xs10QueryWith(s, d, cents, books)
     },
 
+    // xs13: binary-quantization ANN — the "BQ" fast path modern
+    // vector stores ship beside PQ: vectors compress to per-dimension
+    // SIGN BITS (64 dims → 8 bytes, 32× smaller than f64; cosine is
+    // scale-invariant and so are signs), the shortlist ranks by pure
+    // integer Hamming distance (bit_count(xor), the xm6 arithmetic,
+    // 32-bit hi/lo halves so bit 63 never lands on the sign bit), and
+    // only queries×shortlist survivors pay the exact-cosine rerank
+    // (the xs7 two-stage discipline with a one-popcount stage 1).
+    // Every stage is deterministic and SQL-replayable, so the
+    // approximate operator is hash-gated end to end.
+    Q("xs13_binary_quant",
+      s"""WITH e AS (
+         |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+         |), sg AS (
+         |  SELECT id, v,
+         |    CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(RANGE(0, 32),
+         |      i -> CASE WHEN v[CAST(i AS INT) + 1] > 0.0
+         |        THEN (CAST(1 AS BIGINT) << CAST(i AS INT))
+         |        ELSE 0 END)), 0) AS BIGINT) AS lo,
+         |    CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(RANGE(32, 64),
+         |      i -> CASE WHEN v[CAST(i AS INT) + 1] > 0.0
+         |        THEN (CAST(1 AS BIGINT) << CAST(i - 32 AS INT))
+         |        ELSE 0 END)), 0) AS BIGINT) AS hi
+         |  FROM e
+         |), q AS (
+         |  SELECT id AS qid, v AS qv, lo AS qlo, hi AS qhi FROM sg
+         |  WHERE id < 10
+         |), hd AS (
+         |  SELECT q.qid, s.id,
+         |    BIT_COUNT(XOR(s.lo, q.qlo)) + BIT_COUNT(XOR(s.hi, q.qhi))
+         |      AS hd
+         |  FROM sg s CROSS JOIN q WHERE s.id <> q.qid
+         |), short AS (
+         |  SELECT qid, id, CAST(hd AS BIGINT) AS hd FROM (
+         |    SELECT qid, id, hd, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY hd, id) AS rn FROM hd) WHERE rn <= 30
+         |), rr AS (
+         |  SELECT sh.qid, sh.id, sh.hd,
+         |    LIST_INNER_PRODUCT(e.v, qq.qv)
+         |      / (SQRT(LIST_INNER_PRODUCT(e.v, e.v))
+         |         * SQRT(LIST_INNER_PRODUCT(qq.qv, qq.qv))) AS sim
+         |  FROM short sh
+         |  JOIN e ON e.id = sh.id
+         |  JOIN q qq ON qq.qid = sh.qid
+         |)
+         |SELECT qid, rank, id, hd, ${r4Sql("sim")} AS sim FROM (
+         |  SELECT qid, id, hd, sim, CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY qid ORDER BY sim DESC, id) AS INT) AS rank
+         |  FROM rr) WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      Similarity.binaryQuantTopK(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, shortlist = 30)
+        .select(col("qid"), col("rank"), col("id"), col("hd"),
+          r4(col("sim")).as("sim"))
+        .orderBy("qid", "rank")
+    },
+
     // xs12: MMR diversified rerank (Carbonell & Goldstein SIGIR'98)
     // over the brute top-20 shortlist of 3 queries — the result-
     // diversification pass after any shortlist stage (plain top-k

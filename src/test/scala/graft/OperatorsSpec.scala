@@ -892,6 +892,49 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.9, f"pq rerank recall $recall%.3f < 0.9")
   }
 
+  test("binary quantization: sign signatures are scale-invariant and " +
+      "Hamming shortlist + exact rerank recovers brute top-k on a " +
+      "clustered corpus") {
+    import spark.implicits._
+    // same clustered recipe as the PQ gates: signs concentrate within
+    // a cluster (satellites share most of their center's sign
+    // pattern), so the Hamming-30 shortlist holds the home cluster
+    // and the exact rerank restores brute-force order.
+    val rnd = new scala.util.Random(23)
+    val centers = Array.fill(10, 64)(rnd.nextGaussian())
+    val rows = for (l <- 0 until 10; i <- 0 until 50) yield
+      (l * 50L + i, centers(l).map(_ + 0.25 * rnd.nextGaussian()).toSeq)
+    val corpus = rows.toDF("vec_id", "embedding").localCheckpoint(true)
+    val queries = corpus.where(col("vec_id") % 50 === 0)
+    val k = 10
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = hits(graft.operators.Similarity
+      .bruteForceTopK(corpus, queries, "vec_id", "embedding", k))
+    val bq = hits(graft.operators.Similarity
+      .binaryQuantTopK(corpus, queries, "vec_id", "embedding", k,
+        shortlist = 60))
+    val recall = (exact & bq).size.toDouble / exact.size
+    assert(recall >= 0.9, f"binary-quant recall $recall%.3f < 0.9")
+    // scale invariance: 3x-scaled copies produce hd = 0 against the
+    // originals — the BQ premise (cosine ignores magnitude, so do
+    // signs). Query each original against a corpus holding only its
+    // scaled twin: every top-1 must be the twin at hd 0.
+    val scaled = rows.map { case (id, v) =>
+      (id + 10000L, v.map(_ * 3.0)) }.toDF("vec_id", "embedding")
+    val both = corpus.select(col("vec_id"), col("embedding"))
+      .unionByName(scaled).localCheckpoint(true)
+    val twin = graft.operators.Similarity
+      .binaryQuantTopK(both, corpus.where(col("vec_id") < 3)
+        .select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", k = 1, shortlist = 5)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("id"),
+        r.getAs[Long]("hd")))
+    assert(twin.forall(t => t._2 == t._1 + 10000L && t._3 == 0L),
+      s"scaled twins not at Hamming 0: ${twin.toSeq}")
+  }
+
   test("xs10 IVF×PQ: recall >= 0.9 vs brute force on clustered corpus; " +
       "more probes never hurt") {
     import spark.implicits._
