@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.TextFns
-import graft.operators.{Bpe, BpeSql, HashFns}
+import graft.operators.{Bpe, BpeSql, HashFns, WordPiece, WordPieceSql}
 import T._
 
 /** Text-analysis layer for training-data pipelines (SURVEY §2.11):
@@ -1425,6 +1425,57 @@ object TextAnalysisQueries {
       val merges = Bpe.trainBytesOn(docs, "text", maxWords = 256,
         numMerges = 16)
       Bpe.tokenizeDocsBytes(docs, merges, numMerges = 16)
+        .orderBy("doc_id")
+    },
+
+    // WordPiece-style greedy longest-match-first tokenization (xt28):
+    // the BERT-family MaxMatch inference loop over the xt24-trained
+    // vocabulary (alphabet ∪ merge products) — a genuinely different
+    // segmentation algorithm from merge-order BPE on the same vocab
+    // (greedy picks ab|c where ranks force a|bc; spec-gated), with
+    // BERT's whole-word [UNK] fallback for OOV characters and
+    // over-length words. Same output shape and two-independent-
+    // implementations discipline as xt24: the oracle re-derives the
+    // vocabulary AND replays MaxMatch with unrolled per-step CTEs.
+    Q("xt28_wordpiece",
+      s"""WITH ${BpeSql.trainCtes("documents", 256, 16)},
+         |${WordPieceSql.vocabCte},
+         |__dw AS (SELECT doc_id,
+         |    UNNEST(REGEXP_EXTRACT_ALL(LOWER(text), ${BpeSql.ReLit}))
+         |      AS word
+         |  FROM documents WHERE text IS NOT NULL),
+         |__pw AS (SELECT doc_id, __t.i AS wpos, ws[__t.i] AS word FROM (
+         |    SELECT doc_id, REGEXP_EXTRACT_ALL(
+         |        LOWER(SUBSTRING(text, 1, 48)), ${BpeSql.ReLit}) AS ws
+         |    FROM documents WHERE text IS NOT NULL),
+         |  LATERAL UNNEST(RANGE(1, LEN(ws)+1)) __t(i)),
+         |__dwords AS (SELECT word FROM __dw UNION SELECT word FROM __pw),
+         |${WordPieceSql.maxMatchCtes("__dwords")},
+         |__wl AS (SELECT word, LEN(syms) AS l FROM __wp),
+         |__cnt AS (SELECT __dw.doc_id, SUM(__wl.l) AS n
+         |  FROM __dw JOIN __wl USING (word) GROUP BY __dw.doc_id),
+         |__seg AS (SELECT p.doc_id,
+         |    STRING_AGG(e.syms[__t.i], '|' ORDER BY p.wpos, __t.i) AS s
+         |  FROM __pw p JOIN __wp e ON e.word = p.word,
+         |  LATERAL UNNEST(RANGE(1, LEN(e.syms)+1)) __t(i)
+         |  GROUP BY p.doc_id)
+         |SELECT d.doc_id,
+         |  CASE WHEN d.text IS NULL THEN NULL
+         |    ELSE CAST(COALESCE(c.n, 0) AS INT) END AS n_wp,
+         |  CASE WHEN d.text IS NULL THEN NULL
+         |    ELSE COALESCE(s.s, '') END AS seg
+         |FROM documents d
+         |LEFT JOIN __cnt c ON c.doc_id = d.doc_id
+         |LEFT JOIN __seg s ON s.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val voc = WordPiece.vocabOn(docs, "text", maxWords = 256,
+        numMerges = 16)
+      docs.select(col("doc_id"),
+        WordPiece.wpCount(col("text"), voc).as("n_wp"),
+        array_join(
+          WordPiece.wpTokens(substring(col("text"), 1, 48), voc), "|")
+          .as("seg"))
         .orderBy("doc_id")
     }
   )

@@ -237,4 +237,85 @@ class BpeSpec extends SparkSpec {
       assert(toks.mkString == pre.mkString)
     }
   }
+
+  // ---- WordPiece / MaxMatch (xt28) ----
+
+  private def vs(pieces: String*): java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    pieces.foreach(s.add)
+    s
+  }
+
+  test("wordpiece MaxMatch diverges from merge-order BPE on the " +
+      "same vocabulary: greedy ab|c vs ranked a|bc") {
+    import graft.operators.WordPiece
+    // vocab {a,b,c,ab,bc}: greedy longest-match takes ab first
+    assert(WordPiece.maxMatch("abc", vs("a", "b", "c", "ab", "bc"), 2)
+      .toSeq == Seq("ab", "c"))
+    // the SAME pieces as a rank table [(b,c)] merge the other way
+    val ranks = new Bpe.Ranks(Vector(("b", "c")))
+    assert(Bpe.encodeWord("abc", ranks).toSeq == Seq("a", "bc"))
+  }
+
+  test("wordpiece whole-word [UNK]: OOV character and over-length " +
+      "words fall back as a unit, never partially") {
+    import graft.operators.WordPiece
+    // 'q' unseen: even though a and b match, the WHOLE word is UNK
+    assert(WordPiece.maxMatch("aqb", vs("a", "b", "ab"), 2).toSeq ==
+      Seq(WordPiece.Unk))
+    // over max_input_chars_per_word: UNK without matching
+    val long = "a" * (WordPiece.MaxWordLen + 1)
+    assert(WordPiece.maxMatch(long, vs("a"), 1).toSeq ==
+      Seq(WordPiece.Unk))
+    // exactly at the cap still segments
+    val atCap = "a" * WordPiece.MaxWordLen
+    assert(WordPiece.maxMatch(atCap, vs("a"), 1).length ==
+      WordPiece.MaxWordLen)
+  }
+
+  test("wordpiece vocabulary = histogram alphabet + merge products; " +
+      "non-UNK segmentations concatenate back to the word") {
+    import graft.operators.WordPiece
+    val hist = Seq("aaab" -> 10L, "ab" -> 5L)
+    val voc = WordPiece.vocab(hist, Bpe.train(hist, 8))
+    assert(voc.toSet == Set("a", "b", "aa", "ab", "aaab"))
+    val set = vs(voc: _*)
+    for (w <- Seq("aaab", "ab", "ba", "aabab", "aaaa")) {
+      val toks = WordPiece.maxMatch(w, set, 4)
+      assert(toks.mkString == w, s"round-trip for '$w': $toks")
+    }
+    // greedy is longest-first: aaab whole, aab -> aa|b
+    assert(WordPiece.maxMatch("aaab", set, 4).toSeq == Seq("aaab"))
+    assert(WordPiece.maxMatch("aab", set, 4).toSeq == Seq("aa", "b"))
+  }
+
+  test("wordpiece expressions: count == tokens length, driver parity " +
+      "on the real corpus incl. null text") {
+    import graft.operators.WordPiece
+    val docs = graft.queries.T.t(spark, sf0001, "documents").limit(50)
+    val voc = WordPiece.vocabOn(docs, "text", maxWords = 128,
+      numMerges = 12)
+    val set = vs(voc: _*)
+    val maxLen = voc.map(v => v.codePointCount(0, v.length)).max
+    val rows = docs
+      .select(col("text"), WordPiece.wpCount(col("text"), voc).as("n"),
+        WordPiece.wpTokens(col("text"), voc).as("tk"))
+      .collect()
+    var sawUnkOrMulti = false
+    rows.foreach { r =>
+      if (r.isNullAt(0)) {
+        assert(r.isNullAt(1) && r.isNullAt(2))
+      } else {
+        val toks = r.getSeq[String](2)
+        assert(r.getInt(1) == toks.length)
+        val expected = Bpe.preTokens(
+            r.getString(0).toLowerCase(java.util.Locale.ROOT))
+          .flatMap(w => WordPiece.maxMatch(w, set, maxLen))
+        assert(toks == expected.toSeq)
+        if (toks.exists(t => t == WordPiece.Unk || t.length > 1))
+          sawUnkOrMulti = true
+      }
+    }
+    assert(sawUnkOrMulti, "corpus never exercised a multi-cp piece")
+  }
 }
