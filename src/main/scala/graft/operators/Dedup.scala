@@ -31,37 +31,88 @@ object Dedup {
     * convergence counter, and `localCheckpoint` cuts the growing
     * lineage so round N's plan does not replay rounds 1..N-1.
     * Output: (id, component) where component = min node id reachable.
+    *
+    * `pointerJump = true` adds bidirectional SHORTCUT EDGES `(id ↔
+    * label)` to each round's propagation (the Hash-to-Min move,
+    * Rastogi et al. ICDE'13): minima then travel the pointer graph as
+    * well as the input graph, which compounds reach geometrically —
+    * REQUIRED for long-chain pair graphs (xd18's sorted-neighborhood
+    * windows chain a~b~c~… along the sort order, so component
+    * diameter grows with cluster size; near-dup cliques stay shallow
+    * and don't need it). Two propagation passes run per edge vintage:
+    * pointer edges built from the SAME labels they deliver are no-ops
+    * (the reverse edge (label→id) hands the dst its own label), so
+    * the second pass — new labels over the now-stale pointer edges —
+    * is what lets a local minimum LEARN a better label from its
+    * pointees and fan it out next round. Plain label←label(label)
+    * compression lacks exactly that learning step and crawls at hop
+    * speed through thick-path regions (measured on the sf0.1 xd18
+    * graph: 36 rounds single-compression vs 8 with this scheme).
+    * Shortcut edges connect only nodes whose labels already witnessed
+    * the same component, so the fixed point is the same component-min
+    * labeling.
+    *
+    * With `pointerJump`, round frames are rebuilt via
+    * [[org.apache.spark.sql.graftbridge.Bridge.freshStats]]: the
+    * pointer edges reference the label frame twice more per round and
+    * checkpointing preserves size ESTIMATES, so the join planner's
+    * BigInt size product would otherwise grow its bit-length
+    * geometrically and hang planning around round 25 (observed).
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, pointerJump: Boolean = false): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    if (pointerJump)
+      labels = org.apache.spark.sql.graftbridge.Bridge.freshStats(labels)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
-      val neighborLabels = edges
-        .join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("label"), lit(false).as("self"))
+      // With pointerJump, augment the graph with this round's
+      // bidirectional shortcut edges (id ↔ label); the frame is
+      // checkpointed (it feeds one join) and stats-reset (it
+      // references `labels` twice — see scaladoc).
+      val edgesAll =
+        if (!pointerJump) edges
+        else org.apache.spark.sql.graftbridge.Bridge.freshStats(edges
+          .unionAll(labels.where(col("id") =!= col("label"))
+            .select(col("id").as("src"), col("label").as("dst")))
+          .unionAll(labels.where(col("id") =!= col("label"))
+            .select(col("label").as("src"), col("id").as("dst")))
+          .localCheckpoint(true))
       // Carry the node's OWN previous label through the aggregation
       // (every id has exactly one self row) so convergence is decided
       // inside the same pass: `improved` = the min over neighbors beat
       // the old label. The count() below then scans the checkpointed
       // blocks — a narrow cached read, NOT the shuffle join per round
       // this used to cost.
-      val next = labels
-        .select(col("id"), col("label"), lit(true).as("self"))
-        .unionAll(neighborLabels)
-        .groupBy("id")
-        .agg(min("label").as("label"),
-          (min("label") < max(when(col("self"), col("label"))))
-            .as("improved"))
-        .localCheckpoint(true)
-      changed = next.where(col("improved")).count()
-      labels = next.select(col("id"), col("label"))
+      changed = 0L
+      var pass = 0
+      val passes = if (pointerJump) 2 else 1
+      while (pass < passes) {
+        val neighborLabels = edgesAll
+          .join(labels, edgesAll("src") === labels("id"))
+          .select(col("dst").as("id"), col("label"),
+            lit(false).as("self"))
+        val next = labels
+          .select(col("id"), col("label"), lit(true).as("self"))
+          .unionAll(neighborLabels)
+          .groupBy("id")
+          .agg(min("label").as("label"),
+            (min("label") < max(when(col("self"), col("label"))))
+              .as("improved"))
+          .localCheckpoint(true)
+        changed += next.where(col("improved")).count()
+        labels = next.select(col("id"), col("label"))
+        if (pointerJump)
+          labels =
+            org.apache.spark.sql.graftbridge.Bridge.freshStats(labels)
+        pass += 1
+      }
       i += 1
     }
     if (changed > 0)
@@ -1910,6 +1961,97 @@ object Dedup {
         sum(when(col("exdup"), 1L).otherwise(0L)).as("n_exact_dup"),
         sum(when(col("dropped") && !col("exdup"), 1L).otherwise(0L))
           .as("n_fp"))
+  }
+
+  /** Sorted-neighborhood near-dup pairs (xd18) — the Hernández &
+    * Stolfo SIGMOD'95 merge/purge blocking strategy, the classic
+    * RECORD-LINKAGE move the hash-blocked family (MinHash bands /
+    * SimHash / CDC keys) lacks: sort the corpus on a normalized key
+    * and compare only records within a sliding window of `window`
+    * positions — pair volume is EXACTLY n·(window−1)/…, linear in n
+    * by construction and immune to hot-key blocking skew (a
+    * degenerate key that would put 10^6 docs in one LSH bucket still
+    * yields only window-bounded pairs here; the trade, documented and
+    * spec-gated, is that near-dups sorted further than `window` apart
+    * are missed — SNM's known blind spot, mitigated in practice by
+    * multi-pass runs over different keys).
+    *
+    * Chain: normalize (lower, strip non-alphanumerics) → sort key =
+    * 12-char normalized prefix → GLOBAL rank under (key, id) via
+    * [[Scale.runningSum]] (two-level distributed prefix sum — never a
+    * partition-less window) → window pairs as an EQUI-join on
+    * rank+delta (delta exploded 1..window−1, so the range join is a
+    * shuffle on integer rank, no range-join fallback) → verification
+    * by character-bigram Dice over the 128-char normalized prefix
+    * (set semantics, distinct bigrams; bounded per-row state at any
+    * doc length). The threshold compare is float-free integer
+    * cross-multiplication: keep iff 2·thDen·|A∩B| ≥ thNum·(|A|+|B|)
+    * — two empty fingerprints (0 ≥ 0) pair as exact dups. Everything
+    * is exact integers/strings, so the operator hash-gates.
+    *
+    * Output: (a, b, inter, na, nb) with a earlier in sort order.
+    */
+  def sortedNeighborPairs(docs: DataFrame, idCol: String,
+      textCol: String, window: Int = 8, thNum: Int = 3, thDen: Int = 5,
+      fpChars: Int = 128): DataFrame = {
+    require(window >= 2, "sortedNeighborPairs: window >= 2")
+    val base = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        regexp_replace(lower(col(textCol)), "[^a-z0-9]", "").as("__nrm"))
+      .select(col("id"), substring(col("__nrm"), 1, 12).as("__key"),
+        substring(col("__nrm"), 1, fpChars).as("__fp"))
+      .withColumn("__bg",
+        when(length(col("__fp")) < 2,
+          array().cast(ArrayType(StringType, containsNull = false)))
+          .otherwise(array_distinct(expr(
+            "transform(sequence(1, length(__fp) - 1)," +
+              " i -> substring(__fp, CAST(i AS INT), 2))"))))
+      // first key char as the monotone numeric bucket coarsening of
+      // the (key, id) order ([a-z0-9] first chars: ASCII order ==
+      // string order; the empty key's 0 sorts below them all)
+      .withColumn("__bkt", ascii(substring(col("__key"), 1, 1)))
+      .withColumn("__one", lit(1L))
+    val ranked = Scale.runningSum(base, "__bkt",
+        Seq("__key", "id"), "__one", "rn")
+      .select(col("id"), col("__bg"), col("rn"))
+      .localCheckpoint(true) // both join sides read it
+    ranked
+      .select(col("id").as("a"), col("__bg").as("__bga"), col("rn"))
+      .withColumn("__d",
+        explode(sequence(lit(1), lit(window - 1))))
+      .withColumn("__rnb", col("rn") + col("__d"))
+      .join(ranked.select(col("id").as("b"), col("__bg").as("__bgb"),
+        col("rn").as("__rnb")), "__rnb")
+      .select(col("a"), col("b"),
+        size(array_intersect(col("__bga"), col("__bgb")))
+          .cast(LongType).as("inter"),
+        size(col("__bga")).cast(LongType).as("na"),
+        size(col("__bgb")).cast(LongType).as("nb"))
+      .where(lit(2L * thDen) * col("inter") >=
+        lit(thNum.toLong) * (col("na") + col("nb")))
+  }
+
+  /** [[sortedNeighborPairs]] closed into dedup clusters: connected
+    * components over the pair graph ([[connectedComponents]]), every
+    * unpaired doc its own singleton. Output: (id, cluster, kept) with
+    * cluster = min reachable id, kept = (id == cluster).
+    */
+  def sortedNeighborDedup(docs: DataFrame, idCol: String,
+      textCol: String, window: Int = 8, thNum: Int = 3,
+      thDen: Int = 5): DataFrame = {
+    val pairs = sortedNeighborPairs(docs, idCol, textCol, window,
+      thNum, thDen)
+    // pointer-jumping: window pairs chain along the sort order, so
+    // component diameter grows with dup-cluster size — O(log d)
+    // hop+compress rounds instead of O(d) plain propagation
+    val comps = connectedComponents(pairs, "a", "b", maxIter = 30,
+      pointerJump = true)
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("cluster"))
+      .withColumn("kept", (col("id") === col("cluster")).cast(IntegerType))
   }
 }
 

@@ -611,6 +611,56 @@ object DedupQueries {
       (s, d) =>
         Dedup.bloomParaDedup(t(s, d, "documents"), "doc_id", "text")
           .orderBy("doc_id")
+    },
+
+    // Sorted-neighborhood dedup (xd18, Hernández & Stolfo SIGMOD'95
+    // merge/purge): sort on the 12-char normalized prefix, compare
+    // only within an 8-position sliding window (pair volume linear in
+    // n, immune to hot-bucket skew — the record-linkage blocking
+    // strategy the hash-blocked family lacks), verify by char-bigram
+    // Dice ≥ 3/5 over the 128-char normalized prefix via float-free
+    // integer cross-multiply, close pairs into components. The Spark
+    // side ranks via the two-level distributed prefix sum (no
+    // partition-less window) and turns the window range join into an
+    // explode+equi-join on rank; the oracle replays the identical
+    // sort/window/Dice/closure chain with ROW_NUMBER + recursive CTE.
+    Q("xd18_sorted_neighborhood",
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id AS id,
+        |    REGEXP_REPLACE(LOWER(text), '[^a-z0-9]', '', 'g') AS nrm
+        |  FROM documents WHERE text IS NOT NULL
+        |), rk AS (
+        |  SELECT id, SUBSTR(nrm, 1, 128) AS fp,
+        |    ROW_NUMBER() OVER (ORDER BY SUBSTR(nrm, 1, 12), id) AS rn
+        |  FROM base
+        |), bg AS (
+        |  SELECT id, rn, CASE WHEN LENGTH(fp) < 2
+        |    THEN CAST([] AS VARCHAR[])
+        |    ELSE LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LENGTH(fp)),
+        |      i -> SUBSTR(fp, CAST(i AS INT), 2))) END AS g
+        |  FROM rk
+        |), pairs AS (
+        |  SELECT x.id AS a, y.id AS b FROM bg x JOIN bg y
+        |    ON y.rn BETWEEN x.rn + 1 AND x.rn + 7
+        |  WHERE 10 * LEN(LIST_FILTER(x.g, t -> LIST_CONTAINS(y.g, t)))
+        |    >= 3 * (LEN(x.g) + LEN(y.g))
+        |), edges AS (
+        |  SELECT a AS src, b AS dst FROM pairs
+        |  UNION ALL SELECT b AS src, a AS dst FROM pairs
+        |), reach AS (
+        |  SELECT src AS id, src AS lab FROM edges
+        |  UNION
+        |  SELECT e.dst AS id, r.lab AS lab
+        |  FROM reach r JOIN edges e ON e.src = r.id
+        |), comp AS (
+        |  SELECT id, MIN(lab) AS cluster FROM reach GROUP BY id
+        |)
+        |SELECT b.id, COALESCE(c.cluster, b.id) AS cluster,
+        |  CAST(COALESCE(c.cluster, b.id) = b.id AS INT) AS kept
+        |FROM base b LEFT JOIN comp c ON c.id = b.id
+        |ORDER BY b.id""".stripMargin) { (s, d) =>
+      Dedup.sortedNeighborDedup(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("id")
     }
   )
 

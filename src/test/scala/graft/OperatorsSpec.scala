@@ -15,6 +15,104 @@ class OperatorsSpec extends SparkSpec {
 
   private lazy val docs = T.t(spark, sf0001, "documents")
 
+  test("sorted-neighborhood: near-dups cluster via sort adjacency, " +
+      "transitive chains close, below-threshold stays apart") {
+    import spark.implicits._
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val rows = Seq(
+      (1L, a),
+      (900L, a.toUpperCase + "!!!"), // normalizes identically, far id
+      (5L, a + " with a small extra tail here"), // chains to 1 via dice
+      (7L, "zzz a completely different document about spark engines " +
+        "and their catalyst optimizer internals at scale"))
+    val out = Dedup.sortedNeighborDedup(rows.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out(900L) == 1L, s"case/punct variant not clustered: $out")
+    assert(out(5L) == 1L, s"near variant not chained: $out")
+    assert(out(7L) == 7L, s"dissimilar doc wrongly clustered: $out")
+    assert(out(1L) == 1L)
+  }
+
+  test("sorted-neighborhood window miss is real: identical docs " +
+      "ranked > window apart are NOT paired (the documented SNM trade)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    def tail(n: Int) =
+      Array.fill(80)(('a' + rnd.nextInt(26)).toChar).mkString
+    val prefix = "aaaaaaaaaaaa" // shared 12-char sort key
+    val simText = prefix + tail(0)
+    // ids 2..11: ten distinct-tail separators between ids 1 and 12
+    val rows = (1L, simText) +: (2L to 11L).map(i =>
+      (i, prefix + tail(i.toInt))) :+ (12L, simText)
+    val df = rows.toDF("doc_id", "text")
+    val out = Dedup.sortedNeighborDedup(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out(12L) == 12L,
+      s"identical docs 11 ranks apart should be MISSED at window=8: $out")
+    // control: widen the window past the gap and the pair is found
+    val wide = Dedup.sortedNeighborDedup(df, "doc_id", "text",
+      window = 13)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(wide(12L) == 1L, s"window=13 should recover the pair: $wide")
+  }
+
+  test("sorted-neighborhood distributed rank == brute-force sorted " +
+      "window replay on the real corpus") {
+    val sample = docs.limit(60)
+    val got = Dedup.sortedNeighborPairs(sample, "doc_id", "text")
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute replay: collect, sort by (key, id), window-compare
+    val base = sample.where(col("text").isNotNull)
+      .select(col("doc_id"), lower(col("text"))).collect()
+      .map { r =>
+        val nrm = r.getString(1).replaceAll("[^a-z0-9]", "")
+        (r.getLong(0), nrm.take(12), nrm.take(128))
+      }
+      .sortBy { case (id, key, _) => (key, id) }
+    def bgs(s: String) = s.sliding(2).filter(_.length == 2).toSet
+    val want = (for {
+      i <- base.indices
+      j <- (i + 1) until math.min(i + 8, base.length)
+      ga = bgs(base(i)._3); gb = bgs(base(j)._3)
+      if 10 * (ga & gb).size >= 3 * (ga.size + gb.size)
+    } yield (base(i)._1, base(j)._1)).toSet
+    assert(got == want,
+      s"pair mismatch: extra=${got -- want} missing=${want -- got}")
+  }
+
+  test("pointer-jump components: 1000-node path converges in <= 15 " +
+      "rounds (plain propagation would need ~500)") {
+    import spark.implicits._
+    val pairs = (1L until 1000L).map(i => (i, i + 1)).toDF("a", "b")
+    val comps = Dedup.connectedComponents(pairs, "a", "b",
+      maxIter = 15, pointerJump = true)
+    assert(comps.where(col("component") =!= 1L).count() == 0)
+    // and the labeling equals the plain-propagation labeling on a
+    // graph shallow enough for both (two components)
+    val small = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L))
+      .toDF("a", "b")
+    val plain = Dedup.connectedComponents(small, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val jump = Dedup.connectedComponents(small, "a", "b",
+        pointerJump = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plain == jump)
+  }
+
+  test("sorted-neighborhood: empty-normalized docs pair as exact dups") {
+    import spark.implicits._
+    val rows = Seq((3L, "!!! ???"), (9L, "...---..."), (20L, "   "),
+      (50L, "real content that stays alone with many distinct words"))
+    val out = Dedup.sortedNeighborDedup(rows.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out(3L) == 3L && out(9L) == 3L && out(20L) == 3L,
+      s"empty fingerprints should cluster (0 >= 0): $out")
+    assert(out(50L) == 50L)
+  }
+
   test("minhash LSH near-dups equal exact relational Jaccard pairs") {
     val lsh = Dedup.minhashNearDups(docs, "doc_id", "text", 0.5)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
