@@ -538,4 +538,54 @@ object Graph {
         floor(col("hsum") * lit(1.0e4) + lit(0.5)).cast(LongType)
           .as("harm_e4")), "id")
   }
+
+  /** Multi-source BFS shortest-hop distances (xg8) — the reachability
+    * primitive the centrality family builds on, run directly: hop
+    * distance from a SEED SET along directed edges (crawl-frontier
+    * depth from trusted hubs, link-spam moat width, "how many clicks
+    * from a curated page" quality signals; TrustRank's seed set with
+    * distances instead of mass). Textbook frontier iteration: round k
+    * assigns distance k to every unlabeled out-neighbor of the round
+    * k−1 frontier.
+    *
+    * Scale shape: each round joins ONLY the frontier against edges —
+    * over the whole run each edge is scanned exactly once, when its
+    * source enters the frontier, so total work is O(m) regardless of
+    * round count; `localCheckpoint` per round cuts lineage; rounds =
+    * min(eccentricity of the seed set, maxDepth), small on web-shaped
+    * graphs. Early exit on an empty frontier is result-identical to
+    * running all `maxDepth` rounds (nothing left to label).
+    *
+    * Exactness: pure integers — trivially hash-gated; unreached (or
+    * beyond maxDepth) nodes report −1, so both engines agree without
+    * NULL-ordering hazards.
+    *
+    * Output: (id, dist) — dist ∈ {0..maxDepth} ∪ {−1}.
+    */
+  def bfsDistances(nodes: DataFrame, edges: DataFrame,
+      seedPred: org.apache.spark.sql.Column,
+      maxDepth: Int = 12): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    var dist = nodes.select(col("id"),
+        when(seedPred, 0L).otherwise(lit(null).cast(LongType))
+          .as("dist"))
+      .localCheckpoint(true)
+    var k = 1
+    var frontierNonEmpty = true
+    while (k <= maxDepth && frontierNonEmpty) {
+      val frontier = dist.where(col("dist") === lit(k - 1L))
+        .select(col("id").as("src"))
+      val reached = e.join(frontier, "src")
+        .select(col("dst").as("id")).distinct()
+        .withColumn("__nd", lit(k.toLong))
+      dist = dist.join(reached, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("dist"), col("__nd")).as("dist"))
+        .localCheckpoint(true)
+      frontierNonEmpty = dist.where(col("dist") === lit(k.toLong))
+        .limit(1).count() > 0
+      k += 1
+    }
+    dist.select(col("id"), coalesce(col("dist"), lit(-1L)).as("dist"))
+  }
 }

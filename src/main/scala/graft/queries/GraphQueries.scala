@@ -514,6 +514,42 @@ object GraphQueries {
         .orderBy("doc_id")
     },
 
+    // xg8: multi-source BFS hop distances — the reachability
+    // primitive run directly: hop distance from the seed set
+    // (doc_id % 101 == 0, ~1% of nodes, the TrustRank-seed shape)
+    // along directed links, capped at depth 12, unreached → −1.
+    // Frontier iteration: each edge is scanned exactly once, when its
+    // source enters the frontier — O(m) total work. The oracle closes
+    // the same graph with a depth-capped recursive CTE + MIN(d):
+    // UNION-dedup on (id, d) pairs bounds the recursion, and the
+    // minimum over all ≤12-hop paths IS the BFS distance, so the
+    // hash match proves the round-by-round frontier labeling (incl.
+    // early exit) equals the declarative closure.
+    Q("xg8_bfs_distance",
+      s"""WITH RECURSIVE nodes AS (SELECT doc_id AS id FROM documents),
+         |$edgesSql,
+         |seeds AS (SELECT id FROM nodes WHERE id % 101 = 0),
+         |reach(id, d) AS (
+         |  SELECT id, 0 FROM seeds
+         |  UNION
+         |  SELECT e.dst, r.d + 1
+         |  FROM reach r JOIN edges e ON e.src = r.id
+         |  WHERE r.d < 12
+         |), dd AS (
+         |  SELECT id, MIN(d) AS dist FROM reach GROUP BY id
+         |)
+         |SELECT n.id AS doc_id,
+         |  CAST(COALESCE(dd.dist, -1) AS BIGINT) AS dist
+         |FROM nodes n LEFT JOIN dd ON dd.id = n.id
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val nodes = docs.select(col("doc_id").as("id"))
+      Graph.bfsDistances(nodes, sparkEdges(docs, docs.count()),
+          pmod(col("id"), lit(101L)) === 0L, maxDepth = 12)
+        .select(col("id").as("doc_id"), col("dist"))
+        .orderBy("doc_id")
+    },
+
     // xp7: TextRank keyword extraction (Mihalcea & Tarau, EMNLP'04) —
     // the OTHER direction of graph×text composition: instead of
     // ranking documents by links (xp6), rank WORDS by co-occurrence.

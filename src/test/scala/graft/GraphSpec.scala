@@ -283,4 +283,43 @@ class GraphSpec extends SparkSpec {
       assert(got == base, s"diverged at $parts partitions")
     }
   }
+
+  test("bfs distances: multi-source min, directed edges, depth cap, " +
+      "unreached -1") {
+    import spark.implicits._
+    val nodes = (1L to 9L).toDF("id")
+    // 1→2→3→4→5, seed 1; 8→9 with seed 8; 6←5 reachable at 5 hops;
+    // 7 isolated; edges are DIRECTED (3→2 absent, so 2 never gets a
+    // shorter path through 3's side)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (8L, 9L)).toDF("src", "dst")
+    val seed = col("id") === 1L || col("id") === 8L
+    val got = Graph.bfsDistances(nodes, edges, seed, maxDepth = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L,
+      5L -> 4L, 6L -> 5L, 7L -> -1L, 8L -> 0L, 9L -> 1L), s"$got")
+    // depth cap: maxDepth=3 leaves 5 and 6 unreached
+    val capped = Graph.bfsDistances(nodes, edges, seed, maxDepth = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(capped(4L) == 3L && capped(5L) == -1L && capped(6L) == -1L)
+    // multi-source takes the minimum: add seed 4 → 5 and 6 re-rank
+    val multi = Graph.bfsDistances(nodes, edges,
+        seed || col("id") === 4L, maxDepth = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(multi(4L) == 0L && multi(5L) == 1L && multi(6L) == 2L &&
+      multi(3L) == 2L)
+  }
+
+  test("bfs early exit == running all maxDepth rounds") {
+    import spark.implicits._
+    val nodes = (1L to 6L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val a = Graph.bfsDistances(nodes, edges, col("id") === 1L,
+        maxDepth = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Graph.bfsDistances(nodes, edges, col("id") === 1L,
+        maxDepth = 50) // exits after the frontier drains
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
 }
