@@ -18,7 +18,7 @@ object SparkEntry {
       DedupQueries.all ++ SimilarityQueries.all ++
       TextAnalysisQueries.all ++ MultimodalQueries.all ++
       CodecQueries.all ++ ScaleQueries.all ++ PipelineQueries.all ++
-      GraphQueries.all
+      GraphQueries.all ++ EventQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Q29: the TPC-H-style star join (scan→broadcast joins→agg→sort).

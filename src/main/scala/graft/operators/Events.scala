@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-stream analytics operators (the telemetry face of the
+  * pipeline-quality family): per-key sequential statistics over a
+  * totally-ordered event log — the data-quality drift/spike detectors
+  * a production ingest pipeline runs beside its batch filters.
+  */
+object Events {
+
+  /** EWMA control chart (xe1; Roberts 1959, Technometrics — the
+    * classic drift/spike detector): per key, an exponentially-weighted
+    * moving average of the metric under the (ts, id) total order;
+    * event i is an ANOMALY when its value deviates from the
+    * PRE-OBSERVATION average (the state before folding event i in) by
+    * more than `threshE2`.
+    *
+    * Exactness — integer fixed-point recursion, the xg1 discipline
+    * applied to a sequential fold: values quantize ONCE to e2 units
+    * (`floor(v·100 + 0.5)`, the house quantizer), and with α = 1/4 the
+    * update is `s ← floor((v + 3·s) / 4.0)` — the division by 4 is
+    * exact binary scaling, the floor re-pins every step to an integer,
+    * so the whole trajectory is integer-exact and the operator
+    * hash-gates against a from-scratch recursive-CTE replay. The first
+    * event of a key seeds the state (never an anomaly).
+    *
+    * Scale shape: one shuffle on the key, then a NARROW per-key fold —
+    * `array_sort(collect_list(...))` + `aggregate` run inside the
+    * codegen'd aggregation, no window over the full corpus, no
+    * driver-side state. Per-key state is the key's own history; at
+    * 100 TB the fold runs per time-partition with the (ewma, ts)
+    * scalar carried across partition boundaries — resuming a
+    * sequential fold from carried state is exact under ordered
+    * chunking (the qs19/qs20 monotone-arrival contract; the stream
+    * face applies it per batch).
+    *
+    * Output: one row per event — (id, key, v2, ewma_e2, anom) with
+    * ewma_e2 the POST-observation state (so the last row per key IS
+    * the carry-over state) and anom ∈ {0, 1}.
+    */
+  def ewmaAnomalies(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valCol: String, threshE2: Long = 16000L)
+      : DataFrame = {
+    val q = events
+      .where(col(valCol).isNotNull && col(keyCol).isNotNull &&
+        col(tsCol).isNotNull)
+      .select(col(keyCol).as("key"), col(idCol).as("id"),
+        col(tsCol).as("__ts"),
+        floor(col(valCol) * 100 + 0.5).cast(LongType).as("v2"))
+    q.groupBy("key")
+      .agg(array_sort(collect_list(struct(col("__ts"), col("id"),
+        col("v2")))).as("__xs"))
+      .select(col("key"), expr(
+        s"""aggregate(__xs,
+           |  named_struct('s', CAST(0 AS BIGINT), 'first', true, 'out',
+           |    CAST(array() AS
+           |      array<struct<id:bigint,v2:bigint,ewma_e2:bigint,anom:int>>)),
+           |  (acc, x) -> named_struct(
+           |    's', CASE WHEN acc.first THEN x.v2
+           |      ELSE CAST(FLOOR((x.v2 + 3 * acc.s) / 4.0) AS BIGINT) END,
+           |    'first', false,
+           |    'out', array_append(acc.out, named_struct(
+           |      'id', x.id,
+           |      'v2', x.v2,
+           |      'ewma_e2', CASE WHEN acc.first THEN x.v2
+           |        ELSE CAST(FLOOR((x.v2 + 3 * acc.s) / 4.0) AS BIGINT) END,
+           |      'anom', CASE WHEN NOT acc.first
+           |          AND ABS(x.v2 - acc.s) > $threshE2
+           |        THEN 1 ELSE 0 END))),
+           |  acc -> acc.out)""".stripMargin.replace("\n", " "))
+        .as("__out"))
+      .select(col("key"), explode(col("__out")).as("o"))
+      .select(col("o.id").as("id"), col("key"), col("o.v2").as("v2"),
+        col("o.ewma_e2").as("ewma_e2"), col("o.anom").as("anom"))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Events
+import T._
+
+/** Event-stream analytics (the xe family): per-key sequential
+  * statistics over the `events` log — telemetry-side data-quality
+  * detectors. Exactness rides the integer fixed-point discipline
+  * (values quantized once, dyadic-α recursions re-floored every step),
+  * so even ORDER-DEPENDENT sequential folds hash-gate against
+  * recursive-CTE replays.
+  */
+object EventQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // xe1: EWMA control chart (Roberts 1959) per user over (ts,
+    // event_id) order — α = 1/4 integer fixed-point recursion
+    // s ← floor((v + 3s)/4.0) on e2-quantized values; anomaly iff the
+    // new value deviates > 160.00 from the pre-observation average
+    // (~1.6% of events on the driver corpus — the rule FIRES and
+    // non-anomalous rows dominate, the xt15 both-branches discipline).
+    // The oracle replays the whole trajectory with a per-key
+    // recursive CTE walking rn → rn+1 — two independent
+    // implementations of a sequential fold.
+    Q("xe1_ewma_anomaly",
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id AS key, event_id AS id,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v2,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |  WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |    AND ts IS NOT NULL
+        |), rec(key, rn, s) AS (
+        |  SELECT key, rn, v2 FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.key, e.rn,
+        |    CAST(FLOOR((e.v2 + 3 * r.s) / 4.0) AS BIGINT)
+        |  FROM rec r JOIN ev e ON e.key = r.key AND e.rn = r.rn + 1
+        |)
+        |SELECT e.id, e.key, e.v2, r.s AS ewma_e2,
+        |  CASE WHEN e.rn > 1 AND ABS(e.v2 - rp.s) > 16000
+        |    THEN 1 ELSE 0 END AS anom
+        |FROM ev e
+        |JOIN rec r ON r.key = e.key AND r.rn = e.rn
+        |LEFT JOIN rec rp ON rp.key = e.key AND rp.rn = e.rn - 1
+        |ORDER BY e.id""".stripMargin) { (s, d) =>
+      Events.ewmaAnomalies(t(s, d, "events"), "user_id", "ts",
+          "event_id", "value", threshE2 = 16000L)
+        .orderBy("id")
+    }
+  )
+}

@@ -82,6 +82,73 @@ class OperatorsSpec extends SparkSpec {
       s"pair mismatch: extra=${got -- want} missing=${want -- got}")
   }
 
+  test("xe1 EWMA control chart: integer fold trajectory, " +
+      "pre-observation anomaly test, ts-tie broken by id") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(base.getTime + m * 60000L)
+    val rows = Seq(
+      // user 1: 10.00, 10.00, 250.00 (spike vs ewma 1000), 10.00
+      (1L, ts(0), 7L, 10.00), (2L, ts(1), 7L, 10.00),
+      (3L, ts(2), 7L, 250.00), (4L, ts(3), 7L, 10.00),
+      // user 9: two events at the SAME ts — id order decides the fold
+      (10L, ts(0), 9L, 100.00), (11L, ts(0), 9L, 300.00))
+    val df = rows.toDF("event_id", "ts", "user_id", "value")
+    val out = graft.operators.Events.ewmaAnomalies(df, "user_id", "ts",
+        "event_id", "value", threshE2 = 16000L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3),
+        r.getInt(4))).toMap
+    // user 7 fold: s=1000; s=floor((1000+3000)/4)=1000;
+    // event 3: |25000-1000|=24000 > 16000 -> anom, s=floor(28000/4)=7000
+    // event 4: |1000-7000|=6000 -> ok, s=floor(22000/4)=5500
+    assert(out(1L) == ((1000L, 1000L, 0)))
+    assert(out(2L) == ((1000L, 1000L, 0)))
+    assert(out(3L) == ((25000L, 7000L, 1)))
+    assert(out(4L) == ((1000L, 5500L, 0)))
+    // user 9: id 10 folds first (ts tie): s=10000; id 11:
+    // |30000-10000|=20000 > 16000 -> anom, s=floor(60000/4)=15000
+    assert(out(10L) == ((10000L, 10000L, 0)))
+    assert(out(11L) == ((30000L, 15000L, 1)))
+  }
+
+  test("xe1 EWMA matches a driver-side scala fold on the real corpus " +
+      "and is partitioning-invariant") {
+    val ev = T.t(spark, sf0001, "events")
+    val got = graft.operators.Events.ewmaAnomalies(ev, "user_id", "ts",
+        "event_id", "value")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getInt(4))).toMap
+    // driver-side replay
+    val rows = ev.where(col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        math.floor(r.getDouble(3) * 100 + 0.5).toLong))
+      .sortBy { case (u, id, t, _) => (u, t.getTime, id) }
+    var state = Map.empty[Long, Long]
+    var nAnom = 0
+    rows.foreach { case (u, id, _, v2) =>
+      val (e, a) = state.get(u) match {
+        case None => (v2, 0)
+        case Some(s) =>
+          (math.floor((v2 + 3.0 * s) / 4.0).toLong,
+            if (math.abs(v2 - s) > 16000L) 1 else 0)
+      }
+      state += u -> e
+      nAnom += a
+      assert(got(id) == ((e, a)), s"event $id: got ${got(id)} want ($e,$a)")
+    }
+    assert(nAnom > 0, "anomaly rule never fired on the corpus")
+    assert(got.values.count(_._2 == 1) < got.size / 2,
+      "anomaly rule fired on most rows — not a spike detector")
+    val reparted = graft.operators.Events.ewmaAnomalies(
+        ev.repartition(13), "user_id", "ts", "event_id", "value")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getInt(4))).toMap
+    assert(reparted == got)
+  }
+
   test("pointer-jump components: 1000-node path converges in <= 15 " +
       "rounds (plain propagation would need ~500)") {
     import spark.implicits._
