@@ -43,19 +43,56 @@ object Events {
     */
   def ewmaAnomalies(events: DataFrame, keyCol: String, tsCol: String,
       idCol: String, valCol: String, threshE2: Long = 16000L)
-      : DataFrame = {
-    val q = events
+      : DataFrame =
+    ewmaIngest(events,
+      prepareEwmaStore(events.limit(0), keyCol, tsCol, idCol, valCol),
+      keyCol, tsCol, idCol, valCol, threshE2).result
+
+  /** Evolving per-key EWMA state (qs23): one row per key ever seen —
+    * `(key, s)` with `s` the post-observation average after the last
+    * folded event. The ENTIRE stream state is one scalar per key
+    * (keys × 16 bytes at any corpus size).
+    */
+  final case class EwmaStore private[operators] (state: DataFrame)
+
+  final case class EwmaIngest(result: DataFrame, next: EwmaStore)
+
+  /** Seed the store by folding `corpus` from empty state. */
+  def prepareEwmaStore(corpus: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valCol: String, threshE2: Long = 16000L)
+      : EwmaStore = {
+    val empty = EwmaStore(corpus.select(col(keyCol).as("key"),
+      lit(0L).as("s")).limit(0).localCheckpoint(true))
+    if (corpus.isEmpty) empty
+    else ewmaIngest(corpus, empty, keyCol, tsCol, idCol, valCol,
+      threshE2).next
+  }
+
+  /** Fold one batch through the store (the qs19/qs20 monotone-arrival
+    * contract: batches must partition the event log in (ts, id) order
+    * per key — resuming a sequential fold from carried scalar state is
+    * then EXACT, so any such chunking equals the one-shot [[ewmaAnomalies]]
+    * trajectory). Returns the batch's per-event rows and the advanced
+    * store (keys untouched by the batch carry over unchanged).
+    */
+  def ewmaIngest(batch: DataFrame, store: EwmaStore, keyCol: String,
+      tsCol: String, idCol: String, valCol: String,
+      threshE2: Long = 16000L): EwmaIngest = {
+    val q = batch
       .where(col(valCol).isNotNull && col(keyCol).isNotNull &&
         col(tsCol).isNotNull)
       .select(col(keyCol).as("key"), col(idCol).as("id"),
         col(tsCol).as("__ts"),
         floor(col(valCol) * 100 + 0.5).cast(LongType).as("v2"))
-    q.groupBy("key")
+    val folded = q.groupBy("key")
       .agg(array_sort(collect_list(struct(col("__ts"), col("id"),
         col("v2")))).as("__xs"))
+      .join(store.state.withColumnRenamed("s", "__s0"), Seq("key"),
+        "left")
       .select(col("key"), expr(
         s"""aggregate(__xs,
-           |  named_struct('s', CAST(0 AS BIGINT), 'first', true, 'out',
+           |  named_struct('s', coalesce(__s0, CAST(0 AS BIGINT)),
+           |    'first', __s0 IS NULL, 'out',
            |    CAST(array() AS
            |      array<struct<id:bigint,v2:bigint,ewma_e2:bigint,anom:int>>)),
            |  (acc, x) -> named_struct(
@@ -70,10 +107,19 @@ object Events {
            |      'anom', CASE WHEN NOT acc.first
            |          AND ABS(x.v2 - acc.s) > $threshE2
            |        THEN 1 ELSE 0 END))),
-           |  acc -> acc.out)""".stripMargin.replace("\n", " "))
-        .as("__out"))
-      .select(col("key"), explode(col("__out")).as("o"))
+           |  acc -> named_struct('out', acc.out, 's', acc.s))"""
+          .stripMargin.replace("\n", " "))
+        .as("__f"))
+      .localCheckpoint(true) // rows AND next-state read it
+    val rows = folded
+      .select(col("key"), explode(col("__f.out")).as("o"))
       .select(col("o.id").as("id"), col("key"), col("o.v2").as("v2"),
         col("o.ewma_e2").as("ewma_e2"), col("o.anom").as("anom"))
+    val next = store.state.withColumnRenamed("s", "__old")
+      .join(folded.select(col("key"), col("__f.s").as("__new")),
+        Seq("key"), "full_outer")
+      .select(col("key"), coalesce(col("__new"), col("__old")).as("s"))
+      .localCheckpoint(true)
+    EwmaIngest(rows, EwmaStore(next))
   }
 }

@@ -14,6 +14,37 @@ import T._
   */
 object EventQueries {
 
+  /** The xe1 EWMA replay, parameterized by a final-rollup restriction
+    * so the qs23 stream face shares the ORACLE TEXT VERBATIM (the
+    * c4OracleSql discipline — contracts cannot drift): the trajectory
+    * is computed globally; `finalWhere` restricts only the emitted
+    * rows (e.g. "AND e.id >= 6000" for the delta slice).
+    */
+  def ewmaOracleSql(finalWhere: String = ""): String =
+    s"""WITH RECURSIVE ev AS (
+       |  SELECT user_id AS key, event_id AS id,
+       |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v2,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS rn
+       |  FROM events
+       |  WHERE value IS NOT NULL AND user_id IS NOT NULL
+       |    AND ts IS NOT NULL
+       |), rec(key, rn, s) AS (
+       |  SELECT key, rn, v2 FROM ev WHERE rn = 1
+       |  UNION ALL
+       |  SELECT e.key, e.rn,
+       |    CAST(FLOOR((e.v2 + 3 * r.s) / 4.0) AS BIGINT)
+       |  FROM rec r JOIN ev e ON e.key = r.key AND e.rn = r.rn + 1
+       |)
+       |SELECT e.id, e.key, e.v2, r.s AS ewma_e2,
+       |  CASE WHEN e.rn > 1 AND ABS(e.v2 - rp.s) > 16000
+       |    THEN 1 ELSE 0 END AS anom
+       |FROM ev e
+       |JOIN rec r ON r.key = e.key AND r.rn = e.rn
+       |LEFT JOIN rec rp ON rp.key = e.key AND rp.rn = e.rn - 1
+       |WHERE TRUE $finalWhere
+       |ORDER BY e.id""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // xe1: EWMA control chart (Roberts 1959) per user over (ts,
@@ -25,32 +56,26 @@ object EventQueries {
     // The oracle replays the whole trajectory with a per-key
     // recursive CTE walking rn → rn+1 — two independent
     // implementations of a sequential fold.
-    Q("xe1_ewma_anomaly",
-      """WITH RECURSIVE ev AS (
-        |  SELECT user_id AS key, event_id AS id,
-        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v2,
-        |    ROW_NUMBER() OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) AS rn
-        |  FROM events
-        |  WHERE value IS NOT NULL AND user_id IS NOT NULL
-        |    AND ts IS NOT NULL
-        |), rec(key, rn, s) AS (
-        |  SELECT key, rn, v2 FROM ev WHERE rn = 1
-        |  UNION ALL
-        |  SELECT e.key, e.rn,
-        |    CAST(FLOOR((e.v2 + 3 * r.s) / 4.0) AS BIGINT)
-        |  FROM rec r JOIN ev e ON e.key = r.key AND e.rn = r.rn + 1
-        |)
-        |SELECT e.id, e.key, e.v2, r.s AS ewma_e2,
-        |  CASE WHEN e.rn > 1 AND ABS(e.v2 - rp.s) > 16000
-        |    THEN 1 ELSE 0 END AS anom
-        |FROM ev e
-        |JOIN rec r ON r.key = e.key AND r.rn = e.rn
-        |LEFT JOIN rec rp ON rp.key = e.key AND rp.rn = e.rn - 1
-        |ORDER BY e.id""".stripMargin) { (s, d) =>
+    Q("xe1_ewma_anomaly", ewmaOracleSql()) { (s, d) =>
       Events.ewmaAnomalies(t(s, d, "events"), "user_id", "ts",
           "event_id", "value", threshE2 = 16000L)
         .orderBy("id")
+    },
+
+    // qs23: streaming EWMA — the xe1 stream face on the qs19/qs20
+    // evolving-store skeleton: corpus = events before id 6000 seeds
+    // the per-key scalar store, the delta folds through it in three
+    // event_id-ordered chunks (event_id order IS ts order in the
+    // driver log, so the monotone-arrival contract holds). The oracle
+    // is the xe1 replay VERBATIM (ewmaOracleSql), delta-restricted —
+    // the hash match proves chunked resumption from carried state
+    // equals the one-shot trajectory.
+    Q("qs23_stream_ewma", ewmaOracleSql("AND e.id >= 6000")) { (s, d) =>
+      val ev = t(s, d, "events")
+      graft.streaming.Streams.ewmaChunked(
+        ev.where(col("event_id") >= 6000),
+        ev.where(col("event_id") < 6000),
+        Seq(7000L, 8000L))
     }
   )
 }

@@ -703,6 +703,30 @@ object Streams {
       col("doc_id")).limit(k)
   }
 
+  /** Batch-shape QS23 harness (the oracle entry): fold `newEvents`
+    * through the evolving per-key EWMA store in event_id-ordered
+    * chunks — the xe1 stream face. The state is ONE scalar per key,
+    * and resuming a sequential fold from carried state is exact under
+    * (ts, id)-monotone chunking (event_id order IS ts order in the
+    * driver log — spec-asserted), so the union of per-chunk outputs
+    * == the one-shot xe1 trajectory restricted to the delta.
+    */
+  def ewmaChunked(newEvents: DataFrame, corpus: DataFrame,
+      bounds: Seq[Long]): DataFrame = {
+    import graft.operators.Events
+    var st = Events.prepareEwmaStore(corpus, "user_id", "ts",
+      "event_id", "value")
+    val edges = (Long.MinValue +: bounds.sorted) :+ Long.MaxValue
+    val parts = edges.sliding(2).map { case Seq(lo, hi) =>
+      val ing = Events.ewmaIngest(
+        newEvents.where(col("event_id") >= lo && col("event_id") < hi),
+        st, "user_id", "ts", "event_id", "value")
+      st = ing.next
+      ing.result
+    }.toSeq
+    parts.reduce(_.unionAll(_)).orderBy("id")
+  }
+
   /** Run the QS20 stream: delta document files → per-micro-batch
     * evolving-line-store C4 cleaning → parquet sink, durable store
     * deltas under `outDir/store/batch=<id>` (restart re-folds the

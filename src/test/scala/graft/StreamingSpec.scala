@@ -905,4 +905,32 @@ class StreamingSpec extends SparkSpec {
       .groupBy("user_id").agg(count(lit(1)).as("n"))
     assert(asMap(finalState) == asMap(batch))
   }
+
+  test("QS23 EWMA stream face: (ts,id)-ordered chunking == one-shot " +
+      "xe1 on the delta; driver log is ts-monotone in event_id") {
+    import graft.operators.Events
+    val ev = graft.queries.T.t(spark, sf0001, "events")
+    // the chunking contract's precondition on the driver log
+    import org.apache.spark.sql.expressions.Window
+    val disorder = ev
+      .withColumn("__p", lag(col("ts"), 1)
+        .over(Window.partitionBy(lit(1)).orderBy("event_id")))
+      .where(col("__p") > col("ts")).count()
+    assert(disorder == 0, "event_id order is not ts order — the " +
+      "event_id chunked harness would violate the monotone contract")
+    val delta = ev.where(col("event_id") >= 600)
+    val corpus = ev.where(col("event_id") < 600).cache()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).toSet
+    val oneShot = rows(Events.ewmaAnomalies(ev, "user_id", "ts",
+        "event_id", "value")
+      .where(col("id") >= 600))
+    val one = rows(Streams.ewmaChunked(delta, corpus, Seq.empty))
+    val four = rows(Streams.ewmaChunked(delta, corpus,
+      Seq(700L, 800L, 900L)))
+    corpus.unpersist()
+    assert(one == oneShot, "single-chunk resume diverged from one-shot")
+    assert(four == oneShot, "4-chunk resume diverged from one-shot")
+  }
 }
