@@ -682,6 +682,119 @@ object Multimodal {
     (hi, lo)
   }
 
+  /** Fixed-point DCT-II cosine constant: floor(cos(π(2x+1)u/(2N))·1e6
+    * + 0.5). Computed with StrictMath (fdlibm — bit-reproducible on
+    * every JVM) and shipped into the ORACLE as a literal VALUES table
+    * generated from this same function, so no engine ever evaluates a
+    * transcendental at query time (the xs6 codebook-as-plan-literal
+    * discipline applied to DCT bases).
+    */
+  def dctCosE6(n: Int, u: Int, x: Int): Long =
+    math.floor(StrictMath.cos(
+      math.Pi * (2 * x + 1) * u / (2.0 * n)) * 1e6 + 0.5).toLong
+
+  /** 64-bit DCT perceptual hash, hi/lo halves (the xm5 packing). */
+  case class PHashRow(media_id: Long, phash_hi: Long, phash_lo: Long)
+
+  /** pHash over REAL BMP parsing (xm17) — the DCT perceptual hash
+    * every image-dedup stack ships beside aHash (more robust: bits
+    * encode LOW-FREQUENCY structure, not per-cell brightness): 2-D
+    * DCT-II of the channel-sum grayscale image via the fixed-point
+    * cosine table, keep the 8×8 low-frequency block, drop DC, bit =
+    * coefficient > lower-median of the 63 ACs.
+    *
+    * Integer-exact end to end: grayscale is the plain 3-byte sum (a
+    * constant scale — DCT is linear, and order statistics commute
+    * with positive scaling, so the bits are invariant), the separable
+    * DCT accumulates Long products (|F| ≤ 765·1e6·31·1e6·23·… <
+    * 5.6e17, no overflow; the oracle's SUM promotes to HUGEINT), and
+    * the median is QUANTILE_DISC semantics — the 32nd-smallest
+    * ELEMENT of the 63 ACs (never an interpolated average, which
+    * DuckDB would compute in lossy DOUBLE past 2^53). Strict `>`
+    * sends ties to 0 in both engines. Contrast scaling is exactly
+    * hash-invariant (spec-gated); brightness shifts are only
+    * approximately so (the quantized AC basis rows don't sum to
+    * exactly zero — documented, not papered over).
+    */
+  def pHashTable(media: Dataset[MediaBlob]): Dataset[PHashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { b =>
+        val img = MediaCodecs.decodeBmp(b.payload)
+        val (hi, lo) = phash64(img.pixels, img.width, img.height)
+        PHashRow(b.media_id, hi, lo)
+      }
+    }
+  }
+
+  private[multimodal] def phash64(pixels: Array[Byte], w: Int,
+      h: Int): (Long, Long) = {
+    require(w >= 8 && h >= 8, s"phash64 needs >= 8x8 dims, got ${w}x$h")
+    val g = new Array[Long](w * h)
+    var q = 0
+    while (q < w * h) {
+      val b = q * 3
+      g(q) = (pixels(b) & 0xFF) + (pixels(b + 1) & 0xFF) +
+        (pixels(b + 2) & 0xFF)
+      q += 1
+    }
+    val cw = Array.tabulate(8, w)((u, x) => dctCosE6(w, u, x))
+    val ch = Array.tabulate(8, h)((v, y) => dctCosE6(h, v, y))
+    // separable DCT: t(u)(y) = Σ_x g(y·w+x)·cw(u)(x)
+    val t = Array.ofDim[Long](8, h)
+    var u = 0
+    while (u < 8) {
+      var y = 0
+      while (y < h) {
+        var s = 0L
+        var x = 0
+        while (x < w) { s += g(y * w + x) * cw(u)(x); x += 1 }
+        t(u)(y) = s
+        y += 1
+      }
+      u += 1
+    }
+    val f = Array.ofDim[Long](8, 8)
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0L
+        var y = 0
+        while (y < h) { s += t(u)(y) * ch(v)(y); y += 1 }
+        f(u)(v) = s
+        v += 1
+      }
+      u += 1
+    }
+    val ac = new Array[Long](63)
+    var k = 0
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        if (u != 0 || v != 0) { ac(k) = f(u)(v); k += 1 }
+        v += 1
+      }
+      u += 1
+    }
+    val med = ac.sorted.apply(31) // lower median element (63 values)
+    var hi = 0L; var lo = 0L
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        if ((u != 0 || v != 0) && f(u)(v) > med) {
+          val idx = u * 8 + v
+          if (idx >= 32) hi |= 1L << (idx - 32) else lo |= 1L << idx
+        }
+        v += 1
+      }
+      u += 1
+    }
+    (hi, lo)
+  }
+
   /** Perceptual near-dup image pairs (xm6): band the 64-bit aHash
     * into 8 bytes — pigeonhole guarantees every pair with Hamming ≤ 7
     * shares at least one identical band — equi-join on (band, value),

@@ -13,6 +13,16 @@ import T._
   */
 object MultimodalQueries {
 
+  /** The xm17 DCT basis as a SQL VALUES literal: (n, u, x, c) for
+    * every planted dimension n ∈ 8..31, generated from
+    * [[Multimodal.dctCosE6]] so the oracle and the JVM share the
+    * exact constants (never a query-time transcendental).
+    */
+  private lazy val dctValues: String =
+    (8 to 31).flatMap(n => (0 until 8).flatMap(u => (0 until n).map(
+      x => s"($n,$u,$x,${Multimodal.dctCosE6(n, u, x)})")))
+      .mkString(",")
+
   val all: Seq[Q] = Seq(
     Q("xm1_media_meta",
       """SELECT media_id, n_bytes, width, height, sha FROM (
@@ -121,6 +131,66 @@ object MultimodalQueries {
         |    THEN 1::BIGINT << idx ELSE 0 END) AS BIGINT) AS ahash_lo
         |FROM bits GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       Multimodal.aHashTable(
+          Multimodal.encodeBmpTable(t(s, d, "documents")))
+        .toDF().orderBy("media_id")
+    },
+
+    // DCT perceptual hash (pHash, xm17): the frequency-domain image
+    // hash every dedup stack ships beside aHash — bits encode the
+    // 8×8 LOW-FREQUENCY DCT block (DC dropped, threshold = the
+    // 32nd-smallest of the 63 ACs via QUANTILE_DISC: an exact
+    // ELEMENT, never a lossy interpolated double past 2^53). The
+    // cosine basis ships as a fixed-point literal VALUES table
+    // generated from Multimodal.dctCosE6 — no engine evaluates a
+    // transcendental at query time. Spark PARSES real BMP containers;
+    // the oracle replays the planted pixel formulas through the same
+    // integer DCT — a decode or accumulation-order bug breaks the
+    // 64-bit match.
+    Q("xm17_image_phash",
+      s"""WITH d AS (
+        |  SELECT doc_id, COALESCE(text, '') AS text,
+        |    CAST(8 + doc_id % 24 AS BIGINT) AS w,
+        |    CAST(8 + (doc_id * 3) % 16 AS BIGINT) AS h
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, w, h, x.p AS p,
+        |    CASE WHEN LENGTH(text) = 0
+        |      THEN (x.p % 251 - 125 + 256) % 256
+        |      ELSE UNICODE(SUBSTR(text,
+        |        CAST(x.p % LENGTH(text) AS INT) + 1, 1)) END AS v
+        |  FROM d CROSS JOIN LATERAL UNNEST(RANGE(0, w*h*3)) x(p)
+        |), g AS (
+        |  SELECT doc_id, w, h, (p//3)//w AS y, (p//3)%w AS x,
+        |    SUM(v) AS gv
+        |  FROM b GROUP BY 1, 2, 3, 4, 5
+        |), dct(n, u, x, c) AS (VALUES $dctValues),
+        |t1 AS (
+        |  SELECT g.doc_id, g.h, dc.u AS u, g.y,
+        |    SUM(g.gv * dc.c) AS t
+        |  FROM g JOIN dct dc ON dc.n = g.w AND dc.x = g.x
+        |  GROUP BY 1, 2, 3, 4
+        |), f AS (
+        |  SELECT t1.doc_id, t1.u, dc.u AS v, SUM(t1.t * dc.c) AS f
+        |  FROM t1 JOIN dct dc ON dc.n = t1.h AND dc.x = t1.y
+        |  GROUP BY 1, 2, 3
+        |), ac AS (
+        |  SELECT doc_id, u*8 + v AS idx, f FROM f
+        |  WHERE NOT (u = 0 AND v = 0)
+        |), med AS (
+        |  SELECT doc_id, QUANTILE_DISC(f, 0.5) AS m FROM ac GROUP BY 1
+        |), bits AS (
+        |  SELECT a.doc_id, a.idx,
+        |    CASE WHEN a.f > m.m THEN 1 ELSE 0 END AS bit
+        |  FROM ac a JOIN med m USING (doc_id)
+        |)
+        |SELECT doc_id AS media_id,
+        |  CAST(SUM(CASE WHEN idx >= 32 AND bit = 1
+        |    THEN 1::BIGINT << (idx - 32) ELSE 0 END) AS BIGINT)
+        |    AS phash_hi,
+        |  CAST(SUM(CASE WHEN idx < 32 AND bit = 1
+        |    THEN 1::BIGINT << idx ELSE 0 END) AS BIGINT) AS phash_lo
+        |FROM bits GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Multimodal.pHashTable(
           Multimodal.encodeBmpTable(t(s, d, "documents")))
         .toDF().orderBy("media_id")
     },

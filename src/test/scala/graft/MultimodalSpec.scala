@@ -233,6 +233,43 @@ class MultimodalSpec extends SparkSpec {
       s"got lo=${h.ahash_lo.toHexString} hi=${h.ahash_hi.toHexString}")
   }
 
+  test("pHash: contrast scaling is exactly hash-invariant, edge " +
+      "orientation lands in the expected DCT bit") {
+    import spark.implicits._
+    def hash(px: Array[Byte], w: Int, h: Int) = {
+      val b = Multimodal.MediaBlob(1L, MediaCodecs.encodeBmp(w, h, px))
+      val r = Multimodal.pHashTable(Seq(b).toDS()).collect().head
+      (r.phash_hi, r.phash_lo)
+    }
+    val (w, h) = (16, 16)
+    def fill(f: (Int, Int) => Int): Array[Byte] = {
+      val px = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        px((y * w + x) * 3 + c) = f(x, y).toByte
+      px
+    }
+    // vertical structure (bright top): strongest AC is (u=0, v=1)
+    val vert = fill((_, y) => if (y < h / 2) 100 else 30)
+    val (vh, vl) = hash(vert, w, h)
+    assert((vl & (1L << 1)) != 0L, f"bit idx=1 unset: lo=$vl%x")
+    // horizontal structure: strongest AC is (u=1, v=0) = idx 8
+    val horiz = fill((x, _) => if (x < w / 2) 100 else 30)
+    val (hh, hl) = hash(horiz, w, h)
+    assert((hl & (1L << 8)) != 0L, f"bit idx=8 unset: lo=$hl%x")
+    assert((vh, vl) != (hh, hl),
+      "orthogonal edges should hash differently")
+    // exact contrast invariance: double every pixel — DCT is linear
+    // and order statistics commute with positive scaling
+    val vert2 = fill((_, y) => if (y < h / 2) 200 else 60)
+    assert(hash(vert2, w, h) == ((vh, vl)),
+      "contrast doubling changed the pHash")
+    // aHash and pHash disagree on SOME image (they measure different
+    // things); sanity that this isn't aHash re-derived
+    val ah = Multimodal.aHashTable(Seq(Multimodal.MediaBlob(1L,
+      MediaCodecs.encodeBmp(w, h, vert))).toDS()).collect().head
+    assert((ah.ahash_hi, ah.ahash_lo) != ((vh, vl)))
+  }
+
   test("imageNearDups: perturbed copies found, random pairs rejected") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
