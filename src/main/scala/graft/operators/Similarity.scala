@@ -840,6 +840,86 @@ object Similarity {
         col("sim"))
   }
 
+  /** Scalar-quantization ANN (xs14) — the "SQ8" path that completes
+    * the quantizer triptych (PQ xs6/xs7: codebook subspaces; BQ xs13:
+    * sign bits; SQ: per-DIMENSION affine 8-bit codes, faiss's
+    * ScalarQuantizer): each dimension quantizes independently to a
+    * signed byte around its corpus midpoint,
+    * `q_d = floor((v_d − mid_d)·254/span_d + 0.5)` ∈ [−127, 127]
+    * (8× compression, no codebook training), the shortlist ranks by
+    * the pure-INTEGER code dot product Σ q·q′ (a scaled
+    * covariance-dot — a coarse cosine surrogate, stated honestly;
+    * recall restored by the exact rerank, the xs7 discipline), and
+    * only |queries|·shortlist survivors pay exact cosine.
+    *
+    * Exactness: the per-dim (min, max) stats are EXACT aggregates
+    * (collected driver-side — 2·dim doubles, a plan literal; the
+    * oracle re-derives them with MIN/MAX and gets bit-identical
+    * values), the quantizer is one pinned IEEE op sequence shared
+    * textually with the oracle, codes and shortlist scores are
+    * integers, ties (score DESC, id) — so the approximate operator
+    * hash-gates end to end (the xs13 contract). Constant dimensions
+    * (span 0) code to 0.
+    *
+    * 100 TB: stats are one 64-group aggregate (map-side combined);
+    * encode is a narrow map off plan literals; candidate scoring
+    * moves dim bytes per pair instead of dim doubles.
+    *
+    * Output: (qid, rank, id, score, sim).
+    */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, shortlist: Int): DataFrame = {
+    val cv = corpus.select(col(idCol).as("id"),
+      expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("__v"))
+    val stats = cv
+      .select(posexplode(col("__v")).as(Seq("d", "x")))
+      .groupBy("d").agg(min("x").as("mn"), max("x").as("mx"))
+      .orderBy("d").collect()
+    val mids = stats.map(r => (r.getDouble(1) + r.getDouble(2)) / 2.0)
+    val spans = stats.map(r => r.getDouble(2) - r.getDouble(1))
+    def codes(vec: Column): Column = {
+      val midA = array(mids.map(lit(_)): _*)
+      val spanA = array(spans.map(lit(_)): _*)
+      zip_with(zip_with(vec, midA, (v, m) => struct(v.as("v"),
+          m.as("m"))), spanA,
+        (vm, s) => when(s === 0d, 0L).otherwise(
+          floor((vm.getField("v") - vm.getField("m")) * lit(254.0) / s
+            + lit(0.5)).cast(LongType)))
+    }
+    val c = cv
+      .select(col("id"), col("__v"), TextFns.l2norm(col("__v")).as("nv"),
+        codes(col("__v")).as("__qc"))
+      .localCheckpoint(true)
+    val q = queries.select(col(idCol).as("qid"),
+        expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))").as("__qv"))
+      .select(col("qid"), col("__qv"),
+        TextFns.l2norm(col("__qv")).as("nq"),
+        codes(col("__qv")).as("__qq"))
+    val scored = c.select(col("id"), col("__qc"))
+      .crossJoin(broadcast(q.select(col("qid"), col("__qq"))))
+      .where(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        expr("aggregate(zip_with(__qc, __qq, (a, b) -> a * b), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("score"))
+    val short = rankTopK(
+      scored.select(col("qid"), col("id"),
+        col("score").cast(DoubleType).as("sim")), shortlist)
+      .select(col("qid"), col("id"),
+        col("sim").cast(LongType).as("score"))
+    val rr = short
+      .join(c.select(col("id"), col("__v"), col("nv")), "id")
+      .join(broadcast(q.select(col("qid"), col("__qv"), col("nq"))),
+        "qid")
+      .select(col("qid"), col("id"), col("score"),
+        (TextFns.dot(col("__v"), col("__qv"))
+          / (col("nv") * col("nq"))).as("sim"))
+    rankTopK(rr.select(col("qid"), col("id"), col("sim")), k)
+      .join(rr.select(col("qid"), col("id"), col("score")),
+        Seq("qid", "id"))
+      .select(col("qid"), col("rank"), col("id"), col("score"),
+        col("sim"))
+  }
+
   /** Maximal-marginal-relevance diversified rerank (Carbonell &
     * Goldstein, SIGIR'98) — the result-diversification pass every
     * retrieval stack runs AFTER its shortlist stage: a plain top-k

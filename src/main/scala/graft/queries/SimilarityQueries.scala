@@ -424,6 +424,62 @@ object SimilarityQueries {
         .orderBy("qid", "rank")
     },
 
+    // xs14: scalar-quantization (SQ8) ANN — completes the quantizer
+    // triptych beside PQ (xs6/xs7, codebook subspaces) and BQ (xs13,
+    // sign bits): per-DIMENSION affine signed-byte codes around the
+    // corpus midpoint (8× compression, no codebook training — the
+    // faiss ScalarQuantizer layout), integer code-dot shortlist (a
+    // scaled covariance-dot, honestly a coarse cosine surrogate),
+    // exact-cosine rerank on queries×shortlist survivors. The (min,
+    // max) stats are exact aggregates the oracle re-derives
+    // bit-identically; the quantizer is one pinned IEEE op sequence;
+    // codes/scores are integers — hash-gated end to end.
+    Q("xs14_sq8_ann",
+      s"""WITH e AS (
+         |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+         |), st AS (
+         |  SELECT dd.d AS d, MIN(e.v[dd.d]) AS mn, MAX(e.v[dd.d]) AS mx
+         |  FROM e, UNNEST(GENERATE_SERIES(1, 64)) dd(d) GROUP BY 1
+         |), qc AS (
+         |  SELECT e.id, LIST(CASE WHEN st.mx = st.mn THEN 0
+         |    ELSE CAST(FLOOR((e.v[CAST(st.d AS INT)]
+         |      - (st.mn + st.mx) / 2.0) * 254.0
+         |      / (st.mx - st.mn) + 0.5) AS BIGINT) END
+         |    ORDER BY st.d) AS qs
+         |  FROM e CROSS JOIN st GROUP BY e.id
+         |), sc AS (
+         |  SELECT qq.id AS qid, s.id,
+         |    CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+         |      i -> s.qs[CAST(i AS INT)] * qq.qs[CAST(i AS INT)]))
+         |      AS BIGINT) AS score
+         |  FROM qc s CROSS JOIN (SELECT * FROM qc WHERE id < 10) qq
+         |  WHERE s.id <> qq.id
+         |), short AS (
+         |  SELECT qid, id, score FROM (
+         |    SELECT qid, id, score, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY score DESC, id) AS rn FROM sc) WHERE rn <= 30
+         |), rr AS (
+         |  SELECT sh.qid, sh.id, sh.score,
+         |    LIST_INNER_PRODUCT(e.v, eq.v)
+         |      / (SQRT(LIST_INNER_PRODUCT(e.v, e.v))
+         |         * SQRT(LIST_INNER_PRODUCT(eq.v, eq.v))) AS sim
+         |  FROM short sh
+         |  JOIN e ON e.id = sh.id
+         |  JOIN e eq ON eq.id = sh.qid
+         |)
+         |SELECT qid, rank, id, score, ${r4Sql("sim")} AS sim FROM (
+         |  SELECT qid, id, score, sim, CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY qid ORDER BY sim DESC, id) AS INT) AS rank
+         |  FROM rr) WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      Similarity.sq8TopK(emb, emb.where(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, shortlist = 30)
+        .select(col("qid"), col("rank"), col("id"), col("score"),
+          r4(col("sim")).as("sim"))
+        .orderBy("qid", "rank")
+    },
+
     // xs12: MMR diversified rerank (Carbonell & Goldstein SIGIR'98)
     // over the brute top-20 shortlist of 3 queries — the result-
     // diversification pass after any shortlist stage (plain top-k

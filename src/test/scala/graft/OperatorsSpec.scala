@@ -1100,6 +1100,40 @@ class OperatorsSpec extends SparkSpec {
       s"scaled twins not at Hamming 0: ${twin.toSeq}")
   }
 
+  test("SQ8 scalar quantization: integer code-dot shortlist + exact " +
+      "rerank recovers brute top-k; exact duplicate ranks first") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val centers = Array.fill(10, 64)(rnd.nextGaussian())
+    val rows = for (l <- 0 until 10; i <- 0 until 50) yield
+      (l * 50L + i, centers(l).map(_ + 0.25 * rnd.nextGaussian()).toSeq)
+    val corpus = rows.toDF("vec_id", "embedding").localCheckpoint(true)
+    val queries = corpus.where(col("vec_id") % 50 === 0)
+    val k = 10
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = hits(graft.operators.Similarity
+      .bruteForceTopK(corpus, queries, "vec_id", "embedding", k))
+    val sq = hits(graft.operators.Similarity
+      .sq8TopK(corpus, queries, "vec_id", "embedding", k,
+        shortlist = 60))
+    val recall = (exact & sq).size.toDouble / exact.size
+    assert(recall >= 0.9, f"sq8 recall $recall%.3f < 0.9")
+    // exact duplicates share codes and win the exact rerank at rank 1
+    val twins = rows.take(3).map { case (id, v) => (id + 10000L, v) }
+    val both = corpus.select(col("vec_id"), col("embedding"))
+      .unionByName(twins.toDF("vec_id", "embedding"))
+      .localCheckpoint(true)
+    val top1 = graft.operators.Similarity
+      .sq8TopK(both, both.where(col("vec_id") >= 10000L),
+        "vec_id", "embedding", k = 1, shortlist = 10)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("id"),
+        r.getAs[Double]("sim")))
+    assert(top1.forall(t => t._2 == t._1 - 10000L && t._3 > 0.9999),
+      s"duplicate twins not recovered at rank 1: ${top1.toSeq}")
+  }
+
   test("xs10 IVF×PQ: recall >= 0.9 vs brute force on clustered corpus; " +
       "more probes never hurt") {
     import spark.implicits._
