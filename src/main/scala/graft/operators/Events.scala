@@ -48,6 +48,82 @@ object Events {
       prepareEwmaStore(events.limit(0), keyCol, tsCol, idCol, valCol),
       keyCol, tsCol, idCol, valCol, threshE2).result
 
+  /** Weekly cohort-retention matrix (xe2) — the product-analytics
+    * staple: users cohorted by their FIRST activity week, then counted
+    * per (cohort, week-offset) cell. Weeks are pure integer epoch
+    * arithmetic (`day = epoch_µs div 86400e6`, `week = day div 7` —
+    * no engine-specific DATE_TRUNC/week-start semantics anywhere), so
+    * the matrix hash-gates exactly.
+    *
+    * Scale shape: one distinct over (user, week) — map-side combined
+    * — then a users-sized min-aggregate broadcast back; cells are a
+    * weeks² rollup. Nothing corpus-sized leaves the first shuffle.
+    *
+    * Output: (cohort_week, week_offset, n_users).
+    */
+  def cohortRetention(events: DataFrame, keyCol: String,
+      tsCol: String): DataFrame = {
+    val uw = events
+      .where(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("key"),
+        expr(s"unix_micros($tsCol) div 86400000000 div 7")
+          .as("week"))
+      .distinct()
+      .localCheckpoint(true) // cohort agg AND the cell join read it
+    val cohorts = uw.groupBy("key").agg(min("week").as("cohort_week"))
+    uw.join(cohorts, "key")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Ordered conversion funnel (xe3) — the other product-analytics
+    * staple, and a data-pipeline audit tool (how many documents pass
+    * stage A then B then C within a window): per key, step i+1 counts
+    * only if an event of its type occurs STRICTLY AFTER the step-i
+    * anchor in the (ts, id) total order AND within `windowUs` of it;
+    * each step's anchor is the EARLIEST qualifying event
+    * (min(struct(ts, id)) — the struct-min first-occurrence idiom, so
+    * ts ties break on id identically in both engines).
+    *
+    * Scale shape: one filtered min-aggregate + one broadcast-joinable
+    * (users-sized) frame per step — steps are few and fixed; no
+    * per-user sequence materialization.
+    *
+    * Output: (step, etype, n_users) — n_users non-increasing in step.
+    */
+  def funnel(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, typeCol: String, steps: Seq[String],
+      windowUs: Long = 86400000000L): DataFrame = {
+    require(steps.nonEmpty, "funnel: at least one step")
+    val e = events
+      .where(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("key"), col(typeCol).as("t"),
+        col(tsCol).as("ts"), col(idCol).as("id"))
+      .localCheckpoint(true) // read once per step
+    var anchors = e.where(col("t") === steps.head)
+      .groupBy("key")
+      .agg(min(struct(col("ts"), col("id"))).as("k"))
+      .localCheckpoint(true)
+    var out = anchors.agg(count(lit(1)).as("n_users"))
+      .select(lit(1).as("step"), lit(steps.head).as("etype"),
+        col("n_users"))
+    for ((st, i) <- steps.tail.zipWithIndex) {
+      anchors = e.where(col("t") === st)
+        .join(anchors.select(col("key"), col("k").as("__prev")), "key")
+        .where(struct(col("ts"), col("id")) > col("__prev") &&
+          expr("unix_micros(ts)") - expr("unix_micros(__prev.ts)")
+            <= windowUs)
+        .groupBy("key")
+        .agg(min(struct(col("ts"), col("id"))).as("k"))
+        .localCheckpoint(true)
+      out = out.unionAll(anchors.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 2).as("step"), lit(st).as("etype"),
+          col("n_users")))
+    }
+    out
+  }
+
   /** Evolving per-key EWMA state (qs23): one row per key ever seen —
     * `(key, s)` with `s` the post-observation average after the last
     * folded event. The ENTIRE stream state is one scalar per key

@@ -62,6 +62,66 @@ object EventQueries {
         .orderBy("id")
     },
 
+    // xe2: weekly cohort retention — users cohorted by first activity
+    // week, counted per (cohort, offset) cell. Weeks are pure integer
+    // epoch arithmetic (day DIV 7 of epoch-µs DIV 86400e6) — no
+    // engine week-start semantics anywhere.
+    Q("xe2_cohort_retention",
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id AS key,
+        |    EPOCH_US(ts) // 86400000000 // 7 AS week
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), c AS (
+        |  SELECT key, MIN(week) AS cohort_week FROM uw GROUP BY key
+        |)
+        |SELECT c.cohort_week, uw.week - c.cohort_week AS week_offset,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM uw JOIN c USING (key)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      Events.cohortRetention(t(s, d, "events"), "user_id", "ts")
+        .orderBy("cohort_week", "week_offset")
+    },
+
+    // xe3: ordered conversion funnel view → click → purchase with a
+    // 24h per-step window — step anchors are struct-min first
+    // occurrences in (ts, id) order (ts ties break on id identically
+    // in both engines); 150 → 60 → 25 users on the sf0.01 corpus, a
+    // genuinely narrowing funnel (without the window every user
+    // completes it — vacuous).
+    Q("xe3_funnel",
+      """WITH e AS (
+        |  SELECT user_id AS key, event_type AS t, ts, event_id AS id
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), s1 AS (
+        |  SELECT key, MIN((ts, id)) AS k FROM e WHERE t = 'view'
+        |  GROUP BY key
+        |), s2 AS (
+        |  SELECT e.key, MIN((e.ts, e.id)) AS k
+        |  FROM e JOIN s1 ON s1.key = e.key
+        |  WHERE e.t = 'click' AND (e.ts, e.id) > s1.k
+        |    AND EPOCH_US(e.ts) - EPOCH_US(s1.k[1]) <= 86400000000
+        |  GROUP BY e.key
+        |), s3 AS (
+        |  SELECT e.key, MIN((e.ts, e.id)) AS k
+        |  FROM e JOIN s2 ON s2.key = e.key
+        |  WHERE e.t = 'purchase' AND (e.ts, e.id) > s2.k
+        |    AND EPOCH_US(e.ts) - EPOCH_US(s2.k[1]) <= 86400000000
+        |  GROUP BY e.key
+        |)
+        |SELECT * FROM (
+        |  SELECT 1 AS step, 'view' AS etype,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_users
+        |  UNION ALL SELECT 2, 'click',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)
+        |  UNION ALL SELECT 3, 'purchase',
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM s3)
+        |) ORDER BY step""".stripMargin) { (s, d) =>
+      Events.funnel(t(s, d, "events"), "user_id", "ts", "event_id",
+          "event_type", Seq("view", "click", "purchase"),
+          windowUs = 86400000000L)
+        .orderBy("step")
+    },
+
     // qs23: streaming EWMA — the xe1 stream face on the qs19/qs20
     // evolving-store skeleton: corpus = events before id 6000 seeds
     // the per-key scalar store, the delta folds through it in three

@@ -149,6 +149,54 @@ class OperatorsSpec extends SparkSpec {
     assert(reparted == got)
   }
 
+  test("xe2 cohort retention: first-week cohorts, integer week " +
+      "arithmetic, distinct-user cells") {
+    import spark.implicits._
+    val us = 86400000000L // one day in micros
+    def ts(day: Int) = new java.sql.Timestamp(
+      java.time.Instant.EPOCH.plusMillis(day * 86400000L).toEpochMilli)
+    val rows = Seq(
+      // user 1: first week 0, active weeks 0 and 2 (twice in w2 —
+      // distinct collapses)
+      (1L, ts(0)), (1L, ts(15)), (1L, ts(16)),
+      // user 2: first week 0 (day 6), active week 1
+      (2L, ts(6)), (2L, ts(8)),
+      // user 3: cohort week 1 only
+      (3L, ts(7)))
+    val got = graft.operators.Events.cohortRetention(
+        rows.toDF("user_id", "ts"), "user_id", "ts")
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 1L,
+      (1L, 0L) -> 1L), s"$got")
+  }
+
+  test("xe3 funnel: strictly-after anchors, per-step window, ts ties " +
+      "broken by id, counts non-increasing") {
+    import spark.implicits._
+    val us = 3600000000L // one hour in micros
+    def ts(h: Int) = new java.sql.Timestamp(h * 3600000L)
+    val rows = Seq(
+      // user 1 completes: view@1, click@2 (in window), purchase@3
+      (10L, ts(1), 1L, "view"), (11L, ts(2), 1L, "click"),
+      (12L, ts(3), 1L, "purchase"),
+      // user 2: click BEFORE the first view — not a conversion
+      (20L, ts(1), 2L, "click"), (21L, ts(2), 2L, "view"),
+      // user 3: click outside the 24h window
+      (30L, ts(0), 3L, "view"), (31L, ts(30), 3L, "click"),
+      // user 4: click at the SAME ts as view, higher id — counts
+      // ((ts,id) strict order), purchase missing
+      (40L, ts(5), 4L, "view"), (41L, ts(5), 4L, "click"))
+    val got = graft.operators.Events.funnel(
+        rows.toDF("event_id", "ts", "user_id", "event_type"),
+        "user_id", "ts", "event_id", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((1, "view", 4L), (2, "click", 2L),
+      (3, "purchase", 1L)), s"${got.toSeq}")
+  }
+
   test("pointer-jump components: 1000-node path converges in <= 15 " +
       "rounds (plain propagation would need ~500)") {
     import spark.implicits._
