@@ -584,6 +584,70 @@ object Multimodal {
       }
   }
 
+  /** Fixed-point period-16 DFT basis for [[toneProbeTable]]:
+    * floor(cos/sin(2π·k·n/16)·1e3 + 0.5) — StrictMath, shipped to the
+    * oracle as generated literals (the xm17 discipline).
+    */
+  def toneCosE3(k: Int, n: Int): Long =
+    math.floor(StrictMath.cos(
+      2.0 * math.Pi * k * n / 16.0) * 1e3 + 0.5).toLong
+  def toneSinE3(k: Int, n: Int): Long =
+    math.floor(StrictMath.sin(
+      2.0 * math.Pi * k * n / 16.0) * 1e3 + 0.5).toLong
+
+  case class ToneProbe(media_id: Long, dom_bin: Int, mag_dom: Long,
+      mag_sum: Long)
+
+  /** Dominant-tone probe over REAL WAV parsing (xm18) — the spectral
+    * screen audio curation runs before transcription (pure tones /
+    * mains hum / test signals are non-speech and get dropped; the
+    * Goertzel-bank shape, batch-expressed): project the first
+    * channel onto a PERIOD-16 DFT basis (bins k = 1..7, i.e.
+    * frequencies k·rate/16 — a periodic basis so the cos/sin tables
+    * are 16 entries per bin, not samples-sized), magnitude per bin as
+    * the INTEGER L1 proxy |Re| + |Im| (squaring would overflow
+    * 64-bit at these scales; argmax under L1 is the same screening
+    * decision, stated honestly), dominant bin = argmax with ties to
+    * the smaller k.
+    *
+    * Integer-exact end to end: samples are the decoder's shorts, the
+    * basis is a fixed-point literal, |Re|+|Im| ≤ 1.7e13 — so the
+    * operator hash-gates against the planted-formula replay (a WAV
+    * header/stride/channel-interleave bug breaks the match).
+    */
+  def toneProbeTable(media: Dataset[MediaBlob]): Dataset[ToneProbe] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { b =>
+        val wav = MediaCodecs.decodeWav(b.payload)
+        val ch = wav.channels
+        val frames = wav.samples.length / ch
+        val re = new Array[Long](8)
+        val im = new Array[Long](8)
+        var n = 0
+        while (n < frames) {
+          val m = wav.samples(n * ch).toLong
+          var k = 1
+          while (k < 8) {
+            re(k) += m * toneCosE3(k, n % 16)
+            im(k) += m * toneSinE3(k, n % 16)
+            k += 1
+          }
+          n += 1
+        }
+        var dom = 1; var best = -1L; var sum = 0L
+        var k = 1
+        while (k < 8) {
+          val mag = math.abs(re(k)) + math.abs(im(k))
+          sum += mag
+          if (mag > best) { best = mag; dom = k }
+          k += 1
+        }
+        ToneProbe(b.media_id, dom, best, sum)
+      }
+    }
+  }
+
   /** Parse the WAV container back to metadata (real decode path). */
   def decodeWavMeta(media: Dataset[MediaBlob]): Dataset[WavMeta] = {
     import media.sparkSession.implicits._

@@ -23,7 +23,65 @@ object MultimodalQueries {
       x => s"($n,$u,$x,${Multimodal.dctCosE6(n, u, x)})")))
       .mkString(",")
 
+  /** The xm18 period-16 DFT basis as (k, n, c, s) literals from
+    * [[Multimodal.toneCosE3]]/[[Multimodal.toneSinE3]].
+    */
+  private lazy val toneValues: String =
+    (1 until 8).flatMap(k => (0 until 16).map(n =>
+      s"($k,$n,${Multimodal.toneCosE3(k, n)}," +
+        s"${Multimodal.toneSinE3(k, n)})")).mkString(",")
+
   val all: Seq[Q] = Seq(
+
+    // Dominant-tone spectral probe (xm18): project the first channel
+    // of each REAL parsed WAV onto a period-16 DFT basis (bins 1..7,
+    // 16-entry fixed-point cos/sin literals — the xm17 discipline),
+    // L1 magnitude |Re|+|Im| per bin (squaring would overflow BIGINT;
+    // same argmax decision), dominant bin with ties to smaller k.
+    // The oracle replays the planted sample formula (first-channel
+    // byte index n·ch through the cyclic text bytes, (b−128)·256)
+    // through the same integer sums — a WAV header/stride/interleave
+    // bug breaks the match.
+    Q("xm18_audio_tone",
+      s"""WITH d AS (
+        |  SELECT doc_id, COALESCE(text, '') AS text,
+        |    CAST(1 + doc_id % 2 AS BIGINT) AS ch
+        |  FROM documents
+        |), fr AS (
+        |  SELECT doc_id, ch, text,
+        |    CAST(50 + OCTET_LENGTH(ENCODE(text)) % 200 AS BIGINT)
+        |      AS frames
+        |  FROM d
+        |), sm AS (
+        |  SELECT doc_id, nn.n AS n,
+        |    (CASE WHEN LENGTH(text) = 0
+        |      THEN ((nn.n * ch) % 251 - 125 + 256) % 256
+        |      ELSE UNICODE(SUBSTR(text,
+        |        CAST((nn.n * ch) % LENGTH(text) AS INT) + 1, 1)) END
+        |      - 128) * 256 AS m
+        |  FROM fr CROSS JOIN LATERAL UNNEST(RANGE(0, frames)) nn(n)
+        |), tone(k, n, c, s) AS (VALUES $toneValues),
+        |bins AS (
+        |  SELECT sm.doc_id, t.k,
+        |    ABS(CAST(SUM(sm.m * t.c) AS BIGINT))
+        |      + ABS(CAST(SUM(sm.m * t.s) AS BIGINT)) AS mag
+        |  FROM sm JOIN tone t ON t.n = sm.n % 16
+        |  GROUP BY 1, 2
+        |), dom AS (
+        |  SELECT doc_id, k, mag, ROW_NUMBER() OVER (
+        |    PARTITION BY doc_id ORDER BY mag DESC, k) AS rn
+        |  FROM bins
+        |)
+        |SELECT b.doc_id AS media_id,
+        |  CAST(d.k AS INT) AS dom_bin, d.mag AS mag_dom,
+        |  CAST(SUM(b.mag) AS BIGINT) AS mag_sum
+        |FROM bins b JOIN dom d ON d.doc_id = b.doc_id AND d.rn = 1
+        |GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin) { (s, d) =>
+      Multimodal.toneProbeTable(
+          Multimodal.encodeWavTable(t(s, d, "documents")))
+        .toDF().orderBy("media_id")
+    },
+
     Q("xm1_media_meta",
       """SELECT media_id, n_bytes, width, height, sha FROM (
         |  SELECT doc_id AS media_id,

@@ -270,6 +270,37 @@ class MultimodalSpec extends SparkSpec {
     assert((ah.ahash_hi, ah.ahash_lo) != ((vh, vl)))
   }
 
+  test("tone probe: square waves land in their DFT bin, constant " +
+      "signal is silent, stereo reads the first channel") {
+    import spark.implicits._
+    def probe(samples: Array[Short], ch: Int) = {
+      val b = Multimodal.MediaBlob(1L,
+        MediaCodecs.encodeWav(8000, ch, samples))
+      Multimodal.toneProbeTable(Seq(b).toDS()).collect().head
+    }
+    // period-8 square = 2 cycles per 16 samples -> bin 2
+    val sq8 = Array.tabulate(160)(n =>
+      (if (n % 8 < 4) 8000 else -8000).toShort)
+    assert(probe(sq8, 1).dom_bin == 2)
+    // period-4 square -> bin 4
+    val sq4 = Array.tabulate(160)(n =>
+      (if (n % 4 < 2) 8000 else -8000).toShort)
+    assert(probe(sq4, 1).dom_bin == 4)
+    // constant over whole periods: rounded basis rows cancel exactly
+    val const = Array.fill(160)(1000.toShort)
+    val c = probe(const, 1)
+    assert(c.mag_sum == 0L && c.dom_bin == 1, s"$c")
+    // stereo: first channel carries the period-8 square, second is
+    // junk — interleave extraction must still find bin 2
+    val rnd = new scala.util.Random(5)
+    val stereo = new Array[Short](320)
+    for (n <- 0 until 160) {
+      stereo(2 * n) = sq8(n)
+      stereo(2 * n + 1) = (rnd.nextInt(16000) - 8000).toShort
+    }
+    assert(probe(stereo, 2).dom_bin == 2)
+  }
+
   test("imageNearDups: perturbed copies found, random pairs rejected") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
