@@ -584,6 +584,32 @@ object Multimodal {
       }
   }
 
+  /** Scene-cut detection (xm19) — the shot-segmentation pass a video
+    * curation pipeline runs before per-scene sampling/dedup: a cut
+    * between consecutive sampled frames iff their aHash Hamming
+    * distance exceeds `minHd` (perceptual hashes are stable within a
+    * shot and jump across one — the standard hash-difference
+    * detector). Composes [[frameHashTable]]'s integer hashes, so the
+    * whole chain stays hash-gated; the lag window is PARTITIONED BY
+    * media (frames per video are bounded — never a corpus-wide
+    * window).
+    *
+    * Output: one row per transition — (media_id, frame_no, hd, cut)
+    * with frame_no the LATER frame.
+    */
+  def sceneCuts(frameHashes: DataFrame, minHd: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("media_id").orderBy("frame_no")
+    frameHashes
+      .withColumn("__ph", lag(col("ahash_hi"), 1).over(w))
+      .withColumn("__pl", lag(col("ahash_lo"), 1).over(w))
+      .where(col("__ph").isNotNull)
+      .select(col("media_id"), col("frame_no"),
+        (expr("bit_count(ahash_hi ^ __ph)") +
+          expr("bit_count(ahash_lo ^ __pl)")).cast(LongType).as("hd"))
+      .withColumn("cut", (col("hd") > minHd).cast(IntegerType))
+  }
+
   /** Fixed-point period-16 DFT basis for [[toneProbeTable]]:
     * floor(cos/sin(2π·k·n/16)·1e3 + 0.5) — StrictMath, shipped to the
     * oracle as generated literals (the xm17 discipline).

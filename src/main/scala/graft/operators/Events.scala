@@ -124,6 +124,119 @@ object Events {
     out
   }
 
+  /** Event-type Markov transition matrix (xe4) — the behavioral
+    * fingerprint beside the funnel: per key, consecutive event-type
+    * bigrams under the (ts, id) total order, rolled up corpus-wide
+    * with the per-source totals (so P(dst|src) = n / src_total is a
+    * ratio of exact integers the reader forms, never a stored float).
+    *
+    * Scale shape: the lag runs in a window PARTITIONED BY KEY (never
+    * corpus-wide), then two bounded rollups (types² cells).
+    *
+    * Output: (src, dst, n, src_total).
+    */
+  def typeTransitions(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("key").orderBy("ts", "id")
+    val trans = events
+      .where(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isNotNull)
+      .select(col(keyCol).as("key"), col(typeCol).as("t"),
+        col(tsCol).as("ts"), col(idCol).as("id"))
+      .withColumn("__prev", lag(col("t"), 1).over(w))
+      .where(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("src"), col("t").as("dst"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // cells AND totals read it
+    trans
+      .join(trans.groupBy("src").agg(sum("n").as("src_total")), "src")
+  }
+
+  /** Evolving per-key funnel state (qs24): one row per key —
+    * `(key, step, ats, aid)` with `step` the deepest step reached and
+    * (ats, aid) its anchor. The whole stream state is one small
+    * struct per key.
+    */
+  final case class FunnelStore private[operators] (state: DataFrame)
+
+  /** Seed the store by folding `corpus` from empty state. */
+  def prepareFunnelStore(corpus: DataFrame, keyCol: String,
+      tsCol: String, idCol: String, typeCol: String,
+      steps: Seq[String], windowUs: Long = 86400000000L)
+      : FunnelStore = {
+    val empty = FunnelStore(corpus
+      .select(col(keyCol).as("key"), lit(0).as("step"),
+        col(tsCol).as("ats"), col(idCol).cast(LongType).as("aid"))
+      .limit(0).localCheckpoint(true))
+    if (corpus.isEmpty) empty
+    else funnelIngest(corpus, empty, keyCol, tsCol, idCol, typeCol,
+      steps, windowUs)
+  }
+
+  /** Fold one batch of events through the funnel automaton (the qs23
+    * monotone-arrival contract: chunks must partition the log in
+    * (ts, id) order per key). Scanning in order, the first qualifying
+    * event IS the min-anchor of the batch-relational [[funnel]], so
+    * chunked resumption equals the one-shot derivation exactly.
+    */
+  def funnelIngest(batch: DataFrame, store: FunnelStore,
+      keyCol: String, tsCol: String, idCol: String, typeCol: String,
+      steps: Seq[String], windowUs: Long = 86400000000L)
+      : FunnelStore = {
+    val stepArr = steps.map(s => s"'${s.replace("'", "''")}'")
+      .mkString("array(", ", ", ")")
+    val q = batch
+      .where(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isNotNull)
+      .select(col(keyCol).as("key"), col(tsCol).as("ts"),
+        col(idCol).cast(LongType).as("id"), col(typeCol).as("t"))
+    val folded = q.groupBy("key")
+      .agg(array_sort(collect_list(struct(col("ts"), col("id"),
+        col("t")))).as("__xs"))
+      .join(store.state.select(col("key"), col("step").as("__s0"),
+        col("ats").as("__a0"), col("aid").as("__i0")), Seq("key"),
+        "left")
+      .select(col("key"), expr(
+        s"""aggregate(__xs,
+           |  named_struct('step', coalesce(__s0, 0),
+           |    'ats', __a0, 'aid', __i0),
+           |  (acc, x) -> CASE WHEN acc.step < ${steps.length}
+           |      AND x.t = element_at($stepArr, acc.step + 1)
+           |      AND (acc.step = 0 OR (
+           |        named_struct('a', x.ts, 'b', x.id)
+           |          > named_struct('a', acc.ats, 'b', acc.aid)
+           |        AND unix_micros(x.ts) - unix_micros(acc.ats)
+           |          <= $windowUs))
+           |    THEN named_struct('step', acc.step + 1,
+           |      'ats', x.ts, 'aid', x.id)
+           |    ELSE acc END)""".stripMargin.replace("\n", " "))
+        .as("__f"))
+    val next = store.state
+      .withColumnRenamed("step", "__os").withColumnRenamed("ats", "__oa")
+      .withColumnRenamed("aid", "__oi")
+      .join(folded, Seq("key"), "full_outer")
+      .select(col("key"),
+        coalesce(col("__f.step"), col("__os")).as("step"),
+        coalesce(col("__f.ats"), col("__oa")).as("ats"),
+        coalesce(col("__f.aid"), col("__oi")).as("aid"))
+      .localCheckpoint(true)
+    FunnelStore(next)
+  }
+
+  /** Per-step user counts from the store — the [[funnel]] output
+    * shape: (step, etype, n_users).
+    */
+  def funnelCounts(store: FunnelStore, steps: Seq[String]): DataFrame = {
+    val st = store.state.localCheckpoint(true)
+    steps.zipWithIndex.map { case (et, i) =>
+      st.where(col("step") >= i + 1)
+        .agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("step"), lit(et).as("etype"),
+          col("n_users"))
+    }.reduce(_.unionAll(_))
+  }
+
   /** Evolving per-key EWMA state (qs23): one row per key ever seen —
     * `(key, s)` with `s` the post-observation average after the last
     * folded event. The ENTIRE stream state is one scalar per key

@@ -88,8 +88,78 @@ object EventQueries {
     // in both engines); 150 → 60 → 25 users on the sf0.01 corpus, a
     // genuinely narrowing funnel (without the window every user
     // completes it — vacuous).
-    Q("xe3_funnel",
+    Q("xe3_funnel", funnelOracleSql) { (s, d) =>
+      Events.funnel(t(s, d, "events"), "user_id", "ts", "event_id",
+          "event_type", Seq("view", "click", "purchase"),
+          windowUs = 86400000000L)
+        .orderBy("step")
+    },
+
+    // xe4: event-type Markov transition matrix — per-user consecutive
+    // type bigrams under (ts, id) order, corpus rollup with per-source
+    // totals (P(dst|src) is a ratio of exact integers the reader
+    // forms; no stored float). The behavioral fingerprint beside the
+    // funnel.
+    Q("xe4_type_transitions",
       """WITH e AS (
+        |  SELECT user_id AS key, event_type AS t, ts, event_id AS id
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL
+        |), p AS (
+        |  SELECT key, t,
+        |    LAG(t) OVER (PARTITION BY key ORDER BY ts, id) AS prev
+        |  FROM e
+        |), tr AS (
+        |  SELECT prev AS src, t AS dst, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM p WHERE prev IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT tr.src, tr.dst, tr.n, tot.src_total
+        |FROM tr JOIN (
+        |  SELECT src, CAST(SUM(n) AS BIGINT) AS src_total
+        |  FROM tr GROUP BY src) tot USING (src)
+        |ORDER BY src, dst""".stripMargin) { (s, d) =>
+      Events.typeTransitions(t(s, d, "events"), "user_id", "ts",
+          "event_id", "event_type")
+        .orderBy("src", "dst")
+    },
+
+    // qs24: streaming funnel — the xe3 stream face: per-key automaton
+    // state (step, anchor) folded over event_id-ordered chunks (the
+    // qs23 monotone contract); scanning in order makes the first
+    // qualifying event the min-anchor, so the automaton equals the
+    // one-shot relational derivation AND shares xe3's oracle text
+    // VERBATIM. The gate proves automaton == relational == SQL.
+    Q("qs24_stream_funnel", funnelOracleSql) { (s, d) =>
+      val ev = t(s, d, "events")
+      graft.streaming.Streams.funnelChunked(
+        ev.where(col("event_id") >= 6000),
+        ev.where(col("event_id") < 6000),
+        Seq("view", "click", "purchase"), Seq(7000L, 8000L))
+    },
+
+    // qs23: streaming EWMA — the xe1 stream face on the qs19/qs20
+    // evolving-store skeleton: corpus = events before id 6000 seeds
+    // the per-key scalar store, the delta folds through it in three
+    // event_id-ordered chunks (event_id order IS ts order in the
+    // driver log, so the monotone-arrival contract holds). The oracle
+    // is the xe1 replay VERBATIM (ewmaOracleSql), delta-restricted —
+    // the hash match proves chunked resumption from carried state
+    // equals the one-shot trajectory.
+    Q("qs23_stream_ewma", ewmaOracleSql("AND e.id >= 6000")) { (s, d) =>
+      val ev = t(s, d, "events")
+      graft.streaming.Streams.ewmaChunked(
+        ev.where(col("event_id") >= 6000),
+        ev.where(col("event_id") < 6000),
+        Seq(7000L, 8000L))
+    }
+  )
+
+  /** The xe3/qs24 funnel replay — shared VERBATIM by the batch entry
+    * and the stream face (the ewmaOracleSql discipline).
+    */
+  def funnelOracleSql: String =
+    """WITH e AS (
         |  SELECT user_id AS key, event_type AS t, ts, event_id AS id
         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
         |), s1 AS (
@@ -115,27 +185,5 @@ object EventQueries {
         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)
         |  UNION ALL SELECT 3, 'purchase',
         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM s3)
-        |) ORDER BY step""".stripMargin) { (s, d) =>
-      Events.funnel(t(s, d, "events"), "user_id", "ts", "event_id",
-          "event_type", Seq("view", "click", "purchase"),
-          windowUs = 86400000000L)
-        .orderBy("step")
-    },
-
-    // qs23: streaming EWMA — the xe1 stream face on the qs19/qs20
-    // evolving-store skeleton: corpus = events before id 6000 seeds
-    // the per-key scalar store, the delta folds through it in three
-    // event_id-ordered chunks (event_id order IS ts order in the
-    // driver log, so the monotone-arrival contract holds). The oracle
-    // is the xe1 replay VERBATIM (ewmaOracleSql), delta-restricted —
-    // the hash match proves chunked resumption from carried state
-    // equals the one-shot trajectory.
-    Q("qs23_stream_ewma", ewmaOracleSql("AND e.id >= 6000")) { (s, d) =>
-      val ev = t(s, d, "events")
-      graft.streaming.Streams.ewmaChunked(
-        ev.where(col("event_id") >= 6000),
-        ev.where(col("event_id") < 6000),
-        Seq(7000L, 8000L))
-    }
-  )
+        |) ORDER BY step""".stripMargin
 }

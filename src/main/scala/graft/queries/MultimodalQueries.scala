@@ -453,6 +453,65 @@ object MultimodalQueries {
         .orderBy("media_id", "frame_no")
     },
 
+    // Scene-cut detection (xm19): shot segmentation before per-scene
+    // sampling/dedup — a cut between consecutive sampled frames iff
+    // their aHash Hamming distance > 16 (hashes are stable within a
+    // shot, jump across one; threshold splits ~1216 cuts / 34
+    // continuations on the sf0.01 corpus — both branches live).
+    // Composes the xm9 frame-hash chain, so the oracle replays hashes
+    // + LAG + threshold and the whole chain stays integer hash-gated.
+    Q("xm19_scene_cuts",
+      """WITH d AS (
+        |  SELECT doc_id, COALESCE(text, '') AS text,
+        |    CAST(8 + doc_id % 24 AS BIGINT) AS w,
+        |    CAST(8 + (doc_id * 3) % 16 AS BIGINT) AS h,
+        |    CAST(2 + doc_id % 4 AS BIGINT) AS nf
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, w, h,
+        |    x.p // (w*h*3) AS f, x.p % (w*h*3) AS q,
+        |    CASE WHEN LENGTH(text) = 0
+        |      THEN (x.p % 251 - 125 + 256) % 256
+        |      ELSE UNICODE(SUBSTR(text,
+        |        CAST(x.p % LENGTH(text) AS INT) + 1, 1)) END AS v
+        |  FROM d CROSS JOIN LATERAL UNNEST(RANGE(0, w*h*3*nf)) x(p)
+        |), cells AS (
+        |  SELECT doc_id, f, ((q//3)//w)*8//h AS i, ((q//3)%w)*8//w AS j,
+        |    SUM(v) AS s, COUNT(*) AS c, ANY_VALUE(w*h*3) AS btot
+        |  FROM b GROUP BY 1, 2, 3, 4
+        |), tot AS (
+        |  SELECT doc_id, f, SUM(s) AS stot FROM cells GROUP BY 1, 2
+        |), bits AS (
+        |  SELECT c.doc_id, c.f, i*8 + j AS idx,
+        |    CASE WHEN c.s * c.btot > t.stot * c.c THEN 1 ELSE 0 END AS bit
+        |  FROM cells c JOIN tot t ON t.doc_id = c.doc_id AND t.f = c.f
+        |), hashes AS (
+        |  SELECT doc_id, f,
+        |    CAST(SUM(CASE WHEN idx >= 32 AND bit = 1
+        |      THEN 1::BIGINT << (idx - 32) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(SUM(CASE WHEN idx < 32 AND bit = 1
+        |      THEN 1::BIGINT << idx ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY 1, 2
+        |), hd AS (
+        |  SELECT doc_id, f,
+        |    BIT_COUNT(XOR(hi, LAG(hi) OVER (PARTITION BY doc_id
+        |      ORDER BY f)))
+        |    + BIT_COUNT(XOR(lo, LAG(lo) OVER (PARTITION BY doc_id
+        |      ORDER BY f))) AS hd
+        |  FROM hashes
+        |)
+        |SELECT doc_id AS media_id, CAST(f AS INT) AS frame_no,
+        |  CAST(hd AS BIGINT) AS hd,
+        |  CAST(CASE WHEN hd > 16 THEN 1 ELSE 0 END AS INT) AS cut
+        |FROM hd WHERE hd IS NOT NULL
+        |ORDER BY media_id, frame_no""".stripMargin) { (s, d) =>
+      Multimodal.sceneCuts(
+          Multimodal.frameHashTable(
+            Multimodal.encodeAviTable(t(s, d, "documents"))).toDF(),
+          minHd = 16)
+        .orderBy("media_id", "frame_no")
+    },
+
     // Video near-dup via frame-hash matching: two videos pair if ANY
     // frame of one is within Hamming 3 of ANY frame of the other.
     // Spark runs the banded frame join (pigeonhole-exact to Hamming

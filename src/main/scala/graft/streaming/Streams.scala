@@ -771,6 +771,28 @@ object Streams {
     }
   }
 
+  /** Batch-shape QS24 harness (the oracle entry): fold `newEvents`
+    * through the evolving per-key funnel automaton in
+    * event_id-ordered chunks (the qs23 monotone contract), then emit
+    * the per-step counts — scanning in order makes the first
+    * qualifying event the min-anchor, so the automaton fold equals
+    * the one-shot relational xe3 derivation AND its oracle.
+    */
+  def funnelChunked(newEvents: DataFrame, corpus: DataFrame,
+      steps: Seq[String], bounds: Seq[Long],
+      windowUs: Long = 86400000000L): DataFrame = {
+    import graft.operators.Events
+    var st = Events.prepareFunnelStore(corpus, "user_id", "ts",
+      "event_id", "event_type", steps, windowUs)
+    val edges = (Long.MinValue +: bounds.sorted) :+ Long.MaxValue
+    edges.sliding(2).foreach { case Seq(lo, hi) =>
+      st = Events.funnelIngest(
+        newEvents.where(col("event_id") >= lo && col("event_id") < hi),
+        st, "user_id", "ts", "event_id", "event_type", steps, windowUs)
+    }
+    Events.funnelCounts(st, steps).orderBy("step")
+  }
+
   /** Streaming token-budget shard packing (QS9): doc_id-ordered
     * batches are packed by [[graft.operators.Scale.packShards]] with
     * each batch's `base` = total tokens of all earlier batches — the

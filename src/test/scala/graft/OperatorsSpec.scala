@@ -197,6 +197,42 @@ class OperatorsSpec extends SparkSpec {
       (3, "purchase", 1L)), s"${got.toSeq}")
   }
 
+  test("xe4 type transitions: per-key lag bigrams, ts ties broken " +
+      "by id, source totals consistent") {
+    import spark.implicits._
+    def ts(m: Int) = new java.sql.Timestamp(m * 60000L)
+    val rows = Seq(
+      (1L, ts(0), 7L, "a"), (2L, ts(1), 7L, "b"), (3L, ts(2), 7L, "a"),
+      // user 9: tie on ts -> id order decides (4 before 5): a->b
+      (4L, ts(0), 9L, "a"), (5L, ts(0), 9L, "b"))
+    val got = graft.operators.Events.typeTransitions(
+        rows.toDF("event_id", "ts", "user_id", "event_type"),
+        "user_id", "ts", "event_id", "event_type")
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(("a", "b") -> ((2L, 2L)), ("b", "a") -> ((1L, 1L))),
+      s"$got")
+  }
+
+  test("xm19 scene cuts: hd over consecutive frame hashes, cuts at " +
+      "threshold, per-media lag isolation") {
+    import spark.implicits._
+    val frames = Seq(
+      // media 1: identical, then a 17-bit flip (cut), then 1-bit
+      (1L, 0, 0xF0L, 0x0FL), (1L, 1, 0xF0L, 0x0FL),
+      (1L, 2, 0xF0L ^ 0x1FFFFL, 0x0FL), (1L, 3, 0xF0L ^ 0x1FFFEL, 0x0FL),
+      // media 2: single frame -> no transitions
+      (2L, 0, 0L, 0L))
+      .toDF("media_id", "frame_no", "ahash_hi", "ahash_lo")
+    val got = graft.multimodal.Multimodal.sceneCuts(frames, minHd = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq == Seq((1L, 1, 0L, 0), (1L, 2, 17L, 1),
+      (1L, 3, 1L, 0)), s"${got.toSeq}")
+  }
+
   test("pointer-jump components: 1000-node path converges in <= 15 " +
       "rounds (plain propagation would need ~500)") {
     import spark.implicits._

@@ -933,4 +933,26 @@ class StreamingSpec extends SparkSpec {
     assert(one == oneShot, "single-chunk resume diverged from one-shot")
     assert(four == oneShot, "4-chunk resume diverged from one-shot")
   }
+
+  test("QS24 funnel stream face: chunked automaton == one-shot " +
+      "relational xe3 derivation") {
+    import graft.operators.Events
+    val ev = graft.queries.T.t(spark, sf0001, "events")
+    val steps = Seq("view", "click", "purchase")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+        .toSet
+    val oneShot = rows(Events.funnel(ev, "user_id", "ts", "event_id",
+      "event_type", steps))
+    val delta = ev.where(col("event_id") >= 600)
+    val corpus = ev.where(col("event_id") < 600).cache()
+    val one = rows(Streams.funnelChunked(delta, corpus, steps,
+      Seq.empty))
+    val four = rows(Streams.funnelChunked(delta, corpus, steps,
+      Seq(700L, 800L, 900L)))
+    corpus.unpersist()
+    assert(one == oneShot, s"single-chunk automaton != relational: " +
+      s"$one vs $oneShot")
+    assert(four == oneShot, s"4-chunk automaton != relational: $four")
+  }
 }
