@@ -120,8 +120,16 @@ object Dedup {
         s"connectedComponents did not converge in $maxIter rounds " +
           s"($changed labels still improving) — a component with " +
           "diameter > maxIter exists; raise maxIter")
+    lastComponentRounds = i
     labels.select(col("id"), col("label").as("component"))
   }
+
+  /** Diagnostic only (SCALE harnesses): rounds the last
+    * [[connectedComponents]] call took to converge — the O(log n)
+    * pointer-jump claim graded as a counter. Driver-side, not
+    * thread-safe; never read by operators.
+    */
+  @volatile private[graft] var lastComponentRounds: Int = 0
 
   /** Cluster-level near-dup dedup: survivors = one representative (the
     * min id) per connected component of the pair graph, plus every
