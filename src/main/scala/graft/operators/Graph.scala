@@ -539,6 +539,37 @@ object Graph {
           .as("harm_e4")), "id")
   }
 
+  /** Co-citation similarity (xg9; Small 1973, the link-analysis
+    * "related pages" signal): two pages are related when the same
+    * sources link to BOTH — common = |N_in(a) ∩ N_in(b)| counted by
+    * WEDGE enumeration from each source's out-list (one self equi-join
+    * on src), with in-degrees joined back so the reader forms Jaccard
+    * |∩| / (na + nb − |∩|) from exact integers.
+    *
+    * Scale shape: wedge volume is Σ out-deg² (the xg3 triangle
+    * discipline — bounded when out-degrees are; a production run caps
+    * or samples hub out-lists first, exactly as co-citation systems
+    * do, since a 10^6-out-degree hub certifies relatedness of nothing).
+    * No N_in set materialization — only degree scalars join back.
+    *
+    * Output: (a, b, common, na, nb) with a < b.
+    */
+  def cocitation(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val pairs = e.as("e1").join(e.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          col("e1.dst") < col("e2.dst"))
+      .select(col("e1.dst").as("a"), col("e2.dst").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+    val indeg = e.groupBy(col("dst").as("id"))
+      .agg(count(lit(1)).as("din"))
+      .localCheckpoint(true) // joined twice
+    pairs
+      .join(indeg.select(col("id").as("a"), col("din").as("na")), "a")
+      .join(indeg.select(col("id").as("b"), col("din").as("nb")), "b")
+      .select(col("a"), col("b"), col("common"), col("na"), col("nb"))
+  }
+
   /** Multi-source BFS shortest-hop distances (xg8) — the reachability
     * primitive the centrality family builds on, run directly: hop
     * distance from a SEED SET along directed edges (crawl-frontier

@@ -550,6 +550,41 @@ object GraphQueries {
         .orderBy("doc_id")
     },
 
+    // xg9: co-citation similarity (Small 1973) — the link-analysis
+    // "related pages" signal: pairs co-linked by the same sources,
+    // common counts by wedge enumeration (Σ outdeg² — the xg3
+    // discipline), in-degrees joined back, Jaccard as r4 over exact
+    // integers. 6,588 common=1 pairs + 2 common=2 at sf0.1.
+    Q("xg9_cocitation",
+      s"""WITH nodes AS (SELECT doc_id AS id FROM documents),
+         |$edgesSql,
+         |w AS (
+         |  SELECT e1.dst AS a, e2.dst AS b
+         |  FROM edges e1 JOIN edges e2
+         |    ON e1.src = e2.src AND e1.dst < e2.dst
+         |), cc AS (
+         |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS common
+         |  FROM w GROUP BY 1, 2
+         |), indeg AS (
+         |  SELECT dst AS id, CAST(COUNT(*) AS BIGINT) AS din
+         |  FROM edges GROUP BY dst
+         |)
+         |SELECT cc.a, cc.b, cc.common, ia.din AS na, ib.din AS nb,
+         |  FLOOR(CAST(cc.common AS DOUBLE)
+         |    / (ia.din + ib.din - cc.common) * 10000 + 0.5) / 10000.0
+         |    AS j
+         |FROM cc
+         |JOIN indeg ia ON ia.id = cc.a
+         |JOIN indeg ib ON ib.id = cc.b
+         |ORDER BY cc.a, cc.b""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      Graph.cocitation(sparkEdges(docs, docs.count()))
+        .withColumn("j", graft.queries.T.r4(
+          col("common").cast(DoubleType) /
+            (col("na") + col("nb") - col("common"))))
+        .orderBy("a", "b")
+    },
+
     // xp7: TextRank keyword extraction (Mihalcea & Tarau, EMNLP'04) —
     // the OTHER direction of graph×text composition: instead of
     // ranking documents by links (xp6), rank WORDS by co-occurrence.

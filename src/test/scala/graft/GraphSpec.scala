@@ -284,6 +284,20 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("cocitation: wedge counts, in-degree denominators, a<b order") {
+    import spark.implicits._
+    // s1 -> {a=10,b=11,c=12}; s2 -> {a,b}: (a,b) common 2, Jaccard 1
+    val edges = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L),
+      (2L, 11L)).toDF("src", "dst")
+    val got = Graph.cocitation(edges).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      (10L, 11L) -> ((2L, 2L, 2L)),
+      (10L, 12L) -> ((1L, 2L, 1L)),
+      (11L, 12L) -> ((1L, 2L, 1L))), s"$got")
+  }
+
   test("bfs distances: multi-source min, directed edges, depth cap, " +
       "unreached -1") {
     import spark.implicits._
