@@ -62,20 +62,8 @@ object Events {
     * Output: (cohort_week, week_offset, n_users).
     */
   def cohortRetention(events: DataFrame, keyCol: String,
-      tsCol: String): DataFrame = {
-    val uw = events
-      .where(col(keyCol).isNotNull && col(tsCol).isNotNull)
-      .select(col(keyCol).as("key"),
-        expr(s"unix_micros($tsCol) div 86400000000 div 7")
-          .as("week"))
-      .distinct()
-      .localCheckpoint(true) // cohort agg AND the cell join read it
-    val cohorts = uw.groupBy("key").agg(min("week").as("cohort_week"))
-    uw.join(cohorts, "key")
-      .groupBy(col("cohort_week"),
-        (col("week") - col("cohort_week")).as("week_offset"))
-      .agg(count(lit(1)).as("n_users"))
-  }
+      tsCol: String): DataFrame =
+    cohortCounts(prepareCohortStore(events, keyCol, tsCol))
 
   /** Ordered conversion funnel (xe3) — the other product-analytics
     * staple, and a data-pipeline audit tool (how many documents pass
@@ -123,6 +111,45 @@ object Events {
     }
     out
   }
+
+  /** Evolving cohort store (qs25): the distinct (key, week) activity
+    * set. Distinct-union is associative AND commutative and the
+    * cohort is a min over it, so the stream face is ORDER-FREE (the
+    * qs21/qs22 class — any chunking in any order folds to the
+    * one-shot matrix). State ∝ users × active weeks (weeks are
+    * calendar-bounded; the honest growth statement).
+    */
+  final case class CohortStore private[operators] (state: DataFrame)
+
+  def prepareCohortStore(corpus: DataFrame, keyCol: String,
+      tsCol: String): CohortStore =
+    CohortStore(activityWeeks(corpus, keyCol, tsCol)
+      .localCheckpoint(true))
+
+  def cohortIngest(batch: DataFrame, store: CohortStore,
+      keyCol: String, tsCol: String): CohortStore =
+    CohortStore(store.state
+      .unionAll(activityWeeks(batch, keyCol, tsCol))
+      .distinct()
+      .localCheckpoint(true))
+
+  /** The xe2 rollup off the store. */
+  def cohortCounts(store: CohortStore): DataFrame = {
+    val uw = store.state.localCheckpoint(true)
+    uw.join(uw.groupBy("key").agg(min("week").as("cohort_week")),
+        "key")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  private def activityWeeks(events: DataFrame, keyCol: String,
+      tsCol: String): DataFrame =
+    events
+      .where(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("key"),
+        expr(s"unix_micros($tsCol) div 86400000000 div 7").as("week"))
+      .distinct()
 
   /** Event-type Markov transition matrix (xe4) — the behavioral
     * fingerprint beside the funnel: per key, consecutive event-type

@@ -66,20 +66,23 @@ object EventQueries {
     // week, counted per (cohort, offset) cell. Weeks are pure integer
     // epoch arithmetic (day DIV 7 of epoch-µs DIV 86400e6) — no
     // engine week-start semantics anywhere.
-    Q("xe2_cohort_retention",
-      """WITH uw AS (
-        |  SELECT DISTINCT user_id AS key,
-        |    EPOCH_US(ts) // 86400000000 // 7 AS week
-        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
-        |), c AS (
-        |  SELECT key, MIN(week) AS cohort_week FROM uw GROUP BY key
-        |)
-        |SELECT c.cohort_week, uw.week - c.cohort_week AS week_offset,
-        |  CAST(COUNT(*) AS BIGINT) AS n_users
-        |FROM uw JOIN c USING (key)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    Q("xe2_cohort_retention", cohortOracleSql) { (s, d) =>
       Events.cohortRetention(t(s, d, "events"), "user_id", "ts")
         .orderBy("cohort_week", "week_offset")
+    },
+
+    // qs25: streaming cohort retention — the xe2 stream face over the
+    // evolving distinct-(user, week) activity store. Distinct-union
+    // is commutative, the cohort a min over the final set: the
+    // order-free class (qs21/qs22) — ANY chunking in ANY order ==
+    // one-shot xe2, oracle shared VERBATIM. State ∝ users × active
+    // weeks (calendar-bounded).
+    Q("qs25_stream_cohort", cohortOracleSql) { (s, d) =>
+      val ev = t(s, d, "events")
+      graft.streaming.Streams.cohortChunked(
+        ev.where(col("event_id") >= 6000),
+        ev.where(col("event_id") < 6000),
+        Seq(7000L, 8000L))
     },
 
     // xe3: ordered conversion funnel view → click → purchase with a
@@ -154,6 +157,22 @@ object EventQueries {
         Seq(7000L, 8000L))
     }
   )
+
+  /** The xe2/qs25 cohort replay — shared VERBATIM by the batch entry
+    * and the order-free stream face.
+    */
+  def cohortOracleSql: String =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id AS key,
+      |    EPOCH_US(ts) // 86400000000 // 7 AS week
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |), c AS (
+      |  SELECT key, MIN(week) AS cohort_week FROM uw GROUP BY key
+      |)
+      |SELECT c.cohort_week, uw.week - c.cohort_week AS week_offset,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users
+      |FROM uw JOIN c USING (key)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** The xe3/qs24 funnel replay — shared VERBATIM by the batch entry
     * and the stream face (the ewmaOracleSql discipline).

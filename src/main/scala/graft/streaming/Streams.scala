@@ -793,6 +793,26 @@ object Streams {
     Events.funnelCounts(st, steps).orderBy("step")
   }
 
+  /** Batch-shape QS25 harness (the oracle entry): fold `newEvents`
+    * into the evolving distinct-(key, week) cohort store in chunks,
+    * then emit the retention matrix — distinct-union is associative
+    * AND commutative and the cohort is a min over the final set, so
+    * ANY chunking in ANY ORDER equals one-shot xe2 (the qs21/qs22
+    * order-free class; no monotone-arrival contract needed).
+    */
+  def cohortChunked(newEvents: DataFrame, corpus: DataFrame,
+      bounds: Seq[Long]): DataFrame = {
+    import graft.operators.Events
+    var st = Events.prepareCohortStore(corpus, "user_id", "ts")
+    val edges = (Long.MinValue +: bounds.sorted) :+ Long.MaxValue
+    edges.sliding(2).foreach { case Seq(lo, hi) =>
+      st = Events.cohortIngest(
+        newEvents.where(col("event_id") >= lo && col("event_id") < hi),
+        st, "user_id", "ts")
+    }
+    Events.cohortCounts(st).orderBy("cohort_week", "week_offset")
+  }
+
   /** Streaming token-budget shard packing (QS9): doc_id-ordered
     * batches are packed by [[graft.operators.Scale.packShards]] with
     * each batch's `base` = total tokens of all earlier batches — the

@@ -955,4 +955,29 @@ class StreamingSpec extends SparkSpec {
       s"$one vs $oneShot")
     assert(four == oneShot, s"4-chunk automaton != relational: $four")
   }
+
+  test("QS25 cohort stream face: any chunking in ANY ORDER == " +
+      "one-shot xe2 (distinct-union is commutative)") {
+    import graft.operators.Events
+    val ev = graft.queries.T.t(spark, sf0001, "events")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    val oneShot = rows(Events.cohortRetention(ev, "user_id", "ts"))
+    val delta = ev.where(col("event_id") >= 600)
+    val corpus = ev.where(col("event_id") < 600).cache()
+    val three = rows(Streams.cohortChunked(delta, corpus,
+      Seq(700L, 800L)))
+    assert(three == oneShot)
+    // REVERSED arrival order — the order-free contract
+    var st = Events.prepareCohortStore(corpus, "user_id", "ts")
+    for ((lo, hi) <- Seq((800L, Long.MaxValue), (700L, 800L),
+        (Long.MinValue, 700L)))
+      st = Events.cohortIngest(
+        delta.where(col("event_id") >= lo && col("event_id") < hi),
+        st, "user_id", "ts")
+    val reversed = rows(Events.cohortCounts(st))
+    corpus.unpersist()
+    assert(reversed == oneShot, "reversed-order fold diverged")
+  }
 }
