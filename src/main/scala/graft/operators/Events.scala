@@ -25,7 +25,15 @@ object Events {
     * exact binary scaling, the floor re-pins every step to an integer,
     * so the whole trajectory is integer-exact and the operator
     * hash-gates against a from-scratch recursive-CTE replay. The first
-    * event of a key seeds the state (never an anomaly).
+    * event of a key seeds the state (never an anomaly). Magnitude
+    * bound (r14 advice): "exact binary scaling" holds only while
+    * |v + 3·s| < 2^53 — beyond that the BIGINT→DOUBLE cast inside the
+    * division drops low bits SILENTLY (both engines drop the same
+    * bits, so the gate stays green, but the integer-exact invariant is
+    * gone). Since s is a convex combination of past v's, the invariant
+    * holds whenever |v2| ≲ 2^51 ≈ 2.25e15 — i.e. raw metric values up
+    * to ~2.2e13 at the e2 quantization; clamp at ingest if a feed can
+    * exceed that.
     *
     * Scale shape: one shuffle on the key, then a NARROW per-key fold —
     * `array_sort(collect_list(...))` + `aggregate` run inside the

@@ -465,7 +465,14 @@ object Graph {
     * in pinned t-ascending order (((d₁/1 + d₂/2) + d₃/3) + d₄/4), so
     * both engines replay the float chain verbatim. The estimator can
     * be locally non-monotone across the LC/raw branch boundary —
-    * HyperBall's published behavior, deterministic here.
+    * HyperBall's published behavior, deterministic here. Residual
+    * hazard (shared with xk16, documented there): the LC branch's
+    * natural log is NOT IEEE-correctly-rounded cross-engine (unlike
+    * SQRT), so a 1-ulp LN divergence landing exactly on a
+    * floor(x+0.5) tie could flip a ball estimate by 1 between engines
+    * on adversarial register states — no such tie exists on the gated
+    * fixtures, and the harmonic score quantizes at 1e-4 AFTER the
+    * pinned accumulation, which absorbs sub-ulp drift away from ties.
     *
     * Scale shape: per round, the register table (n·m rows, m fixed)
     * joins edges once and MAX-groups on (node, register) — map-side
@@ -479,6 +486,10 @@ object Graph {
     */
   def hyperBall(nodes: DataFrame, edges: DataFrame,
       iters: Int = 4): DataFrame = {
+    // iters=0 would leave ball1 null; iters=1 would join two columns
+    // both named "ball1" (ball1 == ball$iters) — ambiguous output.
+    require(iters >= 2, s"hyperBall: iters=$iters must be >= 2 " +
+      "(ball1 and ball<iters> are distinct output columns)")
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     var regs = nodes
       .select(col("id"),

@@ -540,6 +540,20 @@ object Sketches {
   /** The pinned estimator over a MAX-folded register table (g, j, mj):
     * exact-integer v_zero/s_sum, one IEEE sequence with the LC branch,
     * FLOOR(x+0.5). Shared by [[hllDistinct]] and the qs21 stream face.
+    *
+    * Residual LC hazard (r14 advice, accepted): the linear-counting
+    * branch `m·ln(m/V)` uses natural log, which the house exactness
+    * discipline documents as NOT correctly rounded cross-engine
+    * (unlike SQRT — see the exactness notes on the quantize-once
+    * idiom). A 1-ulp LN divergence landing exactly on a floor(x+0.5)
+    * tie could flip `est` by 1 between engines on adversarial
+    * (g, V) inputs even though every gated fixture is tie-free. The
+    * exact-integer columns v_zero/s_sum are the primary gate — they
+    * pin the entire register pipeline independent of the float tail —
+    * and LC inputs are the coarse small-cardinality regime where ±1
+    * is far inside the estimator's own error; routing LN through a
+    * pre-rounding quantizer would change the published estimator, so
+    * the hazard is documented rather than re-shaped.
     */
   private[operators] def hllEstimate(regs: DataFrame, p: Int)
       : DataFrame = {

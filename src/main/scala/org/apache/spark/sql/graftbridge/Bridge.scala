@@ -30,6 +30,29 @@ object Bridge {
       : org.apache.spark.sql.DataFrame = {
     val cdf = df.asInstanceOf[
       org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    // Contract check (r14 advice): `toRdd` of an UN-materialized plan
+    // re-executes the whole upstream pipeline on EVERY downstream
+    // action — silently. Accept only narrow plans (project / filter /
+    // union) whose every leaf is a checkpointed LogicalRDD; anything
+    // else must `localCheckpoint(true)` first.
+    val plan = cdf.queryExecution.analyzed
+    val leavesOk = plan.collectLeaves().forall(
+      _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
+    val narrowOk = plan.collect {
+      case p
+          if !p.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+            && !p.isInstanceOf[
+              org.apache.spark.sql.catalyst.plans.logical.Project]
+            && !p.isInstanceOf[
+              org.apache.spark.sql.catalyst.plans.logical.Filter]
+            && !p.isInstanceOf[
+              org.apache.spark.sql.catalyst.plans.logical.Union] =>
+        p
+    }.isEmpty
+    require(leavesOk && narrowOk,
+      "freshStats: input must be checkpointed/materialized (every " +
+        "leaf a LogicalRDD, only narrow ops above it) — call " +
+        s"localCheckpoint(true) first; got:\n$plan")
     cdf.sparkSession.internalCreateDataFrame(
       cdf.queryExecution.toRdd, cdf.schema)
   }
