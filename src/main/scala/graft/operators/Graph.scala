@@ -557,22 +557,42 @@ object Graph {
     * on src), with in-degrees joined back so the reader forms Jaccard
     * |∩| / (na + nb − |∩|) from exact integers.
     *
-    * Scale shape: wedge volume is Σ out-deg² (the xg3 triangle
-    * discipline — bounded when out-degrees are; a production run caps
-    * or samples hub out-lists first, exactly as co-citation systems
-    * do, since a 10^6-out-degree hub certifies relatedness of nothing).
-    * No N_in set materialization — only degree scalars join back.
+    * Scale shape: wedge volume from RAW out-lists is Σ out-deg² — a
+    * skew bomb (one 10⁴-out-degree hub emits 10⁸ pairs from a single
+    * key), so the operator CAPS each source's out-list to its `maxOut`
+    * smallest-dst targets BEFORE the self-join (the xd3 df-cap / xg3
+    * orientation discipline applied here): wedge volume is then
+    * Σ min(outdeg, maxOut)² ≤ n·maxOut² — linear in sources however
+    * skewed the graph, and exactly what production co-citation systems
+    * do, since a mega-hub certifies relatedness of nothing. The cap is
+    * DETERMINISTIC (smallest dst ids, no ties possible on distinct
+    * edges), so it hash-gates; `common` is counted over capped lists
+    * (an undercount for capped pairs — the accepted semantics), while
+    * na/nb stay EXACT raw in-degrees. No N_in set materialization —
+    * only degree scalars join back.
+    *
+    * Input contract: `edges` must be distinct (src, dst) pairs —
+    * duplicate edges would make the smallest-dst cap order-ambiguous.
     *
     * Output: (a, b, common, na, nb) with a < b.
     */
-  def cocitation(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+  def cocitation(edges: DataFrame, maxOut: Int = 64): DataFrame = {
+    require(maxOut >= 2,
+      s"cocitation: maxOut=$maxOut must be >= 2 (a wedge needs two)")
+    val e0 = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val e = e0
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("src").orderBy("dst")))
+      .where(col("__rn") <= maxOut)
+      .select(col("src"), col("dst"))
+      .localCheckpoint(true)
     val pairs = e.as("e1").join(e.as("e2"),
         col("e1.src") === col("e2.src") &&
           col("e1.dst") < col("e2.dst"))
       .select(col("e1.dst").as("a"), col("e2.dst").as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("common"))
-    val indeg = e.groupBy(col("dst").as("id"))
+    val indeg = e0.groupBy(col("dst").as("id"))
       .agg(count(lit(1)).as("din"))
       .localCheckpoint(true) // joined twice
     pairs

@@ -552,15 +552,25 @@ object GraphQueries {
 
     // xg9: co-citation similarity (Small 1973) — the link-analysis
     // "related pages" signal: pairs co-linked by the same sources,
-    // common counts by wedge enumeration (Σ outdeg² — the xg3
-    // discipline), in-degrees joined back, Jaccard as r4 over exact
-    // integers. 6,588 common=1 pairs + 2 common=2 at sf0.1.
+    // common counts by wedge enumeration over HUB-CAPPED out-lists
+    // (each src keeps its maxOut=2 smallest-dst targets before the
+    // self-join — Σ min(outdeg, maxOut)² wedge volume, the xd3 df-cap
+    // discipline; the cap BINDS here on every outdeg-3 source, so the
+    // gate proves the capped operator end-to-end, not a dead branch),
+    // exact RAW in-degrees joined back, Jaccard as r4 over exact
+    // integers. The cap is deterministic (distinct edges, smallest
+    // dst) — ROW_NUMBER ORDER BY dst has no ties in either engine.
     Q("xg9_cocitation",
       s"""WITH nodes AS (SELECT doc_id AS id FROM documents),
          |$edgesSql,
-         |w AS (
+         |capped AS (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst,
+         |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn
+         |    FROM edges) c WHERE rn <= 2
+         |), w AS (
          |  SELECT e1.dst AS a, e2.dst AS b
-         |  FROM edges e1 JOIN edges e2
+         |  FROM capped e1 JOIN capped e2
          |    ON e1.src = e2.src AND e1.dst < e2.dst
          |), cc AS (
          |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS common
@@ -578,7 +588,7 @@ object GraphQueries {
          |JOIN indeg ib ON ib.id = cc.b
          |ORDER BY cc.a, cc.b""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents")
-      Graph.cocitation(sparkEdges(docs, docs.count()))
+      Graph.cocitation(sparkEdges(docs, docs.count()), maxOut = 2)
         .withColumn("j", graft.queries.T.r4(
           col("common").cast(DoubleType) /
             (col("na") + col("nb") - col("common"))))

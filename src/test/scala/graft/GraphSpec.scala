@@ -298,6 +298,34 @@ class GraphSpec extends SparkSpec {
       (11L, 12L) -> ((1L, 2L, 1L))), s"$got")
   }
 
+  test("cocitation: hub out-list cap binds — wedge volume " +
+      "min(outdeg, maxOut) choose 2, smallest-dst kept, raw indeg") {
+    import spark.implicits._
+    // Planted hub: src 1 links 10 targets (100..109); src 2 links
+    // {100, 101}. Uncapped, the hub alone emits C(10,2)=45 pairs.
+    val hub = (100L to 109L).map(d => (1L, d))
+    val edges = (hub ++ Seq((2L, 100L), (2L, 101L)))
+      .toDF("src", "dst")
+    // maxOut=3 keeps the hub's three SMALLEST dsts {100,101,102}:
+    // wedges C(3,2)=3 from the hub + 1 from src 2.
+    val got = Graph.cocitation(edges, maxOut = 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.size == 3, s"capped wedge pairs: $got")
+    // common counted over CAPPED lists; na/nb are RAW in-degrees
+    assert(got == Map(
+      (100L, 101L) -> ((2L, 2L, 2L)),
+      (100L, 102L) -> ((1L, 2L, 1L)),
+      (101L, 102L) -> ((1L, 2L, 1L))), s"$got")
+    // Uncapped (maxOut >= 10) restores the full 45 + 1-overlapping set
+    val full = Graph.cocitation(edges, maxOut = 64).count()
+    assert(full == 45L, s"uncapped pair count: $full")
+    // Guard: a wedge needs two out-links
+    intercept[IllegalArgumentException] {
+      Graph.cocitation(edges, maxOut = 1)
+    }
+  }
+
   test("bfs distances: multi-source min, directed edges, depth cap, " +
       "unreached -1") {
     import spark.implicits._
