@@ -377,7 +377,20 @@ object Bench {
           // batch of any plausible bench corpus is retained
           spark.conf.set(
             "spark.sql.streaming.numRecentProgressUpdates", "10000")
-          graft.streaming.Streams.withRocksDBStateStore(spark) {
+          // Size the STATEFUL shuffle to state volume, not CPU count:
+          // a stream-stream join opens 4 state stores per partition,
+          // so 32 partitions = 128 RocksDB instances each paying
+          // open/commit/changelog-upload PER BATCH while holding a few
+          // hundred KB of state at this SF — fixed overhead, not work.
+          // 8 partitions keeps per-partition state far under memory
+          // while quartering the per-batch store overhead; at 100 TB
+          // the same sizing rule (state bytes / target partition size)
+          // raises it back. The partition count is pinned into the
+          // checkpoint at first batch, so this is a per-deployment
+          // sizing decision exactly like shuffle.partitions for batch.
+          val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+          spark.conf.set("spark.sql.shuffle.partitions", "8")
+          try graft.streaming.Streams.withRocksDBStateStore(spark) {
             val stream = spark.readStream.schema(ev.schema)
               .option("maxFilesPerTrigger", "2").parquet(tmp.toString)
             val q = graft.streaming.Streams.viewPurchaseJoin(stream)
@@ -386,7 +399,8 @@ object Bench {
               progress = q.recentProgress.toSeq
               q.stop()
             }
-          }
+          } finally
+            spark.conf.set("spark.sql.shuffle.partitions", prevParts)
           val total = (System.nanoTime() - t0) / 1e9
           // steady state = mean batch duration EXCLUDING the first
           // batch (which absorbs stream init + state-store open)
