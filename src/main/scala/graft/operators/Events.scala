@@ -48,13 +48,61 @@ object Events {
     * Output: one row per event — (id, key, v2, ewma_e2, anom) with
     * ewma_e2 the POST-observation state (so the last row per key IS
     * the carry-over state) and anom ∈ {0, 1}.
+    *
+    * `tsBuckets` bounds the per-task fold (r14 verdict item 3): with
+    * tsBuckets = 1 a key's ENTIRE history lands in one in-task array —
+    * fine for bounded keys, a hot-key OOM at 100 TB. With
+    * tsBuckets = B the event log is cut into B ts-RANGE segments
+    * (equal slices of [min ts, max ts] — a bucket is a function of ts
+    * alone, so per-key (ts, id) order is preserved across the cut) and
+    * folded SEQUENTIALLY through [[ewmaIngest]] from the carried
+    * per-key scalar store; resuming a sequential fold from carried
+    * state under (ts, id)-monotone chunking is EXACT (the qs19/qs20
+    * contract the qs23 stream face already gates), so the union of
+    * segment outputs IS the one-shot trajectory — spec-asserted — and
+    * the per-task array is bounded by a key's events per ts-slice.
     */
   def ewmaAnomalies(events: DataFrame, keyCol: String, tsCol: String,
-      idCol: String, valCol: String, threshE2: Long = 16000L)
-      : DataFrame =
-    ewmaIngest(events,
-      prepareEwmaStore(events.limit(0), keyCol, tsCol, idCol, valCol),
-      keyCol, tsCol, idCol, valCol, threshE2).result
+      idCol: String, valCol: String, threshE2: Long = 16000L,
+      tsBuckets: Int = 1): DataFrame = {
+    require(tsBuckets >= 1, s"ewmaAnomalies: tsBuckets=$tsBuckets")
+    val empty =
+      prepareEwmaStore(events.limit(0), keyCol, tsCol, idCol, valCol)
+    if (tsBuckets == 1)
+      ewmaIngest(events, empty, keyCol, tsCol, idCol, valCol,
+        threshE2).result
+    else {
+      val ev = events
+        .where(col(valCol).isNotNull && col(keyCol).isNotNull &&
+          col(tsCol).isNotNull)
+        .localCheckpoint(true) // read once per segment
+      val mm = ev.agg(min(expr(s"unix_micros($tsCol)")),
+        max(expr(s"unix_micros($tsCol)"))).head()
+      if (mm.isNullAt(0)) // no non-null events: empty fold
+        ewmaIngest(ev, empty, keyCol, tsCol, idCol, valCol,
+          threshE2).result
+      else {
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        // ceil span so the last edge is > hi (right-open segments)
+        val w = math.max(1L, (hi - lo) / tsBuckets + 1L)
+        var st = empty
+        val parts = (0 until tsBuckets).map { b =>
+          val (slo, shi) = (lo + b * w, lo + (b + 1) * w)
+          val seg = ev.where(expr(s"unix_micros($tsCol)") >= slo &&
+            expr(s"unix_micros($tsCol)") < shi)
+          val ing = ewmaIngest(seg, st, keyCol, tsCol, idCol, valCol,
+            threshE2)
+          // stats reset at the loop boundary (the xd18 lesson): each
+          // segment's full_outer store join MULTIPLIES size estimates
+          // and localCheckpoint preserves the product, so by ~40
+          // segments the BigInt stats math blows up at checkpoint time
+          st = resetStoreStats(ing.next)
+          ing.result
+        }
+        parts.reduce(_.unionAll(_))
+      }
+    }
+  }
 
   /** Weekly cohort-retention matrix (xe2) — the product-analytics
     * staple: users cohorted by their FIRST activity week, then counted
@@ -278,6 +326,16 @@ object Events {
     * (keys × 16 bytes at any corpus size).
     */
   final case class EwmaStore private[operators] (state: DataFrame)
+
+  /** Rebuild a store frame with fresh DEFAULT statistics — required by
+    * any loop that resumes the store across many iterations (segments,
+    * micro-batches): the per-iteration full_outer join multiplies
+    * size-in-bytes estimates and checkpointing PRESERVES the product
+    * (see [[org.apache.spark.sql.graftbridge.Bridge.freshStats]]).
+    */
+  private[graft] def resetStoreStats(s: EwmaStore): EwmaStore =
+    EwmaStore(org.apache.spark.sql.graftbridge.Bridge
+      .freshStats(s.state))
 
   final case class EwmaIngest(result: DataFrame, next: EwmaStore)
 

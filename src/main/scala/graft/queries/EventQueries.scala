@@ -56,9 +56,14 @@ object EventQueries {
     // The oracle replays the whole trajectory with a per-key
     // recursive CTE walking rn → rn+1 — two independent
     // implementations of a sequential fold.
+    // tsBuckets = 8: the gated entry runs the BOUNDED fold (per-task
+    // arrays hold a key's events per ts-slice, not its whole history —
+    // the r14 verdict's hot-key fix), proven == one-shot by the
+    // segment-resumption contract and gated here against the same
+    // whole-trajectory recursive-CTE oracle.
     Q("xe1_ewma_anomaly", ewmaOracleSql()) { (s, d) =>
       Events.ewmaAnomalies(t(s, d, "events"), "user_id", "ts",
-          "event_id", "value", threshE2 = 16000L)
+          "event_id", "value", threshE2 = 16000L, tsBuckets = 8)
         .orderBy("id")
     },
 

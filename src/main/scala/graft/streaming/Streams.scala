@@ -721,7 +721,9 @@ object Streams {
       val ing = Events.ewmaIngest(
         newEvents.where(col("event_id") >= lo && col("event_id") < hi),
         st, "user_id", "ts", "event_id", "value")
-      st = ing.next
+      // stats reset per chunk (the xd18 lesson — a long-running
+      // store-resumption loop multiplies checkpointed size estimates)
+      st = Events.resetStoreStats(ing.next)
       ing.result
     }.toSeq
     parts.reduce(_.unionAll(_)).orderBy("id")

@@ -147,6 +147,16 @@ class OperatorsSpec extends SparkSpec {
       .collect()
       .map(r => r.getLong(0) -> (r.getLong(3), r.getInt(4))).toMap
     assert(reparted == got)
+    // ts-bucketed bounded fold == one-shot, for several cut counts
+    // (incl. more buckets than distinct ts values — empty segments
+    // must be no-ops on the carried store)
+    for (b <- Seq(2, 7, 64)) {
+      val bucketed = graft.operators.Events.ewmaAnomalies(
+          ev, "user_id", "ts", "event_id", "value", tsBuckets = b)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(3), r.getInt(4))).toMap
+      assert(bucketed == got, s"tsBuckets=$b diverged from one-shot")
+    }
   }
 
   test("xe2 cohort retention: first-week cohorts, integer week " +
