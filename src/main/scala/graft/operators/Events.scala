@@ -168,6 +168,51 @@ object Events {
     out
   }
 
+  /** Per-key session statistics (xe5) — gap-based sessionization, the
+    * telemetry/product-analytics primitive (and the training-data use:
+    * interaction-log segmentation before per-session sampling): under
+    * the (ts, id) total order a key's events split into sessions at
+    * gaps > `gapUs`; the rollup reports per key the session count,
+    * event count, and largest session.
+    *
+    * Exactness: pure integer epoch-µs arithmetic and counts — gap
+    * flags, running-sum session ids, and the three aggregates are all
+    * BIGINT; ts ties break on id in both engines (the struct-order
+    * idiom via ORDER BY tsu, id). Trivially hash-gated.
+    *
+    * Scale shape: one shuffle on the key; the per-key window is
+    * sort-based and SPILLS gracefully (no array materialization —
+    * unlike a collect_list fold, a hot key streams through its sorted
+    * window run). Sessions never cross keys, so the rollup is
+    * map-side combinable. The qs26 stream face computes the same
+    * stats with O(1) per-key automaton state — two independent
+    * implementations against one oracle.
+    *
+    * Output: (key, n_sessions, n_events, max_session_events).
+    */
+  def sessionStats(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, gapUs: Long = 14400000000L): DataFrame = {
+    require(gapUs > 0, s"sessionStats: gapUs=$gapUs")
+    import org.apache.spark.sql.expressions.Window
+    val e = events
+      .where(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("key"), col(idCol).as("id"),
+        expr(s"unix_micros($tsCol)").as("tsu"))
+    val w = Window.partitionBy("key").orderBy("tsu", "id")
+    val withSid = e
+      .withColumn("new_s",
+        when(lag(col("tsu"), 1).over(w).isNull ||
+          col("tsu") - lag(col("tsu"), 1).over(w) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withSid.groupBy("key", "sid").agg(count(lit(1)).as("n"))
+      .groupBy("key").agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n")).as("n_events"),
+        max(col("n")).as("max_session_events"))
+  }
+
   /** Evolving cohort store (qs25): the distinct (key, week) activity
     * set. Distinct-union is associative AND commutative and the
     * cohort is a min over it, so the stream face is ORDER-FREE (the

@@ -160,8 +160,80 @@ object EventQueries {
         ev.where(col("event_id") >= 6000),
         ev.where(col("event_id") < 6000),
         Seq(7000L, 8000L))
+    },
+
+    // xe5: gap-based sessionization rollup — per user, sessions split
+    // at > 4h gaps under (ts, id) order (4h ≈ the corpus p25 gap, so
+    // BOTH branches fire: ~30% of consecutive pairs stay in-session).
+    // Pure integer epoch-µs arithmetic and counts. The window-based
+    // batch derivation here and the qs26 per-key automaton are two
+    // independent implementations gated against this one oracle.
+    Q("xe5_session_stats", sessionOracleSql) { (s, d) =>
+      Events.sessionStats(t(s, d, "events"), "user_id", "ts",
+          "event_id", gapUs = 14400000000L)
+        .select(col("key").as("user_id"), col("n_sessions"),
+          col("n_events"), col("max_session_events"))
+        .orderBy("user_id")
+    },
+
+    // qs26: the SAME session rollup through the REAL streaming path —
+    // flatMapGroupsWithState (the §2.10 arbitrary-state primitive,
+    // previously spec-only) with O(1) per-key automaton state under
+    // the RocksDB store, ts-range file slices, 2 per trigger, append
+    // sink of per-batch emissions, final = max-n_events emission per
+    // key. Shares xe5's oracle text VERBATIM — the hash match proves
+    // automaton-resumption across micro-batches == the declarative
+    // window derivation == the SQL replay.
+    Q("qs26_stream_session_fmgws", sessionOracleSql) { (s, d) =>
+      val ev = t(s, d, "events")
+      val in = java.nio.file.Files.createTempDirectory("graft_qs26_in")
+      val out = java.nio.file.Files.createTempDirectory("graft_qs26_out")
+      try {
+        graft.streaming.Streams.runSessionStatsStream(s, ev,
+            in.toString, out.resolve("res").toString,
+            out.resolve("_ck").toString, gapUs = 14400000000L)
+          .orderBy("user_id")
+      } finally {
+        // drop the events copy eagerly (the qs4b hygiene); the sink
+        // stays for the caller's materialization
+        try {
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(in)
+          try walk.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+          finally walk.close()
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
     }
   )
+
+  /** The xe5/qs26 session-stats replay — shared VERBATIM by the batch
+    * entry and the flatMapGroupsWithState stream face.
+    */
+  def sessionOracleSql: String =
+    """WITH e AS (
+      |  SELECT user_id AS key, event_id AS id, EPOCH_US(ts) AS tsu
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |), f AS (
+      |  SELECT key, id, tsu,
+      |    CASE WHEN LAG(tsu) OVER (PARTITION BY key ORDER BY tsu, id)
+      |        IS NULL
+      |      OR tsu - LAG(tsu) OVER (PARTITION BY key ORDER BY tsu, id)
+      |        > 14400000000
+      |    THEN 1 ELSE 0 END AS new_s
+      |  FROM e
+      |), s AS (
+      |  SELECT key, SUM(new_s) OVER (PARTITION BY key
+      |    ORDER BY tsu, id ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM f
+      |), per AS (
+      |  SELECT key, sid, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM s GROUP BY 1, 2
+      |)
+      |SELECT key AS user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      |  CAST(SUM(n) AS BIGINT) AS n_events,
+      |  CAST(MAX(n) AS BIGINT) AS max_session_events
+      |FROM per GROUP BY key ORDER BY user_id""".stripMargin
 
   /** The xe2/qs25 cohort replay — shared VERBATIM by the batch entry
     * and the order-free stream face.

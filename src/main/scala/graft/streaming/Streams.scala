@@ -1138,6 +1138,114 @@ object Streams {
       }
   }
 
+  case class SessState(lastTsu: Long, nSessions: Long, nEvents: Long,
+      curLen: Long, maxLen: Long)
+  case class SessStats(user_id: Long, n_sessions: Long, n_events: Long,
+      max_session_events: Long)
+
+  /** Per-key session-stats automaton via flatMapGroupsWithState
+    * (qs26) — the §2.10 arbitrary-state primitive gated END-TO-END:
+    * gap-based sessionization (gaps > `gapUs` under the (ts, id)
+    * total order start a new session) carried as O(1) per-key state
+    * (last event-ts + four counters, 40 bytes) across micro-batches.
+    * The batch twin [[graft.operators.Events.sessionStats]] computes
+    * the same rollup with windows — two independent implementations
+    * against one oracle (the xe5/qs26 shared text).
+    *
+    * Monotone-resume contract (the qs23/qs24 state class): batches
+    * must slice the log in ts order per key (time-range slices give
+    * this globally — equal ts values land in one slice by range
+    * partitioning); WITHIN a batch a key's iterator is unordered, so
+    * the automaton sorts the key's batch events by (tsu, id) in
+    * memory — bounded by the key's events per MICRO-BATCH, never its
+    * history. Each batch that touches a key emits the key's stats so
+    * far; n_events is strictly increasing per key, so the final
+    * rollup keeps each key's max-n_events emission (append-sink
+    * friendly — no update-mode sink needed).
+    */
+  def sessionStatsTransform(events: DataFrame,
+      gapUs: Long = 14400000000L): Dataset[SessStats] = {
+    import events.sparkSession.implicits._
+    events
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("tsu"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessState, SessStats](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[SessState]) =>
+          // (uid, event_id, tsu) → (tsu, event_id) sort: per-batch
+          // per-key bounded
+          val evs = rows.map { case (_, id, tsu) => (tsu, id) }
+            .toArray.sorted
+          if (evs.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption
+              .getOrElse(SessState(0L, 0L, 0L, 0L, 0L))
+            evs.foreach { case (tsu, _) =>
+              st =
+                if (st.nEvents == 0L || tsu - st.lastTsu > gapUs)
+                  SessState(tsu, st.nSessions + 1, st.nEvents + 1, 1L,
+                    math.max(st.maxLen, 1L))
+                else SessState(tsu, st.nSessions, st.nEvents + 1,
+                  st.curLen + 1, math.max(st.maxLen, st.curLen + 1))
+            }
+            state.update(st)
+            Iterator.single(
+              SessStats(uid, st.nSessions, st.nEvents, st.maxLen))
+          }
+      }
+  }
+
+  /** Run the qs26 session-stats stream for real: ts-range file slices
+    * of `ev` → RocksDB-backed flatMapGroupsWithState micro-batches →
+    * append parquet sink of per-batch emissions; the returned frame is
+    * the final per-key rollup (max-n_events emission — see
+    * [[sessionStatsTransform]]). `inDir`/`sinkDir`/`ckDir` must be
+    * fresh; restart-with-same-checkpoint resumes exactly
+    * (StreamingSpec crash/restart identity).
+    */
+  def runSessionStatsStream(spark: SparkSession, ev: DataFrame,
+      inDir: String, sinkDir: String, ckDir: String,
+      gapUs: Long = 14400000000L, slices: Int = 8,
+      maxFilesPerTrigger: Int = 2): DataFrame = {
+    ev.repartitionByRange(slices, col("ts"))
+      .write.mode("overwrite").parquet(inDir)
+    // modification-time stamping: FileStreamSource replays in mod-time
+    // order but the writer tasks finish arbitrarily (the qs4b lesson)
+    new java.io.File(inDir).listFiles
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1700000000000L + i * 60000L)
+      }
+    withRocksDBStateStore(spark) {
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+        .parquet(inDir)
+      val q = sessionStatsTransform(stream, gapUs).toDF()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckDir)
+        .format("parquet").option("path", sinkDir)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    sessionStatsFinal(spark.read.parquet(sinkDir))
+  }
+
+  /** Final per-key rollup over the append-sink emissions: n_events is
+    * strictly increasing per key, so max(struct(n_events, ...)) IS the
+    * last emission.
+    */
+  def sessionStatsFinal(emissions: DataFrame): DataFrame =
+    emissions.groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("n_sessions"),
+        col("max_session_events"))).as("f"))
+      .select(col("user_id"), col("f.n_sessions").as("n_sessions"),
+        col("f.n_events").as("n_events"),
+        col("f.max_session_events").as("max_session_events"))
+
   /** The RocksDB state store provider (bundled with Spark 4): state
     * lives off-heap in a per-partition RocksDB instance instead of the
     * default in-memory HashMap — the required configuration once
