@@ -258,6 +258,53 @@ object Quality {
       appended.select(col("ptext"), col("__mk"))))
 
   /** LSM-style rewrite — the compactChunkStore contract. */
+  /** Realistic PII redaction (xt29; the C4/Dolma-style scrub list —
+    * the r14 verdict's "xt6 is a digit-run toy" wishlist item): four
+    * pattern classes replaced in a PINNED order (email → UUID → IPv4 →
+    * phone — later classes scan the PREVIOUS step's output, so the
+    * chain is order-dependent and both engines replay it verbatim)
+    * with per-class match counts emitted BEFORE that class's replace.
+    *
+    * Exactness contract: every pattern is in the RE2 ∩ java.util.regex
+    * common dialect — no backreferences, no lookaround, no alternation
+    * whose leftmost-first vs leftmost-longest semantics could differ,
+    * ASCII `\b` only against ASCII letters/digits (both engines'
+    * default `\w` is ASCII) — so non-overlapping leftmost scans match
+    * identically and the redacted TEXT hash-gates, not just counts.
+    * Patterns are defined ONCE here and interpolated into the oracle
+    * SQL (no drift).
+    *
+    * Scale shape: a narrow per-row map (regexp_replace/regexp_count
+    * are codegen'd expressions — no UDF, no shuffle); the 100 TB run
+    * is embarrassingly parallel over document partitions.
+    *
+    * Output: (idCol, n_email, n_uuid, n_ip, n_phone, red).
+    */
+  object Pii {
+    val Email: String =
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val Uuid: String = "\\b[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-" +
+      "[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\\b"
+    val Ipv4: String = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    val Phone: String =
+      "(?:\\+1[-. ])?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+    /** (class name, pattern, replacement) in the pinned chain order. */
+    val Chain: Seq[(String, String, String)] = Seq(
+      ("email", Email, "<EMAIL>"), ("uuid", Uuid, "<UUID>"),
+      ("ip", Ipv4, "<IP>"), ("phone", Phone, "<PHONE>"))
+  }
+
+  def redactPii(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val start = df.select(col(idCol), col(textCol).as("red"))
+    Pii.Chain.foldLeft(start) { case (acc, (name, pat, rep)) =>
+      acc
+        .withColumn(s"n_$name", regexp_count(col("red"), lit(pat)))
+        .withColumn("red", regexp_replace(col("red"), pat, rep))
+    }.select(col(idCol), col("n_email"), col("n_uuid"), col("n_ip"),
+      col("n_phone"), col("red"))
+  }
+
   def compactLineStore(store: LineStore): LineStore =
     store.copy(lines = store.lines.localCheckpoint(true))
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.TextFns
-import graft.operators.{Bpe, BpeSql, HashFns, WordPiece, WordPieceSql}
+import graft.operators.{Bpe, BpeSql, HashFns, Quality, WordPiece, WordPieceSql}
 import T._
 
 /** Text-analysis layer for training-data pipelines (SURVEY §2.11):
@@ -1476,6 +1476,88 @@ object TextAnalysisQueries {
         array_join(
           WordPiece.wpTokens(substring(col("text"), 1, 48), voc), "|")
           .as("seg"))
+        .orderBy("doc_id")
+    },
+
+    // xt29: realistic PII redaction (the C4/Dolma scrub list — the r14
+    // verdict wishlist #1, replacing the xt6 digit-run toy): email →
+    // UUID → IPv4 → phone replaced in a PINNED chain (each class scans
+    // the previous step's output) with per-class pre-replace counts.
+    // The corpus has no natural PII, so every doc PLANTS one instance
+    // of each class from doc_id arithmetic — identically in both
+    // engines (md5-derived UUID, mod-derived IP octets and phone) — so
+    // every pattern class FIRES on every row and the gate hashes the
+    // fully-redacted TEXT, not just counts. Patterns are the
+    // Quality.Pii constants interpolated into this SQL: one
+    // definition, RE2 ∩ java.util.regex common dialect (no
+    // backrefs/lookaround; ASCII \b).
+    Q("xt29_pii_redact",
+      s"""WITH base AS (
+         |  SELECT doc_id, text,
+         |    MD5('u:' || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents
+         |), p AS (
+         |  SELECT doc_id, text || ' Contact user'
+         |    || CAST(doc_id AS VARCHAR) || '@example.com ping '
+         |    || CAST(doc_id % 223 + 1 AS VARCHAR) || '.'
+         |    || CAST(doc_id % 251 AS VARCHAR) || '.'
+         |    || CAST(doc_id % 256 AS VARCHAR) || '.'
+         |    || CAST(doc_id % 254 + 1 AS VARCHAR)
+         |    || ' ref ' || SUBSTR(h, 1, 8) || '-' || SUBSTR(h, 9, 4)
+         |    || '-' || SUBSTR(h, 13, 4) || '-' || SUBSTR(h, 17, 4)
+         |    || '-' || SUBSTR(h, 21, 12)
+         |    || ' call +1 '
+         |    || LPAD(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0')
+         |    || '-555-'
+         |    || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+         |  FROM base
+         |), s1 AS (
+         |  SELECT doc_id,
+         |    CAST(LEN(REGEXP_EXTRACT_ALL(t, '${Quality.Pii.Email}'))
+         |      AS INT) AS n_email,
+         |    REGEXP_REPLACE(t, '${Quality.Pii.Email}', '<EMAIL>', 'g')
+         |      AS t
+         |  FROM p
+         |), s2 AS (
+         |  SELECT doc_id, n_email,
+         |    CAST(LEN(REGEXP_EXTRACT_ALL(t, '${Quality.Pii.Uuid}'))
+         |      AS INT) AS n_uuid,
+         |    REGEXP_REPLACE(t, '${Quality.Pii.Uuid}', '<UUID>', 'g')
+         |      AS t
+         |  FROM s1
+         |), s3 AS (
+         |  SELECT doc_id, n_email, n_uuid,
+         |    CAST(LEN(REGEXP_EXTRACT_ALL(t, '${Quality.Pii.Ipv4}'))
+         |      AS INT) AS n_ip,
+         |    REGEXP_REPLACE(t, '${Quality.Pii.Ipv4}', '<IP>', 'g') AS t
+         |  FROM s2
+         |), s4 AS (
+         |  SELECT doc_id, n_email, n_uuid, n_ip,
+         |    CAST(LEN(REGEXP_EXTRACT_ALL(t, '${Quality.Pii.Phone}'))
+         |      AS INT) AS n_phone,
+         |    REGEXP_REPLACE(t, '${Quality.Pii.Phone}', '<PHONE>', 'g')
+         |      AS red
+         |  FROM s3
+         |)
+         |SELECT doc_id, n_email, n_uuid, n_ip, n_phone, red
+         |FROM s4 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val h = md5(concat(lit("u:"), col("doc_id").cast("string")))
+      val planted = t(s, d, "documents").select(col("doc_id"), concat(
+        col("text"), lit(" Contact user"),
+        col("doc_id").cast("string"), lit("@example.com ping "),
+        (col("doc_id") % 223 + 1).cast("string"), lit("."),
+        (col("doc_id") % 251).cast("string"), lit("."),
+        (col("doc_id") % 256).cast("string"), lit("."),
+        (col("doc_id") % 254 + 1).cast("string"),
+        lit(" ref "), substring(h, 1, 8), lit("-"), substring(h, 9, 4),
+        lit("-"), substring(h, 13, 4), lit("-"), substring(h, 17, 4),
+        lit("-"), substring(h, 21, 12),
+        lit(" call +1 "),
+        lpad((col("doc_id") % 900 + 100).cast("string"), 3, "0"),
+        lit("-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+        .as("text"))
+      graft.operators.Quality.redactPii(planted, "doc_id", "text")
         .orderBy("doc_id")
     }
   )

@@ -2152,4 +2152,31 @@ class OperatorsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
     assert(rep.toSeq == got.toSeq)
   }
+
+  test("xt29 PII redaction: every class fires on planted fixtures, " +
+      "chain order pins precedence, clean text unchanged") {
+    import spark.implicits._
+    import graft.operators.Quality
+    val docs = Seq(
+      (1L, "mail bob.smith+spam@sub.example.co.uk now"),
+      (2L, "key 0123abcd-4567-89ef-AbCd-0123456789ab here"),
+      (3L, "host 192.168.0.1 and 10.0.0.255 up"),
+      (4L, "call +1 415-555-0199 or (303) 555-0188 or 212-555-0100"),
+      // precedence: the IP-looking octets inside a UUID hex field and
+      // the digits inside an email must NOT leak to later classes
+      (5L, "x9@y12.org then 11112222-3333-4444-5555-666677778888"),
+      (6L, "no pii here, just 42 plain words and v1.2 notation"))
+      .toDF("doc_id", "text")
+    val got = Quality.redactPii(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getInt(4), r.getString(5)))).toMap
+    assert(got(1L) == ((1, 0, 0, 0, "mail <EMAIL> now")))
+    assert(got(2L) == ((0, 1, 0, 0, "key <UUID> here")))
+    assert(got(3L) == ((0, 0, 2, 0, "host <IP> and <IP> up")))
+    assert(got(4L) == ((0, 0, 0, 3,
+      "call <PHONE> or <PHONE> or <PHONE>")))
+    assert(got(5L) == ((1, 1, 0, 0, "<EMAIL> then <UUID>")))
+    assert(got(6L) == ((0, 0, 0, 0,
+      "no pii here, just 42 plain words and v1.2 notation")))
+  }
 }
