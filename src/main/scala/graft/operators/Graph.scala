@@ -650,4 +650,71 @@ object Graph {
     }
     dist.select(col("id"), coalesce(col("dist"), lit(-1L)).as("dist"))
   }
+
+  /** Weighted single-source (seed-set) shortest paths (xg10) — the
+    * classic link-graph op the hop-count family (xg8) generalizes to:
+    * minimum TOTAL WEIGHT from any seed along directed edges with
+    * positive integer weights (crawl cost models, weighted link-spam
+    * moats, "cheapest path to a trusted hub" trust propagation).
+    *
+    * Frontier Bellman-Ford: round k relaxes ONLY edges out of nodes
+    * whose cost improved in round k−1 (delta-stepping's scan
+    * discipline without the bucket machinery). Exactness anchor: after
+    * round k the cost table EQUALS full Bellman-Ford's round k — an
+    * edge skipped because its source didn't just improve contributed
+    * the same candidate in the earlier round where it did — and full
+    * BF's round k is exactly "min cost over paths with ≤ k edges". So
+    * a `maxRounds` cap is the same semantic object as the oracle's
+    * depth-capped recursive closure, ROUND BY ROUND, converged or not;
+    * early exit on an empty frontier is result-identical to running
+    * all rounds. Pure BIGINT sums/mins — trivially hash-gated.
+    *
+    * Scale shape: per round, edges join the IMPROVED frontier only —
+    * each edge is relaxed at most (times its source improves) ≤ rounds
+    * and in total Σ_v improvements(v)·outdeg(v) ≤ m·rounds with the
+    * typical case far below (most nodes settle in one improvement);
+    * the min-candidate aggregate is map-side combinable;
+    * localCheckpoint per round cuts lineage. Negative weights are
+    * rejected (positive weights make every relaxation monotone — no
+    * negative-cycle divergence).
+    *
+    * Output: (id, cost) — cost ≥ 0, unreached (within maxRounds) −1.
+    */
+  def sssp(nodes: DataFrame, edges: DataFrame,
+      seedPred: org.apache.spark.sql.Column,
+      maxRounds: Int = 12): DataFrame = {
+    val e = edges.select(col("src"), col("dst"),
+        col("w").cast(LongType).as("w"))
+      .localCheckpoint(true)
+    require(e.where(col("w") <= 0L).limit(1).count() == 0L,
+      "sssp: edge weights must be positive integers")
+    var dist = nodes.select(col("id"),
+        when(seedPred, 0L).otherwise(lit(null).cast(LongType))
+          .as("cost"))
+      .localCheckpoint(true)
+    var frontier = dist.where(col("cost").isNotNull)
+    var k = 1
+    var frontierNonEmpty = frontier.limit(1).count() > 0
+    while (k <= maxRounds && frontierNonEmpty) {
+      val cand = e
+        .join(frontier.select(col("id").as("src"),
+          col("cost").as("__fc")), "src")
+        .select(col("dst").as("id"), (col("__fc") + col("w")).as("__nc"))
+        .groupBy("id").agg(min(col("__nc")).as("__nc"))
+      val next = dist.join(cand, Seq("id"), "left")
+        .select(col("id"),
+          when(col("__nc") <
+              coalesce(col("cost"), lit(Long.MaxValue)), col("__nc"))
+            .otherwise(col("cost")).as("cost"),
+          (col("__nc").isNotNull && col("__nc") <
+            coalesce(col("cost"), lit(Long.MaxValue))).as("__improved"))
+        .localCheckpoint(true)
+      frontier = next.where(col("__improved"))
+        .select(col("id"), col("cost"))
+      dist = next.select(col("id"), col("cost"))
+      frontierNonEmpty = frontier.limit(1).count() > 0
+      k += 1
+    }
+    dist.select(col("id"), coalesce(col("cost"), lit(-1L)).as("cost"))
+  }
 }

@@ -595,6 +595,50 @@ object GraphQueries {
         .orderBy("a", "b")
     },
 
+    // xg10: weighted seed-set shortest paths (frontier Bellman-Ford —
+    // delta-stepping's scan discipline): min total weight from the
+    // xg8 seed set along directed edges with deterministic integer
+    // weights 1 + md5_16("w:src:dst") mod 9 ∈ [1,9]. Round-k costs ==
+    // "min cost over ≤ k-edge paths" EXACTLY (see Graph.sssp), so the
+    // 12-round cap is the same semantic object as the oracle's
+    // depth-12 recursive closure, converged or not; the UNION dedups
+    // (id, cost, depth) triples, bounding the recursion, and MIN(c)
+    // over them IS the capped shortest path. Pure BIGINT — hash-gated.
+    Q("xg10_sssp",
+      s"""WITH RECURSIVE nodes AS (SELECT doc_id AS id FROM documents),
+         |$edgesSql,
+         |wedges AS (
+         |  SELECT src, dst, CAST(1 + ${hb16Sql(
+               "'w:' || CAST(src AS VARCHAR) || ':' || " +
+                 "CAST(dst AS VARCHAR)")} % 9 AS BIGINT) AS w
+         |  FROM edges
+         |),
+         |seeds AS (SELECT id FROM nodes WHERE id % 101 = 0),
+         |reach(id, c, d) AS (
+         |  SELECT id, CAST(0 AS BIGINT), 0 FROM seeds
+         |  UNION
+         |  SELECT e.dst, r.c + e.w, r.d + 1
+         |  FROM reach r JOIN wedges e ON e.src = r.id
+         |  WHERE r.d < 12
+         |), dd AS (
+         |  SELECT id, MIN(c) AS cost FROM reach GROUP BY id
+         |)
+         |SELECT n.id AS doc_id,
+         |  CAST(COALESCE(dd.cost, -1) AS BIGINT) AS cost
+         |FROM nodes n LEFT JOIN dd ON dd.id = n.id
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val nodes = docs.select(col("doc_id").as("id"))
+      val we = sparkEdges(docs, docs.count())
+        .withColumn("w", lit(1L) + pmod(Scale.hashBucket16(
+          concat(lit("w:"), col("src").cast(StringType), lit(":"),
+            col("dst").cast(StringType))).cast(LongType), lit(9L)))
+      Graph.sssp(nodes, we, pmod(col("id"), lit(101L)) === 0L,
+          maxRounds = 12)
+        .select(col("id").as("doc_id"), col("cost"))
+        .orderBy("doc_id")
+    },
+
     // xp7: TextRank keyword extraction (Mihalcea & Tarau, EMNLP'04) —
     // the OTHER direction of graph×text composition: instead of
     // ranking documents by links (xp6), rank WORDS by co-occurrence.

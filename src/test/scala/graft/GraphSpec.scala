@@ -352,6 +352,45 @@ class GraphSpec extends SparkSpec {
       multi(3L) == 2L)
   }
 
+  test("sssp: cheap-long path beats costly-short hop, multi-seed min, " +
+      "round cap == ≤k-edge-path semantics, unreached -1, " +
+      "positive-weight guard") {
+    import spark.implicits._
+    val nodes = (1L to 8L).toDF("id")
+    // 1→4 direct costs 10; 1→2→3→4 costs 1+1+1=3 (longer-hop cheaper).
+    // 7→8 from the second seed. 5←4 extends the cheap chain. 6 isolated.
+    val edges = Seq(
+      (1L, 4L, 10L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L),
+      (4L, 5L, 2L), (7L, 8L, 4L))
+      .toDF("src", "dst", "w")
+    val seed = col("id") === 1L || col("id") === 7L
+    val got = Graph.sssp(nodes, edges, seed, maxRounds = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L,
+      5L -> 5L, 6L -> -1L, 7L -> 0L, 8L -> 4L), s"$got")
+    // round cap: with maxRounds=1 only ≤1-edge paths exist —
+    // 4 takes the DIRECT costly edge (10), not the uncapped 3
+    val capped = Graph.sssp(nodes, edges, seed, maxRounds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(capped(4L) == 10L && capped(2L) == 1L && capped(3L) == -1L
+      && capped(5L) == -1L, s"$capped")
+    // maxRounds=2: exactly the ≤2-edge-path optima — 3 via 1→2→3 (2),
+    // 4 still the direct edge (10; the cheap chain needs 3 edges),
+    // 5 via the 2-edge 1→4→5 (12, NOT the uncapped 5)
+    val two = Graph.sssp(nodes, edges, seed, maxRounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(two(3L) == 2L && two(4L) == 10L && two(5L) == 12L, s"$two")
+    // early exit == running far more rounds than the diameter
+    val long = Graph.sssp(nodes, edges, seed, maxRounds = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(long == got)
+    // non-positive weights rejected
+    intercept[IllegalArgumentException] {
+      Graph.sssp(nodes, Seq((1L, 2L, 0L)).toDF("src", "dst", "w"),
+        col("id") === 1L)
+    }
+  }
+
   test("bfs early exit == running all maxDepth rounds") {
     import spark.implicits._
     val nodes = (1L to 6L).toDF("id")
