@@ -108,27 +108,23 @@ object EventQueries {
     // totals (P(dst|src) is a ratio of exact integers the reader
     // forms; no stored float). The behavioral fingerprint beside the
     // funnel.
-    Q("xe4_type_transitions",
-      """WITH e AS (
-        |  SELECT user_id AS key, event_type AS t, ts, event_id AS id
-        |  FROM events
-        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
-        |    AND event_type IS NOT NULL
-        |), p AS (
-        |  SELECT key, t,
-        |    LAG(t) OVER (PARTITION BY key ORDER BY ts, id) AS prev
-        |  FROM e
-        |), tr AS (
-        |  SELECT prev AS src, t AS dst, CAST(COUNT(*) AS BIGINT) AS n
-        |  FROM p WHERE prev IS NOT NULL GROUP BY 1, 2
-        |)
-        |SELECT tr.src, tr.dst, tr.n, tot.src_total
-        |FROM tr JOIN (
-        |  SELECT src, CAST(SUM(n) AS BIGINT) AS src_total
-        |  FROM tr GROUP BY src) tot USING (src)
-        |ORDER BY src, dst""".stripMargin) { (s, d) =>
+    Q("xe4_type_transitions", transitionsOracleSql) { (s, d) =>
       Events.typeTransitions(t(s, d, "events"), "user_id", "ts",
           "event_id", "event_type")
+        .orderBy("src", "dst")
+    },
+
+    // qs27: streaming Markov transitions — the xe4 stream face on the
+    // qs23/qs24 monotone-resume skeleton: per-key carried LAST-event
+    // state (one small struct per key forever) bridges chunk
+    // boundaries (the carried row pairs with the chunk's first event),
+    // per-chunk bigram deltas fold into the types²-sized cell matrix
+    // (commutative sum). Shares xe4's oracle text VERBATIM — the hash
+    // match proves boundary-pair resumption across chunks == the
+    // one-shot corpus-wide lag derivation.
+    Q("qs27_stream_transitions", transitionsOracleSql) { (s, d) =>
+      graft.streaming.Streams.transitionsChunked(
+        t(s, d, "events"), Seq(3000L, 6000L, 8000L))
         .orderBy("src", "dst")
     },
 
@@ -206,6 +202,29 @@ object EventQueries {
       }
     }
   )
+
+  /** The xe4/qs27 transition-matrix replay — shared VERBATIM by the
+    * batch entry and the chunked stream face.
+    */
+  def transitionsOracleSql: String =
+    """WITH e AS (
+      |  SELECT user_id AS key, event_type AS t, ts, event_id AS id
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |    AND event_type IS NOT NULL
+      |), p AS (
+      |  SELECT key, t,
+      |    LAG(t) OVER (PARTITION BY key ORDER BY ts, id) AS prev
+      |  FROM e
+      |), tr AS (
+      |  SELECT prev AS src, t AS dst, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM p WHERE prev IS NOT NULL GROUP BY 1, 2
+      |)
+      |SELECT tr.src, tr.dst, tr.n, tot.src_total
+      |FROM tr JOIN (
+      |  SELECT src, CAST(SUM(n) AS BIGINT) AS src_total
+      |  FROM tr GROUP BY src) tot USING (src)
+      |ORDER BY src, dst""".stripMargin
 
   /** The xe5/qs26 session-stats replay — shared VERBATIM by the batch
     * entry and the flatMapGroupsWithState stream face.

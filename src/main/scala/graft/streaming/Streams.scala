@@ -729,6 +729,60 @@ object Streams {
     parts.reduce(_.unionAll(_)).orderBy("id")
   }
 
+  /** Batch-shape QS27 harness: the xe4 Markov-transition matrix folded
+    * over event_id-ordered chunks (the qs23/qs24 monotone-resume
+    * contract). State is (a) ONE carried last-event row per key — the
+    * chunk-boundary bridge: it pairs with the key's first event of the
+    * next chunk, exactly the bigram the one-shot corpus-wide lag would
+    * form there — and (b) the types²-sized cell matrix, accumulated by
+    * commutative sum. Both are bounded forever (keys + |types|²
+    * rows), the per-chunk work is one key-partitioned lag window over
+    * chunk ∪ carried. Union of per-chunk bigram deltas == the one-shot
+    * [[graft.operators.Events.typeTransitions]] — gated against xe4's
+    * oracle text VERBATIM.
+    */
+  def transitionsChunked(events: DataFrame, bounds: Seq[Long])
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events
+      .where(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("user_id").as("key"), col("event_type").as("t"),
+        col("ts"), col("event_id").as("id"))
+      .localCheckpoint(true) // read once per chunk
+    var last = ev.limit(0).localCheckpoint(true)
+    var cells = ev.limit(0)
+      .select(col("t").as("src"), col("t").as("dst"),
+        lit(0L).as("n"))
+      .localCheckpoint(true)
+    val edges = (Long.MinValue +: bounds.sorted) :+ Long.MaxValue
+    val w = Window.partitionBy("key").orderBy("ts", "id")
+    edges.sliding(2).foreach { case Seq(lo, hi) =>
+      val chunk = ev.where(col("id") >= lo && col("id") < hi)
+      val aug = chunk.withColumn("__carried", lit(false))
+        .unionAll(last.withColumn("__carried", lit(true)))
+      val delta = aug
+        .withColumn("__prev", lag(col("t"), 1).over(w))
+        // the pair's CURRENT event must be in this chunk — the carried
+        // row only ever contributes as a predecessor
+        .where(col("__prev").isNotNull && !col("__carried"))
+        .groupBy(col("__prev").as("src"), col("t").as("dst"))
+        .agg(count(lit(1)).as("n"))
+      cells = cells.unionAll(delta)
+        .groupBy("src", "dst").agg(sum("n").as("n"))
+        .localCheckpoint(true)
+      last = aug
+        .groupBy("key")
+        .agg(max(struct(col("ts"), col("id"), col("t"))).as("m"))
+        .select(col("key"), col("m.t").as("t"), col("m.ts").as("ts"),
+          col("m.id").as("id"))
+        .localCheckpoint(true)
+    }
+    cells.where(col("n") > 0L)
+      .join(cells.groupBy("src").agg(sum("n").as("src_total")), "src")
+      .select(col("src"), col("dst"), col("n"), col("src_total"))
+  }
+
   /** Run the QS20 stream: delta document files → per-micro-batch
     * evolving-line-store C4 cleaning → parquet sink, durable store
     * deltas under `outDir/store/batch=<id>` (restart re-folds the

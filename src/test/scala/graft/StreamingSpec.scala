@@ -906,6 +906,32 @@ class StreamingSpec extends SparkSpec {
     assert(asMap(finalState) == asMap(batch))
   }
 
+  test("QS27 transitions stream face: chunked boundary pairs == " +
+      "one-shot xe4; a crafted cross-chunk bigram is not lost") {
+    import graft.operators.Events
+    val ev = graft.queries.T.t(spark, sf0001, "events")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+    val oneShot = rows(Events.typeTransitions(ev, "user_id", "ts",
+      "event_id", "event_type"))
+    val chunked = rows(Streams.transitionsChunked(ev,
+      Seq(300L, 600L, 800L)))
+    assert(chunked == oneShot, "chunked transitions diverged")
+    // crafted: one user, events straddling the chunk edge — the
+    // (view→purchase) bigram EXISTS ONLY across the boundary
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(base.getTime + m * 60000L)
+    val crafted = Seq(
+      (1L, ts(0), 5L, "view"), (2L, ts(1), 5L, "purchase"),
+      (3L, ts(2), 5L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = rows(Streams.transitionsChunked(crafted, Seq(2L, 3L)))
+    assert(got == Set(("view", "purchase", 1L, 1L),
+      ("purchase", "view", 1L, 1L)), s"$got")
+  }
+
   test("QS26 fMGWS session automaton: crash mid-stream + restart on " +
       "the same checkpoint == one-shot batch xe5 rollup") {
     import graft.operators.Events
