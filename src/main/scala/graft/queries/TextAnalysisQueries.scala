@@ -1492,26 +1492,7 @@ object TextAnalysisQueries {
     // definition, RE2 ∩ java.util.regex common dialect (no
     // backrefs/lookaround; ASCII \b).
     Q("xt29_pii_redact",
-      s"""WITH base AS (
-         |  SELECT doc_id, text,
-         |    MD5('u:' || CAST(doc_id AS VARCHAR)) AS h
-         |  FROM documents
-         |), p AS (
-         |  SELECT doc_id, text || ' Contact user'
-         |    || CAST(doc_id AS VARCHAR) || '@example.com ping '
-         |    || CAST(doc_id % 223 + 1 AS VARCHAR) || '.'
-         |    || CAST(doc_id % 251 AS VARCHAR) || '.'
-         |    || CAST(doc_id % 256 AS VARCHAR) || '.'
-         |    || CAST(doc_id % 254 + 1 AS VARCHAR)
-         |    || ' ref ' || SUBSTR(h, 1, 8) || '-' || SUBSTR(h, 9, 4)
-         |    || '-' || SUBSTR(h, 13, 4) || '-' || SUBSTR(h, 17, 4)
-         |    || '-' || SUBSTR(h, 21, 12)
-         |    || ' call +1 '
-         |    || LPAD(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0')
-         |    || '-555-'
-         |    || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
-         |  FROM base
-         |), s1 AS (
+      s"""WITH ${piiPlantSql("documents")}, s1 AS (
          |  SELECT doc_id,
          |    CAST(LEN(REGEXP_EXTRACT_ALL(t, '${Quality.Pii.Email}'))
          |      AS INT) AS n_email,
@@ -1541,26 +1522,111 @@ object TextAnalysisQueries {
          |)
          |SELECT doc_id, n_email, n_uuid, n_ip, n_phone, red
          |FROM s4 ORDER BY doc_id""".stripMargin) { (s, d) =>
-      val h = md5(concat(lit("u:"), col("doc_id").cast("string")))
-      val planted = t(s, d, "documents").select(col("doc_id"), concat(
-        col("text"), lit(" Contact user"),
-        col("doc_id").cast("string"), lit("@example.com ping "),
-        (col("doc_id") % 223 + 1).cast("string"), lit("."),
-        (col("doc_id") % 251).cast("string"), lit("."),
-        (col("doc_id") % 256).cast("string"), lit("."),
-        (col("doc_id") % 254 + 1).cast("string"),
-        lit(" ref "), substring(h, 1, 8), lit("-"), substring(h, 9, 4),
-        lit("-"), substring(h, 13, 4), lit("-"), substring(h, 17, 4),
-        lit("-"), substring(h, 21, 12),
-        lit(" call +1 "),
-        lpad((col("doc_id") % 900 + 100).cast("string"), 3, "0"),
-        lit("-555-"),
-        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
-        .as("text"))
-      graft.operators.Quality.redactPii(planted, "doc_id", "text")
+      Quality.redactPii(plantPii(t(s, d, "documents")), "doc_id",
+          "text")
+        .orderBy("doc_id")
+    },
+
+    // qs28: streaming PII redaction — the INGEST-TIME scrub (what a
+    // production pipeline actually runs: documents are scrubbed the
+    // batch they arrive, before anything persists them). The transform
+    // is xt29's redactPii VERBATIM and is STATELESS + narrow (the qs18
+    // class: chunked == one-shot BY CONSTRUCTION — regexp expressions
+    // carry no cross-row state), so the entry runs it batch-shape on
+    // the delta slice while StreamingSpec drives the REAL file-stream
+    // runner and asserts parity. Oracle = xt29's replay restricted to
+    // the delta.
+    Q("qs28_stream_pii",
+      s"""WITH ${piiPlantSql(
+             "(SELECT * FROM documents WHERE doc_id >= 400)")}, s1 AS (
+         |  SELECT doc_id,
+         |    CAST(LEN(REGEXP_EXTRACT_ALL(t, '${Quality.Pii.Email}'))
+         |      AS INT) AS n_email,
+         |    REGEXP_REPLACE(t, '${Quality.Pii.Email}', '<EMAIL>', 'g')
+         |      AS t
+         |  FROM p
+         |), s2 AS (
+         |  SELECT doc_id, n_email,
+         |    CAST(LEN(REGEXP_EXTRACT_ALL(t, '${Quality.Pii.Uuid}'))
+         |      AS INT) AS n_uuid,
+         |    REGEXP_REPLACE(t, '${Quality.Pii.Uuid}', '<UUID>', 'g')
+         |      AS t
+         |  FROM s1
+         |), s3 AS (
+         |  SELECT doc_id, n_email, n_uuid,
+         |    CAST(LEN(REGEXP_EXTRACT_ALL(t, '${Quality.Pii.Ipv4}'))
+         |      AS INT) AS n_ip,
+         |    REGEXP_REPLACE(t, '${Quality.Pii.Ipv4}', '<IP>', 'g') AS t
+         |  FROM s2
+         |), s4 AS (
+         |  SELECT doc_id, n_email, n_uuid, n_ip,
+         |    CAST(LEN(REGEXP_EXTRACT_ALL(t, '${Quality.Pii.Phone}'))
+         |      AS INT) AS n_phone,
+         |    REGEXP_REPLACE(t, '${Quality.Pii.Phone}', '<PHONE>', 'g')
+         |      AS red
+         |  FROM s3
+         |)
+         |SELECT doc_id, n_email, n_uuid, n_ip, n_phone, red
+         |FROM s4 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Quality.redactPii(
+          plantPii(t(s, d, "documents").where(col("doc_id") >= 400)),
+          "doc_id", "text")
         .orderBy("doc_id")
     }
   )
+
+  /** The xt29/qs28 planted-PII derivation (one instance of each
+    * pattern class from doc_id arithmetic), Spark side — the SQL twin
+    * is [[piiPlantSql]]; keep them in lockstep.
+    */
+  def plantPii(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val h = md5(concat(lit("u:"), col("doc_id").cast("string")))
+    docs.select(col("doc_id"), concat(
+      col("text"), lit(" Contact user"),
+      col("doc_id").cast("string"), lit("@example.com ping "),
+      (col("doc_id") % 223 + 1).cast("string"), lit("."),
+      (col("doc_id") % 251).cast("string"), lit("."),
+      (col("doc_id") % 256).cast("string"), lit("."),
+      (col("doc_id") % 254 + 1).cast("string"),
+      lit(" ref "), substring(h, 1, 8), lit("-"), substring(h, 9, 4),
+      lit("-"), substring(h, 13, 4), lit("-"), substring(h, 17, 4),
+      lit("-"), substring(h, 21, 12),
+      lit(" call +1 "),
+      lpad((col("doc_id") % 900 + 100).cast("string"), 3, "0"),
+      lit("-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      .as("text"))
+  }
+
+  /** The planted-PII CTEs (`base`, `p`) over `from` — the DuckDB twin
+    * of [[plantPii]].
+    */
+  def piiPlantSql(from: String): String =
+    // NOTE: this snippet is interpolated into callers' stripMargin
+    // strings, so continuation lines must NOT begin with `||` (the
+    // outer stripMargin would eat the first bar) — the concat operator
+    // sits at end-of-line throughout.
+    s"""base AS (
+       |  SELECT doc_id, text,
+       |    MD5('u:' || CAST(doc_id AS VARCHAR)) AS h
+       |  FROM $from
+       |), p AS (
+       |  SELECT doc_id, text || ' Contact user' ||
+       |    CAST(doc_id AS VARCHAR) || '@example.com ping ' ||
+       |    CAST(doc_id % 223 + 1 AS VARCHAR) || '.' ||
+       |    CAST(doc_id % 251 AS VARCHAR) || '.' ||
+       |    CAST(doc_id % 256 AS VARCHAR) || '.' ||
+       |    CAST(doc_id % 254 + 1 AS VARCHAR) ||
+       |    ' ref ' || SUBSTR(h, 1, 8) || '-' || SUBSTR(h, 9, 4) ||
+       |    '-' || SUBSTR(h, 13, 4) || '-' || SUBSTR(h, 17, 4) ||
+       |    '-' || SUBSTR(h, 21, 12) ||
+       |    ' call +1 ' ||
+       |    LPAD(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0') ||
+       |    '-555-' ||
+       |    LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+       |  FROM base
+       |)""".stripMargin
 
   /** The xt26 C4-cleaning replay, parameterized by a final-rollup
     * restriction so the qs20 stream face shares the ORACLE TEXT

@@ -906,6 +906,34 @@ class StreamingSpec extends SparkSpec {
     assert(asMap(finalState) == asMap(batch))
   }
 
+  test("QS28 streaming PII redaction: the stateless narrow scrub " +
+      "through a REAL file stream == the batch xt29 result") {
+    import graft.operators.Quality
+    import graft.queries.TextAnalysisQueries
+    val docs = graft.queries.T.t(spark, sf0001, "documents")
+      .where(col("doc_id") >= 400)
+    val base = java.nio.file.Files.createTempDirectory("qs28")
+    val in = base.resolve("in").toString
+    val sink = base.resolve("res").toString
+    docs.repartition(4).write.parquet(in)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+    val q = Quality.redactPii(
+        TextAnalysisQueries.plantPii(stream), "doc_id", "text")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", base.resolve("_ck").toString)
+      .format("parquet").option("path", sink).start()
+    try q.processAllAvailable() finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getInt(4), r.getString(5))).toSet
+    val streamed = rows(spark.read.parquet(sink))
+    val batch = rows(Quality.redactPii(
+      TextAnalysisQueries.plantPii(docs), "doc_id", "text"))
+    assert(streamed == batch,
+      "streamed scrub diverged from the batch xt29 transform")
+  }
+
   test("QS27 transitions stream face: chunked boundary pairs == " +
       "one-shot xe4; a crafted cross-chunk bigram is not lost") {
     import graft.operators.Events
