@@ -213,6 +213,54 @@ object Events {
         max(col("n")).as("max_session_events"))
   }
 
+  /** Per-key inter-event-gap quantiles (xe6) — the burstiness screen
+    * a telemetry/interaction-log pipeline runs beside sessionization:
+    * a key whose p50 gap is tiny but p90 is huge is bursty (bot
+    * screens, rate-anomaly detection, session-gap calibration — xe5's
+    * gapUs is picked from exactly this distribution).
+    *
+    * Exactness: gaps are integer epoch-µs differences under the
+    * (ts, id) total order; quantiles are DISCRETE ELEMENTS selected by
+    * the PINNED integer rank convention rank_q = ceil(q·n) computed
+    * float-free (p50 → (n+1) DIV 2, p90 → (9n+9) DIV 10) over gaps
+    * sorted ascending — a rank landing inside a run of equal gap
+    * values selects that same value whatever the intra-run order, so
+    * the output is total-order-independent and hash-gates. No
+    * interpolating MEDIAN/PERCENTILE anywhere (the engines'
+    * conventions differ; an explicit rank is the same object in both).
+    *
+    * Scale shape: one shuffle on the key; the per-key rank window is
+    * sort-based and spills gracefully; the rollup is one conditional
+    * aggregate — nothing corpus-sized crosses a second shuffle, no
+    * driver-side state.
+    *
+    * Output: (key, n_gaps, p50_gap_us, p90_gap_us, max_gap_us) —
+    * keys with fewer than 2 events have no gaps and are absent.
+    */
+  def gapQuantiles(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ow = Window.partitionBy("key").orderBy("tsu", "id")
+    val gaps = events
+      .where(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("key"), col(idCol).as("id"),
+        expr(s"unix_micros($tsCol)").as("tsu"))
+      .withColumn("gap", col("tsu") - lag(col("tsu"), 1).over(ow))
+      .where(col("gap").isNotNull)
+    val rw = Window.partitionBy("key").orderBy("gap")
+    gaps
+      .withColumn("rn", row_number().over(rw).cast(LongType))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy("key")))
+      .groupBy("key").agg(
+        max(col("n")).as("n_gaps"),
+        max(when(col("rn") === expr("(n + 1) DIV 2"), col("gap")))
+          .as("p50_gap_us"),
+        max(when(col("rn") === expr("(n * 9 + 9) DIV 10"), col("gap")))
+          .as("p90_gap_us"),
+        max(col("gap")).as("max_gap_us"))
+  }
+
   /** Evolving cohort store (qs25): the distinct (key, week) activity
     * set. Distinct-union is associative AND commutative and the
     * cohort is a min over it, so the stream face is ORDER-FREE (the

@@ -158,6 +158,41 @@ object EventQueries {
         Seq(7000L, 8000L))
     },
 
+    // xe6: per-user inter-event-gap quantiles — the burstiness screen
+    // beside xe5 (and the distribution xe5's 4h gap was calibrated
+    // from). Discrete-element quantiles by the PINNED float-free rank
+    // convention ceil(q·n) = (n+1) DIV 2 / (9n+9) DIV 10 over gaps
+    // sorted ascending — NO interpolating MEDIAN/PERCENTILE in either
+    // engine (their conventions differ); a rank inside a run of equal
+    // gaps selects the same value whatever the intra-run order.
+    Q("xe6_gap_quantiles",
+      """WITH e AS (
+        |  SELECT user_id AS key, event_id AS id, EPOCH_US(ts) AS tsu
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), g AS (
+        |  SELECT key,
+        |    tsu - LAG(tsu) OVER (PARTITION BY key ORDER BY tsu, id)
+        |      AS gap
+        |  FROM e
+        |), r AS (
+        |  SELECT key, gap,
+        |    ROW_NUMBER() OVER (PARTITION BY key ORDER BY gap) AS rn,
+        |    COUNT(*) OVER (PARTITION BY key) AS n
+        |  FROM g WHERE gap IS NOT NULL
+        |)
+        |SELECT key AS user_id, CAST(MAX(n) AS BIGINT) AS n_gaps,
+        |  MAX(CASE WHEN rn = (n + 1) // 2 THEN gap END) AS p50_gap_us,
+        |  MAX(CASE WHEN rn = (n * 9 + 9) // 10 THEN gap END)
+        |    AS p90_gap_us,
+        |  MAX(gap) AS max_gap_us
+        |FROM r GROUP BY key ORDER BY user_id""".stripMargin) { (s, d) =>
+      Events.gapQuantiles(t(s, d, "events"), "user_id", "ts",
+          "event_id")
+        .select(col("key").as("user_id"), col("n_gaps"),
+          col("p50_gap_us"), col("p90_gap_us"), col("max_gap_us"))
+        .orderBy("user_id")
+    },
+
     // xe5: gap-based sessionization rollup — per user, sessions split
     // at > 4h gaps under (ts, id) order (4h ≈ the corpus p25 gap, so
     // BOTH branches fire: ~30% of consecutive pairs stay in-session).

@@ -2153,6 +2153,31 @@ class OperatorsSpec extends SparkSpec {
     assert(rep.toSeq == got.toSeq)
   }
 
+  test("xe6 gap quantiles: pinned ceil-rank selection, tie runs, " +
+      "single-event keys absent") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(s: Int) = new java.sql.Timestamp(base.getTime + s * 1000L)
+    // user 1: events at 0,10,30,60,100s → gaps 10,20,30,40s (n=4):
+    //   p50 rank (4+1) DIV 2 = 2 → 20s; p90 rank (36+9) DIV 10 = 4 → 40s
+    // user 2: events at 0,5,10s → gaps 5,5 (tie run, n=2):
+    //   p50 rank 1 → 5s; p90 rank (18+9) DIV 10 = 2 → 5s
+    // user 3: one event → no gaps, absent
+    val ev = (Seq((1L, 0), (2L, 10), (3L, 30), (4L, 60), (5L, 100))
+        .map { case (id, s) => (id, ts(s), 1L) } ++
+      Seq((6L, 0), (7L, 5), (8L, 10))
+        .map { case (id, s) => (id, ts(s), 2L) } ++
+      Seq((9L, ts(0), 3L)).map(identity))
+      .toDF("event_id", "ts", "user_id")
+    val got = graft.operators.Events
+      .gapQuantiles(ev, "user_id", "ts", "event_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      1L -> ((4L, 20000000L, 40000000L, 40000000L)),
+      2L -> ((2L, 5000000L, 5000000L, 5000000L))), s"$got")
+  }
+
   test("xt29 PII redaction: every class fires on planted fixtures, " +
       "chain order pins precedence, clean text unchanged") {
     import spark.implicits._
