@@ -709,9 +709,16 @@ object Graph {
           (col("__nc").isNotNull && col("__nc") <
             coalesce(col("cost"), lit(Long.MaxValue))).as("__improved"))
         .localCheckpoint(true)
-      frontier = next.where(col("__improved"))
-        .select(col("id"), col("cost"))
-      dist = next.select(col("id"), col("cost"))
+      // stats reset at the loop boundary (the xd18 lesson, here in
+      // its Fibonacci form: cand's estimate = |e|·|frontier| and
+      // next's = |dist|·|cand| with BOTH factors descending from the
+      // previous round's checkpoint, so bit(est_k) ≈ bit(est_{k-1}) +
+      // bit(est_{k-2}) — survivable at 12 rounds, minutes of BigInt
+      // math near 40; reset makes every round's planning O(1))
+      frontier = org.apache.spark.sql.graftbridge.Bridge.freshStats(
+        next.where(col("__improved")).select(col("id"), col("cost")))
+      dist = org.apache.spark.sql.graftbridge.Bridge.freshStats(
+        next.select(col("id"), col("cost")))
       frontierNonEmpty = frontier.limit(1).count() > 0
       k += 1
     }
