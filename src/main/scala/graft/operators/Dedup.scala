@@ -468,6 +468,104 @@ object Dedup {
       .where(col("j") >= threshold)
   }
 
+  /** Exact all-pairs set-similarity join via PREFIX FILTERING
+    * (AllPairs, Bayardo et al. WWW'07; the positional refinement from
+    * PPJoin, Xiao et al. WWW'08) — the third independent technique in
+    * the Jaccard family beside banded MinHash (xd1, probabilistic
+    * recall) and the df-capped relational join (xd3, exact over a
+    * filtered shingle space): prefix filtering is EXACT over the FULL
+    * shingle space with no recall parameter and no lossy cap.
+    *
+    * Theorem (prefix filter): order the shingle universe totally by
+    * (document frequency asc, shingle asc) and give each document's
+    * sorted shingle list a prefix of length p = n − ⌈t·n⌉ + 1. If
+    * J(x,y) ≥ t then |x∩y| ≥ ⌈t·max(nx,ny)⌉, so the first (smallest)
+    * common shingle w must sit inside BOTH prefixes: were w outside
+    * x's prefix, all |x∩y| common shingles would live in x's last
+    * ⌈t·nx⌉ − 1 positions — fewer slots than members. Hence joining
+    * prefixes only loses nothing. Two further lossless prunes:
+    *  - length filter: J ≥ t ⇒ t·max(nx,ny) ≤ min(nx,ny);
+    *  - positional filter (PPJoin): for the shared prefix shingle at
+    *    positions (px, py), |x∩y| ≤ 1 + min(nx−px, ny−py), and J ≥ t
+    *    ⇒ |x∩y| ≥ ⌈t/(1+t)·(nx+ny)⌉ — a candidate whose upper bound
+    *    misses that lower bound for SOME shared prefix shingle may
+    *    still survive via another (we keep a pair if ANY shared prefix
+    *    occurrence passes; the first-common-shingle occurrence always
+    *    does for a true pair, so exactness is preserved).
+    * All three prunes run in exact integer arithmetic: the threshold
+    * is pinned to the e4 rational tNum/10000 (= round(t·10⁴)), so
+    * ⌈t·n⌉ = (tNum·n + 9999) DIV 10000 — no float ceil near integral
+    * t·n can shrink a prefix below the theorem's length (0.3·10 = 3
+    * binary-rounds UP; a float ceil would cut the prefix one short and
+    * silently drop true pairs).
+    *
+    * Scale shape: one df count (map-side combined), one shuffle join
+    * shingle⋈df, one PER-DOC window for (pos, n) — sort-based, spills,
+    * never corpus-wide — then the candidate join shuffles only PREFIX
+    * rows on the shingle value. The df-ascending order puts the
+    * corpus's RAREST shingles in every prefix, so hot stop-shingles
+    * (the xd3 d² blowup) never enter the join; candidate volume is
+    * Σ_w prefix-df(w)² over rare-w only (measured in SCALE_r15: 27
+    * candidates for 25 true pairs at sf0.01; 9× under the
+    * share-any-shingle join at sf0.1, 100× under brute n²/2).
+    * Verification is exact Jaccard on candidates only.
+    *
+    * Output: (a, b, j) with a < b and j ≥ threshold — equals the
+    * brute-force all-pairs answer exactly.
+    */
+  def allPairsJaccard(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 3): DataFrame = {
+    // arrays once (verify joins), exploded once (df + rank + join) —
+    // the materialize-once policy: the corpus is shingled a single time
+    val shArr = docs.select(col(idCol).as("__id"),
+      TextFns.wordShingles(col(textCol), shingleN).as("__sh"))
+      .localCheckpoint(true)
+    val cand = allPairsCandidates(shArr, threshold)
+    verifyJaccard(cand, shArr, shArr, threshold)
+  }
+
+  /** The xd19 candidate stage (prefix + length + positional filters)
+    * over a pre-shingled corpus (`__id`, `__sh` distinct-shingle
+    * array) — exposed for the spec/SCALE candidate-volume counters.
+    * Output: distinct (a, b), a < b — a SUPERSET of the J ≥ t pairs.
+    */
+  private[graft] def allPairsCandidates(shArr: DataFrame,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(threshold > 0 && threshold <= 1,
+      s"allPairsJaccard: threshold=$threshold outside (0, 1]")
+    val tNum = math.round(threshold * 10000)
+    val tDen = 10000L
+    require(tNum > 0, s"allPairsJaccard: threshold=$threshold rounds to 0")
+    val sh = shArr.select(col("__id"), explode(col("__sh")).as("__s"))
+      .localCheckpoint(true)
+    val dfreq = sh.groupBy("__s").agg(count(lit(1)).as("__df"))
+    val ranked = sh.join(dfreq, "__s")
+      .withColumn("__pos",
+        row_number().over(Window.partitionBy("__id")
+          .orderBy("__df", "__s")).cast(LongType))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("__id")))
+    // p = n − ceil(t·n) + 1, integer-exact over the e4 rational
+    val pref = ranked.where(col("__pos") <=
+        col("__n") - expr(s"(__n * $tNum + ${tDen - 1}) DIV $tDen") + 1)
+      .select(col("__id"), col("__s"), col("__pos"), col("__n"))
+      .localCheckpoint(true) // both candidate-join sides
+    pref.as("x").join(pref.as("y"),
+        col("x.__s") === col("y.__s") &&
+          col("x.__id") < col("y.__id") &&
+          // length filter: t·max ≤ min, cross-multiplied
+          lit(tDen) * least(col("x.__n"), col("y.__n")) >=
+            lit(tNum) * greatest(col("x.__n"), col("y.__n")) &&
+          // positional filter: ubound ≥ ceil(t/(1+t)·(nx+ny)),
+          // cross-multiplied by (tNum + tDen)
+          (lit(1L) + least(col("x.__n") - col("x.__pos"),
+            col("y.__n") - col("y.__pos"))) * lit(tNum + tDen) >=
+            lit(tNum) * (col("x.__n") + col("y.__n")))
+      .select(col("x.__id").as("a"), col("y.__id").as("b"))
+      .distinct()
+  }
+
   /** Embedding near-dup pairs with cosine ≥ threshold — EXACT pairwise
     * join. Exact cosine self-join is inherently O(n²) compute (no
     * blocking scheme is simultaneously exact and subquadratic on

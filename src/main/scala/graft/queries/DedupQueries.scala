@@ -661,6 +661,22 @@ object DedupQueries {
         |ORDER BY b.id""".stripMargin) { (s, d) =>
       Dedup.sortedNeighborDedup(t(s, d, "documents"), "doc_id", "text")
         .orderBy("id")
+    },
+
+    // AllPairs/PPJoin prefix-filtered set-similarity join (xd19,
+    // Bayardo WWW'07 + the PPJoin positional filter, Xiao WWW'08) —
+    // the third Jaccard technique beside xd1 (banded MinHash,
+    // probabilistic recall) and xd3 (df-capped relational join, exact
+    // over a FILTERED space): EXACT over the FULL shingle space with
+    // no recall parameter and no cap, because the df-ascending prefix
+    // order keeps hot stop-shingles out of the candidate join
+    // entirely. Same brute-force oracle as xd1 (no cap) — the hash
+    // match proves prefix+length+positional pruning loses nothing.
+    Q("xd19_allpairs_ppjoin", jaccardOracleSql(0.5)) { (s, d) =>
+      Dedup.allPairsJaccard(t(s, d, "documents"), "doc_id", "text",
+          threshold = 0.5)
+        .select(col("a"), col("b"), round(col("j"), 4).as("j"))
+        .orderBy("a", "b")
     }
   )
 

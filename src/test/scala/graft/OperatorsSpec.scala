@@ -283,6 +283,55 @@ class OperatorsSpec extends SparkSpec {
     assert(lsh.nonEmpty, "testdata is expected to contain near-dups")
   }
 
+  test("allpairs ppjoin equals exact relational Jaccard pairs") {
+    val pp = Dedup.allPairsJaccard(docs, "doc_id", "text", 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5,
+        maxDocFreq = Int.MaxValue)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pp == exact)
+    assert(pp.nonEmpty, "testdata is expected to contain near-dups")
+  }
+
+  test("allpairs ppjoin: hot stop-shingle never enters the candidate " +
+      "join (df-ascending prefixes exclude it)") {
+    import spark.implicits._
+    // 20 docs sharing one hot word; each doc's 2 unique words fill its
+    // prefix (p = 3 - ceil(0.5*3) + 1 = 2), so the df-20 word is in NO
+    // prefix: zero candidates where a share-any join makes C(20,2)=190.
+    // One planted identical pair on top must still come through.
+    val hot = (0 until 20).map(i => (i.toLong, s"u${i}a u${i}b common"))
+    val dup = Seq((100L, "d1 d2 d3"), (101L, "d1 d2 d3"))
+    val d = (hot ++ dup).toDF("doc_id", "text")
+    val shArr = d.select(col("doc_id").as("__id"),
+      TextFns.wordShingles(col("text"), 1).as("__sh"))
+    val cand = Dedup.allPairsCandidates(shArr, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand == Set((100L, 101L)),
+      s"expected only the planted dup pair as candidate, got $cand")
+    val out = Dedup.allPairsJaccard(d, "doc_id", "text", 0.5, shingleN = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((100L, 101L, 1.0)))
+  }
+
+  test("allpairs ppjoin: integer-exact prefix length at a float-ceil " +
+      "hazard (t=0.3, n=10: a float ceil(3.0000000000000004) cuts the " +
+      "prefix one short and drops the boundary pair)") {
+    import spark.implicits._
+    // x: 7 unique (df=1) + 3 shared (df=2) words → n=10, the shared
+    // words sort LAST, first shared at position 8 = exactly
+    // p = 10 - ceil(0.3*10) + 1 = 8. y = the 3 shared words → J = 3/10
+    // = 0.3, at the threshold. Exact integer ceil keeps the pair;
+    // ceil(0.3*10) in doubles is 4 and would lose it.
+    val d = Seq(
+      (1L, "ax bx cx dx ex fx gx s1 s2 s3"),
+      (2L, "s1 s2 s3")).toDF("doc_id", "text")
+    val out = Dedup.allPairsJaccard(d, "doc_id", "text", 0.3, shingleN = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 2L, 0.3)),
+      s"boundary pair must survive the prefix filter, got ${out.toSeq}")
+  }
+
   test("minhash signature estimates Jaccard") {
     import spark.implicits._
     val pairs = Seq(
