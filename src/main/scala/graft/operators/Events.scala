@@ -104,6 +104,174 @@ object Events {
     }
   }
 
+  /** Two-sided CUSUM control chart (xe7; Page 1954, Biometrika — the
+    * classic SMALL-SHIFT detector beside xe1's EWMA: where EWMA flags
+    * single large deviations, CUSUM accumulates many small ones, so a
+    * persistent drift of less than one threshold's worth per event
+    * still alarms once its sum crosses h): per key, under the (ts, id)
+    * total order, with the key's FIRST value as the reference level,
+    *
+    *   s⁺ ← max(0, s⁺ + (v − v₁ − k))   (upward drift)
+    *   s⁻ ← max(0, s⁻ + (v₁ − v − k))   (downward drift)
+    *
+    * alarm when s⁺ > h or s⁻ > h, then BOTH sums reset to 0 (the
+    * standard post-alarm restart, so a long drift produces a alarm
+    * train rather than one saturated flag). k is the slack per event
+    * (drifts smaller than k/event never alarm), h the decision
+    * interval.
+    *
+    * Exactness: the xe1 discipline with NO division anywhere — values
+    * quantize once to e2 units, the recursion is max/add/compare on
+    * BIGINTs, so the whole trajectory is integer-exact and hash-gates
+    * against a from-scratch recursive-CTE replay. First event of a key
+    * seeds v₁ (never an alarm, sums start 0). Overflow bound: |s±| ≤
+    * h + |v − v₁| + k post-reset, so BIGINT is unreachable for any
+    * e2-quantized feed.
+    *
+    * Scale shape: identical to [[ewmaAnomalies]] — one shuffle on the
+    * key, a narrow per-key fold, `tsBuckets` bounding the per-task
+    * array by ts-range segmentation through the carried store
+    * (segment-resume == one-shot under the qs23 monotone contract).
+    *
+    * Output: one row per event — (id, key, v2, sp, sn, alarm) with
+    * sp/sn the PRE-RESET post-observation sums (so the alarm row shows
+    * the crossing value; the carried state is the post-reset pair).
+    */
+  def cusumAnomalies(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valCol: String, kE2: Long = 4000L,
+      hE2: Long = 30000L, tsBuckets: Int = 1): DataFrame = {
+    require(tsBuckets >= 1, s"cusumAnomalies: tsBuckets=$tsBuckets")
+    val empty = CusumStore(events.select(col(keyCol).as("key"),
+      lit(0L).as("sp"), lit(0L).as("sn"), lit(0L).as("v1"))
+      .limit(0).localCheckpoint(true))
+    if (tsBuckets == 1)
+      cusumIngest(events, empty, keyCol, tsCol, idCol, valCol, kE2,
+        hE2).result
+    else {
+      val ev = events
+        .where(col(valCol).isNotNull && col(keyCol).isNotNull &&
+          col(tsCol).isNotNull)
+        .localCheckpoint(true) // read once per segment
+      val mm = ev.agg(min(expr(s"unix_micros($tsCol)")),
+        max(expr(s"unix_micros($tsCol)"))).head()
+      if (mm.isNullAt(0))
+        cusumIngest(ev, empty, keyCol, tsCol, idCol, valCol, kE2,
+          hE2).result
+      else {
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        val w = math.max(1L, (hi - lo) / tsBuckets + 1L)
+        var st = empty
+        val parts = (0 until tsBuckets).map { b =>
+          val (slo, shi) = (lo + b * w, lo + (b + 1) * w)
+          val seg = ev.where(expr(s"unix_micros($tsCol)") >= slo &&
+            expr(s"unix_micros($tsCol)") < shi)
+          val ing = cusumIngest(seg, st, keyCol, tsCol, idCol, valCol,
+            kE2, hE2)
+          // stats reset at the loop boundary (the xd18/xe1 lesson)
+          st = resetCusumStoreStats(ing.next)
+          ing.result
+        }
+        parts.reduce(_.unionAll(_))
+      }
+    }
+  }
+
+  /** Evolving per-key CUSUM state (qs29): one row per key ever seen —
+    * `(key, sp, sn, v1)`, the post-reset sums and the reference level.
+    * The ENTIRE stream state is three BIGINTs per key.
+    */
+  final case class CusumStore private[operators] (state: DataFrame)
+
+  /** Fresh-stats rebuild for store-resumption loops (see
+    * [[resetStoreStats]]).
+    */
+  private[graft] def resetCusumStoreStats(s: CusumStore): CusumStore =
+    CusumStore(org.apache.spark.sql.graftbridge.Bridge
+      .freshStats(s.state))
+
+  final case class CusumIngest(result: DataFrame, next: CusumStore)
+
+  /** Seed the store by folding `corpus` from empty state. */
+  def prepareCusumStore(corpus: DataFrame, keyCol: String,
+      tsCol: String, idCol: String, valCol: String,
+      kE2: Long = 4000L, hE2: Long = 30000L): CusumStore = {
+    val empty = CusumStore(corpus.select(col(keyCol).as("key"),
+      lit(0L).as("sp"), lit(0L).as("sn"), lit(0L).as("v1"))
+      .limit(0).localCheckpoint(true))
+    if (corpus.isEmpty) empty
+    else cusumIngest(corpus, empty, keyCol, tsCol, idCol, valCol, kE2,
+      hE2).next
+  }
+
+  /** Fold one batch through the CUSUM store (the qs23 monotone-arrival
+    * contract, as [[ewmaIngest]]): returns the batch's per-event rows
+    * and the advanced store.
+    */
+  def cusumIngest(batch: DataFrame, store: CusumStore, keyCol: String,
+      tsCol: String, idCol: String, valCol: String,
+      kE2: Long = 4000L, hE2: Long = 30000L): CusumIngest = {
+    val q = batch
+      .where(col(valCol).isNotNull && col(keyCol).isNotNull &&
+        col(tsCol).isNotNull)
+      .select(col(keyCol).as("key"), col(idCol).as("id"),
+        col(tsCol).as("__ts"),
+        floor(col(valCol) * 100 + 0.5).cast(LongType).as("v2"))
+    // the recursion's three faces share these exact texts (the lambda
+    // binds no intermediates, so the sums appear in emit, carry, alarm)
+    val sp1 = s"GREATEST(CAST(0 AS BIGINT), acc.sp + (x.v2 - acc.v1 - $kE2))"
+    val sn1 = s"GREATEST(CAST(0 AS BIGINT), acc.sn + (acc.v1 - x.v2 - $kE2))"
+    val al = s"($sp1 > $hE2 OR $sn1 > $hE2)"
+    val folded = q.groupBy("key")
+      .agg(array_sort(collect_list(struct(col("__ts"), col("id"),
+        col("v2")))).as("__xs"))
+      .join(store.state.select(col("key"), col("sp").as("__sp0"),
+        col("sn").as("__sn0"), col("v1").as("__v10")), Seq("key"),
+        "left")
+      .select(col("key"), expr(
+        s"""aggregate(__xs,
+           |  named_struct('v1', __v10,
+           |    'sp', coalesce(__sp0, CAST(0 AS BIGINT)),
+           |    'sn', coalesce(__sn0, CAST(0 AS BIGINT)), 'out',
+           |    CAST(array() AS array<struct<
+           |      id:bigint,v2:bigint,sp:bigint,sn:bigint,alarm:int>>)),
+           |  (acc, x) -> CASE WHEN acc.v1 IS NULL THEN named_struct(
+           |      'v1', x.v2, 'sp', CAST(0 AS BIGINT),
+           |      'sn', CAST(0 AS BIGINT),
+           |      'out', array_append(acc.out, named_struct(
+           |        'id', x.id, 'v2', x.v2, 'sp', CAST(0 AS BIGINT),
+           |        'sn', CAST(0 AS BIGINT), 'alarm', 0)))
+           |    ELSE named_struct(
+           |      'v1', acc.v1,
+           |      'sp', CASE WHEN $al THEN CAST(0 AS BIGINT)
+           |        ELSE $sp1 END,
+           |      'sn', CASE WHEN $al THEN CAST(0 AS BIGINT)
+           |        ELSE $sn1 END,
+           |      'out', array_append(acc.out, named_struct(
+           |        'id', x.id, 'v2', x.v2, 'sp', $sp1, 'sn', $sn1,
+           |        'alarm', CASE WHEN $al THEN 1 ELSE 0 END)))
+           |    END,
+           |  acc -> acc)""".stripMargin.replace("\n", " "))
+        .as("__f"))
+      .localCheckpoint(true) // rows AND next-state read it
+    val rows = folded
+      .select(col("key"), explode(col("__f.out")).as("o"))
+      .select(col("o.id").as("id"), col("key"), col("o.v2").as("v2"),
+        col("o.sp").as("sp"), col("o.sn").as("sn"),
+        col("o.alarm").as("alarm"))
+    val next = store.state
+      .withColumnRenamed("sp", "__osp").withColumnRenamed("sn", "__osn")
+      .withColumnRenamed("v1", "__ov1")
+      .join(folded.select(col("key"), col("__f.sp").as("__nsp"),
+        col("__f.sn").as("__nsn"), col("__f.v1").as("__nv1")),
+        Seq("key"), "full_outer")
+      .select(col("key"),
+        coalesce(col("__nsp"), col("__osp")).as("sp"),
+        coalesce(col("__nsn"), col("__osn")).as("sn"),
+        coalesce(col("__nv1"), col("__ov1")).as("v1"))
+      .localCheckpoint(true)
+    CusumIngest(rows, CusumStore(next))
+  }
+
   /** Weekly cohort-retention matrix (xe2) — the product-analytics
     * staple: users cohorted by their FIRST activity week, then counted
     * per (cohort, week-offset) cell. Weeks are pure integer epoch

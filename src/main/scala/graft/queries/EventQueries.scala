@@ -45,7 +45,61 @@ object EventQueries {
        |WHERE TRUE $finalWhere
        |ORDER BY e.id""".stripMargin
 
+  /** The xe7 CUSUM replay, parameterized like [[ewmaOracleSql]] so the
+    * qs29 stream face shares the ORACLE TEXT VERBATIM. The recursion
+    * carries BOTH the post-reset sums (spc/snc, what the next step
+    * folds from) and the pre-reset emissions (spe/sne, what the row
+    * shows); the sum texts repeat across carry/emit/alarm exactly as
+    * in the operator's lambda.
+    */
+  def cusumOracleSql(finalWhere: String = "", kE2: Long = 4000L,
+      hE2: Long = 30000L): String = {
+    val sp1 = s"GREATEST(CAST(0 AS BIGINT), r.spc + (e.v2 - r.v1 - $kE2))"
+    val sn1 = s"GREATEST(CAST(0 AS BIGINT), r.snc + (r.v1 - e.v2 - $kE2))"
+    val al = s"($sp1 > $hE2 OR $sn1 > $hE2)"
+    s"""WITH RECURSIVE ev AS (
+       |  SELECT user_id AS key, event_id AS id,
+       |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v2,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS rn
+       |  FROM events
+       |  WHERE value IS NOT NULL AND user_id IS NOT NULL
+       |    AND ts IS NOT NULL
+       |), rec(key, rn, v1, spc, snc, spe, sne, alarm) AS (
+       |  SELECT key, rn, v2, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       |    CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0
+       |  FROM ev WHERE rn = 1
+       |  UNION ALL
+       |  SELECT e.key, e.rn, r.v1,
+       |    CASE WHEN $al THEN CAST(0 AS BIGINT) ELSE $sp1 END,
+       |    CASE WHEN $al THEN CAST(0 AS BIGINT) ELSE $sn1 END,
+       |    $sp1, $sn1, CASE WHEN $al THEN 1 ELSE 0 END
+       |  FROM rec r JOIN ev e ON e.key = r.key AND e.rn = r.rn + 1
+       |)
+       |SELECT e.id, e.key, e.v2, r.spe AS sp, r.sne AS sn, r.alarm
+       |FROM ev e JOIN rec r ON r.key = e.key AND r.rn = e.rn
+       |WHERE TRUE $finalWhere
+       |ORDER BY e.id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
+
+    // xe7: two-sided CUSUM control chart (Page 1954) per user over
+    // (ts, id) order — the small-shift drift detector beside xe1's
+    // EWMA: s± accumulate deviations beyond a k = 40.00 slack from the
+    // key's first value, alarm when a sum crosses h = 300.00, then
+    // reset (alarm trains, not one saturated flag; ~3-4% of events
+    // alarm on the driver corpus at both SFs — both branches fire).
+    // Pure integer max/add/compare on e2 units — NO division anywhere,
+    // tighter than even xe1's dyadic floor. tsBuckets = 8: the gated
+    // entry runs the bounded hot-key-safe fold, proven == one-shot by
+    // the segment-resumption contract.
+    Q("xe7_cusum_drift", cusumOracleSql()) { (s, d) =>
+      Events.cusumAnomalies(t(s, d, "events"), "user_id", "ts",
+          "event_id", "value", kE2 = 4000L, hE2 = 30000L,
+          tsBuckets = 8)
+        .orderBy("id")
+    },
 
     // xe1: EWMA control chart (Roberts 1959) per user over (ts,
     // event_id) order — α = 1/4 integer fixed-point recursion
@@ -153,6 +207,21 @@ object EventQueries {
     Q("qs23_stream_ewma", ewmaOracleSql("AND e.id >= 6000")) { (s, d) =>
       val ev = t(s, d, "events")
       graft.streaming.Streams.ewmaChunked(
+        ev.where(col("event_id") >= 6000),
+        ev.where(col("event_id") < 6000),
+        Seq(7000L, 8000L))
+    },
+
+    // qs29: streaming CUSUM — the xe7 stream face on the qs23
+    // skeleton (corpus-seeded per-key store, event_id-ordered chunks
+    // under the monotone-arrival contract; state = three BIGINTs per
+    // key). Oracle = the xe7 replay VERBATIM, delta-restricted — the
+    // hash match proves chunked resumption of the max/add recursion
+    // (including post-alarm resets straddling chunk boundaries)
+    // equals the one-shot trajectory.
+    Q("qs29_stream_cusum", cusumOracleSql("AND e.id >= 6000")) { (s, d) =>
+      val ev = t(s, d, "events")
+      graft.streaming.Streams.cusumChunked(
         ev.where(col("event_id") >= 6000),
         ev.where(col("event_id") < 6000),
         Seq(7000L, 8000L))

@@ -729,6 +729,28 @@ object Streams {
     parts.reduce(_.unionAll(_)).orderBy("id")
   }
 
+  /** Batch-shape QS29 harness: the xe7 CUSUM chart folded over
+    * event_id-ordered chunks from a corpus-seeded store (the qs23
+    * skeleton verbatim — per-key state here is THREE BIGINTs: the two
+    * post-reset sums and the reference level).
+    */
+  def cusumChunked(newEvents: DataFrame, corpus: DataFrame,
+      bounds: Seq[Long]): DataFrame = {
+    import graft.operators.Events
+    var st = Events.prepareCusumStore(corpus, "user_id", "ts",
+      "event_id", "value")
+    val edges = (Long.MinValue +: bounds.sorted) :+ Long.MaxValue
+    val parts = edges.sliding(2).map { case Seq(lo, hi) =>
+      val ing = Events.cusumIngest(
+        newEvents.where(col("event_id") >= lo && col("event_id") < hi),
+        st, "user_id", "ts", "event_id", "value")
+      // stats reset per chunk (the xd18 lesson)
+      st = Events.resetCusumStoreStats(ing.next)
+      ing.result
+    }.toSeq
+    parts.reduce(_.unionAll(_)).orderBy("id")
+  }
+
   /** Batch-shape QS27 harness: the xe4 Markov-transition matrix folded
     * over event_id-ordered chunks (the qs23/qs24 monotone-resume
     * contract). State is (a) ONE carried last-event row per key — the

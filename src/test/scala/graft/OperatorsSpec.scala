@@ -159,6 +159,81 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("xe7 CUSUM: drift accumulates to an alarm then resets, " +
+      "downward side mirrors, ts-tie broken by id") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(base.getTime + m * 60000L)
+    val rows = Seq(
+      // user 7 (k=1000, h=5000): ref 10.00, then +30.00 drift per
+      // event — sp walks 2000, 4000, 6000 (alarm+reset), then back
+      (1L, ts(0), 7L, 10.00), (2L, ts(1), 7L, 40.00),
+      (3L, ts(2), 7L, 40.00), (4L, ts(3), 7L, 40.00),
+      (5L, ts(4), 7L, 10.00),
+      // user 8: downward drift from ref 50.00 — sn walks 3000, 6000
+      (6L, ts(0), 8L, 50.00), (7L, ts(1), 8L, 10.00),
+      (8L, ts(2), 8L, 10.00),
+      // user 9: two events at the SAME ts — id order picks the ref
+      (9L, ts(0), 9L, 100.00), (10L, ts(0), 9L, 100.00))
+    val df = rows.toDF("event_id", "ts", "user_id", "value")
+    val out = graft.operators.Events.cusumAnomalies(df, "user_id",
+        "ts", "event_id", "value", kE2 = 1000L, hE2 = 5000L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4),
+        r.getInt(5))).toMap
+    assert(out(1L) == ((0L, 0L, 0)))
+    assert(out(2L) == ((2000L, 0L, 0)))
+    assert(out(3L) == ((4000L, 0L, 0)))
+    assert(out(4L) == ((6000L, 0L, 1))) // crossed h=5000 → alarm
+    assert(out(5L) == ((0L, 0L, 0)))    // post-reset, at ref: flat
+    assert(out(6L) == ((0L, 0L, 0)))
+    assert(out(7L) == ((0L, 3000L, 0)))
+    assert(out(8L) == ((0L, 6000L, 1)))
+    assert(out(9L) == ((0L, 0L, 0)))    // id 9 is the ref at the tie
+    assert(out(10L) == ((0L, 0L, 0)))   // same value: sums stay 0
+  }
+
+  test("xe7 CUSUM matches a driver-side scala fold on the real " +
+      "corpus, is partitioning-invariant, bucketed fold == one-shot") {
+    val ev = T.t(spark, sf0001, "events")
+    def run(df: org.apache.spark.sql.DataFrame, b: Int = 1) =
+      graft.operators.Events.cusumAnomalies(df, "user_id", "ts",
+          "event_id", "value", tsBuckets = b)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4),
+          r.getInt(5))).toMap
+    val got = run(ev)
+    // driver-side replay (k=4000, h=30000 defaults)
+    val rows = ev.where(col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        math.floor(r.getDouble(3) * 100 + 0.5).toLong))
+      .sortBy { case (u, id, t, _) => (u, t.getTime, id) }
+    var state = Map.empty[Long, (Long, Long, Long)] // (sp, sn, v1)
+    var nAlarm = 0
+    rows.foreach { case (u, id, _, v2) =>
+      val (spE, snE, a) = state.get(u) match {
+        case None =>
+          state += u -> ((0L, 0L, v2)); (0L, 0L, 0)
+        case Some((sp, sn, v1)) =>
+          val sp1 = math.max(0L, sp + (v2 - v1 - 4000L))
+          val sn1 = math.max(0L, sn + (v1 - v2 - 4000L))
+          val al = sp1 > 30000L || sn1 > 30000L
+          state += u -> (if (al) (0L, 0L, v1) else (sp1, sn1, v1))
+          (sp1, sn1, if (al) 1 else 0)
+      }
+      nAlarm += a
+      assert(got(id) == ((spE, snE, a)),
+        s"event $id: got ${got(id)} want ($spE,$snE,$a)")
+    }
+    assert(nAlarm > 0, "CUSUM never alarmed on the corpus")
+    assert(nAlarm < got.size / 2, "CUSUM alarmed on most rows")
+    assert(run(ev.repartition(13)) == got)
+    for (b <- Seq(2, 7, 64))
+      assert(run(ev, b) == got, s"tsBuckets=$b diverged from one-shot")
+  }
+
   test("xe2 cohort retention: first-week cohorts, integer week " +
       "arithmetic, distinct-user cells") {
     import spark.implicits._

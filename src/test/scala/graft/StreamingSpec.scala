@@ -1036,6 +1036,26 @@ class StreamingSpec extends SparkSpec {
     assert(four == oneShot, "4-chunk resume diverged from one-shot")
   }
 
+  test("QS29 CUSUM stream face: (ts,id)-ordered chunking == one-shot " +
+      "xe7 on the delta (resets straddle chunk boundaries)") {
+    import graft.operators.Events
+    val ev = graft.queries.T.t(spark, sf0001, "events")
+    val delta = ev.where(col("event_id") >= 600)
+    val corpus = ev.where(col("event_id") < 600).cache()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getInt(5))).toSet
+    val oneShot = rows(Events.cusumAnomalies(ev, "user_id", "ts",
+        "event_id", "value")
+      .where(col("id") >= 600))
+    val one = rows(Streams.cusumChunked(delta, corpus, Seq.empty))
+    val four = rows(Streams.cusumChunked(delta, corpus,
+      Seq(700L, 800L, 900L)))
+    corpus.unpersist()
+    assert(one == oneShot, "single-chunk resume diverged from one-shot")
+    assert(four == oneShot, "4-chunk resume diverged from one-shot")
+  }
+
   test("QS24 funnel stream face: chunked automaton == one-shot " +
       "relational xe3 derivation") {
     import graft.operators.Events
