@@ -174,6 +174,48 @@ object StreamBatchQueries {
         .orderBy("user_id", "view_id", "buy_id")
     },
 
+    // QS30: the LEFT-OUTER face of the stream-stream interval join —
+    // every view, with its within-1h purchases or NULL if none ever
+    // arrives — through the real multi-batch runner (time-ordered file
+    // slices + one far-future watermark-advancing sentinel slice so
+    // the trailing windows' unmatched views actually flush; see
+    // Streams.viewPurchaseLeftJoin). The sentinel's type matches
+    // neither branch filter, so it contaminates nothing — the output
+    // hash-gates against the batch LEFT JOIN the oracle runs on the
+    // clean table. Ordering pins nulls identically in both engines
+    // via COALESCE(buy_id, -1).
+    Q("qs30_stream_left_join",
+      """SELECT v.user_id AS user_id, v.event_id AS view_id,
+        |       p.event_id AS buy_id
+        |FROM events v LEFT JOIN events p ON p.user_id = v.user_id
+        | AND p.event_type = 'purchase'
+        | AND p.ts::TIMESTAMP > v.ts::TIMESTAMP
+        | AND p.ts::TIMESTAMP <= v.ts::TIMESTAMP + INTERVAL 1 HOUR
+        |WHERE v.event_type = 'view'
+        |ORDER BY user_id, view_id, COALESCE(buy_id, -1)""".stripMargin) {
+      (s, d) =>
+      val ev = t(s, d, "events")
+      val in = java.nio.file.Files.createTempDirectory("graft_qs30_in")
+      val sink = java.nio.file.Files.createTempDirectory("graft_qs30_out")
+      val out =
+        try graft.streaming.Streams.runViewPurchaseLeftJoinStream(s, ev,
+          in.toString, sink.resolve("res").toString,
+          sink.resolve("_ck").toString)
+        finally {
+          // drop the events copy eagerly (the qs4b hygiene); the sink
+          // stays for the caller's materialization
+          try {
+            import scala.jdk.CollectionConverters._
+            val walk = java.nio.file.Files.walk(in)
+            try walk.iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+            finally walk.close()
+          } catch { case scala.util.control.NonFatal(_) => () }
+        }
+      out.orderBy(col("user_id"), col("view_id"),
+        coalesce(col("buy_id"), lit(-1L)))
+    },
+
     // Stream-static enrichment join (QS5): purchases pick up the
     // static per-user profile (first event id + lifetime count). Runs
     // the SAME Streams.enrichPurchases the streaming runner uses —

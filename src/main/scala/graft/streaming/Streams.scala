@@ -85,6 +85,91 @@ object Streams {
       .select(col("user_id"), col("view_id"), col("buy_id"))
   }
 
+  /** LEFT-OUTER stream-stream interval join (QS30): every view, with
+    * its within-1h purchases or a NULL buy_id if none ever arrives.
+    * The outer side is the semantics stress: Spark holds an unmatched
+    * view in state and emits its null row only when the GLOBAL
+    * watermark (the min over BOTH branches' watermark nodes) passes
+    * its join window. A finite replay therefore needs end-of-stream
+    * HEARTBEATS, and they must MATCH each branch's type filter:
+    * Catalyst pushes a deterministic predicate that doesn't reference
+    * the event-time column BELOW the EventTimeWatermark node, so a
+    * neutral sentinel type is filtered at the source and advances
+    * nothing (observed: the trailing 3h of unmatched views never
+    * flushed, 10 rows short at sf0.01). The qs30 harness appends
+    * far-future 'view'/'purchase' heartbeat pairs with user_id = -1
+    * and the caller drops user_id < 0 from the materialized sink.
+    * State is watermark-bounded exactly as the inner qs4 join.
+    */
+  def viewPurchaseLeftJoin(events: DataFrame): DataFrame = {
+    val views = events.where(col("event_type") === "view")
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), col("ts").as("vts"),
+        col("event_id").as("view_id"))
+    val purchases = events.where(col("event_type") === "purchase")
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id").as("p_uid"), col("ts").as("pts"),
+        col("event_id").as("buy_id"))
+    views.join(purchases,
+      col("user_id") === col("p_uid") &&
+        col("pts") > col("vts") &&
+        col("pts") <= col("vts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("user_id"), col("view_id"), col("buy_id"))
+  }
+
+  /** The qs30 replay harness: `ev` sliced into ts-range files with
+    * ascending mod-times (the qs4b in-order-arrival stamping), plus
+    * TWO far-future heartbeat pairs (see [[viewPurchaseLeftJoin]]:
+    * per-branch 'view'/'purchase' heartbeats with user_id = -1 — the
+    * pair-1 batch advances the global watermark, the pair-2 batch
+    * performs the eviction that actually emits the trailing null
+    * rows; heartbeat timestamps sit > 1h apart so they never join
+    * each other). Returns the sink minus the heartbeat rows — equal
+    * to the batch LEFT JOIN on the clean table.
+    */
+  def runViewPurchaseLeftJoinStream(spark: SparkSession, ev: DataFrame,
+      inDir: String, sinkDir: String, ckDir: String,
+      slices: Int = 8): DataFrame = {
+    val in = java.nio.file.Paths.get(inDir)
+    ev.repartitionByRange(slices, col("ts"))
+      .write.mode("overwrite").parquet(inDir)
+    in.toFile.listFiles
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1700000000000L + i * 60000L)
+      }
+    val maxTsU = ev.agg(max(expr("unix_micros(ts)"))).head.getLong(0)
+    val sentDir = in.resolve("__heartbeats")
+    val hbs = Seq(("view", 10L), ("purchase", 12L),
+      ("view", 20L), ("purchase", 22L))
+    for (((tpe, hrs), i) <- hbs.zipWithIndex) {
+      spark.range(1).select(
+          lit(-1L - i).as("event_id"),
+          expr(s"timestamp_micros(${maxTsU + hrs * 3600000000L})")
+            .as("ts"),
+          lit(-1L).as("user_id"), lit(tpe).as("event_type"),
+          lit(null).cast("double").as("value"),
+          lit(null).cast("string").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(sentDir.toString)
+      val part = sentDir.toFile.listFiles
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = in.resolve(s"zz_heartbeat_$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + 60000L * (100 + i))
+    }
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "2").parquet(inDir)
+    val q = viewPurchaseLeftJoin(stream)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckDir)
+      .format("parquet").option("path", sinkDir)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(sinkDir)
+      .where(col("user_id") >= 0) // drop the heartbeat rows
+  }
+
   /** Stream-static enrichment join (QS5): purchase events join a
     * static per-user profile. The static side is a plan-time
     * DataFrame broadcast into every micro-batch — the canonical

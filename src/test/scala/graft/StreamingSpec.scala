@@ -1036,6 +1036,34 @@ class StreamingSpec extends SparkSpec {
     assert(four == oneShot, "4-chunk resume diverged from one-shot")
   }
 
+  test("QS30 left-outer stream-stream join: real multi-batch replay " +
+      "with heartbeats == batch LEFT JOIN (nulls flushed at eviction)") {
+    val ev = graft.queries.T.t(spark, sf0001, "events")
+    val in = java.nio.file.Files.createTempDirectory("graft_qs30s_in")
+    val sink = java.nio.file.Files.createTempDirectory("graft_qs30s_out")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    val got = rows(Streams.runViewPurchaseLeftJoinStream(spark, ev,
+      in.toString, sink.resolve("res").toString,
+      sink.resolve("_ck").toString))
+    val v = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("vts"),
+        col("event_id").as("view_id"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_uid"), col("ts").as("pts"),
+        col("event_id").as("buy_id"))
+    val want = rows(v.join(p, col("user_id") === col("p_uid") &&
+        col("pts") > col("vts") &&
+        col("pts") <= col("vts") + expr("INTERVAL 1 HOUR"), "left_outer")
+      .select(col("user_id"), col("view_id"), col("buy_id")))
+    assert(got == want, "streamed left join diverged from batch")
+    assert(want.exists(_._3 == -1L),
+      "fixture has no unmatched views — the outer side is untested")
+    assert(want.exists(_._3 != -1L),
+      "fixture has no matches — the inner side is untested")
+  }
+
   test("QS29 CUSUM stream face: (ts,id)-ordered chunking == one-shot " +
       "xe7 on the delta (resets straddle chunk boundaries)") {
     import graft.operators.Events
