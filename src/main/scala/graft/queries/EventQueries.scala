@@ -284,6 +284,32 @@ object EventQueries {
     // key. Shares xe5's oracle text VERBATIM — the hash match proves
     // automaton-resumption across micro-batches == the declarative
     // window derivation == the SQL replay.
+    // qs31: the SAME session rollup through Spark 4's
+    // transformWithState (the StatefulProcessor successor API to
+    // flatMapGroupsWithState — typed named-state handles, mandatory
+    // RocksDB): third independent implementation against the one
+    // sessionOracleSql (window derivation xe5 / fMGWS qs26 /
+    // StatefulProcessor qs31).
+    Q("qs31_stream_session_tws", sessionOracleSql) { (s, d) =>
+      val ev = t(s, d, "events")
+      val in = java.nio.file.Files.createTempDirectory("graft_qs31_in")
+      val out = java.nio.file.Files.createTempDirectory("graft_qs31_out")
+      try {
+        graft.streaming.Streams.runSessionStatsStreamTws(s, ev,
+            in.toString, out.resolve("res").toString,
+            out.resolve("_ck").toString, gapUs = 14400000000L)
+          .orderBy("user_id")
+      } finally {
+        try {
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(in)
+          try walk.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+          finally walk.close()
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
+    },
+
     Q("qs26_stream_session_fmgws", sessionOracleSql) { (s, d) =>
       val ev = t(s, d, "events")
       val in = java.nio.file.Files.createTempDirectory("graft_qs26_in")

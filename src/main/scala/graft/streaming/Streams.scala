@@ -1360,6 +1360,95 @@ object Streams {
       }
   }
 
+  /** The qs31 twin of [[sessionStatsTransform]] on Spark 4's
+    * `transformWithState` — the successor arbitrary-state API
+    * (StatefulProcessor + typed composite state handles, SPIP
+    * SPARK-45939): the SAME gap-sessionization automaton, its per-key
+    * scalar state in a named `ValueState[SessState]` under the
+    * (required) RocksDB provider. Three implementations — window
+    * derivation (xe5), flatMapGroupsWithState (qs26), StatefulProcessor
+    * (qs31) — now gate against ONE oracle text.
+    */
+  class SessionStatsProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long), SessStats] {
+    @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[SessState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[SessState]("sess",
+        org.apache.spark.sql.Encoders.product[SessState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long,
+        rows: Iterator[(Long, Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[SessStats] = {
+      val evs = rows.map { case (_, id, tsu) => (tsu, id) }
+        .toArray.sorted
+      if (evs.isEmpty) Iterator.empty
+      else {
+        var s = if (st.exists()) st.get()
+          else SessState(0L, 0L, 0L, 0L, 0L)
+        evs.foreach { case (tsu, _) =>
+          s =
+            if (s.nEvents == 0L || tsu - s.lastTsu > gapUs)
+              SessState(tsu, s.nSessions + 1, s.nEvents + 1, 1L,
+                math.max(s.maxLen, 1L))
+            else SessState(tsu, s.nSessions, s.nEvents + 1,
+              s.curLen + 1, math.max(s.maxLen, s.curLen + 1))
+        }
+        st.update(s)
+        Iterator.single(
+          SessStats(uid, s.nSessions, s.nEvents, s.maxLen))
+      }
+    }
+  }
+
+  def sessionStatsTransformTws(events: DataFrame,
+      gapUs: Long = 14400000000L): Dataset[SessStats] = {
+    import events.sparkSession.implicits._
+    events
+      .where(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("tsu"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionStatsProcessor(gapUs),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** Run the qs31 transformWithState stream for real — the
+    * [[runSessionStatsStream]] harness with the StatefulProcessor
+    * automaton (RocksDB is mandatory for transformWithState).
+    */
+  def runSessionStatsStreamTws(spark: SparkSession, ev: DataFrame,
+      inDir: String, sinkDir: String, ckDir: String,
+      gapUs: Long = 14400000000L, slices: Int = 8,
+      maxFilesPerTrigger: Int = 2): DataFrame = {
+    ev.repartitionByRange(slices, col("ts"))
+      .write.mode("overwrite").parquet(inDir)
+    new java.io.File(inDir).listFiles
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1700000000000L + i * 60000L)
+      }
+    withRocksDBStateStore(spark) {
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+        .parquet(inDir)
+      val q = sessionStatsTransformTws(stream, gapUs).toDF()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckDir)
+        .format("parquet").option("path", sinkDir)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    sessionStatsFinal(spark.read.parquet(sinkDir))
+  }
+
   /** Run the qs26 session-stats stream for real: ts-range file slices
     * of `ev` → RocksDB-backed flatMapGroupsWithState micro-batches →
     * append parquet sink of per-batch emissions; the returned frame is

@@ -1008,6 +1008,52 @@ class StreamingSpec extends SparkSpec {
       "restarted automaton diverged from the one-shot batch rollup")
   }
 
+  test("QS31 transformWithState session automaton: crash mid-stream " +
+      "+ restart on the same checkpoint == one-shot batch xe5 rollup") {
+    import graft.operators.Events
+    val ev = graft.queries.T.t(spark, sf0001, "events")
+    val base = java.nio.file.Files.createTempDirectory("qs31")
+    val stage = base.resolve("stage").toString
+    val in = base.resolve("in")
+    val sink = base.resolve("res").toString
+    val ck = base.resolve("_ck").toString
+    ev.repartitionByRange(8, col("ts")).write.parquet(stage)
+    val slices = new java.io.File(stage).listFiles
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    java.nio.file.Files.createDirectories(in)
+    def deliver(files: Seq[java.io.File], mt0: Long): Unit =
+      files.zipWithIndex.foreach { case (f, i) =>
+        val dst = in.resolve(f.getName)
+        java.nio.file.Files.copy(f.toPath, dst)
+        dst.toFile.setLastModified(mt0 + i * 60000L)
+      }
+    def runOnce(): Unit = Streams.withRocksDBStateStore(spark) {
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "2").parquet(in.toString)
+      val q = Streams.sessionStatsTransformTws(stream).toDF()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ck)
+        .format("parquet").option("path", sink).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    deliver(slices.take(4).toSeq, 1700000000000L)
+    runOnce() // drains 2 batches, stops — the "crash"
+    val mid = Streams.sessionStatsFinal(spark.read.parquet(sink))
+      .agg(sum("n_events")).head.getLong(0)
+    deliver(slices.drop(4).toSeq, 1700000100000L)
+    runOnce() // restart: named ValueState + source offsets resume
+    val got = Streams.sessionStatsFinal(spark.read.parquet(sink))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val want = Events.sessionStats(ev, "user_id", "ts", "event_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(mid > 0 && mid < want.values.map(_._2).sum,
+      s"crash was not mid-stream (saw $mid events before restart)")
+    assert(got == want,
+      "restarted StatefulProcessor diverged from the batch rollup")
+  }
+
   test("QS23 EWMA stream face: (ts,id)-ordered chunking == one-shot " +
       "xe1 on the delta; driver log is ts-monotone in event_id") {
     import graft.operators.Events
