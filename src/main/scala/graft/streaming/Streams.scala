@@ -158,14 +158,16 @@ object Streams {
       java.nio.file.Files.move(part.toPath, dst)
       dst.toFile.setLastModified(1700000000000L + 60000L * (100 + i))
     }
-    val stream = spark.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", "2").parquet(inDir)
-    val q = viewPurchaseLeftJoin(stream)
-      .writeStream.outputMode("append")
-      .option("checkpointLocation", ckDir)
-      .format("parquet").option("path", sinkDir)
-      .start()
-    try q.processAllAvailable() finally q.stop()
+    withStatefulShufflePartitions(spark, 8) {
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "2").parquet(inDir)
+      val q = viewPurchaseLeftJoin(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckDir)
+        .format("parquet").option("path", sinkDir)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
     spark.read.parquet(sinkDir)
       .where(col("user_id") >= 0) // drop the heartbeat rows
   }
@@ -1435,16 +1437,18 @@ object Streams {
       .zipWithIndex.foreach { case (f, i) =>
         f.setLastModified(1700000000000L + i * 60000L)
       }
-    withRocksDBStateStore(spark) {
-      val stream = spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
-        .parquet(inDir)
-      val q = sessionStatsTransformTws(stream, gapUs).toDF()
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", ckDir)
-        .format("parquet").option("path", sinkDir)
-        .start()
-      try q.processAllAvailable() finally q.stop()
+    withStatefulShufflePartitions(spark, 8) {
+      withRocksDBStateStore(spark) {
+        val stream = spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+          .parquet(inDir)
+        val q = sessionStatsTransformTws(stream, gapUs).toDF()
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckDir)
+          .format("parquet").option("path", sinkDir)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
     }
     sessionStatsFinal(spark.read.parquet(sinkDir))
   }
@@ -1470,16 +1474,18 @@ object Streams {
       .zipWithIndex.foreach { case (f, i) =>
         f.setLastModified(1700000000000L + i * 60000L)
       }
-    withRocksDBStateStore(spark) {
-      val stream = spark.readStream.schema(ev.schema)
-        .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
-        .parquet(inDir)
-      val q = sessionStatsTransform(stream, gapUs).toDF()
-        .writeStream.outputMode("append")
-        .option("checkpointLocation", ckDir)
-        .format("parquet").option("path", sinkDir)
-        .start()
-      try q.processAllAvailable() finally q.stop()
+    withStatefulShufflePartitions(spark, 8) {
+      withRocksDBStateStore(spark) {
+        val stream = spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+          .parquet(inDir)
+        val q = sessionStatsTransform(stream, gapUs).toDF()
+          .writeStream.outputMode("append")
+          .option("checkpointLocation", ckDir)
+          .format("parquet").option("path", sinkDir)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
     }
     sessionStatsFinal(spark.read.parquet(sinkDir))
   }
@@ -1505,6 +1511,25 @@ object Streams {
     */
   val RocksDBProvider: String =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Run `body` with the STATEFUL shuffle sized to state volume, not
+    * CPU count (the qs4 bench lesson, 43d5f8c): a stateful operator
+    * opens state-store instances per partition (4 per partition for a
+    * stream-stream join), each paying open/commit/changelog-upload
+    * PER BATCH while holding little state at bench SFs — fixed
+    * overhead, not work. At 100 TB the same rule (state bytes /
+    * target partition size) raises the count back; the partition
+    * count is pinned into the checkpoint at first batch, so this is a
+    * per-deployment sizing decision exactly like shuffle.partitions
+    * for batch. Results are partition-count-invariant (oracle-gated).
+    */
+  def withStatefulShufflePartitions[A](spark: SparkSession, n: Int)(
+      body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
 
   /** Run `body` with the RocksDB state store provider configured
     * (changelog checkpointing on — incremental commits instead of
