@@ -532,28 +532,92 @@ object Dedup {
     */
   private[graft] def allPairsCandidates(shArr: DataFrame,
       threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(threshold > 0 && threshold <= 1,
-      s"allPairsJaccard: threshold=$threshold outside (0, 1]")
-    val tNum = math.round(threshold * 10000)
-    val tDen = 10000L
-    require(tNum > 0, s"allPairsJaccard: threshold=$threshold rounds to 0")
+    val (tNum, tDen) = ppjoinRational(threshold)
     val sh = shArr.select(col("__id"), explode(col("__sh")).as("__s"))
       .localCheckpoint(true)
     val dfreq = sh.groupBy("__s").agg(count(lit(1)).as("__df"))
-    val ranked = sh.join(dfreq, "__s")
+    val pref = ppjoinPrefixes(sh, dfreq, tNum, tDen)
+      .localCheckpoint(true) // both candidate-join sides
+    ppjoinCandidateJoin(pref, pref, tNum, tDen,
+      extraCond = col("x.__id") < col("y.__id"))
+  }
+
+  /** Incremental AllPairs/PPJoin (xd20) — the xd8 continuous-ingestion
+    * shape for the prefix-filter family: pairs between a NEW batch and
+    * an EXISTING corpus only, under the corpus's FROZEN df order.
+    * Exactness does not need fresh document frequencies: the prefix
+    * theorem requires one consistent TOTAL order over the shingle
+    * universe, not any particular one — so the index built under the
+    * corpus's (df asc, shingle asc) order stays valid as deltas
+    * arrive, with delta-only shingles ordered as df = 0 (rarest
+    * first: maximal pruning for exactly the shingles most likely to
+    * identify a delta doc's near-dup). df only TUNES pruning power;
+    * staleness can never lose a pair — the production property that
+    * makes the prefix index maintainable without global re-ranking.
+    * Cost: delta prefixes ⋈ corpus prefixes on the shingle — never
+    * corpus². Output: (a = corpus id, b = new id, j ≥ threshold);
+    * caller contract: id spaces are disjoint.
+    */
+  def allPairsJaccardAgainst(
+      newDocs: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, threshold: Double, shingleN: Int = 3)
+      : DataFrame = {
+    val (tNum, tDen) = ppjoinRational(threshold)
+    def shingled(df: DataFrame) = df.select(col(idCol).as("__id"),
+      TextFns.wordShingles(col(textCol), shingleN).as("__sh"))
+      .localCheckpoint(true)
+    val shC = shingled(corpus)
+    val shN = shingled(newDocs)
+    def exploded(sh: DataFrame) =
+      sh.select(col("__id"), explode(col("__sh")).as("__s"))
+        .localCheckpoint(true)
+    val exC = exploded(shC)
+    val exN = exploded(shN)
+    // the frozen order: corpus df only (delta shingles unseen → 0)
+    val dfreq = exC.groupBy("__s").agg(count(lit(1)).as("__df"))
+      .localCheckpoint(true) // ranks both sides
+    val cand = ppjoinCandidateJoin(
+      ppjoinPrefixes(exC, dfreq, tNum, tDen),
+      ppjoinPrefixes(exN, dfreq, tNum, tDen), tNum, tDen)
+    verifyJaccard(cand, shC, shN, threshold)
+  }
+
+  private def ppjoinRational(threshold: Double): (Long, Long) = {
+    require(threshold > 0 && threshold <= 1,
+      s"allPairsJaccard: threshold=$threshold outside (0, 1]")
+    val tNum = math.round(threshold * 10000)
+    require(tNum > 0, s"allPairsJaccard: threshold=$threshold rounds to 0")
+    (tNum, 10000L)
+  }
+
+  /** Rank one side's exploded shingles under the given df order
+    * (missing df = 0 — the frozen-index contract) and keep each doc's
+    * prefix: p = n − ⌈t·n⌉ + 1, integer-exact over the e4 rational (a
+    * float ceil at integral t·n would cut the prefix one short and
+    * silently drop boundary pairs).
+    */
+  private def ppjoinPrefixes(ex: DataFrame, dfreq: DataFrame,
+      tNum: Long, tDen: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    ex.join(dfreq, Seq("__s"), "left")
+      .withColumn("__df", coalesce(col("__df"), lit(0L)))
       .withColumn("__pos",
         row_number().over(Window.partitionBy("__id")
           .orderBy("__df", "__s")).cast(LongType))
       .withColumn("__n", count(lit(1)).over(Window.partitionBy("__id")))
-    // p = n − ceil(t·n) + 1, integer-exact over the e4 rational
-    val pref = ranked.where(col("__pos") <=
+      .where(col("__pos") <=
         col("__n") - expr(s"(__n * $tNum + ${tDen - 1}) DIV $tDen") + 1)
       .select(col("__id"), col("__s"), col("__pos"), col("__n"))
-      .localCheckpoint(true) // both candidate-join sides
-    pref.as("x").join(pref.as("y"),
-        col("x.__s") === col("y.__s") &&
-          col("x.__id") < col("y.__id") &&
+  }
+
+  /** The candidate join: shared prefix shingle + length filter +
+    * PPJoin positional filter, all integer cross-multiplied.
+    */
+  private def ppjoinCandidateJoin(prefA: DataFrame, prefB: DataFrame,
+      tNum: Long, tDen: Long, extraCond: Column = lit(true))
+      : DataFrame =
+    prefA.as("x").join(prefB.as("y"),
+        col("x.__s") === col("y.__s") && extraCond &&
           // length filter: t·max ≤ min, cross-multiplied
           lit(tDen) * least(col("x.__n"), col("y.__n")) >=
             lit(tNum) * greatest(col("x.__n"), col("y.__n")) &&
@@ -564,7 +628,6 @@ object Dedup {
             lit(tNum) * (col("x.__n") + col("y.__n")))
       .select(col("x.__id").as("a"), col("y.__id").as("b"))
       .distinct()
-  }
 
   /** Embedding near-dup pairs with cosine ≥ threshold — EXACT pairwise
     * join. Exact cosine self-join is inherently O(n²) compute (no

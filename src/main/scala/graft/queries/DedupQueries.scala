@@ -677,6 +677,25 @@ object DedupQueries {
           threshold = 0.5)
         .select(col("a"), col("b"), round(col("j"), 4).as("j"))
         .orderBy("a", "b")
+    },
+
+    // Incremental AllPairs/PPJoin (xd20) — the xd8 shape for the
+    // prefix-filter family: delta docs (id ≥ 250) against the corpus
+    // (id < 250) under the corpus's FROZEN df order (delta-only
+    // shingles rank as df = 0). Staleness tunes pruning, never
+    // correctness — the property that makes a prefix index
+    // maintainable without global re-ranking as 100 TB of deltas
+    // arrive. Oracle = the same brute-force SQL cross-restricted.
+    Q("xd20_allpairs_incremental",
+      jaccardOracleSql(0.5,
+        pairCond = "x.doc_id < 250 AND y.doc_id >= 250")) { (s, d) =>
+      val docs = t(s, d, "documents")
+      Dedup.allPairsJaccardAgainst(
+          docs.where(col("doc_id") >= 250),
+          docs.where(col("doc_id") < 250),
+          "doc_id", "text", threshold = 0.5)
+        .select(col("a"), col("b"), round(col("j"), 4).as("j"))
+        .orderBy("a", "b")
     }
   )
 

@@ -407,6 +407,36 @@ class OperatorsSpec extends SparkSpec {
       s"boundary pair must survive the prefix filter, got ${out.toSeq}")
   }
 
+  test("allpairs ppjoin incremental: frozen corpus order == brute " +
+      "cross pairs on real docs; unseen-shingle deltas rank df=0") {
+    import spark.implicits._
+    val split = 25L
+    val full = Dedup.allPairsJaccard(docs, "doc_id", "text", 0.5)
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cross = full.filter { case (a, b) => a < split && b >= split }
+    val incr = Dedup.allPairsJaccardAgainst(
+        docs.where(col("doc_id") >= split),
+        docs.where(col("doc_id") < split),
+        "doc_id", "text", 0.5)
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incr == cross,
+      s"frozen-order incremental diverged: ${incr.diff(cross)} extra, " +
+        s"${cross.diff(incr)} missing")
+    assert(cross.nonEmpty, "no cross-split near-dups — split untested")
+    // deltas whose shingles the corpus has never seen rank df = 0
+    // (rarest-first) and must still behave: the all-new doc pairs
+    // with nothing, the delta copy of a corpus doc is found at j = 1
+    val corpus = Seq((1L, "c1 c2 c3 c4 c5")).toDF("doc_id", "text")
+    val delta = Seq((10L, "n1 n2 n3 n4 n5"), // all shingles unseen
+      (11L, "c1 c2 c3 c4 c5")).toDF("doc_id", "text")
+    val out = Dedup.allPairsJaccardAgainst(delta, corpus, "doc_id",
+        "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 11L, 1.0)), s"got ${out.toSeq}")
+  }
+
   test("minhash signature estimates Jaccard") {
     import spark.implicits._
     val pairs = Seq(
