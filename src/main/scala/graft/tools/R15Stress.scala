@@ -26,6 +26,12 @@ import org.apache.spark.sql.SparkSession
   *    cap — the frontier-scan optimization proven result-identical at
   *    scale; rounds-to-converge recorded across the step (diameter
   *    physics, not work blowup).
+  *  - xd19 prefix-filter candidate law: a corpus where EVERY doc
+  *    shares a boilerplate tail (share-any-shingle join = C(n,2) by
+  *    construction) — the df-ascending prefixes exclude the hot
+  *    shingles, so candidates track the planted near-dup count
+  *    (linear, ~2× across the step vs ~4× for the quadratic floor)
+  *    and the output equals the planted construction exactly.
   *
   * Writes `SCALE_r15.json`.
   */
@@ -291,6 +297,82 @@ object R15Stress {
       s"rounds ${s1.rounds} -> ${s2.rounds} across the 2x step — " +
         "convergence is not diameter-bounded")
     results += "xg10_cpu_ratio_info" -> (s2.cpu / s1.cpu)
+
+    // ---------- xd19 prefix-filter candidate-law legs ----------
+    // Every doc carries the SAME 5-word boilerplate tail (3 pure-
+    // boilerplate shingles with df = n — the share-any-shingle join is
+    // C(n,2), quadratic BY CONSTRUCTION) plus 9 hash-derived unique
+    // words; docs id ≡ 0 (mod 10) get a partner (id + n) differing in
+    // one word → J = 9/15 = 0.6, the only pairs ≥ 0.5. Graded: the
+    // df-ascending prefixes EXCLUDE the hot shingles, so candidate
+    // volume tracks the planted-pair count (linear, ratio ~2 across
+    // the 2× step) while the quadratic C(n,2) floor the xd3-style
+    // share-any join would pay grows ~4×; output == the planted set
+    // exactly at both factors.
+    case class PLeg(n: Long, cand: Long, pairs: Long, planted: Long,
+      shareAny: Long, sec: Double, cpu: Double)
+
+    def ppjoinLeg(nBase: Long): PLeg = {
+      val planted = nBase / 10
+      def uw(j: Int, of: org.apache.spark.sql.Column) =
+        concat(lit(s"t$j"), graft.operators.Scale.hashBucket16(
+          concat(of.cast(StringType), lit(s":$j"))).cast(StringType))
+      def text(of: org.apache.spark.sql.Column, last: String) =
+        concat_ws(" ", (0 until 8).map(uw(_, of)) ++
+          Seq(concat(lit(last), graft.operators.Scale.hashBucket16(
+            concat(of.cast(StringType), lit(":8"))).cast(StringType)),
+            lit("lorem ipsum dolor sit amet")): _*)
+      val docs = spark.range(nBase)
+        .select(col("id").as("doc_id"), text(col("id"), "t8").as("text"))
+        .unionAll(spark.range(0, nBase, 10)
+          .select((col("id") + nBase).as("doc_id"),
+            text(col("id"), "x8").as("text")))
+        .localCheckpoint(true)
+      val n = docs.count()
+      val (out, sec, cpu) = timed {
+        val o = graft.operators.Dedup.allPairsJaccard(docs, "doc_id",
+          "text", threshold = 0.5)
+        o.queryExecution.toRdd.count()
+        o
+      }
+      val shArr = docs.select(col("doc_id").as("__id"),
+        graft.functions.TextFns.wordShingles(col("text"), 3).as("__sh"))
+      val cand = graft.operators.Dedup.allPairsCandidates(shArr, 0.5)
+        .count()
+      // output == the planted construction exactly (no strays, every
+      // partner found at exactly 9/15)
+      val expected = spark.range(0, nBase, 10)
+        .select(col("id").as("a"), (col("id") + nBase).as("b"),
+          lit(9.0 / 15.0).as("j"))
+      val d1 = out.exceptAll(expected).count()
+      val d2 = expected.exceptAll(out).count()
+      require(d1 == 0 && d2 == 0,
+        s"n=$n: xd19 output != planted construction ($d1/$d2 rows)")
+      val shareAny = n * (n - 1) / 2 // every doc shares the boiler tail
+      dropPersisted()
+      println(f"[xd19] n=$n%-7d cand=$cand planted=$planted " +
+        f"share_any_floor=$shareAny wall=$sec%.2fs cpu=$cpu%.2fs")
+      PLeg(n, cand, planted, planted, shareAny, sec, cpu)
+    }
+
+    val p1 = ppjoinLeg(500L * f)
+    val p2 = ppjoinLeg(500L * 2 * f)
+    for ((l, p) <- Seq(p1 -> s"xd19_f$f", p2 -> s"xd19_f${2 * f}")) {
+      results += s"${p}_docs" -> l.n
+      results += s"${p}_candidates" -> l.cand
+      results += s"${p}_true_pairs" -> l.planted
+      results += s"${p}_share_any_floor" -> l.shareAny
+      results += s"${p}_sec" -> l.sec
+      results += s"${p}_cpu_sec" -> l.cpu
+    }
+    val candRatio = p2.cand.toDouble / p1.cand
+    results += "xd19_candidate_ratio" -> candRatio
+    results += "xd19_share_any_ratio" ->
+      (p2.shareAny.toDouble / p1.shareAny)
+    require(candRatio > 1.7 && candRatio < 2.5,
+      f"xd19 candidate ratio $candRatio%.3f not ~2 (linear) — the " +
+        "prefix filter is admitting the hot boilerplate shingles")
+    results += "xd19_cpu_ratio_info" -> (p2.cpu / p1.cpu)
 
     val payload = results
       .map { case (k, v) => s""""$k":${StressUtil.jsonScalar(v)}""" }
