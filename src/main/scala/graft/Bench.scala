@@ -89,6 +89,70 @@ object Bench {
     "xd3_ngram_jaccard", "xs1_ann_brute_topk", "xs2_ann_ivf",
     "xt2_quality", "xt11_logprob", "xp1_pipeline")
 
+  // Minimal object reader for bench_full-format artifacts. Depth-
+  // aware (ADVICE r10 #3): the value is scanned to the MATCHING
+  // close brace (tracking string/escape state), not the first '}',
+  // so a nested object inside the target — or a headline-format ref
+  // file whose "queries" values are strings — degrades to "entries
+  // that parse as numbers" instead of silently truncating the map
+  // at the first nested '}'. Non-numeric entries are skipped.
+  private def flatObj(json: String, key: String): Map[String, Double] = {
+    val tag = "\"" + key + "\":{"
+    val i = json.indexOf(tag)
+    if (i < 0) Map.empty
+    else {
+      val start = i + tag.length
+      var j = start
+      var depth = 1
+      var inStr = false
+      var esc = false
+      while (j < json.length && depth > 0) {
+        val c = json.charAt(j)
+        if (esc) esc = false
+        else if (inStr) {
+          if (c == '\\') esc = true
+          else if (c == '"') inStr = false
+        } else c match {
+          case '"' => inStr = true
+          case '{' => depth += 1
+          case '}' => depth -= 1
+          case _ => ()
+        }
+        j += 1
+      }
+      if (depth > 0) Map.empty
+      else {
+        // top-level "k":v pairs only — split at depth-0 commas
+        val body = json.substring(start, j - 1)
+        val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+        var d = 0; var s = false; var e = false; var p0 = 0
+        var p = 0
+        while (p < body.length) {
+          val c = body.charAt(p)
+          if (e) e = false
+          else if (s) {
+            if (c == '\\') e = true else if (c == '"') s = false
+          } else c match {
+            case '"' => s = true
+            case '{' | '[' => d += 1
+            case '}' | ']' => d -= 1
+            case ',' if d == 0 =>
+              parts += body.substring(p0, p); p0 = p + 1
+            case _ => ()
+          }
+          p += 1
+        }
+        parts += body.substring(p0)
+        parts.filter(_.contains(":")).flatMap { kv =>
+          val Array(k, v) = kv.split(":", 2)
+          try Some(k.trim.stripPrefix("\"").stripSuffix("\"") ->
+            v.trim.toDouble)
+          catch { case NonFatal(_) => None }
+        }.toMap
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -263,19 +327,52 @@ object Bench {
     def median(runs: Seq[Double]): Double =
       if (runs.head < 0) -1.0 else runs.tail.sorted.apply(1)
 
+    // min-of-sessions floor, loaded BEFORE the second pass (VERDICT
+    // r15 #1): the committed quiet-session records define what each
+    // entry has provably cost on this host; any entry elevated >1.3×
+    // above that floor in the main pass gets an in-session second
+    // opinion — not just the ones that happen to be headliners or
+    // top-20 (the r15 xt24 4× elevation shipped unadjudicated because
+    // it cleared neither bar).
+    val sessionMins: Seq[Map[String, Double]] = try {
+      val dir = java.nio.file.Paths.get("bench_sessions")
+      if (!java.nio.file.Files.isDirectory(dir)) Nil
+      else {
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.list(dir)
+        try s.iterator().asScala.toSeq
+          .filter(_.toString.endsWith(".json")).sortBy(_.toString)
+          .map(p => flatObj(java.nio.file.Files.readString(p), "mins"))
+          .filter(_.nonEmpty)
+        finally s.close()
+      }
+    } catch { case NonFatal(_) => Nil }
+    val sessionFloor: Map[String, Double] = sessionMins
+      .flatMap(_.toSeq).filter(_._2 > 0)
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).min }
+
     // Interleaved second pass in REVERSE order: a query that is slow
     // in the main pass but fast here (a different session position,
     // long after its neighbors) was a host-noise victim, not a
     // regression — the in-session control the r5 cross-round drift
-    // adjudication lacked. Coverage (VERDICT r9 #1): the headliners
-    // PLUS the 20 most expensive entries by main-pass median, so the
-    // entries that dominate the total always get a second opinion
-    // (r9's 42.9s xt17 anomaly had none — it wasn't a headliner).
+    // adjudication lacked. Coverage (VERDICT r9 #1 + r15 #1): the
+    // headliners, PLUS the 20 most expensive entries by main-pass
+    // median, PLUS every entry whose main-pass median exceeds 1.3×
+    // its committed quiet-session floor (≥0.3s — sub-tenth entries
+    // flip on scheduler jitter alone), so the entries that dominate
+    // the total OR contradict the session record always get a second
+    // opinion.
     val pass2Names = {
       val top = results.filter(_.runs.head >= 0)
         .sortBy(r => -median(r.runs)).take(20).map(_.name)
+      val elevated = results.filter { r =>
+        val m = median(r.runs)
+        val fl = sessionFloor.getOrElse(r.name, -1.0)
+        m >= 0.3 && fl > 0 && m > 1.3 * fl
+      }.map(_.name)
       val inOrder = results.map(_.name)
-        .filter(n => benchHeadliners.contains(n) || top.contains(n))
+        .filter(n => benchHeadliners.contains(n) || top.contains(n) ||
+          elevated.contains(n))
       inOrder.reverse
     }
     val pass2 = {
@@ -293,22 +390,27 @@ object Bench {
         }
       }
     }
-    // Self-gating (VERDICT r9 #1): any entry whose pass1 median and
-    // pass2 single run diverge >2× (and whose slower side is ≥0.5s —
-    // sub-half-second entries flip on scheduler jitter alone) is
-    // flagged as session-contaminated and re-run ONCE more for a
-    // tiebreak. Its published trusted value is the MIN across all
-    // observations — the sound estimator under additive noise (the
-    // ScaleGate argument): noise only ever ADDS time, so the fastest
+    // Self-gating (VERDICT r9 #1 + r15 #1): any entry whose pass1
+    // median and pass2 single run diverge >2× (slower side ≥0.5s —
+    // sub-half-second entries flip on scheduler jitter alone), OR
+    // whose elevation above the quiet-session floor PERSISTS through
+    // pass 2 (both observations >1.3× the floor, ≥0.3s), is flagged
+    // as session-contaminated and re-run ONCE more for a tiebreak.
+    // Its published trusted value is the MIN across all observations
+    // — the sound estimator under additive noise (the ScaleGate
+    // argument): noise only ever ADDS time, so the fastest
     // observation is the closest to the true cost.
     val anomalies = {
       var snap = metrics.snapshot()
       results.flatMap { r =>
         val m = median(r.runs)
+        val fl = sessionFloor.getOrElse(r.name, -1.0)
         pass2.find(_._1 == r.name).map(_._2) match {
           case Some(p2) if m > 0 && p2 > 0 &&
-              math.max(m, p2) >= 0.5 &&
-              (m / p2 > 2.0 || p2 / m > 2.0) =>
+              ((math.max(m, p2) >= 0.5 &&
+                (m / p2 > 2.0 || p2 / m > 2.0)) ||
+               (fl > 0 && math.min(m, p2) >= 0.3 &&
+                math.min(m, p2) > 1.3 * fl)) =>
             val rerun = try {
               val (sec, after, _) = timeOnceFrom(
                 SparkEntry.queries(r.name), snap)
@@ -435,69 +537,6 @@ object Bench {
         .mkString("{", ",", "}")
     def minOf(runs: Seq[Double]): Double =
       if (runs.head < 0) -1.0 else runs.tail.min
-    // Minimal object reader for bench_full-format artifacts. Depth-
-    // aware (ADVICE r10 #3): the value is scanned to the MATCHING
-    // close brace (tracking string/escape state), not the first '}',
-    // so a nested object inside the target — or a headline-format ref
-    // file whose "queries" values are strings — degrades to "entries
-    // that parse as numbers" instead of silently truncating the map
-    // at the first nested '}'. Non-numeric entries are skipped.
-    def flatObj(json: String, key: String): Map[String, Double] = {
-      val tag = "\"" + key + "\":{"
-      val i = json.indexOf(tag)
-      if (i < 0) Map.empty
-      else {
-        val start = i + tag.length
-        var j = start
-        var depth = 1
-        var inStr = false
-        var esc = false
-        while (j < json.length && depth > 0) {
-          val c = json.charAt(j)
-          if (esc) esc = false
-          else if (inStr) {
-            if (c == '\\') esc = true
-            else if (c == '"') inStr = false
-          } else c match {
-            case '"' => inStr = true
-            case '{' => depth += 1
-            case '}' => depth -= 1
-            case _ => ()
-          }
-          j += 1
-        }
-        if (depth > 0) Map.empty
-        else {
-          // top-level "k":v pairs only — split at depth-0 commas
-          val body = json.substring(start, j - 1)
-          val parts = scala.collection.mutable.ArrayBuffer.empty[String]
-          var d = 0; var s = false; var e = false; var p0 = 0
-          var p = 0
-          while (p < body.length) {
-            val c = body.charAt(p)
-            if (e) e = false
-            else if (s) {
-              if (c == '\\') e = true else if (c == '"') s = false
-            } else c match {
-              case '"' => s = true
-              case '{' | '[' => d += 1
-              case '}' | ']' => d -= 1
-              case ',' if d == 0 =>
-                parts += body.substring(p0, p); p0 = p + 1
-              case _ => ()
-            }
-            p += 1
-          }
-          parts += body.substring(p0)
-          parts.filter(_.contains(":")).flatMap { kv =>
-            val Array(k, v) = kv.split(":", 2)
-            try Some(k.trim.stripPrefix("\"").stripSuffix("\"") ->
-              v.trim.toDouble)
-            catch { case NonFatal(_) => None }
-          }.toMap
-        }
-      }
-    }
 
     val medians = results.map(r => r.name -> median(r.runs)) :+
       ("qs4_stream_rocksdb" -> streamTotal)
@@ -519,23 +558,11 @@ object Bench {
       r.name -> (if (obs.isEmpty) -1.0 else obs.min)
     } :+ ("qs4_stream_rocksdb" -> streamTotal)
     // min-of-sessions (VERDICT r9 #8): fold in committed per-entry
-    // mins from previous quiet sessions (bench_sessions/*.json, the
-    // bench_full format) so one bad session can't move the headline.
-    val sessionMins: Seq[Map[String, Double]] = try {
-      val dir = java.nio.file.Paths.get("bench_sessions")
-      if (!java.nio.file.Files.isDirectory(dir)) Nil
-      else {
-        import scala.jdk.CollectionConverters._
-        val s = java.nio.file.Files.list(dir)
-        try s.iterator().asScala.toSeq
-          .filter(_.toString.endsWith(".json")).sortBy(_.toString)
-          .map(p => flatObj(java.nio.file.Files.readString(p), "mins"))
-          .filter(_.nonEmpty)
-        finally s.close()
-      }
-    } catch { case NonFatal(_) => Nil }
+    // mins from previous quiet sessions (bench_sessions/*.json,
+    // loaded before pass 2 above) so one bad session can't move the
+    // headline.
     val minSessions = trusted.map { case (n, v) =>
-      val all = (v +: sessionMins.flatMap(_.get(n))).filter(_ >= 0)
+      val all = (v +: sessionFloor.get(n).toSeq).filter(_ >= 0)
       n -> (if (all.isEmpty) -1.0 else all.min)
     }
     // per-query executor CPU seconds (median of the 3 timed runs):
@@ -621,12 +648,10 @@ object Bench {
         // observation is >1.3x the best the quiet history has shown".
         // The 0.5s floor matches the anomaly gate: sub-half-second
         // entries flip >1.3x on scheduler jitter alone.
-        val sessBase: Map[String, Double] = sessionMins
-          .flatMap(_.toSeq).filter(_._2 > 0)
-          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).min }
         val trustedMap = trusted.toMap
+        val minSessionsMap = minSessions.toMap
         val entries = medians.sortBy(_._1).map { case (n, nv) =>
-          val obs = (oq.get(n).toSeq ++ sessBase.get(n).toSeq)
+          val obs = (oq.get(n).toSeq ++ sessionFloor.get(n).toSeq)
             .filter(_ > 0)
           val ov = if (obs.isEmpty) -1.0 else obs.min
           val tv = trustedMap.getOrElse(n, nv)
@@ -649,9 +674,17 @@ object Bench {
           s""""removed_entries":[${oq.keys.toSeq
               .filterNot(medians.map(_._1).toSet).sorted
               .map("\"" + _ + "\"").mkString(",")}],""" +
+          // trusted_sec = min over quiet sessions ∪ this run (VERDICT
+          // r15 #1: publishing the in-session min as "trusted" let a
+          // contaminated sweep label a 4×-elevated number trusted
+          // while all eight session records read 0.46s);
+          // run_trusted_sec keeps this session's own min visible so
+          // an elevation is still adjudicable from the artifact alone.
           s""""entries":${jmap(entries.map { case (n, ov, nv, ra, cr, fl) =>
             n -> (s"""{"old_sec":${r3(ov)},"new_sec":${r3(nv)},""" +
-              s""""trusted_sec":${r3(trustedMap.getOrElse(n, nv))},""" +
+              s""""trusted_sec":${r3(minSessionsMap.getOrElse(n,
+                trustedMap.getOrElse(n, nv)))},""" +
+              s""""run_trusted_sec":${r3(trustedMap.getOrElse(n, nv))},""" +
               s""""ratio":${r3(ra)},"cpu_ratio":${r3(cr)},""" +
               s""""flag":$fl}""") })}}"""
         java.nio.file.Files.writeString(

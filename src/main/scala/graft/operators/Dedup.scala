@@ -522,7 +522,8 @@ object Dedup {
       TextFns.wordShingles(col(textCol), shingleN).as("__sh"))
       .localCheckpoint(true)
     val cand = allPairsCandidates(shArr, threshold)
-    ppjoinVerify(cand, shArr, shArr, threshold)
+    val (tNum, tDen) = ppjoinRational(threshold)
+    ppjoinVerify(cand, shArr, shArr, tNum, tDen)
   }
 
   /** The xd19 candidate stage (prefix + length + positional filters)
@@ -579,7 +580,7 @@ object Dedup {
     val cand = ppjoinCandidateJoin(
       ppjoinPrefixes(exC, dfreq, tNum, tDen),
       ppjoinPrefixes(exN, dfreq, tNum, tDen), tNum, tDen)
-    ppjoinVerify(cand, shC, shN, threshold)
+    ppjoinVerify(cand, shC, shN, tNum, tDen)
   }
 
   /** Exact-Jaccard verification of candidate (a, b) pairs via the
@@ -591,23 +592,33 @@ object Dedup {
     * vs 2.3 s on 125k candidates at sf0.1) — and at 100 TB the
     * exploded form is the only shape that never puts document-sized
     * payloads on the wire per pair.
+    *
+    * The accept test is the SAME e4 rational the prefix/length/
+    * positional filters prune with, cross-multiplied in exact integer
+    * arithmetic: j = ix/(na+nb−ix) ≥ tNum/tDen ⟺ ix·(tNum+tDen) ≥
+    * tNum·(na+nb). Filtering on the raw double instead would admit a
+    * sliver [t, tNum/tDen) the filters already pruned whenever t
+    * rounds UP to the grid — making the output depend on which stage
+    * saw a boundary pair first, and silently breaking the
+    * equals-brute-force contract for off-grid thresholds.
     */
   private def ppjoinVerify(cand: DataFrame, shA: DataFrame,
-      shB: DataFrame, threshold: Double): DataFrame = {
+      shB: DataFrame, tNum: Long, tDen: Long): DataFrame = {
     def ex(sh: DataFrame, id: String) =
       sh.select(col("__id").as(id), explode(col("__sh")).as("__s"))
     def sizes(sh: DataFrame, id: String, n: String) =
-      sh.select(col("__id").as(id), size(col("__sh")).as(n))
+      sh.select(col("__id").as(id), size(col("__sh")).cast(LongType).as(n))
     cand
       .join(ex(shA, "a"), "a")
       .join(ex(shB, "b"), Seq("b", "__s"))
-      .groupBy("a", "b").agg(count(lit(1)).cast(DoubleType).as("__ix"))
+      .groupBy("a", "b").agg(count(lit(1)).as("__ix"))
       .join(sizes(shA, "a", "__na"), "a")
       .join(sizes(shB, "b", "__nb"), "b")
+      .where(col("__ix") * lit(tNum + tDen) >=
+        lit(tNum) * (col("__na") + col("__nb")))
       .select(col("a"), col("b"),
-        (col("__ix") / (col("__na") + col("__nb") - col("__ix")))
-          .as("j"))
-      .where(col("j") >= threshold)
+        (col("__ix").cast(DoubleType) /
+          (col("__na") + col("__nb") - col("__ix"))).as("j"))
   }
 
   private def ppjoinRational(threshold: Double): (Long, Long) = {

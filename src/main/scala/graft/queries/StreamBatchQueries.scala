@@ -177,13 +177,16 @@ object StreamBatchQueries {
     // QS30: the LEFT-OUTER face of the stream-stream interval join —
     // every view, with its within-1h purchases or NULL if none ever
     // arrives — through the real multi-batch runner (time-ordered file
-    // slices + one far-future watermark-advancing sentinel slice so
-    // the trailing windows' unmatched views actually flush; see
-    // Streams.viewPurchaseLeftJoin). The sentinel's type matches
-    // neither branch filter, so it contaminates nothing — the output
-    // hash-gates against the batch LEFT JOIN the oracle runs on the
-    // clean table. Ordering pins nulls identically in both engines
-    // via COALESCE(buy_id, -1).
+    // slices + far-future heartbeat slices so the trailing windows'
+    // unmatched views actually flush; see
+    // Streams.viewPurchaseLeftJoin). The heartbeats are REAL
+    // 'view'/'purchase' rows (Catalyst pushes the type filters below
+    // EventTimeWatermark, so a neutral type would be filtered before
+    // it could advance anything) carrying user_id = -1; the sink's
+    // user_id >= 0 filter drops them, so the output hash-gates
+    // against the batch LEFT JOIN the oracle runs on the clean
+    // table. Ordering pins nulls identically in both engines via
+    // COALESCE(buy_id, -1).
     Q("qs30_stream_left_join",
       """SELECT v.user_id AS user_id, v.event_id AS view_id,
         |       p.event_id AS buy_id

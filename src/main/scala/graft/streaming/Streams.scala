@@ -139,7 +139,12 @@ object Streams {
       .zipWithIndex.foreach { case (f, i) =>
         f.setLastModified(1700000000000L + i * 60000L)
       }
-    val maxTsU = ev.agg(max(expr("unix_micros(ts)"))).head.getLong(0)
+    // empty/all-null-ts input would otherwise NPE on getLong with an
+    // opaque error (the cusumAnomalies isNullAt discipline)
+    val maxRow = ev.agg(max(expr("unix_micros(ts)"))).head
+    require(!maxRow.isNullAt(0),
+      "runViewPurchaseLeftJoinStream: input has no non-null ts rows")
+    val maxTsU = maxRow.getLong(0)
     val sentDir = in.resolve("__heartbeats")
     val hbs = Seq(("view", 10L), ("purchase", 12L),
       ("view", 20L), ("purchase", 22L))
