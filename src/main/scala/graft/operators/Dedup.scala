@@ -673,6 +673,89 @@ object Dedup {
       .select(col("x.__id").as("a"), col("y.__id").as("b"))
       .distinct()
 
+  /** Evolving frozen-order prefix index for STREAMING AllPairs/PPJoin
+    * (qs32) — the xd20 incremental join as a maintained store. The df
+    * order is FROZEN from the initial corpus (delta-only shingles rank
+    * as df = 0, the [[allPairsJaccardAgainst]] contract: staleness
+    * tunes pruning power, never correctness), so appending a batch is
+    * one prefix derivation under the frozen order — no global
+    * re-ranking, ever. State per document: its prefix rows
+    * (n − ⌈t·n⌉ + 1 of them) plus its shingle array for exact verify —
+    * both linear in corpus size, appended incrementally and
+    * LSM-compacted like the qs19 chunk store.
+    */
+  final case class PrefixIndex private[operators] (
+      dfreq: DataFrame, pref: DataFrame, sh: DataFrame,
+      tNum: Long, tDen: Long, shingleN: Int)
+
+  def prepareAllPairsIndex(corpus: DataFrame, idCol: String,
+      textCol: String, threshold: Double, shingleN: Int = 3)
+      : PrefixIndex = {
+    val (tNum, tDen) = ppjoinRational(threshold)
+    val shC = corpus.select(col(idCol).as("__id"),
+      TextFns.wordShingles(col(textCol), shingleN).as("__sh"))
+      .localCheckpoint(true)
+    val exC = shC.select(col("__id"), explode(col("__sh")).as("__s"))
+    val dfreq = exC.groupBy("__s").agg(count(lit(1)).as("__df"))
+      .localCheckpoint(true)
+    val pref = ppjoinPrefixes(exC, dfreq, tNum, tDen)
+      .localCheckpoint(true)
+    PrefixIndex(dfreq, pref, shC, tNum, tDen, shingleN)
+  }
+
+  final case class AllPairsIngest(result: DataFrame,
+      appended: DataFrame, next: PrefixIndex)
+
+  /** One ingested batch of the AllPairs stream: all pairs (a, b) with
+    * J ≥ t, b in THIS batch, and a.__id < b.__id over corpus ∪
+    * deltas-so-far ∪ batch — so under the monotone doc_id-arrival
+    * contract the union of per-batch outputs equals the brute-force
+    * all-pairs answer restricted to pairs whose LARGER id is a delta
+    * doc (later deltas pair against earlier deltas too — the evolving
+    * story, strictly more than xd20's static corpus-vs-delta join).
+    * Exactness: the prefix theorem needs one consistent total order
+    * over the shingle universe; every side ranks under the index's
+    * frozen (corpus-df asc, shingle asc) order, so prefix + length +
+    * positional pruning stays lossless across batches. `appended` is
+    * the batch's (__id, __sh) rows — the durable unit: prefixes are
+    * deterministic under the frozen order, so a restart replays them
+    * through [[appendShinglesToIndex]] into an equivalent store.
+    */
+  def allPairsIngest(batch: DataFrame, ix: PrefixIndex,
+      idCol: String, textCol: String): AllPairsIngest = {
+    val shB = batch.select(col(idCol).as("__id"),
+      TextFns.wordShingles(col(textCol), ix.shingleN).as("__sh"))
+      .localCheckpoint(true)
+    val exB = shB.select(col("__id"), explode(col("__sh")).as("__s"))
+    val prefB = ppjoinPrefixes(exB, ix.dfreq, ix.tNum, ix.tDen)
+      .localCheckpoint(true)
+    val prefAll = ix.pref.unionByName(prefB)
+    val cand = ppjoinCandidateJoin(prefAll, prefB, ix.tNum, ix.tDen,
+      extraCond = col("x.__id") < col("y.__id"))
+    val shAll = ix.sh.unionByName(shB)
+    val result = ppjoinVerify(cand, shAll, shB, ix.tNum, ix.tDen)
+    AllPairsIngest(result, shB,
+      ix.copy(pref = prefAll, sh = shAll))
+  }
+
+  /** Replay durable store deltas (crash recovery): prefixes re-derive
+    * deterministically from the replayed shingle arrays under the
+    * frozen order, so the rebuilt index equals the crashed run's.
+    */
+  def appendShinglesToIndex(ix: PrefixIndex,
+      appended: DataFrame): PrefixIndex = {
+    val sh = appended.select(col("__id"), col("__sh"))
+    val ex = sh.select(col("__id"), explode(col("__sh")).as("__s"))
+    val pref = ppjoinPrefixes(ex, ix.dfreq, ix.tNum, ix.tDen)
+    ix.copy(pref = ix.pref.unionByName(pref),
+      sh = ix.sh.unionByName(sh))
+  }
+
+  /** LSM-style rewrite — the [[compactGramStore]] contract. */
+  def compactAllPairsIndex(ix: PrefixIndex): PrefixIndex =
+    ix.copy(pref = ix.pref.localCheckpoint(true),
+      sh = ix.sh.localCheckpoint(true))
+
   /** Embedding near-dup pairs with cosine ≥ threshold — EXACT pairwise
     * join. Exact cosine self-join is inherently O(n²) compute (no
     * blocking scheme is simultaneously exact and subquadratic on

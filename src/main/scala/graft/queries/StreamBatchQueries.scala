@@ -495,6 +495,33 @@ object StreamBatchQueries {
         bounds = Seq(450L))
     },
 
+    // qs32: streaming AllPairs/PPJoin (the xd20 stream face — the
+    // prefix-filter dedup family's entry in the qs matrix): the <250
+    // corpus freezes the df order and seeds the prefix index, docs
+    // >= 250 ingest in doc_id-ordered chunks, each batch pairing
+    // against corpus ∪ earlier deltas ∪ itself — so the union equals
+    // brute-force all-pairs restricted to pairs whose LARGER id is a
+    // delta doc. The oracle is xd20's jaccardOracleSql text with only
+    // the pair restriction widened to the evolving contract (x < y
+    // instead of x < 250): the hash match proves the frozen-order
+    // prefix pruning loses nothing ACROSS batches, delta-delta pairs
+    // included. The real file-stream runner
+    // (Streams.runAllPairsStream: durable shingle deltas, LSM
+    // compaction, restart identity) is StreamingSpec-gated against
+    // this chunked twin.
+    Q("qs32_stream_allpairs",
+      DedupQueries.jaccardOracleSql(0.5,
+        pairCond = "x.doc_id < y.doc_id AND y.doc_id >= 250")) {
+      (s, d) =>
+        val docs = t(s, d, "documents")
+        graft.streaming.Streams.allPairsChunked(
+            docs.where(col("doc_id") >= 250),
+            docs.where(col("doc_id") < 250),
+            bounds = Seq(400L), threshold = 0.5)
+          .select(col("a"), col("b"), round(col("j"), 4).as("j"))
+          .orderBy("a", "b")
+    },
+
     // qs20: streaming C4 cleaning (the xt26 stream face, on the qs19
     // skeleton): the <400 corpus seeds the first-occurrence LINE
     // store, docs >= 400 clean in doc_id-ordered chunks; page rules

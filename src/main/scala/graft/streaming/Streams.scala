@@ -724,6 +724,83 @@ object Streams {
     parts.reduce(_.unionAll(_)).orderBy("doc_id")
   }
 
+  /** Run the QS32 stream: delta document files → per-micro-batch
+    * AllPairs/PPJoin set-similarity join against the evolving
+    * frozen-order prefix index → parquet sink. The streaming face of
+    * xd20 with the qs19 structural pieces: durable per-batch store
+    * deltas (`outDir/store/batch=<id>` holds the batch's shingle
+    * arrays, idempotent overwrite; a restart replays them through
+    * [[graft.operators.Dedup.appendShinglesToIndex]] — prefixes
+    * re-derive deterministically under the frozen df order), LSM
+    * compaction every `compactEvery` batches, and the monotone
+    * doc_id-arrival contract that makes any chunking equal the
+    * brute-force all-pairs answer restricted to pairs whose larger id
+    * is a delta doc. The df order freezes at `prepare` and never
+    * moves mid-stream (an [[graft.operators.Dedup.allPairsJaccardAgainst]]
+    * exactness property, not an approximation: staleness only tunes
+    * pruning power) — THE property that makes a prefix index
+    * maintainable on a 100 TB stream without global re-ranking.
+    */
+  def runAllPairsStream(spark: SparkSession, deltaDir: String,
+      corpus: DataFrame, threshold: Double, outDir: String,
+      compactEvery: Int = 4): Unit = {
+    import graft.operators.Dedup
+    val sc = spark.sparkContext
+    val pre = sc.getPersistentRDDs.keySet
+    var ix = Dedup.prepareAllPairsIndex(corpus, "doc_id", "text",
+      threshold)
+    val storeDir = new org.apache.hadoop.fs.Path(s"$outDir/store")
+    val fs = storeDir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(storeDir) && fs.listStatus(storeDir).nonEmpty)
+      ix = Dedup.appendShinglesToIndex(ix,
+        spark.read.parquet(s"$outDir/store/batch=*"))
+    var owned = sc.getPersistentRDDs.keySet -- pre
+    var batches = 0
+    docStream(spark, deltaDir, outDir) { (batch, batchId) =>
+      val before = sc.getPersistentRDDs.keySet
+      val ing = Dedup.allPairsIngest(batch, ix, "doc_id", "text")
+      ing.appended.write.mode("overwrite")
+        .parquet(s"$outDir/store/batch=$batchId")
+      ing.result.write.mode("overwrite")
+        .parquet(s"$outDir/batch=$batchId")
+      ix = ing.next
+      owned ++= sc.getPersistentRDDs.keySet -- before
+      batches += 1
+      if (batches % compactEvery == 0) {
+        val preCompact = sc.getPersistentRDDs.keySet
+        ix = Dedup.compactAllPairsIndex(ix)
+        val kept = sc.getPersistentRDDs.keySet -- preCompact
+        sc.getPersistentRDDs
+          .filter { case (id, _) => owned(id) && !kept(id) }
+          .values.foreach(_.unpersist(blocking = false))
+        owned = kept
+      }
+    }
+  }
+
+  /** Batch-shape QS32 harness (the oracle entry): ingest `newDocs`
+    * through the evolving prefix index in doc_id-ordered chunks split
+    * at `bounds` — union of per-chunk pair outputs == brute-force
+    * all-pairs Jaccard over corpus ∪ newDocs restricted to pairs
+    * whose larger id is a newDocs doc (each batch pairs against
+    * corpus, earlier deltas, AND itself).
+    */
+  def allPairsChunked(newDocs: DataFrame, corpus: DataFrame,
+      bounds: Seq[Long], threshold: Double): DataFrame = {
+    import graft.operators.Dedup
+    var ix = Dedup.prepareAllPairsIndex(corpus, "doc_id", "text",
+      threshold)
+    val edges = (Long.MinValue +: bounds.sorted) :+ Long.MaxValue
+    val parts = edges.sliding(2).map { case Seq(lo, hi) =>
+      val ing = Dedup.allPairsIngest(
+        newDocs.where(col("doc_id") >= lo && col("doc_id") < hi),
+        ix, "doc_id", "text")
+      ix = ing.next
+      ing.result
+    }.toSeq
+    parts.reduce(_.unionAll(_)).orderBy("a", "b")
+  }
+
   /** Batch-shape QS20 harness (the oracle entry): C4-clean `newDocs`
     * through the evolving first-occurrence line store in
     * doc_id-ordered chunks — union of per-chunk outputs == one-shot

@@ -604,6 +604,58 @@ class StreamingSpec extends SparkSpec {
     assert(rows(spark.read.parquet(s"$outDir/batch=*")) == oneShot)
   }
 
+  test("QS32 AllPairs stream face: any chunking == one-shot xd19 " +
+      "restricted to delta-max pairs, and the real runner restarts " +
+      "from the durable shingle appends") {
+    val docs = graft.queries.T.t(spark, sf0001, "documents")
+    val delta = docs.where(col("doc_id") >= 250)
+    val corpus = docs.where(col("doc_id") < 250).cache()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    // one-shot = the xd19 exact full-space join over the WHOLE corpus
+    // (global df order) restricted to pairs whose larger id is a
+    // delta doc — the frozen-order chunked store must reproduce it
+    // exactly, because both are exact regardless of ranking order
+    val oneShot = rows(graft.operators.Dedup.allPairsJaccard(
+        docs, "doc_id", "text", threshold = 0.5)
+      .where(col("b") >= 250))
+    val one = rows(Streams.allPairsChunked(delta, corpus, Seq.empty,
+      threshold = 0.5))
+    val three = rows(Streams.allPairsChunked(delta, corpus,
+      Seq(350L, 430L), threshold = 0.5))
+    assert(one == oneShot && three == oneShot)
+    // the gate proves nothing unless all three pair classes occur:
+    // corpus×delta (the xd20 join), delta×delta WITHIN a chunk, and
+    // delta×delta ACROSS chunks (the evolving-store property)
+    assert(oneShot.exists(_._1 < 250), "no corpus-delta pairs")
+    assert(oneShot.exists(p => p._1 >= 250), "no delta-delta pairs")
+    assert(oneShot.exists(p => p._1 >= 250 &&
+      ((p._1 < 350 && p._2 >= 350) || (p._1 < 430 && p._2 >= 430))),
+      "no delta-delta pairs across the chunk bounds")
+    // real file-stream runner across a mid-stream "crash": run 1 sees
+    // only slice 1; the restart replays outDir/store/batch=0 through
+    // appendShinglesToIndex (prefixes re-derive under the frozen df
+    // order) and must finish identically
+    val base = java.nio.file.Files.createTempDirectory("qs32")
+    val deltaDir = base.resolve("delta").toString
+    val outDir = base.resolve("out").toString
+    delta.where(col("doc_id") < 350).coalesce(1)
+      .write.mode("append").parquet(deltaDir)
+    Streams.runAllPairsStream(spark, deltaDir, corpus, 0.5, outDir,
+      compactEvery = 2)
+    Thread.sleep(20)
+    delta.where(col("doc_id") >= 350 && col("doc_id") < 430).coalesce(1)
+      .write.mode("append").parquet(deltaDir)
+    Thread.sleep(20)
+    delta.where(col("doc_id") >= 430).coalesce(1)
+      .write.mode("append").parquet(deltaDir)
+    Streams.runAllPairsStream(spark, deltaDir, corpus, 0.5, outDir,
+      compactEvery = 2)
+    corpus.unpersist()
+    assert(rows(spark.read.parquet(s"$outDir/batch=*")) == oneShot)
+  }
+
   test("QS20 C4 stream face: any chunking == one-shot xt26, and the " +
       "real runner restarts from the durable line-store appends") {
     val docs = graft.queries.T.t(spark, sf0001, "documents")
