@@ -508,6 +508,123 @@ object Similarity {
     rankTopK(sym, k)
   }
 
+  /** Exact M-NN graph over the whole corpus — the xs15b construction
+    * path: all-pairs cosine through the xd6 tiled-cartesian shape
+    * (`shuffle_replicate_nl`, tiles² evenly-sized spillable tasks, no
+    * corpus-sized broadcast) ranked by the bounded [[TopK.topKPairs]]
+    * aggregate (≤ k edges per node cross the shuffle). Output:
+    * (qid = source, id = neighbor, sim, rank) — the [[knnGraph]]
+    * schema with no threshold and no recall parameter.
+    *
+    * Exact all-pairs is inherently O(n²) (the [[graft.operators.Dedup
+    * .embeddingNearDups]] argument): this is the small-corpus /
+    * gated-entry construction. At 100 TB, build the edge list with a
+    * blocked method instead — [[knnGraph]] (LSH-thresholded) or
+    * IVF-seeded neighbor expansion — and feed it to the SAME
+    * [[beamSearchTopK]] traversal, which is construction-agnostic.
+    */
+  def knnGraphExact(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, tiles: Int = 8): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      TextFns.l2norm(col(vecCol)).as("n")).repartition(tiles)
+    rankTopK(
+      e.as("x").hint("shuffle_replicate_nl")
+        .join(e.as("y").hint("shuffle_replicate_nl"),
+          col("x.id") =!= col("y.id"))
+        .select(col("x.id").as("qid"), col("y.id").as("id"),
+          (TextFns.dot(col("x.v"), col("y.v")) /
+            (col("x.n") * col("y.n"))).as("sim")),
+      k)
+  }
+
+  /** Round-synchronous beam search over a prebuilt kNN graph — the
+    * graph-traversal ANN family (the NSW/HNSW shape: Malkov &
+    * Yashunin, TPAMI'18) beside the quantizer suite (IVF/PQ/BQ/SQ8).
+    * Greedy sequential HNSW is visit-order-sensitive and ungateable;
+    * this is its deterministic batch form: per query, a beam of the
+    * `ef` best visited nodes (sim DESC, id ASC — [[TopK.topKPairs]]'
+    * exact order) expands ALL its graph neighbors each round, new
+    * nodes score against the query, and the beam re-forms — repeat
+    * `rounds` times or until no unvisited neighbor remains. Set
+    * semantics per round make the result independent of task order
+    * and SQL-replayable by unrolled CTEs (the xs15b twin).
+    *
+    * Scale shape: state per query is the visited set — bounded by
+    * entries + rounds·ef·maxdeg, CORPUS-INDEPENDENT (the SCALE_r16
+    * touched-node law; brute force pays |corpus| per query). Each
+    * round is one bounded top-ef aggregate, one edge equi-join, one
+    * anti-join, one narrow sim map — queries ride one shuffle key
+    * (qid / node id), never a cartesian. localCheckpoint + freshStats
+    * at the loop boundary (the xd18/xg10 discipline) keep lineage and
+    * planner stats O(1) per round.
+    *
+    * `entryIds` are pinned (lowest corpus ids by convention): a fixed
+    * navigation start is what makes two runs — and the SQL replay —
+    * traverse identically.
+    */
+  def beamSearchVisited(corpus: DataFrame, queries: DataFrame,
+      edges: DataFrame, idCol: String, vecCol: String,
+      entryIds: Seq[Long], ef: Int, rounds: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      TextFns.l2norm(col(vecCol)).as("nv")).localCheckpoint(true)
+    val q = broadcast(queries.select(col(idCol).as("qid"),
+      col(vecCol).as("qv"), TextFns.l2norm(col(vecCol)).as("nq"))
+      .localCheckpoint(true))
+    val e = edges.select(col("qid").as("id"), col("id").as("nb"))
+      .localCheckpoint(true)
+    // (qid, id) → (qid, id, sim): corpus equi-join + broadcast query
+    // join + one narrow arithmetic map — the only sim computation in
+    // the traversal, shared by seed and every frontier
+    def scored(nodes: DataFrame): DataFrame =
+      nodes.join(c, "id").join(q, "qid")
+        .select(col("qid"), col("id"),
+          (TextFns.dot(col("v"), col("qv")) / (col("nv") * col("nq")))
+            .as("sim"))
+    var visited = scored(
+      q.select(col("qid")).crossJoin(
+        c.where(col("id").isin(entryIds: _*)).select(col("id"))))
+      .localCheckpoint(true)
+    var r = 0
+    var grew = true
+    while (r < rounds && grew) {
+      val beam = visited.groupBy("qid")
+        .agg(TopK.topKPairs(col("sim"), col("id"), ef).as("top"))
+        .select(col("qid"), explode(col("top")).as("t"))
+        .select(col("qid"), col("t.id").as("id"))
+      val frontier = beam.join(e, "id")
+        .select(col("qid"), col("nb").as("id")).distinct()
+        .join(visited.select("qid", "id"), Seq("qid", "id"),
+          "left_anti")
+      val fs = scored(frontier).localCheckpoint(true)
+      grew = fs.limit(1).count() > 0
+      if (grew)
+        visited = org.apache.spark.sql.graftbridge.Bridge.freshStats(
+          visited.unionAll(fs).localCheckpoint(true))
+      r += 1
+    }
+    visited
+  }
+
+  /** Top-k results of [[beamSearchVisited]], self-matches excluded —
+    * the [[bruteForceTopK]] output contract (qid, id, sim, rank) so
+    * the recall gate compares like with like.
+    */
+  def beamSearchTopK(corpus: DataFrame, queries: DataFrame,
+      edges: DataFrame, idCol: String, vecCol: String,
+      entryIds: Seq[Long], ef: Int, rounds: Int, k: Int): DataFrame =
+    rankVisitedTopK(
+      beamSearchVisited(corpus, queries, edges, idCol, vecCol,
+        entryIds, ef, rounds),
+      k)
+
+  /** Rank a [[beamSearchVisited]] frame without re-traversing — the
+    * SCALE harness measures the visited set and the result from ONE
+    * traversal.
+    */
+  private[graft] def rankVisitedTopK(visited: DataFrame,
+      k: Int): DataFrame =
+    rankTopK(visited.where(col("id") =!= col("qid")), k)
+
   /** Johnson–Lindenstrauss random projection d→k over an embedding
     * column ([[RandomProjection]]): replaces `vecCol` with the k-dim
     * projection. A narrow per-row map (zero shuffle at any corpus

@@ -531,8 +531,125 @@ object SimilarityQueries {
         .select(col("qid"), col("step"), col("id"),
           r4(col("sim")).as("sim"), r4(col("score")).as("score"))
         .orderBy("qid", "step")
+    },
+
+    // xs15: graph-traversal ANN (the NSW/HNSW family — the production
+    // default of most vector stores, completing the ANN matrix beside
+    // the quantizer suite IVF/PQ/BQ/SQ8/IVFPQ): round-synchronous
+    // beam search from 8 pinned entry points over the exact 10-NN
+    // graph of the planted corpus, ef=24, ≤10 rounds. Approximate by
+    // design → rows-only here; recall ≥0.9 vs bruteForceTopK is
+    // OperatorsSpec-gated (the xs2 discipline), the traversal itself
+    // hash-gates through the pinned twin xs15b (the xs2b discipline),
+    // and SCALE_r16 carries the touched-node law (visited set bounded
+    // by entries + rounds·ef·deg, corpus-independent — brute force
+    // pays |corpus| per query).
+    Q.noOracle("xs15_ann_beam") { (s, d) =>
+      val corpus = DedupQueries
+        .plantedEmbeddingCorpus(t(s, d, "embeddings"))
+        .localCheckpoint(true)
+      val graph = Similarity.knnGraphExact(corpus, "id", "v", k = 10)
+      Similarity.beamSearchTopK(corpus, corpus.where(col("id") < 10),
+          graph, "id", "v", entryIds = 0L to 7L, ef = 24, rounds = 10,
+          k = 3)
+        .select(col("qid"), col("rank"), col("id"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("qid", "rank")
+    },
+
+    // Hash-gated beam-search twin (xs15b): the SAME knnGraphExact +
+    // beamSearchTopK machinery with every knob pinned small enough
+    // for full SQL replay — deg=6 graph, 4 entry points, ef=8, 6
+    // UNROLLED rounds (the traversal is round-synchronous with set
+    // semantics, so a fixed unrolling replays it exactly; Spark's
+    // early exit on an empty frontier only skips no-op rounds). The
+    // oracle re-derives the entire chain: all-pairs cosine →
+    // (sim DESC, id) rank ≤ deg edges → per-round top-ef beam →
+    // neighbor expansion minus visited → final top-k excluding self.
+    // The hash match proves the distributed traversal — bounded
+    // top-ef aggregate, edge equi-join, anti-join, fresh sims —
+    // visits EXACTLY the nodes the sequential definition visits, in
+    // every round, for every query.
+    Q("xs15b_ann_beam_pinned",
+      beamOracleSql(deg = 6, nEntries = 4, ef = 8, rounds = 6,
+        nQ = 5, k = 3)) { (s, d) =>
+      val corpus = DedupQueries
+        .plantedEmbeddingCorpus(t(s, d, "embeddings"))
+        .localCheckpoint(true)
+      val graph = Similarity.knnGraphExact(corpus, "id", "v", k = 6)
+      Similarity.beamSearchTopK(corpus, corpus.where(col("id") < 5),
+          graph, "id", "v", entryIds = 0L to 3L, ef = 8, rounds = 6,
+          k = 3)
+        .select(col("qid"), col("rank"), col("id"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("qid", "rank")
     }
   )
+
+  /** The xs15b beam-search replay: planted corpus → exact deg-NN
+    * graph (all-pairs cosine, ROW_NUMBER (sim DESC, id) ≤ deg — the
+    * xs9 edge discipline with no threshold) → `rounds` UNROLLED
+    * beam/frontier/visited CTE triples → top-k of the final visited
+    * set excluding the query node. Every selection (beam top-ef,
+    * final top-k, edge rank) orders by raw-double sim DESC then id —
+    * [[graft.operators.TopK.TopKPairs]]' exact comparator, boundary
+    * ties included. MATERIALIZED is load-bearing: the visited chain
+    * references each v_r three times, and inlining would re-evaluate
+    * the whole prefix exponentially.
+    */
+  private[queries] def beamOracleSql(deg: Int, nEntries: Int, ef: Int,
+      rounds: Int, nQ: Int, k: Int): String = {
+    val roundCtes = (0 until rounds).map { r =>
+      s"""b$r AS MATERIALIZED (
+         |  SELECT qid, id FROM (
+         |    SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, id) AS rn FROM v$r) WHERE rn <= $ef
+         |), f$r AS MATERIALIZED (
+         |  SELECT DISTINCT b.qid, e.nb AS id
+         |  FROM b$r b JOIN edges e ON e.id = b.id
+         |  WHERE NOT EXISTS (SELECT 1 FROM v$r v
+         |    WHERE v.qid = b.qid AND v.id = e.nb)
+         |), v${r + 1} AS MATERIALIZED (
+         |  SELECT * FROM v$r UNION ALL
+         |  SELECT s.qid, s.id, s.sim FROM qsim s
+         |  JOIN f$r USING (qid, id)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), corpus AS (
+       |  SELECT vec_id AS id, v FROM base
+       |  UNION ALL
+       |  SELECT vec_id + 100000 AS id,
+       |         LIST_TRANSFORM(v, x -> x + 0.05) AS v FROM base
+       |), nrm AS MATERIALIZED (
+       |  SELECT id, v, SQRT(LIST_INNER_PRODUCT(v, v)) AS n FROM corpus
+       |), edges AS MATERIALIZED (
+       |  SELECT id, nb FROM (
+       |    SELECT x.id AS id, y.id AS nb, ROW_NUMBER() OVER (
+       |      PARTITION BY x.id
+       |      ORDER BY LIST_INNER_PRODUCT(x.v, y.v) / (x.n * y.n) DESC,
+       |        y.id) AS rn
+       |    FROM nrm x JOIN nrm y ON x.id <> y.id
+       |  ) WHERE rn <= $deg
+       |), q AS (
+       |  SELECT id AS qid, v AS qv, n AS nq FROM nrm WHERE id < $nQ
+       |), qsim AS MATERIALIZED (
+       |  SELECT q.qid, c.id,
+       |    LIST_INNER_PRODUCT(c.v, q.qv) / (c.n * q.nq) AS sim
+       |  FROM nrm c, q
+       |), v0 AS MATERIALIZED (
+       |  SELECT qid, id, sim FROM qsim
+       |  WHERE id IN (${(0 until nEntries).mkString(", ")})
+       |),
+       |$roundCtes
+       |SELECT qid, CAST(rn AS INT) AS rank, id, ROUND(sim, 4) AS sim
+       |FROM (
+       |  SELECT qid, id, sim, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY sim DESC, id) AS rn
+       |  FROM v$rounds WHERE id <> qid
+       |) WHERE rn <= $k ORDER BY qid, rank""".stripMargin
+  }
 
   /** One unrolled MMR greedy step (see [[Similarity.mmrRerank]]):
     * remaining candidates score λ·sim − μ·max(pair-sim to selected)

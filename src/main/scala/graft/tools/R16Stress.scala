@@ -1,0 +1,157 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Round-16 scale harness: the xs15 graph-ANN touched-node law.
+  *
+  * Beam search's 100 TB claim is that per-query work is bounded by the
+  * traversal parameters (entries + rounds·ef·deg sims), NOT by corpus
+  * size — brute force pays |corpus| sims per query. The leg measures
+  * exactly that counter: the same traversal (8 entries, ef=24, ≤10
+  * rounds, deg-10 exact graph) over a corpus and its 2× extension,
+  * grading
+  *
+  *  - touched-node ratio ≪ the 2.0 corpus ratio (the visited set is
+  *    parameter-bounded, so doubling the corpus must NOT double it);
+  *  - recall ≥ 0.9 vs brute force AT BOTH SIZES (a traversal that
+  *    stays cheap by not finding anything would pass the counter);
+  *  - graph degree exactly k at both sizes (the construction is the
+  *    n² piece — gated entries pay it on small corpora, production
+  *    builds edges with blocked methods; the traversal is what this
+  *    harness scales).
+  *
+  * Corpus: the real sf0.1 embeddings extended by norm-preserving
+  * deterministic transforms (reverse / negate / both) — fresh
+  * geometry, no artificial near-dups, reproducible bit-for-bit.
+  * Wall/cpu are informational (host-era noise); the graded numbers
+  * are the deterministic counters. Writes `SCALE_r16.json`.
+  */
+object R16Stress {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Any]()
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskMetrics != null)
+            cpuNs.addAndGet(e.taskMetrics.executorCpuTime)
+      })
+    def timed[A](body: => A): (A, Double, Double) = {
+      Thread.sleep(50)
+      val c0 = cpuNs.get; val t0 = System.nanoTime()
+      val a = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(50)
+      (a, sec, (cpuNs.get - c0) / 1e9)
+    }
+    def dropPersisted(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+
+    // replica r: norm-preserving transform (reverse / negate /
+    // reverse+negate) with disjoint id spaces — fresh geometry per
+    // replica, no planted near-dups, fully deterministic
+    def corpusOf(replicas: Int): DataFrame =
+      (0 until replicas).map { r =>
+        val t0 = if (r % 2 == 1) reverse(col("v")) else col("v")
+        val t1 = if (r / 2 % 2 == 1)
+          transform(t0, x => -x) else t0
+        base.select((col("vec_id") + r * 1000000L).as("id"),
+          t1.as("v"))
+      }.reduce(_.unionAll(_)).localCheckpoint(true)
+
+    case class Leg(n: Long, edges: Long, touchedMean: Double,
+      touchedMax: Long, recall: Double, graphSec: Double,
+      searchSec: Double, searchCpu: Double)
+
+    val Deg = 10; val Ef = 24; val Rounds = 10; val K = 3
+    val entries = 0L to 7L
+
+    def leg(replicas: Int): Leg = {
+      val corpus = corpusOf(replicas)
+      val n = corpus.count()
+      val queries = corpus.where(col("id") < 10).localCheckpoint(true)
+      val (graph, gSec, _) = timed {
+        val g = graft.operators.Similarity
+          .knnGraphExact(corpus, "id", "v", k = Deg)
+          .localCheckpoint(true)
+        g.queryExecution.toRdd.count(); g
+      }
+      val edges = graph.count()
+      val (visited, sSec, sCpu) = timed {
+        val vis = graft.operators.Similarity.beamSearchVisited(
+          corpus, queries, graph, "id", "v", entries, Ef, Rounds)
+        vis.queryExecution.toRdd.count(); vis
+      }
+      val touched = visited.groupBy("qid").count()
+        .agg(avg("count"), max("count")).head
+      val beamTop = graft.operators.Similarity.rankVisitedTopK(
+          visited, K)
+        .select("qid", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val bf = graft.operators.Similarity.bruteForceTopK(
+          corpus, queries, "id", "v", K)
+        .select("qid", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (bf & beamTop).size.toDouble / bf.size
+      dropPersisted()
+      println(f"[xs15] n=$n%-6d edges=$edges touched_mean=" +
+        f"${touched.getDouble(0)}%.0f max=${touched.getLong(1)} " +
+        f"recall=$recall%.3f graph=$gSec%.1fs search=$sSec%.1fs")
+      Leg(n, edges, touched.getDouble(0), touched.getLong(1), recall,
+        gSec, sSec, sCpu)
+    }
+
+    val l1 = leg(2)
+    val l2 = leg(4)
+    for ((l, p) <- Seq(l1 -> "xs15_f2", l2 -> "xs15_f4")) {
+      results += s"${p}_n" -> l.n
+      results += s"${p}_graph_edges" -> l.edges
+      results += s"${p}_touched_mean" -> l.touchedMean
+      results += s"${p}_touched_max" -> l.touchedMax
+      results += s"${p}_touched_frac" -> (l.touchedMean / l.n)
+      results += s"${p}_recall" -> l.recall
+      results += s"${p}_graph_sec" -> l.graphSec
+      results += s"${p}_search_sec" -> l.searchSec
+      results += s"${p}_search_cpu_sec" -> l.searchCpu
+    }
+    val corpusRatio = l2.n.toDouble / l1.n
+    val touchedRatio = l2.touchedMean / l1.touchedMean
+    results += "xs15_corpus_ratio" -> corpusRatio
+    results += "xs15_touched_ratio" -> touchedRatio
+    results += "xs15_search_cpu_ratio_info" ->
+      (l2.searchCpu / l1.searchCpu)
+    require(l1.recall >= 0.9 && l2.recall >= 0.9,
+      f"xs15 recall dropped: f2=${l1.recall}%.3f f4=${l2.recall}%.3f")
+    require(touchedRatio < 0.75 * corpusRatio,
+      f"xs15 touched ratio $touchedRatio%.3f tracks the corpus ratio " +
+        f"$corpusRatio%.3f — the visited set is not parameter-bounded")
+
+    val payload = results
+      .map { case (k, v) => s""""$k":${StressUtil.jsonScalar(v)}""" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get("SCALE_r16.json"), payload + "\n")
+    println(payload)
+    spark.stop()
+  }
+}
