@@ -25,6 +25,22 @@ object TextFns {
   def wordShingles(text: Column, n: Int = 3): Column =
     graft.operators.HashFns.wordShingles(text, n)
 
+  /** Ordered NON-distinct word bigrams "a b" of lowercased text —
+    * counting semantics (every occurrence kept), unlike
+    * [[wordShingles]]' set semantics. The qs33 update-mode gate keys
+    * on these: the bigram vocabulary is sparse across document slices
+    * (unigrams all co-occur everywhere in the synthetic corpus, which
+    * would make update- and append-mode sinks indistinguishable).
+    */
+  def bigrams(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) >= 2,
+      zip_with(slice(t, lit(1), size(t) - 1),
+        slice(t, lit(2), size(t) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Exact Jaccard similarity of two pre-distinct string arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val ix = size(array_intersect(a, b)).cast(DoubleType)

@@ -694,6 +694,61 @@ object StreamBatchQueries {
         t(s, d, "documents"), bounds = Seq(150L, 400L))
     },
 
+    // qs33: the UPDATE-mode sink gate (§2.10's last sink-mode row —
+    // qs26/qs31 deliberately avoid update mode via strictly-increasing
+    // emissions): unwatermarked streaming BIGRAM count through a real
+    // update-mode foreachBatch sink over 5 pinned doc_id slices. The
+    // sink discipline itself is the gated data: final n = the key's
+    // LAST emitted count (== the batch count over the corpus) and
+    // n_updates = how many batches re-emitted the key (== the number
+    // of slices containing the bigram — an append-style sink inflates
+    // it, a final-only sink deflates it, only genuine update
+    // semantics produce it; bigram keys because the corpus's ~31
+    // unigrams co-occur in every slice, see Streams scaladoc). Oracle
+    // replays both from the pinned slice edges.
+    Q("qs33_stream_update_sink",
+      """WITH toks AS (
+        |  SELECT doc_id, GENERATE_SUBSCRIPTS(fw, 1) AS i,
+        |    UNNEST(fw) AS w
+        |  FROM (SELECT doc_id,
+        |          LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\s+'),
+        |                      t -> t <> '') AS fw
+        |        FROM documents)
+        |), tok AS (
+        |  SELECT a.doc_id, a.w || ' ' || b.w AS g
+        |  FROM toks a JOIN toks b
+        |    ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        |), ch AS (
+        |  SELECT g, CASE WHEN doc_id < 100 THEN 0
+        |    WHEN doc_id < 200 THEN 1 WHEN doc_id < 300 THEN 2
+        |    WHEN doc_id < 400 THEN 3 ELSE 4 END AS c
+        |  FROM tok
+        |), fin AS (SELECT g, COUNT(*) AS n FROM tok GROUP BY g),
+        |upd AS (SELECT g, COUNT(DISTINCT c) AS n_updates
+        |        FROM ch GROUP BY g)
+        |SELECT f.g, f.n, u.n_updates
+        |FROM fin f JOIN upd u USING (g)
+        |WHERE f.n >= 10 ORDER BY f.g""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val in = java.nio.file.Files.createTempDirectory("graft_qs33_in")
+      val out = java.nio.file.Files.createTempDirectory("graft_qs33_out")
+      try {
+        graft.streaming.Streams.runWordCountUpdateStream(s, docs,
+          in.toString, out.toString,
+          bounds = Seq(100L, 200L, 300L, 400L))
+      } finally {
+        // drop the slice copies eagerly (the qs4b hygiene); the sink
+        // stays for the caller's materialization
+        try {
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(in)
+          try walk.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+          finally walk.close()
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
+    },
+
     // Streaming exact quantiles (QS15, the xk13 stream face): per
     // l_orderkey-ordered chunk one rank-bounded quantile summary per
     // group, folded through the in-plan QuantileSketchMergeAgg (the

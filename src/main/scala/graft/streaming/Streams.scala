@@ -1186,6 +1186,85 @@ object Streams {
       .orderBy(desc("n"), col("g"))
   }
 
+  /** QS33: stateful streaming BIGRAM count through a GENUINE
+    * update-mode sink — the §2.10 sink-mode row the qs26/qs31 automata
+    * deliberately sidestep (their strictly-increasing emissions +
+    * max-rollup work in append mode). Here the unwatermarked
+    * `groupBy(g).count()` keeps every key's state forever and update
+    * mode emits, per micro-batch, EXACTLY the keys whose count changed
+    * — which for a counting aggregate means exactly the keys present
+    * in that batch's input. Keys are word BIGRAMS, not unigrams: the
+    * synthetic corpus's unigram vocabulary (~31 words) co-occurs in
+    * every slice, which would make update and append sinks emit
+    * identical key sets; the ~900-key bigram vocabulary is sparse
+    * across slices, so the modes are distinguishable in the data.
+    * `foreachBatch` lands each trigger's updated rows in
+    * `outDir/upd/batch=<id>` stamped with the batch id, so the sink
+    * discipline itself becomes data:
+    *
+    *  - final count per key = the row from the key's LAST update —
+    *    must equal the batch count over the whole corpus;
+    *  - `n_updates` per key = how many batches re-emitted it — must
+    *    equal the number of doc_id slices containing the token. An
+    *    append-style sink (emitting every key every batch) inflates
+    *    it; a complete-style final-only sink deflates it; only real
+    *    update semantics produce it.
+    *
+    * Both are SQL-replayable from the pinned slice bounds, so the
+    * qs33 oracle hash-gates the update contract end to end. Slices
+    * are written at fixed doc_id edges with ascending mod-times (the
+    * qs4b in-order-arrival stamping) and `maxFilesPerTrigger = 1`, so
+    * batch composition is deterministic. Stateful shuffle sized to
+    * state volume (the qs4 lesson); RocksDB state store — the
+    * off-heap configuration an unbounded-vocabulary stream needs.
+    */
+  def runWordCountUpdateStream(spark: SparkSession, docs: DataFrame,
+      inDir: String, outDir: String, bounds: Seq[Long],
+      minCount: Long = 10L): DataFrame = {
+    val in = java.nio.file.Paths.get(inDir)
+    java.nio.file.Files.createDirectories(in)
+    val edges = (Long.MinValue +: bounds.sorted) :+ Long.MaxValue
+    for ((Seq(lo, hi), i) <- edges.sliding(2).zipWithIndex) {
+      val sliceDir = in.resolve(s"__slice_$i")
+      docs.where(col("doc_id") >= lo && col("doc_id") < hi)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(sliceDir.toString)
+      val part = sliceDir.toFile.listFiles
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = in.resolve(f"slice_$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    withStatefulShufflePartitions(spark, 8) {
+      withRocksDBStateStore(spark) {
+        val stream = spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(inDir)
+        val counts = stream
+          .select(explode(graft.functions.TextFns.bigrams(col("text")))
+            .as("g"))
+          .groupBy("g").count()
+        val q = counts.writeStream.outputMode("update")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            batch.withColumn("__b", lit(batchId))
+              .write.mode("overwrite")
+              .parquet(s"$outDir/upd/batch=$batchId")
+            ()
+          }
+          .option("checkpointLocation", s"$outDir/_ck")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+    }
+    val upd = spark.read.parquet(s"$outDir/upd/batch=*")
+    upd.groupBy("g")
+      .agg(max_by(col("count"), col("__b")).as("n"),
+        count(lit(1)).as("n_updates"))
+      .where(col("n") >= minCount)
+      .orderBy("g")
+  }
+
   /** Run the QS15 stream FOR REAL (the chunked form is the
     * oracle-gated emulation): per micro-batch one rank-bounded
     * quantile summary per group persisted to `outDir/state/batch=<id>`

@@ -604,6 +604,59 @@ class StreamingSpec extends SparkSpec {
     assert(rows(spark.read.parquet(s"$outDir/batch=*")) == oneShot)
   }
 
+  test("QS33 update-mode sink: each batch emits exactly the changed " +
+      "keys (not appends, not complete snapshots), counts cumulative") {
+    val docs = graft.queries.T.t(spark, sf0001, "documents")
+    val base = java.nio.file.Files.createTempDirectory("qs33spec")
+    val bounds = Seq(100L, 200L, 300L, 400L)
+    val fin = Streams.runWordCountUpdateStream(spark, docs,
+      base.resolve("in").toString, base.resolve("out").toString,
+      bounds, minCount = 1L)
+    // final state == the batch bigram count over the whole corpus
+    val expected = docs.select(explode(
+        graft.functions.TextFns.bigrams(col("text"))).as("g"))
+      .groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = fin.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == expected.keySet)
+    assert(got.forall { case (g, (n, _)) => expected(g) == n })
+    // per-batch update files: batch b must emit EXACTLY the keys in
+    // slice b's input (update semantics: a counting aggregate changes
+    // iff the key appears), with CUMULATIVE counts
+    val edges = (Long.MinValue +: bounds) :+ Long.MaxValue
+    val slices = edges.sliding(2).toSeq
+    var running = Map.empty[String, Long]
+    for ((Seq(lo, hi), b) <- slices.zipWithIndex) {
+      val sliceCounts = docs
+        .where(col("doc_id") >= lo && col("doc_id") < hi)
+        .select(explode(
+          graft.functions.TextFns.bigrams(col("text"))).as("g"))
+        .groupBy("g").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      running = (running.keySet ++ sliceCounts.keySet).map { g =>
+        g -> (running.getOrElse(g, 0L) + sliceCounts.getOrElse(g, 0L))
+      }.toMap
+      val emitted = spark.read
+        .parquet(base.resolve(s"out/upd/batch=$b").toString)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(emitted.keySet == sliceCounts.keySet,
+        s"batch $b emitted ${emitted.size} keys, slice has " +
+          s"${sliceCounts.size} — not update semantics")
+      assert(emitted.forall { case (g, n) => running(g) == n },
+        s"batch $b emissions are not cumulative state")
+      // a genuine update batch (after the first) re-emits keys seen
+      // before AND is smaller than the full state — i.e. neither
+      // append-only nor a complete snapshot
+      if (b > 0) {
+        assert(emitted.keys.exists(g =>
+          running(g) > sliceCounts(g)), s"batch $b: no key updated")
+        assert(emitted.size < running.size,
+          s"batch $b re-emitted the whole state (complete, not update)")
+      }
+    }
+  }
+
   test("QS32 AllPairs stream face: any chunking == one-shot xd19 " +
       "restricted to delta-max pairs, and the real runner restarts " +
       "from the durable shingle appends") {
