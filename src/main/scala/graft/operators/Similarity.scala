@@ -527,15 +527,114 @@ object Similarity {
       k: Int, tiles: Int = 8): DataFrame = {
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       TextFns.l2norm(col(vecCol)).as("n")).repartition(tiles)
-    rankTopK(
-      e.as("x").hint("shuffle_replicate_nl")
-        .join(e.as("y").hint("shuffle_replicate_nl"),
-          col("x.id") =!= col("y.id"))
-        .select(col("x.id").as("qid"), col("y.id").as("id"),
-          (TextFns.dot(col("x.v"), col("y.v")) /
-            (col("x.n") * col("y.n"))).as("sim")),
-      k)
+    rankTopK(directedPairs(e, e), k)
   }
+
+  /** Directed cosine pairs x→y (qid = x.id, id = y.id, sim), self
+    * excluded — the xd6 tiled-cartesian shape shared by
+    * [[knnGraphExact]] and the [[KnnGraphStore]] ingest. Callers
+    * repartition the larger side into tiles.
+    */
+  private def directedPairs(x: DataFrame, y: DataFrame): DataFrame =
+    x.as("x").hint("shuffle_replicate_nl")
+      .join(y.as("y").hint("shuffle_replicate_nl"),
+        col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("qid"), col("y.id").as("id"),
+        (TextFns.dot(col("x.v"), col("y.v")) /
+          (col("x.n") * col("y.n"))).as("sim"))
+
+  /** Evolving EXACT kNN-graph store (qs34) — the vector-store
+    * ingestion path that keeps [[beamSearchTopK]]'s navigation
+    * structure fresh as vectors arrive. State per node: its current
+    * top-k candidate list (qid, id, sim) plus the vector itself.
+    * The fold is MERGEABLE AND ORDER-FREE: top-k(top-k(S₁) ∪ S₂) ==
+    * top-k(S₁ ∪ S₂) under [[TopK.TopKPairs]]' (sim DESC, id ASC)
+    * comparator, and every pair's sim is the same IEEE expression
+    * whenever it is computed — so ANY batching in ANY order equals
+    * the one-shot [[knnGraphExact]] over the full corpus, for every
+    * node's list (old nodes' lists absorb new arrivals exactly, not
+    * approximately). That is the qs21/qs22 order-free state class —
+    * stronger than the monotone-arrival contracts.
+    *
+    * Cost shape: ingesting batch B against a store of N vectors pays
+    * |B|·(N+|B|) sims — the xd20 delta-vs-corpus shape, never a
+    * store² rescan; amortized over the stream this totals the same
+    * n² the one-shot build pays, paid incrementally. Exact
+    * maintenance IS inherently all-pairs (the [[knnGraphExact]]
+    * argument); at 100 TB feed the same store LSH-blocked candidate
+    * pairs instead ([[knnGraph]]'s generator) — the fold and its
+    * exactness-given-candidates are unchanged.
+    */
+  final case class KnnGraphStore private[operators] (
+      vecs: DataFrame, top: DataFrame, k: Int, tiles: Int)
+
+  def prepareKnnGraphStore(corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, tiles: Int = 8): KnnGraphStore = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      TextFns.l2norm(col(vecCol)).as("n"))
+      .repartition(tiles).localCheckpoint(true)
+    val top = topFold(directedPairs(c, c), k).localCheckpoint(true)
+    KnnGraphStore(c, top, k, tiles)
+  }
+
+  /** The mergeable fold: ≤k candidates per node out of any mix of
+    * existing lists and fresh pairs.
+    */
+  private def topFold(pairs: DataFrame, k: Int): DataFrame =
+    pairs.groupBy("qid")
+      .agg(TopK.topKPairs(col("sim"), col("id"), k).as("top"))
+      .select(col("qid"), explode(col("top")).as("t"))
+      .select(col("qid"), col("t.id").as("id"), col("t.sim").as("sim"))
+
+  final case class KnnGraphIngest(appended: DataFrame,
+      next: KnnGraphStore)
+
+  /** Fold one vector batch into the store: new→all and old→new pairs
+    * merge with the existing lists through one bounded top-k
+    * aggregate. `appended` is the batch's (id, v, n) rows — the
+    * durable unit; the fold is order-free, so a restart re-ingests
+    * every committed batch as ONE batch ([[appendVectorsToStore]])
+    * and lands on the identical store.
+    */
+  def knnGraphIngest(batch: DataFrame, store: KnnGraphStore,
+      idCol: String, vecCol: String): KnnGraphIngest = {
+    val b = batch.select(col(idCol).as("id"), col(vecCol).as("v"),
+      TextFns.l2norm(col(vecCol)).as("n"))
+      .repartition(store.tiles).localCheckpoint(true)
+    val vecsAll = store.vecs.unionByName(b)
+    val fresh = directedPairs(b, vecsAll)
+      .unionByName(directedPairs(store.vecs, b))
+    val top = topFold(store.top.unionByName(fresh), store.k)
+      .localCheckpoint(true)
+    KnnGraphIngest(b, KnnGraphStore(vecsAll, top, store.k, store.tiles))
+  }
+
+  /** Crash recovery: the order-free fold makes one combined re-ingest
+    * of all durably appended vectors equal to the per-batch history.
+    */
+  def appendVectorsToStore(store: KnnGraphStore,
+      appended: DataFrame): KnnGraphStore =
+    knnGraphIngest(appended.select(col("id"), col("v")),
+      store, "id", "v").next
+
+  /** LSM-style rewrite — the [[graft.operators.Dedup.compactGramStore]]
+    * contract. BOTH frames re-checkpoint: the runner's
+    * unpersist-after-compaction bookkeeping releases every block not
+    * created BY the compaction, so a store that kept referencing its
+    * pre-compaction `top` checkpoint would read unpersisted blocks
+    * (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND — caught by the QS34 restart
+    * spec).
+    */
+  def compactKnnGraphStore(store: KnnGraphStore): KnnGraphStore =
+    store.copy(vecs = store.vecs.localCheckpoint(true),
+      top = store.top.localCheckpoint(true))
+
+  /** The store's edge lists in [[knnGraphExact]]'s output shape
+    * (qid, id, sim, rank) — equal to the one-shot graph over
+    * everything ingested.
+    */
+  def knnGraphFromStore(store: KnnGraphStore): DataFrame =
+    rankTopK(store.top, store.k)
 
   /** Round-synchronous beam search over a prebuilt kNN graph — the
     * graph-traversal ANN family (the NSW/HNSW shape: Malkov &

@@ -694,6 +694,45 @@ object StreamBatchQueries {
         t(s, d, "documents"), bounds = Seq(150L, 400L))
     },
 
+    // qs34: streaming EXACT kNN-graph maintenance (the xs15
+    // traversal's ingestion path): the <250 corpus seeds the graph
+    // store, vectors >= 250 fold in vec_id-ordered chunks; the
+    // bounded top-k merge is associative AND commutative —
+    // top-k(top-k(S1) ∪ S2) == top-k(S1 ∪ S2) under (sim DESC, id)
+    // — so ANY chunking in ANY order equals one-shot knnGraphExact
+    // over the full corpus for EVERY node's list, old nodes' lists
+    // absorbing new arrivals exactly (the qs21/qs22 order-free state
+    // class). Oracle: the full all-pairs rank-<=k edge derivation.
+    // The real file-stream runner (Streams.runKnnGraphStream:
+    // durable vector appends, order-free restart re-ingest, LSM
+    // compaction) is StreamingSpec-gated against this.
+    Q("qs34_stream_knn_graph",
+      """WITH e AS (
+        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v
+        |  FROM embeddings
+        |), nrm AS (
+        |  SELECT id, v, SQRT(LIST_INNER_PRODUCT(v, v)) AS n FROM e
+        |), p AS (
+        |  SELECT x.id AS id, y.id AS nb,
+        |    LIST_INNER_PRODUCT(x.v, y.v) / (x.n * y.n) AS c
+        |  FROM nrm x JOIN nrm y ON x.id <> y.id
+        |)
+        |SELECT id, CAST(rnk AS INT) AS rank, nb, ROUND(c, 4) AS sim
+        |FROM (
+        |  SELECT id, nb, c, ROW_NUMBER() OVER (
+        |    PARTITION BY id ORDER BY c DESC, nb) AS rnk
+        |  FROM p
+        |) WHERE rnk <= 6 ORDER BY id, rank""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      graft.streaming.Streams.knnGraphChunked(
+          emb.where(col("vec_id") >= 250),
+          emb.where(col("vec_id") < 250),
+          bounds = Seq(400L, 1000L), k = 6)
+        .select(col("qid").as("id"), col("rank"), col("id").as("nb"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("id", "rank")
+    },
+
     // qs33: the UPDATE-mode sink gate (§2.10's last sink-mode row —
     // qs26/qs31 deliberately avoid update mode via strictly-increasing
     // emissions): unwatermarked streaming BIGRAM count through a real

@@ -801,6 +801,86 @@ object Streams {
     parts.reduce(_.unionAll(_)).orderBy("a", "b")
   }
 
+  /** Run the QS34 stream: delta embedding files → per-micro-batch
+    * fold into the evolving EXACT kNN-graph store → the maintained
+    * graph. The vector-store ingestion path for the xs15 traversal,
+    * with the qs19 structural pieces: durable per-batch vector
+    * appends (`outDir/store/batch=<id>`; the fold is ORDER-FREE —
+    * top-k(top-k(S₁) ∪ S₂) == top-k(S₁ ∪ S₂) — so a restart
+    * re-ingests every committed batch as ONE batch and lands on the
+    * identical store), LSM compaction, and equality with the
+    * one-shot [[graft.operators.Similarity.knnGraphExact]] on ANY
+    * chunking in ANY order (the qs21/qs22 order-free state class).
+    */
+  def runKnnGraphStream(spark: SparkSession, deltaDir: String,
+      corpus: DataFrame, k: Int, outDir: String,
+      compactEvery: Int = 4): DataFrame = {
+    import graft.operators.Similarity
+    val sc = spark.sparkContext
+    val pre = sc.getPersistentRDDs.keySet
+    var gs = Similarity.prepareKnnGraphStore(corpus, "vec_id",
+      "embedding", k)
+    val storeDir = new org.apache.hadoop.fs.Path(s"$outDir/store")
+    val fs = storeDir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(storeDir) && fs.listStatus(storeDir).nonEmpty)
+      gs = Similarity.appendVectorsToStore(gs,
+        spark.read.parquet(s"$outDir/store/batch=*"))
+    var owned = sc.getPersistentRDDs.keySet -- pre
+    var batches = 0
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(deltaDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val before = sc.getPersistentRDDs.keySet
+        val ing = graft.operators.Similarity.knnGraphIngest(
+          batch, gs, "vec_id", "embedding")
+        ing.appended.write.mode("overwrite")
+          .parquet(s"$outDir/store/batch=$batchId")
+        gs = ing.next
+        owned ++= sc.getPersistentRDDs.keySet -- before
+        batches += 1
+        if (batches % compactEvery == 0) {
+          val preCompact = sc.getPersistentRDDs.keySet
+          gs = graft.operators.Similarity.compactKnnGraphStore(gs)
+          val kept = sc.getPersistentRDDs.keySet -- preCompact
+          sc.getPersistentRDDs
+            .filter { case (id, _) => owned(id) && !kept(id) }
+            .values.foreach(_.unpersist(blocking = false))
+          owned = kept
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    Similarity.knnGraphFromStore(gs)
+  }
+
+  /** Batch-shape QS34 harness (the oracle entry): fold `newVecs` into
+    * the evolving kNN-graph store in vec_id-ordered chunks, then emit
+    * the maintained graph — the order-free top-k merge makes any
+    * chunking in any order equal one-shot knnGraphExact over
+    * corpus ∪ newVecs, for EVERY node's list (old nodes absorb new
+    * arrivals exactly).
+    */
+  def knnGraphChunked(newVecs: DataFrame, corpus: DataFrame,
+      bounds: Seq[Long], k: Int): DataFrame = {
+    import graft.operators.Similarity
+    var gs = Similarity.prepareKnnGraphStore(corpus, "vec_id",
+      "embedding", k)
+    val edges = (Long.MinValue +: bounds.sorted) :+ Long.MaxValue
+    edges.sliding(2).foreach { case Seq(lo, hi) =>
+      gs = Similarity.knnGraphIngest(
+        newVecs.where(col("vec_id") >= lo && col("vec_id") < hi),
+        gs, "vec_id", "embedding").next
+    }
+    Similarity.knnGraphFromStore(gs)
+  }
+
   /** Batch-shape QS20 harness (the oracle entry): C4-clean `newDocs`
     * through the evolving first-occurrence line store in
     * doc_id-ordered chunks — union of per-chunk outputs == one-shot

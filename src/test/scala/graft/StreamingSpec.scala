@@ -604,6 +604,62 @@ class StreamingSpec extends SparkSpec {
     assert(rows(spark.read.parquet(s"$outDir/batch=*")) == oneShot)
   }
 
+  test("QS34 kNN-graph store: any chunking in ANY ORDER == one-shot " +
+      "knnGraphExact, and the real runner restarts from the durable " +
+      "vector appends") {
+    import graft.operators.Similarity
+    val emb = graft.queries.T.t(spark, sf0001, "embeddings")
+    val delta = emb.where(col("vec_id") >= 250)
+    val corpus = emb.where(col("vec_id") < 250).cache()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id", "sim", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9), r.getInt(3))).toSet
+    val oneShot = rows(Similarity.knnGraphExact(emb, "vec_id",
+      "embedding", k = 6))
+    val one = rows(Streams.knnGraphChunked(delta, corpus, Seq.empty,
+      k = 6))
+    val three = rows(Streams.knnGraphChunked(delta, corpus,
+      Seq(350L, 430L), k = 6))
+    assert(one == oneShot && three == oneShot)
+    // ORDER-FREE (stronger than the monotone contracts): ingest the
+    // chunks in reverse id order — the top-k merge is commutative,
+    // so the store must land on the identical graph
+    var gs = Similarity.prepareKnnGraphStore(corpus, "vec_id",
+      "embedding", k = 6)
+    for ((lo, hi) <- Seq((430L, Long.MaxValue), (350L, 430L),
+        (Long.MinValue, 350L)))
+      gs = Similarity.knnGraphIngest(
+        delta.where(col("vec_id") >= lo && col("vec_id") < hi),
+        gs, "vec_id", "embedding").next
+    assert(rows(Similarity.knnGraphFromStore(gs)) == oneShot)
+    // old nodes' lists must actually CHANGE when deltas arrive, or
+    // the maintenance proves nothing: some corpus node's final list
+    // contains a delta neighbor
+    assert(oneShot.exists(e => e._1 < 250 && e._2 >= 250),
+      "no corpus node has a delta neighbor")
+    // real file-stream runner across a mid-stream "crash": run 1 sees
+    // only slice 1; the restart re-ingests outDir/store/batch=* as
+    // one batch (order-free fold) and must finish identically
+    val base = java.nio.file.Files.createTempDirectory("qs34")
+    val deltaDir = base.resolve("delta").toString
+    val outDir = base.resolve("out").toString
+    delta.where(col("vec_id") < 350).coalesce(1)
+      .write.mode("append").parquet(deltaDir)
+    var got = Streams.runKnnGraphStream(spark, deltaDir, corpus, 6,
+      outDir, compactEvery = 2)
+    Thread.sleep(20)
+    delta.where(col("vec_id") >= 350 && col("vec_id") < 430)
+      .coalesce(1).write.mode("append").parquet(deltaDir)
+    Thread.sleep(20)
+    delta.where(col("vec_id") >= 430).coalesce(1)
+      .write.mode("append").parquet(deltaDir)
+    got = Streams.runKnnGraphStream(spark, deltaDir, corpus, 6,
+      outDir, compactEvery = 2)
+    corpus.unpersist()
+    assert(rows(got) == oneShot)
+  }
+
   test("QS33 update-mode sink: each batch emits exactly the changed " +
       "keys (not appends, not complete snapshots), counts cumulative") {
     val docs = graft.queries.T.t(spark, sf0001, "documents")
