@@ -776,6 +776,17 @@ class OperatorsSpec extends SparkSpec {
       "corpus-sized broadcast is a scale-killer")
   }
 
+  test("knnGraphExact runs as tiled CartesianProduct, not " +
+      "BroadcastNestedLoopJoin (the xd4 discipline)") {
+    val emb = T.t(spark, sf0001, "embeddings")
+    val gPlan = Similarity.knnGraphExact(emb, "vec_id", "embedding", 6)
+      .queryExecution.executedPlan.toString
+    assert(gPlan.contains("CartesianProduct"),
+      s"expected CartesianProduct in:\n$gPlan")
+    assert(!gPlan.contains("BroadcastNestedLoopJoin"),
+      "corpus-sized broadcast is a scale-killer")
+  }
+
   test("exact dedup keeps lowest id per normalized text") {
     import spark.implicits._
     val df = Seq((1L, "Hello World"), (2L, "  hello world "),
