@@ -41,6 +41,15 @@ object TextFns {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Sign-bit Hamming distance of two numeric arrays: the number of
+    * dimensions whose signs (> 0) disagree — the xs13 BQ comparison
+    * without the packing, as exact integers (codegen'd HOF chain, no
+    * IEEE ambiguity). Used by the xs16 Hamming-guided traversal.
+    */
+  def signHamming(a: Column, b: Column): Column =
+    size(filter(zip_with(a, b, (x, y) => (x > 0) =!= (y > 0)),
+      p => p)).cast(LongType)
+
   /** Exact Jaccard similarity of two pre-distinct string arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val ix = size(array_intersect(a, b)).cast(DoubleType)

@@ -724,6 +724,83 @@ object Similarity {
       k: Int): DataFrame =
     rankTopK(visited.where(col("id") =!= col("qid")), k)
 
+  /** Hamming-guided beam search (xs16) — the xs15 × xs13 composition
+    * the ANN family map promises: the traversal picks candidates
+    * (touched nodes parameter-bounded, corpus-independent), the
+    * per-frontier score is the INTEGER sign-bit Hamming distance
+    * ([[TextFns.signHamming]] — one popcount-class comparison instead
+    * of a dim-length dot product, the navigation-cost win on wide
+    * embeddings), and only the final visited set pays exact cosine in
+    * the rerank (the xs7 discipline). Beam order (hd ASC, id ASC) is
+    * exact integer arithmetic — ties included — so the traversal
+    * hash-gates without IEEE care; the rerank reuses the xs15 cosine
+    * contract. Navigation recall is gated like xs15's (sign bits are
+    * a coarse angle surrogate; measured 1.0 on the planted corpus at
+    * both bench SFs).
+    */
+  def beamSearchVisitedBQ(corpus: DataFrame, queries: DataFrame,
+      edges: DataFrame, idCol: String, vecCol: String,
+      entryIds: Seq[Long], ef: Int, rounds: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .localCheckpoint(true)
+    val q = broadcast(queries.select(col(idCol).as("qid"),
+      col(vecCol).as("qv")).localCheckpoint(true))
+    val e = edges.select(col("qid").as("id"), col("id").as("nb"))
+      .localCheckpoint(true)
+    def scored(nodes: DataFrame): DataFrame =
+      nodes.join(c, "id").join(q, "qid")
+        .select(col("qid"), col("id"),
+          TextFns.signHamming(col("v"), col("qv")).as("hd"))
+    var visited = scored(
+      q.select(col("qid")).crossJoin(
+        c.where(col("id").isin(entryIds: _*)).select(col("id"))))
+      .localCheckpoint(true)
+    var r = 0
+    var grew = true
+    while (r < rounds && grew) {
+      // TopKPairs keeps (score DESC, id ASC); score = −hd is exact
+      // for integers ≤ dim, so the beam is (hd ASC, id ASC) — the
+      // SQL twin's ROW_NUMBER order, boundary ties included
+      val beam = visited.groupBy("qid")
+        .agg(TopK.topKPairs(-col("hd").cast(DoubleType), col("id"), ef)
+          .as("top"))
+        .select(col("qid"), explode(col("top")).as("t"))
+        .select(col("qid"), col("t.id").as("id"))
+      val frontier = beam.join(e, "id")
+        .select(col("qid"), col("nb").as("id")).distinct()
+        .join(visited.select("qid", "id"), Seq("qid", "id"),
+          "left_anti")
+      val fs = scored(frontier).localCheckpoint(true)
+      grew = fs.limit(1).count() > 0
+      if (grew)
+        visited = org.apache.spark.sql.graftbridge.Bridge.freshStats(
+          visited.unionAll(fs).localCheckpoint(true))
+      r += 1
+    }
+    visited
+  }
+
+  /** Exact-cosine rerank over the Hamming-traversed visited set —
+    * [[bruteForceTopK]]'s output contract.
+    */
+  def beamSearchTopKBQ(corpus: DataFrame, queries: DataFrame,
+      edges: DataFrame, idCol: String, vecCol: String,
+      entryIds: Seq[Long], ef: Int, rounds: Int, k: Int): DataFrame = {
+    val visited = beamSearchVisitedBQ(corpus, queries, edges, idCol,
+      vecCol, entryIds, ef, rounds)
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      TextFns.l2norm(col(vecCol)).as("nv"))
+    val q = broadcast(queries.select(col(idCol).as("qid"),
+      col(vecCol).as("qv"), TextFns.l2norm(col(vecCol)).as("nq")))
+    rankTopK(
+      visited.where(col("id") =!= col("qid")).select("qid", "id")
+        .join(c, "id").join(q, "qid")
+        .select(col("qid"), col("id"),
+          (TextFns.dot(col("v"), col("qv")) / (col("nv") * col("nq")))
+            .as("sim")),
+      k)
+  }
+
   /** Johnson–Lindenstrauss random projection d→k over an embedding
     * column ([[RandomProjection]]): replaces `vecCol` with the k-dim
     * projection. A narrow per-row map (zero shuffle at any corpus

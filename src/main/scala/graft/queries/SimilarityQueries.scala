@@ -583,8 +583,118 @@ object SimilarityQueries {
         .select(col("qid"), col("rank"), col("id"),
           round(col("sim"), 4).as("sim"))
         .orderBy("qid", "rank")
+    },
+
+    // xs16: Hamming-guided beam search — the xs15 × xs13 composition
+    // the ANN family map row promises (traversal picks candidates,
+    // integer sign-bit Hamming steers each round at popcount cost,
+    // exact cosine only reranks the visited set). Rows-only;
+    // navigation recall ≥0.9 OperatorsSpec-gated (measured 1.0 at
+    // both bench SFs), the traversal hash-gates through xs16b.
+    Q.noOracle("xs16_ann_beam_bq") { (s, d) =>
+      val corpus = DedupQueries
+        .plantedEmbeddingCorpus(t(s, d, "embeddings"))
+        .localCheckpoint(true)
+      val graph = Similarity.knnGraphExact(corpus, "id", "v", k = 10)
+      Similarity.beamSearchTopKBQ(corpus, corpus.where(col("id") < 10),
+          graph, "id", "v", entryIds = 0L to 7L, ef = 24, rounds = 10,
+          k = 3)
+        .select(col("qid"), col("rank"), col("id"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("qid", "rank")
+    },
+
+    // Hash-gated Hamming-beam twin (xs16b, the xs15b discipline): the
+    // SAME machinery pinned small — deg-6 graph, 4 entries, ef=8, 6
+    // unrolled rounds — with the beam ordered by the INTEGER sign
+    // Hamming distance (exact in both engines, boundary ties
+    // included) and the final top-k reranked by exact cosine over the
+    // visited set. The hash match proves the integer-guided traversal
+    // visits exactly the sequential definition's nodes AND that the
+    // rerank contract matches xs15's.
+    Q("xs16b_ann_beam_bq_pinned",
+      beamBqOracleSql(deg = 6, nEntries = 4, ef = 8, rounds = 6,
+        nQ = 5, k = 3)) { (s, d) =>
+      val corpus = DedupQueries
+        .plantedEmbeddingCorpus(t(s, d, "embeddings"))
+        .localCheckpoint(true)
+      val graph = Similarity.knnGraphExact(corpus, "id", "v", k = 6)
+      Similarity.beamSearchTopKBQ(corpus, corpus.where(col("id") < 5),
+          graph, "id", "v", entryIds = 0L to 3L, ef = 8, rounds = 6,
+          k = 3)
+        .select(col("qid"), col("rank"), col("id"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("qid", "rank")
     }
   )
+
+  /** The xs16b Hamming-beam replay — [[beamOracleSql]]'s chain with
+    * the round score swapped to the integer sign-Hamming distance
+    * (`hsim`: per-dim sign-disagreement count — exact integers, no
+    * IEEE care) and the final top-k reranked by exact cosine (`csim`)
+    * over the final visited set.
+    */
+  private[queries] def beamBqOracleSql(deg: Int, nEntries: Int,
+      ef: Int, rounds: Int, nQ: Int, k: Int): String = {
+    val roundCtes = (0 until rounds).map { r =>
+      s"""b$r AS MATERIALIZED (
+         |  SELECT qid, id FROM (
+         |    SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY hd ASC, id) AS rn FROM v$r) WHERE rn <= $ef
+         |), f$r AS MATERIALIZED (
+         |  SELECT DISTINCT b.qid, e.nb AS id
+         |  FROM b$r b JOIN edges e ON e.id = b.id
+         |  WHERE NOT EXISTS (SELECT 1 FROM v$r v
+         |    WHERE v.qid = b.qid AND v.id = e.nb)
+         |), v${r + 1} AS MATERIALIZED (
+         |  SELECT * FROM v$r UNION ALL
+         |  SELECT s.qid, s.id, s.hd FROM hsim s
+         |  JOIN f$r USING (qid, id)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |), corpus AS (
+       |  SELECT vec_id AS id, v FROM base
+       |  UNION ALL
+       |  SELECT vec_id + 100000 AS id,
+       |         LIST_TRANSFORM(v, x -> x + 0.05) AS v FROM base
+       |), nrm AS MATERIALIZED (
+       |  SELECT id, v, SQRT(LIST_INNER_PRODUCT(v, v)) AS n FROM corpus
+       |), edges AS MATERIALIZED (
+       |  SELECT id, nb FROM (
+       |    SELECT x.id AS id, y.id AS nb, ROW_NUMBER() OVER (
+       |      PARTITION BY x.id
+       |      ORDER BY LIST_INNER_PRODUCT(x.v, y.v) / (x.n * y.n) DESC,
+       |        y.id) AS rn
+       |    FROM nrm x JOIN nrm y ON x.id <> y.id
+       |  ) WHERE rn <= $deg
+       |), q AS (
+       |  SELECT id AS qid, v AS qv, n AS nq FROM nrm WHERE id < $nQ
+       |), hsim AS MATERIALIZED (
+       |  SELECT q.qid, c.id,
+       |    CAST(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+       |      i -> CASE WHEN (c.v[CAST(i AS INT)] > 0)
+       |                  <> (q.qv[CAST(i AS INT)] > 0)
+       |           THEN 1 ELSE 0 END)) AS BIGINT) AS hd
+       |  FROM nrm c, q
+       |), csim AS MATERIALIZED (
+       |  SELECT q.qid, c.id,
+       |    LIST_INNER_PRODUCT(c.v, q.qv) / (c.n * q.nq) AS sim
+       |  FROM nrm c, q
+       |), v0 AS MATERIALIZED (
+       |  SELECT qid, id, hd FROM hsim
+       |  WHERE id IN (${(0 until nEntries).mkString(", ")})
+       |),
+       |$roundCtes
+       |SELECT qid, CAST(rn AS INT) AS rank, id, ROUND(sim, 4) AS sim
+       |FROM (
+       |  SELECT s.qid, s.id, s.sim, ROW_NUMBER() OVER (
+       |    PARTITION BY s.qid ORDER BY s.sim DESC, s.id) AS rn
+       |  FROM csim s JOIN v$rounds USING (qid, id)
+       |  WHERE s.id <> s.qid
+       |) WHERE rn <= $k ORDER BY qid, rank""".stripMargin
+  }
 
   /** The xs15b beam-search replay: planted corpus → exact deg-NN
     * graph (all-pairs cosine, ROW_NUMBER (sim DESC, id) ≤ deg — the

@@ -776,6 +776,25 @@ class OperatorsSpec extends SparkSpec {
       "corpus-sized broadcast is a scale-killer")
   }
 
+  test("Hamming-guided beam ANN recall >= 0.9 vs brute force " +
+      "(integer navigation, exact-cosine rerank)") {
+    val corpus = graft.queries.DedupQueries.plantedEmbeddingCorpus(
+      T.t(spark, sf0001, "embeddings")).localCheckpoint(true)
+    val queries = corpus.where(col("id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairs(Similarity.bruteForceTopK(corpus, queries, "id",
+      "v", 3))
+    val graph = Similarity.knnGraphExact(corpus, "id", "v", k = 10)
+      .localCheckpoint(true)
+    val bq = pairs(Similarity.beamSearchTopKBQ(corpus, queries, graph,
+      "id", "v", entryIds = 0L to 7L, ef = 24, rounds = 10, k = 3))
+    assert(bf.nonEmpty)
+    assert((bf & bq).size.toDouble / bf.size >= 0.9,
+      s"recall ${(bf & bq).size.toDouble / bf.size}")
+  }
+
   test("knnGraphExact runs as tiled CartesianProduct, not " +
       "BroadcastNestedLoopJoin (the xd4 discipline)") {
     val emb = T.t(spark, sf0001, "embeddings")
