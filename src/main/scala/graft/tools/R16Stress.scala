@@ -147,6 +147,79 @@ object R16Stress {
       f"xs15 touched ratio $touchedRatio%.3f tracks the corpus ratio " +
         f"$corpusRatio%.3f — the visited set is not parameter-bounded")
 
+    // ---------- qs34 kNN-graph-store ingest law ----------
+    // Ingesting a FIXED delta B into a store of N vectors must pay
+    // |B|·(N+|B|−1) + N·|B| fresh pair sims — LINEAR in the store —
+    // where rebuilding from scratch pays (N+|B|)·(N+|B|−1), ~store².
+    // Both counters are deterministic row counts of the exact frames
+    // the operator joins; graded: measured == closed form at both
+    // store sizes, and the fresh-pair ratio across a 2× store step
+    // stays ~2× while the rebuild floor grows ~4×.
+    {
+      import graft.operators.Similarity
+      case class ILeg(n: Long, fresh: Long, closed: Long,
+        rebuild: Long, sec: Double)
+      var bCount = 0L
+      def ingestLeg(replicas: Int): ILeg = {
+        // built per leg: each leg's dropPersisted() releases every
+        // checkpoint, so a shared frame would read freed blocks
+        val deltaB = base.select((col("vec_id") + 9000000L).as("id"),
+          reverse(transform(col("v"), x => -x)).as("v"))
+          .where(col("id") < 9000200L).localCheckpoint(true)
+        bCount = deltaB.count()
+        val corpus = corpusOf(replicas)
+        val n = corpus.count()
+        val gs = Similarity.prepareKnnGraphStore(corpus, "id", "v",
+          k = Deg)
+        val (ing, sec, _) = timed {
+          val i = Similarity.knnGraphIngest(deltaB, gs, "id", "v")
+          i.next.top.queryExecution.toRdd.count(); i
+        }
+        // independent recount of the pair volume the ingest joins
+        // (delta→all plus old→delta, self excluded — the xg9
+        // independent-replay discipline), graded against the closed
+        // form |B|·(N+|B|−1) + N·|B|
+        val all = corpus.select(col("id"))
+          .unionAll(deltaB.select(col("id")))
+        val fresh = deltaB.select(col("id").as("a"))
+            .crossJoin(all.select(col("id").as("bb")))
+            .where(col("a") =!= col("bb")).count() +
+          corpus.select(col("id").as("a"))
+            .crossJoin(deltaB.select(col("id").as("bb"))).count()
+        val closed = bCount * (n + bCount - 1) + n * bCount
+        require(fresh == closed,
+          s"qs34 fresh-pair recount $fresh != closed form $closed")
+        val rebuild = (n + bCount) * (n + bCount - 1)
+        // the store must hold exactly (n + |B|) lists of ≤ Deg edges
+        val lists = ing.next.top.select("qid").distinct().count()
+        require(lists == n + bCount,
+          s"store holds $lists lists, expected ${n + bCount}")
+        dropPersisted()
+        println(f"[qs34] N=$n%-6d fresh=$fresh rebuild=$rebuild " +
+          f"wall=$sec%.1fs")
+        ILeg(n, fresh, closed, rebuild, sec)
+      }
+      val i1 = ingestLeg(2)
+      val i2 = ingestLeg(4)
+      for ((l, p) <- Seq(i1 -> "qs34_f2", i2 -> "qs34_f4")) {
+        results += s"${p}_store_n" -> l.n
+        results += s"${p}_delta_n" -> bCount
+        results += s"${p}_fresh_pairs" -> l.fresh
+        results += s"${p}_rebuild_floor_pairs" -> l.rebuild
+        results += s"${p}_ingest_sec" -> l.sec
+      }
+      val freshRatio = i2.fresh.toDouble / i1.fresh
+      val rebuildRatio = i2.rebuild.toDouble / i1.rebuild
+      results += "qs34_fresh_ratio" -> freshRatio
+      results += "qs34_rebuild_floor_ratio" -> rebuildRatio
+      require(freshRatio > 1.7 && freshRatio < 2.3,
+        f"qs34 fresh-pair ratio $freshRatio%.3f not ~2 (linear in " +
+          "store) across the 2x step")
+      require(rebuildRatio > 3.4,
+        f"qs34 rebuild floor ratio $rebuildRatio%.3f not ~4 — the " +
+          "comparison baseline is wrong")
+    }
+
     val payload = results
       .map { case (k, v) => s""""$k":${StressUtil.jsonScalar(v)}""" }
       .mkString("{", ",", "}")
