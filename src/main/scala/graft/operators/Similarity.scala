@@ -601,6 +601,17 @@ object Similarity {
     val b = batch.select(col(idCol).as("id"), col(vecCol).as("v"),
       TextFns.l2norm(col(vecCol)).as("n"))
       .repartition(store.tiles).localCheckpoint(true)
+    // the fold is duplicate-SENSITIVE: a re-ingested id is excluded
+    // from self-pairs but every (qid, id) sim computes twice and
+    // occupies two top-k slots, displacing a real edge — fail loudly
+    // (one bounded equi-join probe; negligible vs the |B|·N sim legs)
+    val dup = b.select("id").join(store.vecs.select("id"), "id")
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"knnGraphIngest: batch id ${dup.headOption.map(_.getLong(0))
+        .getOrElse(-1L)} is already in the store — a duplicate vector " +
+        "would occupy two top-k slots; anti-join the batch against " +
+        "the store's ids first")
     val vecsAll = store.vecs.unionByName(b)
     val fresh = directedPairs(b, vecsAll)
       .unionByName(directedPairs(store.vecs, b))

@@ -458,6 +458,46 @@ object Streams {
         .values.foreach(_.unpersist(blocking = false))
     }
 
+  /** Reconcile `outDir/store/batch=*` against the streaming
+    * checkpoint's COMMIT log before a startup replay: a crash in the
+    * window between the foreachBatch store write and the checkpoint
+    * commit leaves a store batch the restarted stream will ALSO
+    * reprocess (same batch id). The duplicate-insensitive stores
+    * (first-occurrence / distinct / register-max folds) absorb that
+    * double harmlessly, but the qs32 prefix index and qs34 kNN-graph
+    * folds are duplicate-SENSITIVE: duplicated shingle rows inflate
+    * ppjoinVerify's __ix overlap counts, and a twice-ingested vector
+    * occupies two top-k slots, displacing a real edge. Uncommitted
+    * dirs are DELETED — the restarted stream reprocesses that batch
+    * and rewrites them (the idempotent-overwrite contract) — and only
+    * committed ones replay. Returns the committed dirs, oldest first.
+    */
+  private def committedStoreBatches(spark: SparkSession,
+      outDir: String): Seq[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val storeDir = new org.apache.hadoop.fs.Path(s"$outDir/store")
+    val fs = storeDir.getFileSystem(conf)
+    if (!fs.exists(storeDir)) return Seq.empty
+    val commitsDir =
+      new org.apache.hadoop.fs.Path(s"$outDir/_checkpoint/commits")
+    val committed: Set[Long] =
+      if (!fs.exists(commitsDir)) Set.empty
+      else fs.listStatus(commitsDir).iterator
+        .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
+        .toSet
+    val (keep, drop) = fs.listStatus(storeDir).toSeq
+      .flatMap { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("batch="))
+          scala.util.Try(name.stripPrefix("batch=").toLong).toOption
+            .map(id => (id, st.getPath))
+        else None
+      }
+      .partition { case (id, _) => committed(id) }
+    drop.foreach { case (_, p) => fs.delete(p, true) }
+    keep.sortBy(_._1).map(_._2.toString)
+  }
+
   /** The bare QS6/QS7/QS8 stream skeleton: file-source of delta
     * document parquet → `onBatch` per micro-batch → stop when drained.
     */
@@ -729,9 +769,12 @@ object Streams {
     * frozen-order prefix index → parquet sink. The streaming face of
     * xd20 with the qs19 structural pieces: durable per-batch store
     * deltas (`outDir/store/batch=<id>` holds the batch's shingle
-    * arrays, idempotent overwrite; a restart replays them through
+    * arrays, idempotent overwrite; a restart replays the checkpoint-
+    * COMMITTED ones through
     * [[graft.operators.Dedup.appendShinglesToIndex]] — prefixes
-    * re-derive deterministically under the frozen df order), LSM
+    * re-derive deterministically under the frozen df order, and an
+    * uncommitted dir from a crash inside the write→commit window is
+    * deleted, not replayed: the stream reprocesses that batch), LSM
     * compaction every `compactEvery` batches, and the monotone
     * doc_id-arrival contract that makes any chunking equal the
     * brute-force all-pairs answer restricted to pairs whose larger id
@@ -749,11 +792,13 @@ object Streams {
     val pre = sc.getPersistentRDDs.keySet
     var ix = Dedup.prepareAllPairsIndex(corpus, "doc_id", "text",
       threshold)
-    val storeDir = new org.apache.hadoop.fs.Path(s"$outDir/store")
-    val fs = storeDir.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(storeDir) && fs.listStatus(storeDir).nonEmpty)
+    // replay ONLY checkpoint-committed store batches (ADVICE r16): a
+    // crash between the store write and the commit would otherwise
+    // double-ingest that batch into a duplicate-sensitive fold
+    val committed = committedStoreBatches(spark, outDir)
+    if (committed.nonEmpty)
       ix = Dedup.appendShinglesToIndex(ix,
-        spark.read.parquet(s"$outDir/store/batch=*"))
+        spark.read.parquet(committed: _*))
     var owned = sc.getPersistentRDDs.keySet -- pre
     var batches = 0
     docStream(spark, deltaDir, outDir) { (batch, batchId) =>
@@ -807,8 +852,12 @@ object Streams {
     * with the qs19 structural pieces: durable per-batch vector
     * appends (`outDir/store/batch=<id>`; the fold is ORDER-FREE —
     * top-k(top-k(S₁) ∪ S₂) == top-k(S₁ ∪ S₂) — so a restart
-    * re-ingests every committed batch as ONE batch and lands on the
-    * identical store), LSM compaction, and equality with the
+    * re-ingests every checkpoint-COMMITTED batch as ONE batch and
+    * lands on the identical store; an uncommitted dir from a crash
+    * inside the write→commit window is deleted, not replayed — the
+    * stream reprocesses that batch, and the fold is duplicate-
+    * sensitive, so replaying it would cost real edges), LSM
+    * compaction, and equality with the
     * one-shot [[graft.operators.Similarity.knnGraphExact]] on ANY
     * chunking in ANY order (the qs21/qs22 order-free state class).
     */
@@ -820,11 +869,14 @@ object Streams {
     val pre = sc.getPersistentRDDs.keySet
     var gs = Similarity.prepareKnnGraphStore(corpus, "vec_id",
       "embedding", k)
-    val storeDir = new org.apache.hadoop.fs.Path(s"$outDir/store")
-    val fs = storeDir.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(storeDir) && fs.listStatus(storeDir).nonEmpty)
+    // replay ONLY checkpoint-committed store batches (ADVICE r16): a
+    // crash between the store write and the commit would otherwise
+    // ingest that batch's vectors twice — two top-k slots per
+    // duplicate, displacing real edges
+    val committed = committedStoreBatches(spark, outDir)
+    if (committed.nonEmpty)
       gs = Similarity.appendVectorsToStore(gs,
-        spark.read.parquet(s"$outDir/store/batch=*"))
+        spark.read.parquet(committed: _*))
     var owned = sc.getPersistentRDDs.keySet -- pre
     var batches = 0
     val schema = StructType(Seq(
@@ -1309,8 +1361,14 @@ object Streams {
       docs.where(col("doc_id") >= lo && col("doc_id") < hi)
         .coalesce(1).write.mode("overwrite")
         .parquet(sliceDir.toString)
-      val part = sliceDir.toFile.listFiles
-        .filter(_.getName.endsWith(".parquet")).head
+      val parts = sliceDir.toFile.listFiles
+        .filter(_.getName.endsWith(".parquet"))
+      // an empty doc_id slice writes no part file — name the slice
+      // instead of throwing an opaque NoSuchElementException (the
+      // isNullAt discipline of the qs30 watermark fix)
+      require(parts.nonEmpty, s"runWordCountUpdateStream: doc_id " +
+        s"slice $i [$lo, $hi) is empty — no parquet part written")
+      val part = parts.head
       val dst = in.resolve(f"slice_$i%02d.parquet")
       java.nio.file.Files.move(part.toPath, dst,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)

@@ -531,6 +531,23 @@ class OperatorsSpec extends SparkSpec {
       s"beam search touched $touchedMax of $n nodes")
   }
 
+  test("knnGraphIngest refuses a batch whose ids are already stored " +
+      "(duplicate-sensitive fold — fail loudly, ADVICE r16)") {
+    val emb = T.t(spark, sf0001, "embeddings")
+    val store = Similarity.prepareKnnGraphStore(
+      emb.where(col("vec_id") < 50), "vec_id", "embedding", k = 3)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.knnGraphIngest(emb.where(col("vec_id") < 10), store,
+        "vec_id", "embedding")
+    }
+    assert(ex.getMessage.contains("already in the store"))
+    // a disjoint batch still folds fine
+    val ok = Similarity.knnGraphIngest(
+      emb.where(col("vec_id") >= 50 && col("vec_id") < 60), store,
+      "vec_id", "embedding")
+    assert(ok.next.vecs.count() == 60)
+  }
+
   test("k-means centroids are deterministic and partition the corpus") {
     val emb = T.t(spark, sf0001, "embeddings")
     val a = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 8)

@@ -656,6 +656,25 @@ class StreamingSpec extends SparkSpec {
       .write.mode("append").parquet(deltaDir)
     got = Streams.runKnnGraphStream(spark, deltaDir, corpus, 6,
       outDir, compactEvery = 2)
+    assert(rows(got) == oneShot)
+    // crash INSIDE the write→commit window (ADVICE r16): the store
+    // dir for a batch exists but its checkpoint commit is lost. The
+    // restart must NOT replay that dir (the stream reprocesses the
+    // batch itself — replaying both would ingest those vectors twice
+    // into a duplicate-sensitive fold, displacing real edges; the
+    // knnGraphIngest disjointness guard would trip). Simulated by
+    // deleting the last commit marker after a clean run.
+    val commits = new java.io.File(s"$outDir/_checkpoint/commits")
+    val lastCommit = commits.listFiles.map(_.getName)
+      .filter(_.forall(_.isDigit)).map(_.toLong).max
+    assert(new java.io.File(s"$outDir/store/batch=$lastCommit").exists,
+      "crash-window setup: last batch's store dir must exist")
+    for (f <- commits.listFiles
+        if f.getName == lastCommit.toString ||
+          f.getName == s".$lastCommit.crc")
+      assert(f.delete())
+    got = Streams.runKnnGraphStream(spark, deltaDir, corpus, 6,
+      outDir, compactEvery = 2)
     corpus.unpersist()
     assert(rows(got) == oneShot)
   }
@@ -759,6 +778,21 @@ class StreamingSpec extends SparkSpec {
     Thread.sleep(20)
     delta.where(col("doc_id") >= 430).coalesce(1)
       .write.mode("append").parquet(deltaDir)
+    Streams.runAllPairsStream(spark, deltaDir, corpus, 0.5, outDir,
+      compactEvery = 2)
+    assert(rows(spark.read.parquet(s"$outDir/batch=*")) == oneShot)
+    // crash INSIDE the write→commit window (ADVICE r16): drop the
+    // last commit marker — the restart must skip (and delete) that
+    // store dir and reprocess the batch itself, instead of ingesting
+    // its shingles twice (duplicated shingle rows inflate ppjoin's
+    // __ix overlap counts → false-positive pairs above threshold)
+    val commits = new java.io.File(s"$outDir/_checkpoint/commits")
+    val lastCommit = commits.listFiles.map(_.getName)
+      .filter(_.forall(_.isDigit)).map(_.toLong).max
+    for (f <- commits.listFiles
+        if f.getName == lastCommit.toString ||
+          f.getName == s".$lastCommit.crc")
+      assert(f.delete())
     Streams.runAllPairsStream(spark, deltaDir, corpus, 0.5, outDir,
       compactEvery = 2)
     corpus.unpersist()
