@@ -706,9 +706,23 @@ object SimilarityQueries {
     * ties included. MATERIALIZED is load-bearing: the visited chain
     * references each v_r three times, and inlining would re-evaluate
     * the whole prefix exponentially.
+    *
+    * `corpusCtes` pins the corpus the graph is built over: xs15b's
+    * planted corpus by default; qs35 passes the raw embeddings table
+    * (the qs34 store corpus) so the SAME unrolled traversal replays
+    * the serve-while-ingest composition's FINAL serve.
     */
   private[queries] def beamOracleSql(deg: Int, nEntries: Int, ef: Int,
-      rounds: Int, nQ: Int, k: Int): String = {
+      rounds: Int, nQ: Int, k: Int,
+      corpusCtes: String =
+        """base AS (
+          |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          |), corpus AS (
+          |  SELECT vec_id AS id, v FROM base
+          |  UNION ALL
+          |  SELECT vec_id + 100000 AS id,
+          |         LIST_TRANSFORM(v, x -> x + 0.05) AS v FROM base
+          |)""".stripMargin): String = {
     val roundCtes = (0 until rounds).map { r =>
       s"""b$r AS MATERIALIZED (
          |  SELECT qid, id FROM (
@@ -725,14 +739,7 @@ object SimilarityQueries {
          |  JOIN f$r USING (qid, id)
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH base AS (
-       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-       |), corpus AS (
-       |  SELECT vec_id AS id, v FROM base
-       |  UNION ALL
-       |  SELECT vec_id + 100000 AS id,
-       |         LIST_TRANSFORM(v, x -> x + 0.05) AS v FROM base
-       |), nrm AS MATERIALIZED (
+    s"""WITH $corpusCtes, nrm AS MATERIALIZED (
        |  SELECT id, v, SQRT(LIST_INNER_PRODUCT(v, v)) AS n FROM corpus
        |), edges AS MATERIALIZED (
        |  SELECT id, nb FROM (

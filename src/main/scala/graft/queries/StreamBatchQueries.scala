@@ -733,6 +733,43 @@ object StreamBatchQueries {
         .orderBy("id", "rank")
     },
 
+    // qs35: QUERY-WHILE-INGESTING — the qs34 × xs15 composition (the
+    // vector-store serving loop, the one seam neither gates alone:
+    // serving and ingestion touching the SAME evolving store). The
+    // <250 corpus seeds the kNN-graph store; vectors >= 250 fold in
+    // vec_id-ordered chunks; AFTER EACH chunk a pinned 5-query beam
+    // set serves against the store's current graph (eager traversal —
+    // genuinely mid-ingest). Gate: the FINAL serve. The final store ==
+    // one-shot knnGraphExact on any chunking (the qs34 order-free
+    // property), so the final serve == one-shot beamSearchTopK over
+    // the exact graph — replayed here by the xs15b unrolled-CTE
+    // traversal over the RAW embeddings corpus (deg-6 graph, entries
+    // 0-3, ef=8, 6 rounds, top-3 cosine rerank). Intermediate serves
+    // are chunking-dependent by nature; StreamingSpec gates each as
+    // traversal-identical to the one-shot beam over its own prefix
+    // graph, and the real runner (Streams.runKnnGraphServeStream:
+    // per-batch serve sink, committed-batch restart) is gated there
+    // too.
+    Q("qs35_stream_knn_serve",
+      SimilarityQueries.beamOracleSql(deg = 6, nEntries = 4, ef = 8,
+        rounds = 6, nQ = 5, k = 3,
+        corpusCtes =
+          """corpus AS (
+            |  SELECT vec_id AS id, embedding::DOUBLE[] AS v
+            |  FROM embeddings
+            |)""".stripMargin)) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      graft.streaming.Streams.knnGraphServeChunked(
+          emb.where(col("vec_id") >= 250),
+          emb.where(col("vec_id") < 250),
+          bounds = Seq(400L, 1000L), k = 6,
+          queries = emb.where(col("vec_id") < 5),
+          entryIds = 0L to 3L, ef = 8, rounds = 6, kq = 3)
+        .select(col("qid"), col("rank"), col("id"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("qid", "rank")
+    },
+
     // qs33: the UPDATE-mode sink gate (§2.10's last sink-mode row —
     // qs26/qs31 deliberately avoid update mode via strictly-increasing
     // emissions): unwatermarked streaming BIGRAM count through a real

@@ -933,6 +933,135 @@ object Streams {
     Similarity.knnGraphFromStore(gs)
   }
 
+  /** One serving pass over the evolving kNN-graph store: beam-search
+    * the pinned query set against the store's CURRENT vectors and
+    * edge lists. The traversal is EAGER ([[graft.operators.Similarity
+    * .beamSearchVisited]]'s round loop executes at call time), so
+    * invoking this mid-stream genuinely exercises serving against a
+    * half-ingested store — the qs35 seam.
+    */
+  private def serveFromStore(
+      gs: graft.operators.Similarity.KnnGraphStore, queries: DataFrame,
+      entryIds: Seq[Long], ef: Int, rounds: Int, kq: Int): DataFrame = {
+    import graft.operators.Similarity
+    Similarity.beamSearchTopK(gs.vecs, queries,
+      Similarity.knnGraphFromStore(gs), "id", "v",
+      entryIds, ef, rounds, kq)
+  }
+
+  /** Batch-shape QS35 harness (the oracle entry): QUERY-WHILE-
+    * INGESTING — the qs34 × xs15 composition, the vector-store serving
+    * loop. Fold `newVecs` into the evolving exact kNN-graph store in
+    * vec_id-ordered chunks, and AFTER EACH chunk beam-search the
+    * pinned `queries` against the store's current graph (each serve
+    * runs eagerly against a different prefix store — ingestion and
+    * serving touch the same store mid-stream). Returns the FINAL
+    * serve: the final store equals one-shot [[graft.operators
+    * .Similarity.knnGraphExact]] over corpus ∪ newVecs on ANY chunking
+    * (the qs34 order-free gate), so the final serve equals one-shot
+    * [[graft.operators.Similarity.beamSearchTopK]] over that exact
+    * graph — which the oracle replays with the xs15b unrolled-CTE
+    * traversal. Intermediate serves are chunking-dependent by nature
+    * (each sees a different prefix of the data); StreamingSpec gates
+    * each of them as traversal-identical to the one-shot beam search
+    * over its own prefix graph.
+    */
+  def knnGraphServeChunked(newVecs: DataFrame, corpus: DataFrame,
+      bounds: Seq[Long], k: Int, queries: DataFrame,
+      entryIds: Seq[Long], ef: Int, rounds: Int, kq: Int): DataFrame = {
+    import graft.operators.Similarity
+    var gs = Similarity.prepareKnnGraphStore(corpus, "vec_id",
+      "embedding", k)
+    val q = queries.select(col("vec_id").as("id"),
+      col("embedding").as("v")).localCheckpoint(true)
+    val edges = (Long.MinValue +: bounds.sorted) :+ Long.MaxValue
+    var serve: DataFrame = null
+    edges.sliding(2).foreach { case Seq(lo, hi) =>
+      gs = Similarity.knnGraphIngest(
+        newVecs.where(col("vec_id") >= lo && col("vec_id") < hi),
+        gs, "vec_id", "embedding").next
+      serve = serveFromStore(gs, q, entryIds, ef, rounds, kq)
+    }
+    serve
+  }
+
+  /** Run the QS35 stream: delta embedding files → per-micro-batch
+    * fold into the evolving kNN-graph store ([[runKnnGraphStream]]'s
+    * skeleton verbatim: durable committed-batch appends, order-free
+    * restart re-ingest, LSM compaction) PLUS, after each ingested
+    * batch, one serving pass of the pinned `queries` over the
+    * just-updated store, landing in `outDir/serve/batch=<id>`
+    * (idempotent overwrite — a reprocessed batch rebuilds the same
+    * prefix store and re-serves identically). The serve's scratch
+    * checkpoints (traversal visited frames, corpus/edge copies)
+    * release immediately after the write — they are per-batch
+    * artifacts, not store state, and left in place they would
+    * accumulate a traversal's worth of blocks every batch, forever.
+    * Returns the final serve over the drained store.
+    */
+  def runKnnGraphServeStream(spark: SparkSession, deltaDir: String,
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      entryIds: Seq[Long], ef: Int, rounds: Int, kq: Int,
+      outDir: String, compactEvery: Int = 4): DataFrame = {
+    import graft.operators.Similarity
+    val sc = spark.sparkContext
+    // the pinned query set checkpoints BEFORE the ownership snapshot:
+    // it must survive every compaction (the compactor releases owned-
+    // but-not-kept blocks, and the query set is never "kept" by a
+    // store rewrite — caught by the QS35 restart spec)
+    val qSet = queries.select(col("vec_id").as("id"),
+      col("embedding").as("v")).localCheckpoint(true)
+    val pre = sc.getPersistentRDDs.keySet
+    var gs = Similarity.prepareKnnGraphStore(corpus, "vec_id",
+      "embedding", k)
+    val committed = committedStoreBatches(spark, outDir)
+    if (committed.nonEmpty)
+      gs = Similarity.appendVectorsToStore(gs,
+        spark.read.parquet(committed: _*))
+    var owned = sc.getPersistentRDDs.keySet -- pre
+    var batches = 0
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(deltaDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val before = sc.getPersistentRDDs.keySet
+        val ing = graft.operators.Similarity.knnGraphIngest(
+          batch, gs, "vec_id", "embedding")
+        ing.appended.write.mode("overwrite")
+          .parquet(s"$outDir/store/batch=$batchId")
+        gs = ing.next
+        owned ++= sc.getPersistentRDDs.keySet -- before
+        // serve against the just-updated store; release the serve's
+        // scratch blocks right after the sink write
+        val preServe = sc.getPersistentRDDs.keySet
+        serveFromStore(gs, qSet, entryIds, ef, rounds, kq)
+          .write.mode("overwrite")
+          .parquet(s"$outDir/serve/batch=$batchId")
+        sc.getPersistentRDDs
+          .filterNot { case (id, _) => preServe(id) }
+          .values.foreach(_.unpersist(blocking = false))
+        batches += 1
+        if (batches % compactEvery == 0) {
+          val preCompact = sc.getPersistentRDDs.keySet
+          gs = graft.operators.Similarity.compactKnnGraphStore(gs)
+          val kept = sc.getPersistentRDDs.keySet -- preCompact
+          sc.getPersistentRDDs
+            .filter { case (id, _) => owned(id) && !kept(id) }
+            .values.foreach(_.unpersist(blocking = false))
+          owned = kept
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    serveFromStore(gs, qSet, entryIds, ef, rounds, kq)
+  }
+
   /** Batch-shape QS20 harness (the oracle entry): C4-clean `newDocs`
     * through the evolving first-occurrence line store in
     * doc_id-ordered chunks — union of per-chunk outputs == one-shot

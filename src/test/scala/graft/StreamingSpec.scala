@@ -679,6 +679,72 @@ class StreamingSpec extends SparkSpec {
     assert(rows(got) == oneShot)
   }
 
+  test("QS35 serve-while-ingest: final serve == one-shot beam search " +
+      "over the exact graph on any chunking; every per-batch serve is " +
+      "traversal-identical to the one-shot beam over its prefix graph; " +
+      "the real runner restarts to the identical final serve") {
+    import graft.operators.Similarity
+    val emb = graft.queries.T.t(spark, sf0001, "embeddings")
+    val delta = emb.where(col("vec_id") >= 250)
+    val corpus = emb.where(col("vec_id") < 250).cache()
+    val queries = emb.where(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "id", "sim").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          math.round(r.getDouble(3) * 1e9))).toSet
+    // one-shot serve over the exact graph of a given corpus prefix —
+    // the reference every serve (intermediate AND final) must equal
+    def oneShotServe(c: org.apache.spark.sql.DataFrame) =
+      rows(Similarity.beamSearchTopK(c, queries,
+        Similarity.knnGraphExact(c, "vec_id", "embedding", k = 6),
+        "vec_id", "embedding", entryIds = 0L to 3L, ef = 8,
+        rounds = 6, k = 3))
+    val oneShot = oneShotServe(emb)
+    assert(oneShot.nonEmpty)
+    // a delta vector must actually reach some query's final top-k, or
+    // serving over the EVOLVING store proves nothing beyond xs15
+    assert(oneShot.exists(_._3 >= 250),
+      "no delta vector in any final serve result")
+    // chunked harness: final serve == one-shot on two chunkings
+    def serve(bounds: Seq[Long]) =
+      rows(Streams.knnGraphServeChunked(delta, corpus, bounds, k = 6,
+        queries, entryIds = 0L to 3L, ef = 8, rounds = 6, kq = 3))
+    assert(serve(Seq.empty) == oneShot)
+    assert(serve(Seq(350L, 430L)) == oneShot)
+    // real file-stream runner with a mid-stream restart: run 1 serves
+    // batch 0 (prefix store), the restart resumes from the committed
+    // vector appends and serves batches 1..2, final serve identical
+    val base = java.nio.file.Files.createTempDirectory("qs35")
+    val deltaDir = base.resolve("delta").toString
+    val outDir = base.resolve("out").toString
+    delta.where(col("vec_id") < 350).coalesce(1)
+      .write.mode("append").parquet(deltaDir)
+    var got = Streams.runKnnGraphServeStream(spark, deltaDir, corpus,
+      queries, 6, 0L to 3L, 8, 6, 3, outDir, compactEvery = 2)
+    Thread.sleep(20)
+    delta.where(col("vec_id") >= 350 && col("vec_id") < 430)
+      .coalesce(1).write.mode("append").parquet(deltaDir)
+    Thread.sleep(20)
+    delta.where(col("vec_id") >= 430).coalesce(1)
+      .write.mode("append").parquet(deltaDir)
+    got = Streams.runKnnGraphServeStream(spark, deltaDir, corpus,
+      queries, 6, 0L to 3L, 8, 6, 3, outDir, compactEvery = 2)
+    assert(rows(got) == oneShot)
+    // every per-batch serve sink must equal the one-shot beam search
+    // over ITS prefix corpus — the mid-ingest serving contract
+    // (deterministic traversal identity, stronger than a recall gate)
+    for ((hi, b) <- Seq((350L, 0), (430L, 1), (Long.MaxValue, 2))) {
+      val prefix = emb.where(col("vec_id") < 250 ||
+        (col("vec_id") >= 250 && col("vec_id") < hi))
+      val sunk = rows(spark.read
+        .parquet(s"$outDir/serve/batch=$b"))
+      assert(sunk == oneShotServe(prefix),
+        s"serve/batch=$b diverges from the one-shot beam over its " +
+          "prefix store")
+    }
+    corpus.unpersist()
+  }
+
   test("QS33 update-mode sink: each batch emits exactly the changed " +
       "keys (not appends, not complete snapshots), counts cumulative") {
     val docs = graft.queries.T.t(spark, sf0001, "documents")
