@@ -519,15 +519,86 @@ object Similarity {
     * Exact all-pairs is inherently O(n²) (the [[graft.operators.Dedup
     * .embeddingNearDups]] argument): this is the small-corpus /
     * gated-entry construction. At 100 TB, build the edge list with a
-    * blocked method instead — [[knnGraph]] (LSH-thresholded) or
-    * IVF-seeded neighbor expansion — and feed it to the SAME
-    * [[beamSearchTopK]] traversal, which is construction-agnostic.
+    * blocked method instead — [[ivfSeededGraph]] (cell-blocked
+    * candidates, MEASURED linear-in-n at nlist ∝ n: the SCALE_r17
+    * construction law, recall-gated through the same traversal in
+    * OperatorsSpec) or [[knnGraph]] (LSH-thresholded — right when a
+    * similarity floor exists, e.g. near-dup graphs; unnavigable on a
+    * corpus whose true neighbors sit below LSH's usable threshold) —
+    * and feed it to the SAME [[beamSearchTopK]] traversal, which is
+    * construction-agnostic.
     */
   def knnGraphExact(emb: DataFrame, idCol: String, vecCol: String,
       k: Int, tiles: Int = 8): DataFrame = {
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       TextFns.l2norm(col(vecCol)).as("n")).repartition(tiles)
     rankTopK(directedPairs(e, e), k)
+  }
+
+  /** BLOCKED kNN-graph construction — the 100 TB path [[knnGraphExact]]
+    * names: IVF-seeded edges. Every node lands in its `probe` nearest
+    * cells (a narrow [[NearestCentroids]] map off plan-literal
+    * centroids — zero shuffle), and edges rank each node's top-`k`
+    * cosine neighbors among nodes SHARING one of its cells: one
+    * cell-keyed equi-join whose candidate volume is
+    * Σ_c load₁(c)·load_p(c) ≈ probe·n·(n/nlist) — LINEAR in n when
+    * nlist grows with the corpus (the IVF law; nlist ∝ n/target keeps
+    * per-cell load constant), never the n² of the exact build. Ranking
+    * is the bounded [[TopK.topKPairs]] aggregate (≤ k edges per node
+    * cross the shuffle). Output: the [[knnGraphExact]] schema
+    * (qid, id, sim, rank) — the [[beamSearchTopK]] traversal is
+    * construction-agnostic, and OperatorsSpec recall-gates the
+    * composition (blocked graph + [[cellMedoids]] entry tier) ≥ 0.9
+    * against brute force; SCALE_r17 measures the candidate-volume law.
+    *
+    * Approximate in the usual blocked sense: a true neighbor outside
+    * every shared probe cell is missed; recall restores through probe
+    * (the xd11 multi-probe argument) and through the traversal's own
+    * multi-hop reach.
+    */
+  def ivfSeededGraph(emb: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Long, Seq[Double])], probe: Int, k: Int): DataFrame = {
+    val c = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+        TextFns.l2norm(col(vecCol)).as("n"))
+      .withColumn("cells", nearestCells(col("v"), cents, probe))
+      .localCheckpoint(true)
+    val primary = c.select(col("id"), col("v"), col("n"),
+      element_at(col("cells"), 1).as("cell"))
+    val probed = c.select(col("id").as("nb"), col("v").as("nv"),
+      col("n").as("nn"), explode(col("cells")).as("cell"))
+    rankTopK(
+      primary.join(probed, "cell")
+        .where(col("id") =!= col("nb"))
+        .select(col("id").as("qid"), col("nb").as("id"),
+          (TextFns.dot(col("v"), col("nv")) / (col("n") * col("nn")))
+            .as("sim")),
+      k)
+  }
+
+  /** One deterministic entry point per cell for [[beamSearchTopK]]
+    * over a blocked graph — the node nearest its own cell's centroid
+    * (cos DESC, id ASC): the two-layer HNSW shape with the coarse
+    * quantizer as the upper layer, making every cell's subgraph
+    * reachable from a principled start instead of pinned-lowest-ids.
+    * One bounded job: ≤ nlist rows collect.
+    */
+  def cellMedoids(emb: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Long, Seq[Double])]): Seq[Long] = {
+    val byCell = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+        TextFns.l2norm(col(vecCol)).as("n"))
+      .withColumn("cell", element_at(nearestCells(col("v"), cents, 1), 1))
+    val centMap = map(cents.sortBy(_._1).flatMap { case (id, v) =>
+      Seq(lit(id), typedlit(v))
+    }: _*)
+    byCell
+      .withColumn("cos", TextFns.dot(col("v"),
+        element_at(centMap, col("cell"))) / col("n"))
+      .groupBy("cell")
+      // lexicographic max of (cos, -id): best cosine, ties to the
+      // LOWER id — deterministic on any partitioning
+      .agg(max(struct(col("cos"), (-col("id")).as("negid"))).as("m"))
+      .select((-col("m.negid")).cast(LongType).as("id"))
+      .collect().map(_.getLong(0)).sorted.toSeq
   }
 
   /** Directed cosine pairs x→y (qid = x.id, id = y.id, sim), self
@@ -674,7 +745,9 @@ object Similarity {
     */
   def beamSearchVisited(corpus: DataFrame, queries: DataFrame,
       edges: DataFrame, idCol: String, vecCol: String,
-      entryIds: Seq[Long], ef: Int, rounds: Int): DataFrame = {
+      entryIds: Seq[Long], ef: Int, rounds: Int,
+      diagOut: scala.collection.mutable.ArrayBuffer[Long] = null)
+      : DataFrame = {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       TextFns.l2norm(col(vecCol)).as("nv")).localCheckpoint(true)
     val q = broadcast(queries.select(col(idCol).as("qid"),
@@ -694,6 +767,11 @@ object Similarity {
       q.select(col("qid")).crossJoin(
         c.where(col("id").isin(entryIds: _*)).select(col("id"))))
       .localCheckpoint(true)
+    // per-round scored-row counter (SCALE_r17's navigation-cost leg):
+    // every visited row is scored EXACTLY ONCE, so the counts are
+    // deterministic — seed rows first, then each round's frontier.
+    // Counting mode pays a full count where the hot path pays limit(1).
+    if (diagOut != null) diagOut += visited.count()
     var r = 0
     var grew = true
     while (r < rounds && grew) {
@@ -706,7 +784,10 @@ object Similarity {
         .join(visited.select("qid", "id"), Seq("qid", "id"),
           "left_anti")
       val fs = scored(frontier).localCheckpoint(true)
-      grew = fs.limit(1).count() > 0
+      if (diagOut != null) {
+        val n = fs.count(); grew = n > 0
+        if (grew) diagOut += n
+      } else grew = fs.limit(1).count() > 0
       if (grew)
         visited = org.apache.spark.sql.graftbridge.Bridge.freshStats(
           visited.unionAll(fs).localCheckpoint(true))
@@ -751,7 +832,9 @@ object Similarity {
     */
   def beamSearchVisitedBQ(corpus: DataFrame, queries: DataFrame,
       edges: DataFrame, idCol: String, vecCol: String,
-      entryIds: Seq[Long], ef: Int, rounds: Int): DataFrame = {
+      entryIds: Seq[Long], ef: Int, rounds: Int,
+      diagOut: scala.collection.mutable.ArrayBuffer[Long] = null)
+      : DataFrame = {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .localCheckpoint(true)
     val q = broadcast(queries.select(col(idCol).as("qid"),
@@ -766,6 +849,9 @@ object Similarity {
       q.select(col("qid")).crossJoin(
         c.where(col("id").isin(entryIds: _*)).select(col("id"))))
       .localCheckpoint(true)
+    // per-round Hamming-comparison counter — the beamSearchVisited
+    // counter's integer-navigation twin (SCALE_r17)
+    if (diagOut != null) diagOut += visited.count()
     var r = 0
     var grew = true
     while (r < rounds && grew) {
@@ -782,7 +868,10 @@ object Similarity {
         .join(visited.select("qid", "id"), Seq("qid", "id"),
           "left_anti")
       val fs = scored(frontier).localCheckpoint(true)
-      grew = fs.limit(1).count() > 0
+      if (diagOut != null) {
+        val n = fs.count(); grew = n > 0
+        if (grew) diagOut += n
+      } else grew = fs.limit(1).count() > 0
       if (grew)
         visited = org.apache.spark.sql.graftbridge.Bridge.freshStats(
           visited.unionAll(fs).localCheckpoint(true))
@@ -793,18 +882,36 @@ object Similarity {
 
   /** Exact-cosine rerank over the Hamming-traversed visited set —
     * [[bruteForceTopK]]'s output contract.
+    *
+    * `shortlist` = 0 reranks the FULL visited set — the xs16/xs16b
+    * gated shape (SQL-replayable: the oracle reranks the same set).
+    * `shortlist` > 0 is the production two-stage discipline (xs13's):
+    * Hamming-rank the visited set to `shortlist` rows per query —
+    * integer compares on scores the traversal ALREADY computed — and
+    * pay exact cosine only there, so dot-product count drops from
+    * |visited| to |queries|·shortlist. That is the measured
+    * navigation-cost story in SCALE_r17: popcounts navigate, a
+    * parameter-bounded shortlist pays the dim-length dots.
     */
   def beamSearchTopKBQ(corpus: DataFrame, queries: DataFrame,
       edges: DataFrame, idCol: String, vecCol: String,
-      entryIds: Seq[Long], ef: Int, rounds: Int, k: Int): DataFrame = {
+      entryIds: Seq[Long], ef: Int, rounds: Int, k: Int,
+      shortlist: Int = 0): DataFrame = {
     val visited = beamSearchVisitedBQ(corpus, queries, edges, idCol,
       vecCol, entryIds, ef, rounds)
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       TextFns.l2norm(col(vecCol)).as("nv"))
     val q = broadcast(queries.select(col(idCol).as("qid"),
       col(vecCol).as("qv"), TextFns.l2norm(col(vecCol)).as("nq")))
+    val nonSelf = visited.where(col("id") =!= col("qid"))
+    val toRerank =
+      if (shortlist <= 0) nonSelf.select("qid", "id")
+      else rankTopK(
+        nonSelf.select(col("qid"), col("id"),
+          (-col("hd")).cast(DoubleType).as("sim")), shortlist)
+        .select("qid", "id")
     rankTopK(
-      visited.where(col("id") =!= col("qid")).select("qid", "id")
+      toRerank
         .join(c, "id").join(q, "qid")
         .select(col("qid"), col("id"),
           (TextFns.dot(col("v"), col("qv")) / (col("nv") * col("nq")))

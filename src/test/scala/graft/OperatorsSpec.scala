@@ -531,6 +531,48 @@ class OperatorsSpec extends SparkSpec {
       s"beam search touched $touchedMax of $n nodes")
   }
 
+  test("BLOCKED-construction beam search: IVF-seeded edges + per-cell " +
+      "medoid entries reach recall >= 0.9 vs brute force, and the " +
+      "construction's candidate volume is cell-blocked, not n^2") {
+    val corpus = graft.queries.DedupQueries.plantedEmbeddingCorpus(
+      T.t(spark, sf0001, "embeddings")).localCheckpoint(true)
+    val queries = corpus.where(col("id") < 10)
+    val n = corpus.count()
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairs(Similarity.bruteForceTopK(corpus, queries, "id",
+      "v", 3))
+    val cents = Similarity.kmeansCentroidsSeq(corpus, "id", "v",
+      nlist = 8)
+    val graph = Similarity.ivfSeededGraph(corpus, "id", "v", cents,
+      probe = 2, k = 10).localCheckpoint(true)
+    val entries = Similarity.cellMedoids(corpus, "id", "v", cents)
+    assert(entries.nonEmpty && entries.size <= 8)
+    val beam = pairs(Similarity.beamSearchTopK(corpus, queries, graph,
+      "id", "v", entryIds = entries, ef = 24, rounds = 10, k = 3))
+    assert(bf.nonEmpty)
+    assert((bf & beam).size.toDouble / bf.size >= 0.9,
+      s"blocked-graph recall ${(bf & beam).size.toDouble / bf.size}")
+    // construction cost: the cell-keyed join's ACTUAL candidate
+    // volume must be a cell-blocked fraction of all-pairs
+    // (probe·n·load vs n²) — the claim knnGraphExact's scaladoc
+    // makes, measured by recounting the same join
+    def assigned(p: Int) = corpus.select(col("id"),
+      graft.operators.HashFns.nearestCentroids(col("v"),
+        cents.map(_._1), cents.map(_._2), p).as("cells"))
+    val prim = assigned(1)
+      .select(col("id"), element_at(col("cells"), 1).as("cell"))
+    val prob = assigned(2)
+      .select(col("id").as("nb"), explode(col("cells")).as("cell"))
+    val blocked = prim.join(prob, "cell")
+      .where(col("id") =!= col("nb")).count()
+    val exactPairs = n * (n - 1)
+    assert(blocked < exactPairs / 2,
+      s"blocking buys nothing: $blocked candidates vs $exactPairs " +
+        "all-pairs")
+  }
+
   test("knnGraphIngest refuses a batch whose ids are already stored " +
       "(duplicate-sensitive fold — fail loudly, ADVICE r16)") {
     val emb = T.t(spark, sf0001, "embeddings")
@@ -810,6 +852,16 @@ class OperatorsSpec extends SparkSpec {
     assert(bf.nonEmpty)
     assert((bf & bq).size.toDouble / bf.size >= 0.9,
       s"recall ${(bf & bq).size.toDouble / bf.size}")
+    // the production SHORTLISTED rerank (Hamming-rank the visited set
+    // to R per query, exact cosine only there — dot count drops from
+    // |visited| to |q|·R) must not lose recall vs the full rerank.
+    // R is sized for the 64-bit signature's coarseness: hd takes 65
+    // values, ties are broad, so R ≈ 20·k — still corpus-independent
+    val bqShort = pairs(Similarity.beamSearchTopKBQ(corpus, queries,
+      graph, "id", "v", entryIds = 0L to 7L, ef = 24, rounds = 10,
+      k = 3, shortlist = 64))
+    assert((bf & bqShort).size.toDouble / bf.size >= 0.9,
+      s"shortlisted recall ${(bf & bqShort).size.toDouble / bf.size}")
   }
 
   test("knnGraphExact runs as tiled CartesianProduct, not " +
