@@ -674,9 +674,13 @@ object Similarity {
       .repartition(store.tiles).localCheckpoint(true)
     // the fold is duplicate-SENSITIVE: a re-ingested id is excluded
     // from self-pairs but every (qid, id) sim computes twice and
-    // occupies two top-k slots, displacing a real edge — fail loudly
-    // (one bounded equi-join probe; negligible vs the |B|·N sim legs)
-    val dup = b.select("id").join(store.vecs.select("id"), "id")
+    // occupies two top-k slots, displacing a real edge — fail loudly.
+    // One shuffle-free probe: the batch's bare ids broadcast (deltas
+    // are batch-sized by contract — the qs34 ingest regime; 8 B/id)
+    // against a scan of the store's id column — negligible vs the
+    // |B|·N sim legs
+    val dup = store.vecs.select("id")
+      .join(broadcast(b.select("id")), "id")
       .limit(1).collect()
     require(dup.isEmpty,
       s"knnGraphIngest: batch id ${dup.headOption.map(_.getLong(0))

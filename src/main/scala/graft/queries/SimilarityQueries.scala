@@ -604,6 +604,38 @@ object SimilarityQueries {
         .orderBy("qid", "rank")
     },
 
+    // xs17: the BLOCKED-construction traversal, HASH-GATED end to end
+    // (beyond the r17 spec gate): label-centroid cells (the xs2b
+    // SQL-replayable quantizer) → probe-2 assignment → ivfSeededGraph
+    // edges (candidates only from shared cells — the linear-law
+    // construction SCALE_r17 measures; never all-pairs) → cellMedoids
+    // entry points (one per cell, the two-layer HNSW shape) → the
+    // xs15 traversal → exact top-3. Every stage is deterministic SQL
+    // arithmetic, so the oracle replays the ENTIRE production stack:
+    // a blocked build feeding the construction-agnostic beam search.
+    Q("xs17_ann_beam_blocked",
+      blockedBeamOracleSql(deg = 6, probe = 2, ef = 8, rounds = 6,
+        nQ = 5, k = 3)) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val cents = Similarity.labelCentroids(emb, "label", "embedding")
+        .select(col("clabel").cast("long"), col("centroid"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+        .sortBy(_._1).toSeq
+      val corpus = emb.select(col("vec_id").as("id"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .localCheckpoint(true)
+      val graph = Similarity.ivfSeededGraph(corpus, "id", "v", cents,
+        probe = 2, k = 6)
+      val entries = Similarity.cellMedoids(corpus, "id", "v", cents)
+      Similarity.beamSearchTopK(corpus, corpus.where(col("id") < 5),
+          graph, "id", "v", entryIds = entries, ef = 8, rounds = 6,
+          k = 3)
+        .select(col("qid"), col("rank"), col("id"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("qid", "rank")
+    },
+
     // Hash-gated Hamming-beam twin (xs16b, the xs15b discipline): the
     // SAME machinery pinned small — deg-6 graph, 4 entries, ef=8, 6
     // unrolled rounds — with the beam ordered by the INTEGER sign
@@ -758,6 +790,104 @@ object SimilarityQueries {
        |), v0 AS MATERIALIZED (
        |  SELECT qid, id, sim FROM qsim
        |  WHERE id IN (${(0 until nEntries).mkString(", ")})
+       |),
+       |$roundCtes
+       |SELECT qid, CAST(rn AS INT) AS rank, id, ROUND(sim, 4) AS sim
+       |FROM (
+       |  SELECT qid, id, sim, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY sim DESC, id) AS rn
+       |  FROM v$rounds WHERE id <> qid
+       |) WHERE rn <= $k ORDER BY qid, rank""".stripMargin
+  }
+
+  /** The xs17 blocked-construction replay: label-centroid cells
+    * (decimal means — the xs2b quantizer SQL verbatim), probe-`probe`
+    * assignment under the dot·(1/‖c‖) metric with ties to the smaller
+    * label ([[graft.operators.HashFns.nearestCentroids]]' exact IEEE
+    * sequence), [[Similarity.ivfSeededGraph]]'s edge derivation (a
+    * node's candidates = nodes whose probe set contains its PRIMARY
+    * cell — never all-pairs; rank (sim DESC, id) ≤ deg),
+    * [[Similarity.cellMedoids]] (per-cell argmax dot/‖v‖, ties to the
+    * lower id) as the entry tier, then [[beamOracleSql]]'s unrolled
+    * round CTEs and final top-k. The hash match proves the BLOCKED
+    * production stack — quantizer, blocked edges, medoid entries,
+    * traversal — end to end, not just the exact-graph traversal.
+    */
+  private[queries] def blockedBeamOracleSql(deg: Int, probe: Int,
+      ef: Int, rounds: Int, nQ: Int, k: Int): String = {
+    val roundCtes = (0 until rounds).map { r =>
+      s"""b$r AS MATERIALIZED (
+         |  SELECT qid, id FROM (
+         |    SELECT qid, id, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, id) AS rn FROM v$r) WHERE rn <= $ef
+         |), f$r AS MATERIALIZED (
+         |  SELECT DISTINCT b.qid, e.nb AS id
+         |  FROM b$r b JOIN edges e ON e.id = b.id
+         |  WHERE NOT EXISTS (SELECT 1 FROM v$r v
+         |    WHERE v.qid = b.qid AND v.id = e.nb)
+         |), v${r + 1} AS MATERIALIZED (
+         |  SELECT * FROM v$r UNION ALL
+         |  SELECT s.qid, s.id, s.sim FROM qsim s
+         |  JOIN f$r USING (qid, id)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH comp AS (
+       |  SELECT vec_id, label, UNNEST(embedding::DOUBLE[]) AS x,
+       |    GENERATE_SUBSCRIPTS(embedding, 1) AS pos
+       |  FROM embeddings
+       |), cm AS (
+       |  SELECT label AS clabel, pos,
+       |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+       |      AS m
+       |  FROM comp GROUP BY 1, 2
+       |), cent AS MATERIALIZED (
+       |  SELECT clabel, LIST(m ORDER BY pos) AS centroid
+       |  FROM cm GROUP BY 1
+       |), nrm AS MATERIALIZED (
+       |  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+       |    SQRT(LIST_INNER_PRODUCT(embedding::DOUBLE[],
+       |      embedding::DOUBLE[])) AS n
+       |  FROM embeddings
+       |), rnk AS MATERIALIZED (
+       |  SELECT id, clabel, ROW_NUMBER() OVER (PARTITION BY id
+       |    ORDER BY s DESC, clabel) AS rn
+       |  FROM (
+       |    SELECT c.id, t.clabel,
+       |      LIST_INNER_PRODUCT(c.v, t.centroid) *
+       |        (1.0 / SQRT(LIST_INNER_PRODUCT(t.centroid, t.centroid)))
+       |        AS s
+       |    FROM nrm c CROSS JOIN cent t)
+       |), asg AS (SELECT id, clabel AS cell FROM rnk WHERE rn = 1),
+       |prb AS (SELECT id, clabel AS cell FROM rnk WHERE rn <= $probe),
+       |edges AS MATERIALIZED (
+       |  SELECT id, nb FROM (
+       |    SELECT a.id AS id, b.id AS nb, ROW_NUMBER() OVER (
+       |      PARTITION BY a.id
+       |      ORDER BY LIST_INNER_PRODUCT(x.v, y.v) / (x.n * y.n) DESC,
+       |        b.id) AS rn
+       |    FROM asg a JOIN prb b USING (cell)
+       |    JOIN nrm x ON x.id = a.id
+       |    JOIN nrm y ON y.id = b.id
+       |    WHERE a.id <> b.id
+       |  ) WHERE rn <= $deg
+       |), med AS MATERIALIZED (
+       |  SELECT id FROM (
+       |    SELECT a.id, ROW_NUMBER() OVER (PARTITION BY a.cell
+       |      ORDER BY LIST_INNER_PRODUCT(x.v, t.centroid) / x.n DESC,
+       |        a.id) AS rn
+       |    FROM asg a
+       |    JOIN nrm x ON x.id = a.id
+       |    JOIN cent t ON t.clabel = a.cell
+       |  ) WHERE rn = 1
+       |), q AS (
+       |  SELECT id AS qid, v AS qv, n AS nq FROM nrm WHERE id < $nQ
+       |), qsim AS MATERIALIZED (
+       |  SELECT q.qid, c.id,
+       |    LIST_INNER_PRODUCT(c.v, q.qv) / (c.n * q.nq) AS sim
+       |  FROM nrm c, q
+       |), v0 AS MATERIALIZED (
+       |  SELECT qid, id, sim FROM qsim
+       |  WHERE id IN (SELECT id FROM med)
        |),
        |$roundCtes
        |SELECT qid, CAST(rn AS INT) AS rank, id, ROUND(sim, 4) AS sim

@@ -762,7 +762,10 @@ object StreamBatchQueries {
       graft.streaming.Streams.knnGraphServeChunked(
           emb.where(col("vec_id") >= 250),
           emb.where(col("vec_id") < 250),
-          bounds = Seq(400L, 1000L), k = 6,
+          // two chunks, both non-empty at BOTH gated SFs (the earlier
+          // Seq(400, 1000) cut left an empty third chunk at sf0.01 —
+          // an ingest+serve pass over nothing, pure bench weight)
+          bounds = Seq(400L), k = 6,
           queries = emb.where(col("vec_id") < 5),
           entryIds = 0L to 3L, ef = 8, rounds = 6, kq = 3)
         .select(col("qid"), col("rank"), col("id"),
