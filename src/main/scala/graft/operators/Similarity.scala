@@ -751,6 +751,25 @@ object Similarity {
       edges: DataFrame, idCol: String, vecCol: String,
       entryIds: Seq[Long], ef: Int, rounds: Int,
       diagOut: scala.collection.mutable.ArrayBuffer[Long] = null)
+      : DataFrame =
+    beamSearchVisitedSeeded(corpus, queries, edges, idCol, vecCol,
+      entryIds, ef, rounds, seedM = 0, diagOut = diagOut)
+
+  /** [[beamSearchVisited]] with the seed choice factored out: when
+    * `seedM` = 0, every query starts at ALL of `entryIds` (the flat
+    * entry tier — xs15/xs17's shape); when `seedM` > 0, each query
+    * first scores ONLY the `entryIds` layer (medoids — nlist rows, a
+    * broadcast-sized upper layer) and descends from its own top-seedM
+    * of them (sim DESC, id ASC — TopKPairs' exact order). That is the
+    * hierarchical half of the HNSW analogy (xs18): the upper-layer
+    * search is itself a tiny exact top-k, and per-query seed count
+    * drops from nlist to seedM, shrinking the visited set the
+    * SCALE_r16 law bounds. Both shapes share every downstream round.
+    */
+  def beamSearchVisitedSeeded(corpus: DataFrame, queries: DataFrame,
+      edges: DataFrame, idCol: String, vecCol: String,
+      entryIds: Seq[Long], ef: Int, rounds: Int, seedM: Int,
+      diagOut: scala.collection.mutable.ArrayBuffer[Long] = null)
       : DataFrame = {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       TextFns.l2norm(col(vecCol)).as("nv")).localCheckpoint(true)
@@ -767,9 +786,11 @@ object Similarity {
         .select(col("qid"), col("id"),
           (TextFns.dot(col("v"), col("qv")) / (col("nv") * col("nq")))
             .as("sim"))
-    var visited = scored(
+    val layer = scored(
       q.select(col("qid")).crossJoin(
         c.where(col("id").isin(entryIds: _*)).select(col("id"))))
+    var visited = (if (seedM <= 0) layer
+      else rankTopK(layer, seedM).select("qid", "id", "sim"))
       .localCheckpoint(true)
     // per-round scored-row counter (SCALE_r17's navigation-cost leg):
     // every visited row is scored EXACTLY ONCE, so the counts are
@@ -810,6 +831,19 @@ object Similarity {
     rankVisitedTopK(
       beamSearchVisited(corpus, queries, edges, idCol, vecCol,
         entryIds, ef, rounds),
+      k)
+
+  /** Top-k via the HIERARCHICAL descent ([[beamSearchVisitedSeeded]]
+    * with seedM > 0): score the medoid layer, descend from each
+    * query's own top-`seedM` medoids. The xs18 gated shape.
+    */
+  def beamSearchTopKHier(corpus: DataFrame, queries: DataFrame,
+      edges: DataFrame, idCol: String, vecCol: String,
+      entryIds: Seq[Long], seedM: Int, ef: Int, rounds: Int,
+      k: Int): DataFrame =
+    rankVisitedTopK(
+      beamSearchVisitedSeeded(corpus, queries, edges, idCol, vecCol,
+        entryIds, ef, rounds, seedM),
       k)
 
   /** Rank a [[beamSearchVisited]] frame without re-traversing — the

@@ -636,6 +636,38 @@ object SimilarityQueries {
         .orderBy("qid", "rank")
     },
 
+    // xs18: the HIERARCHICAL descent — the two-layer half of the HNSW
+    // analogy completed: instead of starting every query at EVERY
+    // cell's medoid (xs17's flat tier), each query first searches the
+    // medoid LAYER (one tiny exact top-m over nlist rows) and
+    // descends into the base graph from its own 3 nearest medoids.
+    // Per-query seeds drop from nlist to 3 — the visited set shrinks
+    // accordingly (OperatorsSpec gates hier ⊂ flat AND recall). Same
+    // blocked construction as xs17; hash-gated via one more
+    // ROW_NUMBER in the v0 CTE.
+    Q("xs18_ann_beam_hier",
+      blockedBeamOracleSql(deg = 6, probe = 2, ef = 8, rounds = 6,
+        nQ = 5, k = 3, seedM = 3)) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val cents = Similarity.labelCentroids(emb, "label", "embedding")
+        .select(col("clabel").cast("long"), col("centroid"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+        .sortBy(_._1).toSeq
+      val corpus = emb.select(col("vec_id").as("id"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .localCheckpoint(true)
+      val graph = Similarity.ivfSeededGraph(corpus, "id", "v", cents,
+        probe = 2, k = 6)
+      val entries = Similarity.cellMedoids(corpus, "id", "v", cents)
+      Similarity.beamSearchTopKHier(corpus, corpus.where(col("id") < 5),
+          graph, "id", "v", entryIds = entries, seedM = 3, ef = 8,
+          rounds = 6, k = 3)
+        .select(col("qid"), col("rank"), col("id"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("qid", "rank")
+    },
+
     // Hash-gated Hamming-beam twin (xs16b, the xs15b discipline): the
     // SAME machinery pinned small — deg-6 graph, 4 entries, ef=8, 6
     // unrolled rounds — with the beam ordered by the INTEGER sign
@@ -812,9 +844,14 @@ object SimilarityQueries {
     * round CTEs and final top-k. The hash match proves the BLOCKED
     * production stack — quantizer, blocked edges, medoid entries,
     * traversal — end to end, not just the exact-graph traversal.
+    *
+    * `seedM` > 0 switches v0 to the HIERARCHICAL descent (xs18): each
+    * query scores the medoid layer and keeps only its own top-seedM
+    * (sim DESC, id) as seeds — the per-query upper-layer search of
+    * the HNSW analogy, replayed by one more ROW_NUMBER.
     */
   private[queries] def blockedBeamOracleSql(deg: Int, probe: Int,
-      ef: Int, rounds: Int, nQ: Int, k: Int): String = {
+      ef: Int, rounds: Int, nQ: Int, k: Int, seedM: Int = 0): String = {
     val roundCtes = (0 until rounds).map { r =>
       s"""b$r AS MATERIALIZED (
          |  SELECT qid, id FROM (
@@ -886,8 +923,15 @@ object SimilarityQueries {
        |    LIST_INNER_PRODUCT(c.v, q.qv) / (c.n * q.nq) AS sim
        |  FROM nrm c, q
        |), v0 AS MATERIALIZED (
-       |  SELECT qid, id, sim FROM qsim
-       |  WHERE id IN (SELECT id FROM med)
+       |${if (seedM <= 0)
+        """  SELECT qid, id, sim FROM qsim
+          |  WHERE id IN (SELECT id FROM med)""".stripMargin
+      else
+        s"""  SELECT qid, id, sim FROM (
+           |    SELECT qid, id, sim, ROW_NUMBER() OVER (
+           |      PARTITION BY qid ORDER BY sim DESC, id) AS rn
+           |    FROM qsim WHERE id IN (SELECT id FROM med)
+           |  ) WHERE rn <= $seedM""".stripMargin}
        |),
        |$roundCtes
        |SELECT qid, CAST(rn AS INT) AS rank, id, ROUND(sim, 4) AS sim

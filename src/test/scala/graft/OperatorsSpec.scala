@@ -573,6 +573,55 @@ class OperatorsSpec extends SparkSpec {
         "all-pairs")
   }
 
+  test("HIERARCHICAL descent: per-query top-m medoid seeds keep " +
+      "recall >= 0.9 while shrinking the visited set vs the flat " +
+      "entry tier") {
+    val corpus = graft.queries.DedupQueries.plantedEmbeddingCorpus(
+      T.t(spark, sf0001, "embeddings")).localCheckpoint(true)
+    val queries = corpus.where(col("id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairs(Similarity.bruteForceTopK(corpus, queries, "id",
+      "v", 3))
+    val cents = Similarity.kmeansCentroidsSeq(corpus, "id", "v",
+      nlist = 8)
+    val graph = Similarity.ivfSeededGraph(corpus, "id", "v", cents,
+      probe = 2, k = 10).localCheckpoint(true)
+    val entries = Similarity.cellMedoids(corpus, "id", "v", cents)
+    def visitedCount(seedM: Int) = Similarity
+      .beamSearchVisitedSeeded(corpus, queries, graph, "id", "v",
+        entries, ef = 24, rounds = 10, seedM = seedM).count()
+    val hier = pairs(Similarity.beamSearchTopKHier(corpus, queries,
+      graph, "id", "v", entries, seedM = 3, ef = 24, rounds = 10,
+      k = 3))
+    assert(bf.nonEmpty)
+    assert((bf & hier).size.toDouble / bf.size >= 0.9,
+      s"hierarchical recall ${(bf & hier).size.toDouble / bf.size}")
+    // the descent's whole point: fewer seeds → smaller visited set
+    // (both counts deterministic — set-semantic traversals)
+    val vFlat = visitedCount(0)
+    val vHier = visitedCount(3)
+    assert(vHier < vFlat,
+      s"hierarchical visited $vHier !< flat visited $vFlat")
+  }
+
+  test("ivfSeededGraph plan: cell equi-join (hash join), never a " +
+      "cartesian or corpus-sized broadcast nested loop") {
+    val emb = T.t(spark, sf0001, "embeddings")
+    val corpus = emb.select(col("vec_id").as("id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cents = Similarity.kmeansCentroidsSeq(corpus, "id", "v", 8)
+    val plan = Similarity.ivfSeededGraph(corpus, "id", "v", cents,
+        probe = 2, k = 6)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"blocked build degenerated to a cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "corpus-sized broadcast is a scale-killer")
+    assert(plan.contains("Join"), s"expected a cell hash join:\n$plan")
+  }
+
   test("knnGraphIngest refuses a batch whose ids are already stored " +
       "(duplicate-sensitive fold — fail loudly, ADVICE r16)") {
     val emb = T.t(spark, sf0001, "embeddings")
