@@ -240,6 +240,66 @@ object R17Stress {
         f"recall full=$recallFull%.2f short=$recallShort%.2f")
     }
 
+    // ---------- LEG C: hierarchical-descent visited law ----------
+    // xs18's win counted at two corpus sizes: per-query top-3-medoid
+    // seeding must (a) shrink the visited set vs the flat all-medoid
+    // tier at BOTH sizes and (b) keep recall — and the shrink should
+    // WIDEN as nlist grows with the corpus (flat seeds = nlist,
+    // hierarchical seeds = 3 regardless).
+    {
+      case class CLeg(n: Long, nlist: Int, vFlat: Long, vHier: Long,
+        recall: Double)
+      def cLeg(members: Int, nlist: Int): CLeg = {
+        StressUtil.clusteredEmbeddings(spark, sfDir, scratch, members)
+        val corpus = spark.read
+          .parquet(s"$scratch/embeddings_clustered.parquet")
+          .select(col("vec_id").as("id"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+          .localCheckpoint(true)
+        val n = corpus.count()
+        val queries = corpus.where(col("id") < 10).localCheckpoint(true)
+        val cents = Similarity.kmeansCentroidsSeq(corpus, "id", "v",
+          nlist)
+        val graph = Similarity.ivfSeededGraph(corpus, "id", "v", cents,
+          probe = 2, k = 10).localCheckpoint(true)
+        val entries = Similarity.cellMedoids(corpus, "id", "v", cents)
+        def visited(seedM: Int) = Similarity.beamSearchVisitedSeeded(
+          corpus, queries, graph, "id", "v", entries, ef = 24,
+          rounds = 10, seedM = seedM).localCheckpoint(true)
+        val vF = visited(0); val vFlat = vF.count()
+        val vH = visited(3)
+        val vHier = vH.count()
+        val hier = Similarity.rankVisitedTopK(vH, 3)
+          .select("qid", "id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val bf = Similarity.bruteForceTopK(corpus, queries, "id", "v",
+            3).select("qid", "id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val recall = (bf & hier).size.toDouble / bf.size
+        dropPersisted()
+        println(f"[hier] n=$n%-6d nlist=$nlist flat=$vFlat " +
+          f"hier=$vHier recall=$recall%.3f")
+        CLeg(n, nlist, vFlat, vHier, recall)
+      }
+      val c1 = cLeg(members = 4, nlist = 32)
+      val c2 = cLeg(members = 8, nlist = 64)
+      for ((l, p) <- Seq(c1 -> "hier_f4", c2 -> "hier_f8")) {
+        results += s"${p}_n" -> l.n
+        results += s"${p}_visited_flat" -> l.vFlat
+        results += s"${p}_visited_hier" -> l.vHier
+        results += s"${p}_shrink" -> (l.vHier.toDouble / l.vFlat)
+        results += s"${p}_recall" -> l.recall
+      }
+      require(c1.recall >= 0.9 && c2.recall >= 0.9,
+        f"hier recall dropped: f4=${c1.recall}%.3f f8=${c2.recall}%.3f")
+      require(c1.vHier < c1.vFlat && c2.vHier < c2.vFlat,
+        "hierarchical seeding did not shrink the visited set")
+      require(c2.vHier.toDouble / c2.vFlat <
+          c1.vHier.toDouble / c1.vFlat,
+        "the shrink must WIDEN as nlist grows with the corpus " +
+          s"(${c1.vHier}/${c1.vFlat} then ${c2.vHier}/${c2.vFlat})")
+    }
+
     val payload = results
       .map { case (k, v) => s""""$k":${StressUtil.jsonScalar(v)}""" }
       .mkString("{", ",", "}")
