@@ -722,6 +722,87 @@ object Similarity {
   def knnGraphFromStore(store: KnnGraphStore): DataFrame =
     rankTopK(store.top, store.k)
 
+  /** Evolving BLOCKED kNN-graph store (qs36) — [[KnnGraphStore]]'s
+    * fold fed by [[ivfSeededGraph]]'s cell-blocked candidates instead
+    * of exact all-pairs: the 100 TB maintenance path the exact store's
+    * scaladoc names, now a maintained structure. Centroids FREEZE at
+    * `prepare` (the qs32 frozen-parameter discipline — a vector's
+    * cells must not depend on arrival time), every vector carries its
+    * primary cell and `probe` nearest cells, and ingest generates the
+    * directed candidate x→y exactly when x.primary ∈ y.probes — so
+    * for ANY chunking in ANY order each candidate pair arises exactly
+    * once (when the later vector ingests), the candidate SET equals
+    * the one-shot [[ivfSeededGraph]]'s, and the order-free top-k merge
+    * (the qs34 theorem) lands every chunking on the IDENTICAL blocked
+    * graph. Ingest cost: |B|·(probe·load) sims against the store —
+    * delta-proportional AND cell-blocked, never store² and never
+    * all-pairs.
+    */
+  final case class BlockedGraphStore private[operators] (
+      vecs: DataFrame, top: DataFrame, cents: Seq[(Long, Seq[Double])],
+      probe: Int, k: Int)
+
+  /** (id, v, n, cell, cells) under the FROZEN centroid literals. */
+  private def assignBlocked(df: DataFrame, idCol: String,
+      vecCol: String, cents: Seq[(Long, Seq[Double])],
+      probe: Int): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        TextFns.l2norm(col(vecCol)).as("n"))
+      .withColumn("cells", nearestCells(col("v"), cents, probe))
+      .withColumn("cell", element_at(col("cells"), 1))
+
+  /** Directed blocked candidates x→y (x.primary ∈ y.probes), self
+    * excluded — [[ivfSeededGraph]]'s join shape over assigned frames.
+    */
+  private def blockedDirectedPairs(x: DataFrame, y: DataFrame): DataFrame =
+    x.select(col("id"), col("v"), col("n"), col("cell"))
+      .join(y.select(col("id").as("nb"), col("v").as("nv"),
+        col("n").as("nn"), explode(col("cells")).as("cell")), "cell")
+      .where(col("id") =!= col("nb"))
+      .select(col("id").as("qid"), col("nb").as("id"),
+        (TextFns.dot(col("v"), col("nv")) / (col("n") * col("nn")))
+          .as("sim"))
+
+  def prepareBlockedGraphStore(corpus: DataFrame, idCol: String,
+      vecCol: String, cents: Seq[(Long, Seq[Double])], probe: Int,
+      k: Int): BlockedGraphStore = {
+    val c = assignBlocked(corpus, idCol, vecCol, cents, probe)
+      .localCheckpoint(true)
+    val top = topFold(blockedDirectedPairs(c, c), k)
+      .localCheckpoint(true)
+    BlockedGraphStore(c, top, cents, probe, k)
+  }
+
+  /** Fold one vector batch into the blocked store: b→(store ∪ b) and
+    * store→b candidates merge with the existing lists through the
+    * bounded top-k aggregate. Duplicate ids refuse loudly (the
+    * [[knnGraphIngest]] guard — the fold is duplicate-sensitive).
+    */
+  def blockedGraphIngest(batch: DataFrame, store: BlockedGraphStore,
+      idCol: String, vecCol: String): BlockedGraphStore = {
+    val b = assignBlocked(batch, idCol, vecCol, store.cents,
+      store.probe).localCheckpoint(true)
+    val dup = store.vecs.select("id")
+      .join(broadcast(b.select("id")), "id")
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"blockedGraphIngest: batch id ${dup.headOption.map(_.getLong(0))
+        .getOrElse(-1L)} is already in the store")
+    val vecsAll = store.vecs.unionByName(b)
+    val fresh = blockedDirectedPairs(b, vecsAll)
+      .unionByName(blockedDirectedPairs(store.vecs, b))
+    val top = topFold(store.top.unionByName(fresh), store.k)
+      .localCheckpoint(true)
+    BlockedGraphStore(vecsAll, top, store.cents, store.probe, store.k)
+  }
+
+  /** The maintained blocked graph in [[ivfSeededGraph]]'s output shape
+    * (qid, id, sim, rank) — equal to the one-shot blocked build over
+    * everything ingested, on any chunking in any order.
+    */
+  def blockedGraphFromStore(store: BlockedGraphStore): DataFrame =
+    rankTopK(store.top, store.k)
+
   /** Round-synchronous beam search over a prebuilt kNN graph — the
     * graph-traversal ANN family (the NSW/HNSW shape: Malkov &
     * Yashunin, TPAMI'18) beside the quantizer suite (IVF/PQ/BQ/SQ8).

@@ -773,6 +773,39 @@ object StreamBatchQueries {
         .orderBy("qid", "rank")
     },
 
+    // qs36: streaming BLOCKED-graph maintenance — the qs34 fold fed by
+    // ivfSeededGraph's cell-blocked candidates (centroids frozen at
+    // prepare, the qs32 frozen-parameter discipline): the 100 TB
+    // maintenance path for the xs15/xs17 navigation structure, where
+    // qs34's exact store pays |B|·N all-pairs per batch and this one
+    // pays |B|·(probe·load). Each directed candidate x→y arises
+    // exactly once — when the later vector ingests, iff x's primary
+    // cell is among y's probes — so the candidate set equals the
+    // one-shot blocked build's on ANY chunking, and the order-free
+    // top-k merge lands every chunking on the identical graph. Cells
+    // here are the SQL-replayable label centroids (the xs17 model
+    // discipline), so the oracle replays the whole maintained result:
+    // centroid means → probe-2 assignment → shared-cell candidates →
+    // rank ≤ 6.
+    Q("qs36_stream_blocked_knn",
+      blockedEdgesOracleSql(deg = 6, probe = 2)) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val cents = graft.operators.Similarity
+        .labelCentroids(emb, "label", "embedding")
+        .select(col("clabel").cast("long"), col("centroid"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+        .sortBy(_._1).toSeq
+      val vv = emb.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      graft.streaming.Streams.blockedGraphChunked(
+          vv.where(col("vec_id") >= 250), vv.where(col("vec_id") < 250),
+          bounds = Seq(400L), "vec_id", "v", cents, probe = 2, k = 6)
+        .select(col("qid").as("id"), col("rank"), col("id").as("nb"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("id", "rank")
+    },
+
     // qs33: the UPDATE-mode sink gate (§2.10's last sink-mode row —
     // qs26/qs31 deliberately avoid update mode via strictly-increasing
     // emissions): unwatermarked streaming BIGRAM count through a real
@@ -1008,4 +1041,54 @@ object StreamBatchQueries {
         .orderBy("doc_id")
     }
   )
+
+  /** The qs36 replay: the xs17 blocked-edge chain (label-centroid
+    * decimal means → dot·(1/‖c‖) probe-`probe` assignment, ties to the
+    * smaller label → candidates from shared (primary, probe) cells →
+    * (sim DESC, id) rank ≤ deg) emitted as the maintained graph's
+    * rows — the maintained store equals this one-shot derivation on
+    * any chunking (the order-free candidate-set theorem in
+    * [[graft.operators.Similarity.BlockedGraphStore]]'s scaladoc).
+    */
+  private def blockedEdgesOracleSql(deg: Int, probe: Int): String =
+    s"""WITH comp AS (
+       |  SELECT vec_id, label, UNNEST(embedding::DOUBLE[]) AS x,
+       |    GENERATE_SUBSCRIPTS(embedding, 1) AS pos
+       |  FROM embeddings
+       |), cm AS (
+       |  SELECT label AS clabel, pos,
+       |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+       |      AS m
+       |  FROM comp GROUP BY 1, 2
+       |), cent AS MATERIALIZED (
+       |  SELECT clabel, LIST(m ORDER BY pos) AS centroid
+       |  FROM cm GROUP BY 1
+       |), nrm AS MATERIALIZED (
+       |  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+       |    SQRT(LIST_INNER_PRODUCT(embedding::DOUBLE[],
+       |      embedding::DOUBLE[])) AS n
+       |  FROM embeddings
+       |), rnk AS MATERIALIZED (
+       |  SELECT id, clabel, ROW_NUMBER() OVER (PARTITION BY id
+       |    ORDER BY s DESC, clabel) AS rn
+       |  FROM (
+       |    SELECT c.id, t.clabel,
+       |      LIST_INNER_PRODUCT(c.v, t.centroid) *
+       |        (1.0 / SQRT(LIST_INNER_PRODUCT(t.centroid, t.centroid)))
+       |        AS s
+       |    FROM nrm c CROSS JOIN cent t)
+       |), asg AS (SELECT id, clabel AS cell FROM rnk WHERE rn = 1),
+       |prb AS (SELECT id, clabel AS cell FROM rnk WHERE rn <= $probe)
+       |SELECT id, CAST(rn AS INT) AS rank, nb, ROUND(raw, 4) AS sim
+       |FROM (
+       |  SELECT a.id AS id, b.id AS nb,
+       |    LIST_INNER_PRODUCT(x.v, y.v) / (x.n * y.n) AS raw,
+       |    ROW_NUMBER() OVER (PARTITION BY a.id
+       |      ORDER BY LIST_INNER_PRODUCT(x.v, y.v) / (x.n * y.n) DESC,
+       |        b.id) AS rn
+       |  FROM asg a JOIN prb b USING (cell)
+       |  JOIN nrm x ON x.id = a.id
+       |  JOIN nrm y ON y.id = b.id
+       |  WHERE a.id <> b.id
+       |) WHERE rn <= $deg ORDER BY id, rank""".stripMargin
 }

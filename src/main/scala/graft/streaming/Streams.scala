@@ -933,6 +933,33 @@ object Streams {
     Similarity.knnGraphFromStore(gs)
   }
 
+  /** Batch-shape QS36 harness (the oracle entry): fold `newVecs` into
+    * the evolving BLOCKED kNN-graph store ([[graft.operators.Similarity
+    * .BlockedGraphStore]] — ivfSeededGraph's cell-blocked candidates
+    * under centroids FROZEN at prepare) in vec_id-ordered chunks, then
+    * emit the maintained graph. Each directed candidate x→y arises
+    * exactly once (when the later vector ingests, iff x.primary ∈
+    * y.probes), so the candidate set — and through the order-free
+    * top-k merge, the GRAPH — equals the one-shot
+    * [[graft.operators.Similarity.ivfSeededGraph]] over corpus ∪
+    * newVecs on any chunking in any order. `vecs` frames must carry
+    * (id-col, double-array vec-col).
+    */
+  def blockedGraphChunked(newVecs: DataFrame, corpus: DataFrame,
+      bounds: Seq[Long], idCol: String, vecCol: String,
+      cents: Seq[(Long, Seq[Double])], probe: Int, k: Int): DataFrame = {
+    import graft.operators.Similarity
+    var gs = Similarity.prepareBlockedGraphStore(corpus, idCol, vecCol,
+      cents, probe, k)
+    val edges = (Long.MinValue +: bounds.sorted) :+ Long.MaxValue
+    edges.sliding(2).foreach { case Seq(lo, hi) =>
+      gs = Similarity.blockedGraphIngest(
+        newVecs.where(col(idCol) >= lo && col(idCol) < hi),
+        gs, idCol, vecCol)
+    }
+    Similarity.blockedGraphFromStore(gs)
+  }
+
   /** One serving pass over the evolving kNN-graph store: beam-search
     * the pinned query set against the store's CURRENT vectors and
     * edge lists. The traversal is EAGER ([[graft.operators.Similarity

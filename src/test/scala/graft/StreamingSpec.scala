@@ -745,6 +745,52 @@ class StreamingSpec extends SparkSpec {
     corpus.unpersist()
   }
 
+  test("QS36 blocked-graph store: any chunking in ANY ORDER == " +
+      "one-shot ivfSeededGraph under centroids frozen at prepare") {
+    import graft.operators.Similarity
+    val emb = graft.queries.T.t(spark, sf0001, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val delta = emb.where(col("vec_id") >= 250)
+    val corpus = emb.where(col("vec_id") < 250).cache()
+    // PRODUCTION shape: cells frozen from the INITIAL corpus — a
+    // vector's cells must not depend on arrival time (the gated qs36
+    // entry pins full-table label centroids instead, the xs17
+    // replayable-model discipline; the theorem is cents-agnostic)
+    val cents = Similarity.kmeansCentroidsSeq(corpus, "vec_id", "v", 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id", "sim", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9), r.getInt(3))).toSet
+    val oneShot = rows(Similarity.ivfSeededGraph(emb, "vec_id", "v",
+      cents, probe = 2, k = 6))
+    val one = rows(Streams.blockedGraphChunked(delta, corpus,
+      Seq.empty, "vec_id", "v", cents, probe = 2, k = 6))
+    val three = rows(Streams.blockedGraphChunked(delta, corpus,
+      Seq(350L, 430L), "vec_id", "v", cents, probe = 2, k = 6))
+    assert(one == oneShot && three == oneShot)
+    // order-free: reversed chunk order lands on the identical graph
+    var gs = Similarity.prepareBlockedGraphStore(corpus, "vec_id", "v",
+      cents, probe = 2, k = 6)
+    for ((lo, hi) <- Seq((430L, Long.MaxValue), (350L, 430L),
+        (Long.MinValue, 350L)))
+      gs = Similarity.blockedGraphIngest(
+        delta.where(col("vec_id") >= lo && col("vec_id") < hi),
+        gs, "vec_id", "v")
+    assert(rows(Similarity.blockedGraphFromStore(gs)) == oneShot)
+    // the maintenance must actually rewire OLD nodes: some corpus
+    // node's final list contains a delta neighbor
+    assert(oneShot.exists(e => e._1 < 250 && e._2 >= 250),
+      "no corpus node gained a delta neighbor")
+    // duplicate ids refuse loudly (duplicate-sensitive fold)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.blockedGraphIngest(delta.where(col("vec_id") < 260),
+        gs, "vec_id", "v")
+    }
+    assert(ex.getMessage.contains("already in the store"))
+    corpus.unpersist()
+  }
+
   test("QS33 update-mode sink: each batch emits exactly the changed " +
       "keys (not appends, not complete snapshots), counts cumulative") {
     val docs = graft.queries.T.t(spark, sf0001, "documents")
