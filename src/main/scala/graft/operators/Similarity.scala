@@ -331,12 +331,24 @@ object Similarity {
       nlist: Int, iters: Int,
       euclid: Boolean = false,
       diagOut: scala.collection.mutable.ArrayBuffer[(Double, Int)] = null)
-      : Array[(Long, Array[Double])] = {
+      : Array[(Long, Array[Double])] =
     // init = lowest-id sample vectors, cell id = position (0..nlist-1)
-    var cents: Array[(Long, Array[Double])] =
+    lloydIterate(sample,
       sample.take(nlist).zipWithIndex.map { case ((_, v), i) =>
         (i.toLong, v.clone())
-      }
+      }, dim, iters, euclid, diagOut)
+
+  /** The Lloyd refinement loop over EXPLICIT initial centroids — the
+    * body [[lloydLocal]] always ran, factored out so the load-aware
+    * rebalancer below can resume iteration from an edited centroid
+    * set.
+    */
+  private def lloydIterate(sample: Array[(Long, Array[Double])],
+      init: Array[(Long, Array[Double])], dim: Int, iters: Int,
+      euclid: Boolean = false,
+      diagOut: scala.collection.mutable.ArrayBuffer[(Double, Int)] = null)
+      : Array[(Long, Array[Double])] = {
+    var cents: Array[(Long, Array[Double])] = init
     def norm(v: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < v.length) { s += v(i) * v(i); i += 1 }
@@ -667,26 +679,41 @@ object Similarity {
     * every committed batch as ONE batch ([[appendVectorsToStore]])
     * and lands on the identical store.
     */
+  /** The duplicate-id guard shared by the duplicate-SENSITIVE graph
+    * folds: a re-ingested id is excluded from self-pairs but every
+    * (qid, id) sim computes twice and occupies two top-k slots,
+    * displacing a real edge — fail loudly, in BOTH directions
+    * (ADVICE r17): (1) batch-internal uniqueness via one bounded
+    * aggregate over the batch alone (deltas are batch-sized by
+    * contract — the qs34 ingest regime), (2) batch-vs-store
+    * disjointness via one shuffle-free probe — the batch's bare ids
+    * broadcast (8 B/id) against a scan of the store's id column —
+    * negligible vs the |B|·N / |B|·probe·load sim legs.
+    */
+  private def requireFreshIds(b: DataFrame, storeVecs: DataFrame,
+      op: String): Unit = {
+    val cnt = b.agg(count(lit(1)), count_distinct(col("id"))).head()
+    require(cnt.getLong(0) == cnt.getLong(1),
+      s"$op: batch carries ${cnt.getLong(0) - cnt.getLong(1)} " +
+        "duplicate id row(s) WITHIN itself — each pair's sim would " +
+        "compute twice and occupy two top-k slots; de-duplicate the " +
+        "batch on id first")
+    val dup = storeVecs.select("id")
+      .join(broadcast(b.select("id")), "id")
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"$op: batch id ${dup.headOption.map(_.getLong(0))
+        .getOrElse(-1L)} is already in the store — a duplicate vector " +
+        "would occupy two top-k slots; anti-join the batch against " +
+        "the store's ids first")
+  }
+
   def knnGraphIngest(batch: DataFrame, store: KnnGraphStore,
       idCol: String, vecCol: String): KnnGraphIngest = {
     val b = batch.select(col(idCol).as("id"), col(vecCol).as("v"),
       TextFns.l2norm(col(vecCol)).as("n"))
       .repartition(store.tiles).localCheckpoint(true)
-    // the fold is duplicate-SENSITIVE: a re-ingested id is excluded
-    // from self-pairs but every (qid, id) sim computes twice and
-    // occupies two top-k slots, displacing a real edge — fail loudly.
-    // One shuffle-free probe: the batch's bare ids broadcast (deltas
-    // are batch-sized by contract — the qs34 ingest regime; 8 B/id)
-    // against a scan of the store's id column — negligible vs the
-    // |B|·N sim legs
-    val dup = store.vecs.select("id")
-      .join(broadcast(b.select("id")), "id")
-      .limit(1).collect()
-    require(dup.isEmpty,
-      s"knnGraphIngest: batch id ${dup.headOption.map(_.getLong(0))
-        .getOrElse(-1L)} is already in the store — a duplicate vector " +
-        "would occupy two top-k slots; anti-join the batch against " +
-        "the store's ids first")
+    requireFreshIds(b, store.vecs, "knnGraphIngest")
     val vecsAll = store.vecs.unionByName(b)
     val fresh = directedPairs(b, vecsAll)
       .unionByName(directedPairs(store.vecs, b))
@@ -782,12 +809,7 @@ object Similarity {
       idCol: String, vecCol: String): BlockedGraphStore = {
     val b = assignBlocked(batch, idCol, vecCol, store.cents,
       store.probe).localCheckpoint(true)
-    val dup = store.vecs.select("id")
-      .join(broadcast(b.select("id")), "id")
-      .limit(1).collect()
-    require(dup.isEmpty,
-      s"blockedGraphIngest: batch id ${dup.headOption.map(_.getLong(0))
-        .getOrElse(-1L)} is already in the store")
+    requireFreshIds(b, store.vecs, "blockedGraphIngest")
     val vecsAll = store.vecs.unionByName(b)
     val fresh = blockedDirectedPairs(b, vecsAll)
       .unionByName(blockedDirectedPairs(store.vecs, b))
@@ -802,6 +824,298 @@ object Similarity {
     */
   def blockedGraphFromStore(store: BlockedGraphStore): DataFrame =
     rankTopK(store.top, store.k)
+
+  /** LSM-style rewrite of the blocked store — the
+    * [[compactKnnGraphStore]] contract verbatim: both frames
+    * re-checkpoint so the runner's unpersist-after-compaction
+    * bookkeeping can release every block the compaction superseded.
+    */
+  def compactBlockedGraphStore(store: BlockedGraphStore)
+      : BlockedGraphStore =
+    store.copy(vecs = store.vecs.localCheckpoint(true),
+      top = store.top.localCheckpoint(true))
+
+  /** RE-BLOCKING EPOCH (centroid refresh) — the offline compaction
+    * that closes the [[BlockedGraphStore]] maintenance story under
+    * DISTRIBUTION DRIFT. Freezing centroids at `prepare` is correct
+    * for incremental gating (a vector's cells must not depend on
+    * arrival time), but on a drifting corpus the frozen cells
+    * concentrate new-region vectors into a few stale cells: recall
+    * survives (drifted cluster-mates still share their nearest stale
+    * cell), the COST law does not — per-cell load balloons and the
+    * candidate volume Σ_c load₁(c)·load_p(c) with it (OperatorsSpec
+    * measures exactly this on a planted drifted corpus; SCALE_r18
+    * carries the law at two sizes).
+    *
+    * The epoch is ONE blocked rebuild over the accumulated store
+    * under the new centroids: reassign every stored vector (narrow
+    * map off the new plan literals — zero shuffle), regenerate the
+    * cell-blocked candidates, re-fold edges through the bounded top-k
+    * aggregate — cost Σ_c load₁·load_p under the NEW (re-balanced)
+    * cells, linear in n at nlist ∝ n, never n². The refreshed store
+    * IS the one-shot [[prepareBlockedGraphStore]] over everything
+    * ingested (hash-gated in OperatorsSpec against a store built
+    * through a different chunking under the OLD cells), so every
+    * qs36-class incremental theorem re-bases cleanly on the new
+    * epoch: ingest after reblock folds against the refreshed lists
+    * under the refreshed frozen cells.
+    */
+  def reblockGraphStore(store: BlockedGraphStore,
+      newCents: Seq[(Long, Seq[Double])], probe: Int = 0,
+      k: Int = 0): BlockedGraphStore =
+    prepareBlockedGraphStore(store.vecs.select(col("id"), col("v")),
+      "id", "v", newCents,
+      if (probe > 0) probe else store.probe,
+      if (k > 0) k else store.k)
+
+  /** [[reblockGraphStore]] with the production centroid refresh:
+    * re-train LOAD-AWARE k-means ([[balancedKmeansSeq]] — the epoch's
+    * whole point is re-balancing per-cell load) over the ACCUMULATED
+    * store, on the same bounded-sample discipline as every trainer
+    * (one TakeOrdered job at any store size, so the refresh's
+    * training cost is a constant and its rebuild cost is the one
+    * blocked build above).
+    */
+  def reblockGraphStoreAuto(store: BlockedGraphStore, nlist: Int,
+      probe: Int = 0, k: Int = 0): BlockedGraphStore =
+    reblockGraphStore(store,
+      balancedKmeansSeq(store.vecs, "id", "v", nlist), probe, k)
+
+  /** LOAD-AWARE k-means — the re-blocking epoch's refresh trainer.
+    * Plain Lloyd collapses a tight NEW region into one or two cells
+    * (winner-take-all under the cosine metric: near-identical
+    * centroids starve and the survivors absorb the whole region —
+    * measured in OperatorsSpec's drift gate: 1000 drifted vectors in
+    * 2 of 32 cells), leaving per-cell load far above n/nlist and the
+    * blocked candidate volume Σ load₁·load_p ballooning with it.
+    * After Lloyd converges, bounded REBALANCE passes (the ISODATA
+    * split/retire move, deterministic): while the heaviest cell holds
+    * > `maxSkew`× the mean load, retire the lightest cell's centroid,
+    * re-seed it at the heaviest cell's WORST-FIT member (min cos to
+    * its own centroid — in an under-split region that is a point the
+    * current centroid represents badly, i.e. exactly where a new cell
+    * pays most; ties to the lower sample position, which is the lower
+    * id), and run one Lloyd step. All driver-side over the same
+    * bounded sample — ≤ nlist passes of O(sample·nlist) arithmetic,
+    * so the refresh's training cost stays corpus-independent, and
+    * every step is deterministic (same corpus → identical cells).
+    */
+  def balancedKmeansSeq(corpus: DataFrame, idCol: String,
+      vecCol: String, nlist: Int, iters: Int = 3,
+      maxSkew: Double = 2.0): Seq[(Long, Seq[Double])] = {
+    val sample = boundedSample(corpus, idCol, vecCol,
+      math.max(128 * nlist, 2048))
+    if (sample.isEmpty) return Seq.empty
+    val dim = sample.head._2.length
+    var cents = lloydLocal(sample, dim, nlist, iters)
+    def fit(v: Array[Double], c: Array[Double], cn: Double): Double = {
+      var d = 0.0; var j = 0
+      while (j < dim) { d += v(j) * c(j); j += 1 }
+      if (cn == 0.0) d else d / cn
+    }
+    var pass = 0
+    var balanced = false
+    while (pass < nlist && !balanced && cents.length >= 2) {
+      val cnorms = cents.map { case (_, c) =>
+        val s = c.map(x => x * x).sum
+        if (s > 0) math.sqrt(s) else 0.0
+      }
+      // assignment of the sample under the current cells (strict >,
+      // ties to the lower centroid position — the query-time metric)
+      val assign = sample.map { case (_, v) =>
+        var best = 0; var bs = Double.NegativeInfinity; var ci = 0
+        while (ci < cents.length) {
+          val s = fit(v, cents(ci)._2, cnorms(ci))
+          if (s > bs) { bs = s; best = ci }
+          ci += 1
+        }
+        (best, bs)
+      }
+      val loads = new Array[Int](cents.length)
+      assign.foreach { case (c, _) => loads(c) += 1 }
+      val mean = sample.length.toDouble / cents.length
+      val h = loads.indices.maxBy(i => (loads(i), -i))
+      if (loads(h) <= maxSkew * mean) balanced = true
+      else {
+        if (sys.env.contains("GRAFT_BAL_DEBUG"))
+          System.err.println(s"[bal] pass=$pass cells=${cents.length} " +
+            s"maxLoad=${loads(h)} minLoad=${loads.min} mean=$mean")
+        // BISECT the heavy cell with a local 2-means over its own
+        // members, seeded at its worst-fit member and the member
+        // farthest from it (a single re-seeded member point cannot
+        // split a tight region — the region's grand mean out-fits any
+        // individual member on everything but its immediate
+        // subcluster, so the splinter re-absorbs; two HALF-means
+        // compete on even terms). The lightest cell retires to keep
+        // |cells| fixed; its points re-home at the next assignment.
+        val l = loads.indices.minBy(i => (loads(i), i))
+        val mIdx = assign.indices.filter(assign(_)._1 == h)
+        val a0 = mIdx.minBy(i => (assign(i)._2, i))
+        def cosTo(i: Int, j: Int): Double = {
+          val x = sample(i)._2; val y = sample(j)._2
+          var d = 0.0; var nx = 0.0; var ny = 0.0; var t = 0
+          while (t < dim) {
+            d += x(t) * y(t); nx += x(t) * x(t); ny += y(t) * y(t)
+            t += 1
+          }
+          if (nx == 0.0 || ny == 0.0) 0.0 else d / math.sqrt(nx * ny)
+        }
+        val b0 = mIdx.minBy(i => (cosTo(i, a0), i))
+        val members = mIdx.map(sample(_)).toArray
+        // seeds = cell mean ± 0.1·(a0 − b0): member-point seeds lose —
+        // a tight region's grand mean out-fits any individual member
+        // on everything but its own subcluster, so the 2-means
+        // converges to splinter+rest; symmetric perturbed means make
+        // the first assignment a hyperplane cut along the cell's
+        // widest member axis, which converges to two genuine
+        // half-means
+        val mh = new Array[Double](dim)
+        members.foreach { case (_, v) =>
+          var t = 0; while (t < dim) { mh(t) += v(t); t += 1 }
+        }
+        val seeds = Array.tabulate(2) { s =>
+          val c = new Array[Double](dim)
+          val sign = if (s == 0) 0.1 else -0.1
+          var t = 0
+          while (t < dim) {
+            c(t) = mh(t) / members.length +
+              sign * (sample(a0)._2(t) - sample(b0)._2(t))
+            t += 1
+          }
+          (s.toLong, c)
+        }
+        val sub = lloydIterate(members, seeds, dim, iters)
+        if (sub.length < 2) balanced = true // degenerate: unsplittable
+        else {
+          cents = cents.updated(h, (cents(h)._1, sub(0)._2))
+            .updated(l, (cents(l)._1, sub(1)._2))
+          pass += 1
+        }
+      }
+    }
+    cents.map { case (id, v) => (id, v.toSeq) }.toSeq
+  }
+
+  /** TOMBSTONE DELETION with edge repair — the last unrealistic
+    * property of the evolving stores removed: real vector stores must
+    * delete (takedowns, TTL), and a deleted node's presence in OTHER
+    * nodes' top-k lists is state the insert-only fold can never
+    * unwind (top-k is lossy: the edge a deleted neighbor displaced is
+    * gone from the list and must be re-derived from candidates).
+    *
+    * The repair is EXACT and delta-proportional:
+    *
+    *  - deleted nodes' own lists drop;
+    *  - a surviving node whose current list contains NO deleted id is
+    *    PROVABLY already correct: its list is top-k(candidates ∩
+    *    live_before), and removing ids that sit below its k-th
+    *    candidate (or outside its candidate set) cannot change a
+    *    top-k — no work, no rescan;
+    *  - the AFFECTED nodes (≥1 deleted id in their current list —
+    *    found by one semi-join of the ≤ store·k edge rows against the
+    *    broadcast tombstone set) re-rank from scratch against the
+    *    SURVIVING candidate generator: one cell-keyed equi-join of
+    *    |affected| primaries vs survivors' probes — the
+    *    [[blockedGraphIngest]] cost shape with |affected| in place of
+    *    |B|. |affected| ≤ Σ in-degree(deleted) — tombstone-
+    *    proportional for real graphs; deleting a universal hub
+    *    honestly pays proportionally more.
+    *
+    * The invariant "every live node's list == top-k of its blocked
+    * candidates among the live set" is maintained by prepare, ingest
+    * (the qs36 theorem), AND delete (above) — so by induction ANY
+    * interleaving of ingests and deletes in any order lands on the
+    * one-shot [[ivfSeededGraph]] over exactly the surviving vectors
+    * (the order-free theorem WITH removals; StreamingSpec gates
+    * interleavings, re-adds of a deleted id, and the qs38 entry
+    * hash-gates the composition end to end). Cells stay frozen:
+    * deletion never re-assigns survivors (a vector's cells must not
+    * depend on its neighbors' lifecycle) — re-balancing after mass
+    * deletion is [[reblockGraphStore]]'s job.
+    *
+    * `tombstones` must carry an `id` column; every id must be live in
+    * the store (a silent no-op delete hides upstream bookkeeping
+    * bugs — fail loudly, the ingest-guard discipline).
+    */
+  /** Every tombstone id must be live — a silent no-op delete hides
+    * upstream bookkeeping bugs (the ingest-guard discipline). Probe
+    * shape: one broadcast SEMI join of the (batch-sized, already
+    * broadcast-tagged) tombstone set against a scan of the store's id
+    * column — the [[requireFreshIds]] cost class; an anti join with
+    * the tombstones on the left would instead shuffle the store's
+    * ids (the probe shape the r17 bench measured at +3.4 s).
+    */
+  private def requireAllLive(del: DataFrame, storeVecs: DataFrame,
+      op: String): Unit = {
+    val matched = storeVecs.select("id").join(del, Seq("id"),
+      "left_semi")
+    val nDel = del.count()
+    if (matched.count() != nDel) {
+      val missing = del.collect().map(_.getLong(0)).toSet --
+        matched.collect().map(_.getLong(0)).toSet
+      throw new IllegalArgumentException(
+        s"$op: tombstone id ${missing.head} is not in the store — a " +
+          "silent no-op delete hides upstream bookkeeping bugs")
+    }
+  }
+
+  def blockedGraphDelete(tombstones: DataFrame,
+      store: BlockedGraphStore): BlockedGraphStore = {
+    val del = broadcast(tombstones.select(col("id")).distinct()
+      .localCheckpoint(true))
+    requireAllLive(del, store.vecs, "blockedGraphDelete")
+    val vecs2 = store.vecs.join(del, Seq("id"), "left_anti")
+      .localCheckpoint(true)
+    // affected = surviving qids with a deleted NEIGHBOR in their list
+    val affected = store.top
+      .join(del, Seq("id"), "left_semi")         // neighbor deleted
+      .select(col("qid").as("id")).distinct()
+      .join(del, Seq("id"), "left_anti")         // …and qid survives
+      .localCheckpoint(true)
+    // unaffected surviving lists carry no deleted neighbor by
+    // definition — dropping deleted and affected QIDs is the whole cut
+    val keptTop = store.top
+      .join(del.select(col("id").as("qid")), Seq("qid"), "left_anti")
+      .join(broadcast(affected.select(col("id").as("qid"))),
+        Seq("qid"), "left_anti")
+    val affVecs = vecs2.join(broadcast(affected), Seq("id"),
+      "left_semi")
+    val rebuilt = topFold(blockedDirectedPairs(affVecs, vecs2),
+      store.k)
+    val top2 = keptTop.unionByName(rebuilt).localCheckpoint(true)
+    BlockedGraphStore(vecs2, top2, store.cents, store.probe, store.k)
+  }
+
+  /** [[blockedGraphDelete]] for the EXACT store: identical repair
+    * theorem with the all-pairs candidate generator — unaffected
+    * lists are provably correct for the same top-k reason, affected
+    * nodes re-rank against ALL survivors (|affected|·N sims — the
+    * exact store's inherent cost class, as its ingest already is).
+    */
+  def knnGraphDelete(tombstones: DataFrame,
+      store: KnnGraphStore): KnnGraphStore = {
+    val del = broadcast(tombstones.select(col("id")).distinct()
+      .localCheckpoint(true))
+    requireAllLive(del, store.vecs, "knnGraphDelete")
+    val vecs2 = store.vecs.join(del, Seq("id"), "left_anti")
+      .repartition(store.tiles).localCheckpoint(true)
+    val affected = store.top
+      .join(del, Seq("id"), "left_semi")
+      .select(col("qid").as("id")).distinct()
+      .join(del, Seq("id"), "left_anti")
+      .localCheckpoint(true)
+    // unaffected surviving lists carry no deleted neighbor by
+    // definition — dropping deleted and affected QIDs is the whole cut
+    val keptTop = store.top
+      .join(del.select(col("id").as("qid")), Seq("qid"), "left_anti")
+      .join(broadcast(affected.select(col("id").as("qid"))),
+        Seq("qid"), "left_anti")
+    val affVecs = vecs2.join(broadcast(affected), Seq("id"),
+      "left_semi")
+    val rebuilt = topFold(directedPairs(affVecs, vecs2), store.k)
+    val top2 = keptTop.unionByName(rebuilt).localCheckpoint(true)
+    KnnGraphStore(vecs2, top2, store.k, store.tiles)
+  }
 
   /** Round-synchronous beam search over a prebuilt kNN graph — the
     * graph-traversal ANN family (the NSW/HNSW shape: Malkov &
@@ -873,11 +1187,18 @@ object Similarity {
     var visited = (if (seedM <= 0) layer
       else rankTopK(layer, seedM).select("qid", "id", "sim"))
       .localCheckpoint(true)
-    // per-round scored-row counter (SCALE_r17's navigation-cost leg):
-    // every visited row is scored EXACTLY ONCE, so the counts are
-    // deterministic — seed rows first, then each round's frontier.
-    // Counting mode pays a full count where the hot path pays limit(1).
-    if (diagOut != null) diagOut += visited.count()
+    // per-round SCORING-EVENT counter (SCALE_r17's navigation-cost
+    // leg): the seed entry records every row the seed phase scored —
+    // the full |queries|×|entryIds| layer, INCLUDING (when seedM > 0)
+    // medoids the top-seedM cut then drops (ADVICE r17: counting only
+    // the kept seeds under-reported hierarchical navigation cost; an
+    // unkept medoid re-reached via an edge is genuinely scored a
+    // second time and lands in that round's frontier count). Counts
+    // are deterministic — seed layer first, then each round's
+    // frontier. Counting mode pays full counts where the hot path
+    // pays limit(1).
+    if (diagOut != null)
+      diagOut += (if (seedM <= 0) visited.count() else layer.count())
     var r = 0
     var grew = true
     while (r < rounds && grew) {

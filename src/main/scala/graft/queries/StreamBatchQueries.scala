@@ -806,6 +806,86 @@ object StreamBatchQueries {
         .orderBy("id", "rank")
     },
 
+    // qs37: HIERARCHICAL SERVE OVER THE EVOLVING BLOCKED STORE — the
+    // qs36 × xs18 composition, i.e. the full production vector-store
+    // loop: cell-blocked delta-proportional maintenance (|B|·probe·
+    // load per batch, never all-pairs) serving the two-layer descent,
+    // with the medoid entry tier REFRESHED PER EPOCH over the store's
+    // current vectors (entry points must track the evolving corpus).
+    // The <250 corpus seeds the blocked store under frozen full-table
+    // label centroids; vectors >= 250 fold in two chunks; after each
+    // chunk the medoid layer recomputes and a pinned 5-query set
+    // descends (seedM=3, ef=8, 6 rounds, top-3). Gate: the FINAL
+    // serve — final store == one-shot ivfSeededGraph (qs36 theorem),
+    // final medoids == one-shot cellMedoids (per-cell argmax is
+    // history-free), so the final serve == xs18's one-shot hier beam
+    // over the full corpus, replayed by the same blocked-beam CTE
+    // chain. Intermediate serves are chunking-dependent by nature;
+    // StreamingSpec gates each as traversal-identical to the one-shot
+    // hier beam over its own prefix store, and the real runner
+    // (Streams.runBlockedMaintainServeStream) restarts to the
+    // identical final store + serve there.
+    Q("qs37_stream_hier_serve",
+      SimilarityQueries.blockedBeamOracleSql(deg = 6, probe = 2,
+        ef = 8, rounds = 6, nQ = 5, k = 3, seedM = 3)) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val cents = graft.operators.Similarity
+        .labelCentroids(emb, "label", "embedding")
+        .select(col("clabel").cast("long"), col("centroid"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+        .sortBy(_._1).toSeq
+      val vv = emb.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      graft.streaming.Streams.blockedServeChunked(
+          vv.where(col("vec_id") >= 250), vv.where(col("vec_id") < 250),
+          bounds = Seq(400L), "vec_id", "v", cents, probe = 2, k = 6,
+          queries = vv.where(col("vec_id") < 5), seedM = 3, ef = 8,
+          rounds = 6, kq = 3)
+        .select(col("qid"), col("rank"), col("id"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("qid", "rank")
+    },
+
+    // qs38: blocked-graph maintenance with TOMBSTONE DELETES — the
+    // order-free theorem WITH REMOVALS: ingest two delta chunks and
+    // delete a pinned mix of corpus-era ids (2, 10, 11), an id
+    // ingested earlier in the SAME stream (310 — a delta vector
+    // already woven into other nodes' lists), and a same-epoch id
+    // (450) interleaved mid-stream and at the end. blockedGraphDelete
+    // repairs exactly: deleted lists drop, survivors WITHOUT a
+    // deleted neighbor are provably untouched (removing ids below a
+    // list's k-th candidate can't change its top-k), survivors WITH
+    // one re-rank from the surviving blocked candidate generator —
+    // so the final store == one-shot ivfSeededGraph over exactly the
+    // SURVIVORS under the frozen cells, which the oracle replays by
+    // the xs17 blocked-edge chain restricted to surviving ids.
+    // Centroids stay full-table (the model froze before the deletes;
+    // a takedown must not move other vectors' cells — re-balancing
+    // after mass deletion is reblockGraphStore's job, spec-gated).
+    Q("qs38_stream_blocked_delete",
+      blockedEdgesOracleSql(deg = 6, probe = 2,
+        except = Seq(2L, 10L, 11L, 310L, 12L, 450L))) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val cents = graft.operators.Similarity
+        .labelCentroids(emb, "label", "embedding")
+        .select(col("clabel").cast("long"), col("centroid"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+        .sortBy(_._1).toSeq
+      val vv = emb.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      graft.streaming.Streams.blockedGraphMaintainChunked(
+          vv.where(col("vec_id") >= 250), vv.where(col("vec_id") < 250),
+          bounds = Seq(400L),
+          deletesAfter = Map(0 -> Seq(2L, 10L, 11L, 310L),
+            1 -> Seq(12L, 450L)),
+          "vec_id", "v", cents, probe = 2, k = 6)
+        .select(col("qid").as("id"), col("rank"), col("id").as("nb"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("id", "rank")
+    },
+
     // qs33: the UPDATE-mode sink gate (§2.10's last sink-mode row —
     // qs26/qs31 deliberately avoid update mode via strictly-increasing
     // emissions): unwatermarked streaming BIGRAM count through a real
@@ -1050,7 +1130,15 @@ object StreamBatchQueries {
     * any chunking (the order-free candidate-set theorem in
     * [[graft.operators.Similarity.BlockedGraphStore]]'s scaladoc).
     */
-  private def blockedEdgesOracleSql(deg: Int, probe: Int): String =
+  /** `except` (qs38) restricts the VECTOR population to survivors —
+    * assignment, candidates, and ranking all run over live ids only —
+    * while the centroid model (`comp`/`cm`/`cent`) stays full-table:
+    * cells froze before the deletes, and a vector's cells are a
+    * per-row map, so a survivor's cells don't depend on who else
+    * lives.
+    */
+  private def blockedEdgesOracleSql(deg: Int, probe: Int,
+      except: Seq[Long] = Nil): String =
     s"""WITH comp AS (
        |  SELECT vec_id, label, UNNEST(embedding::DOUBLE[]) AS x,
        |    GENERATE_SUBSCRIPTS(embedding, 1) AS pos
@@ -1067,7 +1155,9 @@ object StreamBatchQueries {
        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
        |    SQRT(LIST_INNER_PRODUCT(embedding::DOUBLE[],
        |      embedding::DOUBLE[])) AS n
-       |  FROM embeddings
+       |  FROM embeddings${
+        if (except.isEmpty) ""
+        else s"\n  WHERE vec_id NOT IN (${except.mkString(", ")})"}
        |), rnk AS MATERIALIZED (
        |  SELECT id, clabel, ROW_NUMBER() OVER (PARTITION BY id
        |    ORDER BY s DESC, clabel) AS rn

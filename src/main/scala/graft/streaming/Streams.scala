@@ -478,14 +478,7 @@ object Streams {
     val storeDir = new org.apache.hadoop.fs.Path(s"$outDir/store")
     val fs = storeDir.getFileSystem(conf)
     if (!fs.exists(storeDir)) return Seq.empty
-    val commitsDir =
-      new org.apache.hadoop.fs.Path(s"$outDir/_checkpoint/commits")
-    val committed: Set[Long] =
-      if (!fs.exists(commitsDir)) Set.empty
-      else fs.listStatus(commitsDir).iterator
-        .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
-        .toSet
-    val (keep, drop) = fs.listStatus(storeDir).toSeq
+    val batchDirs = fs.listStatus(storeDir).toSeq
       .flatMap { st =>
         val name = st.getPath.getName
         if (name.startsWith("batch="))
@@ -493,6 +486,29 @@ object Streams {
             .map(id => (id, st.getPath))
         else None
       }
+    if (batchDirs.isEmpty) return Seq.empty
+    val commitsDir =
+      new org.apache.hadoop.fs.Path(s"$outDir/_checkpoint/commits")
+    // ADVICE r17: store batches with NO commit log is not a fresh
+    // start — it is a relocated/cleaned checkpoint or a mis-pointed
+    // outDir, and "committed = empty" would silently destroy every
+    // durable store batch. (A genuine crash inside the first batch's
+    // write→commit window leaves the commits DIR in place — Structured
+    // Streaming's CommitLog mkdirs it at stream start, before any
+    // foreachBatch write — just with no entries, so that case still
+    // reconciles below.) Fail loudly instead of wiping.
+    if (!fs.exists(commitsDir))
+      throw new IllegalStateException(
+        s"$outDir/store holds ${batchDirs.size} durable batch dir(s) " +
+          s"but no streaming commit log exists at $commitsDir — " +
+          "refusing to reconcile (that would delete ALL store data " +
+          "as 'uncommitted'); restore the matching checkpoint or " +
+          "remove the store directory deliberately")
+    val committed: Set[Long] =
+      fs.listStatus(commitsDir).iterator
+        .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
+        .toSet
+    val (keep, drop) = batchDirs
       .partition { case (id, _) => committed(id) }
     drop.foreach { case (_, p) => fs.delete(p, true) }
     keep.sortBy(_._1).map(_._2.toString)
@@ -960,6 +976,105 @@ object Streams {
     Similarity.blockedGraphFromStore(gs)
   }
 
+  /** One HIERARCHICAL serving pass over the evolving blocked store —
+    * the production read path the qs35 exact-store loop approximates:
+    * the medoid entry tier is RECOMPUTED over the store's CURRENT
+    * vectors (the per-epoch refresh — entry points must track the
+    * evolving corpus, or a query can only descend into the seed-era
+    * region), then the xs18 two-layer descent (score the medoid
+    * layer, descend from each query's own top-`seedM`) runs over the
+    * store's maintained blocked graph. Eager traversal, so calling
+    * this mid-stream genuinely serves a half-ingested store.
+    */
+  private def hierServeFromBlockedStore(
+      gs: graft.operators.Similarity.BlockedGraphStore,
+      queries: DataFrame, seedM: Int, ef: Int, rounds: Int,
+      kq: Int): DataFrame = {
+    import graft.operators.Similarity
+    val entries = Similarity.cellMedoids(
+      gs.vecs.select(col("id"), col("v")), "id", "v", gs.cents)
+    Similarity.beamSearchTopKHier(gs.vecs.select(col("id"), col("v")),
+      queries, Similarity.blockedGraphFromStore(gs), "id", "v",
+      entries, seedM, ef, rounds, kq)
+  }
+
+  /** Batch-shape QS37 harness (the oracle entry): HIERARCHICAL SERVE
+    * OVER THE EVOLVING BLOCKED STORE — the qs36 × xs18 composition,
+    * i.e. the production vector-store loop end to end: cell-blocked
+    * delta-proportional maintenance (never all-pairs) serving the
+    * two-layer descent, with the medoid entry tier refreshed per
+    * epoch over the store's current vectors. Fold `newVecs` into the
+    * blocked store in id-ordered chunks; AFTER EACH chunk recompute
+    * the medoid layer and hier-serve the pinned `queries`. Gate: the
+    * FINAL serve — the final store == one-shot ivfSeededGraph on any
+    * chunking (the qs36 theorem) and the final medoid tier == the
+    * one-shot [[graft.operators.Similarity.cellMedoids]] over the
+    * full corpus (medoids are a per-cell argmax over the accumulated
+    * vectors, history-free), so the final serve == one-shot
+    * [[graft.operators.Similarity.beamSearchTopKHier]] over the full
+    * corpus — exactly xs18's gated shape, replayed by the same
+    * blocked-beam CTE chain. Intermediate serves are chunking-
+    * dependent by nature; StreamingSpec gates each as traversal-
+    * identical to the one-shot hier beam over its own prefix store.
+    */
+  def blockedServeChunked(newVecs: DataFrame, corpus: DataFrame,
+      bounds: Seq[Long], idCol: String, vecCol: String,
+      cents: Seq[(Long, Seq[Double])], probe: Int, k: Int,
+      queries: DataFrame, seedM: Int, ef: Int, rounds: Int,
+      kq: Int): DataFrame = {
+    import graft.operators.Similarity
+    var gs = Similarity.prepareBlockedGraphStore(corpus, idCol, vecCol,
+      cents, probe, k)
+    val q = queries.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .localCheckpoint(true)
+    val edges = (Long.MinValue +: bounds.sorted) :+ Long.MaxValue
+    var serve: DataFrame = null
+    edges.sliding(2).foreach { case Seq(lo, hi) =>
+      gs = Similarity.blockedGraphIngest(
+        newVecs.where(col(idCol) >= lo && col(idCol) < hi),
+        gs, idCol, vecCol)
+      serve = hierServeFromBlockedStore(gs, q, seedM, ef, rounds, kq)
+    }
+    serve
+  }
+
+  /** Batch-shape QS38 harness (the oracle entry): blocked-graph
+    * maintenance with INTERLEAVED TOMBSTONE DELETES — ingest
+    * id-ordered chunks and, after chunk i, delete `deletesAfter(i)`
+    * (corpus-era ids, earlier-chunk ids, same-epoch ids — any mix).
+    * The live-set invariant ("every live node's list == top-k of its
+    * blocked candidates among the live set") is maintained by
+    * prepare, ingest (qs36), and [[graft.operators.Similarity
+    * .blockedGraphDelete]]'s exact repair, so ANY interleaving lands
+    * on the one-shot ivfSeededGraph over exactly the SURVIVORS under
+    * the frozen cells — the order-free theorem with removals, which
+    * the oracle replays by the xs17 blocked-edge chain restricted to
+    * surviving ids (centroids still derive from the FULL table: the
+    * model froze before the deletes, and a takedown must not move
+    * other vectors' cells).
+    */
+  def blockedGraphMaintainChunked(newVecs: DataFrame,
+      corpus: DataFrame, bounds: Seq[Long],
+      deletesAfter: Map[Int, Seq[Long]], idCol: String,
+      vecCol: String, cents: Seq[(Long, Seq[Double])], probe: Int,
+      k: Int): DataFrame = {
+    import graft.operators.Similarity
+    val spark = newVecs.sparkSession
+    import spark.implicits._
+    var gs = Similarity.prepareBlockedGraphStore(corpus, idCol, vecCol,
+      cents, probe, k)
+    val edges = (Long.MinValue +: bounds.sorted) :+ Long.MaxValue
+    edges.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+      gs = Similarity.blockedGraphIngest(
+        newVecs.where(col(idCol) >= lo && col(idCol) < hi),
+        gs, idCol, vecCol)
+      deletesAfter.get(i).filter(_.nonEmpty).foreach { ids =>
+        gs = Similarity.blockedGraphDelete(ids.toDF("id"), gs)
+      }
+    }
+    Similarity.blockedGraphFromStore(gs)
+  }
+
   /** One serving pass over the evolving kNN-graph store: beam-search
     * the pinned query set against the store's CURRENT vectors and
     * edge lists. The traversal is EAGER ([[graft.operators.Similarity
@@ -1087,6 +1202,107 @@ object Streams {
       .start()
     try q.processAllAvailable() finally q.stop()
     serveFromStore(gs, qSet, entryIds, ef, rounds, kq)
+  }
+
+  /** Run the QS37/QS38 stream: delta OP files (vec_id, embedding,
+    * label, op ∈ {add, del}) → per-micro-batch blocked-store
+    * maintenance (ingest the batch's adds through the cell-blocked
+    * delta-proportional fold, then apply its tombstones through the
+    * exact edge repair) → one HIERARCHICAL serving pass per batch
+    * (medoid tier refreshed over the store's current vectors — the
+    * per-epoch entry refresh — then the xs18 descent) landing in
+    * `outDir/serve/batch=<id>`. Structural pieces:
+    *
+    *  - Durability: each batch's raw op rows land in
+    *    `outDir/store/batch=<id>` (idempotent overwrite). Deletes are
+    *    NOT order-free against adds of the same id, so a restart
+    *    replays the checkpoint-COMMITTED batches SEQUENTIALLY, oldest
+    *    first (within the add-only regime the qs36 order-free theorem
+    *    still collapses the history; with tombstones the replay is
+    *    deterministic batch order — same ops, same order, same
+    *    store). An uncommitted dir from a crash inside the
+    *    write→commit window is deleted, not replayed (the
+    *    duplicate-sensitive fold + the loud tombstone guard both
+    *    demand it).
+    *  - Serve scratch (traversal visited frames, medoid probes)
+    *    releases immediately after each sink write — per-batch
+    *    artifacts, not store state (the qs35 lesson).
+    *  - LSM compaction every `compactEvery` batches.
+    *
+    * Returns the final store (graph + serve both derive from it; the
+    * StreamingSpec restart gate reads both).
+    */
+  def runBlockedMaintainServeStream(spark: SparkSession,
+      deltaDir: String, corpus: DataFrame, queries: DataFrame,
+      cents: Seq[(Long, Seq[Double])], probe: Int, k: Int,
+      seedM: Int, ef: Int, rounds: Int, kq: Int, outDir: String,
+      compactEvery: Int = 4)
+      : graft.operators.Similarity.BlockedGraphStore = {
+    import graft.operators.Similarity
+    val sc = spark.sparkContext
+    // pinned query set checkpoints BEFORE the ownership snapshot —
+    // it must survive every compaction (the qs35 restart-spec lesson)
+    val qSet = queries.select(col("vec_id").as("id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .localCheckpoint(true)
+    val pre = sc.getPersistentRDDs.keySet
+    var gs = Similarity.prepareBlockedGraphStore(
+      corpus.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v")),
+      "vec_id", "v", cents, probe, k)
+    def applyOps(ops: DataFrame): Unit = {
+      val adds = ops.where(col("op") === "add")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"))
+      if (!adds.isEmpty)
+        gs = Similarity.blockedGraphIngest(adds, gs, "vec_id", "v")
+      val dels = ops.where(col("op") === "del")
+        .select(col("vec_id").as("id"))
+      if (!dels.isEmpty)
+        gs = Similarity.blockedGraphDelete(dels, gs)
+    }
+    // sequential replay, oldest first — see the durability note
+    for (dir <- committedStoreBatches(spark, outDir))
+      applyOps(spark.read.parquet(dir))
+    var owned = sc.getPersistentRDDs.keySet -- pre
+    var batches = 0
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType),
+      StructField("op", StringType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(deltaDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val before = sc.getPersistentRDDs.keySet
+        batch.write.mode("overwrite")
+          .parquet(s"$outDir/store/batch=$batchId")
+        applyOps(spark.read.parquet(s"$outDir/store/batch=$batchId"))
+        owned ++= sc.getPersistentRDDs.keySet -- before
+        val preServe = sc.getPersistentRDDs.keySet
+        hierServeFromBlockedStore(gs, qSet, seedM, ef, rounds, kq)
+          .write.mode("overwrite")
+          .parquet(s"$outDir/serve/batch=$batchId")
+        sc.getPersistentRDDs
+          .filterNot { case (id, _) => preServe(id) }
+          .values.foreach(_.unpersist(blocking = false))
+        batches += 1
+        if (batches % compactEvery == 0) {
+          val preCompact = sc.getPersistentRDDs.keySet
+          gs = Similarity.compactBlockedGraphStore(gs)
+          val kept = sc.getPersistentRDDs.keySet -- preCompact
+          sc.getPersistentRDDs
+            .filter { case (id, _) => owned(id) && !kept(id) }
+            .values.foreach(_.unpersist(blocking = false))
+          owned = kept
+        }
+        ()
+      }
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    gs
   }
 
   /** Batch-shape QS20 harness (the oracle entry): C4-clean `newDocs`

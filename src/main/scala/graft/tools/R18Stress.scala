@@ -1,0 +1,227 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Round-18 scale harness: the re-blocking epoch's laws and the
+  * hierarchical-descent trend (VERDICT r17 #1/#4).
+  *
+  * LEG A — re-blocking epoch under drift, at a corpus and its 2×
+  * extension. The [[StressUtil.driftedEmbeddings]] corpus: an initial
+  * clustered region plus a delta whose clusters concentrate around ONE
+  * new direction the initial corpus never saw. Graded laws:
+  *
+  *  - STALE CONCENTRATION: under cells frozen from the initial region
+  *    (the qs36 regime), the drifted delta lands in a few stale cells
+  *    and the blocked candidate volume Σ load₁·load_p balloons — the
+  *    production reason the epoch exists. Recounted, not argued.
+  *  - REFRESH RE-BALANCE: `balancedKmeansSeq` (Lloyd + deterministic
+  *    ISODATA bisection passes — plain Lloyd re-training splits a
+  *    tight region only 2-3 ways before winner-take-all collapse)
+  *    restores the candidate volume toward the balanced floor;
+  *    gated < 0.5× stale at BOTH sizes.
+  *  - LINEAR REBUILD COST: the epoch is ONE blocked rebuild — its
+  *    candidate volume grows ≈ linearly across the 2× corpus step at
+  *    nlist ∝ n (the SCALE_r17 construction law applied to the
+  *    refresh), while exact all-pairs grows 4×.
+  *  - RECALL RETENTION on delta-region queries (where stale cells
+  *    degrade): refreshed ≥ 0.9 and ≥ stale − 0.05 at both sizes.
+  *
+  * LEG B — hierarchical-descent trend at THREE sizes (r17 leg C
+  * carried two): per-query top-3-medoid seeding vs the flat
+  * all-medoid tier, with nlist growing with the corpus. The two-layer
+  * argument predicts the visited-set shrink WIDENS as nlist grows
+  * (flat seeds = nlist, hierarchical seeds = 3 regardless); the third
+  * point establishes the monotone law. Recall re-gated at every
+  * point.
+  *
+  * Wall/cpu are informational (host-era noise); graded numbers are
+  * deterministic counters. Writes `SCALE_r18.json`.
+  */
+object R18Stress {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.Similarity
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Any]()
+    def dropPersisted(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+
+    val scratch = Files.createTempDirectory("r18stress").toString
+
+    // ---------- LEG A: re-blocking epoch laws ----------
+    {
+      case class ALeg(n: Long, nlist: Int, candStale: Long,
+        candRefreshed: Long, exact: Long, recallStale: Double,
+        recallRefreshed: Double)
+      def aLeg(mInit: Int, mDelta: Int, nlist: Int): ALeg = {
+        StressUtil.driftedEmbeddings(spark, sfDir, scratch,
+          mInit, mDelta, deltaCids = 1000)
+        val all = spark.read
+          .parquet(s"$scratch/embeddings_drifted.parquet")
+          .select(col("vec_id").as("id"),
+            transform(col("embedding"), x => x.cast("double")).as("v"),
+            col("is_delta"))
+          .localCheckpoint(true)
+        val n = all.count()
+        val initial = all.where(!col("is_delta")).select("id", "v")
+        val acc = all.select("id", "v").localCheckpoint(true)
+        val stale = Similarity.kmeansCentroidsSeq(initial, "id", "v",
+          nlist)
+        val refreshed = Similarity.balancedKmeansSeq(acc, "id", "v",
+          nlist)
+        def candVolume(cents: Seq[(Long, Seq[Double])]): Long = {
+          def assigned(p: Int) = acc.select(col("id"),
+            graft.operators.HashFns.nearestCentroids(col("v"),
+              cents.map(_._1), cents.map(_._2), p).as("cells"))
+          assigned(1)
+            .select(col("id"), element_at(col("cells"), 1).as("cell"))
+            .join(assigned(2).select(col("id").as("nb"),
+              explode(col("cells")).as("cell")), "cell")
+            .where(col("id") =!= col("nb")).count()
+        }
+        val cs = candVolume(stale)
+        val cr = candVolume(refreshed)
+        // delta-region queries: where the stale cells degrade
+        val queries = all.where(col("is_delta")).select("id", "v")
+          .orderBy("id").limit(10).localCheckpoint(true)
+        def pairsOf(df: DataFrame) = df.select("qid", "id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val bf = pairsOf(Similarity.bruteForceTopK(acc, queries, "id",
+          "v", 3))
+        def recallWith(cents: Seq[(Long, Seq[Double])]): Double = {
+          val graph = Similarity.ivfSeededGraph(acc, "id", "v", cents,
+            probe = 2, k = 10).localCheckpoint(true)
+          val entries = Similarity.cellMedoids(acc, "id", "v", cents)
+          val beam = pairsOf(Similarity.beamSearchTopK(acc, queries,
+            graph, "id", "v", entries, ef = 24, rounds = 10, k = 3))
+          (bf & beam).size.toDouble / bf.size
+        }
+        val rs = recallWith(stale)
+        val rr = recallWith(refreshed)
+        dropPersisted()
+        println(f"[reblock] n=$n%-6d nlist=$nlist candStale=$cs " +
+          f"candRefreshed=$cr recallStale=$rs%.3f " +
+          f"recallRefreshed=$rr%.3f")
+        ALeg(n, nlist, cs, cr, n * (n - 1), rs, rr)
+      }
+      val a1 = aLeg(mInit = 2, mDelta = 4, nlist = 64)
+      val a2 = aLeg(mInit = 4, mDelta = 8, nlist = 128)
+      for ((l, p) <- Seq(a1 -> "reblock_f1", a2 -> "reblock_f2")) {
+        results += s"${p}_n" -> l.n
+        results += s"${p}_nlist" -> l.nlist
+        results += s"${p}_cand_stale" -> l.candStale
+        results += s"${p}_cand_refreshed" -> l.candRefreshed
+        results += s"${p}_exact_allpairs" -> l.exact
+        results += s"${p}_rebalance_frac" ->
+          (l.candRefreshed.toDouble / l.candStale)
+        results += s"${p}_recall_stale" -> l.recallStale
+        results += s"${p}_recall_refreshed" -> l.recallRefreshed
+      }
+      val corpusRatio = a2.n.toDouble / a1.n
+      val refreshRatio = a2.candRefreshed.toDouble / a1.candRefreshed
+      results += "reblock_corpus_ratio" -> corpusRatio
+      results += "reblock_refresh_cost_ratio" -> refreshRatio
+      results += "reblock_exact_ratio" ->
+        (a2.exact.toDouble / a1.exact)
+      // refresh re-balances the stale concentration at both sizes
+      require(a1.candRefreshed < a1.candStale / 2 &&
+        a2.candRefreshed < a2.candStale / 2,
+        s"refresh bought no re-balancing: ${a1.candRefreshed}/" +
+          s"${a1.candStale}, ${a2.candRefreshed}/${a2.candStale}")
+      // the epoch's rebuild cost is LINEAR across the 2× step (the
+      // blocked-construction law applied to the refresh), not the 4×
+      // of an exact rebuild
+      require(refreshRatio < 1.6 * corpusRatio,
+        f"refresh cost ratio $refreshRatio%.2f is super-linear over " +
+          f"the corpus ratio $corpusRatio%.2f")
+      // recall retention (the VERDICT r17 gate)
+      require(a1.recallRefreshed >= 0.9 && a2.recallRefreshed >= 0.9,
+        f"refreshed recall dropped: ${a1.recallRefreshed}%.3f / " +
+          f"${a2.recallRefreshed}%.3f")
+      require(a1.recallRefreshed >= a1.recallStale - 0.05 &&
+        a2.recallRefreshed >= a2.recallStale - 0.05,
+        "refresh lost recall vs stale cells")
+    }
+
+    // ---------- LEG B: hierarchical-descent trend, 3 sizes ----------
+    {
+      case class BLeg(n: Long, nlist: Int, vFlat: Long, vHier: Long,
+        recall: Double)
+      def bLeg(members: Int, nlist: Int): BLeg = {
+        StressUtil.clusteredEmbeddings(spark, sfDir, scratch, members)
+        val corpus = spark.read
+          .parquet(s"$scratch/embeddings_clustered.parquet")
+          .select(col("vec_id").as("id"),
+            transform(col("embedding"), x => x.cast("double")).as("v"))
+          .localCheckpoint(true)
+        val n = corpus.count()
+        val queries = corpus.where(col("id") < 10).localCheckpoint(true)
+        val cents = Similarity.kmeansCentroidsSeq(corpus, "id", "v",
+          nlist)
+        val graph = Similarity.ivfSeededGraph(corpus, "id", "v", cents,
+          probe = 2, k = 10).localCheckpoint(true)
+        val entries = Similarity.cellMedoids(corpus, "id", "v", cents)
+        def visited(seedM: Int) = Similarity.beamSearchVisitedSeeded(
+          corpus, queries, graph, "id", "v", entries, ef = 24,
+          rounds = 10, seedM = seedM).localCheckpoint(true)
+        val vFlat = visited(0).count()
+        val vH = visited(3)
+        val vHier = vH.count()
+        val hier = Similarity.rankVisitedTopK(vH, 3)
+          .select("qid", "id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val bf = Similarity.bruteForceTopK(corpus, queries, "id", "v",
+            3).select("qid", "id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val recall = (bf & hier).size.toDouble / bf.size
+        dropPersisted()
+        println(f"[hier3] n=$n%-6d nlist=$nlist flat=$vFlat " +
+          f"hier=$vHier shrink=${vHier.toDouble / vFlat}%.3f " +
+          f"recall=$recall%.3f")
+        BLeg(n, nlist, vFlat, vHier, recall)
+      }
+      val b1 = bLeg(members = 4, nlist = 32)
+      val b2 = bLeg(members = 8, nlist = 64)
+      val b3 = bLeg(members = 16, nlist = 128)
+      for ((l, p) <- Seq(b1 -> "hier3_f4", b2 -> "hier3_f8",
+          b3 -> "hier3_f16")) {
+        results += s"${p}_n" -> l.n
+        results += s"${p}_nlist" -> l.nlist
+        results += s"${p}_visited_flat" -> l.vFlat
+        results += s"${p}_visited_hier" -> l.vHier
+        results += s"${p}_shrink" -> (l.vHier.toDouble / l.vFlat)
+        results += s"${p}_recall" -> l.recall
+      }
+      require(b1.recall >= 0.9 && b2.recall >= 0.9 && b3.recall >= 0.9,
+        f"hier recall dropped: ${b1.recall}%.3f ${b2.recall}%.3f " +
+          f"${b3.recall}%.3f")
+      val s1 = b1.vHier.toDouble / b1.vFlat
+      val s2 = b2.vHier.toDouble / b2.vFlat
+      val s3 = b3.vHier.toDouble / b3.vFlat
+      require(s2 < s1 && s3 < s2,
+        f"the shrink must WIDEN monotonically as nlist grows with " +
+          f"the corpus: $s1%.3f -> $s2%.3f -> $s3%.3f")
+    }
+
+    val payload = results
+      .map { case (k, v) => s""""$k":${StressUtil.jsonScalar(v)}""" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get("SCALE_r18.json"), payload + "\n")
+    println(payload)
+    spark.stop()
+  }
+}

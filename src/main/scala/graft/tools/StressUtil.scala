@@ -161,6 +161,66 @@ object StressUtil {
     spark.read.parquet(s"$outDir/embeddings_clustered.parquet").count()
   }
 
+  /** DRIFTED embedding corpus — the re-blocking epoch's premise
+    * ([[graft.operators.Similarity.reblockGraphStore]]): the INITIAL
+    * region reuses the clustered recipe (each base vector a cluster
+    * center, `mInit` members at center + 0.25·perm — real embedding
+    * spaces cluster), while the DELTA region's `deltaCids` clusters
+    * all concentrate around ONE direction u = the lowest-id base
+    * vector (center_c = u + 0.35·perm(base_c), members at center +
+    * 0.25·perm) — a genuinely NEW region the initial corpus never
+    * saw, tight enough that under centroids trained on the initial
+    * region alone the whole delta region lands in its few nearest
+    * stale cells (per-cell load balloons — the measured refresh-cost
+    * law) while within-cluster cosine ≈ 0.95 still dominates
+    * in-region cross-cluster ≈ 0.84, so true top-k stays the cluster
+    * mates. Geometry margins: members are u + 0.35·p_c + 0.25·q_m
+    * with u, p, q norm-equal and quasi-orthogonal → within-cluster
+    * cos ≈ 1.1225/1.185 ≈ 0.947, in-region cross ≈ 1/1.185 ≈ 0.844,
+    * initial-vs-delta ≈ 0.3 of that. Ids INTERLEAVE per base cid
+    * (block of mInit initial then mDelta delta members) so
+    * bounded-sample trainers that seed from low ids see both regions
+    * after accumulation — the property that lets a refresh actually
+    * split the new region into multiple cells.
+    *
+    * Columns: (vec_id, embedding float[], label, is_delta). Initial =
+    * `is_delta = false`; the drift delta = `is_delta = true`.
+    */
+  def driftedEmbeddings(spark: SparkSession, baseDir: String,
+      outDir: String, mInit: Int, mDelta: Int, deltaCids: Int): Long = {
+    import spark.implicits._
+    val base = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    val u = base.orderBy("vec_id").limit(1)
+      .select("embedding").head.getSeq[Float](0).toArray
+    val block = mInit + mDelta
+    val maxId = base.agg(max(col("vec_id"))).head.getLong(0)
+    require((maxId + 1) * block < 1000000L,
+      s"drifted ids would overflow the offset space: " +
+        s"($maxId+1)*$block")
+    val uB = spark.sparkContext.broadcast(u)
+    spark.range(block).crossJoin(base)
+      .select(col("id").as("j"), col("vec_id"), col("embedding"))
+      .as[(Long, Long, Seq[Float])]
+      .flatMap { case (j, cid, v) =>
+        val id = cid * block + j
+        if (j < mInit) {
+          val q = permuteVec(v, id)
+          val m = v.toArray.zip(q).map { case (x, y) => x + 0.25f * y }
+          Some((id, m.toSeq, 0, false))
+        } else if (cid < deltaCids) {
+          val p = permuteVec(v, cid * 7 + 3)
+          val q = permuteVec(v, id)
+          val m = uB.value.lazyZip(p).lazyZip(q)
+            .map((a, b, c) => a + 0.35f * b + 0.25f * c)
+          Some((id, m.toSeq, 1, true))
+        } else None
+      }
+      .toDF("vec_id", "embedding", "label", "is_delta")
+      .write.mode("overwrite")
+      .parquet(s"$outDir/embeddings_drifted.parquet")
+    spark.read.parquet(s"$outDir/embeddings_drifted.parquet").count()
+  }
+
   def joinLines(df: DataFrame): Seq[String] =
     df.queryExecution.executedPlan.toString.linesIterator
       .map(_.replaceAll("""^[\s:+-]*""", "")

@@ -639,6 +639,211 @@ class OperatorsSpec extends SparkSpec {
     assert(ok.next.vecs.count() == 60)
   }
 
+  test("graph-store ingest refuses a batch that repeats an id WITHIN " +
+      "itself (ADVICE r17: the store-disjointness probe alone let an " +
+      "intra-batch duplicate double-ingest silently)") {
+    val emb = T.t(spark, sf0001, "embeddings")
+    val store = Similarity.prepareKnnGraphStore(
+      emb.where(col("vec_id") < 50), "vec_id", "embedding", k = 3)
+    val dupBatch = emb.where(col("vec_id") >= 50 && col("vec_id") < 60)
+      .unionAll(emb.where(col("vec_id") === 55))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.knnGraphIngest(dupBatch, store, "vec_id", "embedding")
+    }
+    assert(ex.getMessage.contains("WITHIN itself"))
+    // same guard on the blocked fold
+    val vv = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cents = Similarity.kmeansCentroidsSeq(
+      vv.where(col("vec_id") < 50), "vec_id", "v", 8)
+    val bs = Similarity.prepareBlockedGraphStore(
+      vv.where(col("vec_id") < 50), "vec_id", "v", cents, 2, 3)
+    val ex2 = intercept[IllegalArgumentException] {
+      Similarity.blockedGraphIngest(
+        vv.where(col("vec_id") >= 50 && col("vec_id") < 60)
+          .unionAll(vv.where(col("vec_id") === 55)), bs, "vec_id", "v")
+    }
+    assert(ex2.getMessage.contains("WITHIN itself"))
+  }
+
+  test("re-blocking epoch: the refreshed store == the one-shot " +
+      "blocked build over the accumulated vectors under the NEW " +
+      "centroids, and the incremental theorem re-bases on it") {
+    val emb = T.t(spark, sf0001, "embeddings")
+    val vv = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .localCheckpoint(true)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id", "sim", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9), r.getInt(3))).toSet
+    // epoch 0: cells trained on the initial corpus only, store grown
+    // through two qs36 ingests
+    val oldCents = Similarity.kmeansCentroidsSeq(
+      vv.where(col("vec_id") < 250), "vec_id", "v", 8)
+    var gs = Similarity.prepareBlockedGraphStore(
+      vv.where(col("vec_id") < 250), "vec_id", "v", oldCents, 2, 6)
+    for ((lo, hi) <- Seq((250L, 400L), (400L, Long.MaxValue)))
+      gs = Similarity.blockedGraphIngest(
+        vv.where(col("vec_id") >= lo && col("vec_id") < hi),
+        gs, "vec_id", "v")
+    // epoch 1: refresh over the ACCUMULATED store (the production
+    // path trains on store.vecs; gate with injected cells so the
+    // comparison is exact)
+    val newCents = Similarity.kmeansCentroidsSeq(gs.vecs, "id", "v", 8)
+    assert(newCents != oldCents, "refresh trained identical cells — " +
+      "the rebase gate would be vacuous")
+    val reblocked = Similarity.reblockGraphStore(gs, newCents)
+    val oneShot = rows(Similarity.ivfSeededGraph(vv, "vec_id", "v",
+      newCents, probe = 2, k = 6))
+    assert(rows(Similarity.blockedGraphFromStore(reblocked)) == oneShot,
+      "refreshed store diverges from the one-shot blocked build " +
+        "under the new centroids")
+    // the qs36 theorem RE-BASES: an ingest after the epoch folds
+    // against the refreshed lists under the refreshed frozen cells
+    val ext = vv.where(col("vec_id") < 100)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("v"))
+    val grown = Similarity.blockedGraphIngest(ext, reblocked,
+      "vec_id", "v")
+    val grownOneShot = rows(Similarity.ivfSeededGraph(
+      vv.unionByName(ext), "vec_id", "v", newCents, probe = 2, k = 6))
+    assert(rows(Similarity.blockedGraphFromStore(grown)) ==
+      grownOneShot, "post-epoch ingest diverges from the one-shot " +
+        "build over corpus ∪ extension under the new centroids")
+  }
+
+  test("re-blocking epoch under DRIFT: stale frozen cells concentrate " +
+      "the new region (candidate volume balloons), the refresh " +
+      "re-balances it and keeps recall") {
+    val scratch = java.nio.file.Files
+      .createTempDirectory("reblock_drift").toString
+    graft.tools.StressUtil.driftedEmbeddings(spark, sf0001, scratch,
+      mInit = 2, mDelta = 4, deltaCids = 250)
+    val all = spark.read
+      .parquet(s"$scratch/embeddings_drifted.parquet")
+      .select(col("vec_id").as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"),
+        col("is_delta"))
+      .localCheckpoint(true)
+    val nlist = 32
+    val initial = all.where(!col("is_delta")).select("id", "v")
+    val accumulated = all.select("id", "v").localCheckpoint(true)
+    val stale = Similarity.kmeansCentroidsSeq(initial, "id", "v", nlist)
+    // drift arrives: the store accumulates the delta under the stale
+    // frozen cells (the qs36 regime), then the epoch refreshes with
+    // the LOAD-AWARE trainer (plain Lloyd re-training only splits the
+    // tight new region 2-3 ways — winner-take-all collapse, measured
+    // cand 897k vs balanced 289k vs stale 1186k on this corpus)
+    val refreshed = Similarity.balancedKmeansSeq(accumulated, "id",
+      "v", nlist)
+    // the COST law (the production reason to refresh): the blocked
+    // candidate volume of a rebuild/maintenance pass under each cell
+    // set, recounted from the same primary×probe join the build runs
+    def candVolume(cents: Seq[(Long, Seq[Double])]): Long = {
+      def assigned(p: Int) = accumulated.select(col("id"),
+        graft.operators.HashFns.nearestCentroids(col("v"),
+          cents.map(_._1), cents.map(_._2), p).as("cells"))
+      assigned(1)
+        .select(col("id"), element_at(col("cells"), 1).as("cell"))
+        .join(assigned(2).select(col("id").as("nb"),
+          explode(col("cells")).as("cell")), "cell")
+        .where(col("id") =!= col("nb")).count()
+    }
+    val candStale = candVolume(stale)
+    val candRefreshed = candVolume(refreshed)
+    assert(candRefreshed.toDouble < 0.5 * candStale,
+      s"refresh bought no re-balancing: stale $candStale vs " +
+        s"refreshed $candRefreshed blocked candidates")
+    // recall on DELTA-REGION queries (where stale cells degrade):
+    // true top-3 = the query's cluster mates (within-cluster cos
+    // ≈ 0.95 vs in-region cross ≈ 0.84 — geometric, not accidental)
+    val queries = all.where(col("is_delta")).select("id", "v")
+      .orderBy("id").limit(10).localCheckpoint(true)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairs(Similarity.bruteForceTopK(accumulated, queries,
+      "id", "v", 3))
+    def recallWith(cents: Seq[(Long, Seq[Double])]): Double = {
+      val graph = Similarity.ivfSeededGraph(accumulated, "id", "v",
+        cents, probe = 2, k = 10).localCheckpoint(true)
+      val entries = Similarity.cellMedoids(accumulated, "id", "v",
+        cents)
+      val beam = pairs(Similarity.beamSearchTopK(accumulated, queries,
+        graph, "id", "v", entries, ef = 24, rounds = 10, k = 3))
+      (bf & beam).size.toDouble / bf.size
+    }
+    val rStale = recallWith(stale)
+    val rRefreshed = recallWith(refreshed)
+    assert(rRefreshed >= 0.9,
+      s"refreshed recall $rRefreshed below the ANN gate")
+    assert(rRefreshed >= rStale - 0.05,
+      s"refresh LOST recall: stale $rStale vs refreshed $rRefreshed")
+  }
+
+  test("blockedGraphDelete: exact repair — store-after-deletes == " +
+      "one-shot blocked build over the SURVIVORS; re-adding a deleted " +
+      "id re-bases; a missing tombstone refuses loudly") {
+    import spark.implicits._
+    val emb = T.t(spark, sf0001, "embeddings")
+    val vv = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .localCheckpoint(true)
+    val cents = Similarity.kmeansCentroidsSeq(
+      vv.where(col("vec_id") < 250), "vec_id", "v", 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id", "sim", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9), r.getInt(3))).toSet
+    var gs = Similarity.prepareBlockedGraphStore(vv, "vec_id", "v",
+      cents, 2, 6)
+    // the repair path must actually fire: some deleted id sits in a
+    // survivor's current top-k
+    val delIds = Seq(2L, 10L, 11L, 300L)
+    assert(Similarity.blockedGraphFromStore(gs)
+      .where(col("id").isin(delIds: _*) && !col("qid").isin(delIds: _*))
+      .limit(1).count() > 0,
+      "no survivor lists a deleted neighbor — the repair gate is vacuous")
+    gs = Similarity.blockedGraphDelete(delIds.toDF("id"), gs)
+    val survivors = vv.where(!col("vec_id").isin(delIds: _*))
+    val oneShot = rows(Similarity.ivfSeededGraph(survivors, "vec_id",
+      "v", cents, probe = 2, k = 6))
+    assert(rows(Similarity.blockedGraphFromStore(gs)) == oneShot,
+      "deleted store diverges from the one-shot build over survivors")
+    // RE-ADD a deleted id: the repair left no trace, so the ingest
+    // theorem re-bases on the survivor set
+    gs = Similarity.blockedGraphIngest(vv.where(col("vec_id") === 2L),
+      gs, "vec_id", "v")
+    val reAdded = rows(Similarity.ivfSeededGraph(
+      vv.where(!col("vec_id").isin(10L, 11L, 300L)), "vec_id", "v",
+      cents, probe = 2, k = 6))
+    assert(rows(Similarity.blockedGraphFromStore(gs)) == reAdded,
+      "re-add after delete diverges from the one-shot build")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.blockedGraphDelete(Seq(999999L).toDF("id"), gs)
+    }
+    assert(ex.getMessage.contains("not in the store"))
+  }
+
+  test("knnGraphDelete (exact store): same repair theorem with the " +
+      "all-pairs candidate generator") {
+    import spark.implicits._
+    val emb = T.t(spark, sf0001, "embeddings")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id", "sim", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9), r.getInt(3))).toSet
+    var gs = Similarity.prepareKnnGraphStore(
+      emb.where(col("vec_id") < 300), "vec_id", "embedding", k = 6)
+    gs = Similarity.knnGraphDelete(Seq(5L, 17L, 230L).toDF("id"), gs)
+    val oneShot = rows(Similarity.knnGraphExact(
+      emb.where(col("vec_id") < 300 &&
+        !col("vec_id").isin(5L, 17L, 230L)),
+      "vec_id", "embedding", k = 6))
+    assert(rows(Similarity.knnGraphFromStore(gs)) == oneShot,
+      "exact-store delete diverges from one-shot over survivors")
+  }
+
   test("k-means centroids are deterministic and partition the corpus") {
     val emb = T.t(spark, sf0001, "embeddings")
     val a = Similarity.kmeansCentroids(emb, "vec_id", "embedding", 8)

@@ -791,6 +791,146 @@ class StreamingSpec extends SparkSpec {
     corpus.unpersist()
   }
 
+  test("QS37/QS38 blocked maintain+serve stream: per-batch hier " +
+      "serves == one-shot hier beam over each prefix live set, " +
+      "tombstones repair exactly, and a restart (sequential committed " +
+      "op replay) lands on the identical final store and serve") {
+    import graft.operators.Similarity
+    val emb = graft.queries.T.t(spark, sf0001, "embeddings")
+    val vv = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .localCheckpoint(true)
+    val corpus = emb.where(col("vec_id") < 250)
+    // production shape: cells frozen from the initial corpus
+    val cents = Similarity.kmeansCentroidsSeq(
+      vv.where(col("vec_id") < 250), "vec_id", "v", 8)
+    val queries = emb.where(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "id", "sim").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          math.round(r.getDouble(3) * 1e9))).toSet
+    def graphRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id", "sim", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9), r.getInt(3))).toSet
+    // one-shot hier serve over an arbitrary live set — the reference
+    // for every per-batch serve AND the final one
+    def oneShotHier(live: org.apache.spark.sql.DataFrame) = {
+      val g = Similarity.ivfSeededGraph(live, "vec_id", "v", cents,
+        probe = 2, k = 6)
+      val entries = Similarity.cellMedoids(live, "vec_id", "v", cents)
+      rows(Similarity.beamSearchTopKHier(live,
+        vv.where(col("vec_id") < 5), g, "vec_id", "v", entries,
+        seedM = 3, ef = 8, rounds = 6, k = 3))
+    }
+    // batch plan: 0 = adds [250,350) + del {10 (corpus-era), 300
+    // (added THIS batch)}; 1 = adds [350,430) + del {311}; 2 = adds
+    // [430,...). Net live set = everything minus {10, 300, 311}.
+    def liveAt(hi: Long, dels: Seq[Long]) =
+      vv.where((col("vec_id") < hi) && !col("vec_id").isin(dels: _*))
+    val finalLive = liveAt(Long.MaxValue, Seq(10L, 300L, 311L))
+    val oneShot = oneShotHier(finalLive)
+    assert(oneShot.nonEmpty)
+    assert(oneShot.exists(_._3 >= 250),
+      "no delta vector in any final serve result")
+    val base = java.nio.file.Files.createTempDirectory("qs3738")
+    val deltaDir = base.resolve("delta").toString
+    val outDir = base.resolve("out").toString
+    def opSlice(lo: Long, hi: Long, dels: Seq[Long]) = {
+      val adds = emb
+        .where(col("vec_id") >= lo && col("vec_id") < hi)
+        .select(col("vec_id"), col("embedding"), col("label"),
+          lit("add").as("op"))
+      val tomb = emb.where(col("vec_id").isin(dels: _*))
+        .select(col("vec_id"), col("embedding"), col("label"),
+          lit("del").as("op"))
+      adds.unionByName(tomb).coalesce(1)
+        .write.mode("append").parquet(deltaDir)
+    }
+    def run() = Streams.runBlockedMaintainServeStream(spark, deltaDir,
+      corpus, queries, cents, probe = 2, k = 6, seedM = 3, ef = 8,
+      rounds = 6, kq = 3, outDir, compactEvery = 2)
+    opSlice(250L, 350L, Seq(10L, 300L))
+    run()
+    // RESTART: batch 0 (with its tombstones) replays from the
+    // committed op log; batches 1-2 stream fresh
+    Thread.sleep(20)
+    opSlice(350L, 430L, Seq(311L))
+    Thread.sleep(20)
+    opSlice(430L, Long.MaxValue, Seq.empty)
+    val gsFinal = run()
+    // final store == one-shot blocked build over the SURVIVORS
+    assert(graphRows(Similarity.blockedGraphFromStore(gsFinal)) ==
+      graphRows(Similarity.ivfSeededGraph(finalLive, "vec_id", "v",
+        cents, probe = 2, k = 6)),
+      "restarted store diverges from the one-shot build over survivors")
+    // every per-batch serve sink == the one-shot hier beam over ITS
+    // prefix live set (per-epoch medoid refresh included)
+    for ((hi, dels, b) <- Seq(
+        (350L, Seq(10L, 300L), 0),
+        (430L, Seq(10L, 300L, 311L), 1),
+        (Long.MaxValue, Seq(10L, 300L, 311L), 2))) {
+      val sunk = rows(spark.read.parquet(s"$outDir/serve/batch=$b"))
+      assert(sunk == oneShotHier(liveAt(hi, dels)),
+        s"serve/batch=$b diverges from the one-shot hier beam over " +
+          "its prefix live set")
+    }
+  }
+
+  test("QS38 batch harness: any interleaving of ingests and deletes " +
+      "== one-shot blocked build over the survivors") {
+    import graft.operators.Similarity
+    val emb = graft.queries.T.t(spark, sf0001, "embeddings")
+    val vv = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .localCheckpoint(true)
+    val delta = vv.where(col("vec_id") >= 250)
+    val corpus = vv.where(col("vec_id") < 250)
+    val cents = Similarity.kmeansCentroidsSeq(corpus, "vec_id", "v", 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id", "sim", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9), r.getInt(3))).toSet
+    val dels = Seq(2L, 10L, 310L, 450L)
+    val oneShot = rows(Similarity.ivfSeededGraph(
+      vv.where(!col("vec_id").isin(dels: _*)), "vec_id", "v", cents,
+      probe = 2, k = 6))
+    // interleaving A: deletes split across the stream
+    val a = rows(Streams.blockedGraphMaintainChunked(delta, corpus,
+      Seq(400L), Map(0 -> Seq(2L, 10L, 310L), 1 -> Seq(450L)),
+      "vec_id", "v", cents, probe = 2, k = 6))
+    // interleaving B: different chunking, all deletes at the end
+    val b = rows(Streams.blockedGraphMaintainChunked(delta, corpus,
+      Seq(300L, 400L), Map(2 -> dels),
+      "vec_id", "v", cents, probe = 2, k = 6))
+    assert(a == oneShot, "interleaving A diverges from one-shot")
+    assert(b == oneShot, "interleaving B diverges from one-shot")
+  }
+
+  test("store reconcile REFUSES to wipe durable batches when the " +
+      "checkpoint commit log is missing (ADVICE r17: relocated/" +
+      "mis-pointed outDir must not read as a fresh start)") {
+    val emb = graft.queries.T.t(spark, sf0001, "embeddings")
+    val base = java.nio.file.Files.createTempDirectory("ckguard")
+    val deltaDir = base.resolve("delta").toString
+    val outDir = base.resolve("out").toString
+    emb.where(col("vec_id") >= 250 && col("vec_id") < 300)
+      .coalesce(1).write.mode("append").parquet(deltaDir)
+    // fabricate a durable store batch with NO checkpoint beside it
+    emb.where(col("vec_id") >= 250 && col("vec_id") < 300)
+      .select(col("vec_id").as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .write.parquet(s"$outDir/store/batch=0")
+    val ex = intercept[IllegalStateException] {
+      Streams.runKnnGraphStream(spark, deltaDir,
+        emb.where(col("vec_id") < 250), 6, outDir, compactEvery = 2)
+    }
+    assert(ex.getMessage.contains("refusing to reconcile"))
+    // the durable data survived the refusal
+    assert(new java.io.File(s"$outDir/store/batch=0").exists,
+      "the guard deleted the store anyway")
+  }
+
   test("QS33 update-mode sink: each batch emits exactly the changed " +
       "keys (not appends, not complete snapshots), counts cumulative") {
     val docs = graft.queries.T.t(spark, sf0001, "documents")
