@@ -1228,6 +1228,12 @@ object Streams {
     *    releases immediately after each sink write — per-batch
     *    artifacts, not store state (the qs35 lesson).
     *  - LSM compaction every `compactEvery` batches.
+    *  - Scheduled RE-BLOCKING EPOCHS every `reblockEvery` applied
+    *    batches (0 = never): the centroid refresh that keeps frozen
+    *    cells from degrading under drift, inside the stream itself —
+    *    deterministic in the committed batch sequence, so restarts
+    *    re-derive the same epochs (spec-gated against a batch-shape
+    *    replay of the same schedule).
     *
     * Returns the final store (graph + serve both derive from it; the
     * StreamingSpec restart gate reads both).
@@ -1236,7 +1242,7 @@ object Streams {
       deltaDir: String, corpus: DataFrame, queries: DataFrame,
       cents: Seq[(Long, Seq[Double])], probe: Int, k: Int,
       seedM: Int, ef: Int, rounds: Int, kq: Int, outDir: String,
-      compactEvery: Int = 4)
+      compactEvery: Int = 4, reblockEvery: Int = 0)
       : graft.operators.Similarity.BlockedGraphStore = {
     import graft.operators.Similarity
     val sc = spark.sparkContext
@@ -1245,11 +1251,22 @@ object Streams {
     val qSet = queries.select(col("vec_id").as("id"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
       .localCheckpoint(true)
+    val nlist0 = cents.length
     val pre = sc.getPersistentRDDs.keySet
     var gs = Similarity.prepareBlockedGraphStore(
       corpus.select(col("vec_id"),
         expr("transform(embedding, x -> cast(x as double))").as("v")),
       "vec_id", "v", cents, probe, k)
+    // `reblockEvery` > 0 schedules a RE-BLOCKING EPOCH (centroid
+    // refresh — Similarity.reblockGraphStoreAuto, the load-aware
+    // trainer over the accumulated store, back to the seed nlist)
+    // after every Nth APPLIED batch. The counter includes replayed
+    // batches: epochs are a deterministic function of the committed
+    // batch sequence, so a restart re-derives the same cells at the
+    // same points and lands on the identical store — the full
+    // lifecycle (ingest, delete, refresh, serve) restartable in one
+    // stream.
+    var applied = 0
     def applyOps(ops: DataFrame): Unit = {
       val adds = ops.where(col("op") === "add")
         .select(col("vec_id"),
@@ -1260,6 +1277,9 @@ object Streams {
         .select(col("vec_id").as("id"))
       if (!dels.isEmpty)
         gs = Similarity.blockedGraphDelete(dels, gs)
+      applied += 1
+      if (reblockEvery > 0 && applied % reblockEvery == 0)
+        gs = Similarity.reblockGraphStoreAuto(gs, nlist0)
     }
     // sequential replay, oldest first — see the durability note
     for (dir <- committedStoreBatches(spark, outDir))

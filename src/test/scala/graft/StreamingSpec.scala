@@ -877,6 +877,82 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("full lifecycle stream: scheduled re-blocking epochs between " +
+      "ingests and tombstones restart to the identical store, and the " +
+      "final store is coherent under its own final cells") {
+    import graft.operators.Similarity
+    val emb = graft.queries.T.t(spark, sf0001, "embeddings")
+    val vv = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .localCheckpoint(true)
+    val corpus = emb.where(col("vec_id") < 250)
+    val cents = Similarity.kmeansCentroidsSeq(
+      vv.where(col("vec_id") < 250), "vec_id", "v", 8)
+    val queries = emb.where(col("vec_id") < 5)
+    def graphRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id", "sim", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9), r.getInt(3))).toSet
+    val base = java.nio.file.Files.createTempDirectory("lifecycle")
+    val deltaDir = base.resolve("delta").toString
+    val outDir = base.resolve("out").toString
+    val plan = Seq(
+      (250L, 350L, Seq(10L, 300L)),
+      (350L, 430L, Seq(311L)),
+      (430L, Long.MaxValue, Seq.empty[Long]))
+    def opSlice(lo: Long, hi: Long, dels: Seq[Long]) = {
+      val adds = emb.where(col("vec_id") >= lo && col("vec_id") < hi)
+        .select(col("vec_id"), col("embedding"), col("label"),
+          lit("add").as("op"))
+      val tomb = emb.where(col("vec_id").isin(dels: _*))
+        .select(col("vec_id"), col("embedding"), col("label"),
+          lit("del").as("op"))
+      adds.unionByName(tomb).coalesce(1)
+        .write.mode("append").parquet(deltaDir)
+    }
+    def run() = Streams.runBlockedMaintainServeStream(spark, deltaDir,
+      corpus, queries, cents, probe = 2, k = 6, seedM = 3, ef = 8,
+      rounds = 6, kq = 3, outDir, compactEvery = 2, reblockEvery = 2)
+    // restart boundary after batch 0: the replay must re-derive the
+    // SAME epoch schedule from the committed batch sequence
+    opSlice(plan(0)._1, plan(0)._2, plan(0)._3)
+    run()
+    Thread.sleep(20)
+    opSlice(plan(1)._1, plan(1)._2, plan(1)._3)
+    Thread.sleep(20)
+    opSlice(plan(2)._1, plan(2)._2, plan(2)._3)
+    val gsFinal = run()
+    // batch-shape replay of the identical schedule — prepare, then
+    // per batch: ingest adds, delete dels, epoch after every 2nd
+    var ref = Similarity.prepareBlockedGraphStore(
+      vv.where(col("vec_id") < 250), "vec_id", "v", cents, 2, 6)
+    for (((lo, hi, dels), i) <- plan.zipWithIndex) {
+      ref = Similarity.blockedGraphIngest(
+        vv.where(col("vec_id") >= lo && col("vec_id") < hi),
+        ref, "vec_id", "v")
+      if (dels.nonEmpty) {
+        import spark.implicits._
+        ref = Similarity.blockedGraphDelete(dels.toDF("id"), ref)
+      }
+      if ((i + 1) % 2 == 0)
+        ref = Similarity.reblockGraphStoreAuto(ref, 8)
+    }
+    assert(graphRows(Similarity.blockedGraphFromStore(gsFinal)) ==
+      graphRows(Similarity.blockedGraphFromStore(ref)),
+      "restarted lifecycle stream diverges from the batch-shape replay")
+    // cells actually moved at the epoch…
+    assert(gsFinal.cents != cents,
+      "the epoch never refreshed the cells — the gate is vacuous")
+    // …and the store is COHERENT under its own final cells: the
+    // maintained graph == the one-shot blocked build of the surviving
+    // vectors under exactly those cells
+    val live = vv.where(!col("vec_id").isin(10L, 300L, 311L))
+    assert(graphRows(Similarity.blockedGraphFromStore(gsFinal)) ==
+      graphRows(Similarity.ivfSeededGraph(live, "vec_id", "v",
+        gsFinal.cents, probe = 2, k = 6)),
+      "final store incoherent under its own final cells")
+  }
+
   test("QS38 batch harness: any interleaving of ingests and deletes " +
       "== one-shot blocked build over the survivors") {
     import graft.operators.Similarity
