@@ -756,6 +756,51 @@ object Dedup {
     ix.copy(pref = ix.pref.localCheckpoint(true),
       sh = ix.sh.localCheckpoint(true))
 
+  /** Document TAKEDOWN in the evolving prefix index (qs39) — the
+    * deletion story for the set-similarity store, and a deliberately
+    * DIFFERENT theorem class from the kNN stores'
+    * ([[graft.operators.Similarity.blockedGraphDelete]]): the index
+    * holds every document's prefix rows and shingle array VERBATIM
+    * (nothing lossy — no top-k list ever forgot a displaced entry),
+    * so deletion is pure row removal with NOTHING to repair. Two
+    * broadcast anti-joins drop the tombstoned docs' prefix and
+    * shingle rows; every future [[allPairsIngest]] then pairs its
+    * batch against exactly the survivors — equal to brute-force
+    * all-pairs over survivors ∪ batch, because prefix pruning is
+    * LOSSLESS under any one consistent shingle order and the verify
+    * stage reads only surviving arrays.
+    *
+    * The frozen df order deliberately KEEPS the deleted documents'
+    * contributions: df is a pruning MODEL frozen at prepare (the
+    * [[allPairsJaccardAgainst]] contract — staleness tunes pruning
+    * power, never correctness), and a takedown must not re-rank every
+    * survivor's prefix. Re-deriving df after mass deletion is an
+    * offline re-prepare (the re-blocking-epoch discipline), not part
+    * of the delete.
+    *
+    * Tombstones must be indexed (the loud-guard discipline shared
+    * with the vector stores; probe shape: one broadcast SEMI join
+    * against a scan of the store's id column — no store shuffle).
+    */
+  def allPairsDelete(tombstones: DataFrame, ix: PrefixIndex)
+      : PrefixIndex = {
+    val del = broadcast(tombstones.select(col("id").as("__id"))
+      .distinct().localCheckpoint(true))
+    val matched = ix.sh.select("__id").join(del, Seq("__id"),
+      "left_semi")
+    val nDel = del.count()
+    if (matched.count() != nDel) {
+      val missing = del.collect().map(_.getLong(0)).toSet --
+        matched.collect().map(_.getLong(0)).toSet
+      throw new IllegalArgumentException(
+        s"allPairsDelete: tombstone doc ${missing.head} is not in " +
+          "the index — a silent no-op takedown hides upstream " +
+          "bookkeeping bugs")
+    }
+    ix.copy(pref = ix.pref.join(del, Seq("__id"), "left_anti"),
+      sh = ix.sh.join(del, Seq("__id"), "left_anti"))
+  }
+
   /** Embedding near-dup pairs with cosine ≥ threshold — EXACT pairwise
     * join. Exact cosine self-join is inherently O(n²) compute (no
     * blocking scheme is simultaneously exact and subquadratic on

@@ -522,6 +522,40 @@ object StreamBatchQueries {
           .orderBy("a", "b")
     },
 
+    // qs39: qs32 with DOCUMENT TAKEDOWNS — deletion for the
+    // set-similarity store, completing the evolving-store deletion
+    // family beside qs38's vector stores. A different theorem class:
+    // the prefix index holds every doc's rows VERBATIM (nothing
+    // lossy), so a takedown is pure row removal with nothing to
+    // repair, and every later batch pairs against exactly the
+    // survivors (prefix pruning is lossless under the one frozen
+    // shingle order; df keeps the deleted docs' contributions — a
+    // frozen pruning model, the allPairsJaccardAgainst contract).
+    // Chunks: [250,400) then [400,∞); after chunk 0 docs 26, 45
+    // (corpus-era) and 267, 393 (ingested IN chunk 0) are taken
+    // down. Emitted pairs are output, not state — the oracle states
+    // the epoch predicate directly: pairs with larger id in chunk 0
+    // are over the full pre-takedown population; pairs with larger
+    // id ≥ 400 exclude any takedown doc as the smaller side (at
+    // sf0.01 this removes 4 real pairs: (26,455), (45,413),
+    // (267,413), (393,420); at sf0.1 the same takedown set happens
+    // to touch no qualifying pair — the theorem gates either way).
+    Q("qs39_stream_allpairs_takedown",
+      DedupQueries.jaccardOracleSql(0.5,
+        pairCond = "x.doc_id < y.doc_id AND ((y.doc_id >= 250 AND " +
+          "y.doc_id < 400) OR (y.doc_id >= 400 AND " +
+          "x.doc_id NOT IN (26, 45, 267, 393)))")) { (s, d) =>
+      val docs = t(s, d, "documents")
+      graft.streaming.Streams.allPairsTakedownChunked(
+          docs.where(col("doc_id") >= 250),
+          docs.where(col("doc_id") < 250),
+          bounds = Seq(400L),
+          deletesAfter = Map(0 -> Seq(26L, 45L, 267L, 393L)),
+          threshold = 0.5)
+        .select(col("a"), col("b"), round(col("j"), 4).as("j"))
+        .orderBy("a", "b")
+    },
+
     // qs20: streaming C4 cleaning (the xt26 stream face, on the qs19
     // skeleton): the <400 corpus seeds the first-occurrence LINE
     // store, docs >= 400 clean in doc_id-ordered chunks; page rules

@@ -862,6 +862,41 @@ object Streams {
     parts.reduce(_.unionAll(_)).orderBy("a", "b")
   }
 
+  /** Batch-shape QS39 harness (the oracle entry): the qs32 stream
+    * with DOCUMENT TAKEDOWNS interleaved — after chunk i, the docs in
+    * `deletesAfter(i)` leave the index
+    * ([[graft.operators.Dedup.allPairsDelete]] — pure row removal,
+    * nothing lossy to repair). A chunk's pairs are emitted OUTPUT the
+    * moment it ingests (takedowns don't rewrite history — the emitted
+    * stream is the contract; what changes is the index future batches
+    * pair against), so the result is: for every chunk, brute-force
+    * all-pairs J ≥ t pairs whose larger id is in that chunk and whose
+    * smaller id was LIVE when the chunk ingested. The qs39 oracle
+    * states exactly that predicate over the epochs.
+    */
+  def allPairsTakedownChunked(newDocs: DataFrame, corpus: DataFrame,
+      bounds: Seq[Long], deletesAfter: Map[Int, Seq[Long]],
+      threshold: Double): DataFrame = {
+    import graft.operators.Dedup
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    var ix = Dedup.prepareAllPairsIndex(corpus, "doc_id", "text",
+      threshold)
+    val edges = (Long.MinValue +: bounds.sorted) :+ Long.MaxValue
+    val parts = edges.sliding(2).zipWithIndex.map {
+      case (Seq(lo, hi), i) =>
+        val ing = Dedup.allPairsIngest(
+          newDocs.where(col("doc_id") >= lo && col("doc_id") < hi),
+          ix, "doc_id", "text")
+        ix = ing.next
+        deletesAfter.get(i).filter(_.nonEmpty).foreach { ids =>
+          ix = Dedup.allPairsDelete(ids.toDF("id"), ix)
+        }
+        ing.result
+    }.toSeq
+    parts.reduce(_.unionAll(_)).orderBy("a", "b")
+  }
+
   /** Run the QS34 stream: delta embedding files → per-micro-batch
     * fold into the evolving EXACT kNN-graph store → the maintained
     * graph. The vector-store ingestion path for the xs15 traversal,

@@ -983,6 +983,47 @@ class StreamingSpec extends SparkSpec {
     assert(b == oneShot, "interleaving B diverges from one-shot")
   }
 
+  test("QS39 all-pairs takedown: a deleted doc stops pairing with " +
+      "every later batch (== brute force over the epoch live sets), " +
+      "already-emitted pairs stand, missing tombstones refuse") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val docs = graft.queries.T.t(spark, sf0001, "documents")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b", "j").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9))).toSet
+    // exact all-pairs over the FULL population — the epoch predicate
+    // is applied to this reference (sf0.001 truth: (5,450), (45,487),
+    // (328,428), (349,411) are live pairs the takedown must kill)
+    val all = rows(Dedup.allPairsJaccard(docs, "doc_id", "text", 0.5))
+    val dels = Set(5L, 45L, 328L, 349L)
+    val expected = all.filter { case (a, b, _) =>
+      (b >= 250 && b < 400) || (b >= 400 && !dels(a)) }
+    assert(all.exists { case (a, b, _) => dels(a) && b >= 400 },
+      "no qualifying pair touches the takedown set — vacuous gate")
+    val got = rows(graft.streaming.Streams.allPairsTakedownChunked(
+      docs.where(col("doc_id") >= 250), docs.where(col("doc_id") < 250),
+      bounds = Seq(400L), deletesAfter = Map(0 -> dels.toSeq.sorted),
+      threshold = 0.5))
+    assert(got == expected,
+      "takedown stream diverges from the epoch-predicate reference")
+    // the takedown genuinely changed the output vs the no-delete run
+    val noDel = rows(graft.streaming.Streams.allPairsChunked(
+      docs.where(col("doc_id") >= 250), docs.where(col("doc_id") < 250),
+      bounds = Seq(400L), threshold = 0.5))
+    assert(noDel != got && (noDel -- got).forall {
+      case (a, _, _) => dels(a) },
+      "takedown difference is not exactly the tombstoned docs' pairs")
+    // missing tombstone refuses loudly
+    val ix = Dedup.prepareAllPairsIndex(
+      docs.where(col("doc_id") < 250), "doc_id", "text", 0.5)
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.allPairsDelete(Seq(999999L).toDF("id"), ix)
+    }
+    assert(ex.getMessage.contains("not in the index"))
+  }
+
   test("store reconcile REFUSES to wipe durable batches when the " +
       "checkpoint commit log is missing (ADVICE r17: relocated/" +
       "mis-pointed outDir must not read as a fresh start)") {
