@@ -1075,7 +1075,8 @@ object Similarity {
     // unaffected surviving lists carry no deleted neighbor by
     // definition — dropping deleted and affected QIDs is the whole cut
     val keptTop = store.top
-      .join(del.select(col("id").as("qid")), Seq("qid"), "left_anti")
+      .join(broadcast(del.select(col("id").as("qid"))), Seq("qid"),
+        "left_anti")
       .join(broadcast(affected.select(col("id").as("qid"))),
         Seq("qid"), "left_anti")
     val affVecs = vecs2.join(broadcast(affected), Seq("id"),
@@ -1107,7 +1108,8 @@ object Similarity {
     // unaffected surviving lists carry no deleted neighbor by
     // definition — dropping deleted and affected QIDs is the whole cut
     val keptTop = store.top
-      .join(del.select(col("id").as("qid")), Seq("qid"), "left_anti")
+      .join(broadcast(del.select(col("id").as("qid"))), Seq("qid"),
+        "left_anti")
       .join(broadcast(affected.select(col("id").as("qid"))),
         Seq("qid"), "left_anti")
     val affVecs = vecs2.join(broadcast(affected), Seq("id"),
