@@ -217,6 +217,146 @@ object R18Stress {
           f"the corpus: $s1%.3f -> $s2%.3f -> $s3%.3f")
     }
 
+    // ---------- LEG C: multi-epoch lifecycle amortized cost ----------
+    // The epoch-cadence law over a DRIFTING STREAM, counted per batch
+    // in TWO regimes (all counters are deterministic candidate-pair
+    // recounts of the exact joins the maintenance runs):
+    //
+    //  - SMALL-DELTA regime (batch ≪ store — the streaming case the
+    //    incremental fold exists for): FROZEN cells pay growing
+    //    per-batch ingest candidates (every delta batch lands in the
+    //    same few stale hot cells, whose load accumulates — linear
+    //    per batch, quadratic cumulative); LIFECYCLE (epoch every E)
+    //    keeps the tail flat and its total — ingests + (B/E) blocked
+    //    rebuilds — stays well under REBUILD-PER-BATCH.
+    //  - LARGE-DELTA regime (batch ≈ store): the measured CROSSOVER —
+    //    rebuild-per-batch under fresh balanced cells is CHEAPER than
+    //    incremental maintenance under drifting frozen cells, because
+    //    |B|·hot-load exceeds a balanced full rebuild. Recorded and
+    //    GATED as a law, not hidden: incremental maintenance is the
+    //    right call iff deltas-between-epochs ≪ store; at bulk-load
+    //    scale, re-prepare.
+    {
+      case class CReg(perBatchFrozen: Seq[Long], perBatchLife: Seq[Long],
+        epochCands: Long, perBatchRebuild: Seq[Long])
+      def cReg(mDelta: Int, nB: Int, e: Int, prefix: String): CReg = {
+        StressUtil.driftedEmbeddings(spark, sfDir, scratch,
+          mInit = 2, mDelta = mDelta, deltaCids = 1000)
+        val all = spark.read
+          .parquet(s"$scratch/embeddings_drifted.parquet")
+          .select(col("vec_id").as("id"),
+            transform(col("embedding"), x => x.cast("double")).as("v"),
+            col("is_delta"))
+          .localCheckpoint(true)
+        val nlist = 64
+        val initial = all.where(!col("is_delta")).select("id", "v")
+          .localCheckpoint(true)
+        val deltaIds = all.where(col("is_delta")).select("id")
+          .orderBy("id").collect().map(_.getLong(0))
+        val cuts = (1 until nB)
+          .map(i => deltaIds(i * deltaIds.length / nB))
+        val edgesB = (Long.MinValue +: cuts) :+ Long.MaxValue
+        val batches = edgesB.sliding(2).map { case Seq(lo, hi) =>
+          all.where(col("is_delta") && col("id") >= lo &&
+            col("id") < hi).select("id", "v").localCheckpoint(true)
+        }.toSeq
+        def asg(df: DataFrame, cents: Seq[(Long, Seq[Double])],
+            p: Int) =
+          df.select(col("id"),
+            graft.operators.HashFns.nearestCentroids(col("v"),
+              cents.map(_._1), cents.map(_._2), p).as("cells"))
+        // the two directed ingest legs of blockedGraphIngest, ids only
+        def ingestCand(b: DataFrame, store: DataFrame,
+            cents: Seq[(Long, Seq[Double])]): Long = {
+          def prim(df: DataFrame) = asg(df, cents, 1)
+            .select(col("id"), element_at(col("cells"), 1).as("cell"))
+          def prb(df: DataFrame) = asg(df, cents, 2)
+            .select(col("id").as("nb"),
+              explode(col("cells")).as("cell"))
+          val sAll = store.unionByName(b)
+          prim(b).join(prb(sAll), "cell")
+            .where(col("id") =!= col("nb")).count() +
+            prim(store).join(prb(b), "cell")
+              .where(col("id") =!= col("nb")).count()
+        }
+        def rebuildCand(df: DataFrame,
+            cents: Seq[(Long, Seq[Double])]): Long =
+          asg(df, cents, 1)
+            .select(col("id"), element_at(col("cells"), 1).as("cell"))
+            .join(asg(df, cents, 2).select(col("id").as("nb"),
+              explode(col("cells")).as("cell")), "cell")
+            .where(col("id") =!= col("nb")).count()
+        val stale = Similarity.kmeansCentroidsSeq(initial, "id", "v",
+          nlist)
+        var store = initial
+        val frozenPerBatch = batches.map { b =>
+          val c = ingestCand(b, store, stale)
+          store = store.unionByName(b).localCheckpoint(true)
+          c
+        }
+        store = initial
+        var cents = stale
+        var epochCands = 0L
+        val lifePerBatch = batches.zipWithIndex.map { case (b, i) =>
+          val c = ingestCand(b, store, cents)
+          store = store.unionByName(b).localCheckpoint(true)
+          if ((i + 1) % e == 0) {
+            cents = Similarity.balancedKmeansSeq(store, "id", "v",
+              nlist)
+            epochCands += rebuildCand(store, cents)
+          }
+          c
+        }
+        store = initial
+        val rebuildPerBatch = batches.map { b =>
+          store = store.unionByName(b).localCheckpoint(true)
+          val cb = Similarity.balancedKmeansSeq(store, "id", "v",
+            nlist)
+          rebuildCand(store, cb)
+        }
+        dropPersisted()
+        results += s"${prefix}_n_batches" -> nB
+        results += s"${prefix}_epoch_every" -> e
+        results += s"${prefix}_frozen_per_batch" ->
+          RawJson(frozenPerBatch.mkString("[", ",", "]"))
+        results += s"${prefix}_lifecycle_per_batch" ->
+          RawJson(lifePerBatch.mkString("[", ",", "]"))
+        results += s"${prefix}_epoch_rebuild_cands" -> epochCands
+        results += s"${prefix}_rebuild_per_batch" ->
+          RawJson(rebuildPerBatch.mkString("[", ",", "]"))
+        results += s"${prefix}_frozen_total" -> frozenPerBatch.sum
+        results += s"${prefix}_lifecycle_total" ->
+          (lifePerBatch.sum + epochCands)
+        results += s"${prefix}_rebuild_total" -> rebuildPerBatch.sum
+        println(s"[$prefix] frozen=${frozenPerBatch.mkString(",")} " +
+          s"life=${lifePerBatch.mkString(",")} epochs=$epochCands " +
+          s"rebuildEach=${rebuildPerBatch.mkString(",")}")
+        CReg(frozenPerBatch, lifePerBatch, epochCands, rebuildPerBatch)
+      }
+      // SMALL-DELTA regime: 8 batches of ~125 over a 4000-vector
+      // initial store, epoch every 4
+      val small = cReg(mDelta = 1, nB = 8, e = 4, prefix = "life_small")
+      require(small.perBatchFrozen.last > 2 * small.perBatchFrozen.head,
+        s"frozen per-batch cost did not grow: ${small.perBatchFrozen}")
+      require(small.perBatchLife.last < small.perBatchFrozen.last,
+        "epochs bought nothing at the tail (small regime)")
+      require(small.perBatchLife.sum + small.epochCands <
+        small.perBatchRebuild.sum,
+        s"lifecycle ${small.perBatchLife.sum + small.epochCands} !< " +
+          s"rebuild-per-batch ${small.perBatchRebuild.sum} (small regime)")
+      // LARGE-DELTA regime: 4 batches of ~1000 over 4000 — the
+      // crossover, gated as measured
+      val large = cReg(mDelta = 4, nB = 4, e = 2, prefix = "life_large")
+      require(large.perBatchFrozen.last > 2 * large.perBatchFrozen.head,
+        s"frozen per-batch cost did not grow: ${large.perBatchFrozen}")
+      require(large.perBatchLife.last < large.perBatchFrozen.last,
+        "epochs bought nothing at the tail (large regime)")
+      require(large.perBatchRebuild.sum <
+        large.perBatchLife.sum + large.epochCands,
+        "the large-delta crossover did not reproduce: rebuild-per-" +
+          "batch should beat incremental when batch ≈ store")
+    }
+
     val payload = results
       .map { case (k, v) => s""""$k":${StressUtil.jsonScalar(v)}""" }
       .mkString("{", ",", "}")
