@@ -756,6 +756,56 @@ object Dedup {
     ix.copy(pref = ix.pref.localCheckpoint(true),
       sh = ix.sh.localCheckpoint(true))
 
+  /** RE-BLOCKING EPOCH for the prefix index (qs40) — the
+    * [[graft.operators.Similarity.reblockGraphStore]] discipline
+    * applied to the set-similarity store: recompute document
+    * frequencies over the ACCUMULATED shingle arrays and re-derive
+    * every document's prefix under the fresh (df asc, shingle asc)
+    * order. One blocked rebuild over the store — the df count is one
+    * map-side-combined aggregate and the prefix derivation is the
+    * same per-doc groupBy the initial prepare pays; never store².
+    *
+    * The theorem this entry gates: df is a pruning MODEL, not an
+    * answer input ([[allPairsJaccardAgainst]] — any one consistent
+    * total order over the shingle universe keeps prefix + length +
+    * positional pruning lossless), so an epoch placed ANYWHERE in the
+    * stream leaves every emitted pair IDENTICAL; what changes is
+    * candidate volume. Under drift the frozen order degrades pruning
+    * POWER: a shingle that was rare (or absent, df = 0) at prepare
+    * but becomes delta-era boilerplate stays in every new document's
+    * prefix and generates Σ prefix-df² candidate fanout — the exact
+    * analogue of the stale-centroid hot cell SCALE_r18 leg A
+    * measures. The refresh ranks it common, it leaves the prefixes,
+    * and pruning is restored (R18Stress leg D counts both sides;
+    * OperatorsSpec gates volume-drop + output-equality).
+    */
+  def reprepareAllPairsIndex(ix: PrefixIndex): PrefixIndex = {
+    val sh = ix.sh.localCheckpoint(true)
+    val ex = sh.select(col("__id"), explode(col("__sh")).as("__s"))
+    val dfreq = ex.groupBy("__s").agg(count(lit(1)).as("__df"))
+      .localCheckpoint(true)
+    val pref = ppjoinPrefixes(ex, dfreq, ix.tNum, ix.tDen)
+      .localCheckpoint(true)
+    PrefixIndex(dfreq, pref, sh, ix.tNum, ix.tDen, ix.shingleN)
+  }
+
+  /** Deterministic candidate-pair count of ONE [[allPairsIngest]]
+    * batch against the index — the pruning-power counter the epoch
+    * law is graded on (a recount of the exact candidate join the
+    * ingest would run, ids only; never part of the hot path).
+    */
+  private[graft] def allPairsIngestCandidates(batch: DataFrame,
+      ix: PrefixIndex, idCol: String, textCol: String): Long = {
+    val exB = batch.select(col(idCol).as("__id"),
+        explode(TextFns.wordShingles(col(textCol), ix.shingleN))
+          .as("__s"))
+    val prefB = ppjoinPrefixes(exB, ix.dfreq, ix.tNum, ix.tDen)
+      .localCheckpoint(true)
+    ppjoinCandidateJoin(ix.pref.unionByName(prefB), prefB,
+      ix.tNum, ix.tDen, extraCond = col("x.__id") < col("y.__id"))
+      .count()
+  }
+
   /** Document TAKEDOWN in the evolving prefix index (qs39) — the
     * deletion story for the set-similarity store, and a deliberately
     * DIFFERENT theorem class from the kNN stores'

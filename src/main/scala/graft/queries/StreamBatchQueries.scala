@@ -556,6 +556,36 @@ object StreamBatchQueries {
         .orderBy("a", "b")
     },
 
+    // qs40: qs32 with a RE-BLOCKING EPOCH — the vector store's
+    // centroid-refresh discipline (reblockGraphStore / SCALE_r18 leg
+    // A) applied to the prefix index: after chunk 0 the index
+    // re-prepares under FRESH document frequencies over everything
+    // accumulated so far (one blocked rebuild — df recount +
+    // per-doc prefix re-derivation, never store²). The oracle is
+    // qs32's exact brute-force replay UNCHANGED: df is a pruning
+    // model, not an answer input (any one consistent shingle order
+    // keeps prefix pruning lossless — the allPairsJaccardAgainst
+    // theorem), so the epoch must leave every emitted pair
+    // IDENTICAL. What it buys is pruning power under drift: a
+    // delta-era boilerplate shingle frozen at df=0 sits in every new
+    // doc's prefix (Σ prefix-df² fanout, the stale-hot-cell
+    // analogue); refreshed df ranks it common and it leaves the
+    // prefixes — the volume law R18Stress leg D measures and
+    // OperatorsSpec gates.
+    Q("qs40_stream_allpairs_reprepare",
+      DedupQueries.jaccardOracleSql(0.5,
+        pairCond = "x.doc_id < y.doc_id AND y.doc_id >= 250")) {
+      (s, d) =>
+        val docs = t(s, d, "documents")
+        graft.streaming.Streams.allPairsReprepareChunked(
+            docs.where(col("doc_id") >= 250),
+            docs.where(col("doc_id") < 250),
+            bounds = Seq(400L), reprepareAfter = Set(0),
+            threshold = 0.5)
+          .select(col("a"), col("b"), round(col("j"), 4).as("j"))
+          .orderBy("a", "b")
+    },
+
     // qs20: streaming C4 cleaning (the xt26 stream face, on the qs19
     // skeleton): the <400 corpus seeds the first-occurrence LINE
     // store, docs >= 400 clean in doc_id-ordered chunks; page rules

@@ -862,6 +862,37 @@ object Streams {
     parts.reduce(_.unionAll(_)).orderBy("a", "b")
   }
 
+  /** Batch-shape QS40 harness (the oracle entry): the qs32 stream
+    * with a RE-BLOCKING EPOCH interleaved — after chunk i ∈
+    * `reprepareAfter`, the index re-prepares under fresh document
+    * frequencies over everything accumulated so far
+    * ([[graft.operators.Dedup.reprepareAllPairsIndex]] — one blocked
+    * rebuild, the reblockGraphStore discipline). The gate is the
+    * strongest one available: the oracle is qs32's EXACT brute-force
+    * replay, UNCHANGED — df is a pruning model, so an epoch placed
+    * anywhere must leave every emitted pair identical; what it buys
+    * is candidate volume under drift (R18Stress leg D measures it,
+    * OperatorsSpec gates it).
+    */
+  def allPairsReprepareChunked(newDocs: DataFrame, corpus: DataFrame,
+      bounds: Seq[Long], reprepareAfter: Set[Int],
+      threshold: Double): DataFrame = {
+    import graft.operators.Dedup
+    var ix = Dedup.prepareAllPairsIndex(corpus, "doc_id", "text",
+      threshold)
+    val edges = (Long.MinValue +: bounds.sorted) :+ Long.MaxValue
+    val parts = edges.sliding(2).zipWithIndex.map {
+      case (Seq(lo, hi), i) =>
+        val ing = Dedup.allPairsIngest(
+          newDocs.where(col("doc_id") >= lo && col("doc_id") < hi),
+          ix, "doc_id", "text")
+        ix = ing.next
+        if (reprepareAfter(i)) ix = Dedup.reprepareAllPairsIndex(ix)
+        ing.result
+    }.toSeq
+    parts.reduce(_.unionAll(_)).orderBy("a", "b")
+  }
+
   /** Batch-shape QS39 harness (the oracle entry): the qs32 stream
     * with DOCUMENT TAKEDOWNS interleaved — after chunk i, the docs in
     * `deletesAfter(i)` leave the index

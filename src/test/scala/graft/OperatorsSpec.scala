@@ -437,6 +437,60 @@ class OperatorsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 11L, 1.0)), s"got ${out.toSeq}")
   }
 
+  test("allpairs re-blocking epoch: refreshed df evicts delta-era " +
+      "boilerplate from every prefix (candidate volume collapses) " +
+      "while every emitted pair is IDENTICAL — df is a pruning model") {
+    import spark.implicits._
+    // prepare era: 10 docs of unique words (df=1 everywhere)
+    val corpus = (0 until 10).map(i =>
+      (i.toLong, s"c${i}a c${i}b c${i}c")).toDF("doc_id", "text")
+    // drift era, batch 1: 20 docs sharing a boilerplate word the
+    // corpus never saw (frozen df=0 → rarest → in EVERY prefix),
+    // plus one true planted pair
+    val b1 = ((100 until 120).map(i =>
+        (i.toLong, s"boiler x${i}a x${i}b")) ++
+      Seq((200L, "p1 p2 p3"), (201L, "p1 p2 p3")))
+      .toDF("doc_id", "text")
+    // batch 2: same boilerplate, fresh uniques, one planted pair
+    val b2 = ((300 until 320).map(i =>
+        (i.toLong, s"boiler y${i}a y${i}b")) ++
+      Seq((400L, "q1 q2 q3"), (401L, "q1 q2 q3")))
+      .toDF("doc_id", "text")
+    val ix0 = Dedup.prepareAllPairsIndex(corpus, "doc_id", "text",
+      0.5, shingleN = 1)
+    val ing1 = Dedup.allPairsIngest(b1, ix0, "doc_id", "text")
+    assert(ing1.result.select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((200L, 201L)), "batch-1 planted pair not found")
+    val stale = ing1.next
+    val refreshed = Dedup.reprepareAllPairsIndex(stale)
+    // the pruning law: under the stale order, boiler (df=0) sits in
+    // every stored delta prefix AND every batch-2 prefix — the
+    // candidate join goes delta×delta; the refreshed order ranks it
+    // df=22 (common → last) and it leaves every prefix
+    val candStale = Dedup.allPairsIngestCandidates(b2, stale,
+      "doc_id", "text")
+    val candRef = Dedup.allPairsIngestCandidates(b2, refreshed,
+      "doc_id", "text")
+    assert(candRef >= 1, "refreshed index lost the planted candidate")
+    assert(candStale > 100 * candRef,
+      s"stale $candStale vs refreshed $candRef — the epoch bought " +
+        "no pruning on the planted drift corpus")
+    // the answer theorem: identical pairs out of either index
+    def outOf(ix: Dedup.PrefixIndex) =
+      Dedup.allPairsIngest(b2, ix, "doc_id", "text").result
+        .select("a", "b", "j").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9))).toSet
+    val oStale = outOf(stale)
+    val oRef = outOf(refreshed)
+    assert(oStale == oRef,
+      s"epoch changed the answer: stale-only ${oStale -- oRef}, " +
+        s"refreshed-only ${oRef -- oStale}")
+    assert(oRef.map(p => (p._1, p._2)) == Set((400L, 401L)),
+      s"batch-2 planted pair wrong: $oRef")
+  }
+
   test("minhash signature estimates Jaccard") {
     import spark.implicits._
     val pairs = Seq(
