@@ -1258,6 +1258,47 @@ object Similarity {
       k: Int): DataFrame =
     rankTopK(visited.where(col("id") =!= col("qid")), k)
 
+  /** ATTRIBUTE-FILTERED graph serve (xs19) — xs11's filtered vector
+    * search on the TRAVERSAL read path: each query returns top-k among
+    * visited nodes sharing ITS `attrCol` value. The design decision is
+    * where the predicate lives, and the literature's answer (filtered
+    * HNSW / ACORN) is the one this takes: navigation is
+    * PREDICATE-INDEPENDENT — the beam walks the FULL graph exactly as
+    * [[beamSearchVisited]] does, and the filter applies at HARVEST,
+    * over the visited set. Filtering DURING navigation prunes the
+    * frontier to matching nodes and disconnects the graph under
+    * selective predicates (a query's label-mates may only be reachable
+    * through off-label hops); harvest-filtering keeps connectivity and
+    * turns selectivity into an OVER-FETCH dial: `ef` must exceed
+    * k/selectivity so the visited set carries enough matching nodes —
+    * OperatorsSpec gates recall ≥ 0.9 vs filtered brute force at the
+    * over-fetched ef AND shows naive post-filtering of the unfiltered
+    * top-k under-returning on the same corpus.
+    *
+    * Exactness/scale: the traversal is byte-identical to xs15/xs17's
+    * (same bounded rounds, same visited law); the harvest adds one
+    * corpus equi-join for the node attribute + a broadcast query-
+    * attribute join + the bounded top-k rank — no new shuffle class.
+    * Deterministic end to end, so the whole thing hash-gates through
+    * the blocked-beam CTE replay with the equality in the final rank.
+    */
+  def beamSearchTopKFiltered(corpus: DataFrame, queries: DataFrame,
+      edges: DataFrame, idCol: String, vecCol: String, attrCol: String,
+      entryIds: Seq[Long], ef: Int, rounds: Int, k: Int): DataFrame = {
+    val visited = beamSearchVisited(corpus, queries, edges, idCol,
+      vecCol, entryIds, ef, rounds)
+    val attrs = corpus.select(col(idCol).as("id"),
+      col(attrCol).as("__attr"))
+    val qattrs = broadcast(queries.select(col(idCol).as("qid"),
+      col(attrCol).as("__qattr")))
+    rankTopK(
+      visited.where(col("id") =!= col("qid"))
+        .join(attrs, "id").join(qattrs, "qid")
+        .where(col("__attr") === col("__qattr"))
+        .select(col("qid"), col("id"), col("sim")),
+      k)
+  }
+
   /** Hamming-guided beam search (xs16) — the xs15 × xs13 composition
     * the ANN family map promises: the traversal picks candidates
     * (touched nodes parameter-bounded, corpus-independent), the

@@ -668,6 +668,45 @@ object SimilarityQueries {
         .orderBy("qid", "rank")
     },
 
+    // xs19: ATTRIBUTE-FILTERED traversal serve — xs11's filtered
+    // vector search on the graph read path (the other half of every
+    // production vector store's filtered-query surface). Navigation is
+    // PREDICATE-INDEPENDENT: the beam walks the full blocked graph
+    // exactly as xs17 does (filtering the frontier would disconnect
+    // the graph under selective predicates — a query's label-mates
+    // may only be reachable through off-label hops); the filter
+    // applies at HARVEST over the visited set, with ef over-fetched
+    // 8→16 so enough same-label nodes are visited (each label is
+    // ~1/10 of the corpus; ef ≳ k/selectivity). Deterministic end to
+    // end
+    // ⇒ hash-gated: the oracle replays the full blocked stack with
+    // the label equality in the final rank only. Recall vs filtered
+    // brute force + the naive-post-filter under-return are
+    // OperatorsSpec-gated.
+    Q("xs19_ann_beam_filtered",
+      blockedBeamOracleSql(deg = 6, probe = 2, ef = 16, rounds = 6,
+        nQ = 5, k = 3, filterLabel = true)) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val cents = Similarity.labelCentroids(emb, "label", "embedding")
+        .select(col("clabel").cast("long"), col("centroid"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+        .sortBy(_._1).toSeq
+      val corpus = emb.select(col("vec_id").as("id"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"),
+          col("label"))
+        .localCheckpoint(true)
+      val graph = Similarity.ivfSeededGraph(corpus, "id", "v", cents,
+        probe = 2, k = 6)
+      val entries = Similarity.cellMedoids(corpus, "id", "v", cents)
+      Similarity.beamSearchTopKFiltered(corpus,
+          corpus.where(col("id") < 5), graph, "id", "v", "label",
+          entryIds = entries, ef = 16, rounds = 6, k = 3)
+        .select(col("qid"), col("rank"), col("id"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("qid", "rank")
+    },
+
     // Hash-gated Hamming-beam twin (xs16b, the xs15b discipline): the
     // SAME machinery pinned small — deg-6 graph, 4 entries, ef=8, 6
     // unrolled rounds — with the beam ordered by the INTEGER sign
@@ -849,9 +888,15 @@ object SimilarityQueries {
     * query scores the medoid layer and keeps only its own top-seedM
     * (sim DESC, id) as seeds — the per-query upper-layer search of
     * the HNSW analogy, replayed by one more ROW_NUMBER.
+    *
+    * `filterLabel` restricts the FINAL rank to visited nodes sharing
+    * the query's label (xs19 — navigation stays unfiltered, the
+    * harvest filters: the predicate-independent-traversal design
+    * [[graft.operators.Similarity.beamSearchTopKFiltered]] documents).
     */
   private[queries] def blockedBeamOracleSql(deg: Int, probe: Int,
-      ef: Int, rounds: Int, nQ: Int, k: Int, seedM: Int = 0): String = {
+      ef: Int, rounds: Int, nQ: Int, k: Int, seedM: Int = 0,
+      filterLabel: Boolean = false): String = {
     val roundCtes = (0 until rounds).map { r =>
       s"""b$r AS MATERIALIZED (
          |  SELECT qid, id FROM (
@@ -881,7 +926,7 @@ object SimilarityQueries {
        |  SELECT clabel, LIST(m ORDER BY pos) AS centroid
        |  FROM cm GROUP BY 1
        |), nrm AS MATERIALIZED (
-       |  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+       |  SELECT vec_id AS id, label, embedding::DOUBLE[] AS v,
        |    SQRT(LIST_INNER_PRODUCT(embedding::DOUBLE[],
        |      embedding::DOUBLE[])) AS n
        |  FROM embeddings
@@ -917,7 +962,8 @@ object SimilarityQueries {
        |    JOIN cent t ON t.clabel = a.cell
        |  ) WHERE rn = 1
        |), q AS (
-       |  SELECT id AS qid, v AS qv, n AS nq FROM nrm WHERE id < $nQ
+       |  SELECT id AS qid, label AS qlabel, v AS qv, n AS nq
+       |  FROM nrm WHERE id < $nQ
        |), qsim AS MATERIALIZED (
        |  SELECT q.qid, c.id,
        |    LIST_INNER_PRODUCT(c.v, q.qv) / (c.n * q.nq) AS sim
@@ -936,9 +982,17 @@ object SimilarityQueries {
        |$roundCtes
        |SELECT qid, CAST(rn AS INT) AS rank, id, ROUND(sim, 4) AS sim
        |FROM (
-       |  SELECT qid, id, sim, ROW_NUMBER() OVER (PARTITION BY qid
-       |    ORDER BY sim DESC, id) AS rn
-       |  FROM v$rounds WHERE id <> qid
+       |${if (!filterLabel)
+        s"""  SELECT qid, id, sim, ROW_NUMBER() OVER (PARTITION BY qid
+           |    ORDER BY sim DESC, id) AS rn
+           |  FROM v$rounds WHERE id <> qid""".stripMargin
+      else
+        s"""  SELECT w.qid, w.id, w.sim, ROW_NUMBER() OVER (
+           |    PARTITION BY w.qid ORDER BY w.sim DESC, w.id) AS rn
+           |  FROM v$rounds w
+           |  JOIN nrm c ON c.id = w.id
+           |  JOIN q ON q.qid = w.qid
+           |  WHERE w.id <> w.qid AND c.label = q.qlabel""".stripMargin}
        |) WHERE rn <= $k ORDER BY qid, rank""".stripMargin
   }
 
