@@ -950,6 +950,50 @@ object StreamBatchQueries {
         .orderBy("id", "rank")
     },
 
+    // qs41: tombstone deletes in the EXACT kNN-graph stream — qs38's
+    // order-free-with-removals theorem carried to the exact store
+    // (the deletion face of qs34's runner family): same pinned delete
+    // mix (corpus-era 2/10/11, the earlier-ingested delta 310
+    // mid-stream; 12 and the same-epoch 450 at the end), repaired by
+    // knnGraphDelete — deleted lists drop, survivors without a
+    // deleted neighbor are PROVABLY untouched (removing ids below a
+    // list's k-th candidate cannot change its top-k), survivors with
+    // one re-rank against all survivors (|affected|·N — the exact
+    // store's inherent cost class; the blocked store's
+    // |affected|·probe·load version is qs38). Final store == one-shot
+    // knnGraphExact over exactly the SURVIVORS, replayed by qs34's
+    // all-pairs rank chain restricted to surviving ids.
+    Q("qs41_stream_knn_delete",
+      """WITH e AS (
+        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v
+        |  FROM embeddings
+        |  WHERE vec_id NOT IN (2, 10, 11, 310, 12, 450)
+        |), nrm AS (
+        |  SELECT id, v, SQRT(LIST_INNER_PRODUCT(v, v)) AS n FROM e
+        |), p AS (
+        |  SELECT x.id AS id, y.id AS nb,
+        |    LIST_INNER_PRODUCT(x.v, y.v) / (x.n * y.n) AS c
+        |  FROM nrm x JOIN nrm y ON x.id <> y.id
+        |)
+        |SELECT id, CAST(rnk AS INT) AS rank, nb, ROUND(c, 4) AS sim
+        |FROM (
+        |  SELECT id, nb, c, ROW_NUMBER() OVER (
+        |    PARTITION BY id ORDER BY c DESC, nb) AS rnk
+        |  FROM p
+        |) WHERE rnk <= 6 ORDER BY id, rank""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      graft.streaming.Streams.knnGraphMaintainChunked(
+          emb.where(col("vec_id") >= 250),
+          emb.where(col("vec_id") < 250),
+          bounds = Seq(400L),
+          deletesAfter = Map(0 -> Seq(2L, 10L, 11L, 310L),
+            1 -> Seq(12L, 450L)),
+          k = 6)
+        .select(col("qid").as("id"), col("rank"), col("id").as("nb"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("id", "rank")
+    },
+
     // qs33: the UPDATE-mode sink gate (§2.10's last sink-mode row —
     // qs26/qs31 deliberately avoid update mode via strictly-increasing
     // emissions): unwatermarked streaming BIGRAM count through a real

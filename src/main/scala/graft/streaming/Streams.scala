@@ -1015,6 +1015,41 @@ object Streams {
     Similarity.knnGraphFromStore(gs)
   }
 
+  /** Batch-shape QS41 harness (the oracle entry): the qs34 EXACT
+    * kNN-graph stream with INTERLEAVED TOMBSTONE DELETES — qs38's
+    * order-free-with-removals theorem on the exact store: after chunk
+    * i the ids in `deletesAfter(i)` leave
+    * ([[graft.operators.Similarity.knnGraphDelete]] — deleted lists
+    * drop, survivors without a deleted neighbor are provably
+    * untouched, survivors WITH one re-rank against ALL survivors: the
+    * exact store's |affected|·N repair, its ingest cost class). The
+    * live-set invariant ("every live node's list == top-k over the
+    * live set") is maintained by prepare, ingest, and delete, so ANY
+    * interleaving lands on one-shot
+    * [[graft.operators.Similarity.knnGraphExact]] over exactly the
+    * SURVIVORS — which the oracle replays by qs34's all-pairs rank
+    * chain restricted to surviving ids.
+    */
+  def knnGraphMaintainChunked(newVecs: DataFrame, corpus: DataFrame,
+      bounds: Seq[Long], deletesAfter: Map[Int, Seq[Long]],
+      k: Int): DataFrame = {
+    import graft.operators.Similarity
+    val spark = newVecs.sparkSession
+    import spark.implicits._
+    var gs = Similarity.prepareKnnGraphStore(corpus, "vec_id",
+      "embedding", k)
+    val edges = (Long.MinValue +: bounds.sorted) :+ Long.MaxValue
+    edges.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+      gs = Similarity.knnGraphIngest(
+        newVecs.where(col("vec_id") >= lo && col("vec_id") < hi),
+        gs, "vec_id", "embedding").next
+      deletesAfter.get(i).filter(_.nonEmpty).foreach { ids =>
+        gs = Similarity.knnGraphDelete(ids.toDF("id"), gs)
+      }
+    }
+    Similarity.knnGraphFromStore(gs)
+  }
+
   /** Batch-shape QS36 harness (the oracle entry): fold `newVecs` into
     * the evolving BLOCKED kNN-graph store ([[graft.operators.Similarity
     * .BlockedGraphStore]] — ivfSeededGraph's cell-blocked candidates

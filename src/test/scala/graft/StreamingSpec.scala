@@ -983,6 +983,43 @@ class StreamingSpec extends SparkSpec {
     assert(b == oneShot, "interleaving B diverges from one-shot")
   }
 
+  test("QS41 exact-store deletes: any delete/ingest interleaving == " +
+      "one-shot knnGraphExact over the survivors, and a missing " +
+      "tombstone refuses loudly") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val emb = graft.queries.T.t(spark, sf0001, "embeddings")
+    val delta = emb.where(col("vec_id") >= 250)
+    val corpus = emb.where(col("vec_id") < 250)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id", "sim", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9), r.getInt(3))).toSet
+    val dels = Seq(2L, 10L, 310L, 450L)
+    val survivors = emb.where(!col("vec_id").isin(dels: _*))
+      .select(col("vec_id").as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val oneShot = rows(Similarity.knnGraphExact(survivors, "id", "v",
+      k = 6))
+    def got(bounds: Seq[Long], d: Map[Int, Seq[Long]]) =
+      rows(Streams.knnGraphMaintainChunked(delta, corpus, bounds, d,
+          k = 6)
+        .select(col("qid"), col("id"), col("sim"), col("rank")))
+    // A: deletes split across the stream; B: different chunking,
+    // all deletes at the end
+    assert(got(Seq(400L), Map(0 -> Seq(2L, 10L, 310L),
+      1 -> Seq(450L))) == oneShot, "interleaving A diverges")
+    assert(got(Seq(300L, 400L), Map(2 -> dels)) == oneShot,
+      "interleaving B diverges")
+    // missing tombstone refuses loudly
+    val store = Similarity.prepareKnnGraphStore(corpus, "vec_id",
+      "embedding", k = 6)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.knnGraphDelete(Seq(999999L).toDF("id"), store)
+    }
+    assert(ex.getMessage.contains("not in the store"))
+  }
+
   test("QS39 all-pairs takedown: a deleted doc stops pairing with " +
       "every later batch (== brute force over the epoch live sets), " +
       "already-emitted pairs stand, missing tombstones refuse") {
