@@ -62,8 +62,13 @@ object R18Stress {
 
     val scratch = Files.createTempDirectory("r18stress").toString
 
+    // leg filter (e.g. SPARK_GRAFT_R18_LEGS=d re-runs only leg D);
+    // fresh results MERGE over the existing artifact by key, so a
+    // partial run never discards the other legs' recorded laws
+    val legs = sys.env.getOrElse("SPARK_GRAFT_R18_LEGS", "abcd")
+
     // ---------- LEG A: re-blocking epoch laws ----------
-    {
+    if (legs.contains('a')) {
       case class ALeg(n: Long, nlist: Int, candStale: Long,
         candRefreshed: Long, exact: Long, recallStale: Double,
         recallRefreshed: Double)
@@ -158,7 +163,7 @@ object R18Stress {
     }
 
     // ---------- LEG B: hierarchical-descent trend, 3 sizes ----------
-    {
+    if (legs.contains('b')) {
       case class BLeg(n: Long, nlist: Int, vFlat: Long, vHier: Long,
         recall: Double)
       def bLeg(members: Int, nlist: Int): BLeg = {
@@ -236,7 +241,7 @@ object R18Stress {
     //    GATED as a law, not hidden: incremental maintenance is the
     //    right call iff deltas-between-epochs ≪ store; at bulk-load
     //    scale, re-prepare.
-    {
+    if (legs.contains('c')) {
       case class CReg(perBatchFrozen: Seq[Long], perBatchLife: Seq[Long],
         epochCands: Long, perBatchRebuild: Seq[Long])
       def cReg(mDelta: Int, nB: Int, e: Int, prefix: String): CReg = {
@@ -357,10 +362,111 @@ object R18Stress {
           "batch should beat incremental when batch ≈ store")
     }
 
-    val payload = results
-      .map { case (k, v) => s""""$k":${StressUtil.jsonScalar(v)}""" }
-      .mkString("{", ",", "}")
-    Files.writeString(Paths.get("SCALE_r18.json"), payload + "\n")
+    // ---------- LEG D: prefix-index re-blocking epoch (qs40's law) ----
+    // The text-side twin of leg A, at bench scale: the full sf
+    // document corpus, with the delta era drifted by a shared
+    // BOILERPLATE suffix the prepare-era corpus never saw. Frozen df
+    // ranks the boilerplate shingles 0 (rarest → in EVERY delta
+    // prefix), so the next batch's candidate join goes delta×delta on
+    // them; one reprepareAllPairsIndex epoch ranks them common (out of
+    // every prefix half) and pruning is restored. Graded laws, all
+    // deterministic recounts of the exact joins the ingest runs:
+    //  - candidate collapse: refreshed < stale/2 (measured far lower);
+    //  - answer invariance: the emitted pair set of the NEXT batch is
+    //    IDENTICAL under either index — df is a pruning model (the
+    //    qs40 oracle gates the same theorem end-to-end on real text);
+    //  - linear epoch cost: the re-derivation touches each stored doc
+    //    once (prefix rows == the one-shot prepare's over the same
+    //    docs — recounted equal).
+    if (legs.contains('d')) {
+      import graft.operators.Dedup
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val nDocs = docs.count()
+      val half = nDocs / 2
+      val cut = half + (nDocs - half) / 2
+      val boiler = " all rights reserved terms of service apply " +
+        "contact the site administrator to request content removal"
+      val corpus = docs.where(col("doc_id") < half)
+        .localCheckpoint(true)
+      val delta = docs.where(col("doc_id") >= half)
+        .select(col("doc_id"),
+          concat(col("text"), lit(boiler)).as("text"))
+        .localCheckpoint(true)
+      val b1 = delta.where(col("doc_id") < cut)
+      val b2 = delta.where(col("doc_id") >= cut)
+      val ix0 = Dedup.prepareAllPairsIndex(corpus, "doc_id", "text",
+        0.5)
+      val staleIx = Dedup.allPairsIngest(b1, ix0, "doc_id", "text").next
+      val refIx = Dedup.reprepareAllPairsIndex(staleIx)
+      val candStale = Dedup.allPairsIngestCandidates(b2, staleIx,
+        "doc_id", "text")
+      val candRef = Dedup.allPairsIngestCandidates(b2, refIx,
+        "doc_id", "text")
+      def outOf(ix: Dedup.PrefixIndex) =
+        Dedup.allPairsIngest(b2, ix, "doc_id", "text").result
+          .select("a", "b", "j").collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            math.round(r.getDouble(2) * 1e9))).toSet
+      val oStale = outOf(staleIx)
+      val oRef = outOf(refIx)
+      require(oStale == oRef,
+        s"epoch changed the answer: ${(oStale -- oRef).size} stale-" +
+          s"only, ${(oRef -- oStale).size} refreshed-only")
+      require(oRef.nonEmpty, "no pairs in the gated batch — vacuous")
+      require(candRef * 2 < candStale,
+        s"epoch bought no pruning: stale $candStale refreshed $candRef")
+      // linear epoch cost: re-derived prefixes == one-shot prepare's
+      val refPrefixRows = refIx.pref.count()
+      val oneShotPrefixRows = Dedup.prepareAllPairsIndex(
+        corpus.unionByName(b1), "doc_id", "text", 0.5).pref.count()
+      require(refPrefixRows == oneShotPrefixRows,
+        s"epoch prefix rows $refPrefixRows != one-shot " +
+          s"$oneShotPrefixRows")
+      dropPersisted()
+      results += "prefix_epoch_n_docs" -> nDocs
+      results += "prefix_epoch_store_docs" -> cut
+      results += "prefix_epoch_batch_docs" -> (nDocs - cut)
+      results += "prefix_epoch_cand_stale" -> candStale
+      results += "prefix_epoch_cand_refreshed" -> candRef
+      results += "prefix_epoch_prune_frac" ->
+        (math.round(1e3 * candRef.toDouble / candStale) / 1e3)
+      results += "prefix_epoch_pairs" -> oRef.size
+      results += "prefix_epoch_prefix_rows" -> refPrefixRows
+      println(f"[prefix_epoch] stale=$candStale refreshed=$candRef " +
+        f"(${candRef.toDouble / candStale}%.4f) pairs=${oRef.size}")
+    }
+
+    val fresh = results.toSeq
+      .map { case (k, v) => k -> StressUtil.jsonScalar(v) }
+    val path = Paths.get("SCALE_r18.json")
+    val payload =
+      if (!Files.exists(path))
+        fresh.map { case (k, v) => s""""$k":$v""" }
+          .mkString("{", ",", "}")
+      else {
+        // top-level key split (bracket-depth aware — array values
+        // carry commas); fresh keys overwrite, others survive
+        val body = Files.readString(path).trim
+          .stripPrefix("{").stripSuffix("}")
+        val parts = scala.collection.mutable.ArrayBuffer[String]()
+        var depth = 0
+        val sb = new StringBuilder
+        body.foreach { ch =>
+          if (ch == '[') depth += 1
+          if (ch == ']') depth -= 1
+          if (ch == ',' && depth == 0) { parts += sb.toString; sb.clear() }
+          else sb.append(ch)
+        }
+        if (sb.nonEmpty) parts += sb.toString
+        val freshKeys = fresh.map(_._1).toSet
+        val kept = parts.filter { p =>
+          !freshKeys(p.trim.stripPrefix("\"").takeWhile(_ != '"'))
+        }
+        (kept ++ fresh.map { case (k, v) => s""""$k":$v""" })
+          .mkString("{", ",", "}")
+      }
+    Files.writeString(path, payload + "\n")
     println(payload)
     spark.stop()
   }
