@@ -1284,9 +1284,35 @@ object Similarity {
     */
   def beamSearchTopKFiltered(corpus: DataFrame, queries: DataFrame,
       edges: DataFrame, idCol: String, vecCol: String, attrCol: String,
-      entryIds: Seq[Long], ef: Int, rounds: Int, k: Int): DataFrame = {
-    val visited = beamSearchVisited(corpus, queries, edges, idCol,
-      vecCol, entryIds, ef, rounds)
+      entryIds: Seq[Long], ef: Int, rounds: Int, k: Int): DataFrame =
+    filteredHarvest(
+      beamSearchVisited(corpus, queries, edges, idCol, vecCol,
+        entryIds, ef, rounds),
+      corpus, queries, idCol, attrCol, k)
+
+  /** [[beamSearchTopKFiltered]] with the HIERARCHICAL seed choice —
+    * the filtered production read path over the two-layer stack
+    * (qs42: xs19's harvest over xs18's descent). Navigation —
+    * including the medoid-layer seed search — stays
+    * predicate-independent; only the harvest reads the attribute.
+    */
+  def beamSearchTopKHierFiltered(corpus: DataFrame, queries: DataFrame,
+      edges: DataFrame, idCol: String, vecCol: String, attrCol: String,
+      entryIds: Seq[Long], seedM: Int, ef: Int, rounds: Int,
+      k: Int): DataFrame =
+    filteredHarvest(
+      beamSearchVisitedSeeded(corpus, queries, edges, idCol, vecCol,
+        entryIds, ef, rounds, seedM),
+      corpus, queries, idCol, attrCol, k)
+
+  /** The xs19 harvest: visited ∩ (node attr == query attr), bounded
+    * top-k rank — one corpus equi-join + one broadcast query join, no
+    * new shuffle class (see [[beamSearchTopKFiltered]]'s scaladoc for
+    * the predicate-placement design).
+    */
+  private def filteredHarvest(visited: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, attrCol: String,
+      k: Int): DataFrame = {
     val attrs = corpus.select(col(idCol).as("id"),
       col(attrCol).as("__attr"))
     val qattrs = broadcast(queries.select(col(idCol).as("qid"),

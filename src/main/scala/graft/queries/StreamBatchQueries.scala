@@ -911,6 +911,42 @@ object StreamBatchQueries {
         .orderBy("qid", "rank")
     },
 
+    // qs42: ATTRIBUTE-FILTERED hierarchical serve over the evolving
+    // blocked store — the qs37 loop with xs19's filtered harvest,
+    // completing the filtered-query surface for the production
+    // vector-store composition: maintenance stays cell-blocked and
+    // delta-proportional, navigation (medoid seeds + descent) stays
+    // predicate-independent over the evolving graph, and each serve
+    // returns top-3 among visited nodes sharing the query's label
+    // (ef over-fetched 8→16 for the 1/10-selectivity labels — the
+    // xs19 dial). Final store == one-shot blocked build (qs36) and
+    // the harvest is deterministic, so the final filtered serve ==
+    // the one-shot filtered hier beam — replayed by the blocked-beam
+    // CTE with seedM ROW_NUMBER + label equality in the final rank.
+    Q("qs42_stream_hier_serve_filtered",
+      SimilarityQueries.blockedBeamOracleSql(deg = 6, probe = 2,
+        ef = 16, rounds = 6, nQ = 5, k = 3, seedM = 3,
+        filterLabel = true)) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val cents = graft.operators.Similarity
+        .labelCentroids(emb, "label", "embedding")
+        .select(col("clabel").cast("long"), col("centroid"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+        .sortBy(_._1).toSeq
+      val vv = emb.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"),
+        col("label"))
+      graft.streaming.Streams.blockedServeFilteredChunked(
+          vv.where(col("vec_id") >= 250), vv.where(col("vec_id") < 250),
+          bounds = Seq(400L), "vec_id", "v", "label", cents,
+          probe = 2, k = 6, queries = vv.where(col("vec_id") < 5),
+          seedM = 3, ef = 16, rounds = 6, kq = 3)
+        .select(col("qid"), col("rank"), col("id"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("qid", "rank")
+    },
+
     // qs38: blocked-graph maintenance with TOMBSTONE DELETES — the
     // order-free theorem WITH REMOVALS: ingest two delta chunks and
     // delete a pinned mix of corpus-era ids (2, 10, 11), an id

@@ -1139,6 +1139,52 @@ object Streams {
     serve
   }
 
+  /** Batch-shape QS42 harness (the oracle entry): ATTRIBUTE-FILTERED
+    * hierarchical serve over the evolving blocked store — qs37's
+    * maintain+serve loop with xs19's filtered harvest: after each
+    * ingested chunk the medoid tier recomputes and each pinned query
+    * retrieves top-k among visited nodes sharing ITS `attrCol` value.
+    * The attribute is static per-id metadata: navigation (including
+    * the medoid-layer seed search) stays predicate-independent over
+    * the evolving graph — only the harvest joins the attribute frame.
+    * Gate: the FINAL serve — final store == one-shot blocked build
+    * (qs36 theorem), medoid argmax history-free, harvest
+    * deterministic — so it equals the one-shot filtered hier beam
+    * over the full corpus, which the oracle replays by the
+    * blocked-beam CTE chain with seedM ROW_NUMBER + the label
+    * equality in the final rank.
+    */
+  def blockedServeFilteredChunked(newVecs: DataFrame,
+      corpus: DataFrame, bounds: Seq[Long], idCol: String,
+      vecCol: String, attrCol: String,
+      cents: Seq[(Long, Seq[Double])], probe: Int, k: Int,
+      queries: DataFrame, seedM: Int, ef: Int, rounds: Int,
+      kq: Int): DataFrame = {
+    import graft.operators.Similarity
+    val attrs = corpus.select(col(idCol), col(attrCol))
+      .unionByName(newVecs.select(col(idCol), col(attrCol)))
+      .localCheckpoint(true)
+    var gs = Similarity.prepareBlockedGraphStore(corpus, idCol, vecCol,
+      cents, probe, k)
+    val q = queries.select(col(idCol).as("id"), col(vecCol).as("v"),
+      col(attrCol)).localCheckpoint(true)
+    val edges = (Long.MinValue +: bounds.sorted) :+ Long.MaxValue
+    var serve: DataFrame = null
+    edges.sliding(2).foreach { case Seq(lo, hi) =>
+      gs = Similarity.blockedGraphIngest(
+        newVecs.where(col(idCol) >= lo && col(idCol) < hi),
+        gs, idCol, vecCol)
+      val live = gs.vecs.select(col("id"), col("v"))
+      val entries = Similarity.cellMedoids(live, "id", "v", gs.cents)
+      val corpusA = live.join(
+        attrs.select(col(idCol).as("id"), col(attrCol)), "id")
+      serve = Similarity.beamSearchTopKHierFiltered(corpusA, q,
+        Similarity.blockedGraphFromStore(gs), "id", "v", attrCol,
+        entries, seedM, ef, rounds, kq)
+    }
+    serve
+  }
+
   /** Batch-shape QS38 harness (the oracle entry): blocked-graph
     * maintenance with INTERLEAVED TOMBSTONE DELETES — ingest
     * id-ordered chunks and, after chunk i, delete `deletesAfter(i)`

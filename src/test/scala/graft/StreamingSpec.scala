@@ -877,6 +877,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("QS42 filtered hier serve over the evolving blocked store: " +
+      "any chunking's FINAL serve == the one-shot filtered hier " +
+      "beam over the full corpus, all k slots filled") {
+    import graft.operators.Similarity
+    val emb = graft.queries.T.t(spark, sf0001, "embeddings")
+    val vv = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"),
+        col("label"))
+      .localCheckpoint(true)
+    val cents = Similarity.kmeansCentroidsSeq(
+      vv.where(col("vec_id") < 250), "vec_id", "v", 8)
+    val queries = vv.where(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "id", "sim").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          math.round(r.getDouble(3) * 1e9))).toSet
+    val g = Similarity.ivfSeededGraph(vv, "vec_id", "v", cents,
+      probe = 2, k = 6)
+    val entries = Similarity.cellMedoids(vv, "vec_id", "v", cents)
+    val oneShot = rows(Similarity.beamSearchTopKHierFiltered(vv,
+      queries, g, "vec_id", "v", "label", entries, seedM = 3,
+      ef = 16, rounds = 6, k = 3))
+    assert(oneShot.nonEmpty)
+    // every returned id shares its query's label (the harvest
+    // contract) and every query fills its k slots at this ef
+    val lbl = vv.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(oneShot.forall { case (q, _, id, _) => lbl(q) == lbl(id) })
+    assert(oneShot.groupBy(_._1).forall(_._2.size == 3),
+      "under-filled k slots at the over-fetched ef")
+    for (bounds <- Seq(Seq(400L), Seq(300L, 400L))) {
+      val got = rows(graft.streaming.Streams.blockedServeFilteredChunked(
+        vv.where(col("vec_id") >= 250), vv.where(col("vec_id") < 250),
+        bounds, "vec_id", "v", "label", cents, probe = 2, k = 6,
+        queries = queries, seedM = 3, ef = 16, rounds = 6, kq = 3))
+      assert(got == oneShot,
+        s"chunking $bounds diverges from the one-shot filtered serve")
+    }
+  }
+
   test("full lifecycle stream: scheduled re-blocking epochs between " +
       "ingests and tombstones restart to the identical store, and the " +
       "final store is coherent under its own final cells") {
