@@ -799,10 +799,23 @@ object Streams {
     * exactness property, not an approximation: staleness only tunes
     * pruning power) — THE property that makes a prefix index
     * maintainable on a 100 TB stream without global re-ranking.
+    *
+    * `reprepareEvery` > 0 schedules a RE-BLOCKING EPOCH
+    * ([[graft.operators.Dedup.reprepareAllPairsIndex]] — fresh df
+    * over the accumulated store, qs40's refresh) after every Nth
+    * batch. Unlike the vector store's centroid epochs (which change
+    * the GRAPH and therefore need the deterministic-schedule restart
+    * discipline), a df epoch is ANSWER-INVARIANT — every per-batch
+    * sink is identical with or without it, at any cadence, across
+    * any crash/restart boundary (a restart replays committed
+    * shingles under the prepare-era order and loses nothing but
+    * pruning power until the next epoch). Crash-consistency for this
+    * epoch is therefore free; it buys only cost, which SCALE_r18
+    * leg D measures.
     */
   def runAllPairsStream(spark: SparkSession, deltaDir: String,
       corpus: DataFrame, threshold: Double, outDir: String,
-      compactEvery: Int = 4): Unit = {
+      compactEvery: Int = 4, reprepareEvery: Int = 0): Unit = {
     import graft.operators.Dedup
     val sc = spark.sparkContext
     val pre = sc.getPersistentRDDs.keySet
@@ -827,7 +840,15 @@ object Streams {
       ix = ing.next
       owned ++= sc.getPersistentRDDs.keySet -- before
       batches += 1
-      if (batches % compactEvery == 0) {
+      if (reprepareEvery > 0 && batches % reprepareEvery == 0) {
+        val preEpoch = sc.getPersistentRDDs.keySet
+        ix = Dedup.reprepareAllPairsIndex(ix)
+        val kept = sc.getPersistentRDDs.keySet -- preEpoch
+        sc.getPersistentRDDs
+          .filter { case (id, _) => owned(id) && !kept(id) }
+          .values.foreach(_.unpersist(blocking = false))
+        owned = kept
+      } else if (batches % compactEvery == 0) {
         val preCompact = sc.getPersistentRDDs.keySet
         ix = Dedup.compactAllPairsIndex(ix)
         val kept = sc.getPersistentRDDs.keySet -- preCompact

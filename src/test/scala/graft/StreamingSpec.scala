@@ -1245,6 +1245,41 @@ class StreamingSpec extends SparkSpec {
     assert(rows(spark.read.parquet(s"$outDir/batch=*")) == oneShot)
   }
 
+  test("QS40 runner face: df re-blocking epochs inside the real " +
+      "runner are ANSWER-INVARIANT at any cadence and across a " +
+      "crash/restart boundary — a df epoch needs no durability") {
+    val docs = graft.queries.T.t(spark, sf0001, "documents")
+    val delta = docs.where(col("doc_id") >= 250)
+    val corpus = docs.where(col("doc_id") < 250).cache()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    val oneShot = rows(graft.operators.Dedup.allPairsJaccard(
+        docs, "doc_id", "text", threshold = 0.5)
+      .where(col("b") >= 250))
+    val base = java.nio.file.Files.createTempDirectory("qs40run")
+    val deltaDir = base.resolve("delta").toString
+    val outDir = base.resolve("out").toString
+    // run 1: epoch after EVERY batch — the index the crash abandons
+    // carries a refreshed df order
+    delta.where(col("doc_id") < 350).coalesce(1)
+      .write.mode("append").parquet(deltaDir)
+    Streams.runAllPairsStream(spark, deltaDir, corpus, 0.5, outDir,
+      compactEvery = 2, reprepareEvery = 1)
+    Thread.sleep(20)
+    delta.where(col("doc_id") >= 350).coalesce(1)
+      .write.mode("append").parquet(deltaDir)
+    // restart at a DIFFERENT cadence: the replay rebuilds the store
+    // under the prepare-era order (the epoch was never persisted) —
+    // a different pruning model over the same documents, and the
+    // emitted pairs must not move (df is only pruning power)
+    Streams.runAllPairsStream(spark, deltaDir, corpus, 0.5, outDir,
+      compactEvery = 2, reprepareEvery = 2)
+    corpus.unpersist()
+    assert(rows(spark.read.parquet(s"$outDir/batch=*")) == oneShot,
+      "epoch-scheduled runner diverged from the brute-force answer")
+  }
+
   test("QS20 C4 stream face: any chunking == one-shot xt26, and the " +
       "real runner restarts from the durable line-store appends") {
     val docs = graft.queries.T.t(spark, sf0001, "documents")
