@@ -437,6 +437,87 @@ object R18Stress {
         f"(${candRef.toDouble / candStale}%.4f) pairs=${oRef.size}")
     }
 
+    // ---------- LEG E: filtered-serve over-fetch law (xs19's dial) ----
+    // The ef dial measured at bench scale, at a corpus and its 2×
+    // extension: per ef ∈ {8,16,32,48}, the filtered harvest's recall
+    // vs per-label exact brute force, and the visited-set size the
+    // beam pays for it (both deterministic — set-semantic traversals).
+    // Laws gated: recall at the top of the dial ≥ 0.9 at BOTH sizes
+    // (the xs19 spec gate's scale form), recall(ef_max) ≥ recall(
+    // ef_min) (widening the beam never hurts the harvest here), and
+    // the SCALE_r16 touched-node law surviving the filter: visited
+    // sets are parameter-bounded (entries + rounds·ef·deg), so the
+    // 2× corpus pays ≈ the same visited count per ef — the corpus
+    // FRACTION halves (brute-force filtered search pays |corpus|).
+    if (legs.contains('e')) {
+      import graft.operators.Similarity
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").as("id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"),
+          col("label"))
+      def corpusAt(f: Int): DataFrame =
+        (if (f == 1) emb
+         else emb.unionByName(emb.select((col("id") + 100000L).as("id"),
+           transform(col("v"), x => x + lit(0.05)).as("v"),
+           col("label"))))
+          .localCheckpoint(true)
+      val curves = scala.collection.mutable.Map[Int, Seq[(Int, Long, Double)]]()
+      val sizes = scala.collection.mutable.Map[Int, Long]()
+      for (f <- Seq(1, 2)) {
+        val corpus = corpusAt(f)
+        val n = corpus.count()
+        val queries = corpus.where(col("id") < 10)
+        val cents = Similarity.kmeansCentroidsSeq(corpus, "id", "v",
+          nlist = 32 * f)
+        val graph = Similarity.ivfSeededGraph(corpus, "id", "v", cents,
+          probe = 2, k = 10).localCheckpoint(true)
+        val entries = Similarity.cellMedoids(corpus, "id", "v", cents)
+        def pairsOf(df: DataFrame) = df.select("qid", "id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val qLabels = queries.select("label").distinct().collect()
+          .map(_.getInt(0)).toSeq
+        val bf = qLabels.map { l =>
+          pairsOf(Similarity.bruteForceTopK(
+            corpus.where(col("label") === l),
+            queries.where(col("label") === l), "id", "v", 3))
+        }.reduce(_ ++ _)
+        val efs = Seq(8, 16, 32, 48)
+        val curve = efs.map { ef =>
+          val visited = Similarity.beamSearchVisitedSeeded(corpus,
+            queries, graph, "id", "v", entries, ef = ef, rounds = 10,
+            seedM = 3).count()
+          val got = pairsOf(Similarity.beamSearchTopKHierFiltered(
+            corpus, queries, graph, "id", "v", "label", entries,
+            seedM = 3, ef = ef, rounds = 10, k = 3))
+          val rec = (bf & got).size.toDouble / bf.size
+          (ef, visited, math.round(rec * 1e3) / 1e3)
+        }
+        dropPersisted()
+        require(curve.last._3 >= 0.9,
+          s"f$f: recall ${curve.last._3} < 0.9 at ef=${curve.last._1}")
+        require(curve.last._3 >= curve.head._3,
+          s"f$f: widening the beam LOST recall: $curve")
+        curves(f) = curve
+        sizes(f) = n
+        results += s"filtered_f${f}_n" -> n
+        results += s"filtered_f${f}_ef" ->
+          RawJson(efs.mkString("[", ",", "]"))
+        results += s"filtered_f${f}_visited" ->
+          RawJson(curve.map(_._2).mkString("[", ",", "]"))
+        results += s"filtered_f${f}_recall" ->
+          RawJson(curve.map(_._3).mkString("[", ",", "]"))
+        println(s"[filtered f$f] n=$n curve=$curve")
+      }
+      // the touched-node law under filtering: per ef, the 2× corpus
+      // visits ≈ the same parameter-bounded set (≤1.5×), so the
+      // corpus FRACTION shrinks — the xs19 scale story (filtered
+      // brute force pays |corpus| per query instead)
+      for (((ef, v1, _), (_, v2, _)) <- curves(1).zip(curves(2)))
+        require(v2 <= v1 * 3 / 2,
+          s"ef=$ef: visited grew with the corpus ($v1 -> $v2) — " +
+            "the parameter-bound law broke under filtering")
+    }
+
     val fresh = results.toSeq
       .map { case (k, v) => k -> StressUtil.jsonScalar(v) }
     val path = Paths.get("SCALE_r18.json")
