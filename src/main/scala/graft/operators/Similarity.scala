@@ -1290,6 +1290,23 @@ object Similarity {
         entryIds, ef, rounds),
       corpus, queries, idCol, attrCol, k)
 
+  /** [[beamSearchTopKFiltered]] with an arbitrary harvest predicate
+    * over (node attr, query attr) — the RANGE-filtered search shape
+    * (xs20: e.g. |attr − qattr| ≤ w, the price-band / time-window
+    * predicate of real vector stores) on the same
+    * predicate-independent traversal. The predicate must be
+    * deterministic SQL arithmetic for the CTE replay to hash-gate it;
+    * selectivity sets the over-fetch dial exactly as equality does.
+    */
+  def beamSearchTopKFilteredBy(corpus: DataFrame, queries: DataFrame,
+      edges: DataFrame, idCol: String, vecCol: String, attrCol: String,
+      pred: (Column, Column) => Column, entryIds: Seq[Long], ef: Int,
+      rounds: Int, k: Int): DataFrame =
+    filteredHarvestBy(
+      beamSearchVisited(corpus, queries, edges, idCol, vecCol,
+        entryIds, ef, rounds),
+      corpus, queries, idCol, attrCol, pred, k)
+
   /** [[beamSearchTopKFiltered]] with the HIERARCHICAL seed choice —
     * the filtered production read path over the two-layer stack
     * (qs42: xs19's harvest over xs18's descent). Navigation —
@@ -1312,7 +1329,13 @@ object Similarity {
     */
   private def filteredHarvest(visited: DataFrame, corpus: DataFrame,
       queries: DataFrame, idCol: String, attrCol: String,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    filteredHarvestBy(visited, corpus, queries, idCol, attrCol,
+      _ === _, k)
+
+  private def filteredHarvestBy(visited: DataFrame, corpus: DataFrame,
+      queries: DataFrame, idCol: String, attrCol: String,
+      pred: (Column, Column) => Column, k: Int): DataFrame = {
     val attrs = corpus.select(col(idCol).as("id"),
       col(attrCol).as("__attr"))
     val qattrs = broadcast(queries.select(col(idCol).as("qid"),
@@ -1320,7 +1343,7 @@ object Similarity {
     rankTopK(
       visited.where(col("id") =!= col("qid"))
         .join(attrs, "id").join(qattrs, "qid")
-        .where(col("__attr") === col("__qattr"))
+        .where(pred(col("__attr"), col("__qattr")))
         .select(col("qid"), col("id"), col("sim")),
       k)
   }

@@ -707,6 +707,42 @@ object SimilarityQueries {
         .orderBy("qid", "rank")
     },
 
+    // xs20: RANGE-filtered traversal serve — the other predicate
+    // class real vector stores ship beside xs19's equality (price
+    // bands, time windows, version ranges): top-3 among visited
+    // nodes whose label sits within ±1 of the query's. Same
+    // predicate-independent navigation, same harvest machinery with
+    // the predicate generalized (beamSearchTopKFilteredBy); ~3/10
+    // selectivity needs less over-fetch than xs19's 1/10, ef=16
+    // kept for the family's shared dial. Deterministic integer
+    // arithmetic ⇒ hash-gated via the same CTE with the band
+    // predicate in the final rank.
+    Q("xs20_ann_beam_range",
+      blockedBeamOracleSql(deg = 6, probe = 2, ef = 16, rounds = 6,
+        nQ = 5, k = 3,
+        filterPred = "ABS(c.label - q.qlabel) <= 1")) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val cents = Similarity.labelCentroids(emb, "label", "embedding")
+        .select(col("clabel").cast("long"), col("centroid"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+        .sortBy(_._1).toSeq
+      val corpus = emb.select(col("vec_id").as("id"),
+          expr("transform(embedding, x -> cast(x as double))").as("v"),
+          col("label"))
+        .localCheckpoint(true)
+      val graph = Similarity.ivfSeededGraph(corpus, "id", "v", cents,
+        probe = 2, k = 6)
+      val entries = Similarity.cellMedoids(corpus, "id", "v", cents)
+      Similarity.beamSearchTopKFilteredBy(corpus,
+          corpus.where(col("id") < 5), graph, "id", "v", "label",
+          (a, q) => abs(a - q) <= 1, entryIds = entries, ef = 16,
+          rounds = 6, k = 3)
+        .select(col("qid"), col("rank"), col("id"),
+          round(col("sim"), 4).as("sim"))
+        .orderBy("qid", "rank")
+    },
+
     // Hash-gated Hamming-beam twin (xs16b, the xs15b discipline): the
     // SAME machinery pinned small — deg-6 graph, 4 entries, ef=8, 6
     // unrolled rounds — with the beam ordered by the INTEGER sign
@@ -892,11 +928,17 @@ object SimilarityQueries {
     * `filterLabel` restricts the FINAL rank to visited nodes sharing
     * the query's label (xs19 — navigation stays unfiltered, the
     * harvest filters: the predicate-independent-traversal design
-    * [[graft.operators.Similarity.beamSearchTopKFiltered]] documents).
+    * [[graft.operators.Similarity.beamSearchTopKFiltered]] documents);
+    * `filterPred` generalizes it to any SQL predicate over
+    * (`c.label`, `q.qlabel`) — xs20's range band.
     */
   private[queries] def blockedBeamOracleSql(deg: Int, probe: Int,
       ef: Int, rounds: Int, nQ: Int, k: Int, seedM: Int = 0,
-      filterLabel: Boolean = false): String = {
+      filterLabel: Boolean = false, filterPred: String = ""): String = {
+    val pred =
+      if (filterPred.nonEmpty) filterPred
+      else if (filterLabel) "c.label = q.qlabel"
+      else ""
     val roundCtes = (0 until rounds).map { r =>
       s"""b$r AS MATERIALIZED (
          |  SELECT qid, id FROM (
@@ -982,7 +1024,7 @@ object SimilarityQueries {
        |$roundCtes
        |SELECT qid, CAST(rn AS INT) AS rank, id, ROUND(sim, 4) AS sim
        |FROM (
-       |${if (!filterLabel)
+       |${if (pred.isEmpty)
         s"""  SELECT qid, id, sim, ROW_NUMBER() OVER (PARTITION BY qid
            |    ORDER BY sim DESC, id) AS rn
            |  FROM v$rounds WHERE id <> qid""".stripMargin
@@ -992,7 +1034,7 @@ object SimilarityQueries {
            |  FROM v$rounds w
            |  JOIN nrm c ON c.id = w.id
            |  JOIN q ON q.qid = w.qid
-           |  WHERE w.id <> w.qid AND c.label = q.qlabel""".stripMargin}
+           |  WHERE w.id <> w.qid AND ($pred)""".stripMargin}
        |) WHERE rn <= $k ORDER BY qid, rank""".stripMargin
   }
 

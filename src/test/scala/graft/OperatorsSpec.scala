@@ -729,6 +729,44 @@ class OperatorsSpec extends SparkSpec {
         "need")
   }
 
+  test("RANGE-filtered serve: the band predicate over the same " +
+      "predicate-independent traversal reaches recall >= 0.9 vs " +
+      "per-query range-filtered brute force") {
+    val emb = T.t(spark, sf0001, "embeddings")
+    val corpus = emb.select(col("vec_id").as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"),
+        col("label"))
+      .localCheckpoint(true)
+    val queries = corpus.where(col("id") < 10)
+    val cents = Similarity.kmeansCentroidsSeq(corpus, "id", "v",
+      nlist = 8)
+    val graph = Similarity.ivfSeededGraph(corpus, "id", "v", cents,
+      probe = 2, k = 10).localCheckpoint(true)
+    val entries = Similarity.cellMedoids(corpus, "id", "v", cents)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // per-query brute force (bands overlap — no label slicing)
+    val bf = queries.select("id", "label").collect().flatMap { r =>
+      val (qi, l) = (r.getLong(0), r.getInt(1))
+      pairs(Similarity.bruteForceTopK(
+        corpus.where(abs(col("label") - l) <= 1),
+        corpus.where(col("id") === qi), "id", "v", 3))
+    }.toSet
+    val got = pairs(Similarity.beamSearchTopKFilteredBy(corpus,
+      queries, graph, "id", "v", "label",
+      (a, q) => abs(a - q) <= 1, entryIds = entries, ef = 48,
+      rounds = 10, k = 3))
+    assert(bf.nonEmpty)
+    assert((bf & got).size.toDouble / bf.size >= 0.9,
+      s"range-filtered recall ${(bf & got).size.toDouble / bf.size}")
+    // every returned id is inside its query's band
+    val lbl = corpus.select("id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.forall { case (q, id) =>
+      math.abs(lbl(q) - lbl(id)) <= 1 })
+  }
+
   test("ivfSeededGraph plan: cell equi-join (hash join), never a " +
       "cartesian or corpus-sized broadcast nested loop") {
     val emb = T.t(spark, sf0001, "embeddings")
