@@ -2119,6 +2119,76 @@ object Dedup {
       grams = store.grams.sparkSession.read.parquet(dir))
   }
 
+  /** DOCUMENT TAKEDOWN in the evolving gram store (qs43) — the
+    * deletion theorem for a LOSSY store, completing the family's
+    * third repair class. The store keeps only each gram's MINIMUM
+    * occurrence key: when the owner of that minimum is deleted, the
+    * surviving runner-up occurrence is recorded NOWHERE — it was
+    * marked duplicate at its own ingest (emitted output, which
+    * stands: takedowns never rewrite history, the qs39 discipline)
+    * and only first-seen keys were appended. Dropping the dead rows
+    * without repair silently un-deduplicates the future: a later
+    * occurrence of that gram would be treated as first even though a
+    * live earlier occurrence exists (OperatorsSpec plants exactly
+    * this case and proves repair is NECESSARY, not hygiene).
+    *
+    * Repair therefore RE-DERIVES the surviving minimum: one pass
+    * over the surviving corpus restricted (semi-join) to the
+    * AFFECTED grams — the grams whose stored owner died. Honest cost
+    * statement, the contrast the store family documents: the
+    * verbatim prefix index deletes for free (qs39 — nothing lossy),
+    * the top-k vector stores repair delta-proportionally (qs38/qs41
+    * — the candidate generator re-ranks affected nodes), and the
+    * lossy min-store pays one survivor SCAN per takedown batch —
+    * scan cost O(surviving corpus) map-side, but shuffle volume only
+    * the affected grams' occurrences (the semi-join runs before the
+    * aggregate). Batch takedowns to amortize the scan; at 100 TB the
+    * scan is the same pass a re-prepare pays, restricted map-side.
+    *
+    * `corpus` must be the full live document set BEFORE this
+    * takedown (the harness maintains it — it is also the loud
+    * guard's witness: tombstones not in the live corpus refuse, the
+    * family discipline).
+    */
+  def gramStoreDelete(tombstones: DataFrame, store: GramStore,
+      corpus: DataFrame, idCol: String, textCol: String): GramStore = {
+    val del = broadcast(tombstones
+      .select(col("id").cast(LongType).as("__did")).distinct()
+      .localCheckpoint(true))
+    val matched = corpus
+      .select(col(idCol).cast(LongType).as("__did"))
+      .join(del, Seq("__did"), "left_semi")
+    val nDel = del.count()
+    if (matched.count() != nDel) {
+      val missing = del.collect().map(_.getLong(0)).toSet --
+        matched.collect().map(_.getLong(0)).toSet
+      throw new IllegalArgumentException(
+        s"gramStoreDelete: tombstone doc ${missing.head} is not in " +
+          "the live corpus — a silent no-op takedown hides upstream " +
+          "bookkeeping bugs")
+    }
+    val surv = corpus.join(
+      del.select(col("__did").cast(LongType).as("__sid")),
+      col(idCol).cast(LongType) === col("__sid"), "left_anti")
+    // affected grams: store rows whose owning doc (key div 1e9) died
+    val aff = store.grams
+      .join(del, (col("__mk") / lit(1000000000L)).cast(LongType) ===
+        col("__did"), "left_semi")
+      .select("__gk").localCheckpoint(true)
+    // re-derived surviving minima, restricted to the affected grams
+    // (grams with no surviving occurrence drop entirely — a future
+    // occurrence is then genuinely first among the live corpus)
+    val d = surv.select(col(idCol).cast(LongType).as("__id"),
+      col(textCol).as("__txt"))
+    val survMins = gramOcc(d, store.l)
+      .join(broadcast(aff), Seq("__gk"), "left_semi")
+      .groupBy("__gk").agg(min("__key").as("__mk"))
+    val kept = store.grams.join(broadcast(aff), Seq("__gk"),
+      "left_anti")
+    GramStore(kept.unionByName(survMins).localCheckpoint(true),
+      store.l)
+  }
+
   /** Content-defined-chunking dedup statistics (the storage-style
     * block-dedup primitive — see [[CdcChunks]] for the boundary
     * definition and why content-defined beats fixed-size blocks).

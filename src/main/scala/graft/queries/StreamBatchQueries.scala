@@ -477,6 +477,42 @@ object StreamBatchQueries {
         bounds = Seq(450L))
     },
 
+    // qs43: qs10 with DOCUMENT TAKEDOWNS — deletion for the LOSSY
+    // first-occurrence gram store, the third repair class of the
+    // evolving-store family (verbatim prefix store: free; top-k
+    // vector stores: delta-proportional re-rank; lossy min-store:
+    // survivor-scan re-derivation — gramStoreDelete's scaladoc holds
+    // the why). Chunks [250,400) then [400,∞); after chunk 0 docs
+    // 70, 98 (corpus-era) and 297, 393 (ingested IN chunk 0) are
+    // taken down — chosen so the takedown MOVES chunk-2's answer at
+    // BOTH gated SFs (70/393 own later-duplicated first occurrences
+    // at sf0.01, 98/297 at sf0.1 — DuckDB-probed; the sets are
+    // disjoint per SF, so the union exercises repair at each). Emitted outputs are history (the qs39 epoch
+    // discipline), so the oracle replays the first-occurrence island
+    // chain TWICE: chunk-1 docs dedup against everything live at
+    // their ingest (doc_id < 400, pre-takedown), chunk-2 docs
+    // against the surviving population — including the k2-TRANSFER
+    // case the repair exists for (a gram whose dead owner's
+    // runner-up lives in a survivor must still dedup future
+    // occurrences).
+    Q("qs43_stream_substring_takedown", {
+      val dels = Seq(70L, 98L, 297L, 393L).mkString(", ")
+      s"""WITH d AS (SELECT doc_id, text FROM documents),
+         |${substringEpochSql("1", "doc_id < 400", 250, 400)},
+         |${substringEpochSql("2", s"doc_id NOT IN ($dels)", 400,
+             Long.MaxValue)}
+         |SELECT * FROM (
+         |  SELECT * FROM out1 UNION ALL SELECT * FROM out2
+         |) ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val docs = t(s, d, "documents")
+      graft.streaming.Streams.substringTakedownChunked(
+        docs.where(col("doc_id") >= 250),
+        docs.where(col("doc_id") < 250),
+        bounds = Seq(400L),
+        deletesAfter = Map(0 -> Seq(70L, 98L, 297L, 393L)))
+    },
+
     // qs19: streaming CDC block dedup (the xd15 stream face): the
     // <400 corpus seeds the first-occurrence chunk store, docs >= 400
     // ingest in doc_id-ordered chunks; monotone arrival + associative
@@ -1281,6 +1317,73 @@ object StreamBatchQueries {
     * per-row map, so a survivor's cells don't depend on who else
     * lives.
     */
+  /** One epoch of the qs43 substring-takedown oracle: the qs10
+    * first-occurrence island chain (occ → firsts → dup → span
+    * islands → cleaned-text rollup) over the POPULATION live in that
+    * epoch (`popCond`, over bare `d` columns), rolled up for the
+    * epoch's TARGET doc range [tlo, thi). Emits CTEs suffixed `sfx`
+    * ending in `out$sfx` with the (doc_id, n_spans, removed_chars,
+    * clean_text) contract.
+    */
+  private def substringEpochSql(sfx: String, popCond: String,
+      tlo: Long, thi: Long): String = {
+    def cond(a: String) =
+      if (thi == Long.MaxValue) s"$a.doc_id >= $tlo"
+      else s"$a.doc_id >= $tlo AND $a.doc_id < $thi"
+    s"""occ$sfx AS (
+       |  SELECT dd.doc_id, x.i AS pos,
+       |         substr(dd.text, CAST(x.i AS INT), 40) AS gram,
+       |         dd.doc_id*1000000000 + x.i AS key
+       |  FROM (SELECT * FROM d WHERE $popCond) dd CROSS JOIN LATERAL
+       |    UNNEST(RANGE(1, GREATEST(LENGTH(dd.text)-39, 0)+1)) x(i)
+       |),
+       |firsts$sfx AS (
+       |  SELECT gram, MIN(key) AS mk FROM occ$sfx GROUP BY gram
+       |),
+       |dup$sfx AS (
+       |  SELECT o.doc_id, o.pos FROM occ$sfx o
+       |  JOIN firsts$sfx f ON o.gram = f.gram
+       |  WHERE o.key > f.mk AND (${cond("o")})
+       |),
+       |sp$sfx AS (SELECT doc_id, pos AS s, pos + 40 AS e FROM dup$sfx),
+       |m$sfx AS (
+       |  SELECT doc_id, s, e, MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+       |  FROM sp$sfx
+       |),
+       |i1$sfx AS (
+       |  SELECT doc_id, s, e, SUM(CASE WHEN pm IS NULL OR s > pm
+       |    THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY s
+       |    ROWS UNBOUNDED PRECEDING) AS isl
+       |  FROM m$sfx
+       |),
+       |islands$sfx AS (
+       |  SELECT doc_id, isl, MIN(s) AS s, MAX(e) AS e
+       |  FROM i1$sfx GROUP BY doc_id, isl
+       |),
+       |segs$sfx AS (
+       |  SELECT doc_id, s, e,
+       |    COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS p
+       |  FROM islands$sfx
+       |),
+       |agg$sfx AS (
+       |  SELECT i.doc_id, COUNT(*) AS n_spans, SUM(i.e - i.s) AS removed,
+       |    CONCAT(STRING_AGG(substr(dx.text, CAST(i.p AS INT),
+       |      CAST(i.s - i.p AS INT)), '' ORDER BY i.s),
+       |      substr(ANY_VALUE(dx.text), CAST(MAX(i.e) AS INT))) AS clean
+       |  FROM segs$sfx i JOIN d dx ON i.doc_id = dx.doc_id
+       |  GROUP BY i.doc_id
+       |),
+       |out$sfx AS (
+       |  SELECT dz.doc_id,
+       |    CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+       |    CAST(COALESCE(a.removed, 0) AS BIGINT) AS removed_chars,
+       |    COALESCE(a.clean, dz.text) AS clean_text
+       |  FROM d dz LEFT JOIN agg$sfx a ON a.doc_id = dz.doc_id
+       |  WHERE ${cond("dz")}
+       |)""".stripMargin
+  }
+
   private def blockedEdgesOracleSql(deg: Int, probe: Int,
       except: Seq[Long] = Nil): String =
     s"""WITH comp AS (

@@ -949,6 +949,45 @@ object Streams {
     parts.reduce(_.unionAll(_)).orderBy("a", "b")
   }
 
+  /** Batch-shape QS43 harness (the oracle entry): the qs10 substring
+    * stream with DOCUMENT TAKEDOWNS — deletion for the LOSSY
+    * first-occurrence gram store ([[graft.operators.Dedup
+    * .gramStoreDelete]]'s survivor-scan repair; see its scaladoc for
+    * why dropping dead rows without repair silently un-deduplicates
+    * the future). Emitted per-batch outputs are history (the qs39
+    * epoch discipline): a chunk's docs dedup against the first
+    * occurrences among docs LIVE when that chunk ingested — exactly
+    * the per-epoch predicate the oracle replays.
+    */
+  def substringTakedownChunked(newDocs: DataFrame, corpus: DataFrame,
+      bounds: Seq[Long], deletesAfter: Map[Int, Seq[Long]])
+      : DataFrame = {
+    import graft.operators.Dedup
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    var gs = Dedup.prepareGramStore(corpus, "doc_id", "text")
+    var live = corpus.select(col("doc_id"), col("text"))
+      .localCheckpoint(true)
+    val edges = (Long.MinValue +: bounds.sorted) :+ Long.MaxValue
+    val parts = edges.sliding(2).zipWithIndex.map {
+      case (Seq(lo, hi), i) =>
+        val b = newDocs.where(col("doc_id") >= lo && col("doc_id") < hi)
+        val ing = Dedup.substringDedupIngest(b, gs, "doc_id", "text")
+        gs = ing.next
+        live = live.unionByName(b.select("doc_id", "text"))
+          .localCheckpoint(true)
+        deletesAfter.get(i).filter(_.nonEmpty).foreach { ids =>
+          gs = Dedup.gramStoreDelete(ids.toDF("id"), gs, live,
+            "doc_id", "text")
+          live = live.join(
+            broadcast(ids.toDF("doc_id")), Seq("doc_id"), "left_anti")
+            .localCheckpoint(true)
+        }
+        ing.result
+    }.toSeq
+    parts.reduce(_.unionAll(_)).orderBy("doc_id")
+  }
+
   /** Run the QS34 stream: delta embedding files → per-micro-batch
     * fold into the evolving EXACT kNN-graph store → the maintained
     * graph. The vector-store ingestion path for the xs15 traversal,

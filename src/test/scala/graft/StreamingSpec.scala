@@ -1060,6 +1060,50 @@ class StreamingSpec extends SparkSpec {
     assert(ex.getMessage.contains("not in the store"))
   }
 
+  test("QS43 gram-store takedown: repair re-derives surviving " +
+      "minima (a dead owner's runner-up still dedups the future), " +
+      "unowned grams become fresh, missing tombstones refuse") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val tA = "alpha bravo charlie delta echo foxtrot golf hotel " +
+      "india juliet kilo lima mike november oscar papa"
+    val tU = "unique umbrella uniform ultra under urban ultimate " +
+      "unit used user utility quebec romeo sierra tango"
+    // corpus: doc 1 owns tA's grams, doc 2 is its survivor duplicate
+    // (marked dup at prepare-era, its keys recorded NOWHERE — the k2
+    // hole); doc 3 is tU's ONLY owner
+    val corpus = Seq((1L, tA), (2L, tA), (3L, tU))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "filler content entirely different from all the other " +
+        "documents here to pad chunk zero with text"),
+      (20L, tA),   // after the takedown of 1: must STILL dedup vs 2
+      (21L, tU))   // after the takedown of 3: genuinely fresh
+      .toDF("doc_id", "text")
+    val out = Streams.substringTakedownChunked(delta, corpus,
+        bounds = Seq(15L), deletesAfter = Map(0 -> Seq(1L, 3L)))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out.keySet == Set(10L, 20L, 21L))
+    // the repair theorem: tA's first owner died, but survivor 2's
+    // occurrence (never stored — it was a duplicate at ITS ingest)
+    // must be re-derived as the new minimum, so doc 20 still dedups
+    assert(out(20L)._2 > 0,
+      "k2-transfer failed: the dead owner's runner-up no longer " +
+        "dedups the future — the survivor-scan repair is broken")
+    // the reset direction: tU's ONLY owner died — doc 21 is the
+    // first occurrence among the living and must come through clean
+    assert(out(21L) == (0L, 0L, tU),
+      s"unowned grams must become fresh, got ${out(21L)}")
+    // missing tombstone refuses loudly
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.gramStoreDelete(Seq(999L).toDF("id"),
+        Dedup.prepareGramStore(corpus, "doc_id", "text"), corpus,
+        "doc_id", "text")
+    }
+    assert(ex.getMessage.contains("not in the live corpus"))
+  }
+
   test("QS39 all-pairs takedown: a deleted doc stops pairing with " +
       "every later batch (== brute force over the epoch live sets), " +
       "already-emitted pairs stand, missing tombstones refuse") {
