@@ -86,32 +86,35 @@ object Graph {
     val n = nodeList.count() // O(1) driver scalar
     val nD = n.toDouble
 
-    var p = nodeList.select(col("id"),
-        lit(math.floor(1.0 / nD * 1.0e12 + 0.5).toLong).as("pr_e12"))
-      .localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      val contrib = edgeDeg
-        .join(p.withColumnRenamed("id", "src"), "src")
-        .select(col("dst"),
-          floor(col("pr_e12").cast(DoubleType) / col("deg") + lit(0.5))
-            .cast(LongType).as("c"))
-        .groupBy("dst").agg(sum(col("c")).as("s")) // exact Long sum
-      val dang = p.join(dangling, "id")
-        .agg(coalesce(sum(col("pr_e12")), lit(0L)).as("dm"))
-      p = nodeList
-        .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
-        .crossJoin(broadcast(dang))
-        .select(col("id"),
-          (lit(math.floor(residual / nD * 1.0e12 + 0.5).toLong)
-            + floor(lit(damping)
-                * coalesce(col("s"), lit(0L)).cast(DoubleType) + lit(0.5))
-              .cast(LongType)
-            + floor(lit(damping) * col("dm").cast(DoubleType) / lit(nD)
-                + lit(0.5)).cast(LongType))
-            .as("pr_e12"))
+    val m = edgeDeg.count() // narrow read of the checkpoint
+    LoopTuning.withLoopShuffle(nodes.sparkSession, math.max(n, m)) {
+      var p = nodeList.select(col("id"),
+          lit(math.floor(1.0 / nD * 1.0e12 + 0.5).toLong).as("pr_e12"))
         .localCheckpoint(true)
+      for (_ <- 1 to iters) {
+        val contrib = edgeDeg
+          .join(p.withColumnRenamed("id", "src"), "src")
+          .select(col("dst"),
+            floor(col("pr_e12").cast(DoubleType) / col("deg") + lit(0.5))
+              .cast(LongType).as("c"))
+          .groupBy("dst").agg(sum(col("c")).as("s")) // exact Long sum
+        val dang = p.join(dangling, "id")
+          .agg(coalesce(sum(col("pr_e12")), lit(0L)).as("dm"))
+        p = nodeList
+          .join(contrib.withColumnRenamed("dst", "id"), Seq("id"), "left")
+          .crossJoin(broadcast(dang))
+          .select(col("id"),
+            (lit(math.floor(residual / nD * 1.0e12 + 0.5).toLong)
+              + floor(lit(damping)
+                  * coalesce(col("s"), lit(0L)).cast(DoubleType) + lit(0.5))
+                .cast(LongType)
+              + floor(lit(damping) * col("dm").cast(DoubleType) / lit(nD)
+                  + lit(0.5)).cast(LongType))
+              .as("pr_e12"))
+          .localCheckpoint(true)
+      }
+      p
     }
-    p
   }
 
   /** HITS hubs & authorities (Kleinberg JACM'99) in the same 1e-12
@@ -169,6 +172,8 @@ object Graph {
     require(nS > 0, "trustRank: empty seed set")
     val nSD = nS.toDouble
 
+    val m = edgeDeg.count() // narrow read of the checkpoint
+    LoopTuning.withLoopShuffle(nodes.sparkSession, m) {
     var p = nodeList.select(col("id"),
         when(col("seed"),
           lit(math.floor(1.0 / nSD * 1.0e12 + 0.5).toLong))
@@ -199,6 +204,7 @@ object Graph {
         .localCheckpoint(true)
     }
     p
+    }
   }
 
   /** Exact triangle count + global clustering coefficient via the
@@ -320,16 +326,19 @@ object Graph {
             .as(outCol))
     }
 
-    var hub = nodeList.select(col("id"), lit(1000000000000L).as("hub_e12"))
-      .localCheckpoint(true)
-    var auth = hub.select(col("id"), col("hub_e12").as("auth_e12"))
-    for (_ <- 1 to iters) {
-      auth = half(hub.withColumnRenamed("hub_e12", "sc"), "sc",
-        "src", "dst", "auth_e12").localCheckpoint(true)
-      hub = half(auth.withColumnRenamed("auth_e12", "sc"), "sc",
-        "dst", "src", "hub_e12").localCheckpoint(true)
+    val m = e.count() // narrow read of the checkpoint
+    LoopTuning.withLoopShuffle(nodes.sparkSession, m) {
+      var hub = nodeList.select(col("id"), lit(1000000000000L).as("hub_e12"))
+        .localCheckpoint(true)
+      var auth = hub.select(col("id"), col("hub_e12").as("auth_e12"))
+      for (_ <- 1 to iters) {
+        auth = half(hub.withColumnRenamed("hub_e12", "sc"), "sc",
+          "src", "dst", "auth_e12").localCheckpoint(true)
+        hub = half(auth.withColumnRenamed("auth_e12", "sc"), "sc",
+          "dst", "src", "hub_e12").localCheckpoint(true)
+      }
+      auth.join(hub, "id")
     }
-    auth.join(hub, "id")
   }
 
   /** Synchronous label-propagation community detection (Raghavan,
@@ -369,20 +378,23 @@ object Graph {
       .unionAll(und.select(col("dst").as("v"), col("src").as("u")))
       .distinct()
       .localCheckpoint(true)
-    var lab = nodeList.select(col("id"), col("id").as("lbl"))
-      .localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      val cnt = nb
-        .join(lab.select(col("id").as("u"), col("lbl")), "u")
-        .groupBy(col("v"), col("lbl"))
-        .agg(count(lit(1)).as("c"))
-      val best = cnt.groupBy(col("v"))
-        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l")))
-          .as("m"))
-        .select(col("v").as("id"), col("m.l").as("nl"))
-      lab = lab.join(best, Seq("id"), "left")
-        .select(col("id"), coalesce(col("nl"), col("lbl")).as("lbl"))
+    val lab = LoopTuning.withLoopShuffle(nodes.sparkSession, nb.count()) {
+      var l = nodeList.select(col("id"), col("id").as("lbl"))
         .localCheckpoint(true)
+      for (_ <- 1 to iters) {
+        val cnt = nb
+          .join(l.select(col("id").as("u"), col("lbl")), "u")
+          .groupBy(col("v"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+        val best = cnt.groupBy(col("v"))
+          .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l")))
+            .as("m"))
+          .select(col("v").as("id"), col("m.l").as("nl"))
+        l = l.join(best, Seq("id"), "left")
+          .select(col("id"), coalesce(col("nl"), col("lbl")).as("lbl"))
+          .localCheckpoint(true)
+      }
+      l
     }
     val sizes = lab.groupBy("lbl").agg(count(lit(1)).as("csize"))
     lab.join(sizes, "lbl").select(col("id"), col("lbl").as("label"),
@@ -431,15 +443,19 @@ object Graph {
       .select(col("id"), coalesce(col("d"), lit(0L)).as("c"))
       .localCheckpoint(true)
     val w = Window.partitionBy("v").orderBy(col("c").desc, col("u"))
-    for (_ <- 1 to iters) {
-      val hh = nb
-        .join(h.select(col("id").as("u"), col("c")), "u")
-        .withColumn("rn", row_number().over(w).cast(LongType))
-        .groupBy(col("v").as("id"))
-        .agg(max(least(col("rn"), col("c"))).as("h"))
-      h = nodeList.join(hh, Seq("id"), "left")
-        .select(col("id"), coalesce(col("h"), lit(0L)).as("c"))
-        .localCheckpoint(true)
+    h = LoopTuning.withLoopShuffle(nodes.sparkSession, nb.count()) {
+      var hc = h
+      for (_ <- 1 to iters) {
+        val hh = nb
+          .join(hc.select(col("id").as("u"), col("c")), "u")
+          .withColumn("rn", row_number().over(w).cast(LongType))
+          .groupBy(col("v").as("id"))
+          .agg(max(least(col("rn"), col("c"))).as("h"))
+        hc = nodeList.join(hh, Seq("id"), "left")
+          .select(col("id"), coalesce(col("h"), lit(0L)).as("c"))
+          .localCheckpoint(true)
+      }
+      hc
     }
     nodeList.join(deg, Seq("id"), "left")
       .select(col("id"), coalesce(col("d"), lit(0L)).as("deg"))
@@ -523,22 +539,24 @@ object Graph {
     var prev = est(regs).localCheckpoint(true)
     var harm = prev.select(col("id"), lit(0.0).as("hsum"))
     var ball1: DataFrame = null
-    for (t <- 1 to iters) {
-      regs = regs.unionAll(
-          e.join(regs.withColumnRenamed("id", "src"), "src")
-            .select(col("dst").as("id"), col("j"), col("mj")))
-        .groupBy("id", "j").agg(max(col("mj")).as("mj"))
-        .localCheckpoint(true)
-      val cur = est(regs).localCheckpoint(true)
-      harm = harm
-        .join(prev.select(col("id"), col("e").as("pe")), "id")
-        .join(cur.select(col("id"), col("e").as("ce")), "id")
-        .select(col("id"),
-          (col("hsum") + (col("ce") - col("pe")) / lit(t.toDouble))
-            .as("hsum"))
-        .localCheckpoint(true)
-      if (t == 1) ball1 = cur
-      prev = cur
+    LoopTuning.withLoopShuffle(nodes.sparkSession, regs.count()) {
+      for (t <- 1 to iters) {
+        regs = regs.unionAll(
+            e.join(regs.withColumnRenamed("id", "src"), "src")
+              .select(col("dst").as("id"), col("j"), col("mj")))
+          .groupBy("id", "j").agg(max(col("mj")).as("mj"))
+          .localCheckpoint(true)
+        val cur = est(regs).localCheckpoint(true)
+        harm = harm
+          .join(prev.select(col("id"), col("e").as("pe")), "id")
+          .join(cur.select(col("id"), col("e").as("ce")), "id")
+          .select(col("id"),
+            (col("hsum") + (col("ce") - col("pe")) / lit(t.toDouble))
+              .as("hsum"))
+          .localCheckpoint(true)
+        if (t == 1) ball1 = cur
+        prev = cur
+      }
     }
     ball1.select(col("id"),
         floor(col("e") + lit(0.5)).cast(LongType).as("ball1"))
@@ -634,19 +652,21 @@ object Graph {
       .localCheckpoint(true)
     var k = 1
     var frontierNonEmpty = true
-    while (k <= maxDepth && frontierNonEmpty) {
-      val frontier = dist.where(col("dist") === lit(k - 1L))
-        .select(col("id").as("src"))
-      val reached = e.join(frontier, "src")
-        .select(col("dst").as("id")).distinct()
-        .withColumn("__nd", lit(k.toLong))
-      dist = dist.join(reached, Seq("id"), "left")
-        .select(col("id"),
-          coalesce(col("dist"), col("__nd")).as("dist"))
-        .localCheckpoint(true)
-      frontierNonEmpty = dist.where(col("dist") === lit(k.toLong))
-        .limit(1).count() > 0
-      k += 1
+    LoopTuning.withLoopShuffle(nodes.sparkSession, e.count()) {
+      while (k <= maxDepth && frontierNonEmpty) {
+        val frontier = dist.where(col("dist") === lit(k - 1L))
+          .select(col("id").as("src"))
+        val reached = e.join(frontier, "src")
+          .select(col("dst").as("id")).distinct()
+          .withColumn("__nd", lit(k.toLong))
+        dist = dist.join(reached, Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("dist"), col("__nd")).as("dist"))
+          .localCheckpoint(true)
+        frontierNonEmpty = dist.where(col("dist") === lit(k.toLong))
+          .limit(1).count() > 0
+        k += 1
+      }
     }
     dist.select(col("id"), coalesce(col("dist"), lit(-1L)).as("dist"))
   }
@@ -695,6 +715,7 @@ object Graph {
     var frontier = dist.where(col("cost").isNotNull)
     var k = 1
     var frontierNonEmpty = frontier.limit(1).count() > 0
+    LoopTuning.withLoopShuffle(nodes.sparkSession, e.count()) {
     while (k <= maxRounds && frontierNonEmpty) {
       val cand = e
         .join(frontier.select(col("id").as("src"),
@@ -721,6 +742,7 @@ object Graph {
         next.select(col("id"), col("cost")))
       frontierNonEmpty = frontier.limit(1).count() > 0
       k += 1
+    }
     }
     lastSsspRounds = k - 1
     dist.select(col("id"), coalesce(col("cost"), lit(-1L)).as("cost"))

@@ -37,7 +37,27 @@ object T {
     * the next driver-side drift fails with a named diff instead of a
     * downstream analysis error.
     */
-  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (!contract.contains(name)) load(spark, dir, name)
+    else {
+      // Session-scoped table catalog (optimization guide §6: repeated
+      // path reads pay file listing + footer schema inference on the
+      // driver EVERY call — ~10-40ms each, and the declared entries
+      // load 2-3 tables per construction). The temp view pins the
+      // analyzed relation (FileIndex + schema) once per (session, dir,
+      // table); every execution still scans the parquet from disk —
+      // this caches METADATA, never data or results. Only the 10
+      // immutable driver tables are cached (scratch paths fall through
+      // to a fresh read: they may be overwritten between loads).
+      val view = "__graft_t_" +
+        s"$dir/$name".map(c => if (c.isLetterOrDigit) c else '_')
+      if (!spark.catalog.tableExists(view))
+        load(spark, dir, name).createOrReplaceTempView(view)
+      spark.table(view)
+    }
+
+  private def load(spark: SparkSession, dir: String,
+      name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/$name.parquet")
     val df = if (name == "events") normalizeEventTs(raw) else raw
