@@ -71,6 +71,7 @@ object Dedup {
       labels = org.apache.spark.sql.graftbridge.Bridge.freshStats(labels)
     var changed = 1L
     var i = 0
+    LoopTuning.withLoopShuffle(pairs.sparkSession, edges.count()) {
     while (changed > 0 && i < maxIter) {
       // With pointerJump, augment the graph with this round's
       // bidirectional shortcut edges (id ↔ label); the frame is
@@ -114,6 +115,7 @@ object Dedup {
         pass += 1
       }
       i += 1
+    }
     }
     if (changed > 0)
       throw new IllegalStateException(
@@ -602,17 +604,29 @@ object Dedup {
     * saw a boundary pair first, and silently breaking the
     * equals-brute-force contract for off-grid thresholds.
     */
-  private def ppjoinVerify(cand: DataFrame, shA: DataFrame,
+  private def ppjoinVerify(cand0: DataFrame, shA: DataFrame,
       shB: DataFrame, tNum: Long, tDen: Long): DataFrame = {
+    // Candidate-proportional verify (guide §2.3 — filter before the
+    // explode): the a-side store grows with the corpus, and exploding
+    // ALL of it per verify made the stage store-proportional — at
+    // 100 TB every ingested batch would re-scan-and-explode the whole
+    // accumulated shingle store. The candidate a-ids are bounded by
+    // the candidate join's output (the prefix filter's whole point),
+    // so a broadcast SEMI join cuts the explode to candidate docs
+    // only. `cand0` materializes once (it is read twice: ids + join);
+    // the b side is the batch — already delta-sized, left as is.
+    val cand = cand0.localCheckpoint(true)
+    val aIds = broadcast(cand.select(col("a").as("__id")).distinct())
+    val shAc = shA.join(aIds, Seq("__id"), "left_semi")
     def ex(sh: DataFrame, id: String) =
       sh.select(col("__id").as(id), explode(col("__sh")).as("__s"))
     def sizes(sh: DataFrame, id: String, n: String) =
       sh.select(col("__id").as(id), size(col("__sh")).cast(LongType).as(n))
     cand
-      .join(ex(shA, "a"), "a")
+      .join(ex(shAc, "a"), "a")
       .join(ex(shB, "b"), Seq("b", "__s"))
       .groupBy("a", "b").agg(count(lit(1)).as("__ix"))
-      .join(sizes(shA, "a", "__na"), "a")
+      .join(sizes(shAc, "a", "__na"), "a")
       .join(sizes(shB, "b", "__nb"), "b")
       .where(col("__ix") * lit(tNum + tDen) >=
         lit(tNum) * (col("__na") + col("__nb")))

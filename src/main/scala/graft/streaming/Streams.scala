@@ -148,16 +148,31 @@ object Streams {
     val sentDir = in.resolve("__heartbeats")
     val hbs = Seq(("view", 10L), ("purchase", 12L),
       ("view", 20L), ("purchase", 22L))
-    for (((tpe, hrs), i) <- hbs.zipWithIndex) {
-      spark.range(1).select(
-          lit(-1L - i).as("event_id"),
-          expr(s"timestamp_micros(${maxTsU + hrs * 3600000000L})")
-            .as("ts"),
+    // ONE write job for all four heartbeat rows, pre-partitioned so
+    // row i lands alone in partition i (repartition by the pinned id
+    // would round-robin; partitionBy-style file-per-row via range on
+    // the already-ordered index is deterministic). The per-row file
+    // split and ascending mod-times reproduce the original one-file-
+    // per-heartbeat arrival batching exactly; this replaces 4
+    // single-row write jobs (the last measurable harness weight in
+    // the qs30 prep) with 1.
+    val hbDf = hbs.zipWithIndex.map { case ((tpe, hrs), i) =>
+      (i, -1L - i, maxTsU + hrs * 3600000000L, tpe)
+    }.foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) {
+      case (acc, (i, eid, tsu, tpe)) =>
+        val row = spark.range(1).select(
+          lit(eid).as("event_id"),
+          expr(s"timestamp_micros($tsu)").as("ts"),
           lit(-1L).as("user_id"), lit(tpe).as("event_type"),
           lit(null).cast("double").as("value"),
-          lit(null).cast("string").as("props"))
-        .coalesce(1).write.mode("overwrite").parquet(sentDir.toString)
-      val part = sentDir.toFile.listFiles
+          lit(null).cast("string").as("props"),
+          lit(i).as("__hb"))
+        Some(acc.fold(row)(_.unionAll(row)))
+    }.get
+    hbDf.write.mode("overwrite").partitionBy("__hb")
+      .parquet(sentDir.toString)
+    for (i <- hbs.indices) {
+      val part = sentDir.resolve(s"__hb=$i").toFile.listFiles
         .filter(_.getName.endsWith(".parquet")).head
       val dst = in.resolve(s"zz_heartbeat_$i.parquet")
       java.nio.file.Files.move(part.toPath, dst)
