@@ -76,4 +76,44 @@ object LoopTuning {
       conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
   }
+
+  /** AQE-only loop scope for CPU-parallel traversal loops (the beam
+    * searches and the blocked-store maintain/serve folds): disables
+    * adaptive execution for the scope, leaving `shuffle.partitions`
+    * at the session value, and restores on exit (exceptions
+    * included). Rationale (optimization guide §1.2/§2): each round of
+    * these loops is a fixed 3-6-exchange plan over freshly
+    * checkpointed, parameter-bounded frames (frontier ≈ |queries| ×
+    * ef × deg rows), so per-exchange AQE re-planning is a pure driver
+    * round trip — profiled on qs37 at sf0.1: 194 jobs / 3.8 s of
+    * driver gap for 7.0 s of task time, almost all sub-20ms AQE stage
+    * waves. Unlike [[withLoopShuffle]], the partition count is NOT
+    * shrunk: the per-round scoring join (dim-length dot products per
+    * frontier row) is compute-dense at tiny byte sizes — xs15 runs
+    * ~20 CPU-seconds against a 3.6 s wall — and must keep the
+    * deployment's parallelism; only the re-planning waves are waived.
+    *
+    * Scale note: AQE-off inside the scope also forfeits runtime
+    * skew-join splitting there. The loops' joins hash on id / cell
+    * keys whose per-key load the operators bound by construction
+    * (the blocked-candidate law for cell joins; ef/deg parameters for
+    * frontier joins), so no current entry is exposed; a future loop
+    * joining on an unbounded value key must re-enable AQE or salt.
+    *
+    * Thread-safety (ADVICE r18): like [[withLoopShuffle]], this
+    * mutates the shared session conf — scopes nest correctly on one
+    * thread, but a query planned CONCURRENTLY on another thread of
+    * the same session would see the loop's conf. The engine's
+    * declared entries run their loops single-threaded on the session
+    * driving them; do not run a batch loop concurrently with other
+    * planning on the same session.
+    */
+  def withLoopAqeOff[T](spark: SparkSession)(body: => T): T = {
+    if (!enabled) return body
+    val conf = spark.conf
+    val prevAqe = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try body
+    finally conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }

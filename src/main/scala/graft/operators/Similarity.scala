@@ -1167,7 +1167,8 @@ object Similarity {
       edges: DataFrame, idCol: String, vecCol: String,
       entryIds: Seq[Long], ef: Int, rounds: Int, seedM: Int,
       diagOut: scala.collection.mutable.ArrayBuffer[Long] = null)
-      : DataFrame = {
+      : DataFrame =
+      LoopTuning.withLoopAqeOff(corpus.sparkSession) {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       TextFns.l2norm(col(vecCol)).as("nv")).localCheckpoint(true)
     val q = broadcast(queries.select(col(idCol).as("qid"),
@@ -1212,7 +1213,12 @@ object Similarity {
         .select(col("qid"), col("nb").as("id")).distinct()
         .join(visited.select("qid", "id"), Seq("qid", "id"),
           "left_anti")
-      val fs = scored(frontier).localCheckpoint(true)
+      // LAZY checkpoint: the grew probe's job materializes the round
+      // frame's partitions as a side effect (the union's eager
+      // checkpoint finishes the rest), so each round runs 2 jobs
+      // instead of 3 (materialize / probe / union) — same task work,
+      // one fewer scheduler round trip per round.
+      val fs = scored(frontier).localCheckpoint(false)
       if (diagOut != null) {
         val n = fs.count(); grew = n > 0
         if (grew) diagOut += n
@@ -1366,7 +1372,8 @@ object Similarity {
       edges: DataFrame, idCol: String, vecCol: String,
       entryIds: Seq[Long], ef: Int, rounds: Int,
       diagOut: scala.collection.mutable.ArrayBuffer[Long] = null)
-      : DataFrame = {
+      : DataFrame =
+      LoopTuning.withLoopAqeOff(corpus.sparkSession) {
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .localCheckpoint(true)
     val q = broadcast(queries.select(col(idCol).as("qid"),
@@ -1399,7 +1406,8 @@ object Similarity {
         .select(col("qid"), col("nb").as("id")).distinct()
         .join(visited.select("qid", "id"), Seq("qid", "id"),
           "left_anti")
-      val fs = scored(frontier).localCheckpoint(true)
+      // lazy checkpoint + probe-materializes: see beamSearchVisitedSeeded
+      val fs = scored(frontier).localCheckpoint(false)
       if (diagOut != null) {
         val n = fs.count(); grew = n > 0
         if (grew) diagOut += n

@@ -1144,10 +1144,15 @@ object Streams {
     var gs = Similarity.prepareBlockedGraphStore(corpus, idCol, vecCol,
       cents, probe, k)
     val edges = (Long.MinValue +: bounds.sorted) :+ Long.MaxValue
-    edges.sliding(2).foreach { case Seq(lo, hi) =>
-      gs = Similarity.blockedGraphIngest(
-        newVecs.where(col(idCol) >= lo && col(idCol) < hi),
-        gs, idCol, vecCol)
+    // delta-proportional maintenance rounds are fixed small plans over
+    // checkpointed frames — AQE re-planning is pure driver latency
+    // there (guide §1.2); the corpus-scale prepare above keeps AQE
+    graft.operators.LoopTuning.withLoopAqeOff(newVecs.sparkSession) {
+      edges.sliding(2).foreach { case Seq(lo, hi) =>
+        gs = Similarity.blockedGraphIngest(
+          newVecs.where(col(idCol) >= lo && col(idCol) < hi),
+          gs, idCol, vecCol)
+      }
     }
     Similarity.blockedGraphFromStore(gs)
   }
@@ -1205,11 +1210,17 @@ object Streams {
       .localCheckpoint(true)
     val edges = (Long.MinValue +: bounds.sorted) :+ Long.MaxValue
     var serve: DataFrame = null
-    edges.sliding(2).foreach { case Seq(lo, hi) =>
-      gs = Similarity.blockedGraphIngest(
-        newVecs.where(col(idCol) >= lo && col(idCol) < hi),
-        gs, idCol, vecCol)
-      serve = hierServeFromBlockedStore(gs, q, seedM, ef, rounds, kq)
+    // maintain+serve rounds: fixed small plans per chunk (ingest is
+    // cell-blocked delta work, the serve a parameter-bounded descent)
+    // — AQE waves are the profiled cost (194 jobs / 3.8s driver gap
+    // on qs37 at sf0.1); prepare above keeps AQE
+    graft.operators.LoopTuning.withLoopAqeOff(newVecs.sparkSession) {
+      edges.sliding(2).foreach { case Seq(lo, hi) =>
+        gs = Similarity.blockedGraphIngest(
+          newVecs.where(col(idCol) >= lo && col(idCol) < hi),
+          gs, idCol, vecCol)
+        serve = hierServeFromBlockedStore(gs, q, seedM, ef, rounds, kq)
+      }
     }
     serve
   }
@@ -1245,17 +1256,20 @@ object Streams {
       col(attrCol)).localCheckpoint(true)
     val edges = (Long.MinValue +: bounds.sorted) :+ Long.MaxValue
     var serve: DataFrame = null
-    edges.sliding(2).foreach { case Seq(lo, hi) =>
-      gs = Similarity.blockedGraphIngest(
-        newVecs.where(col(idCol) >= lo && col(idCol) < hi),
-        gs, idCol, vecCol)
-      val live = gs.vecs.select(col("id"), col("v"))
-      val entries = Similarity.cellMedoids(live, "id", "v", gs.cents)
-      val corpusA = live.join(
-        attrs.select(col(idCol).as("id"), col(attrCol)), "id")
-      serve = Similarity.beamSearchTopKHierFiltered(corpusA, q,
-        Similarity.blockedGraphFromStore(gs), "id", "v", attrCol,
-        entries, seedM, ef, rounds, kq)
+    // same AQE-off fold scope as blockedServeChunked (qs37)
+    graft.operators.LoopTuning.withLoopAqeOff(newVecs.sparkSession) {
+      edges.sliding(2).foreach { case Seq(lo, hi) =>
+        gs = Similarity.blockedGraphIngest(
+          newVecs.where(col(idCol) >= lo && col(idCol) < hi),
+          gs, idCol, vecCol)
+        val live = gs.vecs.select(col("id"), col("v"))
+        val entries = Similarity.cellMedoids(live, "id", "v", gs.cents)
+        val corpusA = live.join(
+          attrs.select(col(idCol).as("id"), col(attrCol)), "id")
+        serve = Similarity.beamSearchTopKHierFiltered(corpusA, q,
+          Similarity.blockedGraphFromStore(gs), "id", "v", attrCol,
+          entries, seedM, ef, rounds, kq)
+      }
     }
     serve
   }
@@ -1286,12 +1300,16 @@ object Streams {
     var gs = Similarity.prepareBlockedGraphStore(corpus, idCol, vecCol,
       cents, probe, k)
     val edges = (Long.MinValue +: bounds.sorted) :+ Long.MaxValue
-    edges.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
-      gs = Similarity.blockedGraphIngest(
-        newVecs.where(col(idCol) >= lo && col(idCol) < hi),
-        gs, idCol, vecCol)
-      deletesAfter.get(i).filter(_.nonEmpty).foreach { ids =>
-        gs = Similarity.blockedGraphDelete(ids.toDF("id"), gs)
+    // same AQE-off fold scope as blockedServeChunked (qs37): ingest
+    // and delete-repair rounds are fixed delta-proportional plans
+    graft.operators.LoopTuning.withLoopAqeOff(newVecs.sparkSession) {
+      edges.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+        gs = Similarity.blockedGraphIngest(
+          newVecs.where(col(idCol) >= lo && col(idCol) < hi),
+          gs, idCol, vecCol)
+        deletesAfter.get(i).filter(_.nonEmpty).foreach { ids =>
+          gs = Similarity.blockedGraphDelete(ids.toDF("id"), gs)
+        }
       }
     }
     Similarity.blockedGraphFromStore(gs)
